@@ -1,0 +1,79 @@
+"""Table IO: parquet star-schema loader + partitioned writers.
+
+Mirrors the reference's sinks (SURVEY.md §2.1 S20/S21: per-province/
+year partitioned text files, JSON dumps) with Spark-native writers:
+``partitionBy`` parquet and ``df.write.json``. At 100 TB the reader
+path matters most — we always load through ``spark.read.parquet`` so
+column pruning and predicate pushdown reach the scan.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS): with
+# spark.sql.legacy.parquet.nanosAsLong they arrive as LongType
+# epoch-nanos and are normalized here to TIMESTAMP_NTZ (micro
+# truncation — the same thing the DuckDB oracle does on read).
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
+    """Load one star-schema table from a scale-factor directory."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for col in NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(
+                col,
+                F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")).cast("timestamp_ntz"),
+            )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, names: tuple[str, ...] = TESTDATA_TABLES
+) -> dict[str, DataFrame]:
+    """Load all tables; also registers each as a temp view for spark.sql."""
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        df = load_table(spark, name, sf_dir)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Per-key partitioned sink.
+
+    Spark-native restatement of the reference's per-province/year text
+    sink (moe_majors_scraper.py:138-171): one directory per partition
+    value instead of one hand-assembled file per key.
+    """
+    df.write.mode(mode).partitionBy(*partition_cols).format(fmt).save(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON dump sink (reference: tuoyu_scraper.py:92-96)."""
+    df.write.mode(mode).json(path)

@@ -1,0 +1,51 @@
+"""Relational operators re-expressed Spark-first.
+
+Each module maps a block of SURVEY.md §2 to declarative DataFrame
+transformations. None of these collect to the driver; all are built to
+survive a 100× scale-up (broadcast for small dims, windowed top-k
+instead of global sorts where possible, map-side-combinable
+aggregations).
+"""
+
+from data_pipeline_childcare_spark.operators.rrf import rrf_fuse
+from data_pipeline_childcare_spark.operators.topk import top_k_per_group, top_k_with_global_dedup
+from data_pipeline_childcare_spark.operators.chunking import parent_child_chunk
+from data_pipeline_childcare_spark.operators.cleaning import (
+    remove_noise_lines,
+    remove_repeated_lines,
+    truncate_content,
+)
+from data_pipeline_childcare_spark.operators.dedup import (
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_signatures,
+    lsh_candidate_pairs,
+    minhash_dedup,
+    simhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+)
+from data_pipeline_childcare_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    lsh_cosine_topk,
+)
+from data_pipeline_childcare_spark.operators.asof import asof_join
+
+__all__ = [
+    "rrf_fuse",
+    "top_k_per_group",
+    "top_k_with_global_dedup",
+    "parent_child_chunk",
+    "remove_noise_lines",
+    "remove_repeated_lines",
+    "truncate_content",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "minhash_signatures",
+    "lsh_candidate_pairs",
+    "minhash_dedup",
+    "simhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "cosine_topk_bruteforce",
+    "lsh_cosine_topk",
+    "asof_join",
+]

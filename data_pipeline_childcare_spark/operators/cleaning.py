@@ -1,0 +1,113 @@
+"""Content-cleaning pipeline as pure column/relational ops.
+
+Re-expresses the reference cleaners (SURVEY.md §2.2 P10-P12, P15):
+  - noise-line regex filtering (多数据源获取数据.py:455-490)
+  - repeated header/footer removal via line frequency — a
+    self-aggregation, not a map (多数据源获取数据.py:507-520)
+  - page-number line removal (:468-473)
+  - content truncation caps (:476, 614-619)
+
+The repeated-line removal is the interesting one at scale: it is a
+groupBy(doc, line) count + window, i.e. one shuffle keyed by document —
+embarrassingly parallel across documents and map-side combinable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# Noise patterns distilled from the reference's cleaner; unicode-safe.
+NOISE_PATTERNS = [
+    r"^第\s*\d+\s*页",  # page numbers "第 N 页"
+    r"^Page\s+\d+(\s+of\s+\d+)?$",
+    r"^-\s*\d+\s*-$",
+    r"分享到",  # share bars
+    r"ICP备\d+号",  # ICP license footers
+    r"^(上一页|下一页|首页|尾页)",  # pagination links
+    r"^Copyright\b|版权所有",
+    r"^\s*[|\-+=_*]{3,}\s*$",  # rule lines
+]
+
+NOISE_RE = "|".join(f"(?:{p})" for p in NOISE_PATTERNS)
+
+
+def is_noise_line(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    link_count = F.size(F.split(c, r"https?://")) - 1
+    link_dense = (link_count > 2) & (F.length(c) / F.greatest(link_count, F.lit(1)) < 30)
+    return c.rlike(NOISE_RE) | link_dense
+
+
+def explode_lines(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """doc → one row per line with position (reading order preserved)."""
+    return docs.select(
+        id_col, F.posexplode(F.split(F.col(text_col), r"\n")).alias("line_no", "line")
+    )
+
+
+def remove_noise_lines(lines: DataFrame, line_col: str = "line") -> DataFrame:
+    """Drop noise lines (P10/P12)."""
+    return lines.filter(~is_noise_line(line_col))
+
+
+def remove_repeated_lines(
+    lines: DataFrame,
+    id_col: str = "doc_id",
+    line_col: str = "line",
+    min_count: int = 3,
+    max_line_len: int = 100,
+    min_doc_lines: int = 20,
+) -> DataFrame:
+    """Drop short lines occurring ≥ min_count times within a document
+    (headers/footers), only for documents with ≥ min_doc_lines lines.
+
+    Reference: 多数据源获取数据.py:507-520. One window pass keyed by
+    (doc, line) plus a doc-size window — a single shuffle on doc id.
+    """
+    w_line = Window.partitionBy(id_col, line_col)
+    w_doc = Window.partitionBy(id_col)
+    return (
+        lines.withColumn("_line_freq", F.count("*").over(w_line))
+        .withColumn("_doc_lines", F.count("*").over(w_doc))
+        .filter(
+            ~(
+                (F.col("_doc_lines") >= min_doc_lines)
+                & (F.length(F.col(line_col)) < max_line_len)
+                & (F.col("_line_freq") >= min_count)
+            )
+        )
+        .drop("_line_freq", "_doc_lines")
+    )
+
+
+def reassemble_lines(
+    lines: DataFrame, id_col: str = "doc_id", line_col: str = "line", pos_col: str = "line_no"
+) -> DataFrame:
+    """lines → doc text again, order restored by position."""
+    return lines.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col(pos_col), F.col(line_col).alias("l")))),
+                lambda s: s["l"],
+            ),
+        ).alias("text")
+    )
+
+
+def truncate_content(docs: DataFrame, text_col: str = "text", max_chars: int = 80_000) -> DataFrame:
+    """Resource-guard cap (reference: 80k chars/doc)."""
+    return docs.withColumn(text_col, F.substring(F.col(text_col), 1, max_chars))
+
+
+def clean_documents(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_chars: int = 80_000
+) -> DataFrame:
+    """Full cleaning pipeline: explode → noise filter → repeated-line
+    removal → reassemble → truncate (reference pipeline order)."""
+    lines = explode_lines(docs, id_col, text_col)
+    lines = remove_noise_lines(lines)
+    lines = remove_repeated_lines(lines, id_col=id_col)
+    out = reassemble_lines(lines, id_col=id_col)
+    return truncate_content(out.withColumnRenamed("text", text_col), text_col, max_chars)

@@ -1,0 +1,246 @@
+"""Deduplication family for LLM training-data pipelines.
+
+Five strategies, all shared-nothing and shuffle-disciplined:
+
+- exact:        groupBy(content hash) keep canonical row — one shuffle.
+- fingerprint:  md5 of normalized text (engine-independent key).
+- minhash+LSH:  shingle → k minhashes → band buckets → join within
+                buckets only. The scale path: candidate generation is
+                a self-join on (band, bucket-hash), never all-pairs.
+- simhash:      64-bit signature, near-dup = small Hamming distance;
+                candidates blocked on 16-bit sub-bands (any exact
+                sub-band match ⇒ candidate), standard at corpus scale.
+- n-gram Jaccard: exact verification metric, computed via an inverted
+                shingle index (explode + join on shingle + count),
+                NOT an O(n²) cross join.
+
+At 100 TB: every strategy here is a constant number of shuffles keyed
+by content-derived hashes (uniformly distributed ⇒ no skew), and the
+verification joins only touch candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.functions.text import (
+    doc_fingerprint,
+    simhash64,
+    hamming64,
+    word_ngrams,
+)
+
+
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: keep the smallest id per identical text.
+
+    groupBy on the text itself (Spark hashes it for the exchange); at
+    scale prefer ``dedup_fingerprint`` so the shuffle key is 32 bytes,
+    not the document body.
+    """
+    keep = df.groupBy(text_col).agg(F.min(id_col).alias(id_col))
+    return df.join(keep, [text_col, id_col], "left_semi")
+
+
+def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on md5(normalized text) — the 100 TB-friendly variant:
+    the wide text column never enters the shuffle."""
+    with_fp = df.withColumn("_fp", doc_fingerprint(text_col))
+    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    return with_fp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature: ARRAY<BIGINT> of length num_hashes.
+
+    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
+    Pure column math (transform + array_min) — signatures for a
+    partition are computed with zero exchange.
+    """
+    shingles = word_ngrams(F.col(text_col), shingle_n)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: F.xxhash64(s, i))
+        ),
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Band the signatures and emit candidate pairs sharing any band.
+
+    Shape: explode to (band, band_hash, id) → self-join on
+    (band, band_hash) → distinct pairs with id_a < id_b. The join key is
+    a hash ⇒ uniform; the explode is narrow. This is the only shuffle.
+    """
+    banded = signatures.select(
+        id_col,
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.slice(F.col("signature"), b * rows_per_band + 1, rows_per_band)
+                ),
+            )
+        ).alias("band", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_jaccard_estimate(signatures: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Estimated Jaccard for candidate pairs = fraction of agreeing
+    minhash components (zip_with + filter/size)."""
+    sig_a = signatures.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = signatures.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
+    joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+    return joined.select(
+        "id_a", "id_b", (agree / F.size("sig_a")).alias("est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dedup: LSH candidates → estimated-Jaccard filter → drop the
+    larger id of each surviving pair (connected-component-lite: a doc
+    is dropped if it is near-dup of ANY smaller id)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
+    dups = (
+        minhash_jaccard_estimate(sigs, pairs, id_col)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 3,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Blocking: split the 64-bit signature into 4×16-bit sub-bands; with
+    distance ≤ 3 at least one sub-band matches exactly (pigeonhole), so
+    the join is on (band_index, band_value) — never all-pairs.
+    """
+    sigs = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    banded = sigs.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.filter(F.col("hamming") <= max_hamming)
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard via inverted index
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over word n-gram shingle SETS.
+
+    Inverted-index shape: explode distinct shingles → self-join on the
+    shingle → count common shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).
+    Only pairs sharing ≥1 shingle are ever materialized. A df-frequency
+    cap would bound hot shingles at corpus scale (not needed at test SF,
+    noted for 100 TB: add ``HAVING count < limit`` on the shingle).
+    """
+    shingled = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle")
+    )
+    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        common.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )

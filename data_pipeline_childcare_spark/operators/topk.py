@@ -1,0 +1,66 @@
+"""Per-group top-k and the reference's order-dependent global dedup.
+
+Reference semantics (retrieve.py:335-387): tasks are processed in
+order; each takes its top-k candidates by score, skipping chunk_ids
+already claimed by an earlier task. That is order-dependent imperative
+logic; the Spark restatement is two stacked windows (SURVEY.md §2.5 W2):
+
+  1. rank candidates per item by task priority (first task wins a
+     contested item),
+  2. rank the surviving candidates per task by score and keep k.
+
+Windowed row_number is the scalable top-k shape: no global sort, each
+partition key sorts independently, AQE balances skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Keep the top k rows per group (deterministic via tie_col)."""
+    order = [F.col(order_col).asc() if ascending else F.col(order_col).desc()]
+    if tie_col:
+        order.append(F.col(tie_col))
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def top_k_with_global_dedup(
+    candidates: DataFrame,
+    task_col: str = "task_id",
+    item_col: str = "item_id",
+    score_col: str = "score",
+    priority_col: str | None = None,
+    k: int = 20,
+) -> DataFrame:
+    """Per-task top-k where each item may be claimed by only one task.
+
+    ``priority_col`` defines task precedence (defaults to task id order,
+    making the reference's implicit iteration order explicit and
+    deterministic). Returns the winning (task, item, score) rows.
+    """
+    prio = F.col(priority_col) if priority_col else F.col(task_col)
+    # Stage 1: an item contested by several tasks goes to the
+    # highest-priority task.
+    w_claim = Window.partitionBy(item_col).orderBy(prio, F.desc(score_col))
+    claimed = (
+        candidates.withColumn("_claim", F.row_number().over(w_claim))
+        .filter(F.col("_claim") == 1)
+        .drop("_claim")
+    )
+    # Stage 2: per-task top-k by score.
+    return top_k_per_group(claimed, task_col, score_col, k, tie_col=item_col)
