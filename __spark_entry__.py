@@ -1,38 +1,553 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship multi-join revenue rollup at
+sf0.001. ``queries()`` exposes one callable per implemented operator
+from SURVEY.md §2 (plus the LLM-data operators); ``oracle_sql()``
+holds the DuckDB-equivalent SQL for every SQL-expressible one.
+
+Column-name and value alignment rules used throughout:
+- every computed column is aliased identically in Spark and SQL;
+- double aggregates are rounded (2-8 dp) BEFORE any window ordering
+  decision, so both engines rank on identical values;
+- sums of BIGINT are cast to BIGINT in DuckDB (its native SUM yields
+  HUGEINT, which Spark has no analog for).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.io import load_table
+from data_pipeline_childcare_spark.operators import (
+    asof_join,
+    cosine_topk_bruteforce,
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    parent_child_chunk,
+    rrf_fuse,
+    session_stats,
+    simhash_near_dup_pairs,
+    top_k_with_global_dedup,
+)
+from data_pipeline_childcare_spark.operators.cleaning import clean_documents
+from data_pipeline_childcare_spark.operators.rrf import rank_lists
+from data_pipeline_childcare_spark.functions.text import tokenize, doc_fingerprint
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# Relational core (TPC-H-style; exercises scan/filter/join/agg/window/sort
+# — SURVEY.md §2.3 "ship them because Spark gives them for free")
+# ---------------------------------------------------------------------------
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy aggregate with pushed-down date filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-12-01").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join orders×lineitem, revenue per order, deterministic top-10."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: six-table join; region/nation dims broadcast."""
+    region = F.broadcast(_t(spark, sf_dir, "region"))
+    nation = F.broadcast(_t(spark, sf_dir, "nation"))
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(nation, F.col("c_nationkey") == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            ),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed per-group top-k (SURVEY.md §2.5 W1)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative window sum (SURVEY.md §2.4 A9 — the timeline op)."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) rolled up to session rows."""
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev, gap_minutes=30).select(
+        "user_id",
+        "session_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click sees the user's most recent prior purchase."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), "event_id"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.round("value", 4).alias("p_value")
+    )
+    res = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        left_ts="click_ts",
+        right_ts="p_ts",
+        right_payload=["p_value", "p_ts"],
+        suffix="",
+    )
+    return res.select("user_id", "click_ts", "event_id", "p_value", "p_ts")
+
+
+# ---------------------------------------------------------------------------
+# Ranking / fusion (SURVEY.md §2.4 A1, §2.5 W2-W3)
+# ---------------------------------------------------------------------------
+
+
+def rrf_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RRF over two supplier rankings: by balance and by lineitem volume."""
+    sup = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    by_bal = sup.select(
+        F.lit("balance").alias("list_id"),
+        F.col("s_suppkey").alias("item_id"),
+        F.round("s_acctbal", 4).alias("score"),
+    )
+    by_vol = (
+        li.groupBy("l_suppkey")
+        .agg(F.count("*").cast("double").alias("score"))
+        .select(F.lit("volume").alias("list_id"), F.col("l_suppkey").alias("item_id"), "score")
+    )
+    ranked = rank_lists(by_bal.unionByName(by_vol), "list_id", "score", "item_id")
+    fused = rrf_fuse(ranked, item_col="item_id", k=60)
+    return fused.select(
+        F.col("item_id").alias("s_suppkey"),
+        F.round("rrf_score", 8).alias("rrf_score"),
+        F.col("n_lists").cast("long").alias("n_lists"),
+    )
+
+
+def topk_global_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-task top-k with first-task-wins global dedup (W2): tasks are
+    event types, items are users, score is total event value."""
+    ev = _t(spark, sf_dir, "events")
+    candidates = ev.groupBy(
+        F.col("event_type").alias("task_id"), F.col("user_id").alias("item_id")
+    ).agg(F.round(F.sum("value"), 4).alias("score"))
+    return top_k_with_global_dedup(
+        candidates, task_col="task_id", item_col="item_id", score_col="score", k=5
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-data operators: dedup / similarity / text analysis / chunking
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_exact(docs).select("doc_id", "n_chars")
+
+
+def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_fingerprint(docs).select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup. No SQL oracle (xxhash64-specific); the
+    driver records a rows-only check; exactness is covered by the
+    ngram_jaccard_docs oracle below."""
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_dedup(docs, threshold=0.8).select("doc_id")
+
+
+def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs (rows-only check, see above)."""
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_near_dup_pairs(docs, max_hamming=8).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs ≥ 0.2 via inverted shingle index."""
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+
+
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 3."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return cosine_topk_bruteforce(emb, q, k=5).select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + length stats — the text-analysis fast path."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = tokenize(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    return docs.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.length("text").cast("long").alias("len_chars"),
+        F.round(
+            F.when(n_tok > 0, F.length(F.concat_ws("", toks)) / n_tok).otherwise(F.lit(0.0)), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def clean_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Noise-line cleaning pipeline (P10-P12) over the documents table."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return clean_documents(docs, id_col="doc_id", text_col="text")
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parent-child chunking (A7): parent 1024 / child 512."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = parent_child_chunk(docs, parent_max=1024, child_max=512)
+    return ch.select(
+        "doc_id",
+        F.col("parent_id").cast("long").alias("parent_id"),
+        F.col("child_id").cast("long").alias("child_id"),
+        "child_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# contract surface
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return q5_nation_revenue(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": q1_pricing_summary,
+        "q3_top_revenue_orders": q3_top_revenue_orders,
+        "q5_nation_revenue": q5_nation_revenue,
+        "top3_orders_per_customer": top3_orders_per_customer,
+        "events_running_total": events_running_total,
+        "sessionize_events": sessionize_events,
+        "asof_clicks_purchases": asof_clicks_purchases,
+        "rrf_suppliers": rrf_suppliers,
+        "topk_global_dedup_events": topk_global_dedup_events,
+        "dedup_exact_docs": dedup_exact_docs,
+        "dedup_fingerprint_docs": dedup_fingerprint_docs,
+        "minhash_dedup_docs": minhash_dedup_docs,
+        "simhash_pairs_docs": simhash_pairs_docs,
+        "ngram_jaccard_docs": ngram_jaccard_docs,
+        "cosine_topk_embeddings": cosine_topk_embeddings,
+        "doc_token_stats": doc_token_stats,
+        "clean_documents": clean_documents_q,
+        "chunk_documents": chunk_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # shared SQL fragments (DuckDB dialect)
+    tokens = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   round(avg(l_quantity), 6) AS avg_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-12-01'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q3_top_revenue_orders": """
+            SELECT l_orderkey, o_orderdate, o_orderpriority,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+            GROUP BY l_orderkey, o_orderdate, o_orderpriority
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
+        """,
+        "q5_nation_revenue": """
+            SELECT r_name, n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            JOIN region   ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey
+            GROUP BY r_name, n_name
+            ORDER BY r_name, n_name
+        """,
+        "top3_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey
+                       ) AS rn
+                FROM orders
+            ) WHERE rn <= 3
+        """,
+        "events_running_total": """
+            SELECT user_id, event_id, ts,
+                   round(sum(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ), 4) AS running_value
+            FROM events WHERE event_type = 'purchase'
+        """,
+        "sessionize_events": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN prev_ts IS NULL
+                                 OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                            THEN 1 ELSE 0 END AS is_new
+                FROM ordered
+            ), assigned AS (
+                SELECT user_id, ts,
+                       sum(is_new) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS session_id
+                FROM flagged
+            )
+            SELECT user_id, session_id,
+                   min(ts) AS session_start, max(ts) AS session_end,
+                   count(*) AS n_events
+            FROM assigned GROUP BY user_id, session_id
+        """,
+        "asof_clicks_purchases": """
+            SELECT c.user_id, c.click_ts, c.event_id, p.p_value, p.p_ts
+            FROM (
+                SELECT user_id, ts AS click_ts, event_id
+                FROM events WHERE event_type = 'click'
+            ) c
+            ASOF LEFT JOIN (
+                SELECT user_id, ts AS p_ts, round(value, 4) AS p_value
+                FROM events WHERE event_type = 'purchase'
+            ) p ON c.user_id = p.user_id AND p.p_ts <= c.click_ts
+        """,
+        "rrf_suppliers": """
+            WITH by_bal AS (
+                SELECT s_suppkey AS item_id,
+                       row_number() OVER (ORDER BY round(s_acctbal, 4) DESC, s_suppkey) AS rank
+                FROM supplier
+            ), by_vol AS (
+                SELECT l_suppkey AS item_id,
+                       row_number() OVER (ORDER BY count(*) DESC, l_suppkey) AS rank
+                FROM lineitem GROUP BY l_suppkey
+            ), unioned AS (
+                SELECT 'balance' AS list_id, item_id, rank FROM by_bal
+                UNION ALL
+                SELECT 'volume' AS list_id, item_id, rank FROM by_vol
+            )
+            SELECT item_id AS s_suppkey,
+                   round(sum(1.0 / (60 + rank)), 8) AS rrf_score,
+                   count(DISTINCT list_id) AS n_lists
+            FROM unioned GROUP BY item_id
+        """,
+        "topk_global_dedup_events": """
+            WITH scored AS (
+                SELECT event_type AS task_id, user_id AS item_id,
+                       round(sum(value), 4) AS score
+                FROM events GROUP BY 1, 2
+            ), claimed AS (
+                SELECT task_id, item_id, score,
+                       row_number() OVER (
+                           PARTITION BY item_id ORDER BY task_id, score DESC
+                       ) AS claim
+                FROM scored
+            ), winners AS (
+                SELECT task_id, item_id, score FROM claimed WHERE claim = 1
+            )
+            SELECT task_id, item_id, score
+            FROM (
+                SELECT task_id, item_id, score,
+                       row_number() OVER (
+                           PARTITION BY task_id ORDER BY score DESC, item_id
+                       ) AS rnk
+                FROM winners
+            ) WHERE rnk <= 5
+        """,
+        "dedup_exact_docs": """
+            SELECT d.doc_id, d.n_chars
+            FROM documents d
+            JOIN (SELECT text, min(doc_id) AS doc_id FROM documents GROUP BY text) k
+              ON d.text = k.text AND d.doc_id = k.doc_id
+        """,
+        "dedup_fingerprint_docs": """
+            WITH fp AS (
+                SELECT doc_id,
+                       md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
+                FROM documents
+            )
+            SELECT f.doc_id, f.fp
+            FROM fp f
+            JOIN (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) k
+              ON f.fp = k.fp AND f.doc_id = k.doc_id
+        """,
+        "ngram_jaccard_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(t) - 3, 0) + 2),
+                               i -> array_to_string(t[i:i+2], ' ')
+                           )
+                       ) AS shingles
+                FROM toks
+            ), inv AS (
+                SELECT doc_id, unnest(shingles) AS shingle FROM grams
+            ), sizes AS (
+                SELECT doc_id, count(*) AS set_size FROM inv GROUP BY doc_id
+            ), common AS (
+                SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+                FROM inv a JOIN inv b
+                  ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT id_a, id_b,
+                   round(common * 1.0 / (sa.set_size + sb.set_size - common), 6) AS jaccard
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE common * 1.0 / (sa.set_size + sb.set_size - common) >= 0.2
+        """,
+        "cosine_topk_embeddings": """
+            WITH q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), scored AS (
+                SELECT q.query_id, c.vec_id,
+                       round(
+                           list_dot_product(c.cv, q.qv) /
+                           (sqrt(list_dot_product(c.cv, c.cv)) *
+                            sqrt(list_dot_product(q.qv, q.qv))), 6
+                       ) AS cosine_sim
+                FROM c CROSS JOIN q
+                WHERE q.query_id <> c.vec_id
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT query_id, vec_id, cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "doc_token_stats": f"""
+            WITH toks AS (
+                SELECT doc_id, text, {tokens} AS t FROM documents
+            )
+            SELECT doc_id,
+                   len(t) AS n_tokens,
+                   length(text) AS len_chars,
+                   round(
+                       CASE WHEN len(t) > 0
+                            THEN length(array_to_string(t, '')) * 1.0 / len(t)
+                            ELSE 0.0 END, 6
+                   ) AS avg_token_len
+            FROM toks
+        """,
+    }

@@ -1,0 +1,80 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+  {"metric": "total_query_time", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": 0.1}
+
+Each query is forced to full execution with a count-style action (the
+driver-facing results are small aggregates; the cost is the scan/
+shuffle, which count() exercises identically). Queries run twice and
+report the better run, so JVM/JIT warm-up doesn't pollute comparisons
+between rounds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import __spark_entry__ as entry_mod
+import data_pipeline_childcare_spark as eng
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: scan-agg, join-heavy, window, as-of, dedup, similarity,
+# text analysis — the shapes that dominate a 100 TB pipeline
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "top3_orders_per_customer",
+    "events_running_total",
+    "sessionize_events",
+    "asof_clicks_purchases",
+    "rrf_suppliers",
+    "topk_global_dedup_events",
+    "dedup_fingerprint_docs",
+    "ngram_jaccard_docs",
+    "cosine_topk_embeddings",
+    "doc_token_stats",
+    "chunk_documents",
+]
+
+RUNS = 2
+
+
+def main() -> None:
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    spark = eng.get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    per_query: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs[name]
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        per_query[name] = round(best, 3)
+    total = round(sum(per_query.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_time",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

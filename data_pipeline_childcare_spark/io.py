@@ -43,9 +43,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            # integer `div`, NOT `/`: double division of epoch-nanos
+            # (~1.7e18) rounds in the 53-bit mantissa and shifts
+            # timestamps by ±1 µs.
             df = df.withColumn(
                 col,
-                F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long")).cast("timestamp_ntz"),
+                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
             )
     return df
 

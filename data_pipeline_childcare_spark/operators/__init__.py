@@ -29,6 +29,7 @@ from data_pipeline_childcare_spark.operators.similarity import (
     lsh_cosine_topk,
 )
 from data_pipeline_childcare_spark.operators.asof import asof_join
+from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
 
 __all__ = [
     "rrf_fuse",
@@ -48,4 +49,6 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_cosine_topk",
     "asof_join",
+    "sessionize",
+    "session_stats",
 ]

@@ -209,25 +209,44 @@ def check_rule(
     ts_col: Column,
 ) -> Column:
     """Full rule conjunction with per-type applicability, composing the
-    predicates exactly as retrieve.py:1356-1499 sequences them."""
-    is_moe = record_type == "moe"
-    is_inst = record_type == "institution"
-    is_survey = record_type == "survey"
+    predicates exactly as retrieve.py:1356-1499 sequences them:
 
-    cond = region_predicate(location_col, rule.scope)
-    if rule.major:
-        cond = cond & major_predicate(major_col, rule.major)
-    if rule.level:
-        cond = cond & (
-            F.when(is_moe, F.lit(moe_vocational_gate(rule.level)))
-            .otherwise(education_predicate(level_col, rule.level))
-        )
-    if rule.school:
-        # applies to MOE only; institutions are explicitly NOT school-
-        # filtered (reference comment retrieve.py:1460-1462)
-        cond = cond & F.when(is_moe, school_predicate(name_col, alias_col, rule.school)).otherwise(
-            F.lit(True)
-        )
+    - survey (questionnaire): major + scope + level; NEVER time-filtered.
+    - MOE: major + school + scope, and the vocational gate — MOE records
+      are usable ONLY when the rule requests a vocational level, so a
+      rule with regional fields but no/non-vocational level rejects
+      every MOE record (retrieve.py:1424-1441).
+    - institution: scope + time only; major/level/school never apply
+      (retrieve.py:1460-1462).
+    """
+    is_moe = record_type == "moe"
+    is_survey = record_type == "survey"
+    has_regional = bool(rule.scope or rule.level or rule.major or rule.school)
+
+    cond = F.lit(True)
+    if has_regional:
+        if rule.scope:
+            cond = cond & region_predicate(location_col, rule.scope)
+        if rule.major:
+            # survey + MOE only; institution records have no major field
+            cond = cond & F.when(
+                is_moe | is_survey, major_predicate(major_col, rule.major)
+            ).otherwise(F.lit(True))
+        if rule.level:
+            # survey: normalized bidirectional containment; missing
+            # education field rejects (reference: `if not edu: False`)
+            cond = cond & F.when(
+                is_survey, education_predicate(level_col, rule.level)
+            ).otherwise(F.lit(True))
+        # MOE vocational gate applies whenever regional rules exist,
+        # even when no level was requested
+        cond = cond & F.when(
+            is_moe, F.lit(moe_vocational_gate(rule.level or ""))
+        ).otherwise(F.lit(True))
+        if rule.school:
+            cond = cond & F.when(
+                is_moe, school_predicate(name_col, alias_col, rule.school)
+            ).otherwise(F.lit(True))
     if rule.time_filter:
         cond = cond & time_predicate(
             ts_col, rule.time_filter, strict=rule.strict_time, exempt=is_survey

@@ -1,0 +1,174 @@
+"""Operator semantics against literal DataFrames with hand-computed
+expectations (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.operators import (
+    asof_join,
+    cosine_topk_bruteforce,
+    dedup_exact,
+    dedup_fingerprint,
+    minhash_dedup,
+    ngram_jaccard_pairs,
+    parent_child_chunk,
+    rrf_fuse,
+    sessionize,
+    simhash_near_dup_pairs,
+    top_k_with_global_dedup,
+)
+from data_pipeline_childcare_spark.operators.cleaning import (
+    clean_documents,
+    remove_repeated_lines,
+    explode_lines,
+)
+from data_pipeline_childcare_spark.operators.rrf import rank_lists
+
+
+def test_rrf_matches_reference_formula(spark):
+    # two lists, k=60: item 10 ranks 1 & 2 → 1/61 + 1/62
+    ranked = spark.createDataFrame(
+        [("l1", 10, 1), ("l1", 20, 2), ("l2", 10, 2), ("l2", 30, 1)],
+        "list_id string, item_id long, rank long",
+    )
+    rows = rrf_fuse(ranked).collect()
+    scores = {r["item_id"]: r["rrf_score"] for r in rows}
+    assert scores[10] == pytest.approx(1 / 61 + 1 / 62)
+    assert scores[20] == pytest.approx(1 / 62)
+    assert scores[30] == pytest.approx(1 / 61)
+    assert rows[0]["item_id"] == 10  # sorted by fused score desc
+
+
+def test_rank_lists_is_one_based_and_deterministic(spark):
+    df = spark.createDataFrame(
+        [("l1", 1, 5.0), ("l1", 2, 5.0), ("l1", 3, 7.0)],
+        "list_id string, item_id long, score double",
+    )
+    rows = {r["item_id"]: r["rank"] for r in rank_lists(df, "list_id", "score", "item_id").collect()}
+    assert rows == {3: 1, 1: 2, 2: 3}  # tie broken by item_id
+
+
+def test_topk_global_dedup_first_task_wins(spark):
+    # item 1 contested by tasks a & b → goes to a (priority order);
+    # task b keeps its k from remaining items.
+    cand = spark.createDataFrame(
+        [("a", 1, 9.0), ("a", 2, 8.0), ("b", 1, 99.0), ("b", 3, 1.0)],
+        "task_id string, item_id long, score double",
+    )
+    rows = {(r["task_id"], r["item_id"]) for r in
+            top_k_with_global_dedup(cand, k=2).collect()}
+    assert rows == {("a", 1), ("a", 2), ("b", 3)}
+
+
+def test_dedup_exact_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(5, "same"), (2, "same"), (9, "other")], "doc_id long, text string"
+    )
+    assert {r["doc_id"] for r in dedup_exact(df).collect()} == {2, 9}
+    assert {r["doc_id"] for r in dedup_fingerprint(df).collect()} == {2, 9}
+
+
+def test_minhash_dedup_drops_duplicates(spark):
+    base = "spark catalyst tungsten shuffle partition broadcast join aggregate window " * 5
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, "totally unrelated short text about nothing")],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in minhash_dedup(df, threshold=0.9).collect()}
+    assert kept == {1, 3}
+
+
+def test_simhash_identical_distance_zero(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+         (2, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    rows = simhash_near_dup_pairs(df, max_hamming=3).collect()
+    assert len(rows) == 1 and rows[0]["hamming"] == 0
+
+
+def test_ngram_jaccard_exact_value(spark):
+    # doc1: shingles {a b c, b c d}; doc2: {a b c, b c e} → J = 1/3
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c e")], "doc_id long, text string"
+    )
+    rows = ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    assert len(rows) == 1
+    assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_cosine_topk(spark):
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    q = spark.createDataFrame([(1, [1.0, 0.0])], "query_id long, query_vec array<double>")
+    rows = cosine_topk_bruteforce(emb, q, k=2).collect()
+    assert [r["vec_id"] for r in rows] == [3, 2]
+    assert rows[0]["cosine_sim"] == pytest.approx(0.707107, abs=1e-5)
+
+
+def test_chunking_caps_and_order(spark):
+    text = ("x" * 1500) + "\n\n" + ("Sentence one. " * 10).strip()
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = parent_child_chunk(df, parent_max=1024, child_max=50).collect()
+    assert all(len(r["parent_text"]) <= 1024 for r in rows)
+    assert all(len(r["child_text"]) <= 50 for r in rows)
+    # the 1500-char paragraph hard-wraps into 1024 + 476 parents
+    parents = {(r["parent_id"], len(r["parent_text"])) for r in rows}
+    assert (0, 1024) in parents and (1, 476) in parents
+
+
+def test_repeated_line_removal(spark):
+    body = "\n".join(["HEADER"] + [f"line {i}" for i in range(30)] + ["HEADER", "HEADER"])
+    df = spark.createDataFrame([(1, body)], "doc_id long, text string")
+    lines = explode_lines(df, "doc_id", "text")
+    out = [r["line"] for r in remove_repeated_lines(lines).collect()]
+    assert "HEADER" not in out and "line 0" in out
+
+
+def test_clean_documents_removes_noise(spark):
+    df = spark.createDataFrame(
+        [(1, "第 1 页\n正文第一行\n分享到微信\n正文第二行")],
+        "doc_id long, text string",
+    )
+    out = clean_documents(df).first()["text"]
+    assert out == "正文第一行\n正文第二行"
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 100), (1, dt.datetime(2024, 1, 1, 12), 101),
+         (2, dt.datetime(2024, 1, 1, 10), 200)],
+        "k long, lts timestamp, lid long",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9), 1.0), (1, dt.datetime(2024, 1, 1, 11), 2.0)],
+        "k long, rts timestamp, payload double",
+    )
+    rows = {r["lid"]: r["payload_asof"] for r in
+            asof_join(left, right, "k", "lts", "rts", ["payload"]).collect()}
+    assert rows == {100: 1.0, 101: 2.0, 200: None}
+
+
+def test_asof_join_simultaneous_right_visible(spark):
+    left = spark.createDataFrame([(1, dt.datetime(2024, 1, 1, 10), 1)], "k long, lts timestamp, lid long")
+    right = spark.createDataFrame([(1, dt.datetime(2024, 1, 1, 10), 7.0)], "k long, rts timestamp, payload double")
+    r = asof_join(left, right, "k", "lts", "rts", ["payload"]).first()
+    assert r["payload_asof"] == 7.0  # `<=` semantics
+
+
+def test_sessionize_gap(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    ev = spark.createDataFrame(
+        [(1, t0, 1), (1, t0 + dt.timedelta(minutes=10), 2),
+         (1, t0 + dt.timedelta(minutes=50), 3), (2, t0, 4)],
+        "user_id long, ts timestamp, event_id long",
+    )
+    rows = {r["event_id"]: r["session_id"] for r in sessionize(ev).collect()}
+    assert rows == {1: 1, 2: 1, 3: 2, 4: 1}
