@@ -296,6 +296,156 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Set ops / joins beyond equi (SURVEY.md §2.3 "ship them anyway")
+# ---------------------------------------------------------------------------
+
+
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers that never placed an order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def custkeys_open_and_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intersect: customers with both an open ('O') and finished ('F')
+    order."""
+    o = _t(spark, sf_dir, "orders")
+    open_keys = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin_keys = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_keys.intersect(fin_keys)
+
+
+def range_join_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: purchases within 1 h after each click, same user."""
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("value").alias("p_value")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("click_ts"))
+        & (F.col("p_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    return joined.groupBy("user_id", "click_id").agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum("p_value"), 4).alias("purchase_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation breadth: pivot / rollup / percentiles
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def events_pivot_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts (A4's group-and-pivot shape)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotal + grand total."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles of extended price per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar-layer queries: multi-format dates, label decoding, centroids
+# ---------------------------------------------------------------------------
+
+_DATE_FMT_BY_MOD = [
+    ("yyyy-MM-dd", "%Y-%m-%d"),
+    ("yyyy/MM/dd", "%Y/%m/%d"),
+    ("yyyy.MM.dd", "%Y.%m.%d"),
+    ("yyyy年MM月dd日", "%Y年%m月%d日"),
+    ("yyyyMMdd", "%Y%m%d"),
+]
+
+
+def parse_dates_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip: format each order date into one of 5 formats (picked
+    by orderkey mod), then recover it with the multi-format parser
+    (SURVEY.md §2.8 date layer; 多数据源获取链接.py:29-58)."""
+    from data_pipeline_childcare_spark.functions.dates import parse_date_multi
+
+    o = _t(spark, sf_dir, "orders")
+    mod = F.pmod(F.col("o_orderkey"), F.lit(5))
+    raw = F.when(mod == 0, F.date_format("o_orderdate", _DATE_FMT_BY_MOD[0][0]))
+    for i, (fmt, _) in enumerate(_DATE_FMT_BY_MOD[1:], start=1):
+        raw = raw.when(mod == i, F.date_format("o_orderdate", fmt))
+    df = o.select("o_orderkey", raw.alias("raw_date"))
+    return df.select(
+        "o_orderkey",
+        "raw_date",
+        # emit as ntz timestamp: pandas/duckdb render DATE as datetime64
+        # anyway, and the driver hashes the materialized values
+        parse_date_multi(F.col("raw_date")).cast("timestamp_ntz").alias("parsed"),
+    )
+
+
+EVENT_TYPE_LABELS = {
+    "click": "点击",
+    "view": "浏览",
+    "purchase": "购买",
+    "signup": "注册",
+    "error": "错误",
+}
+
+
+def decode_event_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code→label decoding (J3) with unknown passthrough, scalar form."""
+    from data_pipeline_childcare_spark.operators.labels import decode_scalar
+
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "event_type",
+            decode_scalar("event_type", EVENT_TYPE_LABELS).alias("event_label"),
+            "n",
+        )
+    )
+
+
+def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, exploded to (label, pos, mean_v) —
+    the aggregation shape behind IVF coarse quantizers."""
+    emb = _t(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return exploded.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
+
+
+# ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
 
@@ -325,11 +475,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_token_stats": doc_token_stats,
         "clean_documents": clean_documents_q,
         "chunk_documents": chunk_documents,
+        "customers_without_orders": customers_without_orders,
+        "custkeys_open_and_finished": custkeys_open_and_finished,
+        "range_join_click_to_purchase": range_join_click_to_purchase,
+        "events_pivot_by_type": events_pivot_by_type,
+        "rollup_pricing": rollup_pricing,
+        "percentiles_by_flag": percentiles_by_flag,
+        "parse_dates_multi": parse_dates_multi,
+        "decode_event_labels": decode_event_labels,
+        "label_centroid_components": label_centroid_components,
     }
 
 
 def oracle_sql() -> dict[str, str]:
-    # shared SQL fragments (DuckDB dialect)
+    from data_pipeline_childcare_spark.operators.cleaning import NOISE_RE
+
+    # shared SQL fragments (DuckDB dialect); NOISE_RE is RE2-compatible
+    _NOISE_RE_SQL = NOISE_RE
     tokens = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     return {
         "q1_pricing_summary": """
@@ -549,5 +711,180 @@ def oracle_sql() -> dict[str, str]:
                             ELSE 0.0 END, 6
                    ) AS avg_token_len
             FROM toks
+        """,
+        "clean_documents": f"""
+            WITH lines AS (
+                SELECT doc_id, u.p - 1 AS line_no, u.l AS line
+                FROM (
+                    SELECT doc_id,
+                           list_transform(
+                               string_split(text, chr(10)),
+                               (x, i) -> struct_pack(p := i, l := x)
+                           ) AS ls
+                    FROM documents
+                ), unnest(ls) AS t(u)
+            ), denoised AS (
+                SELECT * FROM lines
+                WHERE NOT (
+                    regexp_matches(line, '{_NOISE_RE_SQL}')
+                    OR (
+                        len(string_split_regex(line, 'https?://')) - 1 > 2
+                        AND length(line) * 1.0 /
+                            greatest(len(string_split_regex(line, 'https?://')) - 1, 1) < 30
+                    )
+                )
+            ), counted AS (
+                SELECT *,
+                       count(*) OVER (PARTITION BY doc_id, line) AS line_freq,
+                       count(*) OVER (PARTITION BY doc_id) AS doc_lines
+                FROM denoised
+            ), kept AS (
+                SELECT doc_id, line_no, line FROM counted
+                WHERE NOT (doc_lines >= 20 AND length(line) < 100 AND line_freq >= 3)
+            )
+            SELECT doc_id,
+                   substring(string_agg(line, chr(10) ORDER BY line_no), 1, 80000) AS text
+            FROM kept GROUP BY doc_id
+        """,
+        "chunk_documents": """
+            WITH parents AS (
+                SELECT doc_id, u.p - 1 AS parent_id, u.l AS parent_text
+                FROM (
+                    SELECT doc_id,
+                           list_transform(
+                               flatten(list_transform(
+                                   list_filter(
+                                       list_transform(
+                                           string_split_regex(text, '\\n\\n'),
+                                           x -> trim(x)
+                                       ), p -> p <> ''
+                                   ),
+                                   p -> list_transform(
+                                       range(0, (length(p) - 1) // 1024 + 1),
+                                       i -> substring(p, CAST(i AS INT) * 1024 + 1, 1024)
+                                   )
+                               )),
+                               (x, i) -> struct_pack(p := i, l := x)
+                           ) AS ps
+                    FROM documents
+                ), unnest(ps) AS t(u)
+            )
+            SELECT doc_id, CAST(parent_id AS BIGINT) AS parent_id,
+                   CAST(u.p - 1 AS BIGINT) AS child_id, u.l AS child_text
+            FROM (
+                SELECT doc_id, parent_id,
+                       list_transform(
+                           flatten(list_transform(
+                               list_filter(
+                                   list_transform(
+                                       string_split_regex(parent_text, '\\.\\s'),
+                                       x -> trim(x)
+                                   ), p -> p <> ''
+                               ),
+                               p -> list_transform(
+                                   range(0, (length(p) - 1) // 512 + 1),
+                                   i -> substring(p, CAST(i AS INT) * 512 + 1, 512)
+                               )
+                           )),
+                           (x, i) -> struct_pack(p := i, l := x)
+                       ) AS cs
+                FROM parents
+            ), unnest(cs) AS t(u)
+        """,
+        "customers_without_orders": """
+            SELECT c_custkey, c_name, c_mktsegment
+            FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        """,
+        "custkeys_open_and_finished": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        """,
+        "range_join_click_to_purchase": """
+            SELECT c.user_id, c.click_id,
+                   count(*) AS n_purchases,
+                   round(sum(p.p_value), 4) AS purchase_total
+            FROM (
+                SELECT user_id, ts AS click_ts, event_id AS click_id
+                FROM events WHERE event_type = 'click'
+            ) c
+            JOIN (
+                SELECT user_id AS p_user, ts AS p_ts, value AS p_value
+                FROM events WHERE event_type = 'purchase'
+            ) p ON c.user_id = p.p_user
+               AND p.p_ts > c.click_ts
+               AND p.p_ts <= c.click_ts + INTERVAL 1 HOUR
+            GROUP BY c.user_id, c.click_id
+        """,
+        "events_pivot_by_type": """
+            SELECT user_id,
+                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
+                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+            FROM events GROUP BY user_id
+        """,
+        "rollup_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   count(*) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "percentiles_by_flag": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                   round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "parse_dates_multi": """
+            WITH raw AS (
+                SELECT o_orderkey,
+                       CASE o_orderkey % 5
+                           WHEN 0 THEN strftime(o_orderdate, '%Y-%m-%d')
+                           WHEN 1 THEN strftime(o_orderdate, '%Y/%m/%d')
+                           WHEN 2 THEN strftime(o_orderdate, '%Y.%m.%d')
+                           WHEN 3 THEN strftime(o_orderdate, '%Y年%m月%d日')
+                           WHEN 4 THEN strftime(o_orderdate, '%Y%m%d')
+                       END AS raw_date
+                FROM orders
+            )
+            SELECT o_orderkey, raw_date,
+                   CAST(coalesce(
+                       try_strptime(raw_date, '%Y-%m-%d'),
+                       try_strptime(raw_date, '%Y/%m/%d'),
+                       try_strptime(raw_date, '%Y.%m.%d'),
+                       try_strptime(raw_date, '%Y年%m月%d日'),
+                       try_strptime(raw_date, '%Y%m%d')
+                   ) AS TIMESTAMP) AS parsed
+            FROM raw
+        """,
+        "decode_event_labels": """
+            SELECT event_type,
+                   CASE event_type
+                       WHEN 'click' THEN '点击'
+                       WHEN 'view' THEN '浏览'
+                       WHEN 'purchase' THEN '购买'
+                       WHEN 'signup' THEN '注册'
+                       WHEN 'error' THEN '错误'
+                       ELSE event_type
+                   END AS event_label,
+                   count(*) AS n
+            FROM events GROUP BY event_type
+        """,
+        "label_centroid_components": """
+            SELECT label, u.p - 1 AS pos, round(avg(u.v), 6) AS mean_v
+            FROM (
+                SELECT label,
+                       list_transform(
+                           CAST(embedding AS DOUBLE[]),
+                           (x, i) -> struct_pack(p := i, v := x)
+                       ) AS comps
+                FROM embeddings
+            ), unnest(comps) AS t(u)
+            GROUP BY label, u.p - 1
         """,
     }
