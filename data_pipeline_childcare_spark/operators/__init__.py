@@ -8,7 +8,11 @@ aggregations).
 """
 
 from data_pipeline_childcare_spark.operators.rrf import rrf_fuse
-from data_pipeline_childcare_spark.operators.topk import top_k_per_group, top_k_with_global_dedup
+from data_pipeline_childcare_spark.operators.topk import (
+    top_k_per_group,
+    top_k_sequential_dedup,
+    top_k_with_global_dedup,
+)
 from data_pipeline_childcare_spark.operators.chunking import parent_child_chunk
 from data_pipeline_childcare_spark.operators.cleaning import (
     remove_noise_lines,
@@ -34,6 +38,7 @@ from data_pipeline_childcare_spark.operators.sessions import sessionize, session
 __all__ = [
     "rrf_fuse",
     "top_k_per_group",
+    "top_k_sequential_dedup",
     "top_k_with_global_dedup",
     "parent_child_chunk",
     "remove_noise_lines",

@@ -64,3 +64,38 @@ def top_k_with_global_dedup(
     )
     # Stage 2: per-task top-k by score.
     return top_k_per_group(claimed, task_col, score_col, k, tie_col=item_col)
+
+
+def top_k_sequential_dedup(
+    candidates: DataFrame,
+    task_order: list[str],
+    task_col: str = "task_id",
+    item_col: str = "item_id",
+    score_col: str = "score",
+    k: int = 20,
+) -> DataFrame:
+    """Reference-faithful sequential dedup (retrieve.py:335-387): task
+    i takes its top-k, LATER tasks only see what remains. Differs from
+    ``top_k_with_global_dedup`` when tasks share an inventory — there
+    the claim stage hands a contested item to the top task even beyond
+    its k, starving later tasks.
+
+    ``task_order`` is plan metadata (a handful of tasks per request in
+    the reference), so the loop composes ~len(task_order) anti-joins
+    into one lazy plan — still fully distributed per stage; the used-
+    set never leaves the cluster.
+    """
+    used: DataFrame | None = None
+    outs: list[DataFrame] = []
+    for t in task_order:
+        cand_t = candidates.filter(F.col(task_col) == t)
+        if used is not None:
+            cand_t = cand_t.join(used, [item_col], "left_anti")
+        take = top_k_per_group(cand_t, task_col, score_col, k, tie_col=item_col)
+        outs.append(take)
+        taken_items = take.select(item_col)
+        used = taken_items if used is None else used.unionByName(taken_items)
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

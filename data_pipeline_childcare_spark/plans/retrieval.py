@@ -1,0 +1,166 @@
+"""Retrieval/query lifecycles (SURVEY.md §3.3) as DataFrame plans.
+
+Tuoyu rule-filter path (the flagship): dedup → kv-parse → rule filter
+→ surviving-document semi-join → segment-level re-check → ordered
+db→doc rollup; restated from retrieve.py:1501-1696 exactly as the
+SURVEY §3.3 plan sketch.
+
+X-Pilot path: per-query ranking → RRF fusion → pluggable rerank with
+graceful fallback (retrieve.py:229-232's degradation chain) → per-task
+top-k with first-task-wins dedup → nested rollup
+(retrieve.py:1713-1808).
+
+Scale shape: every stage is one keyed shuffle at most; dedup runs
+BEFORE the kv-parse so the parse work never touches duplicate rows
+(the reference's manual optimization, SURVEY §4 — Catalyst cannot
+reorder through the parse expression, so the order is explicit here).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.functions.dates import parse_ts_multi
+from data_pipeline_childcare_spark.functions.text import kv_block_to_map, pipe_header_to_map
+from data_pipeline_childcare_spark.operators.rrf import rank_lists, rrf_fuse
+from data_pipeline_childcare_spark.operators.rules import RegionalRule, check_rule, record_type_col
+from data_pipeline_childcare_spark.operators.topk import top_k_sequential_dedup
+
+
+def parse_chunk_records(chunks: DataFrame, content_col: str = "content") -> DataFrame:
+    """content → rec map + record_type (auto_parse dispatch). Survey
+    chunks carry a pipe header (城市：X | 岗位：Y) merged over the kv
+    lines (parse_survey_content, retrieve.py:819-907)."""
+    kv = kv_block_to_map(F.col(content_col))
+    header = pipe_header_to_map(F.element_at(F.split(F.col(content_col), r"\n"), 1))
+    rec = F.map_concat(
+        F.map_filter(header, lambda k, _: ~F.map_contains_key(kv, k)),
+        kv,
+    )
+    return chunks.withColumn("rec", rec).withColumn(
+        "record_type", record_type_col(F.col("rec"))
+    )
+
+
+def _rule_condition(rule: RegionalRule) -> Column:
+    g = F.col("rec").getItem
+    return check_rule(
+        rule,
+        record_type=F.col("record_type"),
+        location_col=F.coalesce(g("城市"), g("省份"), g("详细地址"), F.lit("")),
+        level_col=F.coalesce(g("学历"), F.lit("")),
+        major_col=F.coalesce(g("开设专业"), g("专业"), g("岗位")),
+        name_col=F.coalesce(g("机构名称"), g("别名"), F.lit("")),
+        alias_col=F.col("rec").getItem("别名"),
+        ts_col=parse_ts_multi(F.coalesce(g("备案及完成时间"), F.concat(g("年份"), F.lit("-01-01")))),
+    )
+
+
+def tuoyu_rule_filter(
+    chunks: DataFrame,
+    segments: DataFrame,
+    rule: RegionalRule,
+) -> DataFrame:
+    """Flagship query (SURVEY §3.3 sketch):
+
+    1. dropDuplicates(chunk_id) — dedup BEFORE the parse expressions;
+    2. parse + rule-filter retrieved chunks → surviving document ids;
+    3. semi-join the full segment table on those documents;
+    4. re-apply the rule at segment granularity (retrieve.py:1609-1623);
+    5. roll up db→document with position-ordered blocks and
+       Tuoyu_Questionnaire / Tuoyu_institution classification.
+    """
+    cond = _rule_condition(rule)
+    hits = (
+        parse_chunk_records(chunks.dropDuplicates(["chunk_id"]))
+        .filter(cond)
+        .select("database_id", "document_id")
+        .distinct()
+    )
+    seg_checked = (
+        parse_chunk_records(segments)
+        .join(hits, ["database_id", "document_id"], "left_semi")
+        .filter(cond)
+    )
+    blocks = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col("position"),
+                F.col("content"),
+                F.col("record_type"),
+            )
+        )
+    )
+    return seg_checked.groupBy("database_id", "document_id").agg(
+        blocks.alias("content_blocks"),
+        F.when(
+            F.max(F.when(F.col("record_type") == "survey", 1).otherwise(0)) == 1,
+            F.lit("Tuoyu_Questionnaire"),
+        )
+        .otherwise(F.lit("Tuoyu_institution"))
+        .alias("source_type"),
+        F.count("*").alias("n_blocks"),
+    )
+
+
+def xpilot_retrieval(
+    retrieved: DataFrame,
+    tasks: DataFrame,
+    rerank_scorer: Callable[[DataFrame], DataFrame] | None = None,
+    rerank_cap: int = 100,
+    top_k: int = 20,
+) -> DataFrame:
+    """RAG path: ``retrieved`` holds (query_id, chunk_id, score,
+    database_id, document_id, position, content) rows from per-query
+    retrieval; ``tasks`` maps (task_id, query_id [, priority]).
+
+    Stages: per-query rank → RRF fuse → optional rerank of the top
+    ``rerank_cap`` (scorer failure falls back to RRF order — the
+    reference's degradation chain) → per-task top-k with
+    first-task-wins dedup → db→doc rollup with score-ordered blocks.
+    """
+    ranked = rank_lists(retrieved, "query_id", "score", "chunk_id")
+    fused = rrf_fuse(
+        ranked,
+        item_col="chunk_id",
+        list_col="query_id",
+        payload_cols=["database_id", "document_id", "position", "content"],
+    )
+    capped = fused.limit(rerank_cap)
+    if rerank_scorer is not None:
+        try:
+            capped = rerank_scorer(capped)
+            order_col = "rerank_score"
+        except Exception:  # noqa: BLE001 — fallback keeps RRF order
+            order_col = "rrf_score"
+    else:
+        order_col = "rrf_score"
+
+    # task list is plan metadata (a handful per request) — collecting
+    # it is not a data-path collect
+    task_order = sorted(r["task_id"] for r in tasks.select("task_id").distinct().collect())
+    cand = capped.crossJoin(F.broadcast(tasks.select("task_id").distinct()))
+    winners = top_k_sequential_dedup(
+        cand,
+        task_order,
+        task_col="task_id",
+        item_col="chunk_id",
+        score_col=order_col,
+        k=top_k,
+    )
+    blocks = F.array_sort(
+        F.collect_list(
+            F.struct(
+                (-F.col(order_col)).alias("neg_score"),
+                F.col("position"),
+                F.col("content"),
+                F.col("chunk_id"),
+            )
+        )
+    )
+    return winners.groupBy("task_id", "database_id", "document_id").agg(
+        blocks.alias("content_blocks"), F.count("*").alias("n_blocks")
+    )

@@ -1,0 +1,18 @@
+"""Structured Streaming surface.
+
+The reference has no streaming (SURVEY.md §2.9) — its only incremental
+behavior is scrape pagination. This module supplies the streaming
+analogs a production deployment of the same pipelines needs:
+
+- ingest: Auto-Loader-style incremental corpus ingest (file stream →
+  parse → foreachBatch through the batch cleaning pipeline).
+- windows: event-time windowed aggregation + session windows with
+  watermarked late-data handling (the streaming analog of the batch
+  ``sessionize`` operator).
+"""
+
+from data_pipeline_childcare_spark.streaming.ingest import stream_record_blocks, incremental_ingest
+from data_pipeline_childcare_spark.streaming.windows import (
+    windowed_event_counts,
+    streaming_sessions,
+)

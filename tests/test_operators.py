@@ -64,6 +64,20 @@ def test_topk_global_dedup_first_task_wins(spark):
     assert rows == {("a", 1), ("a", 2), ("b", 3)}
 
 
+def test_topk_sequential_dedup_later_tasks_see_remainder(spark):
+    from data_pipeline_childcare_spark.operators import top_k_sequential_dedup
+
+    # both tasks see the same 3-item inventory; t1 takes top-2, t2
+    # must still get the remaining item (claim-first would starve it)
+    cand = spark.createDataFrame(
+        [(t, i, s) for t in ("t1", "t2") for i, s in [(1, 3.0), (2, 2.0), (3, 1.0)]],
+        "task_id string, item_id long, score double",
+    )
+    rows = {(r["task_id"], r["item_id"]) for r in
+            top_k_sequential_dedup(cand, ["t1", "t2"], k=2).collect()}
+    assert rows == {("t1", 1), ("t1", 2), ("t2", 3)}
+
+
 def test_dedup_exact_keeps_min_id(spark):
     df = spark.createDataFrame(
         [(5, "same"), (2, "same"), (9, "other")], "doc_id long, text string"

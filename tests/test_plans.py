@@ -1,0 +1,154 @@
+"""Pipeline-plan tests: the three reference lifecycles end-to-end on
+synthetic data (SURVEY.md §3)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.operators.rules import RegionalRule
+from data_pipeline_childcare_spark.plans.retrieval import tuoyu_rule_filter, xpilot_retrieval
+from data_pipeline_childcare_spark.plans.scrape import scrape_pipeline
+from data_pipeline_childcare_spark.plans.search_plan import (
+    SearchStrategy,
+    assign_providers,
+    build_filtered_query,
+    build_search_queries,
+    school_major_queries,
+)
+
+INST_OK = (
+    "机构名称：成都天使托育园\n统一社会信用代码：9151\n详细地址：四川省成都市\n"
+    "备案及完成时间：2025-05-10 12:00:00"
+)
+INST_OLD = (
+    "机构名称：旧机构\n统一社会信用代码：9150\n详细地址：四川省成都市\n"
+    "备案及完成时间：2019-01-01"
+)
+INST_OTHER = (
+    "机构名称：北京机构\n统一社会信用代码：9111\n详细地址：北京市朝阳区\n"
+    "备案及完成时间：2025-03-01"
+)
+SURVEY_BLK = "城市：成都 | 岗位：保育员 | 学历：大专\n问卷正文"
+
+CHUNK_SCHEMA = "database_id string, document_id string, chunk_id string, position int, content string"
+
+
+def chunks_df(spark):
+    rows = [
+        ("db1", "d1", "c1", 0, INST_OK),
+        ("db1", "d1", "c1", 0, INST_OK),  # duplicate chunk (dedup target)
+        ("db1", "d2", "c2", 0, INST_OLD),
+        ("db1", "d3", "c3", 0, INST_OTHER),
+        ("db1", "d4", "c4", 0, SURVEY_BLK),
+    ]
+    return spark.createDataFrame(rows, CHUNK_SCHEMA)
+
+
+def segments_df(spark):
+    rows = [
+        ("db1", "d1", "s1", 0, INST_OK),
+        ("db1", "d1", "s2", 1, INST_OK),
+        ("db1", "d2", "s3", 0, INST_OLD),
+        ("db1", "d4", "s4", 0, SURVEY_BLK),
+    ]
+    return spark.createDataFrame(rows, CHUNK_SCHEMA)
+
+
+def test_tuoyu_rule_filter_flagship(spark):
+    rule = RegionalRule(scope="四川", time_filter="近两年")
+    out = tuoyu_rule_filter(chunks_df(spark), segments_df(spark), rule).collect()
+    by_doc = {r["document_id"]: r for r in out}
+    # d1 (成都, 2025) passes with both segments, ordered; d2 out by
+    # time; d3 out by region; d4 (survey) exempt from time → passes
+    assert set(by_doc) == {"d1", "d4"}
+    assert by_doc["d1"]["n_blocks"] == 2
+    assert [b["position"] for b in by_doc["d1"]["content_blocks"]] == [0, 1]
+    assert by_doc["d1"]["source_type"] == "Tuoyu_institution"
+    assert by_doc["d4"]["source_type"] == "Tuoyu_Questionnaire"
+
+
+def test_xpilot_retrieval_path(spark):
+    retrieved = spark.createDataFrame(
+        [
+            ("q1", "c1", 0.9, "db1", "d1", 0, "alpha"),
+            ("q1", "c2", 0.8, "db1", "d1", 1, "beta"),
+            ("q2", "c2", 0.95, "db1", "d1", 1, "beta"),
+            ("q2", "c3", 0.5, "db1", "d2", 0, "gamma"),
+        ],
+        "query_id string, chunk_id string, score double, database_id string, document_id string, position int, content string",
+    )
+    tasks = spark.createDataFrame([("t1", "q1"), ("t2", "q2")], "task_id string, query_id string")
+    out = xpilot_retrieval(retrieved, tasks, top_k=2).collect()
+    # c2 ranks in both lists → highest RRF → claimed by t1 (priority);
+    # every chunk lands in exactly one task
+    claimed = {}
+    for r in out:
+        for b in r["content_blocks"]:
+            assert b["chunk_id"] not in claimed, "chunk assigned twice"
+            claimed[b["chunk_id"]] = r["task_id"]
+    assert set(claimed) == {"c1", "c2", "c3"}
+    assert claimed["c2"] == "t1"
+
+
+def test_build_filtered_query_modes(spark):
+    df = spark.createDataFrame([("托育 政策",)], "q string")
+
+    def run(col):
+        return df.select(col.alias("v")).first()["v"]
+
+    s_inc = SearchStrategy(includes=["site:gov.cn", "site:stats.gov.cn"])
+    assert run(build_filtered_query(F.col("q"), s_inc)) == "托育 政策 (site:gov.cn OR site:stats.gov.cn)"
+    s_exc = SearchStrategy(excludes=["-site:zhihu.com"])
+    assert run(build_filtered_query(F.col("q"), s_exc)) == "托育 政策 -site:zhihu.com"
+    # regional patterns win over includes (mutually exclusive modes)
+    s_reg = SearchStrategy(includes=["site:gov.cn"], regional_patterns=["site:{scope}.gov.cn"])
+    assert run(
+        build_filtered_query(F.col("q"), s_reg, regional_scope_domain="sichuan")
+    ) == "托育 政策 (site:sichuan.gov.cn)"
+    # time suffixes compose
+    got = run(
+        build_filtered_query(
+            F.col("q"), s_inc, after=dt.date(2023, 1, 1), before=dt.date(2024, 6, 30)
+        )
+    )
+    assert got.endswith("after:2023-01-01 before:2024-06-30")
+
+
+def test_school_major_template(spark):
+    schools = spark.createDataFrame([("四川幼专",)], "school string")
+    majors = spark.createDataFrame([("婴幼儿托育",)], "major string")
+    got = school_major_queries(schools, majors).first()["query"]
+    assert got == '"四川幼专" AND "婴幼儿托育" site:edu.cn'
+
+
+def test_build_search_queries_distinct(spark):
+    local = spark.createDataFrame([("政策",), ("政策",)], "query string")
+    rules = spark.createDataFrame([("四川 大专",)], "rule_string string")
+    got = {r["query"] for r in build_search_queries(local, rules).collect()}
+    assert got == {"四川 大专 政策", "四川 大专"}
+
+
+def test_assign_providers_round_robin(spark):
+    tasks = spark.createDataFrame([(f"q{i}",) for i in range(5)], "query string")
+    got = [r["provider"] for r in assign_providers(tasks, ["a", "b"]).orderBy("query").collect()]
+    assert got == ["a", "b", "a", "b", "a"]
+
+
+def test_scrape_pipeline_grouping_and_status(spark):
+    fetched = spark.createDataFrame(
+        [
+            ("k1", "u1", "txt", bytearray("第 1 页\n正文A\n第 1 页".encode())),
+            ("k1", "u2", "txt", bytearray("正文B".encode())),
+            ("k2", "u3", "cap", bytearray(b"x")),
+        ],
+        "origin_key string, url string, fmt string, content binary",
+    )
+    # force an error row for k2 by oversize simulation: patch via fmt
+    # 'cap' is not a parser → parsed as txt, so instead make u3 succeed
+    out = {r["origin_key"]: r for r in scrape_pipeline(fetched).collect()}
+    assert out["k1"]["n_total"] == 2 and out["k1"]["status"] == "success"
+    texts = {r["url"]: r["content"] for r in out["k1"]["results"]}
+    assert texts["u1"] == "正文A"  # noise lines cleaned
+    assert out["k2"]["n_total"] == 1

@@ -1,0 +1,149 @@
+"""Sources layer: record-block corpus, document parsing, multimodal,
+JSON repair."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.functions.udfs import extract_json, parse_json_column
+from data_pipeline_childcare_spark.sources.documents import (
+    decode_bytes,
+    parse_documents,
+    sniff_format,
+)
+from data_pipeline_childcare_spark.sources.multimodal import (
+    attach_media_metadata,
+    image_features,
+    sample_frames,
+)
+from data_pipeline_childcare_spark.sources.record_blocks import (
+    institution_records,
+    moe_records,
+    parse_blocks,
+    read_record_blocks,
+)
+
+CORPUS = (
+    "机构名称：成都天使托育园\n统一社会信用代码：915101\n机构类型：营利性\n"
+    "详细地址：四川省成都市\n备案及完成时间：2021-05-10 12:00:00\n区域编号：510100000000"
+    "^_^"
+    "机构名称：四川幼专\n省份：四川\n学校标识码：4151012345\n"
+    "开设专业：婴幼儿托育服务与管理 (520802)\n修业年限：三年\n年份：2021\n备注：无"
+    "^_^"
+)
+
+
+def test_record_block_corpus_roundtrip(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text(CORPUS, encoding="utf-8")
+    blocks = read_record_blocks(spark, str(p))
+    assert blocks.count() == 2
+    parsed = parse_blocks(blocks)
+    types = {r["record_type"] for r in parsed.collect()}
+    assert types == {"institution", "moe"}
+
+    inst = institution_records(parsed).first()
+    assert inst["name"] == "成都天使托育园"
+    assert inst["registered_at"].year == 2021
+    assert inst["region_code"] == "510100000000"
+
+    moe = moe_records(parsed).first()
+    assert moe["major_name"] == "婴幼儿托育服务与管理"
+    assert moe["major_code"] == "520802"
+    assert moe["year"] == 2021
+
+
+def test_encoding_fallback_chain():
+    assert decode_bytes("中文".encode("gbk")) == "中文"
+    assert decode_bytes("中文".encode("utf-8")) == "中文"
+    assert decode_bytes(b"plain ascii") == "plain ascii"
+
+
+def test_document_parse_dispatch(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("hello text", encoding="utf-8")
+    (tmp_path / "b.json").write_text('{"k": [1, 2]}', encoding="utf-8")
+    (tmp_path / "c.csv").write_text("x,y\n1,2\n3,4\n", encoding="utf-8")
+    (tmp_path / "d.html").write_text(
+        "<html><script>evil()</script><body><p>Body text</p></body></html>", encoding="utf-8"
+    )
+    (tmp_path / "e.pdf").write_bytes(b"%PDF-1.4 fake content")
+
+    from data_pipeline_childcare_spark.sources.documents import read_documents
+
+    docs = read_documents(spark, str(tmp_path))
+    parsed = {r["fmt"]: r for r in parse_documents(docs).collect()}
+    assert parsed["txt"]["content"] == "hello text"
+    assert '"k"' in parsed["json"]["content"] and parsed["json"]["content"].startswith("```json")
+    assert "| x | y |" in parsed["csv"]["content"]
+    assert "Body text" in parsed["html"]["content"] and "evil" not in parsed["html"]["content"]
+    # pdf lib absent in container → clearly marked stub, no error
+    assert parsed["pdf"]["error"] is None and "STUB:pdf" in parsed["pdf"]["content"]
+
+
+def test_sniff_format_magic_bytes(spark):
+    df = spark.createDataFrame(
+        [("noext_pdf", bytearray(b"%PDF rest")), ("noext_zip", bytearray(b"PK\x03\x04zz"))],
+        "path string, content binary",
+    )
+    got = {r["path"]: r["fmt"] for r in df.select("path", sniff_format(F.col("path"), F.col("content")).alias("fmt")).collect()}
+    assert got == {"noext_pdf": "pdf", "noext_zip": "xlsx"}
+
+
+def test_extract_json_repair_paths():
+    assert extract_json('{"a": 1}') == {"a": 1}
+    # markdown fence
+    assert extract_json('noise ```json\n{"a": 1}\n``` trailing') == {"a": 1}
+    # trailing comma + python literals
+    assert extract_json('{"a": [1, 2,], "b": True, "c": None}') == {"a": [1, 2], "b": True, "c": None}
+    # double-escaped payload
+    assert extract_json('{\\"a\\": 1}') == {"a": 1}
+    # picks the LARGEST candidate
+    assert extract_json('{"x":1} and {"a":1,"b":[1,2,3]}') == {"a": 1, "b": [1, 2, 3]}
+    # unparseable → None
+    assert extract_json("no json here") is None
+    assert extract_json(None) is None
+
+
+def test_parse_json_column(spark):
+    df = spark.createDataFrame(
+        [('```json\n{"title": "t1", "confirm": 1}\n```',), ("garbage",)],
+        "raw string",
+    )
+    out = df.select(
+        parse_json_column(F.col("raw"), "title string, confirm int").alias("p")
+    ).collect()
+    assert out[0]["p"]["title"] == "t1" and out[0]["p"]["confirm"] == 1
+    assert out[1]["p"] is None
+
+
+def test_multimodal_metadata_and_features(spark):
+    df = spark.createDataFrame(
+        [
+            ("a.png", bytearray(b"\x89PNG\r\n" + b"x" * 300)),
+            ("b.jpg", bytearray(b"\xff\xd8\xff\xe0" + b"y" * 300)),
+            ("c.wav", bytearray(b"RIFFxxxx" + b"z" * 300)),
+        ],
+        "path string, content binary",
+    )
+    meta = {r["path"]: (r["media_type"], r["mime"]) for r in attach_media_metadata(df).collect()}
+    assert meta["a.png"] == ("image", "image/png")
+    assert meta["b.jpg"] == ("image", "image/jpeg")
+    assert meta["c.wav"] == ("audio", "audio/wav")
+
+    feats = image_features(df.filter(F.col("path").startswith("a"))).collect()
+    assert len(feats) == 1
+    f0 = feats[0]
+    assert f0["is_stub"] and len(f0["feature"]) == 8 and 64 <= f0["width"] < 256
+    # determinism: same bytes → same fake decode
+    again = image_features(df.filter(F.col("path").startswith("a"))).first()
+    assert again["feature"] == f0["feature"]
+
+
+def test_frame_sampling_shape(spark):
+    df = spark.createDataFrame([("v.bin", bytearray(bytes(range(256))))], "path string, content binary")
+    rows = sample_frames(df, every_ms=500, max_frames=3).collect()
+    assert [r["frame_idx"] for r in rows] == [0, 1, 2]
+    assert [r["frame_ms"] for r in rows] == [0, 500, 1000]
+    assert all(len(r["frame"]) == 64 for r in rows)

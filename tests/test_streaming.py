@@ -1,0 +1,93 @@
+"""Streaming surface: incremental file ingest (exactly-once over new
+files) and event-time/session windows."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.streaming import (
+    incremental_ingest,
+    stream_record_blocks,
+    streaming_sessions,
+    windowed_event_counts,
+)
+
+
+def test_incremental_ingest_processes_only_new_files(spark, tmp_path):
+    src = tmp_path / "dump"
+    src.mkdir()
+    ckpt = tmp_path / "ckpt"
+    out: list[tuple[int, int]] = []
+
+    def batch_fn(df, epoch_id):
+        out.append((epoch_id, df.count()))
+
+    (src / "page1.txt").write_text("r1：a^_^r2：b", encoding="utf-8")
+    q = incremental_ingest(stream_record_blocks(spark, str(src)), batch_fn, str(ckpt))
+    q.awaitTermination(60)
+    first_total = sum(n for _, n in out)
+    assert first_total == 2
+
+    # second run: only the NEW file is processed (checkpoint bookkeeping)
+    (src / "page2.txt").write_text("r3：c", encoding="utf-8")
+    q2 = incremental_ingest(stream_record_blocks(spark, str(src)), batch_fn, str(ckpt))
+    q2.awaitTermination(60)
+    assert sum(n for _, n in out) == 3
+
+
+def _events(spark):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "click", 1.0),
+        (1, t0 + dt.timedelta(minutes=10), "click", 2.0),
+        (1, t0 + dt.timedelta(minutes=90), "view", 3.0),
+        (2, t0 + dt.timedelta(minutes=5), "click", 4.0),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+
+
+def test_windowed_event_counts_batch_semantics(spark):
+    got = {
+        (r["window_start"], r["event_type"]): r["n_events"]
+        for r in windowed_event_counts(_events(spark), "1 hour").collect()
+    }
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    assert got[(t0, "click")] == 3
+    assert got[(dt.datetime(2024, 1, 1, 11, 0, 0), "view")] == 1
+
+
+def test_streaming_sessions_gap_merge(spark):
+    rows = {
+        (r["user_id"], r["session_start"]): r["n_events"]
+        for r in streaming_sessions(_events(spark), gap="30 minutes").collect()
+    }
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # user 1: two clicks merge into one session; the +90min view is separate
+    assert rows[(1, t0)] == 2
+    assert rows[(1, t0 + dt.timedelta(minutes=90))] == 1
+    assert rows[(2, t0 + dt.timedelta(minutes=5))] == 1
+
+
+def test_streaming_window_query_end_to_end(spark, tmp_path):
+    """True streaming run: parquet file stream → watermarked windowed
+    agg → memory sink, availableNow."""
+    src = tmp_path / "ev"
+    _events(spark).write.parquet(str(src))
+    stream = spark.readStream.schema(_events(spark).schema).parquet(str(src))
+    agg = windowed_event_counts(stream, "1 hour", watermark_delay="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["event_type"]: r["n_events"] for r in spark.sql(
+        "SELECT event_type, sum(n_events) AS n_events FROM win_counts GROUP BY event_type"
+    ).collect()}
+    assert got == {"click": 3, "view": 1}
