@@ -38,6 +38,8 @@ BENCH_QUERIES = [
     "rrf_suppliers",
     "topk_global_dedup_events",
     "dedup_fingerprint_docs",
+    "minhash_dedup_docs",
+    "simhash_pairs_docs",
     "ngram_jaccard_docs",
     "cosine_topk_embeddings",
     "doc_token_stats",

@@ -65,18 +65,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-doc MinHash signature: ARRAY<BIGINT> of length num_hashes.
 
-    minhash_i(doc) = min over shingles of xxhash64(shingle, seed=i).
-    Pure column math (transform + array_min) — signatures for a
-    partition are computed with zero exchange.
+    minhash_i(doc) = min over shingles of mix(xxhash64(shingle), i).
+
+    Shape: explode distinct shingles → hash once per shingle → ONE
+    hash-aggregate with num_hashes ``min`` columns. The mins are
+    map-side combinable and vectorized; the only exchange is the
+    groupBy on doc id. (A transform-over-sequence formulation inlines
+    the shingle array into every one of the 64 hash expressions —
+    ~64× the tokenization work — so the explode/agg shape wins by an
+    order of magnitude.)
     """
-    shingles = word_ngrams(F.col(text_col), shingle_n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(shingles, lambda s: F.xxhash64(s, i))
-        ),
+    shingled = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
+    ).select(id_col, F.xxhash64("_s").alias("_h"))
+    aggs = [
+        F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"_m{i}") for i in range(num_hashes)
+    ]
+    return (
+        shingled.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            id_col, F.array(*[F.col(f"_m{i}") for i in range(num_hashes)]).alias("signature")
+        )
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -156,6 +168,35 @@ def minhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Per-doc 64-bit SimHash via explode + ONE vectorized aggregate
+    (64 map-side-combinable bit-vote sums), then sign→bit packing.
+    Same output semantics as ``functions.text.simhash64`` but without
+    inlining the shingle pipeline into 64 expression copies."""
+    shingled = df.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
+    ).select(id_col, F.xxhash64("_s").alias("_h"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"_v{b}")
+        for b in range(64)
+    ]
+    sig = None
+    agged = shingled.groupBy(id_col).agg(*votes)
+    for b in range(64):
+        bit = F.when(
+            F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    return agged.select(id_col, sig.alias("sh"))
+
+
 def simhash_near_dup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -169,7 +210,7 @@ def simhash_near_dup_pairs(
     distance ≤ 3 at least one sub-band matches exactly (pigeonhole), so
     the join is on (band_index, band_value) — never all-pairs.
     """
-    sigs = df.select(F.col(id_col), simhash64(F.col(text_col), shingle_n).alias("sh"))
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
     banded = sigs.select(
         id_col,
         "sh",
@@ -219,10 +260,14 @@ def ngram_jaccard_pairs(
     Only pairs sharing ≥1 shingle are ever materialized. A df-frequency
     cap would bound hot shingles at corpus scale (not needed at test SF,
     noted for 100 TB: add ``HAVING count < limit`` on the shingle).
+
+    The join/shuffle key is xxhash64(shingle) — 8 bytes instead of the
+    shingle text. Exact up to 64-bit hash collisions (~1e-19 per pair).
     """
     shingled = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle")
-    )
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_s"),
+    ).select(id_col, F.xxhash64("_s").alias("shingle"))
     sizes = shingled.groupBy(id_col).agg(F.count("*").alias("set_size"))
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (
