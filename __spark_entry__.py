@@ -445,6 +445,70 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exploded.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
 
 
+def order_line_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested rollup (A6 shape): per order, the position-ordered line
+    sequence — materialized as a string so the rollup ordering itself
+    is oracle-checkable."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("l_linenumber", F.col("l_partkey").alias("pk")))
+                ),
+                lambda s: s["pk"].cast("string"),
+            ),
+        ).alias("part_sequence"),
+        F.count("*").alias("n_lines"),
+    )
+
+
+def events_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON column extraction (S13): props `{"k": N}` → per-type stats
+    over the typed value — from_json keeps the projection JVM-side."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k int")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.round(F.avg("k"), 6).alias("avg_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — the two-phase expand Spark plans for it
+    is the shape approx_count_distinct replaces at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def lsh_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets — the
+    scale path next to the brute-force baseline. Rows-only check
+    (bucket assignment is engine-specific); recall vs the exact oracle
+    is asserted in tests."""
+    from data_pipeline_childcare_spark.operators.similarity import lsh_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return lsh_cosine_topk(emb, q, dim=64, k=5, n_planes=4, n_tables=4).select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -484,6 +548,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parse_dates_multi": parse_dates_multi,
         "decode_event_labels": decode_event_labels,
         "label_centroid_components": label_centroid_components,
+        "order_line_rollup": order_line_rollup,
+        "events_props_extract": events_props_extract,
+        "distinct_users_per_type": distinct_users_per_type,
+        "lsh_cosine_topk_embeddings": lsh_cosine_topk_embeddings,
     }
 
 
@@ -886,5 +954,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM embeddings
             ), unnest(comps) AS t(u)
             GROUP BY label, u.p - 1
+        """,
+        "order_line_rollup": """
+            SELECT l_orderkey,
+                   string_agg(CAST(l_partkey AS VARCHAR), ',' ORDER BY l_linenumber, l_partkey) AS part_sequence,
+                   count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "events_props_extract": """
+            SELECT event_type,
+                   count(k) AS n_with_k,
+                   round(avg(k), 6) AS avg_k,
+                   min(k) AS min_k,
+                   max(k) AS max_k
+            FROM (
+                SELECT event_type,
+                       CAST(json_extract(props, '$.k') AS INT) AS k
+                FROM events
+            ) GROUP BY event_type
+        """,
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type
         """,
     }

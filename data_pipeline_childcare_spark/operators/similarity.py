@@ -77,11 +77,15 @@ def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
     return out
 
 
-def lsh_bucket(vec_col: Column, dim: int, n_planes: int = 12, seed: int = 42) -> Column:
-    """Random-hyperplane LSH bucket id: sign bits packed into a BIGINT."""
+def lsh_bucket(
+    vec_col: Column, dim: int, n_planes: int = 12, seed: int = 42, table: int = 0
+) -> Column:
+    """Random-hyperplane LSH bucket id: sign bits packed into a BIGINT.
+    ``table`` offsets the hyperplane seeds so independent tables hash
+    with independent plane sets."""
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p, seed)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table * 10_007 + p, seed)])
         bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
     return bucket
@@ -92,27 +96,47 @@ def lsh_cosine_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_planes: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Approximate cosine top-k: candidates share the LSH bucket, exact
-    re-score within candidates only.
+    """Approximate cosine top-k with OR-amplified multi-table LSH:
+    a candidate matches if it shares a bucket in ANY of ``n_tables``
+    independent hash tables (recall ≈ 1-(1-p^b)^L), then exact
+    re-score over the deduplicated candidate set.
 
-    Recall/cost dial = n_planes (more planes → smaller buckets). The
-    corpus-side bucket computation is a narrow projection; the
-    candidate join is an equi-join on the bucket id.
+    Dials: ``n_planes`` (bits per table — bucket size), ``n_tables``
+    (recall amplification — candidate volume). The corpus-side bucket
+    array is a narrow projection; the candidate join is an equi-join
+    on (table, bucket); dedup before scoring keeps the expensive
+    cosine to one evaluation per distinct candidate pair.
     """
-    c = corpus.withColumn("_bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
-    q = queries.withColumn("_bucket", lsh_bucket(F.col(query_vec_col), dim, n_planes))
-    cand = c.join(F.broadcast(q), "_bucket").select(
-        F.col(query_id_col),
-        F.col(id_col),
-        F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine_sim"),
+    tables = F.posexplode(
+        F.array(
+            *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t) for t in range(n_tables)]
+        )
+    ).alias("_table", "_bucket")
+    q_tables = F.posexplode(
+        F.array(
+            *[lsh_bucket(F.col(query_vec_col), dim, n_planes, table=t) for t in range(n_tables)]
+        )
+    ).alias("_table", "_bucket")
+    c = corpus.select(id_col, vec_col, tables)
+    q = queries.select(query_id_col, query_vec_col, q_tables)
+    cand = (
+        c.join(F.broadcast(q), ["_table", "_bucket"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(query_id_col, id_col, vec_col, query_vec_col)
+        .dropDuplicates([query_id_col, id_col])
+        .select(
+            F.col(query_id_col),
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine_sim"),
+        )
     )
-    cand = cand.filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 

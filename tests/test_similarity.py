@@ -1,0 +1,78 @@
+"""Similarity search: exactness of the brute-force path (vs numpy) and
+recall of the LSH-bucketed scale path on real test embeddings."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+import data_pipeline_childcare_spark as eng
+from data_pipeline_childcare_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    label_centroids,
+    lsh_cosine_topk,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return eng.load_table(spark, "embeddings", SF_DIR).withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def _queries(df, n=3):
+    return df.filter(F.col("vec_id") < n).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+
+
+def test_bruteforce_matches_numpy(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    mat = np.array([r["embedding"] for r in rows])
+    ids = np.array([r["vec_id"] for r in rows])
+    got = cosine_topk_bruteforce(emb, _queries(emb, 1), k=5).collect()
+
+    q = mat[ids == 0][0]
+    sims = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = [int(ids[i]) for i in np.argsort(-sims) if ids[i] != 0][:5]
+    assert [r["vec_id"] for r in got] == order
+    top = got[0]
+    expect = float(np.round(sims[ids == order[0]][0], 6))
+    assert abs(top["cosine_sim"] - expect) < 1e-5
+
+
+def test_lsh_recall_against_bruteforce(spark):
+    emb = _emb(spark)
+    q = _queries(emb, 3)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    approx_rows = lsh_cosine_topk(emb, q, dim=64, k=10, n_planes=3, n_tables=8).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    # 8 OR-amplified tables × 3-bit buckets: recall ≈ 1-(1-p³)⁸ — on
+    # unclustered random vectors this must land well above chance
+    assert recall >= 0.5, f"recall {recall}"
+    # every approximate hit must carry the TRUE cosine score (the
+    # re-score stage is exact): compare against the exact path
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(emb, q, k=499).collect()
+    }
+    for r in approx_rows:
+        key = (r["query_id"], r["vec_id"])
+        assert key in exact_scores
+        assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-6
+
+
+def test_label_centroids_match_numpy(spark):
+    emb = _emb(spark)
+    rows = emb.collect()
+    got = {r["label"]: r["centroid"] for r in label_centroids(emb).collect()}
+    labels = {r["label"] for r in rows}
+    for lab in labels:
+        mat = np.array([r["embedding"] for r in rows if r["label"] == lab])
+        np.testing.assert_allclose(got[lab], mat.mean(axis=0), rtol=1e-9)
