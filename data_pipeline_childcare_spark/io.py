@@ -65,6 +65,20 @@ def load_tables(
     return out
 
 
+def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Ensure at least default-parallelism partitions before CPU-bound
+    per-row work (tokenization, hashing, decode).
+
+    A small parquet file arrives as ONE partition and serializes the
+    whole pipeline behind one core; at real scale inputs already carry
+    enough partitions and this is a no-op (no shuffle inserted).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite"
 ) -> None:

@@ -30,6 +30,7 @@ from data_pipeline_childcare_spark.functions.text import (
     hamming64,
     word_ngrams,
 )
+from data_pipeline_childcare_spark.io import spread_partitions
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -46,7 +47,7 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup on md5(normalized text) — the 100 TB-friendly variant:
     the wide text column never enters the shuffle."""
-    with_fp = df.withColumn("_fp", doc_fingerprint(text_col))
+    with_fp = spread_partitions(df, id_col).withColumn("_fp", doc_fingerprint(text_col))
     keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
     return with_fp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
 
@@ -75,7 +76,7 @@ def minhash_signatures(
     ~64× the tokenization work — so the explode/agg shape wins by an
     order of magnitude.)
     """
-    shingled = df.select(
+    shingled = spread_partitions(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
     ).select(id_col, F.xxhash64("_s").alias("_h"))
@@ -151,8 +152,14 @@ def minhash_dedup(
 ) -> DataFrame:
     """Near-dedup: LSH candidates → estimated-Jaccard filter → drop the
     larger id of each surviving pair (connected-component-lite: a doc
-    is dropped if it is near-dup of ANY smaller id)."""
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    is dropped if it is near-dup of ANY smaller id).
+
+    Signatures are consumed three times (banding + both sides of the
+    estimate join), so they are persisted — recomputing the shingle
+    aggregate per consumer costs more than the (id, 64×long) cache at
+    any scale. Spark evicts LRU; callers may ``unpersist`` eagerly.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     dups = (
         minhash_jaccard_estimate(sigs, pairs, id_col)
@@ -178,7 +185,7 @@ def simhash_signatures(
     (64 map-side-combinable bit-vote sums), then sign→bit packing.
     Same output semantics as ``functions.text.simhash64`` but without
     inlining the shingle pipeline into 64 expression copies."""
-    shingled = df.select(
+    shingled = spread_partitions(df, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
     ).select(id_col, F.xxhash64("_s").alias("_h"))
     votes = [
@@ -210,7 +217,9 @@ def simhash_near_dup_pairs(
     distance ≤ 3 at least one sub-band matches exactly (pigeonhole), so
     the join is on (band_index, band_value) — never all-pairs.
     """
-    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
+    # the banded self-join consumes sigs twice → persist (see
+    # minhash_dedup note)
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n).persist()
     banded = sigs.select(
         id_col,
         "sh",
@@ -224,7 +233,9 @@ def simhash_near_dup_pairs(
         ).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    # hamming filter BEFORE the distinct: candidates from hot bands are
+    # cut to true near-dups before the dedup shuffle sees them
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -236,9 +247,9 @@ def simhash_near_dup_pairs(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    return cand.filter(F.col("hamming") <= max_hamming)
 
 
 # ---------------------------------------------------------------------------
@@ -264,11 +275,18 @@ def ngram_jaccard_pairs(
     The join/shuffle key is xxhash64(shingle) — 8 bytes instead of the
     shingle text. Exact up to 64-bit hash collisions (~1e-19 per pair).
     """
-    shingled = df.select(
+    spread = spread_partitions(df, id_col)
+    shingled = spread.select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_s"),
     ).select(id_col, F.xxhash64("_s").alias("shingle"))
-    sizes = shingled.groupBy(id_col).agg(F.count("*").alias("set_size"))
+    # set sizes come from a NARROW projection over the docs (array size
+    # of the distinct shingles) — no groupBy shuffle, no re-tokenize of
+    # the exploded branch
+    sizes = spread.select(
+        F.col(id_col),
+        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).cast("long").alias("set_size"),
+    )
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
