@@ -509,6 +509,82 @@ def lsh_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows (batch form of the streaming
+    operator — same expression, no watermark)."""
+    from data_pipeline_childcare_spark.streaming.windows import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, "1 hour", streaming=False)
+
+
+def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead window coverage: per-user inter-event gap + value delta."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
+        prev_ts.cast("timestamp")
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        gap_us.alias("gap_us"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+def custkeys_open_not_finished(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Except: customers with open orders but no finished ones."""
+    o = _t(spark, sf_dir, "orders")
+    # subtract = set EXCEPT; exceptAll's bag semantics would keep a
+    # customer whose open orders merely outnumber their finished ones
+    return (
+        o.filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+        .subtract(o.filter(F.col("o_orderstatus") == "F").select("o_custkey"))
+    )
+
+
+_QUALITY_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+
+
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + language ID over documents — the pretraining
+    corpus filter pass, both formulas replicated in the DuckDB oracle."""
+    from data_pipeline_childcare_spark.functions.text import lang_guess, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        quality_score("text", _QUALITY_STOPWORDS).alias("quality"),
+        lang_guess("text").alias("lang_guess"),
+    )
+
+
+def kv_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kv-block layer check: build `key：value` blocks from customer
+    rows, parse them back with the corpus parser, re-extract the
+    fields. The oracle is the identity projection — any parse defect
+    breaks the match."""
+    from data_pipeline_childcare_spark.functions.text import kv_block_to_map
+
+    c = _t(spark, sf_dir, "customer")
+    block = F.format_string(
+        "名称：%s\n账户余额：%s\n市场分类：%s",
+        F.col("c_name"),
+        F.col("c_acctbal").cast("string"),
+        F.col("c_mktsegment"),
+    )
+    parsed = c.select("c_custkey", kv_block_to_map(block).alias("rec"))
+    return parsed.select(
+        "c_custkey",
+        F.col("rec").getItem("名称").alias("name"),
+        F.col("rec").getItem("账户余额").cast("double").alias("acctbal"),
+        F.col("rec").getItem("市场分类").alias("mktsegment"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -552,6 +628,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": events_props_extract,
         "distinct_users_per_type": distinct_users_per_type,
         "lsh_cosine_topk_embeddings": lsh_cosine_topk_embeddings,
+        "windowed_event_counts": windowed_event_counts_q,
+        "events_lag_delta": events_lag_delta,
+        "custkeys_open_not_finished": custkeys_open_not_finished,
+        "doc_quality_scores": doc_quality_scores,
+        "kv_roundtrip_customers": kv_roundtrip_customers,
     }
 
 
@@ -978,5 +1059,73 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    count(*) AS n_events
             FROM events GROUP BY event_type
+        """,
+        "windowed_event_counts": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "events_lag_delta": """
+            SELECT user_id, event_id,
+                   epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+                   round(value - lag(value) OVER w, 4) AS value_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "custkeys_open_not_finished": """
+            SELECT DISTINCT o_custkey FROM (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+                EXCEPT
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            )
+        """,
+        "doc_quality_scores": f"""
+            WITH toks AS (
+                SELECT doc_id, text, {tokens} AS t FROM documents
+            ), feats AS (
+                SELECT doc_id, text, t,
+                       len(t) AS n_tok,
+                       CASE WHEN len(t) > 0
+                            THEN length(array_to_string(t, '')) * 1.0 / len(t)
+                            ELSE 0.0 END AS mean_tok_len,
+                       CASE WHEN len(t) > 0
+                            THEN len(list_filter(t, x -> x IN ('the','a','of','and','to','in','is'))) * 1.0 / len(t)
+                            ELSE 0.0 END AS sw_ratio,
+                       CASE WHEN length(text) > 0
+                            THEN 1 - length(regexp_replace(text, '[^\\p{{L}}\\p{{N}}\\s]', '', 'g')) * 1.0 / length(text)
+                            ELSE 1.0 END AS sym_ratio
+                FROM toks
+            ), langs AS (
+                SELECT doc_id,
+                       list_max([
+                           struct_pack(h := len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it'))), l := 'en'),
+                           struct_pack(h := len(list_filter(t, x -> x IN ('der','die','das','und','ist','nicht','ein','zu'))), l := 'de'),
+                           struct_pack(h := len(list_filter(t, x -> x IN ('le','la','les','et','est','un','une','dans'))), l := 'fr'),
+                           struct_pack(h := len(list_filter(t, x -> x IN ('el','la','los','y','es','un','una','que'))), l := 'es')
+                       ]) AS best,
+                       regexp_matches(text, '[一-鿿]') AS has_cjk
+                FROM toks
+            )
+            SELECT f.doc_id,
+                   round((
+                       (CASE WHEN mean_tok_len >= 3 AND mean_tok_len <= 10 THEN 1.0 ELSE 0.5 END)
+                       + least(sw_ratio * 5, 1.0)
+                       + greatest(0.0, 1 - sym_ratio * 2)
+                   ) / 3, 4) AS quality,
+                   CASE WHEN l.has_cjk THEN 'zh'
+                        WHEN l.best.h > 0 THEN l.best.l
+                        ELSE 'und' END AS lang_guess
+            FROM feats f JOIN langs l ON f.doc_id = l.doc_id
+        """,
+        "kv_roundtrip_customers": """
+            SELECT c_custkey,
+                   c_name AS name,
+                   CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) AS acctbal,
+                   c_mktsegment AS mktsegment
+            FROM customer
         """,
     }
