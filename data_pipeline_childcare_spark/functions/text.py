@@ -87,6 +87,23 @@ def strip_admin_suffix(col: Column | str) -> Column:
     return F.when(F.length(stripped) >= 2, stripped).otherwise(c)
 
 
+def extract_video_id(col: Column | str) -> Column:
+    """Video-id extraction: douyin `/video/(\\d+)`, bilibili `BV\\w+`
+    (多数据源获取链接.py:646-663). Empty string when neither matches."""
+    c = F.col(col) if isinstance(col, str) else col
+    douyin = F.regexp_extract(c, r"/video/(\d+)", 1)
+    bili = F.regexp_extract(c, r"(BV[0-9A-Za-z]+)", 1)
+    return F.when(douyin != "", douyin).otherwise(bili)
+
+
+def url_to_source_id(col: Column | str) -> Column:
+    """URL → filesystem/metadata-safe source id
+    (多数据源获取数据.py:1802-1803)."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"^https?://", "")
+    return F.regexp_replace(stripped, r"[^0-9A-Za-z._-]", "_")
+
+
 def normalize_whitespace(col: Column | str) -> Column:
     """Collapse runs of blank lines / spaces (多数据源获取数据.py:493-505)."""
     c = F.col(col) if isinstance(col, str) else col

@@ -52,6 +52,24 @@ def rrf_fuse(
     return fused.orderBy(F.desc("rrf_score"), F.col(item_col))
 
 
+def attach_rerank_scores(
+    candidates: DataFrame,
+    scores: DataFrame,
+    order_col: str = "rrf_score",
+    index_col: str = "index",
+    score_col: str = "relevance_score",
+) -> DataFrame:
+    """Positional rerank backfill (SURVEY §2.3 J4): an external
+    reranker returns (index, relevance_score) pairs positional to the
+    candidate order; re-derive the position with a row_number over the
+    same ordering and join on it."""
+    w = Window.orderBy(F.desc(order_col))
+    indexed = candidates.withColumn(index_col, F.row_number().over(w) - 1)
+    return indexed.join(
+        F.broadcast(scores.select(index_col, score_col)), index_col, "left"
+    ).drop(index_col)
+
+
 def rank_lists(
     df: DataFrame, list_col: str, score_col: str, item_col: str
 ) -> DataFrame:
