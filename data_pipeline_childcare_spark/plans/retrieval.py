@@ -30,6 +30,14 @@ from data_pipeline_childcare_spark.operators.rules import RegionalRule, check_ru
 from data_pipeline_childcare_spark.operators.topk import top_k_sequential_dedup
 
 
+def enrich_chunks_with_doc_meta(chunks: DataFrame, doc_meta: DataFrame) -> DataFrame:
+    """Chunk × document-metadata enrichment (SURVEY §2.3 J1): the
+    reference prefetches per-(db, doc) detail dicts into a cache
+    (retrieve.py:241-274); here the metadata dim is broadcast and the
+    join is LEFT OUTER (missing detail → nulls, the reference's `{}`)."""
+    return chunks.join(F.broadcast(doc_meta), ["database_id", "document_id"], "left")
+
+
 def parse_chunk_records(chunks: DataFrame, content_col: str = "content") -> DataFrame:
     """content → rec map + record_type (auto_parse dispatch). Survey
     chunks carry a pipe header (城市：X | 岗位：Y) merged over the kv

@@ -1,0 +1,72 @@
+"""Markdown image handling (S15/J6), chunk-metadata enrichment (J1),
+and bucketed co-located joins."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.functions.markdown import (
+    drop_image_refs,
+    extract_image_refs,
+    rewrite_image_refs,
+)
+from data_pipeline_childcare_spark.io import write_bucketed
+from data_pipeline_childcare_spark.plans.retrieval import enrich_chunks_with_doc_meta
+
+MD = "intro ![alt](images/Fig1.PNG) mid ![x](http://a/b/chart.png extra) end ![y](data:image/png;base64,AAA)"
+
+
+def test_extract_image_refs(spark):
+    df = spark.createDataFrame([(MD,)], "text string")
+    refs = df.select(extract_image_refs("text").alias("r")).first()["r"]
+    assert refs == ["images/Fig1.PNG", "http://a/b/chart.png", "data:image/png;base64,AAA"]
+
+
+def test_rewrite_image_refs_case_insensitive_j6(spark):
+    docs = spark.createDataFrame([(1, "see ![f](local/FIG1.png) and ![g](other.jpg)")], "doc_id long, text string")
+    uploads = spark.createDataFrame(
+        [("fig1.jpeg", "https://cdn/x/fig1"),], "filename string, served_url string"
+    )
+    out = rewrite_image_refs(docs, uploads).first()["text"]
+    # FIG1.png matched fig1.jpeg on the extension-less lowercase key
+    assert "https://cdn/x/fig1" in out
+    assert "other.jpg" in out  # unmatched ref left alone
+
+
+def test_rewrite_no_refs_doc_survives(spark):
+    docs = spark.createDataFrame([(1, "no images here")], "doc_id long, text string")
+    uploads = spark.createDataFrame([("a.png", "u")], "filename string, served_url string")
+    assert rewrite_image_refs(docs, uploads).first()["text"] == "no images here"
+
+
+def test_drop_image_refs(spark):
+    df = spark.createDataFrame([(MD,)], "text string")
+    out = df.select(drop_image_refs("text").alias("t")).first()["t"]
+    assert "![" not in out and out.startswith("intro") and "end" in out
+
+
+def test_enrich_chunks_left_outer_j1(spark):
+    chunks = spark.createDataFrame(
+        [("db1", "d1", "c1"), ("db1", "d2", "c2")],
+        "database_id string, document_id string, chunk_id string",
+    )
+    meta = spark.createDataFrame(
+        [("db1", "d1", "报告")], "database_id string, document_id string, doc_name string"
+    )
+    rows = {r["chunk_id"]: r["doc_name"] for r in enrich_chunks_with_doc_meta(chunks, meta).collect()}
+    assert rows == {"c1": "报告", "c2": None}
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    # warehouse dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped below
+    left = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("a"))
+    right = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("b"))
+    write_bucketed(left, "t_left", ["k"], n_buckets=8)
+    write_bucketed(right, "t_right", ["k"], n_buckets=8)
+    j = spark.table("t_left").join(spark.table("t_right"), "k")
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in plan, plan[:500]
+    assert j.count() == 1000
+    spark.sql("DROP TABLE t_left")
+    spark.sql("DROP TABLE t_right")
