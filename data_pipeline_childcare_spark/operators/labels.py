@@ -30,6 +30,8 @@ def decode_scalar(col: Column | str, mapping: dict[str, str], keep_unknown: bool
     """code → label; unknown codes pass through (reference keeps the
     raw value when no mapping matches)."""
     c = F.col(col) if isinstance(col, str) else col
+    if not mapping:  # empty map literal is map<void,void> — passthrough
+        return c if keep_unknown else F.lit(None).cast("string")
     m = _lit_map(mapping)
     decoded = m[c]
     return F.coalesce(decoded, c) if keep_unknown else decoded
@@ -38,6 +40,8 @@ def decode_scalar(col: Column | str, mapping: dict[str, str], keep_unknown: bool
 def decode_array(col: Column | str, mapping: dict[str, str]) -> Column:
     """ARRAY<code> → ARRAY<label> (transform_survey_data.py:82-87)."""
     c = F.col(col) if isinstance(col, str) else col
+    if not mapping:
+        return c
     m = _lit_map(mapping)
     return F.transform(c, lambda x: F.coalesce(m[x], x))
 

@@ -10,6 +10,8 @@
 from data_pipeline_childcare_spark.plans.search_plan import build_search_queries
 from data_pipeline_childcare_spark.plans.scrape import scrape_pipeline
 from data_pipeline_childcare_spark.plans.retrieval import (
+    enrich_chunks_with_doc_meta,
     tuoyu_rule_filter,
     xpilot_retrieval,
 )
+from data_pipeline_childcare_spark.plans.survey_rag import survey_to_markdown
