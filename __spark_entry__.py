@@ -585,6 +585,50 @@ def kv_roundtrip_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-bound filter+agg — every predicate
+    must reach the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 25)
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+        F.count("*").alias("n_items"),
+    )
+
+
+def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS/semi-join with date arithmetic (TPC-H Q4 shape): orders
+    with any line shipped > 90 days after the order date, by priority."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    ).select("l_orderkey").distinct()
+    return (
+        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+    )
+
+
+def parts_with_many_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-count filter: parts supplied by ≥ 5 distinct suppliers
+    with price stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_suppliers"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        )
+        .filter(F.col("n_suppliers") >= 5)
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -633,6 +677,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "custkeys_open_not_finished": custkeys_open_not_finished,
         "doc_quality_scores": doc_quality_scores,
         "kv_roundtrip_customers": kv_roundtrip_customers,
+        "q6_revenue_forecast": q6_revenue_forecast,
+        "late_shipment_orders": late_shipment_orders,
+        "parts_with_many_suppliers": parts_with_many_suppliers,
     }
 
 
@@ -1127,5 +1174,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(CAST(c_acctbal AS VARCHAR) AS DOUBLE) AS acctbal,
                    c_mktsegment AS mktsegment
             FROM customer
+        """,
+        "q6_revenue_forecast": """
+            SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                   count(*) AS n_items
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1998-01-01'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 25
+        """,
+        "late_shipment_orders": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders o
+            WHERE EXISTS (
+                SELECT 1 FROM lineitem l
+                WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+            )
+            GROUP BY o_orderpriority
+        """,
+        "parts_with_many_suppliers": """
+            SELECT l_partkey,
+                   count(DISTINCT l_suppkey) AS n_suppliers,
+                   round(avg(l_extendedprice), 4) AS avg_price
+            FROM lineitem
+            GROUP BY l_partkey
+            HAVING count(DISTINCT l_suppkey) >= 5
         """,
     }

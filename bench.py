@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_nation_revenue",
+    "q6_revenue_forecast",
+    "late_shipment_orders",
     "top3_orders_per_customer",
     "events_running_total",
     "sessionize_events",
