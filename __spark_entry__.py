@@ -629,6 +629,35 @@ def parts_with_many_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ivf_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means-lite coarse quantizer) approximate top-k — the
+    second ANN scale path next to LSH. Iterative algorithm ⇒ rows-only
+    check; recall vs brute force asserted in tests."""
+    from data_pipeline_childcare_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivf_cosine_topk(emb, q, k=5, n_cells=8, n_probe=4, iterations=2).select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-pretokenizer-style token counting (LLM budget estimation)."""
+    from data_pipeline_childcare_spark.functions.text import bpe_like_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        bpe_like_token_count("text").cast("long").alias("n_bpe_tokens"),
+        token_count("text").cast("long").alias("n_ws_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -680,6 +709,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_forecast": q6_revenue_forecast,
         "late_shipment_orders": late_shipment_orders,
         "parts_with_many_suppliers": parts_with_many_suppliers,
+        "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
+        "doc_bpe_token_counts": doc_bpe_token_counts,
     }
 
 
@@ -1201,5 +1232,12 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY l_partkey
             HAVING count(DISTINCT l_suppkey) >= 5
+        """,
+        "doc_bpe_token_counts": """
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '( ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+)', 1)) AS n_bpe_tokens,
+                   len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_ws_tokens
+            FROM documents
         """,
     }

@@ -127,6 +127,25 @@ def token_count(col: Column | str) -> Column:
     return F.size(tokenize(col))
 
 
+# GPT-2-style pretokenizer classes, restricted to the regex subset
+# Java regex and RE2 share (no lookahead): letter runs / digit runs /
+# punctuation runs, each with an optional leading space.
+_BPE_LIKE_RE = r"( ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+)"
+
+
+def bpe_like_tokens(col: Column | str) -> Column:
+    """BPE-pretokenizer-style segmentation → ARRAY<STRING>. The unit a
+    subword tokenizer would split further; counting these approximates
+    LLM token budgets far better than whitespace words on CJK and
+    punctuation-heavy text."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(_BPE_LIKE_RE), 1)
+
+
+def bpe_like_token_count(col: Column | str) -> Column:
+    return F.size(bpe_like_tokens(col))
+
+
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word-level n-gram shingles → ARRAY<STRING> (joined with single
     spaces). Length < n yields the whole text as one shingle."""

@@ -68,6 +68,40 @@ def test_lsh_recall_against_bruteforce(spark):
         assert abs(r["cosine_sim"] - exact_scores[key]) < 1e-6
 
 
+def test_ivf_recall_and_score_exactness(spark):
+    from data_pipeline_childcare_spark.operators.similarity import ivf_cosine_topk
+
+    emb = _emb(spark)
+    q = _queries(emb, 3)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    rows = ivf_cosine_topk(emb, q, k=10, n_cells=8, n_probe=4, iterations=2).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    # probing half the cells (4/8) must recover well over half the
+    # true neighbors on random vectors
+    assert recall >= 0.4, f"recall {recall}"
+    exact_scores = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in cosine_topk_bruteforce(emb, q, k=499).collect()
+    }
+    for r in rows:
+        assert abs(r["cosine_sim"] - exact_scores[(r["query_id"], r["vec_id"])]) < 1e-6
+
+
+def test_kmeans_lite_partitions_corpus(spark):
+    from data_pipeline_childcare_spark.operators.similarity import kmeans_lite, _assign_cells
+
+    emb = _emb(spark)
+    cents = kmeans_lite(emb, k=8, iterations=2)
+    assert cents.count() <= 8  # empty cells may drop
+    assigned = _assign_cells(emb, cents, "vec_id", "embedding")
+    # every vector lands in exactly one cell
+    assert assigned.count() == emb.count()
+    assert assigned.select("vec_id").distinct().count() == emb.count()
+
+
 def test_label_centroids_match_numpy(spark):
     emb = _emb(spark)
     rows = emb.collect()
