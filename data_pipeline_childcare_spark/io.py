@@ -39,16 +39,29 @@ NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
-    """Load one star-schema table from a scale-factor directory."""
+    """Load one star-schema table from a scale-factor directory.
+
+    Works under ANY caller-provided SparkSession: the nanos-parquet
+    legacy conf is a runtime SQL conf, set here defensively (the
+    harness may hand us a session built without our factory), and the
+    nanos→ntz conversion goes through a timezone-independent
+    timestampadd so a non-UTC session timezone cannot shift values.
+    """
+    if name in NANOS_TS_COLS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             # integer `div`, NOT `/`: double division of epoch-nanos
             # (~1.7e18) rounds in the 53-bit mantissa and shifts
-            # timestamps by ±1 µs.
+            # timestamps by ±1 µs. timestampadd over an NTZ epoch base
+            # never consults the session timezone.
             df = df.withColumn(
                 col,
-                F.timestamp_micros(F.expr(f"`{col}` div 1000")).cast("timestamp_ntz"),
+                F.expr(
+                    f"timestampadd(MICROSECOND, `{col}` div 1000, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
             )
     return df
 
