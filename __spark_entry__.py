@@ -523,9 +523,8 @@ def events_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ts = F.lag("ts").over(w)
-    gap_us = F.unix_micros(F.col("ts").cast("timestamp")) - F.unix_micros(
-        prev_ts.cast("timestamp")
-    )
+    # pure NTZ arithmetic — session-timezone-independent
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col("ts"))
     return ev.select(
         "user_id",
         "event_id",

@@ -34,12 +34,12 @@ def sessionize(
         order.append(F.col(order_tiebreak))
     w = Window.partitionBy(user_col).orderBy(*order)
     prev_ts = F.lag(F.col(ts_col)).over(w)
-    # microsecond math (TIMESTAMP_NTZ has no direct long cast; via
-    # session-UTC timestamp → unix_micros, sub-second gaps count)
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    prev_us = F.unix_micros(prev_ts.cast("timestamp"))
+    # timestampdiff does pure NTZ arithmetic — never consults the
+    # session timezone (a cast-to-timestamp + unix_micros path shifts
+    # gaps that span a DST transition under non-UTC sessions)
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
     is_new = F.when(
-        prev_ts.isNull() | ((us - prev_us) > gap_minutes * 60 * 1_000_000), 1
+        prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000), 1
     ).otherwise(0)
     return events.withColumn(
         "session_id",
