@@ -1,0 +1,91 @@
+"""Connected components over near-duplicate pair graphs.
+
+``minhash_dedup`` drops a doc that is near-dup of ANY smaller id —
+"connected-component-lite". That under-merges chains (A~B, B~C, but
+A!~C leaves C keyed to B which is gone). The correct cluster id is the
+connected component, computed here by iterative min-label
+propagation — the standard large-graph formulation (alternating
+small/large-star in spirit), expressed entirely as DataFrame joins:
+
+  label(v) ← min(label(v), min over neighbors u of label(u))
+
+iterated to a fixed point. Each iteration is two shuffles (join +
+groupBy); near-dup graphs converge in O(log diameter) iterations and
+dup-cluster diameters are tiny in practice, so ``max_iter`` defaults
+low with an early-exit convergence check (an AGGREGATE over the label
+frame — cheap relative to the iteration itself).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    max_iter: int = 10,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id_a, id_b) edges → (id, component) with component = min member
+    id of the connected component.
+
+    Each iteration materializes the label frame with an eager
+    ``localCheckpoint`` — iterative DataFrame loops otherwise grow the
+    lineage (and planning time) linearly with the iteration count.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_by_components(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Keep one representative (the min id) per near-dup component;
+    rows not in any pair survive untouched."""
+    comps = connected_components(pairs, max_iter)
+    drop = comps.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

@@ -186,3 +186,31 @@ def test_sessionize_gap(spark):
     )
     rows = {r["event_id"]: r["session_id"] for r in sessionize(ev).collect()}
     assert rows == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_connected_components_chain_merge(spark):
+    from data_pipeline_childcare_spark.operators.components import (
+        connected_components,
+        dedup_by_components,
+    )
+
+    # chain 1-2-3 plus island 7-8: components {1,2,3}→1, {7,8}→7
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "id_a long, id_b long"
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in [1, 2, 3, 5, 7, 8]], "doc_id long, text string")
+    kept = {r["doc_id"] for r in dedup_by_components(docs, pairs).collect()}
+    # one representative per component + untouched singleton 5
+    assert kept == {1, 5, 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    from data_pipeline_childcare_spark.operators.components import connected_components
+
+    # a 6-node path needs several propagation rounds
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
+    comps = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=10).collect()}
+    assert set(comps.values()) == {0}
