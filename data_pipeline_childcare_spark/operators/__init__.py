@@ -34,6 +34,10 @@ from data_pipeline_childcare_spark.operators.similarity import (
 )
 from data_pipeline_childcare_spark.operators.asof import asof_join
 from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
+from data_pipeline_childcare_spark.operators.components import (
+    connected_components,
+    dedup_by_components,
+)
 
 __all__ = [
     "rrf_fuse",
@@ -56,4 +60,6 @@ __all__ = [
     "asof_join",
     "sessionize",
     "session_stats",
+    "connected_components",
+    "dedup_by_components",
 ]
