@@ -657,6 +657,48 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily continuous aggregate DERIVED from hourly partials (the raw
+    table is scanned once, at the hourly level; the day level
+    re-aggregates those partials). The oracle aggregates the raw table
+    directly at the day level — equality proves the ladder is exact."""
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        finalize_rollup,
+        hypertable_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    levels = hypertable_rollup(ev, ("1 hour", "1 day"))
+    return finalize_rollup(levels["1 day"])
+
+
+def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """6-hour buckets densified over the observed range: counts
+    zero-filled, per-type avg carried forward (TimescaleDB
+    time_bucket_gapfill + locf semantics)."""
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        bucket_partials,
+        time_bucket_gapfill,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    b = bucket_partials(ev, "6 hours").select(
+        "bucket",
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+    )
+    filled = time_bucket_gapfill(
+        b, "6 hours", zero_cols=("n_events",), locf_cols=("avg_value",)
+    )
+    return filled.select(
+        "bucket",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("avg_value").alias("avg_value_locf"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -710,6 +752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_with_many_suppliers": parts_with_many_suppliers,
         "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
         "doc_bpe_token_counts": doc_bpe_token_counts,
+        "hypertable_rollup_events": hypertable_rollup_events,
+        "gapfill_events_6h": gapfill_events_6h,
     }
 
 
@@ -1238,5 +1282,40 @@ def oracle_sql() -> dict[str, str]:
                        '( ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+)', 1)) AS n_bpe_tokens,
                    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_ws_tokens
             FROM documents
+        """,
+        "hypertable_rollup_events": """
+            SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   round(sum(value) / count(*), 4) AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "gapfill_events_6h": """
+            WITH b AS (
+                SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
+                       event_type,
+                       count(*) AS n_events,
+                       round(sum(value) / count(*), 4) AS avg_value
+                FROM events
+                GROUP BY 1, 2
+            ), bounds AS (
+                SELECT min(bucket) AS lo, max(bucket) AS hi FROM b
+            ), dense AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL '6 hours')) AS bucket
+                FROM bounds
+            ), grid AS (
+                SELECT dense.bucket, g.event_type
+                FROM dense CROSS JOIN (SELECT DISTINCT event_type FROM b) g
+            )
+            SELECT grid.bucket, grid.event_type,
+                   coalesce(b.n_events, 0) AS n_events,
+                   last_value(b.avg_value IGNORE NULLS) OVER (
+                       PARTITION BY grid.event_type ORDER BY grid.bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+            FROM grid LEFT JOIN b USING (bucket, event_type)
         """,
     }

@@ -1,0 +1,126 @@
+"""Hypertable operator family: time_bucket semantics, rollup-ladder
+exactness, gapfill density + LOCF."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.operators.hypertable import (
+    bucket_partials,
+    finalize_rollup,
+    hypertable_rollup,
+    time_bucket,
+    time_bucket_gapfill,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    rows = [
+        # (ts, event_type, value) — two types, deliberate 6h gaps
+        (_ts("2024-01-01 00:10:00"), "click", 1.0),
+        (_ts("2024-01-01 01:20:00"), "click", 3.0),
+        (_ts("2024-01-01 13:00:00"), "click", 5.0),
+        (_ts("2024-01-02 02:00:00"), "click", 7.0),
+        (_ts("2024-01-01 05:59:59"), "view", 10.0),
+        (_ts("2024-01-02 23:00:00"), "view", 20.0),
+    ]
+    return spark.createDataFrame(rows, "ts timestamp_ntz, event_type string, value double")
+
+
+def _bucket_of(spark, width: str, ts: str):
+    return (
+        spark.range(1)
+        .select(time_bucket(width, F.lit(ts).cast("timestamp_ntz")).alias("b"))
+        .head()[0]
+    )
+
+
+def test_time_bucket_day_and_hour(spark):
+    assert _bucket_of(spark, "1 day", "2024-01-15 13:45:10") == _ts("2024-01-15 00:00:00")
+    assert _bucket_of(spark, "6 hours", "2024-01-15 13:45:10") == _ts("2024-01-15 12:00:00")
+    assert _bucket_of(spark, "15 minutes", "2024-01-15 13:44:59") == _ts("2024-01-15 13:30:00")
+
+
+def test_time_bucket_week_starts_monday(spark):
+    # 2024-01-15 is a Monday; Sunday the 14th belongs to the prior week
+    assert _bucket_of(spark, "1 week", "2024-01-15 00:00:00") == _ts("2024-01-15 00:00:00")
+    assert _bucket_of(spark, "1 week", "2024-01-14 23:59:59") == _ts("2024-01-08 00:00:00")
+
+
+def test_time_bucket_month_and_quarter(spark):
+    assert _bucket_of(spark, "1 month", "2024-02-29 12:00:00") == _ts("2024-02-01 00:00:00")
+    # 3-month buckets anchored at 2000-01 → Jan/Apr/Jul/Oct
+    assert _bucket_of(spark, "3 months", "2024-05-15 00:00:00") == _ts("2024-04-01 00:00:00")
+    assert _bucket_of(spark, "1 year", "2024-05-15 00:00:00") == _ts("2024-01-01 00:00:00")
+
+
+def test_time_bucket_pre_origin_floors(spark):
+    # 1999 < origin: floor (not truncate-toward-zero) keeps buckets aligned
+    assert _bucket_of(spark, "1 day", "1999-12-31 23:00:00") == _ts("1999-12-31 00:00:00")
+    assert _bucket_of(spark, "1 month", "1999-11-20 10:00:00") == _ts("1999-11-01 00:00:00")
+
+
+def test_rollup_ladder_equals_direct(events):
+    ladder = hypertable_rollup(events, ("1 hour", "1 day"))
+    derived = finalize_rollup(ladder["1 day"])
+    direct = finalize_rollup(bucket_partials(events, "1 day"))
+    cols = derived.columns
+    assert sorted(map(tuple, derived.select(cols).collect())) == sorted(
+        map(tuple, direct.select(cols).collect())
+    )
+
+
+def test_rollup_counts(events):
+    day = finalize_rollup(hypertable_rollup(events, ("1 hour", "1 day"))["1 day"])
+    got = {(r["bucket"], r["event_type"]): r["n_events"] for r in day.collect()}
+    assert got[(_ts("2024-01-01 00:00:00"), "click")] == 3
+    assert got[(_ts("2024-01-02 00:00:00"), "view")] == 1
+
+
+def test_gapfill_density_zero_and_locf(events):
+    b = bucket_partials(events, "6 hours").select(
+        "bucket", "event_type", "n_events",
+        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+    )
+    filled = time_bucket_gapfill(
+        b, "6 hours", zero_cols=("n_events",), locf_cols=("avg_value",)
+    )
+    rows = {(r["bucket"], r["event_type"]): r for r in filled.collect()}
+    # observed range 2024-01-01 00:00 → 2024-01-02 18:00 = 8 buckets × 2 types
+    assert len(rows) == 16
+    # empty click bucket 06:00: zero-filled count, avg carried from 00:00 bucket
+    gap = rows[(_ts("2024-01-01 06:00:00"), "click")]
+    assert gap["n_events"] == 0
+    assert gap["avg_value"] == 2.0  # (1+3)/2 carried forward
+    # leading gap for view stays NULL (no prior observation)
+    lead = rows[(_ts("2024-01-01 12:00:00"), "view")]
+    assert lead["n_events"] == 0
+    # view observed at 00:00 bucket (05:59:59) → 12:00 carries 10.0
+    assert lead["avg_value"] == 10.0
+
+
+def test_gapfill_leading_null(spark):
+    b = spark.createDataFrame(
+        [(_ts("2024-01-01 06:00:00"), "x", 2, 5.0)],
+        "bucket timestamp_ntz, event_type string, n_events long, avg_value double",
+    ).union(
+        spark.createDataFrame(
+            [(_ts("2024-01-01 18:00:00"), "y", 1, 9.0)],
+            "bucket timestamp_ntz, event_type string, n_events long, avg_value double",
+        )
+    )
+    filled = time_bucket_gapfill(
+        b, "6 hours", zero_cols=("n_events",), locf_cols=("avg_value",)
+    )
+    rows = {(r["bucket"], r["event_type"]): r for r in filled.collect()}
+    assert len(rows) == 6  # 3 buckets × 2 types
+    assert rows[(_ts("2024-01-01 06:00:00"), "y")]["avg_value"] is None
+    assert rows[(_ts("2024-01-01 18:00:00"), "x")]["avg_value"] == 5.0
