@@ -657,6 +657,18 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup (exact all-pairs baseline; the
+    LSH/IVF candidate generators are the scale path — see
+    operators/similarity.py)."""
+    from data_pipeline_childcare_spark.operators.similarity import embedding_cosine_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_cosine_dedup(emb, threshold=0.4).select("vec_id", "label")
+
+
 def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily continuous aggregate DERIVED from hourly partials (the raw
     table is scanned once, at the hourly level; the day level
@@ -754,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "gapfill_events_6h": gapfill_events_6h,
+        "embedding_cosine_dedup": embedding_cosine_dedup_q,
     }
 
 
@@ -1317,5 +1330,21 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY grid.event_type ORDER BY grid.bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
             FROM grid LEFT JOIN b USING (bucket, event_type)
+        """,
+        "embedding_cosine_dedup": """
+            WITH e AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+                FROM embeddings
+            ), dups AS (
+                SELECT DISTINCT b.vec_id
+                FROM e a JOIN e b ON a.vec_id < b.vec_id
+                WHERE round(
+                          list_dot_product(a.v, b.v) /
+                          (sqrt(list_dot_product(a.v, a.v)) *
+                           sqrt(list_dot_product(b.v, b.v))), 6
+                      ) >= 0.4
+            )
+            SELECT vec_id, label FROM e
+            WHERE vec_id NOT IN (SELECT vec_id FROM dups)
         """,
     }

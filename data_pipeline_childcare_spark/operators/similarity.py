@@ -64,6 +64,36 @@ def cosine_topk_bruteforce(
     )
 
 
+def embedding_cosine_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Embedding near-duplicate dedup: drop every row whose vector has
+    cosine ≥ ``threshold`` with ANY smaller-id row.
+
+    This is the EXACT baseline (all-pairs enumeration, broadcast
+    nested-loop on the id inequality) — correct at any n, quadratic in
+    n. At corpus scale the candidate generator swaps to ``lsh_bucket``
+    (pairs sharing a bucket in any table) or IVF cells, keeping the
+    same verify-then-anti-join tail; those approximate paths are
+    benchmarked for recall in test_similarity.py. The cosine is
+    rounded BEFORE thresholding so float boundary rows land on the
+    same side in any engine.
+    """
+    a = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    dups = (
+        a.join(b, F.col("_ia") < F.col("_ib"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
 def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
     """Deterministic pseudo-random hyperplane component values in [-1,1]
     derived from a splitmix-style integer mix — reproducible anywhere."""

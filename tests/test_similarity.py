@@ -110,3 +110,20 @@ def test_label_centroids_match_numpy(spark):
     for lab in labels:
         mat = np.array([r["embedding"] for r in rows if r["label"] == lab])
         np.testing.assert_allclose(got[lab], mat.mean(axis=0), rtol=1e-9)
+
+
+def test_embedding_cosine_dedup(spark):
+    from data_pipeline_childcare_spark.operators.similarity import embedding_cosine_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.99, 0.01, 0.0]),   # near-dup of 1 → dropped
+        (3, [0.0, 1.0, 0.0]),     # orthogonal → kept
+        (4, [0.0, 0.98, 0.05]),   # near-dup of 3 → dropped
+        (5, [-1.0, 0.0, 0.0]),    # anti-parallel → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(r["vec_id"] for r in embedding_cosine_dedup(df, threshold=0.9).collect())
+    assert kept == [1, 3, 5]
+    # threshold above every off-diagonal cosine keeps everything
+    assert embedding_cosine_dedup(df, threshold=0.999999).count() == 5
