@@ -168,6 +168,67 @@ def finalize_rollup(level: DataFrame, ndigits: int = 4) -> DataFrame:
     )
 
 
+def streaming_bucket_partials(
+    events: DataFrame,
+    width: str,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """Incrementally-maintained fine level of the continuous-aggregate
+    ladder: the Structured Streaming twin of ``bucket_partials``.
+
+    Buckets come from ``F.window`` with a ``startTime`` offset of
+    (origin mod width), so ``window.start`` coincides EXACTLY with
+    ``time_bucket`` for every sub-month width — including weeks, where
+    the epoch (a Thursday) and the 2000-01-03 origin (a Monday)
+    disagree by 4 days. The window runs on timestamp_ntz, so a
+    non-UTC session timezone cannot shift bucket boundaries. Month
+    widths are batch-only (streaming state needs fixed-length
+    windows); derive them from a day-level stream via
+    ``rollup_partials`` in ``foreachBatch``.
+
+    State at scale: one state-store row per (bucket, group); the
+    watermark closes buckets ``watermark_delay`` behind the stream and
+    evicts their state. Accepts static frames too (same expressions,
+    no watermark) — tests assert streaming == batch equality.
+    """
+    n, unit = _parse_width(width)
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(f"streaming buckets need fixed-length widths, got {width!r}")
+    w = n * _UNIT_SECONDS[unit]
+    origin_epoch = 946857600  # 2000-01-03 00:00:00 UTC
+    # Watermarks demand TIMESTAMP (not ntz). Bridge without consulting
+    # the session timezone: ntz wall-clock → epoch micros via
+    # timestamp_diff, then timestamp_micros (internal UTC micros ==
+    # wall clock). window.start maps back the same way.
+    epoch_ntz = F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+    ntz = F.col(ts_col).cast("timestamp_ntz")
+    df = events.withColumn(
+        "_ts", F.timestamp_micros(F.timestamp_diff("MICROSECOND", epoch_ntz, ntz))
+    )
+    is_streaming = df.isStreaming if streaming is None else streaming
+    if is_streaming:
+        df = df.withWatermark("_ts", watermark_delay)
+    win = F.window("_ts", f"{n} {unit}", f"{n} {unit}", f"{origin_epoch % w} seconds")
+    bucket_ntz = F.timestamp_add(
+        "MICROSECOND", F.unix_micros(F.col("_w.start")), epoch_ntz
+    )
+    return (
+        df.groupBy(win.alias("_w"), *group_cols)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(value_col).alias("sum_value"),
+            F.min(value_col).alias("min_value"),
+            F.max(value_col).alias("max_value"),
+        )
+        .select(bucket_ntz.alias("bucket"), *group_cols,
+                "n_events", "sum_value", "min_value", "max_value")
+    )
+
+
 def time_bucket_gapfill(
     bucketed: DataFrame,
     width: str,

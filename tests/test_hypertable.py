@@ -124,3 +124,40 @@ def test_gapfill_leading_null(spark):
     assert len(rows) == 6  # 3 buckets × 2 types
     assert rows[(_ts("2024-01-01 06:00:00"), "y")]["avg_value"] is None
     assert rows[(_ts("2024-01-01 18:00:00"), "x")]["avg_value"] == 5.0
+
+
+def test_streaming_bucket_partials_matches_batch_expr(events):
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        streaming_bucket_partials,
+    )
+
+    # static-frame form: identical rows to bucket_partials for widths
+    # where epoch and the 2000-01-03 origin disagree (weeks) and agree
+    for width in ("6 hours", "1 week"):
+        got = sorted(
+            map(tuple, streaming_bucket_partials(events, width, streaming=False).collect())
+        )
+        want = sorted(map(tuple, bucket_partials(events, width).collect()))
+        assert got == want, width
+
+
+def test_streaming_bucket_partials_true_stream(spark, tmp_path, events):
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        streaming_bucket_partials,
+    )
+
+    src = tmp_path / "events_stream"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+    agg = streaming_bucket_partials(stream, "6 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("cagg_6h")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("cagg_6h").collect()))
+    want = sorted(map(tuple, bucket_partials(events, "6 hours").collect()))
+    assert got == want
