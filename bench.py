@@ -46,6 +46,7 @@ BENCH_QUERIES = [
     "cosine_topk_embeddings",
     "doc_token_stats",
     "chunk_documents",
+    "hypertable_rollup_events",
 ]
 
 RUNS = 2
