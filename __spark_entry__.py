@@ -657,6 +657,16 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5-keyed train/val/test assignment + 20% sample
+    flag — engine-independent (the oracle computes the identical CASE
+    over DuckDB's md5), shuffle-free (pure projection)."""
+    from data_pipeline_childcare_spark.operators.split import hash_sample_flag, hash_split
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_sample_flag(hash_split(docs), 0.2)
+
+
 def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (exact all-pairs baseline; the
     LSH/IVF candidate generators are the scale path — see
@@ -767,15 +777,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup_events": hypertable_rollup_events,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
+        "doc_train_split": doc_train_split,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.cleaning import NOISE_RE
 
+    from data_pipeline_childcare_spark.operators.split import (
+        _threshold_hex,
+        split_sql_case,
+    )
+
     # shared SQL fragments (DuckDB dialect); NOISE_RE is RE2-compatible
     _NOISE_RE_SQL = NOISE_RE
     tokens = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    _split_case = split_sql_case("doc_id")
+    _sample_threshold = _threshold_hex(0.2)
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1346,5 +1364,12 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, label FROM e
             WHERE vec_id NOT IN (SELECT vec_id FROM dups)
+        """,
+        "doc_train_split": f"""
+            SELECT doc_id,
+                   {_split_case} AS split,
+                   substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                       < '{_sample_threshold}' AS in_sample
+            FROM documents
         """,
     }

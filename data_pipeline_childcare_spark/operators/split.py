@@ -1,0 +1,104 @@
+"""Deterministic dataset splitting & sampling for training pipelines.
+
+Both operators key off ``md5(salt || ':' || id)`` and compare the
+first 8 hex characters as a STRING against precomputed hex
+thresholds. Properties that matter at 100 TB:
+
+- **Narrow.** Assignment is a pure projection — zero shuffles, zero
+  state; it composes with any downstream partitioning.
+- **Deterministic & engine-independent.** md5 is bit-identical
+  everywhere (unlike ``rand(seed)``, which depends on partitioning,
+  or engine-specific hash functions); re-running on re-partitioned /
+  re-ordered data yields the same assignment, and a DuckDB/Trino/
+  Spark consumer agrees on every row. Lexicographic order of
+  lowercase hex equals numeric order, so thresholds are plain string
+  literals computed once on the driver.
+- **Salt = split identity.** A different salt draws an independent
+  split; the same salt reproduces it forever (the property training
+  pipelines need to avoid test-set leakage across runs).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPACE = 16 ** 8  # first 8 md5 hex chars, uniform on [0, 16^8)
+
+
+def _bucket_hex(id_col: Column, salt: str) -> Column:
+    return F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), id_col.cast("string"))), 1, 8)
+
+
+def _threshold_hex(fraction: float) -> str:
+    return format(min(int(fraction * _HEX_SPACE), _HEX_SPACE - 1), "08x")
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign every row to a named split with the given fractions.
+
+    The last split absorbs the rounding tail (ELSE branch), so the
+    fractions may sum to 1.0 exactly without boundary fuss.
+    """
+    if len(splits) < 2:
+        raise ValueError("need at least two splits")
+    hx = _bucket_hex(F.col(id_col), salt)
+    cum = 0.0
+    expr = None
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = hx < F.lit(_threshold_hex(cum))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = expr.otherwise(splits[-1][0])
+    return df.withColumn(out_col, expr)
+
+
+def hash_sample(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic ~``fraction`` sample, stable across runs, engines
+    and partitionings (unlike ``DataFrame.sample``, whose output
+    depends on the physical split of the input)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    if fraction == 1.0:
+        return df
+    hx = _bucket_hex(F.col(id_col), salt)
+    return df.filter(hx < F.lit(_threshold_hex(fraction)))
+
+
+def hash_sample_flag(
+    df: DataFrame,
+    fraction: float,
+    id_col: str = "doc_id",
+    salt: str = "sample",
+    out_col: str = "in_sample",
+) -> DataFrame:
+    """Membership flag form of ``hash_sample`` (keeps all rows)."""
+    hx = _bucket_hex(F.col(id_col), salt)
+    return df.withColumn(out_col, hx < F.lit(_threshold_hex(fraction)))
+
+
+def split_sql_case(
+    id_expr: str,
+    splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    salt: str = "split",
+) -> str:
+    """ANSI-SQL CASE expression computing the identical assignment —
+    handed to external engines (the DuckDB oracle uses it verbatim)."""
+    hx = f"substr(md5('{salt}:' || CAST({id_expr} AS VARCHAR)), 1, 8)"
+    cum = 0.0
+    arms = []
+    for name, frac in splits[:-1]:
+        cum += frac
+        arms.append(f"WHEN {hx} < '{_threshold_hex(cum)}' THEN '{name}'")
+    return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"

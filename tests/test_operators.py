@@ -214,3 +214,27 @@ def test_connected_components_long_chain_converges(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(6)], "id_a long, id_b long")
     comps = {r["id"]: r["component"] for r in connected_components(pairs, max_iter=10).collect()}
     assert set(comps.values()) == {0}
+
+
+def test_hash_split_deterministic_and_exhaustive(spark):
+    from data_pipeline_childcare_spark.operators.split import hash_sample, hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["split"] for r in hash_split(df).collect()}
+    # identical assignment regardless of physical partitioning
+    b = {r["doc_id"]: r["split"] for r in hash_split(df.repartition(7)).collect()}
+    assert a == b
+    assert set(a.values()) == {"train", "val", "test"}
+    n = len(a)
+    train_frac = sum(1 for v in a.values() if v == "train") / n
+    assert 0.85 < train_frac < 0.95  # ~0.9 with binomial noise
+    # a different salt draws an independent split
+    c = {r["doc_id"]: r["split"] for r in hash_split(df, salt="other").collect()}
+    assert a != c
+
+    s = hash_sample(df, 0.3)
+    ids = {r["doc_id"] for r in s.collect()}
+    assert 0.24 < len(ids) / n < 0.36
+    # sampling is monotone in the fraction: 0.1-sample ⊆ 0.3-sample
+    ids_small = {r["doc_id"] for r in hash_sample(df, 0.1).collect()}
+    assert ids_small <= ids
