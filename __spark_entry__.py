@@ -657,6 +657,16 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowing fingerprints (k=8 char grams, window=4)
+    with the engine-portable md5 hash so the oracle can reproduce the
+    exact fingerprint sets."""
+    from data_pipeline_childcare_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
+
+
 def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed train/val/test assignment + 20% sample
     flag — engine-independent (the oracle computes the identical CASE
@@ -778,6 +788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
         "doc_train_split": doc_train_split,
+        "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
     }
 
 
@@ -1371,5 +1382,29 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
                        < '{_sample_threshold}' AS in_sample
             FROM documents
+        """,
+        "winnowing_fingerprints_docs": """
+            WITH t AS (
+                SELECT doc_id, lower(text) AS s,
+                       length(lower(text)) - 8 + 1 AS ng
+                FROM documents
+                WHERE length(lower(text)) - 8 + 1 >= 4
+            ), g AS (
+                SELECT doc_id, ng, s,
+                       unnest(generate_series(1, ng)) AS pos
+                FROM t
+            ), h AS (
+                SELECT doc_id, ng, pos,
+                       substr(md5(substr(s, pos, 8)), 1, 8) AS hh
+                FROM g
+            ), m AS (
+                SELECT doc_id, pos, ng,
+                       min(hh) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                           AS fingerprint
+                FROM h
+            )
+            SELECT DISTINCT doc_id, fingerprint
+            FROM m WHERE pos <= ng - 4 + 1
         """,
     }

@@ -253,6 +253,71 @@ def simhash_near_dup_pairs(
 
 
 # ---------------------------------------------------------------------------
+# Winnowing (rolling-hash fingerprints, MOSS-style)
+# ---------------------------------------------------------------------------
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    window: int = 4,
+    portable_hash: bool = False,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken):
+    hash every character k-gram, slide a window of ``window``
+    consecutive k-gram hashes, keep each window's minimum; the
+    DISTINCT minima are the doc's fingerprint set. Guarantees any
+    shared substring of length ≥ k + window - 1 contributes at least
+    one common fingerprint — the standard local-similarity /
+    provenance sketch.
+
+    Shape: posexplode over a position sequence (narrow, O(len) rows,
+    embarrassingly parallel), per-doc window min (one shuffle keyed by
+    doc id), distinct. ``portable_hash=True`` hashes with
+    substr(md5(gram), 1, 8) — bit-identical in any engine, used by the
+    oracle query; the default xxhash64 is the cheap JVM path for
+    production corpora.
+
+    Returns (id, fingerprint) pairs; join on fingerprint for candidate
+    generation exactly like ``lsh_candidate_pairs``.
+    """
+    s = F.lower(F.col(text_col))
+    n_grams = F.length(s) - k + 1
+    grams = (
+        spread_partitions(df, id_col)
+        .select(F.col(id_col), s.alias("_s"), n_grams.alias("_ng"))
+        .filter(F.col("_ng") >= window)
+        .select(
+            id_col,
+            "_ng",
+            F.posexplode(F.sequence(F.lit(1), F.col("_ng"))).alias("_i0", "_pos"),
+            "_s",
+        )
+        .select(
+            id_col,
+            "_ng",
+            "_pos",
+            (
+                F.substring(F.md5(F.substring(F.col("_s"), F.col("_pos"), k)), 1, 8)
+                if portable_hash
+                else F.xxhash64(F.substring(F.col("_s"), F.col("_pos"), k))
+            ).alias("_h"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    frame = W.partitionBy(id_col).orderBy("_pos").rowsBetween(0, window - 1)
+    return (
+        grams.withColumn("_fp", F.min("_h").over(frame))
+        .filter(F.col("_pos") <= F.col("_ng") - window + 1)
+        .select(F.col(id_col), F.col("_fp").alias("fingerprint"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
 # Exact n-gram Jaccard via inverted index
 # ---------------------------------------------------------------------------
 

@@ -238,3 +238,26 @@ def test_hash_split_deterministic_and_exhaustive(spark):
     # sampling is monotone in the fraction: 0.1-sample ⊆ 0.3-sample
     ids_small = {r["doc_id"] for r in hash_sample(df, 0.1).collect()}
     assert ids_small <= ids
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    from data_pipeline_childcare_spark.operators.dedup import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    rows = [
+        (1, "AAAA " + shared + " BBBB"),
+        (2, "xyzzy prefix " + shared + " different tail here"),
+        (3, "completely unrelated content with no overlap at all ok"),
+        (4, "tiny"),  # shorter than k ⇒ contributes no fingerprints
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for portable in (False, True):
+        fps = winnowing_fingerprints(df, k=8, window=4, portable_hash=portable)
+        by_doc = {
+            i: {r["fingerprint"] for r in fps.filter(F.col("doc_id") == i).collect()}
+            for i in (1, 2, 3, 4)
+        }
+        # winnowing guarantee: shared substring of len ≥ k+window-1 ⇒ common fp
+        assert by_doc[1] & by_doc[2], portable
+        assert not by_doc[3] & (by_doc[1] | by_doc[2]), portable
+        assert by_doc[4] == set()
