@@ -667,6 +667,13 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
 
 
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document."""
+    from data_pipeline_childcare_spark.operators.cleaning import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
 def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed train/val/test assignment + 20% sample
     flag — engine-independent (the oracle computes the identical CASE
@@ -789,6 +796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
         "doc_train_split": doc_train_split,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
+        "doc_repetition_stats": doc_repetition_stats,
     }
 
 
@@ -1406,5 +1414,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, fingerprint
             FROM m WHERE pos <= ng - 4 + 1
+        """,
+        "doc_repetition_stats": f"""
+            WITH lines AS (
+                SELECT doc_id,
+                       unnest(list_filter(
+                           list_transform(string_split(text, chr(10)), x -> trim(x)),
+                           x -> x <> '')) AS line
+                FROM documents
+            ), pl AS (
+                SELECT doc_id, line, count(*) AS c, length(line) AS len
+                FROM lines GROUP BY doc_id, line
+            ), ls AS (
+                SELECT doc_id, sum(c) AS n_lines, count(*) AS dist,
+                       sum(c * len) AS chars,
+                       sum(CASE WHEN c > 1 THEN c * len ELSE 0 END) AS dup_chars
+                FROM pl GROUP BY doc_id
+            ), toks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), bgs AS (
+                SELECT doc_id,
+                       unnest(list_transform(
+                           generate_series(1, greatest(len(t) - 1, 1)),
+                           i -> array_to_string(t[i:i+1], ' '))) AS bg
+                FROM toks
+            ), pb AS (
+                SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg
+            ), bs AS (
+                SELECT doc_id, max(c) AS top_bg, sum(c) AS total_bg
+                FROM pb GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(ls.n_lines, 0) AS BIGINT) AS n_lines,
+                   round(CASE WHEN ls.n_lines > 0
+                              THEN 1 - ls.dist * 1.0 / ls.n_lines
+                              ELSE 0.0 END, 4) AS dup_line_frac,
+                   round(CASE WHEN ls.chars > 0
+                              THEN ls.dup_chars * 1.0 / ls.chars
+                              ELSE 0.0 END, 4) AS dup_line_char_frac,
+                   round(CASE WHEN bs.total_bg > 0
+                              THEN bs.top_bg * 1.0 / bs.total_bg
+                              ELSE 0.0 END, 4) AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN ls ON d.doc_id = ls.doc_id
+            LEFT JOIN bs ON d.doc_id = bs.doc_id
         """,
     }

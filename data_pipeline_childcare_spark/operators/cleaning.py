@@ -111,3 +111,81 @@ def clean_documents(
     lines = remove_repeated_lines(lines, id_col=id_col)
     out = reassemble_lines(lines, id_col=id_col)
     return truncate_content(out.withColumnRenamed("text", text_col), text_col, max_chars)
+
+
+def repetition_stats(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document repetition metrics in the Gopher/RefinedWeb family
+    of training-data quality filters:
+
+    - ``n_lines``: non-empty (trimmed) line instances
+    - ``dup_line_frac``: fraction of line instances that are repeats
+      of an earlier identical line (1 - distinct/total)
+    - ``dup_line_char_frac``: fraction of line characters living in
+      lines that occur more than once
+    - ``top_bigram_frac``: occurrence share of the most common word
+      bigram
+
+    All four are two hash-aggregates keyed by (doc, line|bigram) then
+    (doc) — map-side combinable, uniform keys, no windows. Thresholds
+    are policy, so this returns the raw metrics; filter downstream
+    (e.g. drop docs with dup_line_char_frac > 0.2).
+    """
+    from data_pipeline_childcare_spark.functions.text import word_ngrams
+    from data_pipeline_childcare_spark.io import spread_partitions
+
+    spread = spread_partitions(docs, id_col)
+    lines_arr = F.filter(
+        F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    per_line = (
+        spread.select(F.col(id_col), F.explode(lines_arr).alias("_line"))
+        .groupBy(id_col, "_line")
+        .count()
+        .withColumn("_len", F.length("_line"))
+    )
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("count").alias("n_lines"),
+        F.count("*").alias("_distinct"),
+        F.sum(F.col("count") * F.col("_len")).alias("_chars"),
+        F.sum(
+            F.when(F.col("count") > 1, F.col("count") * F.col("_len")).otherwise(0)
+        ).alias("_dup_chars"),
+    )
+    bigram_stats = (
+        spread.select(F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .count()
+        .groupBy(id_col)
+        .agg(F.max("count").alias("_top_bg"), F.sum("count").alias("_total_bg"))
+    )
+    return (
+        docs.select(id_col)
+        .join(line_stats, id_col, "left")
+        .join(bigram_stats, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.round(
+                F.when(
+                    F.col("n_lines") > 0,
+                    1 - F.col("_distinct") / F.col("n_lines"),
+                ).otherwise(0.0),
+                4,
+            ).alias("dup_line_frac"),
+            F.round(
+                F.when(
+                    F.col("_chars") > 0, F.col("_dup_chars") / F.col("_chars")
+                ).otherwise(0.0),
+                4,
+            ).alias("dup_line_char_frac"),
+            F.round(
+                F.when(
+                    F.col("_total_bg") > 0, F.col("_top_bg") / F.col("_total_bg")
+                ).otherwise(0.0),
+                4,
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -261,3 +261,26 @@ def test_winnowing_shared_substring_guarantee(spark):
         assert by_doc[1] & by_doc[2], portable
         assert not by_doc[3] & (by_doc[1] | by_doc[2]), portable
         assert by_doc[4] == set()
+
+
+def test_repetition_stats_hand_computed(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import repetition_stats
+
+    rows = [
+        # 4 line instances, "dup" twice (3 chars each); bigrams of
+        # "a b a b a": [a b, b a, a b, b a] → top 2/4
+        (1, "dup\nuniq one\ndup\nother line"),
+        (2, "a b a b a"),
+        (3, ""),  # degenerate: no lines, empty bigram
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["n_lines"] == 4
+    assert got[1]["dup_line_frac"] == 0.25  # 1 - 3 distinct / 4 instances
+    # dup chars = 2 lines × 3 chars = 6 of 3+8+3+10 = 24
+    assert got[1]["dup_line_char_frac"] == 0.25
+    assert got[2]["n_lines"] == 1
+    assert got[2]["top_bigram_frac"] == 0.5
+    assert got[3]["n_lines"] == 0
+    assert got[3]["dup_line_frac"] == 0.0
+    assert got[3]["dup_line_char_frac"] == 0.0
