@@ -27,10 +27,25 @@ from data_pipeline_childcare_spark.operators.dedup import (
     minhash_dedup,
     simhash_near_dup_pairs,
     ngram_jaccard_pairs,
+    winnowing_fingerprints,
 )
 from data_pipeline_childcare_spark.operators.similarity import (
     cosine_topk_bruteforce,
     lsh_cosine_topk,
+    embedding_cosine_dedup,
+)
+from data_pipeline_childcare_spark.operators.cleaning import repetition_stats
+from data_pipeline_childcare_spark.operators.hypertable import (
+    time_bucket,
+    hypertable_rollup,
+    finalize_rollup,
+    time_bucket_gapfill,
+    streaming_bucket_partials,
+)
+from data_pipeline_childcare_spark.operators.split import (
+    hash_split,
+    hash_sample,
+    hash_sample_flag,
 )
 from data_pipeline_childcare_spark.operators.asof import asof_join
 from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
@@ -62,4 +77,15 @@ __all__ = [
     "session_stats",
     "connected_components",
     "dedup_by_components",
+    "winnowing_fingerprints",
+    "embedding_cosine_dedup",
+    "repetition_stats",
+    "time_bucket",
+    "hypertable_rollup",
+    "finalize_rollup",
+    "time_bucket_gapfill",
+    "streaming_bucket_partials",
+    "hash_split",
+    "hash_sample",
+    "hash_sample_flag",
 ]
