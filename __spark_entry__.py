@@ -667,6 +667,14 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
 
 
+def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (smoothed idf, rounded before
+    ranking so the cut is engine-stable)."""
+    from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
 def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality metrics per document."""
     from data_pipeline_childcare_spark.operators.cleaning import repetition_stats
@@ -797,6 +805,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": doc_train_split,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,
+        "doc_tfidf_top_terms": doc_tfidf_top_terms,
     }
 
 
@@ -1458,5 +1467,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d
             LEFT JOIN ls ON d.doc_id = ls.doc_id
             LEFT JOIN bs ON d.doc_id = bs.doc_id
+        """,
+        "doc_tfidf_top_terms": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({tokens}) AS tok FROM documents
+            ), tf AS (
+                SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok
+            ), dl AS (
+                SELECT doc_id, sum(c) AS n_toks FROM tf GROUP BY doc_id
+            ), dfreq AS (
+                SELECT tok, count(*) AS df FROM tf GROUP BY tok
+            ), n AS (
+                SELECT count(*) AS n_docs FROM documents
+            ), scored AS (
+                SELECT tf.doc_id, tf.tok,
+                       round((tf.c * 1.0 / dl.n_toks)
+                             * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1), 6)
+                           AS tfidf
+                FROM tf
+                JOIN dl USING (doc_id)
+                JOIN dfreq USING (tok)
+                CROSS JOIN n
+            )
+            SELECT doc_id, tok, tfidf, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT doc_id, tok, tfidf,
+                       row_number() OVER (
+                           PARTITION BY doc_id ORDER BY tfidf DESC, tok
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 3
         """,
     }

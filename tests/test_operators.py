@@ -284,3 +284,24 @@ def test_repetition_stats_hand_computed(spark):
     assert got[3]["n_lines"] == 0
     assert got[3]["dup_line_frac"] == 0.0
     assert got[3]["dup_line_char_frac"] == 0.0
+
+
+def test_tfidf_top_terms_ranks_distinctive_words(spark):
+    from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
+
+    rows = [
+        (1, "common zebra zebra"),
+        (2, "common yak yak yak"),
+        (3, "common plain words here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = tfidf_top_terms(df, k=2)
+    top = {
+        r["doc_id"]: r["tok"] for r in out.filter(F.col("rank") == 1).collect()
+    }
+    # the word unique to each doc outranks the corpus-wide one
+    assert top[1] == "zebra"
+    assert top[2] == "yak"
+    assert out.filter(F.col("rank") > 2).count() == 0
+    # ranks are dense and deterministic per doc
+    assert out.count() == out.select("doc_id", "rank").distinct().count()
