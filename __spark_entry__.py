@@ -729,11 +729,13 @@ def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = _t(spark, sf_dir, "events")
+    # round the sum before dividing: collapses float addition order to
+    # one canonical double so the avg is partition- and engine-stable
     b = bucket_partials(ev, "6 hours").select(
         "bucket",
         "event_type",
         "n_events",
-        F.round(F.col("sum_value") / F.col("n_events"), 4).alias("avg_value"),
+        F.round(F.round("sum_value", 4) / F.col("n_events"), 4).alias("avg_value"),
     )
     filled = time_bucket_gapfill(
         b, "6 hours", zero_cols=("n_events",), locf_cols=("avg_value",)
@@ -822,6 +824,16 @@ def oracle_sql() -> dict[str, str]:
     tokens = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     _split_case = split_sql_case("doc_id")
     _sample_threshold = _threshold_hex(0.2)
+
+    def _jround(expr: str, d: int) -> str:
+        # Round a DOUBLE the way Spark does: Spark's round() goes
+        # through the shortest decimal repr (BigDecimal.valueOf) and
+        # rounds HALF_UP, while DuckDB's round() works on the exact
+        # binary value — they disagree when the quotient's shortest
+        # repr sits exactly on a .5 boundary (e.g. 589.18/16 =
+        # 36.82375). VARCHAR cast = shortest repr; DECIMAL round =
+        # half away from zero.
+        return f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(30,15)), {d}) AS DOUBLE)"
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
@@ -1342,23 +1354,23 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_ws_tokens
             FROM documents
         """,
-        "hypertable_rollup_events": """
+        "hypertable_rollup_events": f"""
             SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
                    event_type,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value,
                    round(min(value), 4) AS min_value,
                    round(max(value), 4) AS max_value,
-                   round(sum(value) / count(*), 4) AS avg_value
+                   {_jround("round(sum(value), 4) / count(*)", 4)} AS avg_value
             FROM events
             GROUP BY 1, 2
         """,
-        "gapfill_events_6h": """
+        "gapfill_events_6h": f"""
             WITH b AS (
                 SELECT time_bucket(INTERVAL '6 hours', ts) AS bucket,
                        event_type,
                        count(*) AS n_events,
-                       round(sum(value) / count(*), 4) AS avg_value
+                       {_jround("round(sum(value), 4) / count(*)", 4)} AS avg_value
                 FROM events
                 GROUP BY 1, 2
             ), bounds AS (

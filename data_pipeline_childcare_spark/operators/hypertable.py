@@ -156,7 +156,14 @@ def hypertable_rollup(
 
 def finalize_rollup(level: DataFrame, ndigits: int = 4) -> DataFrame:
     """Read-time finalization: derived avg + rounded doubles (stable
-    across partial-aggregation orders)."""
+    across partial-aggregation orders).
+
+    avg divides the ROUNDED sum: a raw double sum depends on addition
+    order (partitioning), and when sum/count lands exactly on a
+    round-half boundary the last-ulp difference flips the rounded
+    result. Rounding the sum first collapses every addition order to
+    one canonical double, so avg is deterministic across engines and
+    partitionings."""
     return level.select(
         "bucket",
         *[c for c in level.columns if c not in ("bucket", "n_events", "sum_value", "min_value", "max_value")],
@@ -164,7 +171,9 @@ def finalize_rollup(level: DataFrame, ndigits: int = 4) -> DataFrame:
         F.round("sum_value", ndigits).alias("sum_value"),
         F.round("min_value", ndigits).alias("min_value"),
         F.round("max_value", ndigits).alias("max_value"),
-        F.round(F.col("sum_value") / F.col("n_events"), ndigits).alias("avg_value"),
+        F.round(
+            F.round("sum_value", ndigits) / F.col("n_events"), ndigits
+        ).alias("avg_value"),
     )
 
 
