@@ -667,6 +667,18 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
 
 
+def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (sampleBy semantics, but
+    stable across runs/engines/partitionings): clicks at 10%,
+    purchases at 50%, other event types dropped."""
+    from data_pipeline_childcare_spark.operators.split import stratified_hash_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return stratified_hash_sample(
+        ev, {"click": 0.1, "purchase": 0.5}
+    ).select("event_id", "event_type", "user_id")
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, rounded before
     ranking so the cut is engine-stable)."""
@@ -808,6 +820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "events_stratified_sample": events_stratified_sample,
     }
 
 
@@ -1509,5 +1522,13 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "events_stratified_sample": f"""
+            SELECT event_id, event_type, user_id
+            FROM events
+            WHERE substr(md5('sample:' || CAST(event_id AS VARCHAR)), 1, 8) <
+                  CASE WHEN event_type = 'click' THEN '{_threshold_hex(0.1)}'
+                       WHEN event_type = 'purchase' THEN '{_threshold_hex(0.5)}'
+                       ELSE '00000000' END
         """,
     }

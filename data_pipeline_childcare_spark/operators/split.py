@@ -76,6 +76,28 @@ def hash_sample(
     return df.filter(hx < F.lit(_threshold_hex(fraction)))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    strata_col: str = "event_type",
+    id_col: str = "event_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum sampling — ``DataFrame.sampleBy``
+    semantics but reproducible across runs, engines and partitionings.
+    Strata absent from ``fractions`` are dropped (like sampleBy).
+    Still a pure projection+filter: the per-stratum threshold is a
+    literal CASE, no shuffle, no state."""
+    hx = _bucket_hex(F.col(id_col), salt)
+    thr = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        lit = F.lit(_threshold_hex(frac))
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = thr.otherwise(F.lit("00000000"))
+    return df.filter(hx < thr)
+
+
 def hash_sample_flag(
     df: DataFrame,
     fraction: float,

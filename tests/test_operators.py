@@ -305,3 +305,26 @@ def test_tfidf_top_terms_ranks_distinctive_words(spark):
     assert out.filter(F.col("rank") > 2).count() == 0
     # ranks are dense and deterministic per doc
     assert out.count() == out.select("doc_id", "rank").distinct().count()
+
+
+def test_stratified_hash_sample(spark):
+    from data_pipeline_childcare_spark.operators.split import stratified_hash_sample
+
+    df = (
+        spark.range(3000)
+        .withColumnRenamed("id", "event_id")
+        .withColumn(
+            "event_type",
+            F.when(F.col("event_id") % 3 == 0, "click")
+            .when(F.col("event_id") % 3 == 1, "purchase")
+            .otherwise("view"),
+        )
+    )
+    out = stratified_hash_sample(df, {"click": 0.2, "purchase": 0.8})
+    counts = {r["event_type"]: r["count"] for r in out.groupBy("event_type").count().collect()}
+    assert "view" not in counts  # unlisted strata dropped
+    assert 0.12 < counts["click"] / 1000 < 0.28
+    assert 0.72 < counts["purchase"] / 1000 < 0.88
+    # deterministic under repartitioning
+    again = {r["event_id"] for r in stratified_hash_sample(df.repartition(11), {"click": 0.2, "purchase": 0.8}).collect()}
+    assert again == {r["event_id"] for r in out.collect()}
