@@ -679,6 +679,16 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "user_id")
 
 
+def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Efraimidis–Spirakis weighted sample: top-20 events drawn
+    proportionally to `value`, deterministic across engines (exact
+    power-of-two u, md5-keyed)."""
+    from data_pipeline_childcare_spark.operators.split import weighted_sample
+
+    ev = _t(spark, sf_dir, "events")
+    return weighted_sample(ev, n=20).select("event_id", "event_type", "value", "rank")
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, rounded before
     ranking so the cut is engine-stable)."""
@@ -821,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_stratified_sample": events_stratified_sample,
+        "events_weighted_sample": events_weighted_sample,
     }
 
 
@@ -1530,5 +1541,21 @@ def oracle_sql() -> dict[str, str]:
                   CASE WHEN event_type = 'click' THEN '{_threshold_hex(0.1)}'
                        WHEN event_type = 'purchase' THEN '{_threshold_hex(0.5)}'
                        ELSE '00000000' END
+        """,
+        "events_weighted_sample": """
+            WITH w AS (
+                SELECT event_id, event_type, value,
+                       -ln((CAST(concat('0x',
+                               substr(md5('es:' || CAST(event_id AS VARCHAR)), 1, 8))
+                            AS BIGINT) + 1) / 4294967296.0) / value AS r
+                FROM events
+                WHERE value > 0
+            )
+            SELECT event_id, event_type, value, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT event_id, event_type, value,
+                       row_number() OVER (ORDER BY r, event_id) AS rank
+                FROM w
+            ) WHERE rank <= 20
         """,
     }

@@ -46,7 +46,10 @@ from data_pipeline_childcare_spark.operators.split import (
     hash_split,
     hash_sample,
     hash_sample_flag,
+    stratified_hash_sample,
+    weighted_sample,
 )
+from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
 from data_pipeline_childcare_spark.operators.asof import asof_join
 from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
 from data_pipeline_childcare_spark.operators.components import (
@@ -88,4 +91,7 @@ __all__ = [
     "hash_split",
     "hash_sample",
     "hash_sample_flag",
+    "stratified_hash_sample",
+    "weighted_sample",
+    "tfidf_top_terms",
 ]

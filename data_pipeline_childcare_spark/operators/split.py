@@ -20,7 +20,7 @@ thresholds. Properties that matter at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 _HEX_SPACE = 16 ** 8  # first 8 md5 hex chars, uniform on [0, 16^8)
@@ -108,6 +108,42 @@ def hash_sample_flag(
     """Membership flag form of ``hash_sample`` (keeps all rows)."""
     hx = _bucket_hex(F.col(id_col), salt)
     return df.withColumn(out_col, hx < F.lit(_threshold_hex(fraction)))
+
+
+def weighted_sample(
+    df: DataFrame,
+    n: int,
+    weight_col: str = "value",
+    id_col: str = "event_id",
+    salt: str = "es",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis exponential race): each row draws
+    u = (hash + 1) / 2^32 from its id and wins priority
+    r = -ln(u) / weight; the n smallest r are the sample. Heavier
+    rows win proportionally more often, yet the draw is a pure
+    projection — reproducible across runs, engines and partitionings.
+
+    u is EXACTLY representable (32-bit integer over a power of two),
+    so both Spark and any SQL engine compute bit-identical priorities
+    (ln is correctly rounded in practice; ties broken by id).
+
+    Scale shape: orderBy+limit compiles to TakeOrderedAndProject —
+    per-partition top-n then a single n-row merge on the driver side
+    of the exchange; the rank window runs on n rows only. Rows with
+    non-positive weight are excluded (their priority is undefined).
+    """
+    h = F.conv(_bucket_hex(F.col(id_col), salt), 16, 10).cast("long")
+    u = (h + F.lit(1).cast("long")) / F.lit(float(2**32))
+    r = -F.log(u) / F.col(weight_col)
+    top = (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("_r", r)
+        .orderBy("_r", id_col)
+        .limit(n)
+    )
+    w = Window.orderBy("_r", id_col)
+    return top.withColumn("rank", F.row_number().over(w).cast("int")).drop("_r")
 
 
 def split_sql_case(

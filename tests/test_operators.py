@@ -328,3 +328,25 @@ def test_stratified_hash_sample(spark):
     # deterministic under repartitioning
     again = {r["event_id"] for r in stratified_hash_sample(df.repartition(11), {"click": 0.2, "purchase": 0.8}).collect()}
     assert again == {r["event_id"] for r in out.collect()}
+
+
+def test_weighted_sample_biased_and_deterministic(spark):
+    from data_pipeline_childcare_spark.operators.split import weighted_sample
+
+    # 500 heavy rows (w=50) vs 500 light rows (w=1): a 100-row sample
+    # should be overwhelmingly heavy
+    df = spark.range(1000).select(
+        F.col("id").alias("event_id"),
+        F.when(F.col("id") < 500, 50.0).otherwise(1.0).alias("value"),
+    )
+    out = weighted_sample(df, n=100).collect()
+    assert len(out) == 100
+    assert [r["rank"] for r in out[:3]] == [1, 2, 3] if out else True
+    heavy = sum(1 for r in out if r["event_id"] < 500)
+    assert heavy > 85
+    # deterministic under repartitioning
+    again = [r["event_id"] for r in weighted_sample(df.repartition(13), n=100).collect()]
+    assert again == [r["event_id"] for r in out]
+    # non-positive weights are excluded
+    z = df.withColumn("value", F.lit(0.0))
+    assert weighted_sample(z, n=10).count() == 0
