@@ -679,6 +679,15 @@ def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("event_id", "event_type", "user_id")
 
 
+def events_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan column profile of the events table (rows / nulls /
+    exact distincts per column, long form)."""
+    from data_pipeline_childcare_spark.operators.profile import profile_columns
+
+    ev = _t(spark, sf_dir, "events")
+    return profile_columns(ev, ["event_id", "user_id", "event_type", "value", "props"])
+
+
 def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Efraimidis–Spirakis weighted sample: top-20 events drawn
     proportionally to `value`, deterministic across engines (exact
@@ -832,6 +841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_stratified_sample": events_stratified_sample,
         "events_weighted_sample": events_weighted_sample,
+        "events_column_profile": events_column_profile,
     }
 
 
@@ -1557,5 +1567,27 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY r, event_id) AS rank
                 FROM w
             ) WHERE rank <= 20
+        """,
+        "events_column_profile": """
+            SELECT u.column_name,
+                   (SELECT count(*) FROM events) AS n_rows,
+                   u.n_nulls, u.n_distinct
+            FROM (
+                SELECT 'event_id' AS column_name,
+                       count(*) - count(event_id) AS n_nulls,
+                       count(DISTINCT event_id) AS n_distinct FROM events
+                UNION ALL
+                SELECT 'user_id', count(*) - count(user_id),
+                       count(DISTINCT user_id) FROM events
+                UNION ALL
+                SELECT 'event_type', count(*) - count(event_type),
+                       count(DISTINCT event_type) FROM events
+                UNION ALL
+                SELECT 'value', count(*) - count(value),
+                       count(DISTINCT value) FROM events
+                UNION ALL
+                SELECT 'props', count(*) - count(props),
+                       count(DISTINCT props) FROM events
+            ) u
         """,
     }

@@ -50,6 +50,7 @@ from data_pipeline_childcare_spark.operators.split import (
     weighted_sample,
 )
 from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
+from data_pipeline_childcare_spark.operators.profile import profile_columns
 from data_pipeline_childcare_spark.operators.asof import asof_join
 from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
 from data_pipeline_childcare_spark.operators.components import (
@@ -94,4 +95,5 @@ __all__ = [
     "stratified_hash_sample",
     "weighted_sample",
     "tfidf_top_terms",
+    "profile_columns",
 ]

@@ -350,3 +350,21 @@ def test_weighted_sample_biased_and_deterministic(spark):
     # non-positive weights are excluded
     z = df.withColumn("value", F.lit(0.0))
     assert weighted_sample(z, n=10).count() == 0
+
+
+def test_profile_columns(spark):
+    from data_pipeline_childcare_spark.operators.profile import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "a"), (None, "b")],
+        "x long, s string",
+    )
+    got = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert got["x"]["n_rows"] == 4
+    assert got["x"]["n_nulls"] == 1
+    assert got["x"]["n_distinct"] == 3
+    assert got["s"]["n_nulls"] == 1
+    assert got["s"]["n_distinct"] == 2
+    # HLL path returns the same shape
+    approx = {r["column_name"]: r for r in profile_columns(df, exact=False).collect()}
+    assert set(approx) == {"x", "s"}
