@@ -70,15 +70,17 @@ def time_bucket(width: str, ts: Column) -> Column:
     n, unit = _parse_width(width)
     ts = ts.cast("timestamp_ntz")
     if unit in _UNIT_SECONDS:
-        w = n * _UNIT_SECONDS[unit]
+        w = n * _UNIT_SECONDS[unit] * 1_000_000  # bucket width in micros
         origin = F.lit(_ORIGIN_SECONDS).cast("timestamp_ntz")
-        secs = F.timestamp_diff("SECOND", origin, ts)
-        # timestamp_diff truncates toward zero; for ts < origin that
-        # over-counts by one second when sub-seconds exist — irrelevant
-        # at whole-bucket granularity but floored div must see the
-        # true floor, so recompute via floor division on the integer.
-        off = F.floor(secs / F.lit(w)) * F.lit(w)
-        return F.timestamp_add("SECOND", off, origin)
+        # Diff at MICROSECOND granularity: timestamp_diff truncates
+        # toward zero, so a SECOND-level diff over-counts pre-origin
+        # timestamps that carry sub-second fractions (e.g.
+        # '2000-01-02 23:58:59.5' @ '1 minute' must land on 23:58:00,
+        # not 23:59:00). Micros are exact integers; micros - pmod
+        # floors to a multiple of w without any double division.
+        micros = F.timestamp_diff("MICROSECOND", origin, ts)
+        off = micros - F.pmod(micros, F.lit(w))
+        return F.timestamp_add("MICROSECOND", off, origin)
     months_per_bucket = n * (12 if unit == "year" else 1)
     total = (F.year(ts) - F.lit(_ORIGIN_MONTHS_YEAR)) * 12 + F.month(ts) - 1
     b = F.floor(total / F.lit(months_per_bucket)) * F.lit(months_per_bucket)

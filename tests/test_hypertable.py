@@ -68,6 +68,23 @@ def test_time_bucket_pre_origin_floors(spark):
     assert _bucket_of(spark, "1 month", "1999-11-20 10:00:00") == _ts("1999-11-01 00:00:00")
 
 
+def test_time_bucket_pre_origin_subsecond_floors(spark):
+    # Pre-origin timestamps with sub-second fractions: a SECOND-level
+    # diff truncates toward zero and lands one bucket too high.
+    # DuckDB: time_bucket(INTERVAL '1 minute', '2000-01-02 23:58:59.5')
+    # = 23:58:00.
+    assert _bucket_of(spark, "1 minute", "2000-01-02 23:58:59.5") == _ts(
+        "2000-01-02 23:58:00"
+    )
+    assert _bucket_of(spark, "1 second", "2000-01-02 23:59:59.999") == _ts(
+        "2000-01-02 23:59:59"
+    )
+    # post-origin fractional stays correct too
+    assert _bucket_of(spark, "1 minute", "2000-01-03 00:00:59.9") == _ts(
+        "2000-01-03 00:00:00"
+    )
+
+
 def test_rollup_ladder_equals_direct(events):
     ladder = hypertable_rollup(events, ("1 hour", "1 day"))
     derived = finalize_rollup(ladder["1 day"])
