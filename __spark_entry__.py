@@ -121,7 +121,14 @@ def top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            # row_number is int32 in Spark, BIGINT in DuckDB — cast so
+            # the driver's value hash sees identical representations.
+            F.col("rn").cast("long").alias("rn"),
+        )
     )
 
 
@@ -442,7 +449,10 @@ def label_centroid_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = emb.select(
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
-    return exploded.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    return (
+        exploded.groupBy(F.col("label"), F.col("pos").cast("long").alias("pos"))
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    )
 
 
 def order_line_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -622,7 +632,13 @@ def parts_with_many_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_partkey")
         .agg(
             F.count_distinct("l_suppkey").alias("n_suppliers"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            # avg divides the ROUNDED sum: collapses addition-order ulp
+            # noise to one canonical double so the rounded quotient is
+            # engine- and partitioning-independent (same discipline as
+            # finalize_rollup / rollup_pricing, commit 8cd29b6).
+            F.round(
+                F.round(F.sum("l_extendedprice"), 4) / F.count("l_extendedprice"), 4
+            ).alias("avg_price"),
         )
         .filter(F.col("n_suppliers") >= 5)
     )
@@ -938,10 +954,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM ordered
             ), assigned AS (
                 SELECT user_id, ts,
-                       sum(is_new) OVER (
+                       -- DuckDB sum(INTEGER) is HUGEINT (int128), which
+                       -- pandas renders as float/object and the driver
+                       -- hash sees differently from Spark's BIGINT.
+                       CAST(sum(is_new) OVER (
                            PARTITION BY user_id ORDER BY ts, event_id
                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                       ) AS session_id
+                       ) AS BIGINT) AS session_id
                 FROM flagged
             )
             SELECT user_id, session_id,
@@ -1193,12 +1212,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c.user_id, c.click_id
         """,
         "events_pivot_by_type": """
+            -- count(*) FILTER is BIGINT; sum(CASE...) would be HUGEINT
+            -- (int128), which pandas/driver hashing sees differently
+            -- from Spark's BIGINT counts.
             SELECT user_id,
-                   sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-                   sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error,
-                   sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-                   sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-                   sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view
+                   count(*) FILTER (WHERE event_type = 'click') AS click,
+                   count(*) FILTER (WHERE event_type = 'error') AS error,
+                   count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS view
             FROM events GROUP BY user_id
         """,
         "rollup_pricing": """
@@ -1373,10 +1395,10 @@ def oracle_sql() -> dict[str, str]:
             )
             GROUP BY o_orderpriority
         """,
-        "parts_with_many_suppliers": """
+        "parts_with_many_suppliers": f"""
             SELECT l_partkey,
                    count(DISTINCT l_suppkey) AS n_suppliers,
-                   round(avg(l_extendedprice), 4) AS avg_price
+                   {_jround("round(sum(l_extendedprice), 4) / count(l_extendedprice)", 4)} AS avg_price
             FROM lineitem
             GROUP BY l_partkey
             HAVING count(DISTINCT l_suppkey) >= 5

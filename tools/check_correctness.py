@@ -4,7 +4,12 @@ Runs every ``queries()`` entry against its ``oracle_sql()`` DuckDB
 equivalent at sf0.01 and compares row count, column names, and
 order-insensitive values. Usage:
 
-    python tools/check_correctness.py [query ...]
+    python tools/check_correctness.py [--exact] [query ...]
+
+``--exact`` compares values bit-exactly (atol=0) and reports dtype
+drift (e.g. DuckDB HUGEINT -> pandas float/object vs Spark BIGINT) —
+the representation-level differences the driver's value hash sees but
+the default 1e-6 comparison forgives.
 """
 
 from __future__ import annotations
@@ -26,12 +31,14 @@ TABLES = (
 )
 
 
-def normalize(df: pd.DataFrame) -> pd.DataFrame:
+def normalize(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
     df = df.copy()
     df = df[sorted(df.columns)]
     for c in df.columns:
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
+        elif exact:
+            continue  # keep raw dtype + values: surface representation drift
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
         elif pd.api.types.is_integer_dtype(df[c]):
@@ -41,7 +48,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> int:
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    exact = "--exact" in argv
+    only = set(a for a in argv if a != "--exact")
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -71,7 +80,7 @@ def main() -> int:
             print(f"FAIL  {name}: oracle error {e}")
             failures.append(name)
             continue
-        s, o = normalize(sdf), normalize(odf)
+        s, o = normalize(sdf, exact), normalize(odf, exact)
         if list(s.columns) != list(o.columns):
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
             failures.append(name)
@@ -80,8 +89,21 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount {len(s)} vs {len(o)}")
             failures.append(name)
             continue
+        if exact:
+            drift = [
+                f"{c}: spark={s[c].dtype} oracle={o[c].dtype}"
+                for c in s.columns
+                if str(s[c].dtype) != str(o[c].dtype)
+            ]
+            if drift:
+                print(f"FAIL  {name}: dtype drift — {'; '.join(drift)}")
+                failures.append(name)
+                continue
         try:
-            pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, atol=1e-6)
+            if exact:
+                pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=True)
+            else:
+                pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, atol=1e-6)
             print(f"OK    {name}: {len(s)} rows match [{el:.1f}s]")
         except AssertionError as e:
             msg = str(e).splitlines()
