@@ -149,3 +149,84 @@ def test_region_unparseable_substring_fallback(spark):
     df = spark.createDataFrame([(1, "火星基地一号"), (2, "地球")], "id long, loc string")
     got = {r["id"] for r in df.filter(region_predicate(F.col("loc"), "火星基地")).collect()}
     assert got == {1}
+
+
+# --- full-gazetteer coverage (reference retrieve.py:1027-1062) ---
+
+def test_gazetteer_is_reference_complete():
+    from data_pipeline_childcare_spark.dims import CHINA_REGIONS, city_to_province
+
+    assert len(CHINA_REGIONS) == 34  # 31 mainland + 台湾/香港/澳门
+    assert sum(len(v) for v in CHINA_REGIONS.values()) >= 340
+    for prov in CHINA_REGIONS:
+        # every province name resolves province-first
+        assert parse_location(prov) == (prov, None, None)
+    # every city resolves to a province via the reverse index
+    c2p = city_to_province()
+    for prov, cities in CHINA_REGIONS.items():
+        for c in cities:
+            assert c in c2p
+
+
+@pytest.mark.parametrize(
+    "scope, expected",
+    [
+        ("邵阳", ("湖南", "邵阳", None)),       # city flagged absent in round 1
+        ("秦皇岛", ("河北", "秦皇岛", None)),
+        ("秦皇岛市", ("河北", "秦皇岛", None)),
+        ("台北", ("台湾", "台北", None)),
+        ("香港", ("香港", None, None)),
+        ("澳门", ("澳门", None, None)),
+        ("儋州", ("海南", "儋州", None)),
+        ("大兴安岭", ("黑龙江", "大兴安岭", None)),
+        # 海南 is both a province and a 青海 autonomous prefecture:
+        # province-first probing wins, same as the reference
+        ("海南", ("海南", None, None)),
+        # 河北 is both a province and a 天津 district: province wins
+        ("河北", ("河北", None, None)),
+    ],
+)
+def test_parse_location_full_gazetteer(scope, expected):
+    assert parse_location(scope) == expected
+
+
+def test_ambiguous_city_last_writer_wins():
+    # 朝阳 is a 北京 district AND a 辽宁 prefecture city; the reverse
+    # index is built in reference dict order so the later province wins
+    # (retrieve.py:1064-1072 last-writer-wins semantics)
+    from data_pipeline_childcare_spark.dims import city_to_province
+
+    assert city_to_province()["朝阳"] == "辽宁"
+
+
+def test_county_level_city_matches_via_province_substring(spark):
+    # 定州 is county-level — absent from the prefecture gazetteer (as in
+    # the reference). A record naming the province still matches the
+    # province rule; a bare county name falls through, matching the
+    # reference's behavior exactly.
+    df = spark.createDataFrame(
+        [(1, "河北省定州市中心街"), (2, "定州市中心街")], "id long, loc string"
+    )
+    got = {r["id"] for r in df.filter(region_predicate(F.col("loc"), "河北")).collect()}
+    assert got == {1}
+
+
+def test_education_map_reference_alignment(spark):
+    from data_pipeline_childcare_spark.dims import EDUCATION_MAP
+    from data_pipeline_childcare_spark.operators.rules import _normalize_level
+
+    # canonical values match reference retrieve.py:999-1022
+    assert _normalize_level("硕士") == "硕士研究生"
+    assert _normalize_level("研究生") == "硕士研究生"
+    assert _normalize_level("master_degree") == "硕士研究生"
+    assert _normalize_level("本科及以上") == "普通本科"
+    assert _normalize_level("undergraduate") == "普通本科"
+    assert _normalize_level("高职（专科）") == "高等职业教育（专科）"
+    assert _normalize_level("vocational_college") == "高等职业教育（专科）"
+    assert _normalize_level("高中/中职") == "中等职业教育"
+    assert EDUCATION_MAP["senior_high_school"] == "中等职业教育"
+    # predicate equivalence across synonym families
+    df = spark.range(1)
+    assert df.select(education_predicate(F.lit("硕士"), "研究生").alias("v")).first()["v"]
+    assert df.select(education_predicate(F.lit("本科"), "本科及以上").alias("v")).first()["v"]
+    assert not df.select(education_predicate(F.lit("硕士"), "大专").alias("v")).first()["v"]
