@@ -12,11 +12,14 @@ restatement:
 - light formats (TXT/MD/JSON/XML/CSV) parse in an Arrow-batched
   ``mapInPandas`` with the reference's 7-encoding fallback chain and
   size caps — pure stdlib, fully implemented;
-- heavy formats (PDF/DOCX/PPTX/XLSX/image) need binary parser
-  libraries that are NOT in this container: each is import-guarded,
-  and when the library is absent the parser emits a clearly marked
-  deterministic STUB payload (format + byte count) so the pipeline
-  shape (schema, batching, dispatch) is real and testable.
+- OOXML formats (DOCX/XLSX/PPTX) are zip+XML: parsed for real with
+  the stdlib in ``sources.office`` — no external library needed;
+- PDF runs the reference algorithm when ``fitz`` is importable
+  (``office.parse_pdf_bytes``); only when no PDF engine exists does
+  it emit a clearly marked deterministic STUB payload so the
+  pipeline shape stays testable;
+- images get header-sniffed metadata (stdlib) plus OCR when
+  PIL/pytesseract are present.
 
 Caps mirror the reference: 20 MB/file, 500 CSV rows, 50k JSON chars,
 100k XML chars, 80k output chars (多数据源获取数据.py:476,614-619,1445).
@@ -32,6 +35,8 @@ from collections.abc import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.sources import office
 
 ENCODING_CHAIN = ("utf-8", "gbk", "gb18030", "big5", "latin-1")
 
@@ -146,22 +151,6 @@ def _parse_html(data: bytes) -> str:
     return _re.sub(r"[ \t]+", " ", stripped).strip()
 
 
-def _stub_parser(fmt: str, lib: str):
-    def parse(data: bytes) -> str:
-        try:
-            __import__(lib)
-        except ImportError:
-            # STUB: parser library unavailable in this environment.
-            # Deterministic placeholder keeps the pipeline testable.
-            return f"[STUB:{fmt} parser ({lib} not installed) — {len(data)} bytes]"
-        raise NotImplementedError(
-            f"{fmt} parsing wired for {lib} but the extraction body is "
-            "not implemented in this environment"
-        )
-
-    return parse
-
-
 _PARSERS = {
     "txt": _parse_txt,
     "md": _parse_txt,
@@ -169,11 +158,11 @@ _PARSERS = {
     "xml": _parse_xml,
     "csv": _parse_csv,
     "html": _parse_html,
-    "pdf": _stub_parser("pdf", "fitz"),
-    "docx": _stub_parser("docx", "docx"),
-    "pptx": _stub_parser("pptx", "pptx"),
-    "xlsx": _stub_parser("xlsx", "openpyxl"),
-    "image": _stub_parser("image", "PIL"),
+    "pdf": office.parse_pdf_bytes,
+    "docx": office.parse_docx_bytes,
+    "pptx": office.parse_pptx_bytes,
+    "xlsx": office.parse_xlsx_bytes,
+    "image": office.parse_image_bytes,
 }
 
 

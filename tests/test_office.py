@@ -1,0 +1,219 @@
+"""Office parser bodies (S7-S10, S14) on hand-crafted files — the
+OOXML parsers are stdlib zip+XML, so they run for real in this
+container; PDF asserts the guarded-stub path (no fitz here)."""
+
+from __future__ import annotations
+
+import io
+import struct
+import zipfile
+
+from data_pipeline_childcare_spark.sources.office import (
+    MAX_TABLE_ROWS,
+    parse_docx_bytes,
+    parse_image_bytes,
+    parse_pdf_bytes,
+    parse_pptx_bytes,
+    parse_xlsx_bytes,
+    rows_to_md_table,
+    sniff_image_dims,
+)
+
+W_NS = 'xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main"'
+
+
+def make_docx(document_xml: str) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        zf.writestr("word/document.xml", document_xml)
+    return buf.getvalue()
+
+
+def make_xlsx(sheets: dict[str, str], shared: list[str] | None = None) -> bytes:
+    buf = io.BytesIO()
+    names = list(sheets)
+    with zipfile.ZipFile(buf, "w") as zf:
+        sheet_els = "".join(
+            f'<sheet name="{n}" sheetId="{i+1}" r:id="rId{i+1}"/>' for i, n in enumerate(names)
+        )
+        zf.writestr(
+            "xl/workbook.xml",
+            '<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+            'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+            f"<sheets>{sheet_els}</sheets></workbook>",
+        )
+        rel_els = "".join(
+            f'<Relationship Id="rId{i+1}" Type="t" Target="worksheets/sheet{i+1}.xml"/>'
+            for i in range(len(names))
+        )
+        zf.writestr(
+            "xl/_rels/workbook.xml.rels",
+            '<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+            f"{rel_els}</Relationships>",
+        )
+        if shared:
+            si = "".join(f"<si><t>{s}</t></si>" for s in shared)
+            zf.writestr(
+                "xl/sharedStrings.xml",
+                '<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"{si}</sst>",
+            )
+        for i, n in enumerate(names):
+            zf.writestr(
+                f"xl/worksheets/sheet{i+1}.xml",
+                '<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+                f"<sheetData>{sheets[n]}</sheetData></worksheet>",
+            )
+    return buf.getvalue()
+
+
+P_NS = (
+    'xmlns:p="http://schemas.openxmlformats.org/presentationml/2006/main" '
+    'xmlns:a="http://schemas.openxmlformats.org/drawingml/2006/main"'
+)
+
+
+def make_pptx(slides: list[str]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", "<Types/>")
+        for i, body in enumerate(slides):
+            zf.writestr(
+                f"ppt/slides/slide{i+1}.xml",
+                f"<p:sld {P_NS}><p:cSld><p:spTree>{body}</p:spTree></p:cSld></p:sld>",
+            )
+    return buf.getvalue()
+
+
+def test_docx_headings_tables_images_document_order():
+    doc = f"""<w:document {W_NS}><w:body>
+      <w:p><w:pPr><w:pStyle w:val="Heading1"/></w:pPr><w:r><w:t>第一章</w:t></w:r></w:p>
+      <w:p><w:r><w:t>托育机构</w:t></w:r><w:r><w:t>建设情况。</w:t></w:r></w:p>
+      <w:p><w:r><w:drawing/></w:r></w:p>
+      <w:tbl>
+        <w:tr><w:tc><w:p><w:r><w:t>城市</w:t></w:r></w:p></w:tc>
+              <w:tc><w:p><w:r><w:t>数量</w:t></w:r></w:p></w:tc></w:tr>
+        <w:tr><w:tc><w:p><w:r><w:t>成都</w:t></w:r></w:p></w:tc>
+              <w:tc><w:p><w:r><w:t>12</w:t></w:r></w:p></w:tc></w:tr>
+      </w:tbl>
+      <w:p><w:pPr><w:pStyle w:val="Heading2"/></w:pPr><w:r><w:t>小节</w:t></w:r></w:p>
+    </w:body></w:document>"""
+    md = parse_docx_bytes(make_docx(doc))
+    blocks = md.split("\n\n")
+    assert blocks[0] == "# 第一章"
+    assert blocks[1] == "托育机构建设情况。"  # runs concatenated
+    assert blocks[2] == "![文档图片1](embedded:image1)"
+    assert blocks[3].startswith("| 城市 | 数量 |")
+    assert "| 成都 | 12 |" in blocks[3]
+    assert blocks[4] == "## 小节"  # table appears BETWEEN paragraphs (document order)
+
+
+def test_docx_pipe_and_newline_escaping_in_cells():
+    doc = f"""<w:document {W_NS}><w:body><w:tbl>
+      <w:tr><w:tc><w:p><w:r><w:t>a|b</w:t></w:r></w:p>
+                  <w:p><w:r><w:t>第二段</w:t></w:r></w:p></w:tc></w:tr>
+    </w:tbl></w:body></w:document>"""
+    md = parse_docx_bytes(make_docx(doc))
+    assert "a\\|b 第二段" in md  # | escaped, intra-cell newline → space
+
+
+def test_xlsx_shared_strings_column_gaps_and_multiple_sheets():
+    s1 = (
+        '<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>2</v></c><c r="C2"><v>42</v></c></row>'
+    )
+    s2 = '<row r="1"><c r="A1" t="b"><v>1</v></c><c r="B1" t="inlineStr"><is><t>行内</t></is></c></row>'
+    md = parse_xlsx_bytes(make_xlsx({"数据": s1, "杂项": s2}, shared=["名称", "值", "东西"]))
+    assert "### 工作表: 数据" in md and "### 工作表: 杂项" in md
+    assert "| 名称 | 值 |" in md
+    assert "| 东西 |  | 42 |" in md  # B2 missing → padded empty cell
+    assert "| True | 行内 |" in md
+
+
+def test_xlsx_row_cap_truncation_marker():
+    rows = "".join(
+        f'<row r="{i+1}"><c r="A{i+1}"><v>{i}</v></c></row>' for i in range(MAX_TABLE_ROWS + 2)
+    )
+    md = parse_xlsx_bytes(make_xlsx({"big": rows}))
+    assert f"共 {MAX_TABLE_ROWS + 2} 行，已截断" in md
+    assert md.count("\n") < MAX_TABLE_ROWS + 20  # capped, not 502 rows
+
+
+def test_pptx_title_order_tables_pictures():
+    slide1 = """
+      <p:sp><p:nvSpPr><p:nvPr><p:ph type="title"/></p:nvPr></p:nvSpPr>
+        <p:spPr><a:xfrm><a:off x="0" y="0"/></a:xfrm></p:spPr>
+        <p:txBody><a:p><a:r><a:t>调研封面</a:t></a:r></a:p></p:txBody></p:sp>
+      <p:sp><p:spPr><a:xfrm><a:off x="0" y="9000"/></a:xfrm></p:spPr>
+        <p:txBody><a:p><a:r><a:t>下方文本</a:t></a:r></a:p></p:txBody></p:sp>
+      <p:sp><p:spPr><a:xfrm><a:off x="0" y="3000"/></a:xfrm></p:spPr>
+        <p:txBody><a:p><a:r><a:t>上方文本</a:t></a:r></a:p></p:txBody></p:sp>
+      <p:pic><p:spPr><a:xfrm><a:off x="0" y="6000"/></a:xfrm></p:spPr></p:pic>
+    """
+    slide2 = """
+      <p:graphicFrame><p:xfrm><a:off x="0" y="100"/></p:xfrm>
+        <a:graphic><a:graphicData><a:tbl>
+          <a:tr><a:tc><a:txBody><a:p><a:r><a:t>h</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+          <a:tr><a:tc><a:txBody><a:p><a:r><a:t>v</a:t></a:r></a:p></a:txBody></a:tc></a:tr>
+        </a:tbl></a:graphicData></a:graphic></p:graphicFrame>
+    """
+    md = parse_pptx_bytes(make_pptx([slide1, slide2]))
+    s1, s2 = md.split("\n\n---\n\n")
+    assert s1.startswith("## 幻灯片 1: 调研封面")
+    # sorted by top offset: 上方文本 (3000) < pic (6000) < 下方文本 (9000)
+    assert s1.index("上方文本") < s1.index("![幻灯片1-图片1]") < s1.index("下方文本")
+    assert s2.startswith("## 幻灯片 2")
+    assert "| h |" in s2 and "| v |" in s2
+
+
+def test_pdf_guarded_stub_when_no_engine():
+    out = parse_pdf_bytes(b"%PDF-1.4 not really")
+    try:
+        import fitz  # noqa: F401
+
+        assert "STUB" not in out  # engine present → real parse attempted
+    except ImportError:
+        assert out == "[STUB:pdf parser (fitz not installed) — 19 bytes]"
+
+
+def test_image_dims_stdlib_sniff():
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34)
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+    )
+    assert sniff_image_dims(png) == ("PNG", 640, 480)
+    assert sniff_image_dims(gif) == ("GIF", 12, 34)
+    assert sniff_image_dims(jpeg) == ("JPEG", 640, 480)
+    assert sniff_image_dims(b"not an image") is None
+    out = parse_image_bytes(png)
+    assert "640x480px" in out
+    assert parse_image_bytes(b"junk") == "[图片文件, 4 bytes]"
+
+
+def test_rows_to_md_table_pads_ragged_rows():
+    md = rows_to_md_table([["a"], ["b", "c", "d"]])
+    assert md.splitlines()[0] == "| a |  |  |"
+    assert md.splitlines()[2] == "| b | c | d |"
+
+
+def test_parse_documents_dispatches_office_formats(spark):
+    """End-to-end through the Arrow-batched mapInPandas dispatch."""
+    from data_pipeline_childcare_spark.sources.documents import parse_documents
+
+    docx = make_docx(
+        f'<w:document {W_NS}><w:body><w:p><w:r><w:t>文档正文</w:t></w:r></w:p></w:body></w:document>'
+    )
+    xlsx = make_xlsx({"s": '<row r="1"><c r="A1"><v>7</v></c></row>'})
+    rows = [
+        ("a.docx", "docx", bytearray(docx)),
+        ("b.xlsx", "xlsx", bytearray(xlsx)),
+        ("c.png", "image", bytearray(b"\x89PNG\r\n\x1a\n\x00\x00\x00\rIHDR" + struct.pack(">II", 2, 3))),
+    ]
+    df = spark.createDataFrame(rows, "path string, fmt string, content binary")
+    got = {r["path"]: r for r in parse_documents(df).collect()}
+    assert got["a.docx"]["error"] is None and got["a.docx"]["content"] == "文档正文"
+    assert "| 7 |" in got["b.xlsx"]["content"]
+    assert "2x3px" in got["c.png"]["content"]
