@@ -519,6 +519,23 @@ def lsh_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup dedup at corpus scale: LSH-bucketed candidate
+    pairs → exact cosine verify → anti-join (same tail as the exact
+    baseline; operators/similarity.py embedding_cosine_dedup_lsh).
+    Rows-only check: the candidate set is probabilistic, so survivors
+    can differ from the exact oracle on missed boundary pairs; the
+    ≥0.95-recall + no-false-drops contract is asserted in tests."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup_lsh,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_cosine_dedup_lsh(emb, dim=64, threshold=0.4).select("vec_id", "label")
+
+
 def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     operator — same expression, no watermark)."""
@@ -851,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup_events": hypertable_rollup_events,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
+        "embedding_cosine_dedup_lsh": embedding_cosine_dedup_lsh_q,
         "doc_train_split": doc_train_split,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,

@@ -76,17 +76,69 @@ def embedding_cosine_dedup(
 
     This is the EXACT baseline (all-pairs enumeration, broadcast
     nested-loop on the id inequality) — correct at any n, quadratic in
-    n. At corpus scale the candidate generator swaps to ``lsh_bucket``
-    (pairs sharing a bucket in any table) or IVF cells, keeping the
-    same verify-then-anti-join tail; those approximate paths are
-    benchmarked for recall in test_similarity.py. The cosine is
-    rounded BEFORE thresholding so float boundary rows land on the
-    same side in any engine.
+    n, and the shape the SQL oracle can replicate. At corpus scale use
+    :func:`embedding_cosine_dedup_lsh`, which swaps the candidate
+    generator for multi-table LSH buckets and keeps the identical
+    verify-then-anti-join tail (recall-tested in test_similarity.py).
+    The cosine is rounded BEFORE thresholding so float boundary rows
+    land on the same side in any engine.
     """
     a = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
     dups = (
         a.join(b, F.col("_ia") < F.col("_ib"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
+        .select(F.col("_ib").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def embedding_cosine_dedup_lsh(
+    df: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 3,
+    n_tables: int = 24,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Scale path for :func:`embedding_cosine_dedup` — same
+    verify-then-anti-join tail, but candidate pairs come from
+    multi-table random-hyperplane LSH instead of the all-pairs theta
+    join: two rows are candidates iff they share a bucket in ANY of
+    ``n_tables`` independent tables (recall ≈ 1-(1-p^b)^L where
+    p = 1 - θ/π).
+
+    The self-join is an equi-join on (table, bucket) — candidate
+    volume is bounded by bucket occupancy, never |n|², and the shuffle
+    key is uniform. Defaults (3 planes × 24 tables) give >0.99
+    expected recall even for cosine ≈ 0.4 boundary pairs (p ≈ 0.64 →
+    1-(1-p³)²⁴ ≈ 0.999) — but shallow buckets barely prune at such a
+    weak threshold; production dedup at threshold ≥ 0.85 should use
+    deeper, fewer tables (``n_planes=8, n_tables=12`` → recall ≈ 0.98
+    at ~1/20th the candidate volume). Exactness per candidate is
+    identical to the baseline: the rounded cosine decides, so false
+    candidates can't create false drops — LSH only affects which true
+    pairs are SEEN (recall), not verification.
+    """
+    tables = F.posexplode(
+        F.array(
+            *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t) for t in range(n_tables)]
+        )
+    ).alias("_table", "_bucket")
+    hashed = df.select(F.col(id_col), F.col(vec_col), tables)
+    a = hashed.select(
+        F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"), "_table", "_bucket"
+    )
+    b = hashed.select(
+        F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"), "_table", "_bucket"
+    )
+    dups = (
+        a.join(b, ["_table", "_bucket"])
+        .filter(F.col("_ia") < F.col("_ib"))
+        .dropDuplicates(["_ia", "_ib"])
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()

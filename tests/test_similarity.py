@@ -127,3 +127,25 @@ def test_embedding_cosine_dedup(spark):
     assert kept == [1, 3, 5]
     # threshold above every off-diagonal cosine keeps everything
     assert embedding_cosine_dedup(df, threshold=0.999999).count() == 5
+
+
+def test_embedding_cosine_dedup_lsh_recall_and_no_false_drops(spark):
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup,
+        embedding_cosine_dedup_lsh,
+    )
+
+    emb = _emb(spark)
+    kept_exact = {r["vec_id"] for r in embedding_cosine_dedup(emb, threshold=0.4).collect()}
+    kept_lsh = {
+        r["vec_id"]
+        for r in embedding_cosine_dedup_lsh(emb, dim=64, threshold=0.4).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped_exact = all_ids - kept_exact
+    dropped_lsh = all_ids - kept_lsh
+    # every LSH drop is verified by the exact cosine → no false drops
+    assert dropped_lsh <= dropped_exact
+    # and the candidate generator must SEE ≥95% of the true duplicates
+    recall = len(dropped_lsh) / len(dropped_exact) if dropped_exact else 1.0
+    assert recall >= 0.95, f"recall {recall} ({len(dropped_lsh)}/{len(dropped_exact)})"
