@@ -124,9 +124,7 @@ def embedding_cosine_dedup_lsh(
     pairs are SEEN (recall), not verification.
     """
     tables = F.posexplode(
-        F.array(
-            *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t) for t in range(n_tables)]
-        )
+        F.array(*[lsh_bucket(vec_col, dim, n_planes, table=t) for t in range(n_tables)])
     ).alias("_table", "_bucket")
     hashed = df.select(F.col(id_col), F.col(vec_col), tables)
     a = hashed.select(
@@ -159,15 +157,36 @@ def _hyperplane(dim: int, plane_idx: int, seed: int = 42) -> list[float]:
     return out
 
 
+def _lsh_bucket_sql(vec_sql: str, dim: int, n_planes: int, seed: int, table: int) -> str:
+    bits = []
+    for p in range(n_planes):
+        arr = "array(" + ",".join(
+            repr(v) + "D" for v in _hyperplane(dim, table * 10_007 + p, seed)
+        ) + ")"
+        dot = f"aggregate(zip_with({vec_sql}, {arr}, (x, y) -> x * y), 0.0D, (acc, v) -> acc + v)"
+        bits.append(f"(CASE WHEN {dot} >= 0.0D THEN shiftleft(1L, {p}) ELSE 0L END)")
+    return "(" + " | ".join(bits) + ")"
+
+
 def lsh_bucket(
-    vec_col: Column, dim: int, n_planes: int = 12, seed: int = 42, table: int = 0
+    vec_col: Column | str, dim: int, n_planes: int = 12, seed: int = 42, table: int = 0
 ) -> Column:
     """Random-hyperplane LSH bucket id: sign bits packed into a BIGINT.
     ``table`` offsets the hyperplane seeds so independent tables hash
-    with independent plane sets."""
+    with independent plane sets.
+
+    Pass the vector column NAME (string) where possible: the whole
+    bucket then builds as ONE parsed SQL expression instead of
+    ~15 py4j round-trips per plane — identical semantics, ~50× less
+    plan-build latency (py4j is milliseconds per call; a 12-plane
+    bucket is hundreds of calls)."""
+    if isinstance(vec_col, str):
+        return F.expr(_lsh_bucket_sql(f"`{vec_col}`", dim, n_planes, seed, table))
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, table * 10_007 + p, seed)])
+        plane = F.expr(
+            "array(" + ",".join(repr(v) + "D" for v in _hyperplane(dim, table * 10_007 + p, seed)) + ")"
+        )
         bit = F.when(_dot(vec_col, plane) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseOR(F.shiftleft(bit, p))
     return bucket
@@ -197,14 +216,10 @@ def lsh_cosine_topk(
     cosine to one evaluation per distinct candidate pair.
     """
     tables = F.posexplode(
-        F.array(
-            *[lsh_bucket(F.col(vec_col), dim, n_planes, table=t) for t in range(n_tables)]
-        )
+        F.array(*[lsh_bucket(vec_col, dim, n_planes, table=t) for t in range(n_tables)])
     ).alias("_table", "_bucket")
     q_tables = F.posexplode(
-        F.array(
-            *[lsh_bucket(F.col(query_vec_col), dim, n_planes, table=t) for t in range(n_tables)]
-        )
+        F.array(*[lsh_bucket(query_vec_col, dim, n_planes, table=t) for t in range(n_tables)])
     ).alias("_table", "_bucket")
     c = corpus.select(id_col, vec_col, tables)
     q = queries.select(query_id_col, query_vec_col, q_tables)
