@@ -267,6 +267,28 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, threshold=0.8).select("doc_id")
 
 
+def minhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle MinHash: the banded-LSH pipeline with an md5-derived
+    hash family both engines compute bit-identically — signatures,
+    band buckets, candidate pairs and the k/64 Jaccard estimate are
+    all hash-exact against the DuckDB oracle (the xxhash64 production
+    path above stays rows-only)."""
+    from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_est_pairs_portable(docs, threshold=0.5)
+
+
+def simhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL-oracle SimHash: bit votes from md5-derived hashes, 16-bit
+    pigeonhole bands, hamming filter — every stage bit-exact against
+    the DuckDB oracle (the xxhash64 path below stays rows-only)."""
+    from data_pipeline_childcare_spark.operators.dedup import simhash_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_pairs_portable(docs, max_hamming=3)
+
+
 def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs (rows-only check, see above)."""
     docs = _t(spark, sf_dir, "documents")
@@ -877,6 +899,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "order_line_rollup": order_line_rollup,
         "events_props_extract": events_props_extract,
         "distinct_users_per_type": distinct_users_per_type,
+        "minhash_portable_pairs_docs": minhash_portable_pairs_docs,
+        "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "lsh_cosine_topk_embeddings": lsh_cosine_topk_embeddings,
         "windowed_event_counts": windowed_event_counts_q,
         "events_lag_delta": events_lag_delta,
@@ -1078,6 +1102,84 @@ def oracle_sql() -> dict[str, str]:
             FROM fp f
             JOIN (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) k
               ON f.fp = k.fp AND f.doc_id = k.doc_id
+        """,
+        "minhash_portable_pairs_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(t) - 3, 0) + 2),
+                               i -> array_to_string(t[i:i+2], ' ')
+                           )
+                       ) AS shingles
+                FROM toks
+            ), inv AS (
+                SELECT doc_id, unnest(shingles) AS s FROM grams
+            ), sigs AS (
+                -- 60-bit integer from the md5 prefix: identical to
+                -- Spark's conv(substring(md5(...),1,15),16,10)
+                SELECT doc_id, i,
+                       min(CAST(CONCAT('0x', substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+                FROM inv CROSS JOIN range(64) r(i)
+                GROUP BY doc_id, i
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band,
+                       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+                FROM sigs GROUP BY doc_id, i // 4
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ), est AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        """,
+        "simhash_portable_pairs_docs": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), grams AS (
+                -- NO list_distinct: simhash votes are weighted by
+                -- shingle multiplicity, matching the Spark explode
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 2),
+                           i -> array_to_string(t[i:i+2], ' ')
+                       ) AS shingles
+                FROM toks
+            ), inv AS (
+                SELECT doc_id, unnest(shingles) AS s FROM grams
+            ), votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (CAST(CONCAT('0x', substring(md5(s || '@' || CAST(b AS VARCHAR)), 1, 1)) AS INT) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                FROM inv CROSS JOIN range(64) r(b)
+                GROUP BY doc_id, b
+            ), bits AS (
+                SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes
+            ), bands AS (
+                SELECT doc_id, b // 16 AS band,
+                       sum(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))) AS band_val
+                FROM bits GROUP BY doc_id, b // 16
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+            ), ham AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+                FROM cand c
+                JOIN bits ba ON ba.doc_id = c.id_a
+                JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
+                GROUP BY c.id_a, c.id_b
+            )
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
         """,
         "ngram_jaccard_docs": f"""
             WITH toks AS (

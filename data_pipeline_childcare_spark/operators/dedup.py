@@ -167,6 +167,79 @@ def minhash_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
+def minhash_est_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Engine-portable MinHash pipeline → (id_a, id_b, est_jaccard).
+
+    Same algorithm as ``minhash_dedup``'s candidate+estimate stages,
+    but every hash is md5-derived so ANY engine reproduces it
+    bit-exactly (the winnowing ``portable_hash`` trick, extended to a
+    hash FAMILY):
+
+    - minhash_i(doc) = min over shingles of the first 15 hex chars of
+      ``md5(shingle || '#i')`` read as a 60-bit integer
+      (``conv(...,16,10)`` in Spark ≡ ``CAST('0x…' AS BIGINT)`` in
+      DuckDB);
+    - band hash = md5 of the comma-joined decimal signature slice;
+    - est_jaccard = agreeing components / num_hashes — a k/64 dyadic
+      rational, exact in binary floating point in both engines.
+
+    This makes the FULL banded-LSH pipeline SQL-oracle-checkable;
+    ``minhash_dedup`` (xxhash64) stays the cheap JVM production path.
+    Same shuffle shape as the production path: one groupBy(doc),
+    band-keyed self-join, candidate-only estimate join.
+    """
+    rows = num_hashes // bands
+    shingled = spread_partitions(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
+    )
+    aggs = [
+        F.expr(
+            f"min(cast(conv(substring(md5(concat(_s, '#{i}')), 1, 15), 16, 10) as bigint))"
+            f" AS _m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    sigs = shingled.groupBy(id_col).agg(*aggs).persist()
+    band_hashes = [
+        "md5(concat_ws(',',"
+        + ",".join(f"cast(_m{b * rows + r} as string)" for r in range(rows))
+        + "))"
+        for b in range(bands)
+    ]
+    banded = sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.expr(e) for e in band_hashes])).alias("_band", "_bh"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    sig_arr = sigs.select(
+        id_col,
+        F.expr("array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")").alias(
+            "signature"
+        ),
+    )
+    est = minhash_jaccard_estimate(sig_arr, cand, id_col)
+    return est.filter(F.col("est_jaccard") >= threshold)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
@@ -230,6 +303,68 @@ def simhash_near_dup_pairs(
     a, b = banded.alias("a"), banded.alias("b")
     # hamming filter BEFORE the distinct: candidates from hot bands are
     # cut to true near-dups before the dedup shuffle sees them
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Engine-portable SimHash near-dup pairs → (id_a, id_b, hamming).
+
+    Same algorithm as ``simhash_near_dup_pairs`` (bit votes → 64-bit
+    signature → 4×16-bit pigeonhole bands → hamming filter), but bit
+    ``b``'s vote comes from the parity of the first hex digit of
+    ``md5(shingle || '@b')`` — reproducible in any engine, so the
+    whole pipeline is SQL-oracle-checkable. The xxhash64 production
+    path stays the cheap JVM variant. Shuffle shape is unchanged: one
+    groupBy(doc) vote aggregate, band-keyed self-join, hamming filter
+    before the distinct.
+    """
+    shingled = spread_partitions(df, id_col).select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
+    )
+    votes = [
+        F.expr(
+            "sum(CASE WHEN (cast(conv(substring(md5(concat(_s, '@"
+            f"{b}')), 1, 1), 16, 10) as int) & 1) = 1 THEN 1 ELSE -1 END) AS _v{b}"
+        )
+        for b in range(64)
+    ]
+    pack = " | ".join(
+        f"(CASE WHEN _v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)" for b in range(64)
+    )
+    sigs = shingled.groupBy(id_col).agg(*votes).select(id_col, F.expr(pack).alias("sh")).persist()
+    banded = sigs.select(
+        id_col,
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
             b,

@@ -368,3 +368,44 @@ def test_profile_columns(spark):
     # HLL path returns the same shape
     approx = {r["column_name"]: r for r in profile_columns(df, exact=False).collect()}
     assert set(approx) == {"x", "s"}
+
+
+def test_minhash_portable_matches_hashlib(spark):
+    """The md5-derived hash family must equal Python's hashlib bit for
+    bit — this is what makes the DuckDB oracle exact."""
+    import hashlib
+
+    from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
+
+    # two identical single-shingle docs and one unrelated doc
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "x " * 40)],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_est_pairs_portable(df).collect()}
+    assert pairs == {(1, 2): 1.0}
+
+    # spot-check one signature component against hashlib
+    from data_pipeline_childcare_spark.functions.text import word_ngrams
+    from pyspark.sql import functions as F
+
+    got = (
+        df.filter(F.col("doc_id") == 1)
+        .select(F.explode(word_ngrams(F.col("text"), 3)).alias("_s"))
+        .select(F.expr("cast(conv(substring(md5(concat(_s, '#7')), 1, 15), 16, 10) as bigint)").alias("h"))
+        .first()["h"]
+    )
+    expect = int(hashlib.md5(b"alpha beta gamma#7").hexdigest()[:15], 16)
+    assert got == expect
+
+
+def test_simhash_portable_identical_docs_zero_hamming(spark):
+    from data_pipeline_childcare_spark.operators.dedup import simhash_pairs_portable
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta " * 5), (2, "alpha beta gamma delta " * 5), (3, "unrelated words entirely " * 5)],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs_portable(df).collect()}
+    assert rows.get((1, 2)) == 0
+    assert all(k == (1, 2) for k in rows)
