@@ -280,3 +280,48 @@ def time_bucket_gapfill(
         for c in locf_cols:
             out = out.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return out
+
+
+def streaming_gapfilled_rollup(
+    events: DataFrame,
+    fine_width: str,
+    coarse_width: str,
+    sink,
+    ts_col: str = "ts",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+    watermark_delay: str = "2 hours",
+    zero_cols: tuple[str, ...] = ("n_events",),
+    locf_cols: tuple[str, ...] = (),
+):
+    """Streaming head of the continuous-aggregate ladder, serving
+    GAP-FILLED coarse output: the stream maintains the fine level
+    incrementally (``streaming_bucket_partials``); each micro-batch
+    derives the coarse level from those partials (``rollup_partials``
+    — never rescanning raw data) and densifies it with
+    ``time_bucket_gapfill`` inside ``foreachBatch``, where the
+    min/max + dense-grid shape is legal (it is not a streaming
+    aggregation Spark could maintain incrementally).
+
+    ``sink(df, batch_id)`` receives the full gap-filled coarse frame
+    per micro-batch — TimescaleDB's "real-time continuous aggregate
+    with gapfill" read path. Complete output mode: the state is the
+    fine partials, one row per (fine bucket, group) — bounded by
+    retention × cardinality, the same state a cagg materializer
+    carries. For unbounded retention, swap to update mode and merge
+    the delta into a partials table, then gapfill that (same two
+    functions, one extra merge).
+
+    Returns the ``DataStreamWriter`` — caller picks trigger and calls
+    ``start()``.
+    """
+    fine = streaming_bucket_partials(
+        events, fine_width, ts_col, group_cols, value_col, watermark_delay
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        coarse = rollup_partials(batch_df, coarse_width, group_cols)
+        filled = time_bucket_gapfill(coarse, coarse_width, group_cols, zero_cols, locf_cols)
+        sink(filled, batch_id)
+
+    return fine.writeStream.outputMode("complete").foreachBatch(_process)

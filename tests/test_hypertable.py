@@ -178,3 +178,42 @@ def test_streaming_bucket_partials_true_stream(spark, tmp_path, events):
     got = sorted(map(tuple, spark.table("cagg_6h").collect()))
     want = sorted(map(tuple, bucket_partials(events, "6 hours").collect()))
     assert got == want
+
+
+def test_streaming_gapfilled_rollup_matches_batch(spark, tmp_path, events):
+    """foreachBatch gapfill head: the final micro-batch's gap-filled
+    day level must equal the batch ladder's gap-filled day level."""
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        rollup_partials,
+        streaming_gapfilled_rollup,
+        time_bucket_gapfill,
+    )
+
+    src = tmp_path / "events_stream_gf"
+    events.write.parquet(str(src))
+    stream = spark.readStream.schema(events.schema).parquet(str(src))
+
+    got_batches = {}
+
+    def sink(df, batch_id):
+        got_batches[batch_id] = sorted(map(tuple, df.collect()))
+
+    q = (
+        streaming_gapfilled_rollup(stream, "6 hours", "1 day", sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert got_batches, "no micro-batch delivered"
+    got = got_batches[max(got_batches)]
+
+    fine = bucket_partials(events, "6 hours")
+    want = sorted(
+        map(
+            tuple,
+            time_bucket_gapfill(
+                rollup_partials(fine, "1 day"), "1 day"
+            ).collect(),
+        )
+    )
+    assert got == want
