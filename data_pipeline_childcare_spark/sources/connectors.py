@@ -111,3 +111,109 @@ def run_search_tasks(
         for raw in provider(query, n_results):
             rows.append(normalize_result(raw, query, origin_key))
     return spark.createDataFrame(rows, SEARCH_RESULT_SCHEMA)
+
+
+class HttpSearchApiProvider:
+    """Real-HTTP provider for the SearchAPI.io wire shape
+    (多数据源获取链接.py:776-880): GET base_url with q/engine/gl/hl/num/
+    api_key params, parse ``organic_results``, emit provider-prefixed
+    dicts — the exact shape ``normalize_result`` consumes, so this
+    drops into any pipeline where a ``FakeSearchProvider`` sits today.
+
+    Opt-in only: construct it explicitly with an api_key; nothing in
+    the engine defaults to network IO, and the fakes stay the test
+    default. Transport resolution is import-guarded: ``httpx`` when
+    importable, stdlib ``urllib`` otherwise (no hard dependency).
+    Bounded retries with exponential backoff wrap transient failures;
+    the final failure degrades to a single provider-prefixed error
+    dict, matching the reference's error row.
+
+    ``transport``/``sleeper`` are injectable so the parse/retry logic
+    is contract-testable offline.
+    """
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://www.searchapi.io/api/v1/search",
+        engine: str = "google",
+        gl: str = "cn",
+        hl: str = "zh-cn",
+        timeout_s: float = 20.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeSearchProvider offline")
+        self.name = "searchapi"
+        self.api_key = api_key
+        self.base_url = base_url
+        self.engine = engine
+        self.gl = gl
+        self.hl = hl
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    def _default_transport(self, url: str, params: dict) -> dict:
+        import json
+        from urllib.parse import urlencode
+
+        full = f"{url}?{urlencode(params)}"
+        try:
+            import httpx
+
+            resp = httpx.get(full, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+        except ImportError:
+            from urllib.request import urlopen
+
+            with urlopen(full, timeout=self.timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+    def __call__(self, query: str, n: int = 5) -> list[dict]:
+        params = {
+            "q": query,
+            "engine": self.engine,
+            "gl": self.gl,
+            "hl": self.hl,
+            "num": n,
+            "api_key": self.api_key,
+        }
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                data = self._transport(self.base_url, params)
+                out = []
+                for item in data.get("organic_results", []):
+                    if not item.get("link"):
+                        continue
+                    out.append(
+                        {
+                            f"{self.name}_url": item.get("link"),
+                            f"{self.name}_title": item.get("title"),
+                            f"{self.name}_source": item.get("source", ""),
+                            f"{self.name}_snippet": item.get("snippet", ""),
+                            "query": query,
+                        }
+                    )
+                return out
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return [
+            {
+                f"{self.name}_error": f"request failed for '{query}': {last_err}",
+                "query": query,
+            }
+        ]

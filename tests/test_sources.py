@@ -147,3 +147,56 @@ def test_frame_sampling_shape(spark):
     assert [r["frame_idx"] for r in rows] == [0, 1, 2]
     assert [r["frame_ms"] for r in rows] == [0, 500, 1000]
     assert all(len(r["frame"]) == 64 for r in rows)
+
+
+def test_http_provider_contract_parses_wire_shape(spark):
+    """HttpSearchApiProvider with an injected transport must be a
+    drop-in for FakeSearchProvider: same prefixed dicts, same
+    normalized DataFrame schema."""
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpSearchApiProvider,
+        run_search_tasks,
+    )
+
+    def transport(url, params):
+        assert params["q"] == "托育"
+        assert params["engine"] == "google" and "api_key" in params
+        return {
+            "organic_results": [
+                {"link": "https://a.example/1", "title": "t1", "source": "s1", "snippet": "n1"},
+                {"title": "no-link dropped"},
+                {"link": "https://a.example/2", "title": "t2", "source": "s2", "snippet": "n2"},
+            ]
+        }
+
+    p = HttpSearchApiProvider(api_key="k", transport=transport)
+    raws = p("托育", 5)
+    assert [r["searchapi_url"] for r in raws] == ["https://a.example/1", "https://a.example/2"]
+    df = run_search_tasks(spark, [("托育", "searchapi", "ok1")], {"searchapi": p})
+    rows = df.collect()
+    assert {r["provider"] for r in rows} == {"searchapi"}
+    assert {r["url"] for r in rows} == {"https://a.example/1", "https://a.example/2"}
+
+
+def test_http_provider_retry_backoff_and_error_row():
+    from data_pipeline_childcare_spark.sources.connectors import HttpSearchApiProvider
+
+    calls, sleeps = [], []
+
+    def flaky(url, params):
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("boom")
+        return {"organic_results": [{"link": "https://ok.example"}]}
+
+    p = HttpSearchApiProvider(api_key="k", transport=flaky, sleeper=sleeps.append)
+    out = p("q", 1)
+    assert len(calls) == 3 and [r.get("searchapi_url") for r in out] == ["https://ok.example"]
+    assert sleeps == [1.0, 2.0]  # exponential backoff between attempts
+
+    def dead(url, params):
+        raise OSError("always down")
+
+    p2 = HttpSearchApiProvider(api_key="k", transport=dead, sleeper=lambda s: None)
+    out2 = p2("q", 1)
+    assert len(out2) == 1 and "searchapi_error" in out2[0]
