@@ -267,6 +267,17 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, threshold=0.8).select("doc_id")
 
 
+def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch per event_type — an
+    APPROXIMATE algorithm with an EXACT oracle: the md5-derived hash
+    family makes the sketch (and therefore the estimate) bit-identical
+    in any engine (operators/sketches.py)."""
+    from data_pipeline_childcare_spark.operators.sketches import kmv_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return kmv_distinct(ev, ("event_type",), "user_id", k=64)
+
+
 def minhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-oracle MinHash: the banded-LSH pipeline with an md5-derived
     hash family both engines compute bit-identically — signatures,
@@ -828,6 +839,22 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return finalize_rollup(levels["1 day"])
 
 
+def hypertable_rollup_events_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-level continuous aggregate via the full ladder
+    hour→day→month: variable-length month buckets re-aggregate the
+    fixed-width day partials (origin 2000-01-01, matching
+    TimescaleDB/DuckDB month semantics). The oracle aggregates raw at
+    the month level — equality proves the three-rung ladder is exact."""
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        finalize_rollup,
+        hypertable_rollup,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    levels = hypertable_rollup(ev, ("1 hour", "1 day", "1 month"))
+    return finalize_rollup(levels["1 month"])
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -901,6 +928,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_users_per_type": distinct_users_per_type,
         "minhash_portable_pairs_docs": minhash_portable_pairs_docs,
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
+        "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "lsh_cosine_topk_embeddings": lsh_cosine_topk_embeddings,
         "windowed_event_counts": windowed_event_counts_q,
         "events_lag_delta": events_lag_delta,
@@ -913,6 +941,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
+        "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
         "embedding_cosine_dedup_lsh": embedding_cosine_dedup_lsh_q,
@@ -928,6 +957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.cleaning import NOISE_RE
+    from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
 
     from data_pipeline_childcare_spark.operators.split import (
         _threshold_hex,
@@ -1103,6 +1133,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT fp, min(doc_id) AS doc_id FROM fp GROUP BY fp) k
               ON f.fp = k.fp AND f.doc_id = k.doc_id
         """,
+        "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "minhash_portable_pairs_docs": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS t FROM documents
@@ -1555,6 +1586,17 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hypertable_rollup_events": f"""
             SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   {_jround("round(sum(value), 4) / count(*)", 4)} AS avg_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+        "hypertable_rollup_events_monthly": f"""
+            SELECT time_bucket(INTERVAL '1 month', ts) AS bucket,
                    event_type,
                    count(*) AS n_events,
                    round(sum(value), 4) AS sum_value,

@@ -1,0 +1,92 @@
+"""Distinct-count sketches (beyond-reference, training-data ops).
+
+``approx_count_distinct`` (HyperLogLog++) is the built-in Spark
+answer, but its estimates are engine-specific — no cross-engine
+oracle can check them. The K-Minimum-Values sketch here is chosen
+because it is DETERMINISTIC given the hash function, and the hash
+family is the repo's portable md5-derived 60-bit integer (same trick
+as ``dedup.minhash_est_pairs_portable``): any engine reproduces the
+sketch — and therefore the estimate — bit for bit, so the driver's
+DuckDB oracle verifies an *approximate* algorithm exactly.
+
+KMV (Bar-Yossef et al. 2002): hash every value into [0, 2^60); keep
+the k smallest DISTINCT hashes per group. With fewer than k distinct
+values the count is exact; otherwise the kth-smallest hash R
+estimates density and ``(k-1) / (R / 2^60)`` estimates cardinality
+(unbiased, σ/μ ≈ 1/√(k−2)).
+
+Scale shape: one narrow hash projection, a dropDuplicates shuffle
+keyed by (group, hash) — uniform by construction — then a per-group
+sort of DISTINCT hashes only. At 100 TB add the standard KMV
+pushdown: pre-filter ``hash < t`` with a loose threshold from an
+expected-cardinality hint before the sort, which turns the per-group
+sort into a per-group trickle; the estimate is unchanged as long as
+t keeps ≥ k survivors.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_HASH_SPACE = float(1 << 60)
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Per-group KMV distinct-count estimate →
+    (group..., n_kept, est_distinct).
+
+    ``est_distinct`` is DOUBLE: exact count when n_kept < k, else the
+    (k-1)/R estimator rounded to 4 places. Deterministic across
+    engines (portable md5 hash family; IEEE double arithmetic).
+    """
+    hv = F.expr(
+        f"cast(conv(substring(md5(cast({value_col} as string)), 1, 15), 16, 10) as bigint)"
+    )
+    distinct_hashes = df.select(*group_cols, hv.alias("_hv")).dropDuplicates(
+        [*group_cols, "_hv"]
+    )
+    w = Window.partitionBy(*group_cols).orderBy("_hv")
+    kept = (
+        distinct_hashes.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .groupBy(*group_cols)
+        .agg(F.count("*").alias("n_kept"), F.max("_hv").alias("_kth"))
+    )
+    est = F.when(F.col("n_kept") < k, F.col("n_kept").cast("double")).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_kth"), 4)
+    )
+    return kept.select(*group_cols, "n_kept", est.alias("est_distinct"))
+
+
+def kmv_sql(
+    table: str, group_cols: tuple[str, ...], value_col: str, k: int = 64
+) -> str:
+    """The DuckDB oracle for :func:`kmv_distinct` — identical hash,
+    identical estimator, emitted from one source of truth."""
+    groups = ", ".join(group_cols)
+    return f"""
+        WITH h AS (
+            SELECT DISTINCT {groups},
+                   CAST(CONCAT('0x', substring(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+            FROM {table}
+        ), r AS (
+            SELECT {groups}, hv,
+                   row_number() OVER (PARTITION BY {groups} ORDER BY hv) AS rn
+            FROM h
+        ), agg AS (
+            SELECT {groups}, CAST(count(*) AS BIGINT) AS n_kept, max(hv) AS kth
+            FROM r WHERE rn <= {k} GROUP BY {groups}
+        )
+        SELECT {groups}, n_kept,
+               CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                    -- round via shortest-decimal repr = Spark round()
+                    ELSE CAST(round(CAST(CAST(({float(k - 1)!r} * {_HASH_SPACE!r} / kth) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE)
+               END AS est_distinct
+        FROM agg
+    """

@@ -217,3 +217,75 @@ class HttpSearchApiProvider:
                 "query": query,
             }
         ]
+
+
+# --- Dify datasource-node variants (托育行业调研数据采集.pipeline:640-917) --
+
+# node provider_name -> provider_type, as declared in the reference's
+# four datasource nodes (Notion / Google Drive / Jina Reader /
+# Firecrawl). Each is a named instance of the same connector
+# contract; the deterministic fake keeps pipelines testable, and a
+# real implementation slots in per-name exactly like
+# HttpSearchApiProvider does for search.
+DATASOURCE_NODES: dict[str, str] = {
+    "notion_datasource": "online_document",
+    "google_drive": "online_drive",
+    "jinareader": "website_crawl",
+    "firecrawl": "website_crawl",
+}
+
+DOCUMENT_SOURCE_SCHEMA = (
+    "source_ref string, provider string, provider_type string, "
+    "url string, title string, content string"
+)
+
+
+class FakeDatasourceProvider:
+    """Deterministic offline datasource node: documents derived from a
+    digest of (provider, source_ref, index)."""
+
+    def __init__(self, name: str):
+        if name not in DATASOURCE_NODES:
+            raise ValueError(f"unknown datasource node {name!r}")
+        self.name = name
+
+    def __call__(self, source_ref: str, n: int = 3) -> list[dict]:
+        out = []
+        for i in range(n):
+            h = hashlib.sha256(f"{self.name}|{source_ref}|{i}".encode()).hexdigest()[:12]
+            out.append(
+                {
+                    f"{self.name}_url": f"https://{self.name}.example/{h}",
+                    f"{self.name}_title": f"{source_ref} 文档 {i}",
+                    f"{self.name}_content": f"# {source_ref}\n\n内容段落 {h}。\n\n更多内容 {h[::-1]}。",
+                }
+            )
+        return out
+
+
+def run_datasource_nodes(
+    spark: SparkSession,
+    tasks: list[tuple[str, str]],
+    providers: dict[str, Provider] | None = None,
+    n_docs: int = 3,
+) -> DataFrame:
+    """Execute (source_ref, node_name) datasource tasks and land the
+    fetched documents in ONE fixed-schema DataFrame — the head of the
+    chunk → KB-ingest pipeline (io.kb_ingest / operators.chunking).
+    Unconfigured nodes default to their deterministic fakes."""
+    providers = providers or {}
+    rows = []
+    for source_ref, node in tasks:
+        provider = providers.get(node) or FakeDatasourceProvider(node)
+        for raw in provider(source_ref, n_docs):
+            rows.append(
+                {
+                    "source_ref": source_ref,
+                    "provider": node,
+                    "provider_type": DATASOURCE_NODES[node],
+                    "url": raw.get(f"{node}_url"),
+                    "title": raw.get(f"{node}_title"),
+                    "content": raw.get(f"{node}_content"),
+                }
+            )
+    return spark.createDataFrame(rows, DOCUMENT_SOURCE_SCHEMA)

@@ -200,3 +200,27 @@ def test_http_provider_retry_backoff_and_error_row():
     p2 = HttpSearchApiProvider(api_key="k", transport=dead, sleeper=lambda s: None)
     out2 = p2("q", 1)
     assert len(out2) == 1 and "searchapi_error" in out2[0]
+
+
+def test_datasource_nodes_feed_chunking_pipeline(spark):
+    """The four Dify datasource-node variants land in one fixed-schema
+    frame that the parent-child chunker consumes directly."""
+    from data_pipeline_childcare_spark.operators.chunking import parent_child_chunk
+    from data_pipeline_childcare_spark.sources.connectors import (
+        DATASOURCE_NODES,
+        run_datasource_nodes,
+    )
+
+    tasks = [("托育调研", n) for n in DATASOURCE_NODES]
+    df = run_datasource_nodes(spark, tasks)
+    rows = df.collect()
+    assert {r["provider"] for r in rows} == set(DATASOURCE_NODES)
+    assert {r["provider_type"] for r in rows} == {"online_document", "online_drive", "website_crawl"}
+    assert all(r["content"] and r["url"] for r in rows)
+    # determinism
+    again = run_datasource_nodes(spark, tasks).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # chunker consumes it
+    docs = df.selectExpr("url AS doc_id", "content AS text")
+    chunks = parent_child_chunk(docs)
+    assert chunks.count() >= df.count()
