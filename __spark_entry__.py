@@ -267,6 +267,50 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_dedup(docs, threshold=0.8).select("doc_id")
 
 
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII inventory + redacted length per document. The synthetic
+    corpus carries no real PII, so both engines append the SAME
+    deterministic email/phone suffix before scrubbing — the patterns,
+    counts and redaction then round-trip the RE2-compatible regexes
+    (operators/redact.py)."""
+    from data_pipeline_childcare_spark.operators.redact import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" 联系 user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com 电话138"),
+            F.lpad(F.col("doc_id").cast("string"), 8, "0"),
+        ),
+    )
+    return scrub_pii(docs)
+
+
+def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic sequence packing: (shard, bin, offset) layout of
+    the corpus into 2048-token training bins (operators/packing.py)."""
+    from data_pipeline_childcare_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, n_shards=4)
+
+
+def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram-overlap decontamination check: every doc_id % 10 == 0
+    document plays benchmark; the rest of the corpus is scored by the
+    fraction of its distinct 3-gram shingles found anywhere in the
+    benchmark set (operators/contamination.py)."""
+    from data_pipeline_childcare_spark.operators.contamination import (
+        benchmark_contamination,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return benchmark_contamination(
+        docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+    )
+
+
 def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """K-minimum-values distinct-count sketch per event_type — an
     APPROXIMATE algorithm with an EXACT oracle: the md5-derived hash
@@ -929,6 +973,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_portable_pairs_docs": minhash_portable_pairs_docs,
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "doc_pii_scrub": doc_pii_scrub,
+        "doc_pack_sequences": doc_pack_sequences,
+        "doc_benchmark_contamination": doc_benchmark_contamination,
         "lsh_cosine_topk_embeddings": lsh_cosine_topk_embeddings,
         "windowed_event_counts": windowed_event_counts_q,
         "events_lag_delta": events_lag_delta,
@@ -957,6 +1004,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.cleaning import NOISE_RE
+    from data_pipeline_childcare_spark.operators.packing import pack_sql as _pack_sql
+    from data_pipeline_childcare_spark.operators.redact import pii_sql as _pii_sql
     from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
 
     from data_pipeline_childcare_spark.operators.split import (
@@ -1134,6 +1183,42 @@ def oracle_sql() -> dict[str, str]:
               ON f.fp = k.fp AND f.doc_id = k.doc_id
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
+        "doc_pii_scrub": _pii_sql(
+            "(SELECT doc_id, text || ' 联系 user' || CAST(doc_id AS VARCHAR)"
+            " || '@example.com 电话138' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"
+            " AS text FROM documents) aug"
+        ),
+        "doc_pack_sequences": _pack_sql("documents", f"len({tokens})"),
+        "doc_benchmark_contamination": f"""
+            WITH toks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(t) - 3, 0) + 2),
+                               i -> array_to_string(t[i:i+2], ' ')
+                           )
+                       ) AS sh
+                FROM toks
+            ), docsh AS (
+                SELECT doc_id, unnest(sh) AS s FROM grams WHERE doc_id % 10 <> 0
+            ), bench AS (
+                SELECT DISTINCT s FROM (
+                    SELECT unnest(sh) AS s FROM grams WHERE doc_id % 10 = 0
+                )
+            ), m AS (
+                SELECT doc_id, count(*) AS matched
+                FROM docsh JOIN bench USING (s) GROUP BY doc_id
+            ), sz AS (
+                SELECT doc_id, count(*) AS set_size FROM docsh GROUP BY doc_id
+            )
+            SELECT sz.doc_id,
+                   CAST(set_size AS BIGINT) AS set_size,
+                   CAST(COALESCE(matched, 0) AS BIGINT) AS matched,
+                   CAST(COALESCE(matched, 0) AS DOUBLE) / set_size AS contamination
+            FROM sz LEFT JOIN m ON sz.doc_id = m.doc_id
+        """,
         "minhash_portable_pairs_docs": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS t FROM documents

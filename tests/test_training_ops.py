@@ -1,0 +1,62 @@
+"""Training-pipeline hygiene ops: PII redaction, sequence packing,
+benchmark decontamination."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+import data_pipeline_childcare_spark as eng
+from data_pipeline_childcare_spark.operators.contamination import benchmark_contamination
+from data_pipeline_childcare_spark.operators.packing import pack_sequences
+from data_pipeline_childcare_spark.operators.redact import redact_text, scrub_pii
+
+
+def test_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "联系 alice@corp.example.cn 或 13812345678"),
+        (2, "身份证 11010119900307897X 电话 15987654321"),
+        (3, "没有任何敏感信息的文本"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert (got[1]["n_email"], got[1]["n_phone"], got[1]["n_idcard"]) == (1, 1, 0)
+    assert (got[2]["n_email"], got[2]["n_phone"], got[2]["n_idcard"]) == (0, 1, 1)
+    assert (got[3]["n_email"], got[3]["n_phone"], got[3]["n_idcard"]) == (0, 0, 0)
+    red = {r["doc_id"]: r["t"] for r in df.select("doc_id", redact_text("text").alias("t")).collect()}
+    assert red[1] == "联系 [EMAIL] 或 [PHONE]"
+    assert red[2] == "身份证 [IDCARD] 电话 [PHONE]"
+    assert red[3] == "没有任何敏感信息的文本"
+
+
+def test_pack_sequences_invariants(spark):
+    docs = eng.load_table(spark, "documents", "/root/testdata/sf0.001")
+    packed = pack_sequences(docs, seq_len=512, n_shards=4).collect()
+    assert len(packed) == docs.count()
+    by_shard: dict[int, list] = {}
+    for r in packed:
+        assert 0 <= r["shard"] < 4 and 0 <= r["bin_offset"] < 512
+        by_shard.setdefault(r["shard"], []).append(r)
+    # per shard: positions are a gapless token stream
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: (r["bin_id"], r["bin_offset"]))
+        pos = 0
+        for r in rows:
+            assert r["bin_id"] * 512 + r["bin_offset"] == pos, (shard, r)
+            pos += r["n_tokens"]
+
+
+def test_benchmark_contamination_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "completely unrelated sentence with different words entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in benchmark_contamination(docs, bench).collect()}
+    assert got[1]["contamination"] == 1.0  # exact benchmark copy
+    assert got[2]["contamination"] == 0.0 and got[2]["matched"] == 0
