@@ -2,11 +2,17 @@
 
 Mandated beyond-reference surface: image/audio/video as ``binary``
 columns with a typed metadata struct, and decode / feature-extract /
-resize / frame-sample as Arrow-batched ``mapInPandas`` stages. The
-media libraries are not installed in this container, so the DECODE
-BODY is stubbed (deterministic fake derived from the bytes), while the
-Spark-side plumbing — schema, batch shape, partition discipline — is
-real and tested.
+resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
+
+Decode is TIERED, best-available first: a real PIL decode (true
+dims/mode + a 4×2-grayscale-thumbnail feature) when the library is
+importable; stdlib header-parsed dimensions (PNG/GIF/JPEG/BMP) when it
+is not; a deterministic digest fake only as the last resort — each
+tier clearly marked via ``mode``/``is_stub``. Metadata attachment
+never needs Python at all: PNG/GIF width/height parse straight out of
+the header bytes with substring/hex/conv COLUMN expressions. Video
+frame decode stays a marked stub (no video library exists here); its
+row-explosion shape and batch discipline are real and tested.
 
 At 100 TB: binary payloads ride the columnar scan (parquet BINARY with
 metadata in sibling columns, never inside the blob); per-batch decode
@@ -37,12 +43,31 @@ IMAGE_FEATURES_SCHEMA = (
 FRAME_SAMPLE_SCHEMA = "path string, frame_idx int, frame_ms long, frame binary"
 
 
+def _be32(content: str, pos: int):
+    """Big-endian uint32 at 1-based byte offset, as a pure column
+    expression (hex → conv) — stays in codegen, no Python."""
+    return F.conv(F.hex(F.substring(F.col(content), pos, 4)), 16, 10).cast("int")
+
+
+def _le16(content: str, pos: int):
+    b = F.substring(F.col(content), pos, 2)
+    lo = F.conv(F.hex(F.substring(b, 1, 1)), 16, 10).cast("int")
+    hi = F.conv(F.hex(F.substring(b, 2, 1)), 16, 10).cast("int")
+    return hi * 256 + lo
+
+
 def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
-    """Cheap metadata from magic bytes — pure column ops, no decode."""
+    """Cheap metadata from file headers — pure column ops, no decode,
+    no Python: mime/media_type from magic bytes, width/height parsed
+    straight out of PNG (big-endian IHDR) and GIF (little-endian
+    logical screen) headers with substring/hex/conv expressions."""
     magic = F.substring(F.col(content_col), 1, 4)
+    is_png = magic == F.lit(b"\x89PNG")
+    is_gif = F.substring(F.col(content_col), 1, 3) == F.lit(b"GIF")
     mime = (
-        F.when(magic == F.lit(b"\x89PNG"), "image/png")
+        F.when(is_png, "image/png")
         .when(F.substring(F.col(content_col), 1, 3) == F.lit(b"\xff\xd8\xff"), "image/jpeg")
+        .when(is_gif, "image/gif")
         .when(magic == F.lit(b"RIFF"), "audio/wav")
         .when(magic == F.lit(b"OggS"), "audio/ogg")
         .otherwise("application/octet-stream")
@@ -52,28 +77,57 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
         .when(mime.startswith("audio/"), "audio")
         .otherwise("binary")
     )
-    return df.withColumn("mime", mime).withColumn("media_type", media_type)
+    width = (
+        F.when(is_png, _be32(content_col, 17))
+        .when(is_gif, _le16(content_col, 7))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    height = (
+        F.when(is_png, _be32(content_col, 21))
+        .when(is_gif, _le16(content_col, 9))
+        .otherwise(F.lit(None).cast("int"))
+    )
+    return (
+        df.withColumn("mime", mime)
+        .withColumn("media_type", media_type)
+        .withColumn("width", width)
+        .withColumn("height", height)
+    )
 
 
-def _stub_image_decode(data: bytes) -> tuple[int, int, str, list[float]]:
-    """STUB: PIL is unavailable here. Deterministic fake decode — dims
-    and a 8-dim feature derived from a content digest, so tests are
-    reproducible and downstream shapes are exercised for real."""
+def _decode_image(data: bytes) -> tuple[int, int, str, list[float]]:
+    """Three-tier decode, best available first:
+
+    1. PIL importable → REAL decode: true dims/mode and a real 8-dim
+       feature (4×2 grayscale thumbnail, pixel means / 255) — the
+       cheapest visual embedding that supports dedup/ANN downstream.
+    2. no PIL but the header parses (PNG/GIF/JPEG/BMP, stdlib) → real
+       dims, mode "NODECODE", digest feature (marked stub).
+    3. otherwise → fully deterministic digest fake (marked stub).
+    """
     try:
-        from PIL import Image  # noqa: PLC0415
         import io  # noqa: PLC0415
+
+        from PIL import Image  # noqa: PLC0415
 
         img = Image.open(io.BytesIO(data))
         w, h = img.size
-        mode = img.mode
+        thumb = img.convert("L").resize((4, 2))
+        feature = [p / 255.0 for p in thumb.getdata()]
+        return w, h, img.mode, feature
     except ImportError:
-        digest = hashlib.sha256(data).digest()
-        w = 64 + digest[0] % 192
-        h = 64 + digest[1] % 192
-        mode = "STUB"
+        pass
+    except Exception:  # noqa: BLE001  (corrupt image: fall through)
+        pass
+    from data_pipeline_childcare_spark.sources.office import sniff_image_dims  # noqa: PLC0415
+
     digest = hashlib.sha256(data).digest()
     feature = [b / 255.0 for b in digest[:8]]
-    return w, h, mode, feature
+    dims = sniff_image_dims(data)
+    if dims:
+        _, w, h = dims
+        return w, h, "NODECODE", feature
+    return 64 + digest[0] % 192, 64 + digest[1] % 192, "STUB", feature
 
 
 def image_features(df: DataFrame, path_col: str = "path", content_col: str = "content") -> DataFrame:
@@ -83,8 +137,8 @@ def image_features(df: DataFrame, path_col: str = "path", content_col: str = "co
         for pdf in batches:
             rows = []
             for path, data in zip(pdf[path_col], pdf[content_col]):
-                w, h, mode, feat = _stub_image_decode(bytes(data))
-                rows.append((path, w, h, mode, feat, mode == "STUB"))
+                w, h, mode, feat = _decode_image(bytes(data))
+                rows.append((path, w, h, mode, feat, mode in ("STUB", "NODECODE")))
             yield pd.DataFrame(
                 rows, columns=["path", "width", "height", "mode", "feature", "is_stub"]
             )

@@ -224,3 +224,29 @@ def test_datasource_nodes_feed_chunking_pipeline(spark):
     docs = df.selectExpr("url AS doc_id", "content AS text")
     chunks = parent_child_chunk(docs)
     assert chunks.count() >= df.count()
+
+
+def test_multimodal_header_dims_column_expressions(spark):
+    """Valid PNG/GIF headers yield true width/height from PURE column
+    expressions (no Python), and image_features falls back to
+    header-parsed dims (NODECODE tier) when PIL is absent."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480)
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00" * 10
+    df = spark.createDataFrame(
+        [("p.png", bytearray(png)), ("g.gif", bytearray(gif))], "path string, content binary"
+    )
+    meta = {r["path"]: r for r in attach_media_metadata(df).collect()}
+    assert (meta["p.png"]["width"], meta["p.png"]["height"]) == (640, 480)
+    assert (meta["g.gif"]["width"], meta["g.gif"]["height"]) == (320, 200)
+    assert meta["g.gif"]["mime"] == "image/gif"
+
+    feats = {r["path"]: r for r in image_features(df).collect()}
+    try:
+        import PIL  # noqa: F401
+
+        assert not feats["p.png"]["is_stub"]  # real decode tier
+    except ImportError:
+        assert feats["p.png"]["mode"] == "NODECODE"
+        assert (feats["p.png"]["width"], feats["p.png"]["height"]) == (640, 480)
