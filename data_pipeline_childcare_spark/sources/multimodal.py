@@ -56,6 +56,10 @@ def _le16(content: str, pos: int):
     return hi * 256 + lo
 
 
+def _le32(content: str, pos: int):
+    return _le16(content, pos + 2) * 65536 + _le16(content, pos)
+
+
 def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFrame:
     """Cheap metadata from file headers — pure column ops, no decode,
     no Python: mime/media_type from magic bytes, width/height parsed
@@ -87,11 +91,28 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
         .when(is_gif, _le16(content_col, 9))
         .otherwise(F.lit(None).cast("int"))
     )
+    # canonical 44-byte-header WAV (RIFF/WAVE + PCM "fmt " + "data"):
+    # sample rate LE32 @25, byte rate LE32 @29, data size LE32 @41;
+    # duration = data bytes / byte rate. Non-canonical chunk orders
+    # yield NULL (the guard checks both fourccs).
+    is_wav = (magic == F.lit(b"RIFF")) & (
+        F.substring(F.col(content_col), 9, 4) == F.lit(b"WAVE")
+    ) & (F.substring(F.col(content_col), 37, 4) == F.lit(b"data"))
+    sample_rate = F.when(is_wav, _le32(content_col, 25)).otherwise(
+        F.lit(None).cast("int")
+    )
+    byte_rate = _le32(content_col, 29)
+    duration_ms = F.when(
+        is_wav & (byte_rate > 0),
+        (_le32(content_col, 41).cast("long") * 1000 / byte_rate).cast("long"),
+    ).otherwise(F.lit(None).cast("long"))
     return (
         df.withColumn("mime", mime)
         .withColumn("media_type", media_type)
         .withColumn("width", width)
         .withColumn("height", height)
+        .withColumn("sample_rate", sample_rate)
+        .withColumn("duration_ms", duration_ms)
     )
 
 

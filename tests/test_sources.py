@@ -250,3 +250,22 @@ def test_multimodal_header_dims_column_expressions(spark):
     except ImportError:
         assert feats["p.png"]["mode"] == "NODECODE"
         assert (feats["p.png"]["width"], feats["p.png"]["height"]) == (640, 480)
+
+
+def test_multimodal_wav_rate_and_duration(spark):
+    import struct
+
+    # canonical 44-byte PCM WAV header: 16kHz mono 16-bit, 1s of data
+    sr, ch, bits = 16000, 1, 16
+    byte_rate = sr * ch * bits // 8
+    data_len = byte_rate  # exactly 1000 ms
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate, ch * bits // 8, bits)
+        + b"data" + struct.pack("<I", data_len)
+    )
+    df = spark.createDataFrame(
+        [("t.wav", bytearray(hdr + b"\x00" * 64))], "path string, content binary"
+    )
+    r = attach_media_metadata(df).first()
+    assert (r["mime"], r["sample_rate"], r["duration_ms"]) == ("audio/wav", 16000, 1000)
