@@ -731,11 +731,14 @@ def late_shipment_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with any line shipped > 90 days after the order date, by priority."""
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    late = li.join(orders, li.l_orderkey == orders.o_orderkey).filter(
-        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
-    ).select("l_orderkey").distinct()
+    # EXISTS compiles to ONE shuffled semi-join with the date predicate
+    # evaluated inside the join (semi stops at first match per order) —
+    # not join→distinct→semi, which would shuffle lineitem twice.
+    cond = (orders.o_orderkey == li.l_orderkey) & (
+        li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 90 DAYS")
+    )
     return (
-        orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+        orders.join(li, cond, "left_semi")
         .groupBy("o_orderpriority")
         .agg(F.count("*").alias("n_orders"))
     )

@@ -148,18 +148,46 @@ def bpe_like_token_count(col: Column | str) -> Column:
 
 def word_ngrams(col: Column | str, n: int = 3) -> Column:
     """Word-level n-gram shingles → ARRAY<STRING> (joined with single
-    spaces). Length < n yields the whole text as one shingle."""
+    spaces). Length < n yields the whole text as one shingle.
+
+    Built as arrays_zip over n shifted slices of the token array, NOT
+    as transform-over-sequence with slice(toks, i, n) in the lambda:
+    lambda interiors are interpreted per element, so referencing the
+    tokenize expression there re-tokenizes the document once per
+    shingle (O(tokens²) work — measured 5× slower at sf0.1). The
+    shifted slices reference the token array at top level, where
+    codegen subexpression elimination evaluates tokenize once per row.
+    """
     toks = tokenize(col)
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    m = F.greatest(F.size(toks) - n + 1, F.lit(1))
+    parts = [F.slice(toks, i + 1, m) for i in range(n)]
+    z = F.arrays_zip(*parts)
+    # arrays_zip names unaliased fields by position; slices past the
+    # array end come back short and zip null-pads them — concat_ws
+    # skips nulls, which yields exactly the whole-text shingle for
+    # docs shorter than n tokens. Zero tokens zips to an empty array,
+    # so the single-empty-shingle contract needs an explicit branch.
+    return F.when(F.size(toks) == 0, F.array(F.lit(""))).otherwise(
+        F.transform(z, lambda s: F.concat_ws(" ", *[s[str(i)] for i in range(n)]))
+    )
 
 
 def char_ngrams(col: Column | str, n: int = 5) -> Column:
-    """Character n-grams over the lowercased, whitespace-collapsed text."""
+    """Character n-grams over the lowercased, whitespace-collapsed text.
+
+    Same shifted-slice construction as ``word_ngrams`` (and for the
+    same reason): substring(s, i, n) inside a transform lambda would
+    re-run the regexp_replace normalization once per character.
+    """
     c = F.col(col) if isinstance(col, str) else col
     s = F.regexp_replace(F.lower(c), r"\s+", " ")
-    idx = F.sequence(F.lit(1), F.greatest(F.length(s) - n + 1, F.lit(1)))
-    return F.transform(idx, lambda i: F.substring(s, i, n))
+    chars = F.split(s, "")
+    m = F.greatest(F.length(s) - n + 1, F.lit(1))
+    parts = [F.slice(chars, i + 1, m) for i in range(n)]
+    z = F.arrays_zip(*parts)
+    return F.when(F.length(s) == 0, F.array(F.lit(""))).otherwise(
+        F.transform(z, lambda st: F.concat_ws("", *[st[str(i)] for i in range(n)]))
+    )
 
 
 def quality_score(col: Column | str, stopwords: list[str] | None = None) -> Column:

@@ -469,36 +469,40 @@ def ngram_jaccard_pairs(
 
     The join/shuffle key is xxhash64(shingle) — 8 bytes instead of the
     shingle text. Exact up to 64-bit hash collisions (~1e-19 per pair).
+
+    The per-doc set size rides ALONG the exploded rows (computed once
+    per doc from the same array, carried through the self-join into
+    first() aggregates) instead of a separate sizes table joined back
+    at the end: at corpus scale a sizes side is one row per document —
+    far too big to broadcast, so joining it would add two more
+    shuffles; carrying it costs 8 bytes per exploded row on shuffles
+    that are pair-volume-dominated anyway. Tokenization runs exactly
+    once per document (the identical self-join sides collapse into one
+    reused exchange).
     """
     spread = spread_partitions(df, id_col)
-    shingled = spread.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("_s"),
-    ).select(id_col, F.xxhash64("_s").alias("shingle"))
-    # set sizes come from a NARROW projection over the docs (array size
-    # of the distinct shingles) — no groupBy shuffle, no re-tokenize of
-    # the exploded branch
-    sizes = spread.select(
-        F.col(id_col),
-        F.size(F.array_distinct(word_ngrams(F.col(text_col), n))).cast("long").alias("set_size"),
+    base = spread.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_sh")
     )
+    shingled = base.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("set_size"),
+        F.explode("_sh").alias("_s"),
+    ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .agg(F.count("*").alias("common"))
-    )
-    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        common.join(sz_a, "id_a")
-        .join(sz_b, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6
-            ).alias("jaccard"),
+        .agg(
+            F.count("*").alias("common"),
+            F.first("a.set_size").alias("size_a"),
+            F.first("b.set_size").alias("size_b"),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
+    return common.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)
