@@ -21,7 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_pipeline_childcare_spark.io import load_table
+from data_pipeline_childcare_spark.io import load_table, spread_partitions
 from data_pipeline_childcare_spark.operators import (
     asof_join,
     cosine_topk_bruteforce,
@@ -54,7 +54,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     per_session = _TABLE_MEMO.setdefault(spark, {})
     key = (sf_dir, name)
     if key not in per_session:
-        per_session[key] = load_table(spark, name, sf_dir)
+        # Test parquet is written as ONE row group per file, so the scan
+        # is a single task no matter how small maxPartitionBytes is set
+        # (splits that contain no row-group start read nothing): every
+        # query's first stage — filter, projection, partial agg, shuffle
+        # write — would run on one core. spread_partitions restores full
+        # parallelism here and is a no-op on real lakes where files
+        # carry a row group per ~128 MB.
+        per_session[key] = spread_partitions(load_table(spark, name, sf_dir))
     return per_session[key]
 
 

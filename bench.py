@@ -95,7 +95,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     for t in eng.io.TESTDATA_TABLES:
-        df = eng.load_table(spark, t, SF_DIR)
+        # Cache THROUGH the entry module's memoized loader so the
+        # cached plan (including its spread_partitions repartition) is
+        # the exact plan object every query builds on — CacheManager
+        # substitution then serves a 32-partition in-memory relation,
+        # not a 1-partition one pinned to the single-row-group file.
+        df = entry_mod._t(spark, SF_DIR, t)
         df.cache()
         df.count()
     qs = entry_mod.queries()
