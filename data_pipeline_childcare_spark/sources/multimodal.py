@@ -4,10 +4,11 @@ Mandated beyond-reference surface: image/audio/video as ``binary``
 columns with a typed metadata struct, and decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-Decode is TIERED, best-available first: a real PIL decode (true
-dims/mode + a 4×2-grayscale-thumbnail feature) when the library is
-importable; stdlib header-parsed dimensions (PNG/GIF/JPEG/BMP) when it
-is not; a deterministic digest fake only as the last resort — each
+Decode is TIERED, most-deterministic real path first: a REAL stdlib
+decode for PNG (zlib inflate + unfilter, ``sources/imagecodec.py``),
+BMP and PPM — true pixels, env-independent; PIL for formats stdlib
+can't (JPEG/GIF) when importable; stdlib header-parsed dimensions
+next; a deterministic digest fake only as the last resort — each
 tier clearly marked via ``mode``/``is_stub``. Metadata attachment
 never needs Python at all: PNG/GIF width/height parse straight out of
 the header bytes with substring/hex/conv COLUMN expressions. Video
@@ -117,15 +118,31 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 
 
 def _decode_image(data: bytes) -> tuple[int, int, str, list[float]]:
-    """Three-tier decode, best available first:
+    """Tiered decode, most-deterministic real path first:
 
-    1. PIL importable → REAL decode: true dims/mode and a real 8-dim
-       feature (4×2 grayscale thumbnail, pixel means / 255) — the
-       cheapest visual embedding that supports dedup/ANN downstream.
-    2. no PIL but the header parses (PNG/GIF/JPEG/BMP, stdlib) → real
-       dims, mode "NODECODE", digest feature (marked stub).
-    3. otherwise → fully deterministic digest fake (marked stub).
+    1. stdlib codec (PNG via zlib, BMP, PPM — sources/imagecodec.py)
+       → REAL decode: true dims/mode/pixels and an 8-dim box-mean
+       grayscale-thumbnail feature, bit-identical in every
+       environment — the cheapest visual embedding that supports
+       dedup/ANN downstream.
+    2. PIL importable (formats stdlib can't: JPEG, GIF, ...) → real
+       decode, same thumbnail semantics via PIL.
+    3. header parses (stdlib magic sniff) → real dims, mode
+       "NODECODE", digest feature (marked stub).
+    4. otherwise → fully deterministic digest fake (marked stub).
     """
+    from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: PLC0415
+        decode_image_stdlib,
+        luminance_thumbnail,
+    )
+
+    try:
+        decoded = decode_image_stdlib(data)
+    except Exception:  # noqa: BLE001  (recognized magic but unsupported
+        decoded = None  # variant / truncated / corrupt: next tier)
+    if decoded is not None:
+        w, h, mode, pixels = decoded
+        return w, h, mode, luminance_thumbnail(w, h, mode, pixels)
     try:
         import io  # noqa: PLC0415
 

@@ -1,0 +1,139 @@
+"""Stdlib image codec: PNG encode/decode round-trips across every
+scanline filter and color type, BMP/PPM decode, box-mean thumbnail
+semantics, and the real-decode tier of image_features."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+
+from data_pipeline_childcare_spark.sources.imagecodec import (
+    decode_bmp,
+    decode_image_stdlib,
+    decode_png,
+    decode_ppm,
+    encode_png,
+    luminance_thumbnail,
+)
+
+
+def _pattern(width: int, height: int, channels: int) -> bytes:
+    """Deterministic, high-variance pixel pattern (exercises filters)."""
+    return bytes(
+        (x * 7 + y * 31 + c * 101 + (x * y) % 13) % 256
+        for y in range(height)
+        for x in range(width)
+        for c in range(channels)
+    )
+
+
+@pytest.mark.parametrize("mode,channels", [("L", 1), ("LA", 2), ("RGB", 3), ("RGBA", 4)])
+@pytest.mark.parametrize("filter_type", [0, 1, 2, 3, 4])
+def test_png_roundtrip_all_filters_and_modes(mode, channels, filter_type):
+    w, h = 13, 7  # odd sizes: exercises first-column/first-row edges
+    pixels = _pattern(w, h, channels)
+    blob = encode_png(w, h, pixels, mode=mode, filter_type=filter_type)
+    rw, rh, rmode, rpix = decode_png(blob)
+    assert (rw, rh, rmode) == (w, h, mode)
+    assert rpix == pixels
+
+
+def test_png_palette_expands_to_rgb():
+    # 4 palette entries: black, red, green, blue
+    palette = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = bytes([0, 1, 2, 3, 3, 2, 1, 0])  # 4x2
+    blob = encode_png(4, 2, idx, mode="P", palette=palette)
+    w, h, mode, pix = decode_png(blob)
+    assert (w, h, mode) == (4, 2, "RGB")
+    assert pix[:6] == bytes([0, 0, 0, 255, 0, 0])  # black, red
+    assert pix[-3:] == bytes([0, 0, 0])
+
+
+def test_png_rejects_unsupported():
+    with pytest.raises(ValueError):
+        decode_png(b"nope")
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+        ">I", zlib.crc32(b"IHDR" + ihdr)
+    )
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(sig + chunk)
+
+
+def _bmp_24(width: int, height: int, rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
+    """Hand-built bottom-up 24-bit BMP."""
+    row_bytes = (width * 3 + 3) & ~3
+    body = bytearray()
+    for row in reversed(rows_rgb):  # bottom-up storage
+        line = bytearray()
+        for r, g, b in row:
+            line += bytes([b, g, r])
+        line += bytes(row_bytes - len(line))
+        body += line
+    header = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    info = struct.pack("<iiiHHIIiiII", 40, width, height, 1, 24, 0, len(body), 0, 0, 0, 0)
+    return header + info[:4] + info[4:] + body
+
+
+def test_bmp_decode_bottom_up_and_padding():
+    rows = [
+        [(255, 0, 0), (0, 255, 0), (0, 0, 255)],
+        [(10, 20, 30), (40, 50, 60), (70, 80, 90)],
+    ]
+    w, h, mode, pix = decode_bmp(_bmp_24(3, 2, rows))
+    assert (w, h, mode) == (3, 2, "RGB")
+    assert pix[:3] == bytes([255, 0, 0])  # top-left is first row again
+    assert pix[-3:] == bytes([70, 80, 90])
+
+
+def test_ppm_decode_with_comment():
+    blob = b"P6\n# a comment\n3 1\n255\n" + bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+    w, h, mode, pix = decode_ppm(blob)
+    assert (w, h, mode) == (3, 1, "RGB")
+    assert pix == bytes([1, 2, 3, 4, 5, 6, 7, 8, 9])
+
+
+def test_dispatch_by_magic():
+    png = encode_png(2, 2, _pattern(2, 2, 3), mode="RGB")
+    assert decode_image_stdlib(png)[2] == "RGB"
+    assert decode_image_stdlib(b"\xff\xd8\xff jpeg") is None  # needs PIL
+
+
+def test_luminance_thumbnail_known_values():
+    # 4x2 RGB image, left half black, right half white → cells map 1:1
+    pixels = bytes()
+    for _y in range(2):
+        pixels += bytes([0, 0, 0]) * 2 + bytes([255, 255, 255]) * 2
+    feat = luminance_thumbnail(4, 2, "RGB", pixels, tw=4, th=2)
+    assert feat == [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]
+    # gray ramp collapses to per-cell means
+    gray = bytes([0, 100, 200, 250])
+    feat_l = luminance_thumbnail(4, 1, "L", gray, tw=2, th=1)
+    assert feat_l == [50 / 255.0, 225 / 255.0]
+
+
+def test_image_features_real_decode_tier(spark):
+    """A valid PNG payload must take the REAL stdlib decode path:
+    true dims, true mode, box-mean feature, is_stub False."""
+    import pandas as pd  # noqa: PLC0415
+
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.multimodal import image_features  # noqa: PLC0415
+
+    w, h = 8, 4
+    pixels = _pattern(w, h, 3)
+    blob = encode_png(w, h, pixels, mode="RGB", filter_type=4)
+    df = spark.createDataFrame(
+        pd.DataFrame({"path": ["real.png"], "content": [blob]})
+    ).withColumn("content", F.col("content").cast("binary"))
+    row = image_features(df).first()
+    assert (row["width"], row["height"], row["mode"]) == (w, h, "RGB")
+    assert row["is_stub"] is False
+    assert row["feature"] == pytest.approx(
+        luminance_thumbnail(w, h, "RGB", pixels), abs=1e-6
+    )
