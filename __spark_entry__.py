@@ -341,6 +341,46 @@ def minhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_est_pairs_portable(docs, threshold=0.5)
 
 
+def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS, fully oracled end-to-end: portable-minhash
+    candidate pairs feed iterative min-label connected components
+    (operators/components.py), so chains merge transitively — A~B~C
+    lands in ONE cluster even when A!~C, the semantics pair-dropping
+    dedup under-merges. One row per doc: cluster id (= min doc_id in
+    its component), cluster size, and whether this doc is the
+    canonical keeper. The DuckDB oracle reuses the same pairs CTE
+    plus a recursive min-label-reachability CTE — a full SQL oracle
+    for a graph algorithm.
+
+    Scale: pairs volume is LSH-banded (never all-pairs); each CC
+    iteration is two keyed shuffles over the (tiny relative to corpus)
+    edge set; the final join back to docs broadcasts the label frame
+    when small. Reference parity: dedup-by-content family
+    (生成行业调研报告.py writes merged unique records; SURVEY §2.7).
+    """
+    from data_pipeline_childcare_spark.operators.components import connected_components
+    from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_est_pairs_portable(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["id"], "left")
+        .select(
+            docs["doc_id"],
+            F.coalesce(comp["component"], docs["doc_id"]).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return labeled.select(
+        "doc_id",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 def simhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-oracle SimHash: bit votes from md5-derived hashes, 16-bit
     pigeonhole bands, hamming filter — every stage bit-exact against
@@ -981,6 +1021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_extract": events_props_extract,
         "distinct_users_per_type": distinct_users_per_type,
         "minhash_portable_pairs_docs": minhash_portable_pairs_docs,
+        "minhash_dedup_clusters": minhash_dedup_clusters,
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "doc_pii_scrub": doc_pii_scrub,
@@ -1028,6 +1069,44 @@ def oracle_sql() -> dict[str, str]:
     tokens = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
     _split_case = split_sql_case("doc_id")
     _sample_threshold = _threshold_hex(0.2)
+    # portable-minhash pairs CTE chain, shared by the pairs query and
+    # the connected-components clusters query built on top of it
+    _minhash_ctes = f"""toks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), grams AS (
+                SELECT doc_id,
+                       list_distinct(
+                           list_transform(
+                               range(1, greatest(len(t) - 3, 0) + 2),
+                               i -> array_to_string(t[i:i+2], ' ')
+                           )
+                       ) AS shingles
+                FROM toks
+            ), inv AS (
+                SELECT doc_id, unnest(shingles) AS s FROM grams
+            ), sigs AS (
+                -- 60-bit integer from the md5 prefix: identical to
+                -- Spark's conv(substring(md5(...),1,15),16,10)
+                SELECT doc_id, i,
+                       min(CAST(CONCAT('0x', substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
+                FROM inv CROSS JOIN range(64) r(i)
+                GROUP BY doc_id, i
+            ), bands AS (
+                SELECT doc_id, i // 4 AS band,
+                       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+                FROM sigs GROUP BY doc_id, i // 4
+            ), cand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+            ), est AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
+                FROM cand c
+                JOIN sigs sa ON sa.doc_id = c.id_a
+                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b
+            )"""
 
     def _jround(expr: str, d: int) -> str:
         # Round a DOUBLE the way Spark does: Spark's round() goes
@@ -1230,43 +1309,32 @@ def oracle_sql() -> dict[str, str]:
             FROM sz LEFT JOIN m ON sz.doc_id = m.doc_id
         """,
         "minhash_portable_pairs_docs": f"""
-            WITH toks AS (
-                SELECT doc_id, {tokens} AS t FROM documents
-            ), grams AS (
-                SELECT doc_id,
-                       list_distinct(
-                           list_transform(
-                               range(1, greatest(len(t) - 3, 0) + 2),
-                               i -> array_to_string(t[i:i+2], ' ')
-                           )
-                       ) AS shingles
-                FROM toks
-            ), inv AS (
-                SELECT doc_id, unnest(shingles) AS s FROM grams
-            ), sigs AS (
-                -- 60-bit integer from the md5 prefix: identical to
-                -- Spark's conv(substring(md5(...),1,15),16,10)
-                SELECT doc_id, i,
-                       min(CAST(CONCAT('0x', substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-                FROM inv CROSS JOIN range(64) r(i)
-                GROUP BY doc_id, i
-            ), bands AS (
-                SELECT doc_id, i // 4 AS band,
-                       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
-                FROM sigs GROUP BY doc_id, i // 4
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-            ), est AS (
-                SELECT c.id_a, c.id_b,
-                       CAST(sum(CASE WHEN sa.m = sb.m THEN 1 ELSE 0 END) AS DOUBLE) / 64 AS est_jaccard
-                FROM cand c
-                JOIN sigs sa ON sa.doc_id = c.id_a
-                JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
-                GROUP BY c.id_a, c.id_b
-            )
+            WITH {_minhash_ctes}
             SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        """,
+        "minhash_dedup_clusters": f"""
+            WITH RECURSIVE {_minhash_ctes}, pairs AS (
+                SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+            ), edges AS (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b AS src, id_a AS dst FROM pairs
+            ), reach AS (
+                -- min-label reachability: lbl flows along (symmetric)
+                -- edges; min over labels reaching a node = min doc_id
+                -- of its connected component
+                SELECT doc_id AS id, doc_id AS lbl FROM documents
+                UNION
+                SELECT e.dst AS id, r.lbl AS lbl
+                FROM reach r JOIN edges e ON e.src = r.id
+            ), comp AS (
+                SELECT id AS doc_id, min(lbl) AS cluster_id
+                FROM reach GROUP BY id
+            )
+            SELECT doc_id, cluster_id,
+                   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size,
+                   doc_id = cluster_id AS is_canonical
+            FROM comp
         """,
         "simhash_portable_pairs_docs": f"""
             WITH toks AS (
