@@ -9,10 +9,17 @@ analogs a production deployment of the same pipelines needs:
 - windows: event-time windowed aggregation + session windows with
   watermarked late-data handling (the streaming analog of the batch
   ``sessionize`` operator).
+- dedup_join: watermarked streaming dedup
+  (``dropDuplicatesWithinWatermark``) and stream-stream event-time
+  interval joins (the streaming analog of the batch range join).
 """
 
 from data_pipeline_childcare_spark.streaming.ingest import stream_record_blocks, incremental_ingest
 from data_pipeline_childcare_spark.streaming.windows import (
     windowed_event_counts,
     streaming_sessions,
+)
+from data_pipeline_childcare_spark.streaming.dedup_join import (
+    streaming_dedup,
+    stream_stream_click_purchase,
 )

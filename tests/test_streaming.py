@@ -91,3 +91,87 @@ def test_streaming_window_query_end_to_end(spark, tmp_path):
         "SELECT event_type, sum(n_events) AS n_events FROM win_counts GROUP BY event_type"
     ).collect()}
     assert got == {"click": 3, "view": 1}
+
+
+def test_streaming_dedup_batch_and_stream_agree(spark, tmp_path):
+    """Watermarked streaming dedup == batch dropDuplicates when dups
+    arrive inside the watermark horizon."""
+    from data_pipeline_childcare_spark.streaming import streaming_dedup
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (1, t0, "click", 1.0),
+        (1, t0 + dt.timedelta(minutes=5), "click", 9.0),   # dup key
+        (2, t0 + dt.timedelta(minutes=1), "click", 2.0),
+        (1, t0 + dt.timedelta(minutes=2), "view", 3.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string, value double")
+    batch_keys = {
+        (r["user_id"], r["event_type"])
+        for r in streaming_dedup(df, ["user_id", "event_type"]).collect()
+    }
+    assert batch_keys == {(1, "click"), (2, "click"), (1, "view")}
+
+    src = tmp_path / "dedup_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_dedup(stream, ["user_id", "event_type"])
+        .writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_keys = {
+        (r["user_id"], r["event_type"]) for r in spark.sql("SELECT * FROM dedup_out").collect()
+    }
+    assert stream_keys == batch_keys
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
+    """True stream-stream join (two file streams, watermarks both
+    sides) produces exactly the batch interval-join rows."""
+    from data_pipeline_childcare_spark.streaming import stream_stream_click_purchase
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    clicks = spark.createDataFrame(
+        [(1, t0, "click", 0.0), (2, t0 + dt.timedelta(minutes=3), "click", 0.0)],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    purchases = spark.createDataFrame(
+        [
+            (1, t0 + dt.timedelta(minutes=10), "purchase", 42.0),   # in horizon
+            (1, t0 + dt.timedelta(minutes=50), "purchase", 99.0),   # outside 30m
+            (2, t0 + dt.timedelta(minutes=4), "purchase", 7.0),     # in horizon
+            (3, t0 + dt.timedelta(minutes=5), "purchase", 5.0),     # no click
+        ],
+        "user_id long, ts timestamp, event_type string, value double",
+    )
+    batch = {
+        (r["user_id"], r["purchase_value"])
+        for r in stream_stream_click_purchase(clicks, purchases).collect()
+    }
+    assert batch == {(1, 42.0), (2, 7.0)}
+
+    c_src, p_src = tmp_path / "clicks", tmp_path / "purch"
+    clicks.write.parquet(str(c_src))
+    purchases.write.parquet(str(p_src))
+    c_stream = spark.readStream.schema(clicks.schema).parquet(str(c_src))
+    p_stream = spark.readStream.schema(purchases.schema).parquet(str(p_src))
+    q = (
+        stream_stream_click_purchase(c_stream, p_stream)
+        .writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = {
+        (r["user_id"], r["purchase_value"]) for r in spark.sql("SELECT * FROM ssj_out").collect()
+    }
+    assert stream_rows == batch
