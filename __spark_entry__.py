@@ -530,6 +530,56 @@ def percentiles_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def small_quantity_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q17 shape — correlated scalar subquery: revenue from
+    lineitems whose quantity is below 20% of the per-part average.
+    Spark plan: the correlation decorrelates to a per-part aggregate
+    joined back on partkey — one map-side-combinable agg + one
+    equi-join on the same key (AQE broadcasts the agg side when it is
+    small). l_quantity is integer-valued, so the avg is an exact
+    sum/count in both engines and the 0.2·avg comparison cannot flake
+    on summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li["l_partkey"] == per_part["ap_partkey"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q13 shape — distribution histogram: orders per customer
+    (left join keeps zero-order customers), then customers per order
+    count. Two keyed shuffles; the second input is |customers| rows,
+    already tiny relative to the join."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    counts = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy(cust["c_custkey"])
+        .agg(F.count(orders["o_orderkey"]).alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+def events_cube_by_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, ISO weekday): all four grouping
+    combinations in one pass, disambiguated by grouping flags (the
+    multi-dimensional twin of ``rollup_pricing``). weekday()+1 in
+    Spark == isodow() in DuckDB (Mon=1..Sun=7)."""
+    ev = _t(spark, sf_dir, "events")
+    with_dow = ev.withColumn("dow", (F.weekday("ts") + 1).cast("long"))
+    return with_dow.cube("event_type", "dow").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+        F.grouping("event_type").cast("long").alias("g_type"),
+        F.grouping("dow").cast("long").alias("g_dow"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-layer queries: multi-format dates, label decoding, centroids
 # ---------------------------------------------------------------------------
@@ -1013,6 +1063,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_click_to_purchase": range_join_click_to_purchase,
         "events_pivot_by_type": events_pivot_by_type,
         "rollup_pricing": rollup_pricing,
+        "small_quantity_part_revenue": small_quantity_part_revenue,
+        "customer_order_histogram": customer_order_histogram,
+        "events_cube_by_type_dow": events_cube_by_type_dow,
         "percentiles_by_flag": percentiles_by_flag,
         "parse_dates_multi": parse_dates_multi,
         "decode_event_labels": decode_event_labels,
@@ -1566,6 +1619,32 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_rows
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "small_quantity_part_revenue": """
+            SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+            FROM lineitem l JOIN (
+                SELECT l_partkey AS ap_partkey, avg(l_quantity) AS avg_qty
+                FROM lineitem GROUP BY l_partkey
+            ) a ON l.l_partkey = a.ap_partkey
+            WHERE l.l_quantity < 0.2 * a.avg_qty
+        """,
+        "customer_order_histogram": """
+            SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+            FROM (
+                SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+                FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                GROUP BY c.c_custkey
+            )
+            GROUP BY c_count
+        """,
+        "events_cube_by_type_dow": """
+            SELECT event_type, dow,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS total_value,
+                   CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+                   CAST(GROUPING(dow) AS BIGINT) AS g_dow
+            FROM (SELECT event_type, CAST(isodow(ts) AS BIGINT) AS dow, value FROM events)
+            GROUP BY CUBE (event_type, dow)
         """,
         "percentiles_by_flag": """
             SELECT l_returnflag,
