@@ -733,6 +733,63 @@ def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_cosine_dedup_lsh(emb, dim=64, threshold=0.4).select("vec_id", "label")
 
 
+def embedding_cosine_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third member of the embedding-dedup family: IVF (k-means cell)
+    candidate pairs with multi-assignment, same exact-cosine verify +
+    anti-join tail. Rows-only for the same reason as the LSH variant;
+    recall ≥0.95 vs the exact baseline asserted in tests."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup_ivf,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return embedding_cosine_dedup_ivf(emb, threshold=0.4).select("vec_id", "label")
+
+
+def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode end-to-end at the driver surface: synthesize
+    a deterministic PNG per document (stdlib encoder, doc_id-seeded
+    pixels, cycling through all five PNG scanline filters), decode
+    with the REAL stdlib codec inside image_features (zlib inflate +
+    unfilter, sources/imagecodec.py), then aggregate per image width.
+    Rows-only: no SQL engine can inflate PNGs, but every stage is
+    deterministic, so rows/values are stable across runs. The decode
+    is separately proven bit-exact against known pixels in
+    tests/test_imagecodec.py."""
+    import pandas as pd  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.imagecodec import encode_png
+    from data_pipeline_childcare_spark.sources.multimodal import image_features
+
+    # two narrow columns through two Python stages: 8 tasks is plenty
+    # at any SF here, and avoids paying worker spawn × full core count
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars").coalesce(8)
+
+    def gen(batches):
+        for pdf in batches:
+            paths, blobs = [], []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                w, h = 8 + int(doc_id) % 8, 4 + int(n_chars) % 4
+                pix = bytes((int(doc_id) * 31 + i * 7) % 256 for i in range(w * h * 3))
+                paths.append(f"doc_{int(doc_id)}.png")
+                blobs.append(encode_png(w, h, pix, mode="RGB", filter_type=int(doc_id) % 5))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    imgs = docs.mapInPandas(gen, schema="path string, content binary")
+    return (
+        image_features(imgs)
+        .groupBy("width")
+        .agg(
+            F.count("*").alias("n_images"),
+            F.round(F.avg("height"), 4).alias("avg_height"),
+            F.round(F.avg(F.try_element_at("feature", F.lit(1))), 6).alias("avg_f0"),
+            F.max(F.col("is_stub").cast("int")).alias("any_stub"),
+        )
+    )
+
+
 def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     operator — same expression, no watermark)."""
@@ -1096,6 +1153,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
         "embedding_cosine_dedup_lsh": embedding_cosine_dedup_lsh_q,
+        "embedding_cosine_dedup_ivf": embedding_cosine_dedup_ivf_q,
+        "image_decode_features": image_decode_features,
         "doc_train_split": doc_train_split,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,

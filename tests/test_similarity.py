@@ -149,3 +149,24 @@ def test_embedding_cosine_dedup_lsh_recall_and_no_false_drops(spark):
     # and the candidate generator must SEE ≥95% of the true duplicates
     recall = len(dropped_lsh) / len(dropped_exact) if dropped_exact else 1.0
     assert recall >= 0.95, f"recall {recall} ({len(dropped_lsh)}/{len(dropped_exact)})"
+
+
+def test_embedding_cosine_dedup_ivf_recall_and_no_false_drops(spark):
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup,
+        embedding_cosine_dedup_ivf,
+    )
+
+    emb = _emb(spark)
+    kept_exact = {r["vec_id"] for r in embedding_cosine_dedup(emb, threshold=0.4).collect()}
+    kept_ivf = {
+        r["vec_id"]
+        for r in embedding_cosine_dedup_ivf(emb, threshold=0.4).collect()
+    }
+    all_ids = {r["vec_id"] for r in emb.select("vec_id").collect()}
+    dropped_exact = all_ids - kept_exact
+    dropped_ivf = all_ids - kept_ivf
+    # verified tail → an IVF drop is always a true near-dup
+    assert dropped_ivf <= dropped_exact
+    recall = len(dropped_ivf) / len(dropped_exact) if dropped_exact else 1.0
+    assert recall >= 0.95, f"recall {recall} ({len(dropped_ivf)}/{len(dropped_exact)})"
