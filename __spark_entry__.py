@@ -988,6 +988,18 @@ def events_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(ev, n=20).select("event_id", "event_type", "value", "rank")
 
 
+def docs_source_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (the domain-cap curation step every
+    web-scale corpus applies): ≤10 docs per source, chosen by
+    deterministic md5 order. Skew-aware two-phase operator
+    (operators/split.cap_per_key): only over-cap sources pay the
+    window sort; under-cap keys never sort at all."""
+    from data_pipeline_childcare_spark.operators.split import cap_per_key
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "lang")
+    return cap_per_key(docs, ("source",), cap=10)
+
+
 def doc_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (smoothed idf, rounded before
     ranking so the cut is engine-stable)."""
@@ -1161,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_stratified_sample": events_stratified_sample,
         "events_weighted_sample": events_weighted_sample,
+        "docs_source_capped": docs_source_capped,
         "events_column_profile": events_column_profile,
     }
 
@@ -2075,6 +2088,16 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (ORDER BY r, event_id) AS rank
                 FROM w
             ) WHERE rank <= 20
+        """,
+        "docs_source_capped": """
+            SELECT doc_id, source, lang FROM (
+                SELECT doc_id, source, lang,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY substr(md5('cap:' || CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 10
         """,
         "events_column_profile": """
             SELECT u.column_name,

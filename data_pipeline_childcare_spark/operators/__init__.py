@@ -48,6 +48,7 @@ from data_pipeline_childcare_spark.operators.split import (
     hash_sample_flag,
     stratified_hash_sample,
     weighted_sample,
+    cap_per_key,
 )
 from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
 from data_pipeline_childcare_spark.operators.profile import profile_columns

@@ -146,6 +146,43 @@ def weighted_sample(
     return top.withColumn("rank", F.row_number().over(w).cast("int")).drop("_r")
 
 
+def cap_per_key(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    cap: int,
+    id_col: str = "doc_id",
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-key row cap (domain/source caps in corpus curation): keep at
+    most ``cap`` rows per key, selected by the deterministic md5 order
+    (same salt → same survivors forever, any engine).
+
+    Skew-aware two-phase shape: a count aggregate first splits keys
+    into under-cap (kept WHOLE — no sort at all) and over-cap (ranked
+    by a window). At corpus scale the vast majority of domains sit
+    under any sane cap, so the per-key window sort — the only
+    non-scalable piece of the naive formulation, and quadratic pain on
+    a hot domain — runs only over the hot tail. The count frame is one
+    row per key and broadcasts. Selection is IDENTICAL to the naive
+    single-window formulation (under-cap keys rank ≤ cap trivially),
+    which is what the SQL oracle checks.
+    """
+    keys = list(key_cols)
+    counts = df.groupBy(*keys).agg(F.count("*").alias("_n"))
+    tagged = df.join(F.broadcast(counts), keys)
+    under = tagged.filter(F.col("_n") <= cap).drop("_n")
+    order = _bucket_hex(F.col(id_col), salt)
+    w = Window.partitionBy(*keys).orderBy(order, id_col)
+    over = (
+        tagged.filter(F.col("_n") > cap)
+        .drop("_n")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .drop("_rn")
+    )
+    return under.unionByName(over)
+
+
 def split_sql_case(
     id_expr: str,
     splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),

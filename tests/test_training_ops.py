@@ -60,3 +60,32 @@ def test_benchmark_contamination_bounds(spark):
     got = {r["doc_id"]: r for r in benchmark_contamination(docs, bench).collect()}
     assert got[1]["contamination"] == 1.0  # exact benchmark copy
     assert got[2]["contamination"] == 0.0 and got[2]["matched"] == 0
+
+
+def test_cap_per_key_two_phase_matches_naive_window(spark):
+    """Skew-aware cap = naive single-window cap, row for row; under-cap
+    keys keep every row (and never sort)."""
+    from pyspark.sql import Window
+
+    from data_pipeline_childcare_spark.operators.split import _bucket_hex, cap_per_key
+
+    rows = [(i, "hot" if i < 40 else f"cold{i % 3}") for i in range(52)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = cap_per_key(df, ("source",), cap=5, id_col="doc_id")
+
+    w = Window.partitionBy("source").orderBy(_bucket_hex(F.col("doc_id"), "cap"), "doc_id")
+    naive = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 5)
+        .drop("_rn")
+    )
+    got = {(r["doc_id"], r["source"]) for r in capped.collect()}
+    want = {(r["doc_id"], r["source"]) for r in naive.collect()}
+    assert got == want
+    # hot key capped to 5; cold keys (4 rows each) kept whole
+    per_key = {r["source"]: r["n"] for r in capped.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per_key["hot"] == 5
+    assert all(v == 4 for k, v in per_key.items() if k != "hot")
+    # determinism: same salt → same survivors
+    again = {(r["doc_id"], r["source"]) for r in cap_per_key(df, ("source",), cap=5).collect()}
+    assert again == got
