@@ -580,6 +580,92 @@ def events_cube_by_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q14 shape — conditional-aggregate ratio: the share of 1997
+    revenue coming from PROMO parts. One broadcast join (part is the
+    small dim), one global agg with a CASE inside the sum; the date
+    filter reaches the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            # pre-round both sums: rounding to 2 canonicalizes the
+            # partition-order-dependent low bits, so the quotient below
+            # is the same double in any engine
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(
+            "promo_revenue",
+            "total_revenue",
+            F.round(
+                100.0 * F.col("promo_revenue") / F.col("total_revenue"), 4
+            ).alias("promo_revenue_pct"),
+        )
+    )
+
+
+def top_return_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q10 shape — revenue lost to returns per customer: filter
+    returned lines, join orders (shuffle on orderkey), roll up to
+    customer, decorate with the broadcast nation dim, top 20."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_cust = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_custkey")
+        .agg(F.round(F.sum(rev), 2).alias("revenue"))
+    )
+    return (
+        per_cust.join(cust, per_cust["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .select("c_custkey", "c_name", "n_name", "c_acctbal", "revenue")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q19 shape — OR-of-ANDs join predicate: three disjoint
+    (brand, size-range, quantity-range) arms. The equi-join key
+    (partkey) is still extracted, so this plans as a hash join with a
+    residual disjunctive filter — NOT a cartesian; the arms prune at
+    the part scan via the OR-ed brand/size predicate."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    arm1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 10))
+        & (F.col("l_quantity").between(1, 11))
+    )
+    arm2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size").between(1, 20))
+        & (F.col("l_quantity").between(10, 20))
+    )
+    arm3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 30))
+        & (F.col("l_quantity").between(20, 30))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(arm1 | arm2 | arm3).agg(
+        F.round(F.sum(rev), 2).alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-layer queries: multi-format dates, label decoding, centroids
 # ---------------------------------------------------------------------------
@@ -1175,6 +1261,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_weighted_sample": events_weighted_sample,
         "docs_source_capped": docs_source_capped,
         "events_column_profile": events_column_profile,
+        "promo_revenue_ratio": promo_revenue_ratio,
+        "top_return_customers": top_return_customers,
+        "disjunctive_part_revenue": disjunctive_part_revenue,
     }
 
 
@@ -2120,5 +2209,44 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'props', count(*) - count(props),
                        count(DISTINCT props) FROM events
             ) u
+        """,
+        "promo_revenue_ratio": f"""
+            WITH agg AS (
+                SELECT round(sum(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END), 2) AS promo_revenue,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+            )
+            SELECT promo_revenue, total_revenue,
+                   {_jround('100.0 * promo_revenue / total_revenue', 4)} AS promo_revenue_pct
+            FROM agg
+        """,
+        "top_return_customers": """
+            SELECT c_custkey, c_name, n_name, c_acctbal, revenue
+            FROM (
+                SELECT o_custkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                GROUP BY o_custkey
+            ) pc
+            JOIN customer ON pc.o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
+        """,
+        "disjunctive_part_revenue": """
+            SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                   count(*) AS n_lines
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+                   AND l_quantity BETWEEN 20 AND 30)
         """,
     }
