@@ -666,6 +666,191 @@ def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q7 shape — shipping volume between a nation pair, both
+    directions, by ship year. supplier/customer/nation are broadcast
+    dims; the only shuffles are lineitem→orders on orderkey and the
+    final tiny group-by. The pair filter is applied to the two
+    broadcast nation copies, so the big-side scan is never widened."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+        ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
+    n2 = F.broadcast(
+        nation.select(
+            F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+        ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(n1, F.col("s_nationkey") == F.col("s_nk"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(n2, F.col("c_nationkey") == F.col("c_nk"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            # long, not int: DuckDB year() is BIGINT and the driver's
+            # value hash sees dtype drift
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            F.round(F.sum(rev), 2).alias("volume"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 shape (adapted: lineitem is the part-supplier
+    relation — testdata has no partsupp): parts whose total line value
+    exceeds 0.1% of ALL line value. The global total is a scalar
+    aggregate broadcast into the HAVING filter; both sides compare
+    pre-rounded (canonical) doubles so the threshold cannot flake on
+    summation order."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_part = li.groupBy("l_partkey").agg(F.round(F.sum(rev), 2).alias("part_value"))
+    total = li.agg(F.round(F.sum(rev), 2).alias("total_value"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("part_value") > 0.0008 * F.col("total_value"))
+        .select("l_partkey", "part_value")
+        .orderBy(F.desc("part_value"), "l_partkey")
+    )
+
+
+def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q15 shape — supplier(s) achieving the maximum quarterly
+    revenue: per-supplier agg, scalar max broadcast back as a filter
+    (the classic "create view revenue0" decorrelation). Revenue is
+    rounded before the max/equality so both sides are canonical."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total_revenue"))
+    )
+    mx = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def large_quantity_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q18 shape — orders whose total quantity exceeds 250:
+    HAVING on a keyed agg, then the qualifying keys (a tiny set)
+    broadcast-semi-join back to orders + customer for decoration.
+    l_quantity is integer-valued so the threshold is exact."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("total_qty"), "o_orderkey")
+    )
+
+
+def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q21 shape (adapted: late = shipped > 90 days after order
+    date — testdata has no receipt/commit dates): suppliers who were
+    the SOLE late supplier on a multi-supplier order. The reference
+    formulation is EXISTS + NOT-EXISTS self-joins; the scalable Spark
+    plan is ONE per-order aggregate (distinct suppliers, distinct late
+    suppliers, the single late supplier's key) — one shuffle on
+    orderkey instead of three self-joins of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    late = F.col("l_shipdate") > F.timestamp_add(
+        "DAY", F.lit(90), F.col("o_orderdate")
+    )
+    per_order = joined.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    )
+    sole_late = per_order.filter(
+        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
+    )
+    return (
+        sole_late.groupBy("late_supp")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(supp), F.col("late_supp") == F.col("s_suppkey"))
+        .select("s_name", F.col("late_supp").alias("s_suppkey"), "numwait")
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(25)
+    )
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q22 shape (adapted: grouped by nation — testdata has no
+    phone column): customers with above-average positive balance and
+    no orders SINCE 2000 (every sf0.01 customer has some order, so the
+    classic no-orders-ever predicate is vacuous), rolled up per
+    nation. The average is computed in exact integer cents and the
+    threshold comparison cross-multiplies (cents·n > total_cents), so
+    it is bit-deterministic in any engine and immune to float
+    summation order. The anti-join's date filter is pushed to the
+    orders scan before the shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    nation = _t(spark, sf_dir, "nation")
+    cents = F.round(F.col("c_acctbal") * 100).cast("long")
+    pos = cust.filter(F.col("c_acctbal") > 0.0).select(
+        "c_custkey", "c_nationkey", "c_acctbal", cents.alias("cents")
+    )
+    thr = pos.agg(
+        F.sum("cents").alias("total_cents"), F.count("*").alias("n_pos")
+    )
+    rich = pos.join(F.broadcast(thr)).filter(
+        F.col("cents") * F.col("n_pos") > F.col("total_cents")
+    )
+    recent = orders.filter(F.col("o_orderdate") >= "2000-01-01")
+    idle = rich.join(
+        recent, rich["c_custkey"] == recent["o_custkey"], "left_anti"
+    )
+    return (
+        idle.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-layer queries: multi-format dates, label decoding, centroids
 # ---------------------------------------------------------------------------
@@ -1264,6 +1449,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "promo_revenue_ratio": promo_revenue_ratio,
         "top_return_customers": top_return_customers,
         "disjunctive_part_revenue": disjunctive_part_revenue,
+        "nation_pair_volume": nation_pair_volume,
+        "important_part_value": important_part_value,
+        "top_supplier_revenue": top_supplier_revenue,
+        "large_quantity_orders": large_quantity_orders,
+        "suppliers_kept_waiting": suppliers_kept_waiting,
+        "idle_rich_customers": idle_rich_customers,
     }
 
 
@@ -2248,5 +2439,104 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "nation_pair_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   year(l_shipdate) AS ship_year,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS volume,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN supplier  ON l_suppkey = s_suppkey
+            JOIN nation ns ON s_nationkey = ns.n_nationkey
+            JOIN orders    ON l_orderkey = o_orderkey
+            JOIN customer  ON o_custkey = c_custkey
+            JOIN nation nc ON c_nationkey = nc.n_nationkey
+            WHERE ns.n_name IN ('NATION_1', 'NATION_2')
+              AND nc.n_name IN ('NATION_1', 'NATION_2')
+              AND ns.n_name <> nc.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
+        """,
+        "important_part_value": """
+            WITH pp AS (
+                SELECT l_partkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+                FROM lineitem GROUP BY 1
+            ), tot AS (
+                SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_value
+                FROM lineitem
+            )
+            SELECT l_partkey, part_value
+            FROM pp, tot
+            WHERE part_value > 0.0008 * total_value
+            ORDER BY part_value DESC, l_partkey
+        """,
+        "top_supplier_revenue": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1997-04-01'
+                GROUP BY 1
+            )
+            SELECT s_suppkey, s_name, total_revenue
+            FROM rev JOIN supplier ON l_suppkey = s_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "large_quantity_orders": """
+            WITH big AS (
+                SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING round(sum(l_quantity), 2) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   round(o_totalprice, 2) AS totalprice, total_qty
+            FROM orders
+            JOIN big      ON o_orderkey = l_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            ORDER BY total_qty DESC, o_orderkey
+        """,
+        "suppliers_kept_waiting": """
+            WITH per_order AS (
+                SELECT l_orderkey,
+                       count(DISTINCT l_suppkey) AS n_supp,
+                       count(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                           THEN l_suppkey END) AS n_late_supp,
+                       max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                                THEN l_suppkey END) AS late_supp
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                GROUP BY 1
+            )
+            SELECT s_name, late_supp AS s_suppkey, count(*) AS numwait
+            FROM per_order JOIN supplier ON late_supp = s_suppkey
+            WHERE n_supp > 1 AND n_late_supp = 1
+            GROUP BY 1, 2
+            ORDER BY numwait DESC, s_suppkey
+            LIMIT 25
+        """,
+        "idle_rich_customers": """
+            WITH pos AS (
+                SELECT c_custkey, c_nationkey, c_acctbal,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer WHERE c_acctbal > 0.0
+            ), thr AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+                       count(*) AS n_pos
+                FROM pos
+            ), idle AS (
+                SELECT c_custkey, c_nationkey, c_acctbal
+                FROM pos, thr
+                WHERE cents * n_pos > total_cents
+                  AND NOT EXISTS (SELECT 1 FROM orders
+                                  WHERE o_custkey = c_custkey
+                                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+            )
+            SELECT n_name, count(*) AS n_custs,
+                   round(sum(c_acctbal), 2) AS total_acctbal
+            FROM idle JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY 1
+            ORDER BY 1
         """,
     }
