@@ -329,6 +329,18 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over events.user_id — the
+    fixed-size mergeable-counter pattern for frequency on keys too
+    wide to groupBy exactly at 100 TB (operators/sketches.py). The
+    portable hash family makes the approximate estimate EXACTLY
+    checkable by the DuckDB oracle."""
+    from data_pipeline_childcare_spark.operators.sketches import cms_heavy_hitters
+
+    ev = _t(spark, sf_dir, "events")
+    return cms_heavy_hitters(ev, "user_id", depth=4, width=256, k=20)
+
+
 def minhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-oracle MinHash: the banded-LSH pipeline with an md5-derived
     hash family both engines compute bit-identically — signatures,
@@ -1417,6 +1429,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": minhash_dedup_clusters,
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "cms_heavy_users": cms_heavy_users,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_benchmark_contamination": doc_benchmark_contamination,
@@ -1462,6 +1475,7 @@ def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.cleaning import NOISE_RE
     from data_pipeline_childcare_spark.operators.packing import pack_sql as _pack_sql
     from data_pipeline_childcare_spark.operators.redact import pii_sql as _pii_sql
+    from data_pipeline_childcare_spark.operators.sketches import cms_sql as _cms_sql
     from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
 
     from data_pipeline_childcare_spark.operators.split import (
@@ -1677,6 +1691,7 @@ def oracle_sql() -> dict[str, str]:
               ON f.fp = k.fp AND f.doc_id = k.doc_id
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
+        "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
         "doc_pii_scrub": _pii_sql(
             "(SELECT doc_id, text || ' 联系 user' || CAST(doc_id AS VARCHAR)"
             " || '@example.com 电话138' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"

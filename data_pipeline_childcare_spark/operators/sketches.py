@@ -64,6 +64,106 @@ def kmv_distinct(
     return kept.select(*group_cols, "n_kept", est.alias("est_distinct"))
 
 
+def _bucket_expr(key_col: str, width: int, d: "str | int") -> str:
+    """Spark SQL for the depth-``d`` CMS bucket of ``key_col`` — the
+    portable 60-bit md5 hash reduced mod width. The hash is always
+    positive, so ``%`` and ``pmod`` agree in every engine."""
+    dd = d if isinstance(d, str) else repr(d)
+    return (
+        f"cast(conv(substring(md5(concat(cast({key_col} as string), '#', cast({dd} as string))), 1, 15), 16, 10) as bigint) % {width}"
+    )
+
+
+def cms_counters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256
+) -> DataFrame:
+    """Count-min sketch counters → (d, bucket, cnt).
+
+    The sketch is ``depth × width`` counters — FIXED size no matter
+    how many rows flow in, and mergeable by plain addition, which is
+    what makes it the 100 TB answer to "how often does each key
+    occur" when the key cardinality is too high to groupBy exactly:
+    partial aggregation combines map-side, the shuffle carries at most
+    ``depth × width`` rows per partition, and sketches from separate
+    days/sources merge by summing counters.
+
+    Estimates only overcount (hash collisions), never undercount;
+    ``width`` bounds the bias at ~``e·n/width`` with probability
+    ``1 - e^-depth``  (Cormode & Muthukrishnan 2005).
+    """
+    buckets = F.array(
+        *[F.expr(_bucket_expr(key_col, width, d)) for d in range(depth)]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("d", "bucket"))
+        .groupBy("d", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    counters: DataFrame, candidates: DataFrame, key_col: str,
+    depth: int = 4, width: int = 256,
+) -> DataFrame:
+    """Point-estimate each candidate key against CMS ``counters`` →
+    (key_col, est_count). est = min over depth rows of the key's
+    bucket counter. ``candidates`` is a separate input on purpose: at
+    scale you estimate a small candidate set (e.g. the union of
+    per-partition local top-k), never every distinct key."""
+    buckets = F.array(
+        *[F.expr(_bucket_expr(key_col, width, d)) for d in range(depth)]
+    )
+    keyed = candidates.select(key_col, F.posexplode(buckets).alias("d", "bucket"))
+    return (
+        keyed.join(F.broadcast(counters), ["d", "bucket"])
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 256, k: int = 20
+) -> DataFrame:
+    """Top-k keys by count-min estimated frequency →
+    (key_col, est_count), ordered est desc / key asc. Deterministic
+    across engines (portable hash + integer counters), so an exact
+    DuckDB oracle checks the approximate algorithm bit-for-bit."""
+    counters = cms_counters(df, key_col, depth, width)
+    cand = df.select(key_col).distinct()
+    est = cms_estimate(counters, cand, key_col, depth, width)
+    return est.orderBy(F.desc("est_count"), key_col).limit(k)
+
+
+def cms_sql(
+    table: str, key_col: str, depth: int = 4, width: int = 256, k: int = 20
+) -> str:
+    """The DuckDB oracle for :func:`cms_heavy_hitters` — identical
+    hash, buckets, and min-of-counters estimator."""
+    h = (
+        f"CAST(CONCAT('0x', substring(md5(CAST({key_col} AS VARCHAR) || '#' || CAST(d.i AS VARCHAR)), 1, 15)) AS BIGINT) % {width}"
+    )
+    return f"""
+        WITH b AS (
+            SELECT d.i AS d, {h} AS bucket
+            FROM {table} CROSS JOIN range({depth}) d(i)
+        ), sk AS (
+            SELECT d, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM b GROUP BY 1, 2
+        ), cand AS (
+            SELECT DISTINCT {key_col} FROM {table}
+        ), cb AS (
+            SELECT {key_col}, d.i AS d, {h} AS bucket
+            FROM cand CROSS JOIN range({depth}) d(i)
+        ), est AS (
+            SELECT {key_col}, min(cnt) AS est_count
+            FROM cb JOIN sk USING (d, bucket)
+            GROUP BY 1
+        )
+        SELECT {key_col}, est_count
+        FROM est ORDER BY est_count DESC, {key_col} LIMIT {k}
+    """
+
+
 def kmv_sql(
     table: str, group_cols: tuple[str, ...], value_col: str, k: int = 64
 ) -> str:

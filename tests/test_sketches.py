@@ -42,3 +42,42 @@ def test_kmv_deterministic_across_runs(spark):
     a = sorted(map(tuple, kmv_distinct(ev, ("event_type",), "user_id").collect()))
     b = sorted(map(tuple, kmv_distinct(ev, ("event_type",), "user_id").collect()))
     assert a == b
+
+
+def test_cms_never_undercounts_and_tight_when_wide(spark):
+    from data_pipeline_childcare_spark.operators.sketches import cms_heavy_hitters
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.001")
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = cms_heavy_hitters(ev, "user_id", depth=4, width=4096, k=50).collect()
+    for r in got:
+        assert r["est_count"] >= exact[r["user_id"]]
+    # width 4096 >> distinct users at sf0.001: collisions are rare
+    # enough that the top estimate is exact
+    top = got[0]
+    assert top["est_count"] == exact[top["user_id"]]
+
+
+def test_cms_counters_merge_by_addition(spark):
+    from data_pipeline_childcare_spark.operators.sketches import (
+        cms_counters,
+        cms_estimate,
+    )
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.001")
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged = (
+        cms_counters(half_a, "user_id")
+        .unionAll(cms_counters(half_b, "user_id"))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    whole = cms_counters(ev, "user_id")
+    cand = ev.select("user_id").distinct().limit(30)
+    est_merged = sorted(map(tuple, cms_estimate(merged, cand, "user_id").collect()))
+    est_whole = sorted(map(tuple, cms_estimate(whole, cand, "user_id").collect()))
+    assert est_merged == est_whole
