@@ -329,6 +329,29 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF time-weighted average of events.value per (event_type,
+    day) — the hyperfunction plain avg() gets wrong on irregular
+    sampling (operators/timeseries.py). One window pass + one keyed
+    agg, all in codegen."""
+    from data_pipeline_childcare_spark.operators.timeseries import time_weighted_avg
+
+    ev = _t(spark, sf_dir, "events")
+    return time_weighted_avg(
+        ev, "ts", "value", ("event_type",), "1 day", "event_id"
+    )
+
+
+def events_counter_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reset-aware counter rollup (Prometheus increase semantics) of
+    events.value per (event_type, day): drops mean counter restarts
+    and contribute the post-reset value (operators/timeseries.py)."""
+    from data_pipeline_childcare_spark.operators.timeseries import counter_agg
+
+    ev = _t(spark, sf_dir, "events")
+    return counter_agg(ev, "ts", "value", ("event_type",), "1 day", "event_id")
+
+
 def cms_heavy_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min-sketch heavy hitters over events.user_id — the
     fixed-size mergeable-counter pattern for frequency on keys too
@@ -1430,6 +1453,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "cms_heavy_users": cms_heavy_users,
+        "events_time_weighted_avg": events_time_weighted_avg,
+        "events_counter_deltas": events_counter_deltas,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_benchmark_contamination": doc_benchmark_contamination,
@@ -1477,6 +1502,12 @@ def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.redact import pii_sql as _pii_sql
     from data_pipeline_childcare_spark.operators.sketches import cms_sql as _cms_sql
     from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        counter_agg_sql as _counter_sql,
+    )
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        time_weighted_avg_sql as _twa_sql,
+    )
 
     from data_pipeline_childcare_spark.operators.split import (
         _threshold_hex,
@@ -1692,6 +1723,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
+        "events_time_weighted_avg": _twa_sql(
+            "events", "ts", "value", ("event_type",), "1 day", "event_id"
+        ),
+        "events_counter_deltas": _counter_sql(
+            "events", "ts", "value", ("event_type",), "1 day", "event_id"
+        ),
         "doc_pii_scrub": _pii_sql(
             "(SELECT doc_id, text || ' 联系 user' || CAST(doc_id AS VARCHAR)"
             " || '@example.com 电话138' || lpad(CAST(doc_id AS VARCHAR), 8, '0')"

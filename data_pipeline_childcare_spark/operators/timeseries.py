@@ -1,0 +1,202 @@
+"""Time-series hyperfunctions (TimescaleDB semantics on Spark).
+
+Two aggregates that plain ``avg``/``sum`` get WRONG on irregularly
+sampled series, implemented as pure column arithmetic over one window
+pass + one keyed aggregation (no UDFs, stays in codegen):
+
+- ``time_weighted_avg``: each sample's value holds (LOCF) until the
+  next sample or the end of its bucket, and the average weights by
+  that holding duration — so a sensor that reports 100 for 23 hours
+  and 0 for 1 hour averages ≈95.8, not 50. Weighting restarts at each
+  bucket boundary (no carry-in from the previous bucket); this is the
+  bucket-local variant of TimescaleDB's ``time_weight('LOCF', ...)``.
+- ``counter_agg``: Prometheus/TimescaleDB counter semantics — deltas
+  between consecutive samples of a monotonically increasing counter,
+  where a DROP means the counter reset and the post-reset value is
+  the increase. Buckets sum deltas (attributed to the later sample's
+  bucket) and count resets.
+
+Scale shape: one window shuffle keyed by the series key (uniform —
+one partition per series group, skew only if one series dominates,
+in which case ``operators/skew.salt_window`` applies), then a keyed
+aggregation that combines map-side. Both engines compute identical
+per-row arithmetic, and sums are pre-rounded before the final
+division, so the DuckDB oracle checks these exactly.
+
+Reference parity: beyond-reference (the task brief's hypertable
+family); complements ``operators/hypertable.py``'s rollup ladder.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .hypertable import _UNIT_SECONDS, _parse_width, time_bucket
+
+
+def _bucket_width_seconds(width: str) -> int:
+    n, unit = _parse_width(width)
+    if unit not in _UNIT_SECONDS:
+        raise ValueError(
+            f"time-weighted/counter buckets need a fixed width; got {width!r}"
+        )
+    return n * _UNIT_SECONDS[unit]
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    width: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-(group, bucket) LOCF time-weighted average →
+    (group..., bucket, n_samples, twa).
+
+    ``tiebreak_col`` makes the lead() ordering total, so the holding
+    durations — and therefore the result — are deterministic even
+    with duplicate timestamps.
+    """
+    sec = _bucket_width_seconds(width)
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, tiebreak_col)
+    bucket = time_bucket(width, F.col(ts_col))
+    bucket_end = F.timestamp_add("SECOND", F.lit(sec), bucket)
+    hold_until = F.least(
+        F.coalesce(F.lead(ts_col).over(w), bucket_end), bucket_end
+    )
+    dur_s = (
+        F.timestamp_diff("MICROSECOND", F.col(ts_col), hold_until).cast("double")
+        / 1000000.0
+    )
+    weighted = df.select(
+        *group_cols,
+        bucket.alias("bucket"),
+        dur_s.alias("_dur"),
+        (dur_s * F.col(value_col)).alias("_wv"),
+    )
+    # pre-round both sums: canonical doubles regardless of partition
+    # summation order, so the quotient is engine-independent
+    return (
+        weighted.groupBy(*group_cols, "bucket")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.sum("_wv"), 4).alias("_num"),
+            F.round(F.sum("_dur"), 6).alias("_den"),
+        )
+        .select(
+            *group_cols,
+            "bucket",
+            "n_samples",
+            F.round(F.col("_num") / F.col("_den"), 6).alias("twa"),
+        )
+    )
+
+
+def time_weighted_avg_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    width: str,
+    tiebreak_col: str,
+) -> str:
+    """DuckDB oracle for :func:`time_weighted_avg` — identical
+    window, clamping, and pre-rounded-sum division. The final round
+    goes through the shortest-decimal repr so it matches Spark's
+    BigDecimal rounding on .5 boundaries."""
+    sec = _bucket_width_seconds(width)
+    groups = ", ".join(group_cols)
+    return f"""
+        WITH held AS (
+            SELECT {groups},
+                   time_bucket(INTERVAL {sec} SECOND, {ts_col}) AS bucket,
+                   CAST(date_diff('microsecond', {ts_col},
+                        least(coalesce(lead({ts_col}) OVER (PARTITION BY {groups} ORDER BY {ts_col}, {tiebreak_col}),
+                                       time_bucket(INTERVAL {sec} SECOND, {ts_col}) + INTERVAL {sec} SECOND),
+                              time_bucket(INTERVAL {sec} SECOND, {ts_col}) + INTERVAL {sec} SECOND)
+                   ) AS DOUBLE) / 1000000.0 AS dur,
+                   {value_col} AS v
+            FROM {table}
+        ), agg AS (
+            SELECT {groups}, bucket, count(*) AS n_samples,
+                   round(sum(dur * v), 4) AS num,
+                   round(sum(dur), 6) AS den
+            FROM held GROUP BY {groups}, bucket
+        )
+        SELECT {groups}, bucket, n_samples,
+               CAST(round(CAST(CAST((num / den) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE) AS twa
+        FROM agg
+    """
+
+
+def counter_agg(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    width: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Reset-aware counter rollup per (group, bucket) →
+    (group..., bucket, n_samples, counter_delta, n_resets).
+
+    delta = v - lag(v) when the counter grew, v itself after a reset
+    (the counter restarted from 0 and climbed back to v); a group's
+    first sample contributes nothing. Deltas land in the LATER
+    sample's bucket — Prometheus ``increase`` attribution.
+    """
+    w = Window.partitionBy(*group_cols).orderBy(ts_col, tiebreak_col)
+    prev = F.lag(value_col).over(w)
+    v = F.col(value_col)
+    delta = F.when(prev.isNull(), F.lit(None).cast("double")).otherwise(
+        F.when(v >= prev, v - prev).otherwise(v)
+    )
+    reset = F.when(prev.isNotNull() & (v < prev), F.lit(1)).otherwise(F.lit(0))
+    stepped = df.select(
+        *group_cols,
+        time_bucket(width, F.col(ts_col)).alias("bucket"),
+        delta.alias("_delta"),
+        reset.alias("_reset"),
+    )
+    return (
+        stepped.groupBy(*group_cols, "bucket")
+        .agg(
+            F.count("*").alias("n_samples"),
+            F.round(F.coalesce(F.sum("_delta"), F.lit(0.0)), 4).alias("counter_delta"),
+            F.sum("_reset").alias("n_resets"),
+        )
+    )
+
+
+def counter_agg_sql(
+    table: str,
+    ts_col: str,
+    value_col: str,
+    group_cols: tuple[str, ...],
+    width: str,
+    tiebreak_col: str,
+) -> str:
+    """DuckDB oracle for :func:`counter_agg`."""
+    sec = _bucket_width_seconds(width)
+    groups = ", ".join(group_cols)
+    return f"""
+        WITH stepped AS (
+            SELECT {groups},
+                   time_bucket(INTERVAL {sec} SECOND, {ts_col}) AS bucket,
+                   CASE WHEN lag({value_col}) OVER w IS NULL THEN NULL
+                        WHEN {value_col} >= lag({value_col}) OVER w
+                             THEN {value_col} - lag({value_col}) OVER w
+                        ELSE {value_col} END AS delta,
+                   CASE WHEN lag({value_col}) OVER w IS NOT NULL
+                             AND {value_col} < lag({value_col}) OVER w
+                        THEN 1 ELSE 0 END AS reset
+            FROM {table}
+            WINDOW w AS (PARTITION BY {groups} ORDER BY {ts_col}, {tiebreak_col})
+        )
+        SELECT {groups}, bucket, count(*) AS n_samples,
+               round(coalesce(sum(delta), 0.0), 4) AS counter_delta,
+               CAST(sum(reset) AS BIGINT) AS n_resets
+        FROM stepped GROUP BY {groups}, bucket
+    """
