@@ -329,6 +329,103 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
+    sold to ASIA customers, the fraction supplied by NATION_1, per
+    ship year. Conditional-sum ratio over a 5-way join; every dim side
+    broadcasts, lineitem shuffles once (to orders). Sums are
+    pre-rounded so the share quotient is canonical."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    asia_nations = (
+        nation.join(
+            region,
+            (nation["n_regionkey"] == region["r_regionkey"])
+            & (region["r_name"] == "ASIA"),
+        )
+        .select(F.col("n_nationkey").alias("c_nk"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_type") == "ECONOMY")),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("s_nk"))
+    )
+    return (
+        joined.groupBy(F.year("l_shipdate").cast("long").alias("ship_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0)),
+                2,
+            ).alias("nation_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(
+            "ship_year",
+            "nation_revenue",
+            "total_revenue",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+                "mkt_share"
+            ),
+        )
+        .orderBy("ship_year")
+    )
+
+
+def nation_profit_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q9 shape — profit per supplier nation per year, for parts
+    whose name mentions a color (adapted: cost = p_retailprice ·
+    quantity, testdata has no partsupp.ps_supplycost; year from
+    l_shipdate, avoiding a second orders join). Dims broadcast; the
+    only shuffle is the final group-by."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    # exact integer ten-thousandths: per-row profit has ≤4 decimal
+    # places (price·(1−discount) and price·int-quantity), so scaling
+    # by 1e4 and rounding gives an exact BIGINT whose sum is
+    # order-independent — no float-summation boundary flakes at all
+    profit_c = F.round(
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            - F.col("p_retailprice") * F.col("l_quantity")
+        )
+        * 10000
+    ).cast("long")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").contains("red"))),
+            li["l_partkey"] == part["p_partkey"],
+        )
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("long").alias("ship_year"),
+        )
+        .agg(
+            (F.sum(profit_c).cast("double") / 10000.0).alias("profit"),
+            F.count("*").alias("n_lines"),
+        )
+        .orderBy("nation", F.desc("ship_year"))
+    )
+
+
 def events_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF time-weighted average of events.value per (event_type,
     day) — the hyperfunction plain avg() gets wrong on irregular
@@ -1455,6 +1552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_users": cms_heavy_users,
         "events_time_weighted_avg": events_time_weighted_avg,
         "events_counter_deltas": events_counter_deltas,
+        "nation_market_share": nation_market_share,
+        "nation_profit_by_year": nation_profit_by_year,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_benchmark_contamination": doc_benchmark_contamination,
@@ -1723,6 +1822,40 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
+        "nation_market_share": f"""
+            WITH agg AS (
+                SELECT year(l_shipdate) AS ship_year,
+                       round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0 END), 2) AS nation_revenue,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                FROM lineitem
+                JOIN part      ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+                JOIN orders    ON l_orderkey = o_orderkey
+                JOIN customer  ON o_custkey = c_custkey
+                JOIN nation nc ON c_nationkey = nc.n_nationkey
+                JOIN region    ON nc.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                JOIN supplier  ON l_suppkey = s_suppkey
+                JOIN nation ns ON s_nationkey = ns.n_nationkey
+                GROUP BY 1
+            )
+            SELECT ship_year, nation_revenue, total_revenue,
+                   {_jround('nation_revenue / total_revenue', 6)} AS mkt_share
+            FROM agg ORDER BY ship_year
+        """,
+        "nation_profit_by_year": """
+            SELECT n_name AS nation, year(l_shipdate) AS ship_year,
+                   CAST(sum(CAST(round((l_extendedprice * (1 - l_discount)
+                                        - p_retailprice * l_quantity) * 10000)
+                                 AS BIGINT)) AS DOUBLE) / 10000.0 AS profit,
+                   count(*) AS n_lines
+            FROM lineitem
+            JOIN part     ON l_partkey = p_partkey AND p_name LIKE '%red%'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation   ON s_nationkey = n_nationkey
+            GROUP BY 1, 2
+            ORDER BY nation, ship_year DESC
+        """,
         "events_time_weighted_avg": _twa_sql(
             "events", "ts", "value", ("event_type",), "1 day", "event_id"
         ),
