@@ -23,3 +23,4 @@ from data_pipeline_childcare_spark.streaming.dedup_join import (
     streaming_dedup,
     stream_stream_click_purchase,
 )
+from data_pipeline_childcare_spark.streaming.sketches import streaming_cms_counters

@@ -175,3 +175,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmp_path):
         (r["user_id"], r["purchase_value"]) for r in spark.sql("SELECT * FROM ssj_out").collect()
     }
     assert stream_rows == batch
+
+
+def test_streaming_cms_counters_match_batch_sketch(spark, tmp_path):
+    """The continuously-maintained CMS equals the batch sketch on the
+    same data — fixed depth×width state regardless of stream length."""
+    from data_pipeline_childcare_spark.operators.sketches import cms_counters
+    from data_pipeline_childcare_spark.streaming import streaming_cms_counters
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), "click", float(i))
+        for i, u in enumerate([1, 2, 1, 3, 1, 2, 4, 1, 5, 2] * 5)
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    batch = sorted(map(tuple, cms_counters(df, "user_id", depth=4, width=64).collect()))
+
+    src = tmp_path / "cms_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_cms_counters(stream, "user_id", depth=4, width=64)
+        .writeStream.format("memory")
+        .queryName("cms_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "cms_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT d, bucket, cnt FROM cms_out").collect())
+    )
+    assert streamed == batch
