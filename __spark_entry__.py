@@ -329,6 +329,17 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram LM quality proxy per document
+    (operators/tfidf.py): average log10 token probability — the
+    CCNet-style score used to filter improbable/gibberish text from
+    training corpora."""
+    from data_pipeline_childcare_spark.operators.tfidf import unigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs)
+
+
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
     sold to ASIA customers, the fraction supplied by NATION_1, per
@@ -1554,6 +1565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_counter_deltas": events_counter_deltas,
         "nation_market_share": nation_market_share,
         "nation_profit_by_year": nation_profit_by_year,
+        "doc_unigram_logprob": doc_unigram_logprob,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_benchmark_contamination": doc_benchmark_contamination,
@@ -1822,6 +1834,24 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
+        "doc_unigram_logprob": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({tokens}) AS tok FROM documents
+            ), freq AS (
+                SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1
+            ), tot AS (
+                SELECT CAST(sum(c) AS BIGINT) AS total FROM freq
+            ), lp AS (
+                SELECT doc_id, log10(CAST(c AS DOUBLE) / total) AS l
+                FROM toks JOIN freq USING (tok) CROSS JOIN tot
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_tokens, round(sum(l), 6) AS num
+                FROM lp GROUP BY 1
+            )
+            SELECT doc_id, n_tokens,
+                   {_jround('num / n_tokens', 6)} AS avg_logprob
+            FROM agg
+        """,
         "nation_market_share": f"""
             WITH agg AS (
                 SELECT year(l_shipdate) AS ship_year,

@@ -63,3 +63,49 @@ def tfidf_top_terms(
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document average unigram log-probability →
+    (id, n_tokens, avg_logprob) — the CCNet/RedPajama-style language-
+    model quality proxy: documents whose tokens are improbable under
+    the corpus unigram distribution (gibberish, boilerplate-free noise,
+    wrong-language fragments) score low and are filter candidates.
+
+    Same shapes as TF-IDF above: one token explode, one (token)
+    frequency aggregate (map-side combined; stopword skew collapses to
+    one row per token per task), a token-keyed join back, one per-doc
+    aggregate. The corpus token total is a single-row broadcast.
+    Self-scoring over the same corpus means no OOV smoothing is
+    needed: every token has frequency ≥ 1.
+
+    The per-doc log sum is pre-rounded before the division so the
+    average is canonical regardless of partition summation order.
+    """
+    toks = spread_partitions(docs, id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    freq = toks.groupBy("tok").agg(F.count("*").alias("_c"))
+    total = freq.agg(F.sum("_c").alias("_total"))
+    lp = (
+        toks.join(freq, "tok")
+        .join(F.broadcast(total))
+        .select(id_col, F.log10(F.col("_c") / F.col("_total")).alias("_lp"))
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("_lp"), 6).alias("_num"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_num") / F.col("n_tokens"), ndigits).alias("avg_logprob"),
+        )
+    )

@@ -3,6 +3,7 @@ benchmark decontamination."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 import data_pipeline_childcare_spark as eng
@@ -89,3 +90,22 @@ def test_cap_per_key_two_phase_matches_naive_window(spark):
     # determinism: same salt → same survivors
     again = {(r["doc_id"], r["source"]) for r in cap_per_key(df, ("source",), cap=5).collect()}
     assert again == got
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from data_pipeline_childcare_spark.operators.tfidf import unigram_logprob_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the the"),          # only common tokens
+            (2, "the zyzzyva"),              # one rare token
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob_scores(docs).collect()}
+    assert got[1]["n_tokens"] == 4 and got[2]["n_tokens"] == 2
+    # p(the)=5/6, p(zyzzyva)=1/6: doc 1 averages higher (less negative)
+    assert got[1]["avg_logprob"] > got[2]["avg_logprob"]
+    import math
+    exp1 = round(round(4 * math.log10(5 / 6), 6) / 4, 6)
+    assert got[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-9)
