@@ -329,6 +329,72 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel conversion (operators/merge.py): users who
+    clicked, then viewed strictly later, then purchased strictly
+    later — earliest-completion chaining, one shuffle by user."""
+    from data_pipeline_childcare_spark.operators.merge import funnel_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_counts(ev, ("click", "view", "purchase"))
+
+
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE (operators/merge.py) driven by a synthetic change
+    log derived deterministically from orders via the portable md5
+    trick (so the oracle reproduces it): ~1/8 of keys get TWO updates
+    (latest-wins by seq), ~1/16 get deleted, and a batch of new keys
+    is inserted. Returns the merged snapshot's per-status rollup (the
+    full merged table is 15k rows; the rollup keeps the driver
+    comparison small while still pinning every row through the
+    merge)."""
+    from data_pipeline_childcare_spark.operators.merge import merge_changes
+
+    orders = _t(spark, sf_dir, "orders")
+    h = F.substring(
+        F.md5(F.concat(F.lit("chg:"), F.col("o_orderkey").cast("string"))), 1, 8
+    )
+    base = orders.withColumn("_h", h)
+    upd1 = (
+        base.filter(F.col("_h") < "20000000")
+        .drop("_h")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100.0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    upd2 = (
+        base.filter(F.col("_h") < "20000000")
+        .drop("_h")
+        .withColumn("o_totalprice", F.col("o_totalprice") + 200.0)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2).cast("long"))
+    )
+    dels = (
+        base.filter((F.col("_h") >= "20000000") & (F.col("_h") < "30000000"))
+        .drop("_h")
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    ins = (
+        base.filter(F.col("_h") >= "f0000000")
+        .drop("_h")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(100000000))
+        .withColumn("op", F.lit("I"))
+        .withColumn("seq", F.lit(1).cast("long"))
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    merged = merge_changes(orders, changes, "o_orderkey")
+    return (
+        merged.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram LM quality proxy per document
     (operators/tfidf.py): average log10 token probability — the
@@ -1566,6 +1632,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": nation_market_share,
         "nation_profit_by_year": nation_profit_by_year,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "funnel_click_view_purchase": funnel_click_view_purchase,
+        "orders_merge_upsert": orders_merge_upsert,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pack_sequences": doc_pack_sequences,
         "doc_benchmark_contamination": doc_benchmark_contamination,
@@ -1834,6 +1902,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
+        "funnel_click_view_purchase": """
+            WITH s0 AS (
+                SELECT user_id,
+                       min(CASE WHEN event_type = 'click' THEN ts END) AS t0
+                FROM events GROUP BY 1
+            ), s1 AS (
+                SELECT e.user_id, p.t0,
+                       min(CASE WHEN e.event_type = 'view' AND e.ts > p.t0
+                                THEN e.ts END) AS t1
+                FROM events e JOIN s0 p USING (user_id) GROUP BY 1, 2
+            ), s2 AS (
+                SELECT e.user_id, q.t1,
+                       min(CASE WHEN e.event_type = 'purchase' AND e.ts > q.t1
+                                THEN e.ts END) AS t2
+                FROM events e JOIN s1 q USING (user_id) GROUP BY 1, 2
+            )
+            SELECT CAST(0 AS INTEGER) AS step_idx, 'click' AS step,
+                   (SELECT count(t0) FROM s0) AS n_users
+            UNION ALL
+            SELECT 1, 'view', (SELECT count(t1) FROM s1)
+            UNION ALL
+            SELECT 2, 'purchase', (SELECT count(t2) FROM s2)
+        """,
+        "orders_merge_upsert": """
+            WITH h AS (
+                SELECT *, substring(md5('chg:' || CAST(o_orderkey AS VARCHAR)), 1, 8) AS hx
+                FROM orders
+            ), latest AS (
+                -- seq-2 update wins over seq-1 for updated keys
+                SELECT o_orderkey, o_custkey, o_orderstatus,
+                       o_totalprice + 200.0 AS o_totalprice, o_orderdate,
+                       o_orderpriority, 'U' AS op
+                FROM h WHERE hx < '20000000'
+                UNION ALL
+                SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                       o_orderdate, o_orderpriority, 'D'
+                FROM h WHERE hx >= '20000000' AND hx < '30000000'
+                UNION ALL
+                SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+                       o_totalprice, o_orderdate, o_orderpriority, 'I'
+                FROM h WHERE hx >= 'f0000000'
+            ), merged AS (
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+                WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+                UNION ALL
+                SELECT o_orderkey, o_orderstatus, o_totalprice FROM latest
+                WHERE op <> 'D'
+            )
+            SELECT o_orderstatus, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price,
+                   max(o_orderkey) AS max_key
+            FROM merged GROUP BY 1 ORDER BY 1
+        """,
         "doc_unigram_logprob": f"""
             WITH toks AS (
                 SELECT doc_id, unnest({tokens}) AS tok FROM documents
