@@ -1060,6 +1060,197 @@ def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_cost_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 shape (adapted: lineitem is the part-supplier
+    relation — unit cost = sum(extendedprice)/sum(quantity) per
+    (part, supplier)): for each mid-size part, the EUROPE supplier(s)
+    offering the minimum unit cost. The reference formulation is a
+    correlated MIN subquery; the Spark plan decorrelates it into a
+    window MIN over the part key — one shuffle on l_partkey instead
+    of a re-scan per part. Part and supplier filters are broadcast
+    into the lineitem scan so non-qualifying lines never reach the
+    aggregate; unit cost is rounded to 4 places before the equality
+    so the min-match is engine-stable."""
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    eu = (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "EUROPE")
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    mid = part.filter(F.col("p_size").between(10, 20)).select(
+        "p_partkey", "p_name"
+    )
+    per_ps = (
+        li.join(F.broadcast(mid), li["l_partkey"] == mid["p_partkey"])
+        .join(F.broadcast(eu), li["l_suppkey"] == eu["s_suppkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.round(F.sum("l_extendedprice") / F.sum("l_quantity"), 4).alias(
+                "unit_cost"
+            )
+        )
+    )
+    w = Window.partitionBy("l_partkey")
+    best = per_ps.withColumn("min_cost", F.min("unit_cost").over(w)).filter(
+        F.col("unit_cost") == F.col("min_cost")
+    )
+    return (
+        best.join(F.broadcast(eu), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(mid), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            "unit_cost",
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+    )
+
+
+def order_priority_late_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q4 shape (adapted: late = shipped more than 30 days
+    after the order date — testdata has no commit/receipt dates):
+    per-priority count of Q1-1997 orders with at least one late line.
+    The EXISTS subquery is a LEFT SEMI join whose equi-key is the
+    order key and whose extra predicate compares columns from both
+    sides; the quarter filter is pushed to the orders scan before the
+    shuffle, so only one quarter of orders ever shuffles."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    quarter = orders.filter(
+        (F.col("o_orderdate") >= "1997-01-01")
+        & (F.col("o_orderdate") < "1997-04-01")
+    )
+    late_exists = quarter.join(
+        li,
+        (quarter["o_orderkey"] == li["l_orderkey"])
+        & (
+            li["l_shipdate"]
+            > F.timestamp_add("DAY", F.lit(30), quarter["o_orderdate"])
+        ),
+        "left_semi",
+    )
+    return (
+        late_exists.groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def ship_delay_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q12 shape (adapted: the line attribute is a ship-delay
+    bucket — testdata has no shipmode): per delay bucket, how many
+    1997 lines belong to high-priority vs low-priority orders. The
+    conditional counts are map-side ``sum(CASE ...)`` partials; one
+    shuffle on the bucket key carries six rows per partition."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    lines = li.filter(
+        (F.col("l_shipdate") >= "1997-01-01")
+        & (F.col("l_shipdate") < "1998-01-01")
+    )
+    joined = lines.join(orders, lines["l_orderkey"] == orders["o_orderkey"])
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    bucket = (
+        F.when(delay <= 30, "fast")
+        .when(delay <= 60, "medium")
+        .otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        joined.select(
+            bucket.alias("delay_bucket"),
+            F.when(high, 1).otherwise(0).alias("is_high"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("is_high").alias("high_line_count"),
+            F.sum(1 - F.col("is_high")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )
+
+
+def supplier_variety_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 shape (adapted: the complaint exclusion list is
+    suppliers with negative balance): distinct supplier counts per
+    (brand, size) over selected sizes, excluding listed suppliers.
+    NOT IN decorrelates to a broadcast LEFT ANTI join (the exclusion
+    list is tiny); the part filter broadcasts into the lineitem scan;
+    count(DISTINCT) shuffles (brand, size, suppkey) once."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    sizes = [1, 4, 7, 10, 13, 16, 19, 22]
+    chosen = part.filter(
+        (F.col("p_type") != "ECONOMY") & F.col("p_size").isin(sizes)
+    ).select("p_partkey", "p_brand", "p_size")
+    excluded = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(chosen), li["l_partkey"] == chosen["p_partkey"])
+        .join(
+            F.broadcast(excluded),
+            li["l_suppkey"] == excluded["s_suppkey"],
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_size")
+    )
+
+
+def bulk_suppliers_for_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 shape (adapted: availqty threshold becomes a shipped-
+    quantity threshold): ASIA suppliers who moved more than 100 units
+    of red parts during 1997. The reference's two nested IN
+    subqueries decorrelate into (1) a broadcast semi-join of lineitem
+    against qualifying part keys and (2) a HAVING aggregate whose
+    surviving supplier keys semi-join back to the supplier dim —
+    every subquery becomes a join the optimizer can reorder; nothing
+    is re-executed per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    red = part.filter(F.col("p_name").startswith("red")).select("p_partkey")
+    bulk = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(red), li["l_partkey"] == red["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 100)
+    )
+    asia = (
+        supp.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        asia.join(
+            F.broadcast(bulk), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar-layer queries: multi-format dates, label decoding, centroids
 # ---------------------------------------------------------------------------
@@ -1672,6 +1863,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "large_quantity_orders": large_quantity_orders,
         "suppliers_kept_waiting": suppliers_kept_waiting,
         "idle_rich_customers": idle_rich_customers,
+        "min_cost_part_suppliers": min_cost_part_suppliers,
+        "order_priority_late_counts": order_priority_late_counts,
+        "ship_delay_priority_counts": ship_delay_priority_counts,
+        "supplier_variety_by_part": supplier_variety_by_part,
+        "bulk_suppliers_for_parts": bulk_suppliers_for_parts,
     }
 
 
@@ -2874,5 +3070,89 @@ def oracle_sql() -> dict[str, str]:
             FROM idle JOIN nation ON c_nationkey = n_nationkey
             GROUP BY 1
             ORDER BY 1
+        """,
+        "min_cost_part_suppliers": """
+            WITH eu AS (
+                SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+                FROM supplier
+                JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+                WHERE r_name = 'EUROPE'
+            ), mid AS (
+                SELECT p_partkey, p_name FROM part WHERE p_size BETWEEN 10 AND 20
+            ), ps AS (
+                SELECT l_partkey, l_suppkey,
+                       round(sum(l_extendedprice) / sum(l_quantity), 4) AS unit_cost
+                FROM lineitem
+                JOIN mid ON l_partkey = p_partkey
+                JOIN eu  ON l_suppkey = s_suppkey
+                GROUP BY 1, 2
+            ), best AS (
+                SELECT l_partkey, l_suppkey, unit_cost,
+                       min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+                FROM ps
+            )
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+            FROM best
+            JOIN eu  ON l_suppkey = s_suppkey
+            JOIN mid ON l_partkey = p_partkey
+            WHERE unit_cost = min_cost
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        """,
+        "order_priority_late_counts": """
+            SELECT o_orderpriority, count(*) AS n_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+              AND o_orderdate <  TIMESTAMP '1997-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "ship_delay_priority_counts": """
+            SELECT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) <= 30 THEN 'fast'
+                        WHEN date_diff('day', CAST(o_orderdate AS DATE),
+                                       CAST(l_shipdate AS DATE)) <= 60 THEN 'medium'
+                        ELSE 'slow' END AS delay_bucket,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate <  TIMESTAMP '1998-01-01'
+            GROUP BY 1
+            ORDER BY 1
+        """,
+        "supplier_variety_by_part": """
+            SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE p_type <> 'ECONOMY'
+              AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_size
+        """,
+        "bulk_suppliers_for_parts": """
+            WITH bulk AS (
+                SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+                  AND l_shipdate <  TIMESTAMP '1998-01-01'
+                  AND l_partkey IN (SELECT p_partkey FROM part
+                                    WHERE p_name LIKE 'red%')
+                GROUP BY 1
+                HAVING round(sum(l_quantity), 2) > 100
+            )
+            SELECT s_name, n_name
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+              AND s_suppkey IN (SELECT l_suppkey FROM bulk)
+            ORDER BY s_name
         """,
     }
