@@ -329,6 +329,19 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count sketch per event_type — like the KMV
+    query, an APPROXIMATE algorithm with an EXACT oracle: portable
+    md5 registers and a scaled-integer harmonic sum make the estimate
+    bit-identical in any engine (operators/sketches.py). HLL is the
+    100 TB default: fixed 2^p-integer state per group, maintained by
+    a plain max aggregate, mergeable register-wise."""
+    from data_pipeline_childcare_spark.operators.sketches import hll_distinct
+
+    ev = _t(spark, sf_dir, "events")
+    return hll_distinct(ev, ("event_type",), "user_id", p=8)
+
+
 def funnel_click_view_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered-funnel conversion (operators/merge.py): users who
     clicked, then viewed strictly later, then purchased strictly
@@ -1817,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_clusters": minhash_dedup_clusters,
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
+        "hll_distinct_users_by_type": hll_distinct_users_by_type,
         "cms_heavy_users": cms_heavy_users,
         "events_time_weighted_avg": events_time_weighted_avg,
         "events_counter_deltas": events_counter_deltas,
@@ -1876,6 +1890,7 @@ def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.packing import pack_sql as _pack_sql
     from data_pipeline_childcare_spark.operators.redact import pii_sql as _pii_sql
     from data_pipeline_childcare_spark.operators.sketches import cms_sql as _cms_sql
+    from data_pipeline_childcare_spark.operators.sketches import hll_sql as _hll_sql
     from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
     from data_pipeline_childcare_spark.operators.timeseries import (
         counter_agg_sql as _counter_sql,
@@ -2097,6 +2112,7 @@ def oracle_sql() -> dict[str, str]:
               ON f.fp = k.fp AND f.doc_id = k.doc_id
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
+        "hll_distinct_users_by_type": _hll_sql("events", ("event_type",), "user_id", p=8),
         "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
         "funnel_click_view_purchase": """
             WITH s0 AS (

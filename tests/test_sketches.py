@@ -81,3 +81,60 @@ def test_cms_counters_merge_by_addition(spark):
     est_merged = sorted(map(tuple, cms_estimate(merged, cand, "user_id").collect()))
     est_whole = sorted(map(tuple, cms_estimate(whole, cand, "user_id").collect()))
     assert est_merged == est_whole
+
+
+def test_hll_estimator_accuracy_on_events(spark):
+    from data_pipeline_childcare_spark.operators.sketches import hll_distinct
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.001")
+    got = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_distinct(ev, ("event_type",), "user_id", p=8).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(
+            F.count_distinct("user_id").alias("n")
+        ).collect()
+    }
+    for et, n in exact.items():
+        # σ/μ ≈ 1.04/√256 = 6.5%; allow 4σ (linear-counting branch is
+        # far tighter, so this bound covers both regimes)
+        assert abs(got[et] - n) / n < 4 * 1.04 / 16, (et, got[et], n)
+
+
+def test_hll_registers_merge_by_max(spark):
+    """Sketches of disjoint halves merged register-wise equal the
+    whole-input sketch — the property that makes HLL mergeable across
+    days/sources at 100 TB."""
+    from data_pipeline_childcare_spark.operators.sketches import (
+        hll_distinct,
+        hll_estimate,
+        hll_registers,
+    )
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.001")
+    whole = sorted(
+        map(tuple, hll_distinct(ev, ("event_type",), "user_id").collect())
+    )
+    half_a = ev.filter(F.col("event_id") % 2 == 0)
+    half_b = ev.filter(F.col("event_id") % 2 == 1)
+    merged_regs = (
+        hll_registers(half_a, ("event_type",), "user_id")
+        .unionAll(hll_registers(half_b, ("event_type",), "user_id"))
+        .groupBy("event_type", "_idx")
+        .agg(F.max("_M").alias("_M"))
+    )
+    merged = sorted(
+        map(tuple, hll_estimate(merged_regs, ("event_type",)).collect())
+    )
+    assert whole == merged
+
+
+def test_hll_deterministic_across_runs(spark):
+    from data_pipeline_childcare_spark.operators.sketches import hll_distinct
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.001")
+    a = sorted(map(tuple, hll_distinct(ev, ("event_type",), "user_id").collect()))
+    b = sorted(map(tuple, hll_distinct(ev, ("event_type",), "user_id").collect()))
+    assert a == b
