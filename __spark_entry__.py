@@ -329,6 +329,32 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def bloom_filtered_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-year order revenue from BUILDING-segment customers, with
+    the orders→customer semi join pre-pruned by a broadcast bloom
+    filter (operators/bloom.py). The bloom pass must be semantically
+    invisible — no false negatives — so the oracle is the PLAIN
+    semi-join SQL: any dropped match fails the row/hash compare. At
+    100 TB the bitmap broadcast (KB) replaces shuffling every
+    non-matching order."""
+    from data_pipeline_childcare_spark.operators.bloom import bloom_semi_join
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        "c_custkey"
+    )
+    kept = bloom_semi_join(orders, "o_custkey", building, "c_custkey")
+    return (
+        kept.groupBy(F.year("o_orderdate").cast("long").alias("order_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
 def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per event_type — like the KMV
     query, an APPROXIMATE algorithm with an EXACT oracle: portable
@@ -1831,6 +1857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "hll_distinct_users_by_type": hll_distinct_users_by_type,
+        "bloom_filtered_building_revenue": bloom_filtered_building_revenue,
         "cms_heavy_users": cms_heavy_users,
         "events_time_weighted_avg": events_time_weighted_avg,
         "events_counter_deltas": events_counter_deltas,
@@ -2113,6 +2140,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "hll_distinct_users_by_type": _hll_sql("events", ("event_type",), "user_id", p=8),
+        "bloom_filtered_building_revenue": """
+            SELECT year(o_orderdate) AS order_year,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            WHERE o_custkey IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+            GROUP BY 1
+            ORDER BY 1
+        """,
         "cms_heavy_users": _cms_sql("events", "user_id", depth=4, width=256, k=20),
         "funnel_click_view_purchase": """
             WITH s0 AS (
