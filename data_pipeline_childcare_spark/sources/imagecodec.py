@@ -1,17 +1,21 @@
-"""Pure-stdlib image codecs: PNG (zlib), BMP, PPM.
+"""Pure-stdlib image codecs: PNG (zlib), GIF (LZW), BMP, PPM.
 
-The container has no PIL, but PNG's compression IS stdlib ``zlib`` —
-so a real decode (true pixels, not header sniffing) needs only chunk
-parsing + scanline unfiltering, both implemented here. This turns the
-multimodal decode tier for PNG/BMP/PPM payloads into a REAL path in
-every environment, deterministic across them (unlike PIL resampling,
-which varies by version/filter choice).
+The container has no PIL, but PNG's compression IS stdlib ``zlib``
+and GIF's LZW is ~50 lines of bit twiddling — so a real decode (true
+pixels, not header sniffing) needs only container parsing, both
+implemented here. This turns the multimodal decode tier for
+PNG/GIF/BMP/PPM payloads into a REAL path in every environment,
+deterministic across them (unlike PIL resampling, which varies by
+version/filter choice).
 
 Scope (documented, checked, errors raised otherwise):
 - PNG: bit depth 8, color types 0 (gray) / 2 (RGB) / 3 (palette) /
   4 (gray+alpha) / 6 (RGBA), interlace 0, all five scanline filters
   (None/Sub/Up/Average/Paeth). Covers what the encoder here and the
   overwhelming majority of real-world 8-bit PNGs emit.
+- GIF: 87a/89a first frame, global/local color tables, interlace,
+  sub-rectangle frames composited on the background color; animation
+  tails and transparency blending out of scope.
 - BMP: uncompressed 24-bit BI_RGB, bottom-up or top-down.
 - PPM: binary P6, maxval 255.
 
@@ -250,15 +254,137 @@ def decode_ppm(data: bytes) -> tuple[int, int, str, bytes]:
     return width, height, "RGB", pixels
 
 
+def _gif_lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytearray:
+    """GIF-flavour LZW (LSB-first variable-width codes, clear/end
+    codes, 12-bit cap). Stops after ``npix`` indices."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    code_size = min_code_size + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code = end + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos = 0
+    total_bits = len(data) * 8
+    while bitpos + code_size <= total_bits and len(out) < npix:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        code = (window >> (bitpos & 7)) & ((1 << code_size) - 1)
+        bitpos += code_size
+        if code == clear:
+            code_size = min_code_size + 1
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+        elif code == next_code:
+            entry = prev + prev[:1]
+            table[next_code] = entry
+            next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        out += entry
+        prev = entry
+        if next_code >= (1 << code_size) and code_size < 12:
+            code_size += 1
+    return out
+
+
+def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
+    """Decode the FIRST frame of a GIF87a/GIF89a.
+
+    Full stdlib LZW (variable code width, clear/end, 12-bit cap),
+    global and local color tables, interlace, and sub-rectangle
+    frames composited onto the background-color canvas. Animation
+    beyond frame one and transparency blending are out of scope —
+    the multimodal feature path wants one representative raster.
+    Returns ``(width, height, "RGB", pixels)``.
+    """
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x21:  # extension: label + sub-blocks, all skipped
+            pos += 2
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            ipacked = data[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if not table:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            idx = _gif_lzw_decode(min_code_size, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = [
+                    y
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    for y in range(start, h, step)
+                ]
+                deinter = bytearray(w * h)
+                for i, y in enumerate(order):
+                    deinter[y * w : (y + 1) * w] = idx[i * w : (i + 1) * w]
+                idx = deinter
+            canvas = bytearray([bg_index]) * (sw * sh)
+            for y in range(h):
+                row = idx[y * w : (y + 1) * w]
+                o = (top + y) * sw + left
+                canvas[o : o + w] = row
+            out = bytearray(sw * sh * 3)
+            for i, ci in enumerate(canvas):
+                c = 3 * ci
+                out[3 * i : 3 * i + 3] = table[c : c + 3] if c + 3 <= len(table) else b"\x00\x00\x00"
+            return sw, sh, "RGB", bytes(out)
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image frame")
+
+
 def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
     """Dispatch to whichever stdlib decoder matches the magic bytes;
-    None when the format needs a library we don't ship (JPEG, GIF)."""
+    None when the format needs a library we don't ship (JPEG)."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
     if data[:2] == b"P6":
         return decode_ppm(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif(data)
     return None
 
 

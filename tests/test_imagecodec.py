@@ -137,3 +137,117 @@ def test_image_features_real_decode_tier(spark):
     assert row["feature"] == pytest.approx(
         luminance_thumbnail(w, h, "RGB", pixels), abs=1e-6
     )
+
+
+# --- GIF ---------------------------------------------------------------
+
+
+def _lzw_encode(min_code_size: int, indices: bytes) -> bytes:
+    """Reference GIF-LZW encoder (test-side only): variable-width
+    LSB-first codes with dictionary growth, emitting clear at start
+    and end-of-information at the end."""
+    clear, end = 1 << min_code_size, (1 << min_code_size) + 1
+    table = {bytes([i]): i for i in range(clear)}
+    next_code = end + 1
+    code_size = min_code_size + 1
+    out_bits: list[tuple[int, int]] = [(clear, code_size)]
+    buf = b""
+    for b in indices:
+        cand = buf + bytes([b])
+        if cand in table:
+            buf = cand
+            continue
+        out_bits.append((table[buf], code_size))
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << code_size) and code_size < 12:
+            code_size += 1
+        buf = bytes([b])
+    if buf:
+        out_bits.append((table[buf], code_size))
+    out_bits.append((end, code_size))
+    acc = val = 0
+    data = bytearray()
+    for code, size in out_bits:
+        val |= code << acc
+        acc += size
+        while acc >= 8:
+            data.append(val & 0xFF)
+            val >>= 8
+            acc -= 8
+    if acc:
+        data.append(val & 0xFF)
+    return bytes(data)
+
+
+def _make_gif(
+    w: int,
+    h: int,
+    palette: bytes,
+    indices: bytes,
+    interlace: bool = False,
+    min_code_size: int = 2,
+) -> bytes:
+    n_colors = len(palette) // 3
+    size_bits = max((n_colors - 1).bit_length(), 1) - 1
+    gct = palette + b"\x00" * ((2 << size_bits) * 3 - len(palette))
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out += bytes([0x80 | size_bits, 0, 0])
+    out += gct
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out += bytes([0x40 if interlace else 0])
+    out += bytes([min_code_size])
+    lzw = _lzw_encode(min_code_size, indices)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def test_gif_roundtrip_with_dictionary_growth():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_gif
+
+    palette = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30])
+    # repetitive pattern drives real dictionary growth in the encoder,
+    # so the decoder's table-building path is exercised
+    idx = bytes([(x // 3 + y) % 4 for y in range(16) for x in range(16)])
+    gif = _make_gif(16, 16, palette, idx)
+    w, h, mode, pixels = decode_gif(gif)
+    assert (w, h, mode) == (16, 16, "RGB")
+    expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert pixels == expect
+
+
+def test_gif_interlaced_rows_reordered():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_gif
+
+    palette = bytes([0, 0, 0, 255, 255, 255])
+    h, w = 8, 4
+    idx = bytes([y % 2 for y in range(h) for _ in range(w)])
+    # encoder stores rows in interlace pass order
+    order = [y for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)) for y in range(start, h, step)]
+    stored = b"".join(idx[y * w : (y + 1) * w] for y in order)
+    gif = _make_gif(w, h, palette, stored, interlace=True, min_code_size=2)
+    _, _, _, pixels = decode_gif(gif)
+    expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+    assert pixels == expect
+
+
+def test_gif_wellknown_1x1():
+    """The canonical 1x1 transparent-pixel GIF used all over the web."""
+    import base64
+
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_gif,
+        decode_image_stdlib,
+    )
+
+    gif = base64.b64decode(
+        "R0lGODlhAQABAIAAAAAAAP///yH5BAEAAAAALAAAAAABAAEAAAIBRAA7"
+    )
+    w, h, mode, pixels = decode_gif(gif)
+    assert (w, h, mode) == (1, 1, "RGB")
+    assert len(pixels) == 3
+    assert decode_image_stdlib(gif) is not None
