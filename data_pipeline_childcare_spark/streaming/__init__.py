@@ -23,4 +23,12 @@ from data_pipeline_childcare_spark.streaming.dedup_join import (
     streaming_dedup,
     stream_stream_click_purchase,
 )
-from data_pipeline_childcare_spark.streaming.sketches import streaming_cms_counters
+from data_pipeline_childcare_spark.streaming.sketches import (
+    streaming_cms_counters,
+    streaming_hll_registers,
+)
+from data_pipeline_childcare_spark.streaming.merge import (
+    merge_change_log,
+    read_merged,
+    streaming_merge_to_path,
+)

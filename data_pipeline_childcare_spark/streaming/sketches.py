@@ -17,7 +17,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-from data_pipeline_childcare_spark.operators.sketches import cms_counters
+from data_pipeline_childcare_spark.operators.sketches import (
+    cms_counters,
+    hll_registers,
+)
 
 
 def streaming_cms_counters(
@@ -27,3 +30,23 @@ def streaming_cms_counters(
     (d, bucket, cnt). Identical expressions in both modes, so the
     streaming result equals the batch sketch on the same data."""
     return cms_counters(events, key_col, depth=depth, width=width)
+
+
+def streaming_hll_registers(
+    events: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Continuously-maintained HLL registers over a (streaming or
+    static) frame → (group..., _idx, _M).
+
+    ``operators.sketches.hll_registers`` is a stateless hash
+    projection followed by a keyed ``max`` — a streaming-legal
+    aggregate whose state store holds at most ``groups × 2^p`` rows,
+    FIXED no matter how many distinct values flow past (the reason a
+    sketch, not ``count_distinct``, is the continuous answer). Serve
+    estimates by running ``hll_estimate`` on the sink table, or in a
+    ``foreachBatch`` head; merge across streams by register-wise max.
+    """
+    return hll_registers(events, group_cols, value_col, p=p)

@@ -210,3 +210,99 @@ def test_streaming_cms_counters_match_batch_sketch(spark, tmp_path):
         map(tuple, spark.sql("SELECT d, bucket, cnt FROM cms_out").collect())
     )
     assert streamed == batch
+
+
+def test_streaming_hll_registers_match_batch_sketch(spark, tmp_path):
+    """The continuously-maintained HLL registers equal the batch
+    sketch — so the served estimates are identical too."""
+    from data_pipeline_childcare_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from data_pipeline_childcare_spark.streaming import streaming_hll_registers
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (u, t0 + dt.timedelta(minutes=i), "click" if u % 2 else "view", float(i))
+        for i, u in enumerate(range(300))
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string, value double"
+    )
+    batch = sorted(
+        map(tuple, hll_registers(df, ("event_type",), "user_id").collect())
+    )
+
+    src = tmp_path / "hll_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_hll_registers(stream, ("event_type",), "user_id")
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "hll_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed_regs = spark.sql("SELECT event_type, _idx, _M FROM hll_out")
+    assert sorted(map(tuple, streamed_regs.collect())) == batch
+    est_stream = sorted(
+        map(tuple, hll_estimate(streamed_regs, ("event_type",)).collect())
+    )
+    est_batch = sorted(
+        map(
+            tuple,
+            hll_estimate(
+                hll_registers(df, ("event_type",), "user_id"), ("event_type",)
+            ).collect(),
+        )
+    )
+    assert est_stream == est_batch
+
+
+def test_streaming_merge_matches_batch_merge(spark, tmp_path):
+    """The foreachBatch-maintained table equals merging the whole
+    change log in one batch — including cross-batch latest-wins and
+    tombstones beating late lower-seq updates."""
+    from data_pipeline_childcare_spark.streaming import (
+        read_merged,
+        streaming_merge_to_path,
+    )
+
+    schema = "k long, val string, op string, seq long"
+    # batch 1: insert k1..k3; batch 2 (separate file): update k2 with
+    # HIGHER seq, delete k3, and a LATE LOWER-seq update of k1 that
+    # must lose to batch 1's seq-3 row
+    b1 = [(1, "a", "I", 3), (2, "b", "I", 2), (3, "c", "I", 4)]
+    b2 = [(2, "b2", "U", 10), (3, None, "D", 11), (1, "stale", "U", 1)]
+    src = tmp_path / "chg_src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(
+            spark.createDataFrame([], schema).schema
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    target = str(tmp_path / "merged")
+    q = streaming_merge_to_path(
+        stream, target, str(tmp_path / "merge_ckpt"), "k"
+    )
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    q2 = streaming_merge_to_path(
+        stream, target, str(tmp_path / "merge_ckpt"), "k"
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(map(tuple, read_merged(spark, target).collect()))
+    # expected: k1 keeps "a" (seq 3 beats late seq 1), k2 -> "b2",
+    # k3 deleted
+    assert got == [(1, "a"), (2, "b2")]
