@@ -329,6 +329,66 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-bin histogram quantile sketch (p50/p90/p99 of value per
+    event_type) — the portable, exactly-oracled alternative to
+    engine-opaque approx_percentile; fixed ``bins`` state per group,
+    mergeable by addition (operators/sketches.py)."""
+    from data_pipeline_childcare_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return histogram_quantiles(ev, ("event_type",), "value", bins=256)
+
+
+def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition counts between consecutive events per user —
+    the path-analysis complement of the ordered funnel
+    (operators/merge.py funnel_counts): one lag window over the
+    user-sharded stream, then a 25-cell aggregate. The window and the
+    aggregate shuffle on different keys (user vs pair) but the pair
+    agg is map-side combinable down to |types|^2 rows per partition."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    return (
+        pairs.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n_transitions"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+def source_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing under a token budget: per source, keep documents
+    in deterministic priority order (most tokens first, doc_id
+    tie-break) until a 20k-token budget is exhausted — the building
+    block for assembling a training mix with per-domain quotas. One
+    window shuffle on source; the running sum is rows-unbounded-
+    preceding so each partition streams once. At 100 TB the same
+    shape runs per (source, shard) with budget/shards per window to
+    keep partitions bounded."""
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(tokenize(F.col("text"))).cast("long")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sized = docs.select("doc_id", "source", n_tok.alias("n_tokens"))
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 20000)
+        .select("source", "doc_id", "n_tokens", "cum_tokens")
+        .orderBy("source", "cum_tokens")
+    )
+
+
 def bloom_filtered_building_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-year order revenue from BUILDING-segment customers, with
     the orders→customer semi join pre-pruned by a broadcast bloom
@@ -1858,6 +1918,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "hll_distinct_users_by_type": hll_distinct_users_by_type,
         "bloom_filtered_building_revenue": bloom_filtered_building_revenue,
+        "user_event_transitions": user_event_transitions,
+        "events_value_quantile_sketch": events_value_quantile_sketch,
+        "source_token_budget_cap": source_token_budget_cap,
         "cms_heavy_users": cms_heavy_users,
         "events_time_weighted_avg": events_time_weighted_avg,
         "events_counter_deltas": events_counter_deltas,
@@ -1918,6 +1981,9 @@ def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.redact import pii_sql as _pii_sql
     from data_pipeline_childcare_spark.operators.sketches import cms_sql as _cms_sql
     from data_pipeline_childcare_spark.operators.sketches import hll_sql as _hll_sql
+    from data_pipeline_childcare_spark.operators.sketches import (
+        histogram_quantiles_sql as _histq_sql,
+    )
     from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
     from data_pipeline_childcare_spark.operators.timeseries import (
         counter_agg_sql as _counter_sql,
@@ -2140,6 +2206,38 @@ def oracle_sql() -> dict[str, str]:
         """,
         "kmv_distinct_users_by_type": _kmv_sql("events", ("event_type",), "user_id", 64),
         "hll_distinct_users_by_type": _hll_sql("events", ("event_type",), "user_id", p=8),
+        "events_value_quantile_sketch": _histq_sql(
+            "events", ("event_type",), "value", bins=256
+        ),
+        "user_event_transitions": """
+            WITH seq AS (
+                SELECT user_id, event_type AS next_type,
+                       lag(event_type) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS prev_type
+                FROM events
+            )
+            SELECT prev_type, next_type, count(*) AS n_transitions
+            FROM seq
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "source_token_budget_cap": f"""
+            WITH sized AS (
+                SELECT doc_id, source, CAST(len({tokens}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), run AS (
+                SELECT source, doc_id, n_tokens,
+                       CAST(sum(n_tokens) OVER (PARTITION BY source
+                                           ORDER BY n_tokens DESC, doc_id
+                                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                                    AND CURRENT ROW) AS BIGINT) AS cum_tokens
+                FROM sized
+            )
+            SELECT source, doc_id, n_tokens, cum_tokens
+            FROM run WHERE cum_tokens <= 20000
+            ORDER BY source, cum_tokens
+        """,
         "bloom_filtered_building_revenue": """
             SELECT year(o_orderdate) AS order_year,
                    count(*) AS n_orders,

@@ -197,6 +197,123 @@ def hll_sql(
     """
 
 
+def histogram_quantiles(
+    df: DataFrame,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group quantile estimates from a fixed-bin histogram sketch
+    → (group..., q, est_value).
+
+    The portable alternative to engine-opaque ``approx_percentile``
+    (t-digest in Spark, different sketch in every engine): a uniform
+    ``bins``-cell histogram between the group's min and max. The
+    estimate is the CENTER of the first bin whose cumulative count
+    reaches ``ceil(q·n)`` (percentile_disc rank semantics), so the
+    error is bounded by half a bin width — and every step (bin index,
+    cumulative rank, center formula) is the same IEEE arithmetic in
+    any engine, which lets the DuckDB oracle check the sketch
+    EXACTLY, like KMV/CMS/HLL.
+
+    Scale shape: two hash aggregates (per-group min/max/count, then
+    per-(group, bin) counts — at most ``bins`` rows per group however
+    many rows flow in, mergeable by addition) + one window over bins.
+    The value column is scanned twice; at 100 TB fuse pass one into
+    an existing profiling scan or substitute fixed dataset bounds.
+    """
+    stats = df.groupBy(*group_cols).agg(
+        F.min(value_col).alias("_mn"),
+        F.max(value_col).alias("_mx"),
+        F.count(value_col).alias("_n"),
+    )
+    joined = df.join(F.broadcast(stats), list(group_cols))
+    span = F.col("_mx") - F.col("_mn")
+    bin_idx = F.when(
+        span > 0,
+        F.least(
+            F.floor((F.col(value_col) - F.col("_mn")) / span * bins),
+            F.lit(bins - 1),
+        ),
+    ).otherwise(F.lit(0))
+    counts = (
+        joined.select(*group_cols, "_mn", "_mx", "_n", bin_idx.alias("_bin"))
+        .groupBy(*group_cols, "_mn", "_mx", "_n", "_bin")
+        .agg(F.count("*").alias("_cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = counts.withColumn("_cum", F.sum("_cnt").over(w))
+    q_lit = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    hit = (
+        cum.select(*group_cols, "_mn", "_mx", "_n", "_bin", "_cum", q_lit)
+        .filter(F.col("_cum") >= F.ceil(F.col("q") * F.col("_n")))
+        .groupBy(*group_cols, "q", "_mn", "_mx", "_n")
+        .agg(F.min("_bin").alias("_qbin"))
+    )
+    est = F.when(
+        F.col("_mx") > F.col("_mn"),
+        F.col("_mn")
+        + (F.col("_qbin") + 0.5) * (F.col("_mx") - F.col("_mn")) / bins,
+    ).otherwise(F.col("_mn"))
+    return hit.select(
+        *group_cols, "q", F.round(est, 6).alias("est_value")
+    ).orderBy(*group_cols, "q")
+
+
+def histogram_quantiles_sql(
+    table: str,
+    group_cols: tuple[str, ...],
+    value_col: str,
+    bins: int = 256,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> str:
+    """The DuckDB oracle for :func:`histogram_quantiles` — identical
+    binning, rank, and center formula, emitted from one source of
+    truth."""
+    groups = ", ".join(group_cols)
+    q_values = ", ".join(f"({float(q)!r})" for q in qs)
+    return f"""
+        WITH stats AS (
+            SELECT {groups}, min({value_col}) AS mn, max({value_col}) AS mx,
+                   CAST(count({value_col}) AS BIGINT) AS n
+            FROM {table} GROUP BY {groups}
+        ), binned AS (
+            SELECT t.{groups}, s.mn, s.mx, s.n,
+                   CASE WHEN s.mx > s.mn
+                        THEN least(CAST(floor(({value_col} - s.mn) / (s.mx - s.mn) * {bins}) AS BIGINT), {bins - 1})
+                        ELSE 0 END AS bin
+            FROM {table} t JOIN stats s USING ({groups})
+        ), counts AS (
+            SELECT {groups}, mn, mx, n, bin, count(*) AS cnt
+            FROM binned GROUP BY {groups}, mn, mx, n, bin
+        ), cum AS (
+            SELECT {groups}, mn, mx, n, bin,
+                   sum(cnt) OVER (PARTITION BY {groups} ORDER BY bin
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND CURRENT ROW) AS c
+            FROM counts
+        ), hit AS (
+            SELECT {groups}, q.q, mn, mx, n, min(bin) AS qbin
+            FROM cum CROSS JOIN (VALUES {q_values}) q(q)
+            WHERE c >= ceiling(q.q * n)
+            GROUP BY {groups}, q.q, mn, mx, n
+        )
+        SELECT {groups}, q,
+               CAST(round(CAST(CAST((
+                   CASE WHEN mx > mn
+                        THEN mn + (qbin + 0.5) * (mx - mn) / {bins}
+                        ELSE mn END
+               ) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE) AS est_value
+        FROM hit
+        ORDER BY {groups}, q
+    """
+
+
 def _bucket_expr(key_col: str, width: int, d: "str | int") -> str:
     """Spark SQL for the depth-``d`` CMS bucket of ``key_col`` — the
     portable 60-bit md5 hash reduced mod width. The hash is always

@@ -138,3 +138,39 @@ def test_hll_deterministic_across_runs(spark):
     a = sorted(map(tuple, hll_distinct(ev, ("event_type",), "user_id").collect()))
     b = sorted(map(tuple, hll_distinct(ev, ("event_type",), "user_id").collect()))
     assert a == b
+
+
+def test_histogram_quantiles_within_half_bin_of_exact(spark):
+    from data_pipeline_childcare_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.001")
+    got = {
+        (r["event_type"], r["q"]): r["est_value"]
+        for r in histogram_quantiles(ev, ("event_type",), "value", bins=256).collect()
+    }
+    by_type: dict[str, list[float]] = {}
+    for r in ev.select("event_type", "value").collect():
+        by_type.setdefault(r["event_type"], []).append(r["value"])
+    for et, vals in by_type.items():
+        vals.sort()
+        n = len(vals)
+        width = (vals[-1] - vals[0]) / 256
+        for q in (0.5, 0.9, 0.99):
+            # the sketch uses percentile_disc rank semantics: the value
+            # at rank ceil(q*n). That value lies inside the chosen bin,
+            # so the bin-center estimate is within half a bin width.
+            exact = vals[math.ceil(q * n) - 1]
+            est = got[(et, q)]
+            assert abs(est - exact) <= width / 2 + 1e-9, (et, q, est, exact)
+
+
+def test_histogram_quantiles_constant_group(spark):
+    from data_pipeline_childcare_spark.operators.sketches import (
+        histogram_quantiles,
+    )
+
+    df = spark.createDataFrame([("a", 7.0)] * 10, "g string, v double")
+    rows = histogram_quantiles(df, ("g",), "v").collect()
+    assert all(r["est_value"] == 7.0 for r in rows)
