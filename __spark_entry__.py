@@ -329,6 +329,48 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 5-event moving average of value — the rolling-window
+    smoothing every monitoring/feature pipeline needs. One window
+    shuffle on user; the frame is rows-bounded so each partition
+    streams with O(frame) state."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.avg("value").over(w), 6).alias("moving_avg"),
+    ).orderBy("user_id", "event_id")
+
+
+def similar_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-duplicate detection over DISTINCT part
+    names (exact duplicates are the dedup_exact family's job) —
+    typo-level matching, the string-similarity sibling of the
+    MinHash/SimHash family. Candidate pairs are BLOCKED on the name's
+    noun (last token): the self-join is an equi-join per block, never
+    all-pairs, and levenshtein runs only inside blocks. At corpus
+    scale substitute deletion-neighborhood signatures for the block
+    key; the verify-filter tail is unchanged."""
+    part = _t(spark, sf_dir, "part")
+    noun = F.element_at(F.split("p_name", " "), -1)
+    names = part.select("p_name", noun.alias("_blk")).distinct()
+    a = names.select(F.col("p_name").alias("name_a"), "_blk")
+    b = names.select(F.col("p_name").alias("name_b"), "_blk")
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist").between(1, 2))
+        .select("name_a", "name_b", "dist")
+        .orderBy("name_a", "name_b")
+    )
+
+
 def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-bin histogram quantile sketch (p50/p90/p99 of value per
     event_type) — the portable, exactly-oracled alternative to
@@ -1920,6 +1962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filtered_building_revenue": bloom_filtered_building_revenue,
         "user_event_transitions": user_event_transitions,
         "events_value_quantile_sketch": events_value_quantile_sketch,
+        "events_moving_avg": events_moving_avg,
+        "similar_part_names": similar_part_names,
         "source_token_budget_cap": source_token_budget_cap,
         "cms_heavy_users": cms_heavy_users,
         "events_time_weighted_avg": events_time_weighted_avg,
@@ -2209,6 +2253,28 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "events_moving_avg": """
+            SELECT user_id, event_id,
+                   round(avg(value) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id
+                                          ROWS BETWEEN 4 PRECEDING
+                                                   AND CURRENT ROW), 6) AS moving_avg
+            FROM events
+            ORDER BY user_id, event_id
+        """,
+        "similar_part_names": """
+            WITH blocked AS (
+                SELECT DISTINCT p_name,
+                       list_extract(string_split(p_name, ' '), -1) AS blk
+                FROM part
+            )
+            SELECT a.p_name AS name_a, b.p_name AS name_b,
+                   CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+            FROM blocked a JOIN blocked b ON a.blk = b.blk
+            WHERE a.p_name < b.p_name
+              AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
+            ORDER BY name_a, name_b
+        """,
         "user_event_transitions": """
             WITH seq AS (
                 SELECT user_id, event_type AS next_type,
