@@ -329,6 +329,45 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function family in one pass — ntile deciles,
+    percent_rank, cume_dist over customer account balance within each
+    market segment. The orderBy carries a unique tie-break
+    (c_custkey) so every rank function is deterministic in any
+    engine; one window shuffle on segment."""
+    cust = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    ).orderBy("c_mktsegment", "c_custkey")
+
+
+def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form behind the cube/rollup
+    queries): revenue by (returnflag, linestatus), by returnflag
+    alone, and the grand total — with grouping_id distinguishing the
+    levels. One Expand + one shuffle, the canonical Spark plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT)
+                   AS gid,
+               count(*) AS n_lines,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        ORDER BY gid, l_returnflag, l_linestatus
+        """
+    )
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 5-event moving average of value — the rolling-window
     smoothing every monitoring/feature pipeline needs. One window
@@ -1964,6 +2003,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_moving_avg": events_moving_avg,
         "similar_part_names": similar_part_names,
+        "customer_value_deciles": customer_value_deciles,
+        "revenue_grouping_sets": revenue_grouping_sets,
         "source_token_budget_cap": source_token_budget_cap,
         "cms_heavy_users": cms_heavy_users,
         "events_time_weighted_avg": events_time_weighted_avg,
@@ -2253,6 +2294,26 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "customer_value_deciles": """
+            SELECT c_mktsegment, c_custkey,
+                   CAST(ntile(10) OVER w AS INTEGER) AS decile,
+                   round(percent_rank() OVER w, 6) AS pct_rank,
+                   round(cume_dist() OVER w, 6) AS cume
+            FROM customer
+            WINDOW w AS (PARTITION BY c_mktsegment
+                         ORDER BY c_acctbal, c_custkey)
+            ORDER BY c_mktsegment, c_custkey
+        """,
+        "revenue_grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+                   count(*) AS n_lines,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                    (l_returnflag), ())
+            ORDER BY gid, l_returnflag, l_linestatus
+        """,
         "events_moving_avg": """
             SELECT user_id, event_id,
                    round(avg(value) OVER (PARTITION BY user_id
