@@ -329,6 +329,52 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts — users grouped by first-activity
+    week, counted per weeks-since-cohort offset: the standard
+    retention triangle. Two shuffles: the per-user min (map-side
+    combinable) and the (cohort, offset) count-distinct; the user set
+    per cell is the distinct shuffle key, never a driver collect.
+    Weeks are epoch-day based (floor(days/7)) so the bucketing is
+    engine-portable without WEEK-OF-YEAR convention drift."""
+    ev = _t(spark, sf_dir, "events")
+    epoch_week = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")) / 7).cast("long")
+    weekly = ev.select("user_id", epoch_week.alias("week"))
+    first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        weekly.join(first, "user_id")
+        .groupBy("cohort_week", (F.col("week") - F.col("cohort_week")).alias("weeks_since"))
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type — population
+    mean/stddev broadcast back over the stream, |z| > 3 flagged. The
+    stddev uses the numerically stable two-pass form (mean first,
+    then mean of squared deviations) so both engines sum the same
+    well-conditioned quantities; z is rounded before the filter to
+    keep the boundary engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("_mu"), F.count("value").alias("_n")
+    )
+    dev = ev.join(F.broadcast(stats), "event_type")
+    var = dev.groupBy("event_type", "_mu", "_n").agg(
+        F.avg((F.col("value") - F.col("_mu")) * (F.col("value") - F.col("_mu"))).alias("_var")
+    )
+    scored = ev.join(F.broadcast(var), "event_type").withColumn(
+        "z",
+        F.round((F.col("value") - F.col("_mu")) / F.sqrt("_var"), 4),
+    )
+    return (
+        scored.filter(F.abs(F.col("z")) > 3)
+        .select("event_type", "event_id", "value", "z")
+        .orderBy("event_type", "event_id")
+    )
+
+
 def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-function family in one pass — ntile deciles,
     percent_rank, cume_dist over customer account balance within each
@@ -2004,6 +2050,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_moving_avg": events_moving_avg,
         "similar_part_names": similar_part_names,
         "customer_value_deciles": customer_value_deciles,
+        "user_retention_cohorts": user_retention_cohorts,
+        "events_value_anomalies": events_value_anomalies,
         "revenue_grouping_sets": revenue_grouping_sets,
         "source_token_budget_cap": source_token_budget_cap,
         "cms_heavy_users": cms_heavy_users,
@@ -2294,6 +2342,38 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "user_retention_cohorts": """
+            WITH weekly AS (
+                SELECT user_id,
+                       CAST(floor(date_diff('day', DATE '1970-01-05',
+                                            CAST(ts AS DATE)) / 7) AS BIGINT) AS week
+                FROM events
+            ), first AS (
+                SELECT user_id, min(week) AS cohort_week
+                FROM weekly GROUP BY 1
+            )
+            SELECT cohort_week, week - cohort_week AS weeks_since,
+                   count(DISTINCT w.user_id) AS n_users
+            FROM weekly w JOIN first f USING (user_id)
+            GROUP BY 1, 2
+            ORDER BY 1, 2
+        """,
+        "events_value_anomalies": """
+            WITH mu AS (
+                SELECT event_type, avg(value) AS m, count(value) AS n
+                FROM events GROUP BY 1
+            ), var AS (
+                SELECT e.event_type, m,
+                       avg((value - m) * (value - m)) AS v
+                FROM events e JOIN mu USING (event_type)
+                GROUP BY 1, 2
+            )
+            SELECT e.event_type, event_id, value,
+                   round((value - m) / sqrt(v), 4) AS z
+            FROM events e JOIN var USING (event_type)
+            WHERE abs(round((value - m) / sqrt(v), 4)) > 3
+            ORDER BY event_type, event_id
+        """,
         "customer_value_deciles": """
             SELECT c_mktsegment, c_custkey,
                    CAST(ntile(10) OVER w AS INTEGER) AS decile,
