@@ -329,6 +329,23 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def salted_supplier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation through the driver gate — the
+    hot-key defense (operators/skew.py) proven semantically invisible:
+    the oracle is the PLAIN groupBy sum. l_quantity is integer-valued,
+    so double addition is exact and the salted partial order cannot
+    change the total. At 100 TB the phase-1 (key, salt) shuffle
+    spreads one hot supplier over 16 reducers; phase 2 combines 16
+    partials per key."""
+    from data_pipeline_childcare_spark.operators.skew import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum(li, ["l_suppkey"], "l_quantity", n_salts=16, out_col="total_qty")
+    return out.select(
+        "l_suppkey", F.round("total_qty", 2).alias("total_qty")
+    ).orderBy("l_suppkey")
+
+
 def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weekly retention cohorts — users grouped by first-activity
     week, counted per weeks-since-cohort offset: the standard
@@ -2051,6 +2068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similar_part_names": similar_part_names,
         "customer_value_deciles": customer_value_deciles,
         "user_retention_cohorts": user_retention_cohorts,
+        "salted_supplier_quantity": salted_supplier_quantity,
         "events_value_anomalies": events_value_anomalies,
         "revenue_grouping_sets": revenue_grouping_sets,
         "source_token_budget_cap": source_token_budget_cap,
@@ -2342,6 +2360,12 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "salted_supplier_quantity": """
+            SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem
+            GROUP BY 1
+            ORDER BY 1
+        """,
         "user_retention_cohorts": """
             WITH weekly AS (
                 SELECT user_id,

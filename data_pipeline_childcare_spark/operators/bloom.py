@@ -42,12 +42,14 @@ def _pos_expr(key_col: str, m: int, d: int) -> str:
     )
 
 
-def bloom_build(df: DataFrame, key_col: str, m: int = 8192, k: int = 4) -> DataFrame:
-    """Build a bloom bitmap over ``df[key_col]`` → ONE row with a
-    ``_bloom: map<int, bigint>`` column (word index → 64-bit word,
-    absent words are all-zero). ``m`` must be a multiple of 64."""
+def bloom_words(df: DataFrame, key_col: str, m: int = 8192, k: int = 4) -> DataFrame:
+    """The bloom filter as keyed state → (_word, _bits): ≤ ``m/64``
+    rows, built by ``bit_or`` (order-independent, map-side combinable,
+    and streaming-legal — see ``streaming.sketches.
+    streaming_bloom_words``). Sketches over disjoint inputs merge by
+    word-wise ``bit_or``."""
     positions = F.array(*[F.expr(_pos_expr(key_col, m, d)) for d in range(k)])
-    words = (
+    return (
         df.select(F.explode(positions).alias("_pos"))
         .groupBy((F.col("_pos") / 64).cast("int").alias("_word"))
         .agg(
@@ -56,7 +58,13 @@ def bloom_build(df: DataFrame, key_col: str, m: int = 8192, k: int = 4) -> DataF
             ).alias("_bits")
         )
     )
-    return words.agg(
+
+
+def bloom_build(df: DataFrame, key_col: str, m: int = 8192, k: int = 4) -> DataFrame:
+    """Build a bloom bitmap over ``df[key_col]`` → ONE row with a
+    ``_bloom: map<int, bigint>`` column (word index → 64-bit word,
+    absent words are all-zero). ``m`` must be a multiple of 64."""
+    return bloom_words(df, key_col, m, k).agg(
         F.map_from_entries(F.collect_list(F.struct("_word", "_bits"))).alias(
             "_bloom"
         )

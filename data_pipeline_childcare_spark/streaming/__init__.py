@@ -24,6 +24,7 @@ from data_pipeline_childcare_spark.streaming.dedup_join import (
     stream_stream_click_purchase,
 )
 from data_pipeline_childcare_spark.streaming.sketches import (
+    streaming_bloom_words,
     streaming_cms_counters,
     streaming_hll_registers,
 )

@@ -50,3 +50,23 @@ def streaming_hll_registers(
     ``foreachBatch`` head; merge across streams by register-wise max.
     """
     return hll_registers(events, group_cols, value_col, p=p)
+
+
+def streaming_bloom_words(
+    keys: DataFrame, key_col: str, m: int = 8192, k: int = 4
+) -> DataFrame:
+    """Continuously-maintained bloom-filter state over a stream of
+    build-side keys → (_word, _bits).
+
+    ``bit_or`` is a streaming-legal keyed aggregate with at most
+    ``m/64`` state rows — the word table only ever gains bits, so
+    complete-mode snapshots are monotone. The one-row map assembly of
+    ``operators.bloom.bloom_build`` is a SECOND aggregation (not
+    streaming-composable); assemble it at serve time from the sink —
+    ``map_from_entries(collect_list(struct(_word,_bits)))`` — or in a
+    foreachBatch head, then prefilter probes with
+    ``bloom_prefilter`` unchanged.
+    """
+    from data_pipeline_childcare_spark.operators.bloom import bloom_words
+
+    return bloom_words(keys, key_col, m, k)

@@ -306,3 +306,32 @@ def test_streaming_merge_matches_batch_merge(spark, tmp_path):
     # expected: k1 keeps "a" (seq 3 beats late seq 1), k2 -> "b2",
     # k3 deleted
     assert got == [(1, "a"), (2, "b2")]
+
+
+def test_streaming_bloom_words_match_batch(spark, tmp_path):
+    """Bloom word-state maintained over a stream equals the batch
+    build, so a prefilter served from the streaming sink behaves
+    identically (no false negatives)."""
+    from data_pipeline_childcare_spark.operators.bloom import bloom_words
+    from data_pipeline_childcare_spark.streaming import streaming_bloom_words
+
+    df = spark.createDataFrame([(i * 37,) for i in range(200)], "k long")
+    batch = sorted(map(tuple, bloom_words(df, "k").collect()))
+
+    src = tmp_path / "bloom_src"
+    df.write.parquet(str(src))
+    stream = spark.readStream.schema(df.schema).parquet(str(src))
+    q = (
+        streaming_bloom_words(stream, "k")
+        .writeStream.format("memory")
+        .queryName("bloom_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "bloom_ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        map(tuple, spark.sql("SELECT _word, _bits FROM bloom_out").collect())
+    )
+    assert streamed == batch
