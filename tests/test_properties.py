@@ -96,3 +96,76 @@ def test_df_capped_index_drops_hot_keys(spark):
     kept = df_capped_index(idx, "shingle", max_df=5)
     got = {r["shingle"] for r in kept.collect()}
     assert got == {"cold"}
+
+
+class TestGifLzwProperty:
+    @settings(max_examples=40, deadline=None)
+    @given(
+        data=st.binary(min_size=1, max_size=400),
+        mcs=st.integers(min_value=2, max_value=7),
+    )
+    def test_lzw_roundtrip_random_indices(self, data, mcs):
+        """Any index stream (values < 2^mcs) survives the in-test
+        encoder → production decoder round trip — exercising variable
+        code widths, dictionary growth, and the KwKwK case at random."""
+        from data_pipeline_childcare_spark.sources.imagecodec import (
+            _gif_lzw_decode,
+        )
+        from tests.test_imagecodec import _lzw_encode
+
+        idx = bytes(b % (1 << mcs) for b in data)
+        encoded = _lzw_encode(mcs, idx)
+        assert bytes(_gif_lzw_decode(mcs, encoded, len(idx))) == idx
+
+
+class TestHistogramQuantileProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def test_estimate_within_half_bin(self, spark, vals):
+        import math
+
+        from data_pipeline_childcare_spark.operators.sketches import (
+            histogram_quantiles,
+        )
+
+        df = spark.createDataFrame([("g", float(v)) for v in vals], "g string, v double")
+        got = {
+            r["q"]: r["est_value"]
+            for r in histogram_quantiles(df, ("g",), "v", bins=64).collect()
+        }
+        s = sorted(vals)
+        n = len(s)
+        width = (s[-1] - s[0]) / 64
+        for q in (0.5, 0.9, 0.99):
+            exact = s[math.ceil(q * n) - 1]
+            assert abs(got[q] - exact) <= width / 2 + 1e-6 + abs(exact) * 1e-12
+
+
+class TestBloomProperty:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        build=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+        probe=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=40),
+    )
+    def test_prefilter_superset_of_matches(self, spark, build, probe):
+        from data_pipeline_childcare_spark.operators.bloom import (
+            bloom_build,
+            bloom_prefilter,
+        )
+
+        bdf = spark.createDataFrame([(int(v),) for v in build], "k long")
+        pdf = spark.createDataFrame([(int(v),) for v in probe], "k long")
+        bitmap = bloom_build(bdf, "k", m=512, k=3)
+        kept = {r["k"] for r in bloom_prefilter(pdf, "k", bitmap, m=512, k=3).collect()}
+        assert (set(build) & set(probe)) <= kept
