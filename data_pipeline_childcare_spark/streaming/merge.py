@@ -83,10 +83,18 @@ def streaming_merge_to_path(
 def _read_state(
     spark: SparkSession, target: str, schema: StructType
 ) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(schema).parquet(target)
-    except Exception:  # first batch: no snapshot yet
-        return spark.createDataFrame([], schema)
+    except AnalysisException as exc:
+        # ONLY path-not-found means "first batch, no snapshot yet".
+        # Any other failure (corruption, permissions, transient IO)
+        # must abort the batch — treating it as empty state would
+        # silently reset the table to just this batch's changes.
+        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
+            return spark.createDataFrame([], schema)
+        raise
 
 
 def read_merged(
