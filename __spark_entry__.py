@@ -381,7 +381,13 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     var = dev.groupBy("event_type", "_mu", "_n").agg(
         F.avg((F.col("value") - F.col("_mu")) * (F.col("value") - F.col("_mu"))).alias("_var")
     )
-    scored = ev.join(F.broadcast(var), "event_type").withColumn(
+    scored = ev.join(
+        # a zero-variance group has no outliers by definition; the
+        # guard also keeps the twins aligned (Spark's non-ANSI 0/0
+        # is NULL, DuckDB's is NaN — which DuckDB sorts above 3)
+        F.broadcast(var.filter(F.col("_var") > 0)),
+        "event_type",
+    ).withColumn(
         "z",
         F.round((F.col("value") - F.col("_mu")) / F.sqrt("_var"), 4),
     )
@@ -2395,7 +2401,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT e.event_type, event_id, value,
                    round((value - m) / sqrt(v), 4) AS z
             FROM events e JOIN var USING (event_type)
-            WHERE abs(round((value - m) / sqrt(v), 4)) > 3
+            WHERE v > 0
+              AND abs(round((value - m) / sqrt(v), 4)) > 3
             ORDER BY event_type, event_id
         """,
         "customer_value_deciles": """

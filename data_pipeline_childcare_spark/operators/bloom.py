@@ -35,11 +35,11 @@ from pyspark.sql import functions as F
 
 def _pos_expr(key_col: str, m: int, d: int) -> str:
     """Spark SQL for the ``d``-th bloom bit position of ``key_col`` —
-    the portable 60-bit md5 hash of ``value#d`` reduced mod ``m``.
-    The hash is always positive, so ``%`` agrees across engines."""
-    return (
-        f"cast(conv(substring(md5(concat(cast({key_col} as string), '#', '{d}')), 1, 15), 16, 10) as bigint) % {m}"
-    )
+    the SAME portable md5 bucket hash the sketches use (single source
+    of truth in ``sketches._bucket_expr``), reduced mod ``m``."""
+    from data_pipeline_childcare_spark.operators.sketches import _bucket_expr
+
+    return _bucket_expr(key_col, m, d)
 
 
 def bloom_words(df: DataFrame, key_col: str, m: int = 8192, k: int = 4) -> DataFrame:
@@ -115,7 +115,9 @@ def bloom_semi_join(
     ``matches + false positives`` instead of every probe row."""
     bitmap = bloom_build(build, build_key, m, k)
     pruned = bloom_prefilter(probe, probe_key, bitmap, m, k)
-    keys = build.select(build_key).distinct()
+    # no distinct(): LEFT SEMI already has set semantics, and an extra
+    # hash aggregate would shuffle the build side for nothing
+    keys = build.select(build_key)
     return pruned.join(
         keys, pruned[probe_key] == keys[build_key], "left_semi"
     )

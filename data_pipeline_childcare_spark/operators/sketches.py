@@ -88,8 +88,8 @@ def hll_distinct(
     Engine-portable determinism details:
     - rank uses ``length(bin(w))`` = floor(log2(w)) + 1, an INTEGER
       computation (no float log);
-    - the harmonic sum ``Σ 2^-M_j`` is scaled by 2^53 so it is an
-      exact BIGINT sum (256 registers × ≤ 2^52 each fits); only the
+    - the harmonic sum ``Σ 2^-M_j`` is scaled by 2^(61-p) so it is an
+      exact BIGINT sum (2^p registers × ≤ 2^(60-p) each fits); only the
       final division is floating-point, identical IEEE in any engine;
     - the small-range linear-counting branch fires on integer
       comparisons; its ``ln`` is the only libm call (≤ 1 ulp across
@@ -133,18 +133,26 @@ def hll_estimate(
     regs: DataFrame, group_cols: tuple[str, ...], p: int = 8
 ) -> DataFrame:
     """Estimate from :func:`hll_registers` state →
-    (group..., n_registers, est_distinct)."""
+    (group..., n_registers, est_distinct).
+
+    The harmonic sum is scaled by ``2^(61-p)`` — the max register
+    value is ``(60-p)+1``, so every ``2^(scale - M)`` term is a
+    positive integer and the sum stays ≤ ``2^60`` (exact BIGINT
+    arithmetic for any valid ``p``)."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
+    scale = 61 - p
     alpha = 0.7213 / (1 + 1.079 / m)
     per_group = regs.groupBy(*group_cols).agg(
         F.count("*").alias("n_registers"),
-        F.sum(F.expr("shiftleft(cast(1 as bigint), cast(53 - _M as int))")).alias(
-            "_S_present"
-        ),
+        F.sum(
+            F.expr(f"shiftleft(cast(1 as bigint), cast({scale} - _M as int))")
+        ).alias("_S_present"),
     )
     zeros = F.lit(m) - F.col("n_registers")
-    S = F.col("_S_present") + zeros * F.lit(1 << 53)
-    raw = F.lit(alpha * m * m * float(1 << 53)) / S.cast("double")
+    S = F.col("_S_present") + zeros * F.lit(1 << scale)
+    raw = F.lit(alpha * m * m * float(1 << scale)) / S.cast("double")
     est = F.when(
         (raw <= 2.5 * m) & (zeros > 0),
         F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double")),
@@ -160,8 +168,11 @@ def hll_sql(
     """The DuckDB oracle for :func:`hll_distinct` — identical hash,
     registers, scaled-integer harmonic sum, and estimator, emitted
     from one source of truth."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
     m = 1 << p
     sub = 60 - p
+    scale = 61 - p
     alpha = 0.7213 / (1 + 1.079 / m)
     groups = ", ".join(group_cols)
     mask = (1 << sub) - 1
@@ -178,20 +189,20 @@ def hll_sql(
             FROM h GROUP BY {groups}, idx
         ), agg AS (
             SELECT {groups}, CAST(count(*) AS BIGINT) AS n_registers,
-                   sum((1::BIGINT) << (53 - M)) AS s_present
+                   sum((1::BIGINT) << ({scale} - M)) AS s_present
             FROM regs GROUP BY {groups}
         ), est AS (
             SELECT {groups}, n_registers,
-                   CAST(s_present + ({m} - n_registers) * (1::BIGINT << 53) AS DOUBLE) AS s,
+                   CAST(s_present + ({m} - n_registers) * (1::BIGINT << {scale}) AS DOUBLE) AS s,
                    {m} - n_registers AS zeros
             FROM agg
         )
         SELECT {groups}, n_registers,
                CAST(round(CAST(CAST((
-                   CASE WHEN {alpha * m * m * float(1 << 53)!r} / s <= {2.5 * m!r}
+                   CASE WHEN {alpha * m * m * float(1 << scale)!r} / s <= {2.5 * m!r}
                              AND zeros > 0
                         THEN {float(m)!r} * ln({float(m)!r} / zeros)
-                        ELSE {alpha * m * m * float(1 << 53)!r} / s END
+                        ELSE {alpha * m * m * float(1 << scale)!r} / s END
                ) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE) AS est_distinct
         FROM est
     """

@@ -280,6 +280,8 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, npix: int) -> bytearray:
         if code == end:
             break
         if prev is None:
+            if code not in table:
+                raise ValueError("corrupt GIF LZW stream")
             entry = table[code]
         elif code in table:
             entry = table[code]
@@ -328,6 +330,10 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
             pos += 1
         elif block == 0x2C:  # image descriptor
             left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            if left + w > sw or top + h > sh:
+                # a frame rect outside the logical screen would silently
+                # desync the pixel buffer from the returned dims
+                raise ValueError("GIF frame rect exceeds logical screen")
             ipacked = data[pos + 9]
             pos += 10
             table = gct

@@ -12,6 +12,15 @@ change arriving in a later micro-batch with a LOWER seq than what the
 table already applied loses, exactly as it would in one big batch.
 ``read_merged`` serves the live view by filtering tombstones out.
 
+Crash safety: each micro-batch writes a NEW versioned snapshot
+directory ``target/v{batch_id}`` instead of overwriting in place, so
+a crash mid-write can never destroy the previous state — the partial
+version has no ``_SUCCESS`` marker and is ignored; the replayed batch
+(same batch id, via the stream checkpoint) overwrites it
+idempotently. Readers always see the latest COMPLETE version; older
+versions are pruned after a successful write (a poor-man's
+Delta/Iceberg commit log, built from parquet's own success marker).
+
 Scale shape: each micro-batch shuffles only (stored keys + batch
 keys) once for the latest-wins window; the rewrite is the full
 snapshot here (plain parquet has no partition-level replace) — at
@@ -22,23 +31,28 @@ body at a MERGE-capable table format; the merge logic is unchanged.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
+
+_KEEP_VERSIONS = 2
 
 
 def merge_change_log(
     stored: DataFrame,
     changes: DataFrame,
     key_col: str,
-    op_col: str = "op",
     seq_col: str = "seq",
 ) -> DataFrame:
     """Fold ``changes`` into the stored change-state (both carrying
-    ``op``+``seq``): per key, the highest-seq row wins — including
-    delete tombstones, which must persist so late lower-seq changes
-    cannot resurrect a deleted key."""
+    the op + seq columns): per key, the highest-``seq`` row wins —
+    including delete tombstones, which must persist so late lower-seq
+    changes cannot resurrect a deleted key. (The op column rides
+    along untouched; only ``read_merged`` interprets it.)"""
     combined = stored.unionByName(changes)
     w = Window.partitionBy(key_col).orderBy(F.desc(seq_col))
     return (
@@ -48,15 +62,43 @@ def merge_change_log(
     )
 
 
+def _complete_versions(target: str) -> list[int]:
+    """Version ids under ``target`` whose parquet write finished
+    (``_SUCCESS`` marker present), ascending. Local-FS directory
+    listing — swap for the Hadoop FileSystem API on HDFS/object
+    stores (where the same marker convention holds)."""
+    if not os.path.isdir(target):
+        return []
+    out = []
+    for name in os.listdir(target):
+        if name.startswith("v") and name[1:].isdigit():
+            if os.path.exists(os.path.join(target, name, "_SUCCESS")):
+                out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _read_state(
+    spark: SparkSession, target: str, schema: StructType, before_batch: int
+) -> DataFrame:
+    """Latest complete snapshot STRICTLY BEFORE ``before_batch`` —
+    on a crash-replay of batch N, any (complete or partial) vN from
+    the interrupted attempt must not feed into its own re-merge."""
+    prior = [v for v in _complete_versions(target) if v < before_batch]
+    if not prior:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        os.path.join(target, f"v{prior[-1]}")
+    )
+
+
 def streaming_merge_to_path(
     changes: DataFrame,
     target: str,
     checkpoint: str,
     key_col: str,
-    op_col: str = "op",
     seq_col: str = "seq",
 ) -> StreamingQuery:
-    """Maintain a latest-wins table at ``target`` from a change
+    """Maintain a latest-wins table under ``target`` from a change
     stream. Runs with an ``availableNow`` trigger — drain everything
     currently available, then stop — the right shape both for tests
     and for the periodic "catch the table up" production cadence;
@@ -64,13 +106,17 @@ def streaming_merge_to_path(
     Returns the started query."""
     schema = changes.schema
 
-    def _apply(batch_df: DataFrame, _batch_id: int) -> None:
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        stored = _read_state(spark, target, schema)
-        merged = merge_change_log(stored, batch_df, key_col, op_col, seq_col)
-        # cut lineage before overwriting the path we just read
-        merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target)
+        stored = _read_state(spark, target, schema, before_batch=batch_id)
+        merged = merge_change_log(stored, batch_df, key_col, seq_col)
+        merged.write.mode("overwrite").parquet(
+            os.path.join(target, f"v{batch_id}")
+        )
+        # prune stale versions only after this version is complete
+        done = _complete_versions(target)
+        for v in done[:-_KEEP_VERSIONS]:
+            shutil.rmtree(os.path.join(target, f"v{v}"), ignore_errors=True)
 
     return (
         changes.writeStream.foreachBatch(_apply)
@@ -80,29 +126,16 @@ def streaming_merge_to_path(
     )
 
 
-def _read_state(
-    spark: SparkSession, target: str, schema: StructType
-) -> DataFrame:
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.schema(schema).parquet(target)
-    except AnalysisException as exc:
-        # ONLY path-not-found means "first batch, no snapshot yet".
-        # Any other failure (corruption, permissions, transient IO)
-        # must abort the batch — treating it as empty state would
-        # silently reset the table to just this batch's changes.
-        if "PATH_NOT_FOUND" in str(exc) or "Path does not exist" in str(exc):
-            return spark.createDataFrame([], schema)
-        raise
-
-
 def read_merged(
     spark: SparkSession, target: str, op_col: str = "op", seq_col: str = "seq"
 ) -> DataFrame:
-    """The live view: stored state minus tombstones and bookkeeping."""
+    """The live view: latest complete snapshot minus tombstones and
+    bookkeeping."""
+    versions = _complete_versions(target)
+    if not versions:
+        raise FileNotFoundError(f"no complete merge snapshot under {target}")
     return (
-        spark.read.parquet(target)
+        spark.read.parquet(os.path.join(target, f"v{versions[-1]}"))
         .filter(F.col(op_col) != "D")
         .drop(op_col, seq_col)
     )
