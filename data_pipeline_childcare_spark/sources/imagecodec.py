@@ -380,6 +380,55 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
     raise ValueError("GIF contains no image frame")
 
 
+def parse_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
+    """Parse an uncompressed AVI (RIFF) with stdlib struct only →
+    ``(width, height, usec_per_frame, frames)`` where each frame is
+    the raw '00db' DIB pixel array (bottom-up BGR, the BMP layout).
+
+    Scope: the RIFF walk handles any chunk nesting; only '..db'
+    (uncompressed device-independent bitmap) frames are collected —
+    codec streams ('..dc') need a real video library and stay with
+    the stub tier."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not an AVI")
+    usec = width = height = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal usec, width, height
+        while pos + 8 <= end:
+            fourcc = data[pos : pos + 4]
+            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)
+            elif fourcc == b"avih" and size >= 40:
+                (usec,) = struct.unpack("<I", data[body_start : body_start + 4])
+                width, height = struct.unpack(
+                    "<II", data[body_start + 32 : body_start + 40]
+                )
+            elif fourcc[2:4] == b"db":
+                frames.append(bytes(data[body_start:body_end]))
+            pos = body_end + (size & 1)
+
+    walk(12, len(data))
+    if usec is None or width is None or not frames:
+        raise ValueError("AVI missing avih header or uncompressed frames")
+    return int(width), int(height), int(usec), frames
+
+
+def encode_bmp(width: int, height: int, dib: bytes) -> bytes:
+    """Wrap a raw DIB pixel array (bottom-up BGR, 4-byte-padded rows —
+    exactly what an AVI '00db' chunk carries) into a 24-bit BMP file
+    that :func:`decode_bmp` (or any viewer) reads."""
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(dib), 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(dib), 2835, 2835, 0, 0
+    )
+    return header + info + dib
+
+
 def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
     """Dispatch to whichever stdlib decoder matches the magic bytes;
     None when the format needs a library we don't ship (JPEG)."""

@@ -6,14 +6,15 @@ resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
 Decode is TIERED, most-deterministic real path first: a REAL stdlib
 decode for PNG (zlib inflate + unfilter, ``sources/imagecodec.py``),
-BMP and PPM — true pixels, env-independent; PIL for formats stdlib
-can't (JPEG/GIF) when importable; stdlib header-parsed dimensions
-next; a deterministic digest fake only as the last resort — each
-tier clearly marked via ``mode``/``is_stub``. Metadata attachment
-never needs Python at all: PNG/GIF width/height parse straight out of
-the header bytes with substring/hex/conv COLUMN expressions. Video
-frame decode stays a marked stub (no video library exists here); its
-row-explosion shape and batch discipline are real and tested.
+GIF (LZW), BMP and PPM — true pixels, env-independent; PIL for
+formats stdlib can't (JPEG) when importable; stdlib header-parsed
+dimensions next; a deterministic digest fake only as the last resort
+— each tier clearly marked via ``mode``/``is_stub``. Metadata
+attachment never needs Python at all: PNG/GIF width/height parse
+straight out of the header bytes with substring/hex/conv COLUMN
+expressions. Video frame sampling is real for uncompressed AVI
+(RIFF '00db' DIB streams → per-frame BMPs feeding ``image_features``)
+and a marked stub for codec streams (no video library exists here).
 
 At 100 TB: binary payloads ride the columnar scan (parquet BINARY with
 metadata in sibling columns, never inside the blob); per-batch decode
@@ -41,7 +42,9 @@ IMAGE_FEATURES_SCHEMA = (
     "path string, width int, height int, mode string, feature array<float>, is_stub boolean"
 )
 
-FRAME_SAMPLE_SCHEMA = "path string, frame_idx int, frame_ms long, frame binary"
+FRAME_SAMPLE_SCHEMA = (
+    "path string, frame_idx int, frame_ms long, frame binary, is_stub boolean"
+)
 
 
 def _be32(content: str, pos: int):
@@ -193,19 +196,52 @@ def sample_frames(
 ) -> DataFrame:
     """Frame sampling for video blobs — one row per sampled frame.
 
-    STUB decode (no video lib in container): emits deterministic
-    byte-slices as fake frames; the row-explosion shape, frame
-    timestamps, and batch discipline are the real, tested part.
+    Tiered like the image path:
+
+    1. uncompressed AVI (RIFF '00db' DIB streams) → REAL stdlib
+       decode (`imagecodec.parse_avi`): true frame timing from the
+       avih header, frames sampled every ``every_ms``, each emitted
+       as a standalone BMP so `image_features` decodes it downstream
+       — video → frames → features is an all-real stdlib pipeline.
+    2. anything else (codec streams need a video library) → marked
+       stub: deterministic byte-slices keep the row-explosion shape,
+       timestamps, and batch discipline testable everywhere.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: PLC0415
+            encode_bmp,
+            parse_avi,
+        )
+
         for pdf in batches:
             rows = []
             for path, data in zip(pdf[path_col], pdf[content_col]):
                 raw = bytes(data)
-                n = min(max_frames, max(1, len(raw) // 64))
-                for i in range(n):
-                    rows.append((path, i, i * every_ms, raw[i * 64 : (i + 1) * 64]))
-            yield pd.DataFrame(rows, columns=["path", "frame_idx", "frame_ms", "frame"])
+                try:
+                    w, h, usec, frames = parse_avi(raw)
+                    step = max(1, round(every_ms * 1000 / usec)) if usec else 1
+                    for j, idx in enumerate(range(0, len(frames), step)):
+                        if j >= max_frames:
+                            break
+                        rows.append(
+                            (
+                                path,
+                                idx,
+                                idx * usec // 1000,
+                                encode_bmp(w, h, frames[idx]),
+                                False,
+                            )
+                        )
+                except ValueError:
+                    n = min(max_frames, max(1, len(raw) // 64))
+                    for i in range(n):
+                        rows.append(
+                            (path, i, i * every_ms, raw[i * 64 : (i + 1) * 64], True)
+                        )
+            yield pd.DataFrame(
+                rows,
+                columns=["path", "frame_idx", "frame_ms", "frame", "is_stub"],
+            )
 
     return df.select(path_col, content_col).mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)

@@ -251,3 +251,83 @@ def test_gif_wellknown_1x1():
     assert (w, h, mode) == (1, 1, "RGB")
     assert len(pixels) == 3
     assert decode_image_stdlib(gif) is not None
+
+
+# --- AVI ---------------------------------------------------------------
+
+
+def _chunk(fourcc, body):
+    pad = b"\x00" if len(body) % 2 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list_chunk(subtype, children):
+    return _chunk(b"LIST", subtype + b"".join(children))
+
+
+def _make_avi(w, h, usec_per_frame, colors):
+    row_bytes = (w * 3 + 3) & ~3
+
+    def dib(rgb):
+        r, g, b = rgb
+        row = bytes([b, g, r] * w) + b"\x00" * (row_bytes - w * 3)
+        return row * h
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(colors), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    movi = _list_chunk(b"movi", [_chunk(b"00db", dib(c)) for c in colors])
+    hdrl = _list_chunk(b"hdrl", [_chunk(b"avih", avih)])
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_parse_and_frame_bmp_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_bmp,
+        encode_bmp,
+        parse_avi,
+    )
+
+    colors = [(255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    avi = _make_avi(4, 2, 40000, colors)
+    w, h, usec, frames = parse_avi(avi)
+    assert (w, h, usec, len(frames)) == (4, 2, 40000, 3)
+    for frame, rgb in zip(frames, colors):
+        dw, dh, mode, px = decode_bmp(encode_bmp(w, h, frame))
+        assert (dw, dh, mode) == (4, 2, "RGB")
+        assert px[:3] == bytes(rgb)
+
+
+def test_video_frames_to_image_features_all_real(spark):
+    """Uncompressed AVI → sampled frames → image features is an
+    all-real stdlib pipeline: true timestamps from the avih header,
+    BMP-decodable frames, non-stub features downstream."""
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        image_features,
+        sample_frames,
+    )
+
+    avi = _make_avi(4, 2, 40000, [(255, 0, 0), (0, 255, 0), (0, 0, 255)])
+    df = spark.createDataFrame([("clip.avi", avi)], "path string, content binary")
+    frames = sample_frames(df, every_ms=40, max_frames=8).collect()
+    assert [r["frame_idx"] for r in frames] == [0, 1, 2]
+    assert [r["frame_ms"] for r in frames] == [0, 40, 80]
+    assert all(r["is_stub"] is False for r in frames)
+    fdf = spark.createDataFrame(
+        [(f"f{r['frame_idx']}", bytes(r["frame"])) for r in frames],
+        "path string, content binary",
+    )
+    feats = image_features(fdf, "path", "content").collect()
+    assert all(not r["is_stub"] and r["mode"] == "RGB" for r in feats)
+
+
+def test_video_frames_stub_tier_still_marked(spark):
+    from data_pipeline_childcare_spark.sources.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [("v.bin", bytes(range(256)))], "path string, content binary"
+    )
+    rows = sample_frames(df, every_ms=500, max_frames=3).collect()
+    assert all(r["is_stub"] is True for r in rows)
