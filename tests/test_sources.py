@@ -269,3 +269,55 @@ def test_multimodal_wav_rate_and_duration(spark):
     )
     r = attach_media_metadata(df).first()
     assert (r["mime"], r["sample_rate"], r["duration_ms"]) == ("audio/wav", 16000, 1000)
+
+
+def _make_wav(rate, channels, samples):
+    """16-bit PCM WAV from a list of per-channel sample tuples."""
+    import struct as _struct
+
+    pcm = b"".join(
+        _struct.pack("<" + "h" * channels, *frame) for frame in samples
+    )
+    block = channels * 2
+    fmt = _struct.pack("<HHIIHH", 1, channels, rate, rate * block, block, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def test_audio_features_real_pcm_tier(spark):
+    """A full-scale square wave has RMS = peak = 1 and a zero
+    crossing at every sample boundary — exact expectations for the
+    real PCM path."""
+    from data_pipeline_childcare_spark.sources.multimodal import audio_features
+
+    rate = 8000
+    samples = [((32767 if i % 2 == 0 else -32768),) for i in range(800)]
+    wav = _make_wav(rate, 1, samples)
+    df = spark.createDataFrame([("a.wav", wav)], "path string, content binary")
+    row = audio_features(df).collect()[0]
+    assert row["is_stub"] is False
+    assert (row["sample_rate"], row["channels"], row["n_samples"]) == (rate, 1, 800)
+    assert row["duration_ms"] == 100
+    assert abs(row["rms"] - 1.0) < 1e-4 and abs(row["peak"] - 1.0) < 1e-4
+    assert abs(row["zcr"] - 1.0) < 1e-3
+
+
+def test_audio_features_stereo_downmix_and_stub(spark):
+    from data_pipeline_childcare_spark.sources.multimodal import audio_features
+
+    # opposite-phase stereo downmixes to (32767 - 32768)/2 ≈ 0
+    samples = [(32767, -32768)] * 100
+    wav = _make_wav(16000, 2, samples)
+    df = spark.createDataFrame(
+        [("s.wav", wav), ("x.mp3", b"\xff\xfb" + bytes(64))],
+        "path string, content binary",
+    )
+    rows = {r["path"]: r for r in audio_features(df).collect()}
+    assert rows["s.wav"]["is_stub"] is False
+    assert rows["s.wav"]["channels"] == 2
+    assert rows["s.wav"]["rms"] < 1e-4
+    assert rows["x.mp3"]["is_stub"] is True and rows["x.mp3"]["sample_rate"] is None
