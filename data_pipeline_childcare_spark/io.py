@@ -109,6 +109,36 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_table(
+    df: DataFrame, path: str, fmt: str = "parquet", mode: str = "overwrite"
+) -> None:
+    """Format-generic sink: parquet / orc (columnar, schema carried in
+    the files), json lines, or csv (header row; schema must be
+    supplied on read). One write API so pipelines swap storage formats
+    without code changes; columnar formats keep predicate pushdown and
+    column pruning, the text formats exist for interchange."""
+    writer = df.write.mode(mode)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
+def read_table_format(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema=None
+) -> DataFrame:
+    """Format-generic reader paired with :func:`write_table`. For the
+    self-describing formats (parquet/orc) ``schema`` is optional; for
+    json/csv pass the schema to avoid a type-inference scan AND to
+    keep types exact (inference reads longs where the writer had ints,
+    strings where it had timestamps...)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    return reader.format(fmt).load(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

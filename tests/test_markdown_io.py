@@ -70,3 +70,22 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
     assert j.count() == 1000
     spark.sql("DROP TABLE t_left")
     spark.sql("DROP TABLE t_right")
+
+
+def test_format_roundtrip_orc_json_csv(spark, tmp_path):
+    """write_table/read_table_format preserve values across every
+    supported format; json/csv round-trip exactly when the reader is
+    given the writer's schema (no inference drift)."""
+    from data_pipeline_childcare_spark.io import (
+        load_table,
+        read_table_format,
+        write_table,
+    )
+
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001").limit(200)
+    expected = sorted(map(tuple, li.collect()))
+    for fmt in ("parquet", "orc", "json", "csv"):
+        path = str(tmp_path / f"rt_{fmt}")
+        write_table(li, path, fmt=fmt)
+        back = read_table_format(spark, path, fmt=fmt, schema=li.schema)
+        assert sorted(map(tuple, back.collect())) == expected, fmt
