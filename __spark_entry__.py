@@ -329,6 +329,20 @@ def kmv_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(ev, ("event_type",), "user_id", k=64)
 
 
+def doc_corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide boilerplate removal (CCNet-style): lines whose
+    normalized form appears in more than 5 distinct documents are
+    dropped everywhere, documents reassembled in original line order
+    (operators/cleaning.py corpus_line_dedup). Complements the
+    per-document repeated-line cleaner the reference ships."""
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        corpus_line_dedup,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return corpus_line_dedup(docs, max_df=5).orderBy("doc_id")
+
+
 def salted_supplier_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-phase salted aggregation through the driver gate — the
     hot-key defense (operators/skew.py) proven semantically invisible:
@@ -2075,6 +2089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_value_deciles": customer_value_deciles,
         "user_retention_cohorts": user_retention_cohorts,
         "salted_supplier_quantity": salted_supplier_quantity,
+        "doc_corpus_line_dedup": doc_corpus_line_dedup,
         "events_value_anomalies": events_value_anomalies,
         "revenue_grouping_sets": revenue_grouping_sets,
         "source_token_budget_cap": source_token_budget_cap,
@@ -2366,6 +2381,41 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "doc_corpus_line_dedup": """
+            WITH lines AS (
+                SELECT doc_id, u.p - 1 AS line_no, u.l AS line
+                FROM (
+                    SELECT doc_id,
+                           list_transform(
+                               string_split(text, chr(10)),
+                               (x, i) -> struct_pack(p := i, l := x)
+                           ) AS ls
+                    FROM documents
+                ), unnest(ls) AS t(u)
+            ), keyed AS (
+                SELECT doc_id, line_no, line, lower(trim(line)) AS k
+                FROM lines
+            ), hot AS (
+                SELECT k FROM keyed
+                WHERE k <> ''
+                GROUP BY k
+                HAVING count(DISTINCT doc_id) > 5
+            ), kept AS (
+                SELECT doc_id, line_no, line
+                FROM keyed
+                WHERE k NOT IN (SELECT k FROM hot)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(line, chr(10) ORDER BY line_no) AS clean_text,
+                       CAST(count(*) AS BIGINT) AS n_lines_kept
+                FROM kept GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(clean_text, '') AS clean_text,
+                   coalesce(n_lines_kept, 0) AS n_lines_kept
+            FROM documents d LEFT JOIN rebuilt USING (doc_id)
+            ORDER BY doc_id
+        """,
         "salted_supplier_quantity": """
             SELECT l_suppkey, round(sum(l_quantity), 2) AS total_qty
             FROM lineitem

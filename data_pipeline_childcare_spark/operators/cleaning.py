@@ -189,3 +189,55 @@ def repetition_stats(
             ).alias("top_bigram_frac"),
         )
     )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int = 5,
+) -> DataFrame:
+    """Corpus-WIDE boilerplate removal (CCNet-style): drop lines whose
+    normalized form appears in more than ``max_df`` distinct documents
+    (nav menus, cookie banners, footers), then reassemble each
+    document in original line order → (id, clean_text, n_lines_kept).
+
+    Complements :func:`remove_repeated_lines`, which is per-document.
+    Shapes: one explode + a (key → distinct-doc count) aggregate — the
+    hot-line table is tiny by construction (only lines crossing the
+    df threshold) — then an anti join and one per-doc rebuild
+    aggregate. Empty lines are structural and never counted. At
+    100 TB CCNet shards this by line-hash range; the same three
+    aggregates apply per shard.
+    """
+    lines = docs.select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("_ln", "_line"),
+    ).withColumn("_key", F.lower(F.trim(F.col("_line"))))
+    hot = (
+        lines.filter(F.col("_key") != "")
+        .groupBy("_key")
+        .agg(F.count_distinct(id_col).alias("_df"))
+        .filter(F.col("_df") > max_df)
+        .select("_key")
+    )
+    kept = lines.join(hot, "_key", "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_ln", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count("*").alias("n_lines_kept"),
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+        )
+    )

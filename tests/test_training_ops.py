@@ -109,3 +109,36 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     import math
     exp1 = round(round(4 * math.log10(5 / 6), 6) / 4, 6)
     assert got[1]["avg_logprob"] == pytest.approx(exp1, abs=1e-9)
+
+
+def test_corpus_line_dedup_drops_cross_doc_boilerplate(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        corpus_line_dedup,
+    )
+
+    banner = "Accept cookies to continue"
+    docs = spark.createDataFrame(
+        [(i, f"unique opening {i}\n{banner}\nunique closing {i}") for i in range(8)]
+        + [(100, banner)],  # a doc that is ONLY boilerplate
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in corpus_line_dedup(docs, max_df=5).collect()}
+    assert len(out) == 9
+    for i in range(8):
+        assert out[i]["clean_text"] == f"unique opening {i}\nunique closing {i}"
+        assert out[i]["n_lines_kept"] == 2
+    assert out[100]["clean_text"] == "" and out[100]["n_lines_kept"] == 0
+
+
+def test_corpus_line_dedup_below_threshold_untouched(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        corpus_line_dedup,
+    )
+
+    shared = "appears in three docs only"
+    docs = spark.createDataFrame(
+        [(i, f"body {i}\n{shared}") for i in range(3)],
+        "doc_id long, text string",
+    )
+    out = corpus_line_dedup(docs, max_df=5).collect()
+    assert all(r["n_lines_kept"] == 2 for r in out)
