@@ -119,7 +119,10 @@ def write_table(
     column pruning, the text formats exist for interchange."""
     writer = df.write.mode(mode)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        # exact round-trip options: a sentinel nullValue keeps NULL
+        # distinguishable from '' (Spark's CSV default reads empty as
+        # null), and readers must set multiLine for embedded newlines
+        writer = writer.option("header", "true").option("nullValue", "\\N")
     writer.format(fmt).save(path)
 
 
@@ -135,7 +138,11 @@ def read_table_format(
     if schema is not None:
         reader = reader.schema(schema)
     if fmt == "csv":
-        reader = reader.option("header", "true")
+        reader = (
+            reader.option("header", "true")
+            .option("multiLine", "true")  # quoted embedded newlines
+            .option("nullValue", "\\N")  # write_table's NULL sentinel
+        )
     return reader.format(fmt).load(path)
 
 

@@ -380,6 +380,24 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
     raise ValueError("GIF contains no image frame")
 
 
+def iter_riff_chunks(data: bytes, pos: int, end: int):
+    """Bounds-checked RIFF chunk walk shared by the AVI and WAV
+    parsers → yields ``(fourcc, body_start, body_end)``. Bodies are
+    CLAMPED to the available bytes (a lying size field or truncated
+    file can never produce an out-of-range slice), and a chunk whose
+    declared body runs past the end terminates the walk."""
+    while pos + 8 <= end:
+        fourcc = data[pos : pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body_start = pos + 8
+        declared_end = body_start + size
+        body_end = min(declared_end, end)
+        yield fourcc, body_start, body_end
+        if declared_end > end:
+            break
+        pos = declared_end + (size & 1)
+
+
 def parse_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     """Parse an uncompressed AVI (RIFF) with stdlib struct only →
     ``(width, height, usec_per_frame, frames)`` where each frame is
@@ -388,7 +406,8 @@ def parse_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
     Scope: the RIFF walk handles any chunk nesting; only '..db'
     (uncompressed device-independent bitmap) frames are collected —
     codec streams ('..dc') need a real video library and stay with
-    the stub tier."""
+    the stub tier. Malformed input always raises ValueError (never
+    struct.error) so callers' stub fallbacks fire."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     usec = width = height = None
@@ -396,21 +415,18 @@ def parse_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
 
     def walk(pos: int, end: int) -> None:
         nonlocal usec, width, height
-        while pos + 8 <= end:
-            fourcc = data[pos : pos + 4]
-            (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-            body_start = pos + 8
-            body_end = min(body_start + size, end)
+        for fourcc, body_start, body_end in iter_riff_chunks(data, pos, end):
             if fourcc == b"LIST":
                 walk(body_start + 4, body_end)
-            elif fourcc == b"avih" and size >= 40:
+            elif fourcc == b"avih":
+                if body_end - body_start < 40:
+                    raise ValueError("truncated AVI avih chunk")
                 (usec,) = struct.unpack("<I", data[body_start : body_start + 4])
                 width, height = struct.unpack(
                     "<II", data[body_start + 32 : body_start + 40]
                 )
             elif fourcc[2:4] == b"db":
                 frames.append(bytes(data[body_start:body_end]))
-            pos = body_end + (size & 1)
 
     walk(12, len(data))
     if usec is None or width is None or not frames:

@@ -220,6 +220,17 @@ def sample_frames(
                 raw = bytes(data)
                 try:
                     w, h, usec, frames = parse_avi(raw)
+                except Exception:  # noqa: BLE001 — ANY malformed blob
+                    # must fall to the stub tier, never kill the task:
+                    # a 100 TB crawl corpus contains every corruption
+                    frames = None
+                if frames is None:
+                    n = min(max_frames, max(1, len(raw) // 64))
+                    for i in range(n):
+                        rows.append(
+                            (path, i, i * every_ms, raw[i * 64 : (i + 1) * 64], True)
+                        )
+                else:
                     step = max(1, round(every_ms * 1000 / usec)) if usec else 1
                     for j, idx in enumerate(range(0, len(frames), step)):
                         if j >= max_frames:
@@ -232,12 +243,6 @@ def sample_frames(
                                 encode_bmp(w, h, frames[idx]),
                                 False,
                             )
-                        )
-                except ValueError:
-                    n = min(max_frames, max(1, len(raw) // 64))
-                    for i in range(n):
-                        rows.append(
-                            (path, i, i * every_ms, raw[i * 64 : (i + 1) * 64], True)
                         )
             yield pd.DataFrame(
                 rows,
@@ -254,29 +259,36 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def _parse_wav_pcm(data: bytes) -> tuple[int, int, bytes]:
-    """RIFF/WAVE walk with stdlib struct → (sample_rate, channels,
-    pcm16_bytes). Only integer 16-bit PCM ('fmt ' audio format 1,
-    bits 16) is real; anything else raises for the stub tier."""
+    """RIFF/WAVE walk (shared bounds-checked chunk iterator from
+    ``imagecodec``) → (sample_rate, channels, pcm16_bytes). Only
+    integer 16-bit mono/stereo-style PCM ('fmt ' audio format 1,
+    bits 16, channels ≥ 1) is real; anything else — including
+    truncated or lying chunk sizes — raises ValueError so the stub
+    tier fires."""
     import struct  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: PLC0415
+        iter_riff_chunks,
+    )
 
     if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
         raise ValueError("not a WAV")
-    pos, end = 12, len(data)
     fmt = pcm = None
-    while pos + 8 <= end:
-        fourcc = data[pos : pos + 4]
-        (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
-        body = data[pos + 8 : pos + 8 + size]
+    for fourcc, start, end in iter_riff_chunks(data, 12, len(data)):
         if fourcc == b"fmt ":
-            fmt = struct.unpack("<HHIIHH", body[:16])
+            if end - start < 16:
+                raise ValueError("truncated WAV fmt chunk")
+            fmt = struct.unpack("<HHIIHH", data[start : start + 16])
         elif fourcc == b"data":
-            pcm = body
-        pos += 8 + size + (size & 1)
+            pcm = data[start:end]
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
     audio_format, channels, rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16:
-        raise ValueError(f"unsupported WAV (format={audio_format}, bits={bits})")
+    if audio_format != 1 or bits != 16 or channels < 1 or rate < 1:
+        raise ValueError(
+            f"unsupported WAV (format={audio_format}, bits={bits}, "
+            f"channels={channels}, rate={rate})"
+        )
     return rate, channels, pcm
 
 
@@ -328,7 +340,9 @@ def audio_features(
                             False,
                         )
                     )
-                except ValueError:
+                except Exception:  # noqa: BLE001 — ANY malformed blob
+                    # → marked stub row, never a dead task: a 100 TB
+                    # crawl corpus contains every corruption
                     digest = hashlib.md5(raw).digest()
                     rows.append(
                         (

@@ -89,3 +89,16 @@ def test_format_roundtrip_orc_json_csv(spark, tmp_path):
         write_table(li, path, fmt=fmt)
         back = read_table_format(spark, path, fmt=fmt, schema=li.schema)
         assert sorted(map(tuple, back.collect())) == expected, fmt
+
+
+def test_csv_roundtrip_newlines_empties_nulls(spark, tmp_path):
+    from data_pipeline_childcare_spark.io import read_table_format, write_table
+
+    df = spark.createDataFrame(
+        [(1, "line one\nline two"), (2, ""), (3, None), (4, "plain")],
+        "id long, text string",
+    )
+    path = str(tmp_path / "csv_hard")
+    write_table(df, path, fmt="csv")
+    back = read_table_format(spark, path, fmt="csv", schema=df.schema)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))

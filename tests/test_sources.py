@@ -321,3 +321,38 @@ def test_audio_features_stereo_downmix_and_stub(spark):
     assert rows["s.wav"]["channels"] == 2
     assert rows["s.wav"]["rms"] < 1e-4
     assert rows["x.mp3"]["is_stub"] is True and rows["x.mp3"]["sample_rate"] is None
+
+
+def test_corrupt_media_falls_to_stub_not_task_failure(spark):
+    """Truncated/lying RIFF containers must produce marked stub rows,
+    never a failed Spark task (struct.error / ZeroDivisionError class
+    of bugs)."""
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        audio_features,
+        sample_frames,
+    )
+    import struct as _struct
+
+    trunc_avi = b"RIFF" + _struct.pack("<I", 200) + b"AVI " + b"LIST" + _struct.pack("<I", 180) + b"hdrl" + b"avih" + _struct.pack("<I", 56) + b"\x01\x02"  # avih body cut short
+    zero_ch_fmt = _struct.pack("<HHIIHH", 1, 0, 8000, 0, 0, 16)
+    zero_ch_wav = (
+        b"RIFF" + _struct.pack("<I", 100) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 16) + zero_ch_fmt
+        + b"data" + _struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    short_fmt_wav = (
+        b"RIFF" + _struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + _struct.pack("<I", 14) + b"\x00" * 14
+        + b"data" + _struct.pack("<I", 2) + b"\x01\x02"
+    )
+    vdf = spark.createDataFrame(
+        [("t.avi", trunc_avi)], "path string, content binary"
+    )
+    frames = sample_frames(vdf, every_ms=100).collect()
+    assert frames and all(r["is_stub"] for r in frames)
+    adf = spark.createDataFrame(
+        [("z.wav", zero_ch_wav), ("s.wav", short_fmt_wav)],
+        "path string, content binary",
+    )
+    rows = audio_features(adf).collect()
+    assert len(rows) == 2 and all(r["is_stub"] for r in rows)
