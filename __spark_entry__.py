@@ -1257,9 +1257,11 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     date — testdata has no receipt/commit dates): suppliers who were
     the SOLE late supplier on a multi-supplier order. The reference
     formulation is EXISTS + NOT-EXISTS self-joins; the scalable Spark
-    plan is ONE per-order aggregate (distinct suppliers, distinct late
-    suppliers, the single late supplier's key) — one shuffle on
-    orderkey instead of three self-joins of lineitem."""
+    plan is a TWO-LEVEL aggregate: (order, supplier) pairs first —
+    dedup happens map-side, and no multi-count_distinct Expand ever
+    triples the lineitem rows — then per-order counts over the tiny
+    pair relation. Two keyed shuffles instead of three lineitem
+    self-joins or a 3× Expand."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -1267,10 +1269,13 @@ def suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     late = F.col("l_shipdate") > F.timestamp_add(
         "DAY", F.lit(90), F.col("o_orderdate")
     )
-    per_order = joined.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
-        F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+    per_pair = joined.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(late.cast("int")).alias("_late")
+    )
+    per_order = per_pair.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.sum("_late").alias("n_late_supp"),
+        F.max(F.when(F.col("_late") == 1, F.col("l_suppkey"))).alias("late_supp"),
     )
     sole_late = per_order.filter(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)

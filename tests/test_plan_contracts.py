@@ -1,0 +1,60 @@
+"""Physical-plan contracts: the plan shapes PLANS.md documents are
+asserted here so a refactor that silently degrades a plan (broadcast
+→ sort-merge, agg → Expand, a stray cartesian) fails CI instead of
+surfacing as a 100 TB incident.
+
+Checks run on the executed plan string at sf0.001 with the engine's
+default session — small data, but join strategy / Expand / cartesian
+choices are structural, not data-dependent, once stats are known.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entry_mod
+
+SF = "/root/testdata/sf0.001"
+
+# query -> (max hashpartitioning exchanges, forbid SortMergeJoin,
+# forbid Expand). The exchange budget excludes the presentation
+# ORDER BY (rangepartitioning) and one-row SinglePartition exchanges.
+CONTRACTS = {
+    "q5_nation_revenue": (1, True, True),
+    "min_cost_part_suppliers": (2, True, True),
+    "order_priority_late_counts": (1, True, True),
+    "supplier_variety_by_part": (2, True, True),
+    "bulk_suppliers_for_parts": (1, True, True),
+    "suppliers_kept_waiting": (3, True, True),
+    "hll_distinct_users_by_type": (2, True, True),
+    "bloom_filtered_building_revenue": (2, True, True),
+    "events_value_quantile_sketch": (3, True, True),
+    "salted_supplier_quantity": (2, True, True),
+    "user_event_transitions": (2, True, True),
+}
+
+
+@pytest.mark.parametrize("name", sorted(CONTRACTS))
+def test_plan_contract(spark, name):
+    max_hash_ex, no_smj, no_expand = CONTRACTS[name]
+    df = entry_mod.queries()[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, name
+    if no_smj:
+        assert "SortMergeJoin" not in plan, name
+    if no_expand:
+        assert not re.search(r"\bExpand\b", plan), name
+    hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert hash_ex <= max_hash_ex, (name, hash_ex, max_hash_ex)
+
+
+def test_no_driver_collect_in_query_paths(spark):
+    """Every contract query builds a DataFrame plan without driver-side
+    collect() — the plan materializes lazily (this test never calls an
+    action beyond plan compilation)."""
+    qs = entry_mod.queries()
+    for name in CONTRACTS:
+        df = qs[name](spark, SF)
+        assert df.columns  # plan resolved, nothing executed
