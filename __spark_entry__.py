@@ -579,6 +579,22 @@ def bloom_filtered_building_revenue(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def kmv_click_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV set algebra: estimated union / Jaccard / intersection of
+    the click-user and purchase-user sets from two k-min sketches —
+    set operations over sketches instead of datasets
+    (operators/sketches.py kmv_set_estimates). Deterministic portable
+    hashing makes the whole algebra exactly oracle-checkable."""
+    from data_pipeline_childcare_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    buys = ev.filter(F.col("event_type") == "purchase").select("user_id")
+    return kmv_set_estimates(clicks, buys, "user_id", k=64)
+
+
 def hll_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog distinct-count sketch per event_type — like the KMV
     query, an APPROXIMATE algorithm with an EXACT oracle: portable
@@ -2086,6 +2102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_portable_pairs_docs": simhash_portable_pairs_docs,
         "kmv_distinct_users_by_type": kmv_distinct_users_by_type,
         "hll_distinct_users_by_type": hll_distinct_users_by_type,
+        "kmv_click_purchase_overlap": kmv_click_purchase_overlap,
         "bloom_filtered_building_revenue": bloom_filtered_building_revenue,
         "user_event_transitions": user_event_transitions,
         "events_value_quantile_sketch": events_value_quantile_sketch,
@@ -2160,6 +2177,9 @@ def oracle_sql() -> dict[str, str]:
     from data_pipeline_childcare_spark.operators.sketches import hll_sql as _hll_sql
     from data_pipeline_childcare_spark.operators.sketches import (
         histogram_quantiles_sql as _histq_sql,
+    )
+    from data_pipeline_childcare_spark.operators.sketches import (
+        kmv_set_sql as _kmv_set_sql,
     )
     from data_pipeline_childcare_spark.operators.sketches import kmv_sql as _kmv_sql
     from data_pipeline_childcare_spark.operators.timeseries import (
@@ -2531,6 +2551,12 @@ def oracle_sql() -> dict[str, str]:
             FROM run WHERE cum_tokens <= 20000
             ORDER BY source, cum_tokens
         """,
+        "kmv_click_purchase_overlap": _kmv_set_sql(
+            "(SELECT user_id FROM events WHERE event_type = 'click')",
+            "(SELECT user_id FROM events WHERE event_type = 'purchase')",
+            "user_id",
+            k=64,
+        ),
         "bloom_filtered_building_revenue": """
             SELECT year(o_orderdate) AS order_year,
                    count(*) AS n_orders,

@@ -208,6 +208,95 @@ def hll_sql(
     """
 
 
+def kmv_set_estimates(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV set algebra (Beyer et al. 2007) → ONE row
+    (n_kept, est_union, jaccard, est_intersection).
+
+    The k smallest distinct portable hashes of A ∪ B estimate the
+    union cardinality exactly as :func:`kmv_distinct`; the fraction
+    of those k that appear in BOTH sides is an unbiased Jaccard
+    estimate, and intersection = jaccard × union. Everything is
+    integer/rounded-double determinism on the shared hash family, so
+    the DuckDB oracle checks the whole algebra exactly.
+
+    Scale shape: per-side dedup collapses map-side; the k-smallest
+    survive a TakeOrdered (no full sort); one tiny final projection.
+    Sketches are mergeable: keep each side's k-min list and re-merge
+    for any pairwise combination without rescanning the data.
+    """
+    hv = F.expr(
+        f"cast(conv(substring(md5(cast({value_col} as string)), 1, 15), 16, 10) as bigint)"
+    )
+    ta = a.select(hv.alias("_hv"), F.lit(1).alias("_a"), F.lit(0).alias("_b"))
+    tb = b.select(hv.alias("_hv"), F.lit(0).alias("_a"), F.lit(1).alias("_b"))
+    per_hash = (
+        ta.unionAll(tb)
+        .groupBy("_hv")
+        .agg(F.max("_a").alias("_in_a"), F.max("_b").alias("_in_b"))
+    )
+    topk = per_hash.orderBy("_hv").limit(k)
+    agg = topk.agg(
+        F.count("*").alias("n_kept"),
+        F.max("_hv").alias("_kth"),
+        F.sum(F.col("_in_a") * F.col("_in_b")).alias("_common"),
+    )
+    est_union = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        F.round(F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / F.col("_kth"), 4)
+    )
+    jaccard = F.round(F.col("_common") / F.col("n_kept"), 6)
+    return agg.select(
+        "n_kept",
+        est_union.alias("est_union"),
+        jaccard.alias("jaccard"),
+        F.round(jaccard * est_union, 4).alias("est_intersection"),
+    )
+
+
+def kmv_set_sql(
+    table_a: str, table_b: str, value_col: str, k: int = 64
+) -> str:
+    """The DuckDB oracle for :func:`kmv_set_estimates` — identical
+    hash, k-smallest merge, and estimators. ``table_a``/``table_b``
+    are full SELECT subqueries or table names."""
+    h = f"CAST(CONCAT('0x', substring(md5(CAST({value_col} AS VARCHAR)), 1, 15)) AS BIGINT)"
+    return f"""
+        WITH tagged AS (
+            SELECT {h} AS hv, 1 AS a, 0 AS b FROM {table_a}
+            UNION ALL
+            SELECT {h} AS hv, 0 AS a, 1 AS b FROM {table_b}
+        ), per_hash AS (
+            SELECT hv, max(a) AS in_a, max(b) AS in_b
+            FROM tagged GROUP BY 1
+        ), topk AS (
+            SELECT * FROM per_hash ORDER BY hv LIMIT {k}
+        ), agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                   max(hv) AS kth,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS common
+            FROM topk
+        )
+        SELECT n_kept,
+               CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                    ELSE CAST(round(CAST(CAST(({float(k - 1)!r} * {_HASH_SPACE!r} / kth) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE)
+               END AS est_union,
+               CAST(round(CAST(CAST((common * 1.0 / n_kept) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE) AS jaccard,
+               CAST(round(CAST(CAST((
+                   CAST(round(CAST(CAST((common * 1.0 / n_kept) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE)
+                   * (CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                           ELSE CAST(round(CAST(CAST(({float(k - 1)!r} * {_HASH_SPACE!r} / kth) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE)
+                      END)
+               ) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE) AS est_intersection
+        FROM agg
+    """
+
+
 def histogram_quantiles(
     df: DataFrame,
     group_cols: tuple[str, ...],

@@ -174,3 +174,31 @@ def test_histogram_quantiles_constant_group(spark):
     df = spark.createDataFrame([("a", 7.0)] * 10, "g string, v double")
     rows = histogram_quantiles(df, ("g",), "v").collect()
     assert all(r["est_value"] == 7.0 for r in rows)
+
+
+def test_kmv_set_estimates_accuracy(spark):
+    from data_pipeline_childcare_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    # |A|=600, |B|=600, |A∩B|=200 → union 1000, jaccard 0.2
+    a = spark.createDataFrame([(i,) for i in range(600)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(400, 1000)], "v long")
+    row = kmv_set_estimates(a, b, "v", k=256).collect()[0]
+    assert abs(row["est_union"] - 1000) / 1000 < 3 / math.sqrt(254)
+    assert abs(row["jaccard"] - 0.2) < 0.1
+    assert abs(row["est_intersection"] - 200) < 0.5 * 200 + 20
+
+
+def test_kmv_set_exact_below_k(spark):
+    from data_pipeline_childcare_spark.operators.sketches import (
+        kmv_set_estimates,
+    )
+
+    a = spark.createDataFrame([(i,) for i in range(30)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(20, 50)], "v long")
+    row = kmv_set_estimates(a, b, "v", k=256).collect()[0]
+    # under k distinct hashes: everything is exact
+    assert row["est_union"] == 50.0
+    assert row["jaccard"] == round(10 / 50, 6)
+    assert row["est_intersection"] == 10.0
