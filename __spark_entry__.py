@@ -451,6 +451,26 @@ def revenue_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame (vs the row-count frame of
+    events_moving_avg): per user, the sum of value over the trailing
+    hour of event time — rangeBetween on epoch seconds, the frame
+    every rate-limit / rolling-exposure computation uses. One window
+    shuffle on user; state per partition is the in-frame rows."""
+    ev = _t(spark, sf_dir, "events")
+    secs = F.unix_timestamp("ts")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(secs)
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 4).alias("hour_sum"),
+    ).orderBy("user_id", "event_id")
+
+
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 5-event moving average of value — the rolling-window
     smoothing every monitoring/feature pipeline needs. One window
@@ -2107,6 +2127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_transitions": user_event_transitions,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_moving_avg": events_moving_avg,
+        "events_trailing_hour_sum": events_trailing_hour_sum,
         "similar_part_names": similar_part_names,
         "customer_value_deciles": customer_value_deciles,
         "user_retention_cohorts": user_retention_cohorts,
@@ -2499,6 +2520,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
                                     (l_returnflag), ())
             ORDER BY gid, l_returnflag, l_linestatus
+        """,
+        "events_trailing_hour_sum": """
+            SELECT user_id, event_id,
+                   round(sum(value) OVER (PARTITION BY user_id
+                                          ORDER BY epoch(ts)
+                                          RANGE BETWEEN 3600 PRECEDING
+                                                    AND CURRENT ROW), 4) AS hour_sum
+            FROM events
+            ORDER BY user_id, event_id
         """,
         "events_moving_avg": """
             SELECT user_id, event_id,
