@@ -1,10 +1,12 @@
-"""Pure-stdlib image codecs: PNG (zlib), GIF (LZW), BMP, PPM.
+"""Library-free image codecs: PNG (zlib), GIF (LZW), baseline JPEG
+(Huffman + numpy IDCT), BMP, PPM.
 
-The container has no PIL, but PNG's compression IS stdlib ``zlib``
-and GIF's LZW is ~50 lines of bit twiddling — so a real decode (true
-pixels, not header sniffing) needs only container parsing, both
-implemented here. This turns the multimodal decode tier for
-PNG/GIF/BMP/PPM payloads into a REAL path in every environment,
+The container has no PIL, but PNG's compression IS stdlib ``zlib``,
+GIF's LZW is ~50 lines of bit twiddling, and baseline JPEG is
+Huffman + an 8×8 IDCT numpy does in two matmuls — so a real decode
+(true pixels, not header sniffing) needs only container parsing,
+all implemented here. This turns the multimodal decode tier for
+PNG/GIF/JPEG/BMP/PPM payloads into a REAL path in every environment,
 deterministic across them (unlike PIL resampling, which varies by
 version/filter choice).
 
@@ -18,6 +20,9 @@ Scope (documented, checked, errors raised otherwise):
   tails and transparency blending out of scope.
 - BMP: uncompressed 24-bit BI_RGB, bottom-up or top-down.
 - PPM: binary P6, maxval 255.
+- JPEG: baseline sequential Huffman (SOF0), 8-bit, grayscale or
+  YCbCr 4:4:4 / 4:2:0, restart markers; numpy does the 8×8 IDCT.
+  Progressive/arithmetic raise and fall to the next tier.
 
 Reference parity: the reference's image handling is PIL-based
 (多数据源获取数据.py:1029-1050 feeds OCR); here decode feeds the
@@ -456,6 +461,8 @@ def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
         return decode_ppm(data)
     if data[:6] in (b"GIF87a", b"GIF89a"):
         return decode_gif(data)
+    if data[:2] == b"\xff\xd8":
+        return decode_jpeg_baseline(data)
     return None
 
 
@@ -488,3 +495,281 @@ def luminance_thumbnail(
                     count += 1
             out.append(total / count / 255.0)
     return out
+
+
+# --- Baseline JPEG -----------------------------------------------------
+#
+# Scope: baseline sequential DCT (SOF0), 8-bit, Huffman entropy
+# coding, grayscale or YCbCr with 4:4:4 / 4:2:0 sampling, optional
+# restart markers. Progressive (SOF2) and arithmetic coding raise
+# ValueError and fall to the next decode tier. numpy does the 8x8
+# IDCT; everything else is stdlib byte/bit work. The zigzag order and
+# the IDCT basis are DERIVED (not transcribed), so there is no
+# hand-copied table to get wrong.
+
+
+def _zigzag_order() -> list[int]:
+    """The JPEG zigzag scan as a derivation: coefficients ordered by
+    anti-diagonal, alternating direction — returns, for each scan
+    position, the row-major index it maps to."""
+    order = []
+    for s in range(15):
+        idx = [(i, s - i) for i in range(max(0, s - 7), min(8, s + 1))]
+        if s % 2 == 0:
+            idx.reverse()  # even diagonals run bottom-left → top-right
+        order.extend(r * 8 + c for r, c in idx)
+    return order
+
+
+_ZIGZAG = _zigzag_order()
+
+
+def _idct_matrix():
+    """8-point DCT-II basis (orthonormal); IDCT = basis.T @ X @ basis."""
+    import math as _math
+
+    import numpy as _np
+
+    m = _np.zeros((8, 8))
+    for k in range(8):
+        for n in range(8):
+            m[k, n] = _math.cos(_math.pi * k * (2 * n + 1) / 16) * (
+                _math.sqrt(1 / 8) if k == 0 else _math.sqrt(2 / 8)
+            )
+    return m
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment with JPEG
+    byte-unstuffing (FF 00 → FF) and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.bits = 0
+        self.acc = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                raise ValueError("unexpected marker in entropy data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.bits += 8
+
+    def read_bit(self) -> int:
+        if self.bits == 0:
+            self._fill()
+        self.bits -= 1
+        return (self.acc >> self.bits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_after_restart(self) -> None:
+        # caller consumed the RSTn marker bytes at self.pos
+        self.pos += 2
+        self.bits = 0
+        self.acc = 0
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker: int):
+        self.marker = marker
+
+
+def _build_huffman(bits: list[int], values: list[int]) -> dict[tuple[int, int], int]:
+    """Canonical Huffman per the JPEG convention: ``bits[i]`` codes of
+    length i+1, codes assigned in increasing order → map
+    (length, code) → symbol."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            k += 1
+            code += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | reader.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """JPEG signed-magnitude extension of a t-bit value."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg_baseline(data: bytes) -> tuple[int, int, str, bytes]:
+    """Decode a baseline sequential Huffman JPEG → (w, h, mode, pixels)
+    with mode "L" (1 component) or "RGB" (YCbCr converted per JFIF)."""
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
+    frame = None
+    restart_interval = 0
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = struct.unpack(">H", data[pos + 2 : pos + 4])[0]
+        body = data[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                qt[tq] = list(body[i + 1 : i + 65])
+                i += 65
+        elif marker == 0xC0:  # SOF0 baseline
+            _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            comps = []
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 JPEG supported")
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0x0F
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                values = list(body[i + 17 : i + 17 + nvals])
+                huff[(tc, th)] = _build_huffman(bits, values)
+                i += 17 + nvals
+        elif marker == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for c in range(ns):
+                cs, tables = body[1 + 2 * c], body[2 + 2 * c]
+                scan.append((cs, tables >> 4, tables & 0x0F))
+            pos = pos + 2 + seg_len
+            return _decode_scan(
+                data, pos, frame, scan, qt, huff, restart_interval, np
+            )
+        pos += 2 + seg_len
+    raise ValueError("JPEG has no scan")
+
+
+def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval, np):
+    if frame is None:
+        raise ValueError("JPEG scan before frame header")
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcus_x = (w + mcu_w - 1) // mcu_w
+    mcus_y = (h + mcu_h - 1) // mcu_h
+    basis = _idct_matrix()
+    planes = {
+        cid: np.zeros((mcus_y * 8 * cv, mcus_x * 8 * ch))
+        for cid, ch, cv, _tq in comps
+    }
+    scan_by_cid = {cs: (td, ta) for cs, td, ta in scan}
+    reader = _BitReader(data, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                # byte-aligned RSTn between MCUs
+                while data[reader.pos] != 0xFF or not (
+                    0xD0 <= data[reader.pos + 1] <= 0xD7
+                ):
+                    reader.pos += 1
+                reader.align_after_restart()
+                pred = {cid: 0 for cid, *_ in comps}
+            try:
+                for cid, ch, cv, tq in comps:
+                    td, ta = scan_by_cid[cid]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            block = _decode_block(
+                                reader,
+                                huff[(0, td)],
+                                huff[(1, ta)],
+                                qt[tq],
+                                pred,
+                                cid,
+                                np,
+                            )
+                            pix = basis.T @ block @ basis + 128.0
+                            y0 = (my * cv + by) * 8
+                            x0 = (mx * ch + bx) * 8
+                            planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix
+            except _RestartMarker:
+                raise ValueError("restart marker inside MCU") from None
+            mcu_count += 1
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        if ch != hmax or cv != vmax:  # upsample subsampled chroma
+            p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        gray = np.clip(out_planes[0].round(), 0, 255).astype(np.uint8)
+        return w, h, "L", gray.tobytes()
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    rgb = np.stack(
+        [np.clip(x.round(), 0, 255) for x in (r, g, b)], axis=-1
+    ).astype(np.uint8)
+    return w, h, "RGB", rgb.tobytes()
+
+
+def _decode_block(reader, dc_table, ac_table, quant, pred, cid, np):
+    coeffs = [0] * 64
+    t = _huff_decode(reader, dc_table)
+    diff = _extend(reader.read_bits(t), t) if t else 0
+    pred[cid] += diff
+    coeffs[0] = pred[cid] * quant[0]
+    k = 1
+    while k < 64:
+        rs = _huff_decode(reader, ac_table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflow")
+        coeffs[k] = _extend(reader.read_bits(s), s) * quant[k]
+        k += 1
+    block = np.zeros(64)
+    for scan_pos, rm_idx in enumerate(_ZIGZAG):
+        block[rm_idx] = coeffs[scan_pos]
+    return block.reshape(8, 8)

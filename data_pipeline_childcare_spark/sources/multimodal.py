@@ -4,11 +4,12 @@ Mandated beyond-reference surface: image/audio/video as ``binary``
 columns with a typed metadata struct, and decode / feature-extract /
 resize / frame-sample as Arrow-batched ``mapInPandas`` stages.
 
-Decode is TIERED, most-deterministic real path first: a REAL stdlib
-decode for PNG (zlib inflate + unfilter, ``sources/imagecodec.py``),
-GIF (LZW), BMP and PPM — true pixels, env-independent; PIL for
-formats stdlib can't (JPEG) when importable; stdlib header-parsed
-dimensions next; a deterministic digest fake only as the last resort
+Decode is TIERED, most-deterministic real path first: a REAL
+stdlib(+numpy) decode for PNG (zlib inflate + unfilter,
+``sources/imagecodec.py``), GIF (LZW), baseline JPEG (Huffman +
+IDCT), BMP and PPM — true pixels, env-independent; PIL for formats
+tier 1 can't (progressive JPEG, WebP) when importable; stdlib
+header-parsed dimensions next; a deterministic digest fake last
 — each tier clearly marked via ``mode``/``is_stub``. Metadata
 attachment never needs Python at all: PNG/GIF width/height parse
 straight out of the header bytes with substring/hex/conv COLUMN
@@ -123,13 +124,14 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 def _decode_image(data: bytes) -> tuple[int, int, str, list[float]]:
     """Tiered decode, most-deterministic real path first:
 
-    1. stdlib codec (PNG via zlib, GIF via LZW, BMP, PPM —
-       sources/imagecodec.py) → REAL decode: true dims/mode/pixels
-       and an 8-dim box-mean grayscale-thumbnail feature,
-       bit-identical in every environment — the cheapest visual
-       embedding that supports dedup/ANN downstream.
-    2. PIL importable (formats stdlib can't: JPEG, ...) → real
-       decode, same thumbnail semantics via PIL.
+    1. stdlib(+numpy) codec (PNG via zlib, GIF via LZW, baseline
+       JPEG via Huffman+IDCT, BMP, PPM — sources/imagecodec.py) →
+       REAL decode: true dims/mode/pixels and an 8-dim box-mean
+       grayscale-thumbnail feature, bit-identical in every
+       environment — the cheapest visual embedding that supports
+       dedup/ANN downstream.
+    2. PIL importable (formats tier 1 can't: progressive JPEG,
+       WebP, ...) → real decode, same thumbnail semantics via PIL.
     3. header parses (stdlib magic sniff) → real dims, mode
        "NODECODE", digest feature (marked stub).
     4. otherwise → fully deterministic digest fake (marked stub).

@@ -100,7 +100,11 @@ def test_ppm_decode_with_comment():
 def test_dispatch_by_magic():
     png = encode_png(2, 2, _pattern(2, 2, 3), mode="RGB")
     assert decode_image_stdlib(png)[2] == "RGB"
-    assert decode_image_stdlib(b"\xff\xd8\xff jpeg") is None  # needs PIL
+    # JPEG magic now dispatches to the baseline decoder; corrupt data
+    # raises (like a corrupt PNG) and the multimodal tier falls through
+    with pytest.raises(ValueError):
+        decode_image_stdlib(b"\xff\xd8\xff jpeg")
+    assert decode_image_stdlib(b"\x00\x01not an image") is None
 
 
 def test_luminance_thumbnail_known_values():
@@ -331,3 +335,329 @@ def test_video_frames_stub_tier_still_marked(spark):
     )
     rows = sample_frames(df, every_ms=500, max_frames=3).collect()
     assert all(r["is_stub"] is True for r in rows)
+
+
+# --- JPEG --------------------------------------------------------------
+# Test-side baseline JPEG ENCODER: independent implementation (numpy
+# forward DCT, its own canonical-Huffman assignment and bit writer) so
+# the production decoder is exercised by a bitstream it did not write.
+
+import numpy as _np
+
+from data_pipeline_childcare_spark.sources.imagecodec import (
+    _ZIGZAG,
+    _idct_matrix,
+)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value, nbits):
+        for i in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((value >> i) & 1)
+            self.nbits += 1
+            if self.nbits == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+                self.acc = 0
+                self.nbits = 0
+
+    def flush(self):
+        while self.nbits:
+            self.write(1, 1)  # pad with 1s per spec
+        return bytes(self.out)
+
+
+def _canonical_codes(symbols):
+    """All symbols at 8 bits: valid canonical Huffman (≤ 256 syms)."""
+    bits = [0] * 16
+    bits[7] = len(symbols)
+    values = sorted(symbols)
+    codes = {}
+    code = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[values[len(codes)]] = (length, code)
+            code += 1
+        code <<= 1
+    return bits, values, codes
+
+
+def _category(v):
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_blocks(writer, blocks_zz, dc_codes, ac_codes, pred):
+    for zz in blocks_zz:
+        diff = zz[0] - pred[0]
+        pred[0] = zz[0]
+        t = _category(diff)
+        ln, code = dc_codes[t]
+        writer.write(code, ln)
+        if t:
+            writer.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[0xF0]
+                writer.write(code, ln)
+                run -= 16
+            s = _category(zz[k])
+            ln, code = ac_codes[(run << 4) | s]
+            writer.write(code, ln)
+            v = zz[k]
+            writer.write(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < 63:
+            ln, code = ac_codes[0x00]  # EOB
+            writer.write(code, ln)
+
+
+def _dct_zz(plane_block):
+    basis = _idct_matrix()
+    coef = basis @ (plane_block - 128.0) @ basis.T
+    q = _np.rint(coef).astype(int)
+    return [int(q.flat[idx]) for idx in _ZIGZAG]
+
+
+def _jpeg_encode(pixels, w, h, mode="L", subsample=False):
+    """Baseline JPEG with quant tables of all ones (near-lossless)."""
+    import struct as _struct
+
+    arr = _np.frombuffer(pixels, dtype=_np.uint8).astype(float)
+    if mode == "L":
+        planes = [arr.reshape(h, w)]
+        samp = [(1, 1)]
+    else:
+        rgb = arr.reshape(h, w, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:  # 4:2:0 — chroma is the 2x2 box mean
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # pad planes to full MCU coverage
+    padded = []
+    for p, (sh, sv) in zip(planes, samp):
+        ph, pw = mcus_y * 8 * sv, mcus_x * 8 * sh
+        pp = _np.zeros((ph, pw))
+        pp[: p.shape[0], : p.shape[1]] = p
+        pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+        padded.append(pp)
+    # gather all symbols used so one Huffman table pair covers them
+    dc_syms, ac_syms = set(), set()
+    all_zz = {i: [] for i in range(len(planes))}
+    preds = [0] * len(planes)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (p, (sh, sv)) in enumerate(zip(padded, samp)):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        zz = _dct_zz(p[y0 : y0 + 8, x0 : x0 + 8])
+                        all_zz[ci].append(zz)
+                        diff = zz[0] - preds[ci]
+                        preds[ci] = zz[0]
+                        dc_syms.add(_category(diff))
+                        run = 0
+                        last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                        for k in range(1, last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                ac_syms.add(0xF0)
+                                run -= 16
+                            ac_syms.add((run << 4) | _category(zz[k]))
+                            run = 0
+                        if last_nz < 63:
+                            ac_syms.add(0x00)
+    dc_bits, dc_vals, dc_codes = _canonical_codes(dc_syms)
+    ac_bits, ac_vals, ac_codes = _canonical_codes(ac_syms)
+    # entropy-coded data, interleaved by MCU
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    idx = {i: 0 for i in range(len(planes))}
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                n = sh * sv
+                blocks = all_zz[ci][idx[ci] : idx[ci] + n]
+                idx[ci] += n
+                pred_box = [preds[ci]]
+                _encode_blocks(writer, blocks, dc_codes, ac_codes, pred_box)
+                preds[ci] = pred_box[0]
+    entropy = writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))  # quant table 0: all 1s
+    sof = _struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC0, sof)
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    sos = bytes([len(planes)])
+    for ci in range(len(planes)):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([0, 63, 0])
+    out += seg(0xDA, sos)
+    out += entropy + b"\xff\xd9"
+    return out
+
+
+def test_jpeg_grayscale_gradient_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w, h = 16, 8
+    pixels = bytes(((x * 16 + y * 7) % 256) for y in range(h) for x in range(w))
+    jpg = _jpeg_encode(pixels, w, h, mode="L")
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "L")
+    err = max(abs(a - b) for a, b in zip(out, pixels))
+    # quant=1: only DCT-coefficient rounding; error stays tiny
+    assert err <= 2, err
+
+
+def test_jpeg_rgb_444_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_image_stdlib,
+        decode_jpeg_baseline,
+    )
+
+    w, h = 8, 8
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (x * 30 % 256, y * 30 % 256, (x + y) * 15 % 256)
+    )
+    jpg = _jpeg_encode(rgb, w, h, mode="RGB")
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "RGB")
+    err = max(abs(a - b) for a, b in zip(out, rgb))
+    # YCbCr forward+inverse + DCT rounding
+    assert err <= 4, err
+    assert decode_image_stdlib(jpg) is not None
+
+
+def test_jpeg_rgb_420_subsampled():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w, h = 16, 16
+    # smooth content so 2x2 chroma box-mean loses little
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (x * 8 + 64, y * 8 + 32, 128)
+    )
+    jpg = _jpeg_encode(rgb, w, h, mode="RGB", subsample=True)
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "RGB")
+    err = max(abs(a - b) for a, b in zip(out, rgb))
+    assert err <= 14, err  # chroma box-mean + upsample replication
+
+
+def test_jpeg_progressive_rejected():
+    import struct as _struct
+
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    fake = b"\xff\xd8" + bytes([0xFF, 0xC2]) + _struct.pack(">H", 8) + bytes(6)
+    with pytest.raises(ValueError):
+        decode_jpeg_baseline(fake)
+
+
+def test_jpeg_restart_markers():
+    """DRI/RSTn: DC predictors reset and the bitstream re-aligns at
+    each restart interval."""
+    import struct as _struct
+
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w, h = 32, 8
+    pixels = bytes(((x * 11 + y * 3) % 256) for y in range(h) for x in range(w))
+    arr = _np.frombuffer(pixels, dtype=_np.uint8).astype(float).reshape(h, w)
+    zz_blocks = [_dct_zz(arr[:, i * 8 : (i + 1) * 8]) for i in range(w // 8)]
+    RI = 2
+    dc_syms, ac_syms = set(), set()
+    pred = 0
+    for i, zz in enumerate(zz_blocks):
+        if i % RI == 0:
+            pred = 0
+        dc_syms.add(_category(zz[0] - pred))
+        pred = zz[0]
+        run = 0
+        last_nz = max((k for k in range(1, 64) if zz[k]), default=0)
+        for k in range(1, last_nz + 1):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                ac_syms.add(0xF0)
+                run -= 16
+            ac_syms.add((run << 4) | _category(zz[k]))
+            run = 0
+        if last_nz < 63:
+            ac_syms.add(0x00)
+    dc_bits, dc_vals, dc_codes = _canonical_codes(dc_syms)
+    ac_bits, ac_vals, ac_codes = _canonical_codes(ac_syms)
+    entropy = bytearray()
+    writer = _BitWriter()
+    rst = 0
+    pred_box = [0]
+    for i, zz in enumerate(zz_blocks):
+        if i and i % RI == 0:
+            entropy += writer.flush()
+            entropy += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+            writer = _BitWriter()
+            pred_box = [0]
+        _encode_blocks(writer, [zz], dc_codes, ac_codes, pred_box)
+    entropy += writer.flush()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    jpg = b"\xff\xd8"
+    jpg += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    jpg += seg(0xC0, _struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    jpg += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    jpg += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    jpg += seg(0xDD, _struct.pack(">H", RI))
+    jpg += seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    jpg += entropy + b"\xff\xd9"
+    dw, dh, mode, dec = decode_jpeg_baseline(bytes(jpg))
+    assert (dw, dh, mode) == (w, h, "L")
+    assert max(abs(a - b) for a, b in zip(dec, pixels)) <= 2
