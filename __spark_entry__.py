@@ -526,6 +526,52 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(ev, ("event_type",), "value", bins=256)
 
 
+def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: for every pair of part brands
+    bought in the same order, the co-occurrence count and lift
+    (support / product of marginals). The pair join is BLOCKED on the
+    order key — pairs explode only within an order's distinct brands
+    (≤ |brands|), never across the corpus; marginals broadcast back.
+    The frequent-itemsets building block at k=2."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    ob = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a = ob.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_a"))
+    b = ob.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, "_o")
+        .filter(F.col("brand_a") < F.col("brand_b"))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count("*").alias("n_orders"))
+    )
+    marg = ob.groupBy("p_brand").agg(F.count("*").alias("_cnt"))
+    # total order count enters the plan as a broadcast scalar, never a
+    # driver-side action
+    total = ob.agg(F.count_distinct("l_orderkey").alias("_n_total"))
+    lift = F.round(
+        F.col("n_orders") * F.col("_n_total").cast("double")
+        / (F.col("_cnt_a") * F.col("_cnt_b")),
+        4,
+    )
+    return (
+        pairs.join(
+            F.broadcast(marg.select(F.col("p_brand").alias("brand_a"), F.col("_cnt").alias("_cnt_a"))),
+            "brand_a",
+        )
+        .join(
+            F.broadcast(marg.select(F.col("p_brand").alias("brand_b"), F.col("_cnt").alias("_cnt_b"))),
+            "brand_b",
+        )
+        .join(F.broadcast(total))
+        .select("brand_a", "brand_b", "n_orders", lift.alias("lift"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+    )
+
+
 def user_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Markov transition counts between consecutive events per user —
     the path-analysis complement of the ordered funnel
@@ -2125,6 +2171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_click_purchase_overlap": kmv_click_purchase_overlap,
         "bloom_filtered_building_revenue": bloom_filtered_building_revenue,
         "user_event_transitions": user_event_transitions,
+        "brand_basket_affinity": brand_basket_affinity,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_moving_avg": events_moving_avg,
         "events_trailing_hour_sum": events_trailing_hour_sum,
@@ -2551,6 +2598,32 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p_name < b.p_name
               AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
             ORDER BY name_a, name_b
+        """,
+        "brand_basket_affinity": """
+            WITH ob AS (
+                SELECT DISTINCT l_orderkey, p_brand
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+            ), pairs AS (
+                SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+                       count(*) AS n_orders
+                FROM ob a JOIN ob b ON a.l_orderkey = b.l_orderkey
+                WHERE a.p_brand < b.p_brand
+                GROUP BY 1, 2
+            ), marg AS (
+                SELECT p_brand, CAST(count(*) AS BIGINT) AS cnt
+                FROM ob GROUP BY 1
+            ), total AS (
+                SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_total
+                FROM ob
+            )
+            SELECT brand_a, brand_b, n_orders,
+                   round(n_orders * CAST(n_total AS DOUBLE)
+                         / (ma.cnt * mb.cnt), 4) AS lift
+            FROM pairs
+            JOIN marg ma ON ma.p_brand = brand_a
+            JOIN marg mb ON mb.p_brand = brand_b
+            CROSS JOIN total
+            ORDER BY n_orders DESC, brand_a, brand_b
         """,
         "user_event_transitions": """
             WITH seq AS (
