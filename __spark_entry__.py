@@ -526,6 +526,33 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(ev, ("event_type",), "value", bins=256)
 
 
+def session_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: each 30-minute session's purchases are
+    credited to the session's FIRST event type (the channel that
+    opened the session). Composes the sessionize operator with a
+    per-session first_value window and a conditional rollup — one
+    user-keyed window chain (sessionize's shuffle is reused: same
+    partition key) + one small aggregate."""
+    from data_pipeline_childcare_spark.operators.sessions import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    s = sessionize(ev, gap_minutes=30)
+    w = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    tagged = s.withColumn("first_touch", F.first("event_type").over(w))
+    is_buy = F.col("event_type") == "purchase"
+    return (
+        tagged.groupBy("first_touch")
+        .agg(
+            F.count_distinct("user_id", "session_id").alias("n_sessions"),
+            F.sum(is_buy.cast("long")).alias("n_purchases"),
+            F.round(F.sum(F.when(is_buy, F.col("value")).otherwise(0.0)), 2).alias(
+                "purchase_value"
+            ),
+        )
+        .orderBy("first_touch")
+    )
+
+
 def brand_basket_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket co-occurrence: for every pair of part brands
     bought in the same order, the co-occurrence count and lift
@@ -2172,6 +2199,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_filtered_building_revenue": bloom_filtered_building_revenue,
         "user_event_transitions": user_event_transitions,
         "brand_basket_affinity": brand_basket_affinity,
+        "session_first_touch_attribution": session_first_touch_attribution,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_moving_avg": events_moving_avg,
         "events_trailing_hour_sum": events_trailing_hour_sum,
@@ -2598,6 +2626,39 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p_name < b.p_name
               AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
             ORDER BY name_a, name_b
+        """,
+        "session_first_touch_attribution": """
+            WITH ordered AS (
+                SELECT user_id, ts, event_id, event_type, value,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ), flagged AS (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                                    OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+                               THEN 1 ELSE 0 END AS is_new
+                FROM ordered
+            ), assigned AS (
+                SELECT *, CAST(sum(is_new) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                          ) AS BIGINT) AS session_id
+                FROM flagged
+            ), tagged AS (
+                SELECT *, first_value(event_type) OVER (
+                            PARTITION BY user_id, session_id
+                            ORDER BY ts, event_id
+                          ) AS first_touch
+                FROM assigned
+            )
+            SELECT first_touch,
+                   count(DISTINCT (user_id, session_id)) AS n_sessions,
+                   CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_purchases,
+                   round(sum(CASE WHEN event_type = 'purchase' THEN value
+                                  ELSE 0.0 END), 2) AS purchase_value
+            FROM tagged
+            GROUP BY 1
+            ORDER BY 1
         """,
         "brand_basket_affinity": """
             WITH ob AS (
