@@ -1,13 +1,14 @@
-"""Distinct-count sketches (beyond-reference, training-data ops).
+"""Sketch family (beyond-reference, training-data ops): KMV and HLL
+distinct counts, KMV set algebra (union/Jaccard/intersection), CMS
+frequencies and heavy hitters, fixed-bin histogram quantiles.
 
-``approx_count_distinct`` (HyperLogLog++) is the built-in Spark
-answer, but its estimates are engine-specific — no cross-engine
-oracle can check them. The K-Minimum-Values sketch here is chosen
-because it is DETERMINISTIC given the hash function, and the hash
-family is the repo's portable md5-derived 60-bit integer (same trick
-as ``dedup.minhash_est_pairs_portable``): any engine reproduces the
-sketch — and therefore the estimate — bit for bit, so the driver's
-DuckDB oracle verifies an *approximate* algorithm exactly.
+Spark's built-ins (``approx_count_distinct``, ``approx_percentile``)
+are engine-specific — no cross-engine oracle can check them. Every
+sketch here is instead DETERMINISTIC given the hash function, and the
+hash family is the repo's portable md5-derived 60-bit integer (same
+trick as ``dedup.minhash_est_pairs_portable``): any engine reproduces
+the sketch — and therefore the estimate — bit for bit, so the
+driver's DuckDB oracle verifies *approximate* algorithms exactly.
 
 KMV (Bar-Yossef et al. 2002): hash every value into [0, 2^60); keep
 the k smallest DISTINCT hashes per group. With fewer than k distinct
