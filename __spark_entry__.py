@@ -526,6 +526,35 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(ev, ("event_type",), "value", bins=256)
 
 
+def brand_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year reporting shape: per brand, yearly revenue with
+    the previous year's value and the delta via a lag window OVER THE
+    AGGREGATE (|brands|×|years| rows) — the window never touches the
+    fact table, so its cost is independent of lineitem volume."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    yearly = (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(
+            "p_brand", F.year("l_shipdate").cast("long").alias("ship_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    w = Window.partitionBy("p_brand").orderBy("ship_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.select(
+        "p_brand",
+        "ship_year",
+        "revenue",
+        F.round(prev, 2).alias("prev_revenue"),
+        F.round(F.col("revenue") - prev, 2).alias("yoy_delta"),
+    ).orderBy("p_brand", "ship_year")
+
+
 def session_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First-touch attribution: each 30-minute session's purchases are
     credited to the session's FIRST event type (the channel that
@@ -2200,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_event_transitions": user_event_transitions,
         "brand_basket_affinity": brand_basket_affinity,
         "session_first_touch_attribution": session_first_touch_attribution,
+        "brand_yoy_revenue": brand_yoy_revenue,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_moving_avg": events_moving_avg,
         "events_trailing_hour_sum": events_trailing_hour_sum,
@@ -2626,6 +2656,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p_name < b.p_name
               AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
             ORDER BY name_a, name_b
+        """,
+        "brand_yoy_revenue": """
+            WITH yearly AS (
+                SELECT p_brand, year(l_shipdate) AS ship_year,
+                       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                FROM lineitem JOIN part ON l_partkey = p_partkey
+                GROUP BY 1, 2
+            )
+            SELECT p_brand, ship_year, revenue,
+                   round(lag(revenue) OVER w, 2) AS prev_revenue,
+                   round(revenue - lag(revenue) OVER w, 2) AS yoy_delta
+            FROM yearly
+            WINDOW w AS (PARTITION BY p_brand ORDER BY ship_year)
+            ORDER BY p_brand, ship_year
         """,
         "session_first_touch_attribution": """
             WITH ordered AS (

@@ -58,3 +58,24 @@ def test_no_driver_collect_in_query_paths(spark):
     for name in CONTRACTS:
         df = qs[name](spark, SF)
         assert df.columns  # plan resolved, nothing executed
+
+
+def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
+    """write_partitioned → filtered read hits PartitionFilters, not a
+    full scan: the §2.1 per-key sink actually prunes at read time —
+    the property that makes per-province/year layouts pay off at
+    100 TB."""
+    import data_pipeline_childcare_spark as eng
+    from data_pipeline_childcare_spark.io import write_partitioned
+
+    ev = eng.load_table(spark, "events", SF)
+    path = str(tmp_path / "by_type")
+    write_partitioned(ev, path, ["event_type"])
+    back = spark.read.parquet(path).filter("event_type = 'click'")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_type" in plan.split(
+        "PartitionFilters"
+    )[1][:120]
+    # pruning is real: only the click partition's rows are read
+    clicks = ev.filter("event_type = 'click'").count()
+    assert back.count() == clicks
