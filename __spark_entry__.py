@@ -526,6 +526,44 @@ def events_value_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return histogram_quantiles(ev, ("event_type",), "value", bins=256)
 
 
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer, Recency (days since last order
+    relative to the corpus max date), Frequency (order count) and
+    Monetary (total spend), each quartiled by ntile with a unique
+    tie-break — the classic CRM cut. One shuffle for the per-customer
+    rollup; the corpus max date is a broadcast scalar; three ntile
+    windows run over the |customers| aggregate, not the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("_last"),
+        F.count("*").alias("frequency"),
+        F.round(F.sum("o_totalprice"), 2).alias("monetary"),
+    )
+    maxd = orders.agg(F.max("o_orderdate").alias("_maxd"))
+    scored = per_cust.join(F.broadcast(maxd)).select(
+        "o_custkey",
+        F.datediff(F.col("_maxd").cast("date"), F.col("_last").cast("date")).alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary",
+    )
+    # lower recency is better → ascending; higher freq/monetary better
+    # → descending; o_custkey breaks every tie deterministically
+    wr = Window.orderBy("recency_days", "o_custkey")
+    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    return scored.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wr).alias("r_quartile"),
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    ).orderBy("o_custkey")
+
+
 def brand_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Year-over-year reporting shape: per brand, yearly revenue with
     the previous year's value and the delta via a lag window OVER THE
@@ -2230,6 +2268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "brand_basket_affinity": brand_basket_affinity,
         "session_first_touch_attribution": session_first_touch_attribution,
         "brand_yoy_revenue": brand_yoy_revenue,
+        "customer_rfm_segments": customer_rfm_segments,
         "events_value_quantile_sketch": events_value_quantile_sketch,
         "events_moving_avg": events_moving_avg,
         "events_trailing_hour_sum": events_trailing_hour_sum,
@@ -2656,6 +2695,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE a.p_name < b.p_name
               AND levenshtein(a.p_name, b.p_name) BETWEEN 1 AND 2
             ORDER BY name_a, name_b
+        """,
+        "customer_rfm_segments": """
+            WITH per_cust AS (
+                SELECT o_custkey,
+                       max(o_orderdate) AS last_order,
+                       count(*) AS frequency,
+                       round(sum(o_totalprice), 2) AS monetary
+                FROM orders GROUP BY 1
+            ), scored AS (
+                SELECT o_custkey,
+                       CAST(date_diff('day', CAST(last_order AS DATE),
+                                      (SELECT CAST(max(o_orderdate) AS DATE)
+                                       FROM orders)) AS INTEGER) AS recency_days,
+                       frequency, monetary
+                FROM per_cust
+            )
+            SELECT o_custkey, recency_days, frequency, monetary,
+                   CAST(ntile(4) OVER (ORDER BY recency_days, o_custkey) AS INTEGER) AS r_quartile,
+                   CAST(ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS INTEGER) AS f_quartile,
+                   CAST(ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS INTEGER) AS m_quartile
+            FROM scored
+            ORDER BY o_custkey
         """,
         "brand_yoy_revenue": """
             WITH yearly AS (
