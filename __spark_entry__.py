@@ -458,11 +458,18 @@ def events_trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     every rate-limit / rolling-exposure computation uses. One window
     shuffle on user; state per partition is the in-frame rows."""
     ev = _t(spark, sf_dir, "events")
-    secs = F.unix_timestamp("ts")
+    # pure NTZ microsecond arithmetic (timestamp_diff never consults
+    # the session timezone, and whole-second truncation would define a
+    # subtly different frame on sub-second timestamps than the oracle)
+    micros = F.timestamp_diff(
+        "MICROSECOND",
+        F.to_timestamp_ntz(F.lit("1970-01-01 00:00:00")),
+        F.col("ts"),
+    )
     w = (
         Window.partitionBy("user_id")
-        .orderBy(secs)
-        .rangeBetween(-3600, Window.currentRow)
+        .orderBy(micros)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
     )
     return ev.select(
         "user_id",
@@ -583,7 +590,9 @@ def brand_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("p_brand").orderBy("ship_year")
-    prev = F.lag("revenue").over(w)
+    # a gap year must yield NULL, not a 2-year delta dressed as YoY
+    contiguous = F.lag("ship_year").over(w) == F.col("ship_year") - 1
+    prev = F.when(contiguous, F.lag("revenue").over(w))
     return yearly.select(
         "p_brand",
         "ship_year",
@@ -2668,8 +2677,8 @@ def oracle_sql() -> dict[str, str]:
         "events_trailing_hour_sum": """
             SELECT user_id, event_id,
                    round(sum(value) OVER (PARTITION BY user_id
-                                          ORDER BY epoch(ts)
-                                          RANGE BETWEEN 3600 PRECEDING
+                                          ORDER BY epoch_us(ts)
+                                          RANGE BETWEEN 3600000000 PRECEDING
                                                     AND CURRENT ROW), 4) AS hour_sum
             FROM events
             ORDER BY user_id, event_id
@@ -2726,8 +2735,10 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             )
             SELECT p_brand, ship_year, revenue,
-                   round(lag(revenue) OVER w, 2) AS prev_revenue,
-                   round(revenue - lag(revenue) OVER w, 2) AS yoy_delta
+                   round(CASE WHEN lag(ship_year) OVER w = ship_year - 1
+                              THEN lag(revenue) OVER w END, 2) AS prev_revenue,
+                   round(revenue - CASE WHEN lag(ship_year) OVER w = ship_year - 1
+                                        THEN lag(revenue) OVER w END, 2) AS yoy_delta
             FROM yearly
             WINDOW w AS (PARTITION BY p_brand ORDER BY ship_year)
             ORDER BY p_brand, ship_year

@@ -283,18 +283,19 @@ def kmv_set_sql(
                    CAST(sum(in_a * in_b) AS BIGINT) AS common
             FROM topk
         )
-        SELECT n_kept,
-               CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
-                    ELSE CAST(round(CAST(CAST(({float(k - 1)!r} * {_HASH_SPACE!r} / kth) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE)
-               END AS est_union,
-               CAST(round(CAST(CAST((common * 1.0 / n_kept) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE) AS jaccard,
-               CAST(round(CAST(CAST((
-                   CAST(round(CAST(CAST((common * 1.0 / n_kept) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE)
-                   * (CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
-                           ELSE CAST(round(CAST(CAST(({float(k - 1)!r} * {_HASH_SPACE!r} / kth) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE)
-                      END)
-               ) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE) AS est_intersection
-        FROM agg
+        , est AS (
+            -- each estimator computed ONCE so the expressions that
+            -- must mirror kmv_set_estimates exist in one place
+            SELECT n_kept,
+                   CASE WHEN n_kept < {k} THEN CAST(n_kept AS DOUBLE)
+                        ELSE CAST(round(CAST(CAST(({float(k - 1)!r} * {_HASH_SPACE!r} / kth) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE)
+                   END AS est_union,
+                   CAST(round(CAST(CAST((common * 1.0 / n_kept) AS VARCHAR) AS DECIMAL(30,15)), 6) AS DOUBLE) AS jaccard
+            FROM agg
+        )
+        SELECT n_kept, est_union, jaccard,
+               CAST(round(CAST(CAST((jaccard * est_union) AS VARCHAR) AS DECIMAL(30,15)), 4) AS DOUBLE) AS est_intersection
+        FROM est
     """
 
 

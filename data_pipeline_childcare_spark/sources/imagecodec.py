@@ -451,8 +451,11 @@ def encode_bmp(width: int, height: int, dib: bytes) -> bytes:
 
 
 def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
-    """Dispatch to whichever stdlib decoder matches the magic bytes;
-    None when the format needs a library we don't ship (JPEG)."""
+    """Dispatch to whichever library-free decoder matches the magic
+    bytes (PNG/GIF/baseline-JPEG/BMP/PPM); None for unrecognized
+    magic; ValueError for recognized-but-corrupt or unsupported
+    variants (progressive JPEG, 16-bit PNG, ...) so callers tier
+    down explicitly."""
     if data[:8] == _PNG_SIG:
         return decode_png(data)
     if data[:2] == b"BM":
@@ -561,8 +564,12 @@ class _BitReader:
                 raise ValueError("unexpected marker in entropy data")
         else:
             self.pos += 1
-        self.acc = (self.acc << 8) | b
-        self.bits += 8
+        # _fill only runs when every buffered bit is consumed
+        # (bits == 0), so REPLACE the accumulator — appending would
+        # grow acc into an entropy-stream-sized bigint and make every
+        # shift O(stream), turning big JPEGs into effective hangs
+        self.acc = b
+        self.bits = 8
 
     def read_bit(self) -> int:
         if self.bits == 0:
@@ -621,7 +628,18 @@ def _extend(v: int, t: int) -> int:
 
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, str, bytes]:
     """Decode a baseline sequential Huffman JPEG → (w, h, mode, pixels)
-    with mode "L" (1 component) or "RGB" (YCbCr converted per JFIF)."""
+    with mode "L" (1 component) or "RGB" (YCbCr converted per JFIF).
+    Malformed input always raises ValueError (matching the other
+    codecs' contract), never Index/Key/struct errors."""
+    try:
+        return _decode_jpeg_impl(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"corrupt JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
     import numpy as np
 
     if data[:2] != b"\xff\xd8":

@@ -661,3 +661,39 @@ def test_jpeg_restart_markers():
     dw, dh, mode, dec = decode_jpeg_baseline(bytes(jpg))
     assert (dw, dh, mode) == (w, h, "L")
     assert max(abs(a - b) for a, b in zip(dec, pixels)) <= 2
+
+
+def test_jpeg_large_image_decodes_quickly():
+    """Regression: the bit reader must not accumulate the whole
+    entropy stream into one bigint (O(N^2) decode). A 256x256 image
+    decodes in well under the former minutes."""
+    import time
+
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w = h = 256
+    pixels = bytes(((x * 7 + y * 13) % 256) for y in range(h) for x in range(w))
+    jpg = _jpeg_encode(pixels, w, h, mode="L")
+    t0 = time.perf_counter()
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    dt = time.perf_counter() - t0
+    assert (dw, dh, mode) == (w, h, "L")
+    assert max(abs(a - b) for a, b in zip(out, pixels)) <= 2
+    assert dt < 30, f"decode took {dt:.1f}s — quadratic bit reader regressed"
+
+
+def test_jpeg_corrupt_raises_valueerror_only():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    good = _jpeg_encode(bytes(range(64)), 8, 8, mode="L")
+    for bad in (
+        good[: len(good) // 2],          # truncated mid-stream
+        good[:-3] + b"\xff",              # entropy ends right after FF
+        good.replace(b"\xff\xc4", b"\xff\xfe", 1),  # missing Huffman table
+    ):
+        with pytest.raises(ValueError):
+            decode_jpeg_baseline(bad)

@@ -50,14 +50,22 @@ def test_plan_contract(spark, name):
     assert hash_ex <= max_hash_ex, (name, hash_ex, max_hash_ex)
 
 
-def test_no_driver_collect_in_query_paths(spark):
-    """Every contract query builds a DataFrame plan without driver-side
-    collect() — the plan materializes lazily (this test never calls an
-    action beyond plan compilation)."""
-    qs = entry_mod.queries()
-    for name in CONTRACTS:
-        df = qs[name](spark, SF)
-        assert df.columns  # plan resolved, nothing executed
+def test_no_driver_actions_while_building_plans(spark):
+    """Building every contract query's plan runs ZERO Spark jobs — a
+    hidden .collect()/.count() inside a query builder would register
+    a job in the tracked group and fail here."""
+    sc = spark.sparkContext
+    group = "plan-build-audit"
+    sc.setJobGroup(group, "plan construction must not execute")
+    try:
+        qs = entry_mod.queries()
+        for name in CONTRACTS:
+            df = qs[name](spark, SF)
+            assert df.columns  # force analysis (not execution)
+    finally:
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        sc.setJobGroup("", "")
+    assert jobs == [], f"plan construction ran Spark jobs: {jobs}"
 
 
 def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
