@@ -27,12 +27,10 @@ from data_pipeline_childcare_spark.operators import (
     cosine_topk_bruteforce,
     dedup_exact,
     dedup_fingerprint,
-    minhash_dedup,
     ngram_jaccard_pairs,
     parent_child_chunk,
     rrf_fuse,
     session_stats,
-    simhash_near_dup_pairs,
     top_k_with_global_dedup,
 )
 from data_pipeline_childcare_spark.operators.cleaning import clean_documents
@@ -267,11 +265,15 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup. No SQL oracle (xxhash64-specific); the
-    driver records a rows-only check; exactness is covered by the
-    ngram_jaccard_docs oracle below."""
+    """MinHash+LSH near-dedup, FULLY oracled: the engine-portable
+    Carter–Wegman hash family (operators/dedup.py) makes the kept-doc
+    set bit-identical in DuckDB — banding, candidate pairs, jaccard
+    estimate and the drop-larger-id rule all hash-exact. The xxhash64
+    ``minhash_dedup`` stays the opt-in production knob."""
+    from data_pipeline_childcare_spark.operators.dedup import minhash_dedup_portable
+
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup(docs, threshold=0.8).select("doc_id")
+    return minhash_dedup_portable(docs, threshold=0.8).select("doc_id")
 
 
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1049,9 +1051,14 @@ def simhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup candidate pairs (rows-only check, see above)."""
+    """SimHash near-dup candidate pairs on the portable hash family,
+    FULLY oracled at the blocked-candidate semantics (4×16-bit
+    pigeonhole bands, hamming ≤ 8). The xxhash64
+    ``simhash_near_dup_pairs`` stays the opt-in production knob."""
+    from data_pipeline_childcare_spark.operators.dedup import simhash_pairs_portable
+
     docs = _t(spark, sf_dir, "documents")
-    return simhash_near_dup_pairs(docs, max_hamming=8).select("id_a", "id_b", "hamming")
+    return simhash_pairs_portable(docs, max_hamming=8).select("id_a", "id_b", "hamming")
 
 
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2388,16 +2395,28 @@ def oracle_sql() -> dict[str, str]:
                 FROM toks
             ), inv AS (
                 SELECT doc_id, unnest(shingles) AS s FROM grams
+            ), hs AS (
+                -- base hash: 60-bit integer from the md5 prefix
+                -- (identical to Spark's conv(substring(md5,1,15),16,10))
+                -- reduced mod the Mersenne prime 2^31-1
+                SELECT doc_id,
+                       CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+                FROM inv
             ), sigs AS (
-                -- 60-bit integer from the md5 prefix: identical to
-                -- Spark's conv(substring(md5(...),1,15),16,10)
+                -- Carter-Wegman family member i = (a_i*h + b_i) mod p;
+                -- constants from the same closed form Spark inlines
+                -- (operators/dedup.py cw_constants, salt=0)
                 SELECT doc_id, i,
-                       min(CAST(CONCAT('0x', substring(md5(s || '#' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)) AS m
-                FROM inv CROSS JOIN range(64) r(i)
+                       min((((2654435761 * (i + 1) + 40503) % 2147483647) * h
+                            + (2246822519 * (i + 1) + 3266489917) % 2147483647) % 2147483647) AS m
+                FROM hs CROSS JOIN range(64) r(i)
                 GROUP BY doc_id, i
             ), bands AS (
+                -- band key = ordered polynomial fold of the 4-component
+                -- slice over p (same fold Spark inlines; BIGINT-safe)
                 SELECT doc_id, i // 4 AS band,
-                       md5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY i)) AS bh
+                       list_reduce(list(m ORDER BY i),
+                                   (acc, x) -> (acc * 1000003 + x) % 2147483647) AS bh
                 FROM sigs GROUP BY doc_id, i // 4
             ), cand AS (
                 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -2409,6 +2428,52 @@ def oracle_sql() -> dict[str, str]:
                 FROM cand c
                 JOIN sigs sa ON sa.doc_id = c.id_a
                 JOIN sigs sb ON sb.doc_id = c.id_b AND sb.i = sa.i
+                GROUP BY c.id_a, c.id_b
+            )"""
+
+    # portable-simhash CTE chain, shared by the hamming≤3 twin and the
+    # hamming≤8 blocked-candidate query (same Carter-Wegman family as
+    # Spark, salt=100 ⇒ constants use (b + 101))
+    _simhash_ctes = f"""stoks AS (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), sgrams AS (
+                -- NO list_distinct: simhash votes are weighted by
+                -- shingle multiplicity, matching the Spark explode
+                SELECT doc_id,
+                       list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 2),
+                           i -> array_to_string(t[i:i+2], ' ')
+                       ) AS shingles
+                FROM stoks
+            ), sinv AS (
+                SELECT doc_id, unnest(shingles) AS s FROM sgrams
+            ), shs AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x', substring(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS h
+                FROM sinv
+            ), votes AS (
+                SELECT doc_id, b,
+                       sum(CASE WHEN (((((2654435761 * (b + 101) + 40503) % 2147483647) * h
+                                        + (2246822519 * (b + 101) + 3266489917) % 2147483647) % 2147483647) & 1) = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM shs CROSS JOIN range(64) r(b)
+                GROUP BY doc_id, b
+            ), bits AS (
+                SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes
+            ), sbands AS (
+                SELECT doc_id, b // 16 AS band,
+                       sum(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))) AS band_val
+                FROM bits GROUP BY doc_id, b // 16
+            ), scand AS (
+                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                FROM sbands a JOIN sbands b
+                  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+            ), ham AS (
+                SELECT c.id_a, c.id_b,
+                       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+                FROM scand c
+                JOIN bits ba ON ba.doc_id = c.id_a
+                JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
                 GROUP BY c.id_a, c.id_b
             )"""
 
@@ -3024,43 +3089,19 @@ def oracle_sql() -> dict[str, str]:
             FROM comp
         """,
         "simhash_portable_pairs_docs": f"""
-            WITH toks AS (
-                SELECT doc_id, {tokens} AS t FROM documents
-            ), grams AS (
-                -- NO list_distinct: simhash votes are weighted by
-                -- shingle multiplicity, matching the Spark explode
-                SELECT doc_id,
-                       list_transform(
-                           range(1, greatest(len(t) - 3, 0) + 2),
-                           i -> array_to_string(t[i:i+2], ' ')
-                       ) AS shingles
-                FROM toks
-            ), inv AS (
-                SELECT doc_id, unnest(shingles) AS s FROM grams
-            ), votes AS (
-                SELECT doc_id, b,
-                       sum(CASE WHEN (CAST(CONCAT('0x', substring(md5(s || '@' || CAST(b AS VARCHAR)), 1, 1)) AS INT) & 1) = 1 THEN 1 ELSE -1 END) AS v
-                FROM inv CROSS JOIN range(64) r(b)
-                GROUP BY doc_id, b
-            ), bits AS (
-                SELECT doc_id, b, CASE WHEN v > 0 THEN 1 ELSE 0 END AS bit FROM votes
-            ), bands AS (
-                SELECT doc_id, b // 16 AS band,
-                       sum(bit * (CAST(1 AS BIGINT) << CAST(b % 16 AS INT))) AS band_val
-                FROM bits GROUP BY doc_id, b // 16
-            ), cand AS (
-                SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-                FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-            ), ham AS (
-                SELECT c.id_a, c.id_b,
-                       CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT) AS hamming
-                FROM cand c
-                JOIN bits ba ON ba.doc_id = c.id_a
-                JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
-                GROUP BY c.id_a, c.id_b
-            )
+            WITH {_simhash_ctes}
             SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        """,
+        "simhash_pairs_docs": f"""
+            WITH {_simhash_ctes}
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+        """,
+        "minhash_dedup_docs": f"""
+            WITH {_minhash_ctes}
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (
+                SELECT id_b FROM est WHERE est_jaccard >= 0.8
+            )
         """,
         "ngram_jaccard_docs": f"""
             WITH toks AS (

@@ -32,6 +32,44 @@ from data_pipeline_childcare_spark.functions.text import (
 )
 from data_pipeline_childcare_spark.io import spread_partitions
 
+# Engine-portable hash family (Carter–Wegman universal hashing over
+# the Mersenne prime p = 2^31 - 1): one md5 per shingle gives a 60-bit
+# base hash h; family member i is (a_i * h + b_i) mod p with constants
+# derived from a fixed public formula. Every intermediate fits in a
+# signed 64-bit integer (a_i, h < 2^31 ⇒ a_i*h < 2^62), so Spark (ANSI
+# mode) and DuckDB compute it bit-identically with native BIGINT ops —
+# no md5 per family member, which is what makes the portable paths as
+# cheap as the xxhash64 production paths.
+PORTABLE_P = 2147483647
+_CW_MULT_A, _CW_ADD_A = 2654435761, 40503
+_CW_MULT_B, _CW_ADD_B = 2246822519, 3266489917
+
+
+def cw_constants(n: int, salt: int = 0) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the portable hash family.
+
+    Mirrors the closed-form SQL expression the DuckDB oracles inline:
+    a_i = (2654435761*(i+1+salt) + 40503) mod p,
+    b_i = (2246822519*(i+1+salt) + 3266489917) mod p.
+    """
+    out = []
+    for i in range(n):
+        k = i + 1 + salt
+        a = (_CW_MULT_A * k + _CW_ADD_A) % PORTABLE_P
+        b = (_CW_MULT_B * k + _CW_ADD_B) % PORTABLE_P
+        assert a != 0, f"degenerate multiplier at i={i}, salt={salt}"
+        out.append((a, b))
+    return out
+
+
+# Spark-SQL fragment turning a shingle string column into the base
+# hash h ∈ [0, p). DuckDB oracle equivalent:
+#   CAST(CONCAT('0x', substring(md5(col), 1, 15)) AS BIGINT) % p
+def portable_base_hash_sql(col: str) -> str:
+    return (
+        f"cast(conv(substring(md5({col}), 1, 15), 16, 10) as bigint) % {PORTABLE_P}"
+    )
+
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per identical text.
@@ -179,20 +217,27 @@ def minhash_est_pairs_portable(
     """Engine-portable MinHash pipeline → (id_a, id_b, est_jaccard).
 
     Same algorithm as ``minhash_dedup``'s candidate+estimate stages,
-    but every hash is md5-derived so ANY engine reproduces it
-    bit-exactly (the winnowing ``portable_hash`` trick, extended to a
-    hash FAMILY):
+    but every hash is reproducible in ANY engine bit-exactly:
 
-    - minhash_i(doc) = min over shingles of the first 15 hex chars of
-      ``md5(shingle || '#i')`` read as a 60-bit integer
-      (``conv(...,16,10)`` in Spark ≡ ``CAST('0x…' AS BIGINT)`` in
-      DuckDB);
-    - band hash = md5 of the comma-joined decimal signature slice;
+    - base hash h = first 15 hex chars of ``md5(shingle)`` read as a
+      60-bit integer (``conv(...,16,10)`` in Spark ≡
+      ``CAST('0x…' AS BIGINT)`` in DuckDB), reduced mod p = 2^31-1;
+    - minhash_i(doc) = min over shingles of (a_i*h + b_i) mod p — the
+      Carter–Wegman family (``cw_constants``), ONE md5 per shingle
+      plus 64 native integer ops, so the portable path costs the same
+      as the xxhash64 production path;
+    - band hash = ordered polynomial fold of the 4-component
+      signature slice over p (acc = (acc*1000003 + m) mod p) — a
+      plain BIGINT join key (keeps the band self-join broadcast/
+      hash-join-able, which an array-typed key would not be), every
+      intermediate < 2^51; band-hash collisions only ever ADD
+      candidate pairs, which the est_jaccard verify stage filters,
+      and both engines collide identically so parity is unaffected;
     - est_jaccard = agreeing components / num_hashes — a k/64 dyadic
       rational, exact in binary floating point in both engines.
 
     This makes the FULL banded-LSH pipeline SQL-oracle-checkable;
-    ``minhash_dedup`` (xxhash64) stays the cheap JVM production path.
+    ``minhash_dedup`` (xxhash64) stays the JVM production option.
     Same shuffle shape as the production path: one groupBy(doc),
     band-keyed self-join, candidate-only estimate join.
     """
@@ -200,24 +245,33 @@ def minhash_est_pairs_portable(
     shingled = spread_partitions(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
-    )
+    ).select(F.col(id_col), F.expr(portable_base_hash_sql("_s")).alias("_h"))
     aggs = [
-        F.expr(
-            f"min(cast(conv(substring(md5(concat(_s, '#{i}')), 1, 15), 16, 10) as bigint))"
-            f" AS _m{i}"
-        )
-        for i in range(num_hashes)
+        F.expr(f"min(({a} * _h + {b}) % {PORTABLE_P}) AS _m{i}")
+        for i, (a, b) in enumerate(cw_constants(num_hashes))
     ]
-    sigs = shingled.groupBy(id_col).agg(*aggs).persist()
-    band_hashes = [
-        "md5(concat_ws(',',"
-        + ",".join(f"cast(_m{b * rows + r} as string)" for r in range(rows))
-        + "))"
-        for b in range(bands)
-    ]
+    sig_array = F.expr("array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")")
+    # persist ONE array column (not 64 scalar columns): the columnar
+    # cache then has a single builder/reader, mirroring the xxhash64
+    # production path's storage shape
+    sigs = (
+        shingled.groupBy(id_col)
+        .agg(*aggs)
+        .select(F.col(id_col), sig_array.alias("signature"))
+        .persist()
+    )
+
+    def _poly(b: int) -> str:
+        acc = f"signature[{b * rows}]"
+        for r in range(1, rows):
+            acc = f"(({acc}) * 1000003 + signature[{b * rows + r}]) % {PORTABLE_P}"
+        return acc
+
     banded = sigs.select(
         F.col(id_col),
-        F.posexplode(F.array(*[F.expr(e) for e in band_hashes])).alias("_band", "_bh"),
+        F.posexplode(F.array(*[F.expr(_poly(b)) for b in range(bands)])).alias(
+            "_band", "_bh"
+        ),
     )
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -230,14 +284,31 @@ def minhash_est_pairs_portable(
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
         .distinct()
     )
-    sig_arr = sigs.select(
-        id_col,
-        F.expr("array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")").alias(
-            "signature"
-        ),
-    )
-    est = minhash_jaccard_estimate(sig_arr, cand, id_col)
+    est = minhash_jaccard_estimate(sigs, cand, id_col)
     return est.filter(F.col("est_jaccard") >= threshold)
+
+
+def minhash_dedup_portable(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """``minhash_dedup`` semantics (drop the larger id of each
+    near-dup pair) on the engine-portable hash family, so the kept-doc
+    set itself is SQL-oracle-checkable. Same plan shape as the
+    xxhash64 production path."""
+    dups = (
+        minhash_est_pairs_portable(
+            df, id_col, text_col, num_hashes, shingle_n, bands, threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------
@@ -331,22 +402,24 @@ def simhash_pairs_portable(
 
     Same algorithm as ``simhash_near_dup_pairs`` (bit votes → 64-bit
     signature → 4×16-bit pigeonhole bands → hamming filter), but bit
-    ``b``'s vote comes from the parity of the first hex digit of
-    ``md5(shingle || '@b')`` — reproducible in any engine, so the
-    whole pipeline is SQL-oracle-checkable. The xxhash64 production
-    path stays the cheap JVM variant. Shuffle shape is unchanged: one
+    ``b``'s vote is the parity of Carter–Wegman family member b
+    (salt=100 to decorrelate from the minhash family) applied to the
+    md5-derived base hash — ONE md5 per shingle occurrence plus 64
+    native integer ops, reproducible in any engine, so the whole
+    pipeline is SQL-oracle-checkable. The xxhash64 production path
+    stays the JVM variant. Shuffle shape is unchanged: one
     groupBy(doc) vote aggregate, band-keyed self-join, hamming filter
     before the distinct.
     """
     shingled = spread_partitions(df, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
-    )
+    ).select(F.col(id_col), F.expr(portable_base_hash_sql("_s")).alias("_h"))
     votes = [
         F.expr(
-            "sum(CASE WHEN (cast(conv(substring(md5(concat(_s, '@"
-            f"{b}')), 1, 1), 16, 10) as int) & 1) = 1 THEN 1 ELSE -1 END) AS _v{b}"
+            f"sum(CASE WHEN ((({a} * _h + {bb}) % {PORTABLE_P}) & 1) = 1"
+            f" THEN 1 ELSE -1 END) AS _v{b}"
         )
-        for b in range(64)
+        for b, (a, bb) in enumerate(cw_constants(64, salt=100))
     ]
     pack = " | ".join(
         f"(CASE WHEN _v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)" for b in range(64)

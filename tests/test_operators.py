@@ -385,18 +385,25 @@ def test_minhash_portable_matches_hashlib(spark):
     pairs = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in minhash_est_pairs_portable(df).collect()}
     assert pairs == {(1, 2): 1.0}
 
-    # spot-check one signature component against hashlib
+    # spot-check signature component 7 against a pure-Python rebuild
+    # of the Carter-Wegman family over the md5 base hash
     from data_pipeline_childcare_spark.functions.text import word_ngrams
+    from data_pipeline_childcare_spark.operators.dedup import (
+        PORTABLE_P,
+        cw_constants,
+        portable_base_hash_sql,
+    )
     from pyspark.sql import functions as F
 
+    a7, b7 = cw_constants(64)[7]
     got = (
         df.filter(F.col("doc_id") == 1)
         .select(F.explode(word_ngrams(F.col("text"), 3)).alias("_s"))
-        .select(F.expr("cast(conv(substring(md5(concat(_s, '#7')), 1, 15), 16, 10) as bigint)").alias("h"))
+        .select(F.expr(f"({a7} * ({portable_base_hash_sql('_s')}) + {b7}) % {PORTABLE_P}").alias("h"))
         .first()["h"]
     )
-    expect = int(hashlib.md5(b"alpha beta gamma#7").hexdigest()[:15], 16)
-    assert got == expect
+    base = int(hashlib.md5(b"alpha beta gamma").hexdigest()[:15], 16) % PORTABLE_P
+    assert got == (a7 * base + b7) % PORTABLE_P
 
 
 def test_simhash_portable_identical_docs_zero_hamming(spark):
