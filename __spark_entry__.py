@@ -371,7 +371,11 @@ def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Weeks are epoch-day based (floor(days/7)) so the bucketing is
     engine-portable without WEEK-OF-YEAR convention drift."""
     ev = _t(spark, sf_dir, "events")
-    epoch_week = (F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")) / 7).cast("long")
+    # floor, not cast('long'): cast truncates toward zero, so pre-1970
+    # timestamps would bucket differently from the oracle's floor()
+    epoch_week = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-05").cast("date")) / 7
+    )
     weekly = ev.select("user_id", epoch_week.alias("week"))
     first = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     return (

@@ -49,8 +49,12 @@ def bloom_words(df: DataFrame, key_col: str, m: int = 8192, k: int = 4) -> DataF
     streaming_bloom_words``). Sketches over disjoint inputs merge by
     word-wise ``bit_or``."""
     positions = F.array(*[F.expr(_pos_expr(key_col, m, d)) for d in range(k)])
+    # NULL keys can never match an equi-join, so dropping them keeps
+    # the no-false-negatives guarantee — and a NULL key would otherwise
+    # produce a NULL _word that map_from_entries rejects at build time
     return (
-        df.select(F.explode(positions).alias("_pos"))
+        df.filter(F.expr(f"({key_col}) IS NOT NULL"))
+        .select(F.explode(positions).alias("_pos"))
         .groupBy((F.col("_pos") / 64).cast("int").alias("_word"))
         .agg(
             F.expr(

@@ -325,6 +325,11 @@ def histogram_quantiles(
     The value column is scanned twice; at 100 TB fuse pass one into
     an existing profiling scan or substitute fixed dataset bounds.
     """
+    # NULL values are excluded up front: floor(NULL)=NULL would slip
+    # past F.least into the top bin while count(value_col) excluded it
+    # from _n, skewing cumulative ranks (the SQL twin has the matching
+    # WHERE clauses)
+    df = df.filter(F.col(value_col).isNotNull())
     stats = df.groupBy(*group_cols).agg(
         F.min(value_col).alias("_mn"),
         F.max(value_col).alias("_mx"),
@@ -383,13 +388,14 @@ def histogram_quantiles_sql(
         WITH stats AS (
             SELECT {groups}, min({value_col}) AS mn, max({value_col}) AS mx,
                    CAST(count({value_col}) AS BIGINT) AS n
-            FROM {table} GROUP BY {groups}
+            FROM {table} WHERE {value_col} IS NOT NULL GROUP BY {groups}
         ), binned AS (
             SELECT t.{groups}, s.mn, s.mx, s.n,
                    CASE WHEN s.mx > s.mn
                         THEN least(CAST(floor(({value_col} - s.mn) / (s.mx - s.mn) * {bins}) AS BIGINT), {bins - 1})
                         ELSE 0 END AS bin
             FROM {table} t JOIN stats s USING ({groups})
+            WHERE t.{value_col} IS NOT NULL
         ), counts AS (
             SELECT {groups}, mn, mx, n, bin, count(*) AS cnt
             FROM binned GROUP BY {groups}, mn, mx, n, bin

@@ -456,17 +456,25 @@ def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
     magic; ValueError for recognized-but-corrupt or unsupported
     variants (progressive JPEG, 16-bit PNG, ...) so callers tier
     down explicitly."""
-    if data[:8] == _PNG_SIG:
-        return decode_png(data)
-    if data[:2] == b"BM":
-        return decode_bmp(data)
-    if data[:2] == b"P6":
-        return decode_ppm(data)
-    if data[:6] in (b"GIF87a", b"GIF89a"):
-        return decode_gif(data)
-    if data[:2] == b"\xff\xd8":
-        return decode_jpeg_baseline(data)
-    return None
+    try:
+        if data[:8] == _PNG_SIG:
+            return decode_png(data)
+        if data[:2] == b"BM":
+            return decode_bmp(data)
+        if data[:2] == b"P6":
+            return decode_ppm(data)
+        if data[:6] in (b"GIF87a", b"GIF89a"):
+            return decode_gif(data)
+        if data[:2] == b"\xff\xd8":
+            return decode_jpeg_baseline(data)
+        return None
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
+        # truncated/corrupt containers (e.g. a GIF cut before byte 13)
+        # otherwise leak struct.error/IndexError, breaking the
+        # ValueError-only contract decode_jpeg_baseline already keeps
+        raise ValueError(f"corrupt image container: {exc!r}") from exc
 
 
 def luminance_thumbnail(
@@ -635,7 +643,7 @@ def decode_jpeg_baseline(data: bytes) -> tuple[int, int, str, bytes]:
         return _decode_jpeg_impl(data)
     except ValueError:
         raise
-    except (IndexError, KeyError, struct.error) as exc:
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
         raise ValueError(f"corrupt JPEG: {exc!r}") from exc
 
 
@@ -670,7 +678,13 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
             comps = []
             for c in range(nc):
                 cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
-                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+                ch, cv = samp >> 4, samp & 0x0F
+                # a 0 factor would divide by zero computing MCU counts
+                # (and >4 is out of spec) — reject here so the
+                # ValueError-only contract holds for corrupt SOF0s
+                if not (1 <= ch <= 4 and 1 <= cv <= 4):
+                    raise ValueError(f"invalid sampling factors {ch}x{cv}")
+                comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
             raise ValueError("only baseline SOF0 JPEG supported")

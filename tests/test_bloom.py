@@ -80,3 +80,23 @@ def test_bloom_bitmap_deterministic(spark):
     a = bloom_build(keys, "c_custkey").collect()[0]["_bloom"]
     b = bloom_build(keys, "c_custkey").collect()[0]["_bloom"]
     assert dict(a) == dict(b)
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    """NULL keys can never match an equi-join, so the build side drops
+    them — previously explode produced a NULL word and
+    map_from_entries aborted the job with NULL_MAP_KEY."""
+    build = spark.createDataFrame(
+        [(1,), (None,), (7,), (None,)], "k long"
+    )
+    probe = spark.createDataFrame([(1,), (2,), (None,), (7,)], "p long")
+    via_bloom = sorted(
+        r["p"] for r in bloom_semi_join(probe, "p", build, "k").collect()
+    )
+    plain = sorted(
+        r["p"]
+        for r in probe.join(
+            build, probe["p"] == build["k"], "left_semi"
+        ).collect()
+    )
+    assert via_bloom == plain == [1, 7]

@@ -697,3 +697,25 @@ def test_jpeg_corrupt_raises_valueerror_only():
     ):
         with pytest.raises(ValueError):
             decode_jpeg_baseline(bad)
+
+
+def test_jpeg_zero_sampling_factor_raises_valueerror():
+    """A corrupt SOF0 with 0 sampling factors used to escape as
+    ZeroDivisionError from the MCU-count computation, leaking past the
+    ValueError-only contract."""
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_jpeg_baseline
+
+    sof0 = struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x00, 0])
+    data = b"\xff\xd8\xff\xc0" + struct.pack(">H", 2 + len(sof0)) + sof0
+    with pytest.raises(ValueError, match="sampling"):
+        decode_jpeg_baseline(data)
+
+
+def test_truncated_gif_raises_valueerror_not_struct_error():
+    """A blob with a GIF magic but cut before the header end must
+    raise ValueError from the dispatch, mirroring the JPEG decoder's
+    hardening (module contract: ValueError for recognized-but-corrupt)."""
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_image_stdlib
+
+    with pytest.raises(ValueError):
+        decode_image_stdlib(b"GIF89a\x10\x00")

@@ -202,3 +202,26 @@ def test_kmv_set_exact_below_k(spark):
     assert row["est_union"] == 50.0
     assert row["jaccard"] == round(10 / 50, 6)
     assert row["est_intersection"] == 10.0
+
+
+def test_histogram_quantiles_ignores_null_values(spark):
+    """Rows with NULL value used to land in the top bin (floor(NULL)
+    slipping past F.least) while being excluded from _n — the
+    estimates must be identical with and without NULL rows."""
+    from data_pipeline_childcare_spark.operators.sketches import histogram_quantiles
+
+    clean = spark.createDataFrame(
+        [("a", float(v)) for v in range(100)], "g string, v double"
+    )
+    noisy = clean.unionByName(
+        spark.createDataFrame([("a", None)] * 7, "g string, v double")
+    )
+    got_clean = {
+        (r["g"], r["q"]): r["est_value"]
+        for r in histogram_quantiles(clean, ("g",), "v", bins=16).collect()
+    }
+    got_noisy = {
+        (r["g"], r["q"]): r["est_value"]
+        for r in histogram_quantiles(noisy, ("g",), "v", bins=16).collect()
+    }
+    assert got_clean == got_noisy
