@@ -2092,6 +2092,124 @@ def winnowing_fingerprints_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
 
 
+# ---------------------------------------------------------------------------
+# Tuoyu rule-filter pipeline, end-to-end (P2-P8 + SURVEY §3.3)
+# ---------------------------------------------------------------------------
+# Deterministic record-block synthesis shared by the Spark query and
+# the DuckDB oracle: every field is a pure function of doc_id, so both
+# engines build byte-identical content strings and the md5-based block
+# digest is hash-exact. The rule exercises region (province scope with
+# gazetteer expansion), education normalization, major containment,
+# the MOE vocational gate, strict time filtering with the survey
+# exemption, the doc semi-join, and the segment-level re-check.
+_TY_CITIES = ["成都市", "绵阳市", "长春市", "北京市", "上海市", "凉山州"]
+_TY_LEVELS = ["大专", "本科", "高职（专科）", ""]
+_TY_MAJORS = ["护理学", "学前教育", "婴幼儿护理"]
+_TY_TS = ["2022-06-15 10:00:00", "2023-05-01 09:30:00", ""]
+_TY_ADDRS = ["四川省成都市高新区", "广东省深圳市南山区"]
+_TY_YEARS = ["2023", "2021"]
+_TY_RULE = dict(
+    scope="四川", level="大专", major="护理",
+    time_filter="2023-01-01 ~ 2024-12-31", strict_time=True,
+)
+
+
+def _tuoyu_synth(spark: SparkSession, sf_dir: str):
+    """(chunks, segments) synthesized from documents.doc_id — see the
+    constants above. Block 0 is the retrieved chunk; block 1 is a
+    passing twin (suffix line) when doc_id//3 % 5 == 0, else a
+    per-type failing twin (wrong major / wrong city / out-of-range
+    date) that the segment re-check must drop."""
+    i = F.col("doc_id")
+    s = i.cast("string")
+    j = F.expr("doc_id div 3")
+
+    def pick(vals):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in vals]), (j % len(vals) + 1).cast("int")
+        )
+
+    city, lvl, major = pick(_TY_CITIES), pick(_TY_LEVELS), pick(_TY_MAJORS)
+    ts, addr, year = pick(_TY_TS), pick(_TY_ADDRS), pick(_TY_YEARS)
+
+    def survey(major_col):
+        return F.concat(
+            F.lit("城市："), city, F.lit(" | 岗位："), major_col,
+            F.lit("\n学历："), lvl, F.lit("\n机构名称：机构"), s,
+        )
+
+    def moe(city_col):
+        return F.concat(
+            F.lit("机构名称：学校"), s, F.lit("\n学校标识码：S"), s,
+            F.lit("\n开设专业："), major, F.lit("\n城市："), city_col,
+            F.lit("\n年份："), year,
+        )
+
+    def inst(ts_col):
+        return F.concat(
+            F.lit("统一社会信用代码：915100"), s,
+            F.lit("\n备案及完成时间："), ts_col, F.lit("\n详细地址："), addr,
+        )
+
+    t = i % 3
+    content0 = F.when(t == 0, survey(major)).when(t == 1, moe(city)).otherwise(inst(ts))
+    fail1 = (
+        F.when(t == 0, survey(F.lit("保安")))
+        .when(t == 1, moe(F.lit("西安市")))
+        .otherwise(inst(F.lit("2020-01-01 00:00:00")))
+    )
+    content1 = F.when(j % 5 == 0, F.concat(content0, F.lit("\n备注：附记"))).otherwise(fail1)
+
+    base = _t(spark, sf_dir, "documents").select(
+        i.alias("doc_id"),
+        (i % 4).alias("database_id"),
+        i.alias("document_id"),
+        content0.alias("_c0"),
+        content1.alias("_c1"),
+    )
+    chunks = base.select(
+        F.col("doc_id").alias("chunk_id"), "database_id", "document_id",
+        F.col("_c0").alias("content"),
+    )
+    # duplicate retrieval rows: dropDuplicates(chunk_id) must collapse
+    chunks = chunks.unionAll(chunks)
+    segments = base.select(
+        "database_id", "document_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("position"), F.col("_c0").alias("content")),
+                F.struct(F.lit(1).alias("position"), F.col("_c1").alias("content")),
+            )
+        ).alias("_b"),
+    ).select("database_id", "document_id", F.col("_b.position"), F.col("_b.content"))
+    return chunks, segments
+
+
+def tuoyu_rule_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship reference pipeline (retrieve.py:1356-1499,
+    1581-1623), oracled end-to-end: dedup → kv/pipe-header parse →
+    record-type dispatch → rule conjunction (region/education/major/
+    MOE-gate/strict-time with survey exemption) → surviving-doc
+    semi-join → segment re-check → ordered db→doc rollup. The block
+    digest string makes the rollup ORDER itself hash-checkable."""
+    from data_pipeline_childcare_spark.operators.rules import RegionalRule
+    from data_pipeline_childcare_spark.plans.retrieval import tuoyu_rule_filter
+
+    chunks, segments = _tuoyu_synth(spark, sf_dir)
+    out = tuoyu_rule_filter(chunks, segments, RegionalRule(**_TY_RULE))
+    block = lambda b: F.concat(  # noqa: E731
+        b["position"].cast("string"), F.lit(":"), F.md5(b["content"]),
+        F.lit(":"), b["record_type"],
+    )
+    return out.select(
+        "database_id",
+        "document_id",
+        "source_type",
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.concat_ws("#", F.transform("content_blocks", block)).alias("block_seq"),
+    )
+
+
 def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (sampleBy semantics, but
     stable across runs/engines/partitionings): clicks at 10%,
@@ -2330,6 +2448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup_ivf": embedding_cosine_dedup_ivf_q,
         "image_decode_features": image_decode_features,
         "doc_train_split": doc_train_split,
+        "tuoyu_rule_filter_docs": tuoyu_rule_filter_docs,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
@@ -2480,6 +2599,96 @@ def oracle_sql() -> dict[str, str]:
                 JOIN bits bb ON bb.doc_id = c.id_b AND bb.b = ba.b
                 GROUP BY c.id_a, c.id_b
             )"""
+
+    # Tuoyu pipeline oracle: the rule compiles driver-side in BOTH
+    # engines (the Spark side builds contains-chains from the same
+    # dims), so the SQL gets the identical literal predicate; the
+    # DATA-side evaluation (content synthesis, predicate application,
+    # semi-join, segment re-check, ordered rollup) is all DuckDB.
+    from data_pipeline_childcare_spark.dims import CHINA_REGIONS, EDUCATION_MAP
+
+    def _ty_like_any(col: str, terms: list[str]) -> str:
+        return "(" + " OR ".join(f"{col} LIKE '%{t}%'" for t in terms) + ")"
+
+    _ty_region_terms = ["四川"] + CHINA_REGIONS["四川"]
+
+    def _ty_edu_pass(lvl: str) -> bool:
+        # mirrors operators/rules.py education_predicate for literals
+        req = "高等职业教育（专科）"
+        norm = EDUCATION_MAP.get(lvl)
+        if norm is None:
+            for k in sorted(EDUCATION_MAP, key=len, reverse=True):
+                if k in lvl:
+                    norm = EDUCATION_MAP[k]
+                    break
+        return norm is not None and (norm == req or req in norm or norm in req)
+
+    def _ty_list(vals: list[str]) -> str:
+        return "[" + ",".join(f"'{v}'" for v in vals) + "]"
+
+    _ty_pass_levels = ",".join(f"'{lv}'" for lv in _TY_LEVELS if _ty_edu_pass(lv))
+    _ty_time = ("TIMESTAMP '2023-01-01 00:00:00'", "TIMESTAMP '2024-12-31 23:59:59'")
+    _ty_sql = f"""tybase AS (
+                SELECT doc_id AS i, CAST(doc_id AS VARCHAR) AS s,
+                       doc_id // 3 AS j, doc_id % 3 AS t
+                FROM documents
+            ), tyf AS (
+                SELECT i, s, j, t,
+                       {_ty_list(_TY_CITIES)}[(j % 6) + 1] AS city,
+                       {_ty_list(_TY_LEVELS)}[(j % 4) + 1] AS lvl,
+                       {_ty_list(_TY_MAJORS)}[(j % 3) + 1] AS mj,
+                       {_ty_list(_TY_TS)}[(j % 3) + 1] AS ts,
+                       {_ty_list(_TY_ADDRS)}[(j % 2) + 1] AS addr,
+                       {_ty_list(_TY_YEARS)}[(j % 2) + 1] AS yr
+                FROM tybase
+            ), tyc AS (
+                SELECT *,
+                    CASE t WHEN 0 THEN 'survey' WHEN 1 THEN 'moe'
+                           ELSE 'institution' END AS rtype,
+                    CASE t
+                      WHEN 0 THEN '城市：' || city || ' | 岗位：' || mj || chr(10) || '学历：' || lvl || chr(10) || '机构名称：机构' || s
+                      WHEN 1 THEN '机构名称：学校' || s || chr(10) || '学校标识码：S' || s || chr(10) || '开设专业：' || mj || chr(10) || '城市：' || city || chr(10) || '年份：' || yr
+                      ELSE '统一社会信用代码：915100' || s || chr(10) || '备案及完成时间：' || ts || chr(10) || '详细地址：' || addr
+                    END AS c0,
+                    CASE t
+                      WHEN 0 THEN '城市：' || city || ' | 岗位：保安' || chr(10) || '学历：' || lvl || chr(10) || '机构名称：机构' || s
+                      WHEN 1 THEN '机构名称：学校' || s || chr(10) || '学校标识码：S' || s || chr(10) || '开设专业：' || mj || chr(10) || '城市：西安市' || chr(10) || '年份：' || yr
+                      ELSE '统一社会信用代码：915100' || s || chr(10) || '备案及完成时间：2020-01-01 00:00:00' || chr(10) || '详细地址：' || addr
+                    END AS cfail
+                FROM tyf
+            ), typ AS (
+                -- p0: the full rule on block 0's fields. survey: region
+                -- + major + education, time-EXEMPT; moe: region + major
+                -- + vocational gate (TRUE for 大专) + strict time over
+                -- 年份; institution: region + strict time only.
+                SELECT *,
+                    CASE t
+                      WHEN 0 THEN {_ty_like_any("(city || ' | 岗位：' || mj)", _ty_region_terms)}
+                                  AND mj LIKE '%护理%' AND lvl IN ({_ty_pass_levels})
+                      -- strptime, NOT CAST: DuckDB folds a
+                      -- CAST(varchar AS TIMESTAMP) <op> TIMESTAMP-literal
+                      -- comparison into a VARCHAR comparison, where the
+                      -- date-only string '2023-01-01' sorts BEFORE
+                      -- '2023-01-01 00:00:00'
+                      WHEN 1 THEN {_ty_like_any('city', _ty_region_terms)}
+                                  AND mj LIKE '%护理%'
+                                  AND strptime(yr || '-01-01', '%Y-%m-%d') BETWEEN {_ty_time[0]} AND {_ty_time[1]}
+                      ELSE {_ty_like_any('addr', _ty_region_terms)}
+                           AND ts <> ''
+                           AND try_strptime(ts, '%Y-%m-%d %H:%M:%S') BETWEEN {_ty_time[0]} AND {_ty_time[1]}
+                    END AS p0
+                FROM tyc
+            ), tyseg AS (
+                -- block 1 is a passing twin (same fields + suffix line)
+                -- only when j%5=0; every failing twin breaks exactly one
+                -- predicate (major/region/time), so its pass is FALSE
+                SELECT i, rtype, 0 AS position, c0 AS content, p0 AS pass FROM typ
+                UNION ALL
+                SELECT i, rtype, 1,
+                       CASE WHEN j % 5 = 0 THEN c0 || chr(10) || '备注：附记' ELSE cfail END,
+                       CASE WHEN j % 5 = 0 THEN p0 ELSE FALSE END
+                FROM typ
+            ), tyhits AS (SELECT i FROM typ WHERE p0)"""
 
     def _jround(expr: str, d: int) -> str:
         # Round a DOUBLE the way Spark does: Spark's round() goes
@@ -3573,6 +3782,18 @@ def oracle_sql() -> dict[str, str]:
                    substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
                        < '{_sample_threshold}' AS in_sample
             FROM documents
+        """,
+        "tuoyu_rule_filter_docs": f"""
+            WITH {_ty_sql}
+            SELECT i % 4 AS database_id, i AS document_id,
+                   CASE WHEN max(CASE WHEN rtype = 'survey' THEN 1 ELSE 0 END) = 1
+                        THEN 'Tuoyu_Questionnaire' ELSE 'Tuoyu_institution' END AS source_type,
+                   CAST(count(*) AS BIGINT) AS n_blocks,
+                   string_agg(position || ':' || md5(content) || ':' || rtype,
+                              '#' ORDER BY position) AS block_seq
+            FROM tyseg JOIN tyhits USING (i)
+            WHERE pass
+            GROUP BY i
         """,
         "winnowing_fingerprints_docs": """
             WITH t AS (

@@ -152,3 +152,28 @@ def test_scrape_pipeline_grouping_and_status(spark):
     texts = {r["url"]: r["content"] for r in out["k1"]["results"]}
     assert texts["u1"] == "正文A"  # noise lines cleaned
     assert out["k2"]["n_total"] == 1
+
+
+def test_tuoyu_rule_filter_docs_contract(spark):
+    """End-to-end P2-P8 chain over the synthesized record blocks:
+    survey docs classify as Tuoyu_Questionnaire, every passing twin
+    (doc_id//3 % 5 == 0) yields exactly 2 ordered blocks, every other
+    survivor exactly 1, and no non-四川 institution survives."""
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.queries()["tuoyu_rule_filter_docs"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "pipeline returned no survivors"
+    for r in rows:
+        i = r["document_id"]
+        expected_type = "Tuoyu_Questionnaire" if i % 3 == 0 else "Tuoyu_institution"
+        assert r["source_type"] == expected_type, r
+        assert r["n_blocks"] == (2 if (i // 3) % 5 == 0 else 1), r
+        assert r["block_seq"].startswith("0:"), r
+        if r["n_blocks"] == 2:
+            assert "#1:" in r["block_seq"], r
+    # institutions only survive with a 四川 address and an in-range date
+    inst = [r for r in rows if r["document_id"] % 3 == 2]
+    assert all((r["document_id"] // 3) % 2 == 0 for r in inst)  # 四川 addr
+    assert all((r["document_id"] // 3) % 3 == 1 for r in inst)  # 2023 date
