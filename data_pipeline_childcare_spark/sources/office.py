@@ -361,9 +361,17 @@ def parse_pdf_bytes(data: bytes) -> str:
     try:
         import fitz  # noqa: PLC0415
     except ImportError:
-        # STUB: no PDF engine in this environment. Deterministic
-        # placeholder keeps the pipeline testable.
-        return f"[STUB:pdf parser (fitz not installed) — {len(data)} bytes]"
+        # no fitz: the library-free extractor handles the common
+        # Flate/simple-font case (sources/pdftext.py); only when IT
+        # finds nothing does the deterministic stub tier remain
+        from data_pipeline_childcare_spark.sources.pdftext import (  # noqa: PLC0415
+            extract_pdf_text_minimal,
+        )
+
+        text = extract_pdf_text_minimal(data, max_pages=PDF_MAX_PAGES)
+        if text:
+            return text
+        return f"[STUB:pdf parser (fitz not installed, no extractable text) — {len(data)} bytes]"
 
     table_bboxes_per_page: dict[int, list] = {}
     plumber_tables_per_page: dict[int, list] = {}

@@ -174,7 +174,106 @@ def test_pdf_guarded_stub_when_no_engine():
 
         assert "STUB" not in out  # engine present → real parse attempted
     except ImportError:
-        assert out == "[STUB:pdf parser (fitz not installed) — 19 bytes]"
+        # no fitz AND the library-free extractor finds nothing → stub
+        assert out == (
+            "[STUB:pdf parser (fitz not installed, no extractable text) — 19 bytes]"
+        )
+
+
+# --- library-free PDF text extraction (sources/pdftext.py) -----------------
+
+
+def _pdf_escape(raw: bytes) -> bytes:
+    return raw.replace(b"\\", rb"\\").replace(b"(", rb"\(").replace(b")", rb"\)")
+
+
+def _mini_pdf(page_streams: list[bytes], compress: bool = True, reverse_kids: bool = False) -> bytes:
+    """Crafted N-page PDF: catalog(1) → pages(2) → per page (page obj,
+    content obj). Offsets in the xref are fake — the extractor scans
+    objects, it does not need a valid xref (real-world tolerant)."""
+    import zlib
+
+    n = len(page_streams)
+    objs: list[bytes] = []
+    kid_nums = [3 + 2 * i for i in range(n)]
+    kids = b" ".join(b"%d 0 R" % k for k in (reversed(kid_nums) if reverse_kids else kid_nums))
+    objs.append(b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    objs.append(b"2 0 obj\n<< /Type /Pages /Kids [" + kids + b"] /Count %d >>\nendobj\n" % n)
+    for i, cs in enumerate(page_streams):
+        pnum, cnum = 3 + 2 * i, 4 + 2 * i
+        objs.append(
+            b"%d 0 obj\n<< /Type /Page /Parent 2 0 R /Contents %d 0 R >>\nendobj\n"
+            % (pnum, cnum)
+        )
+        payload = zlib.compress(cs) if compress else cs
+        filt = b"/Filter /FlateDecode " if compress else b""
+        objs.append(
+            b"%d 0 obj\n<< %s/Length %d >>\nstream\n" % (cnum, filt, len(payload))
+            + payload
+            + b"\nendstream\nendobj\n"
+        )
+    body = b"".join(objs)
+    return (
+        b"%PDF-1.4\n" + body
+        + b"trailer\n<< /Size %d /Root 1 0 R >>\n%%%%EOF\n" % (len(objs) + 1)
+    )
+
+
+def test_pdftext_flate_stream_tj_and_tj_array():
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    cs = b"BT /F1 12 Tf 72 720 Td (Hello) Tj 0 -14 Td [(Wor) -120 (ld)] TJ ET"
+    out = extract_pdf_text_minimal(_mini_pdf([cs]))
+    assert out == "Hello\nWorld"
+
+
+def test_pdftext_escapes_hex_and_utf16():
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    lit = _pdf_escape("第1页(测试)".encode("utf-16-be"))
+    cs = (
+        b"BT (a\\(b\\)c \\\\ \\101\\102) Tj T* (\xfe\xff" + lit + b") Tj "
+        b"T* <48656C6C6F> Tj ET"
+    )
+    out = extract_pdf_text_minimal(_mini_pdf([cs], compress=False))
+    assert out.splitlines() == ["a(b)c \\ AB", "第1页(测试)", "Hello"]
+
+
+def test_pdftext_multipage_follows_kids_order():
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    pages = [b"BT (page-one) Tj ET", b"BT (page-two) Tj ET"]
+    out = extract_pdf_text_minimal(_mini_pdf(pages, reverse_kids=True))
+    # Kids order reversed ⇒ page-two is 第 1 页
+    assert out.index("page-two") < out.index("page-one")
+    assert "<!-- 第 1 页 -->" in out and "<!-- 第 2 页 -->" in out
+
+
+def test_pdftext_page_cap_note():
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    pages = [b"BT (p%d) Tj ET" % i for i in range(5)]
+    out = extract_pdf_text_minimal(_mini_pdf(pages), max_pages=3)
+    assert "p2" in out and "p3" not in out
+    assert "共 5 页，已处理前 3 页" in out
+
+
+def test_pdftext_corrupt_and_nonpdf_return_empty():
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    assert extract_pdf_text_minimal(b"not a pdf") == ""
+    assert extract_pdf_text_minimal(b"%PDF-1.4 truncated garbage") == ""
+
+
+def test_parse_pdf_bytes_routes_minimal_extractor_without_fitz():
+    try:
+        import fitz  # noqa: F401
+
+        return  # fitz present: the real engine path is used instead
+    except ImportError:
+        pass
+    out = parse_pdf_bytes(_mini_pdf([b"BT (real text now) Tj ET"]))
+    assert out == "real text now"
 
 
 def test_image_dims_stdlib_sniff():
@@ -217,3 +316,25 @@ def test_parse_documents_dispatches_office_formats(spark):
     assert got["a.docx"]["error"] is None and got["a.docx"]["content"] == "文档正文"
     assert "| 7 |" in got["b.xlsx"]["content"]
     assert "2x3px" in got["c.png"]["content"]
+
+
+def test_pdftext_flate_payload_ending_in_whitespace_byte():
+    """zlib output routinely ends in whitespace-class bytes; the
+    extractor must honor /Length instead of letting the EOL-before-
+    endstream match absorb the payload's last byte (which corrupts the
+    stream and silently drops the page)."""
+    import zlib as _z
+
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    import hashlib as _h
+
+    for i in range(2000):
+        tag = _h.md5(b"pdfws%d" % i).hexdigest()[:12]
+        text = b"BT (case " + tag.encode() + b") Tj ET"
+        cs = _z.compress(text)
+        if cs[-1:] in b" \t\r\n\x0b\x0c":
+            out = extract_pdf_text_minimal(_mini_pdf([text]))
+            assert out == f"case {tag}"
+            return
+    raise AssertionError("no whitespace-tailed compressed payload in 2000 tries")
