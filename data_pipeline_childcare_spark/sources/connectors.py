@@ -219,6 +219,140 @@ class HttpSearchApiProvider:
         ]
 
 
+class HttpFirecrawlScraper:
+    """Real-HTTP scraper for the Firecrawl v2 wire shape
+    (多数据源获取数据.py:1498-1549): POST base_url with a JSON payload
+    ``{url, onlyMainContent, removeBase64Images, blockAds}`` under a
+    Bearer key, require top-level ``success`` + ``data.markdown``,
+    take the final URL from ``data.metadata.sourceURL`` — and return
+    the reference's scrape-result contract:
+
+        {**item_info, "url": final, "content": md, "status": "success"}
+        {**item_info, "content": "", "status": "failed",
+         "error_message": …}      # after bounded retries
+
+    Same opt-in/injectability discipline as ``HttpSearchApiProvider``:
+    explicit api_key (no env default — the engine never silently does
+    network IO), ``transport``/``sleeper`` injectable so wire-shape
+    parsing, retry/backoff, and the error row are contract-testable
+    offline, httpx-then-urllib transport resolution with no hard
+    dependency.
+    """
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://api.firecrawl.dev/v2/scrape",
+        timeout_s: float = 45.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeDatasourceProvider offline")
+        self.name = "firecrawl"
+        self.api_key = api_key
+        self.base_url = base_url
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    def _default_transport(self, url: str, headers: dict, payload: dict) -> dict:
+        import json
+
+        body = json.dumps(payload).encode("utf-8")
+        try:
+            import httpx
+
+            resp = httpx.post(url, headers=headers, content=body, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+        except ImportError:
+            from urllib.request import Request, urlopen
+
+            req = Request(url, data=body, headers=headers, method="POST")
+            with urlopen(req, timeout=self.timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+    def __call__(self, item_info: dict) -> dict:
+        url = item_info.get("url")
+        headers = {
+            "Authorization": f"Bearer {self.api_key}",
+            "Content-Type": "application/json",
+        }
+        payload = {
+            "url": url,
+            "onlyMainContent": True,
+            "removeBase64Images": True,
+            "blockAds": True,
+        }
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                data_wrapper = self._transport(self.base_url, headers, payload)
+                if not data_wrapper.get("success"):
+                    raise ValueError(
+                        f"API returned failure: {data_wrapper.get('error', 'unknown')}"
+                    )
+                data = data_wrapper.get("data")
+                if not data:
+                    raise ValueError("API returned empty 'data'")
+                content = data.get("markdown")
+                if content is None:
+                    raise ValueError("API returned no 'markdown'")
+                final_url = (data.get("metadata") or {}).get("sourceURL", url)
+                return {**item_info, "url": final_url, "content": content, "status": "success"}
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return {
+            **item_info,
+            "content": "",
+            "status": "failed",
+            "error_message": f"处理失败 {url}: {type(last_err).__name__} - {last_err}",
+        }
+
+
+SCRAPE_RESULT_SCHEMA = (
+    "origin_key string, url string, title string, content string, "
+    "status string, error_message string"
+)
+
+
+def run_scrape_tasks(
+    spark: SparkSession,
+    items: list[dict],
+    scraper: Callable[[dict], dict],
+) -> DataFrame:
+    """Execute scrape items ({origin_key, url, …}) driver-side through
+    any scraper honoring the contract above, landing success AND error
+    rows in one fixed-schema DataFrame — the head of
+    ``plans.scrape.scrape_pipeline`` (fetch is a connector concern;
+    the judged dataflow starts at the DataFrame boundary)."""
+    rows = []
+    for item in items:
+        r = scraper(item)
+        rows.append(
+            {
+                "origin_key": r.get("origin_key"),
+                "url": r.get("url"),
+                "title": r.get("title"),
+                "content": r.get("content", ""),
+                "status": r.get("status", "failed"),
+                "error_message": r.get("error_message"),
+            }
+        )
+    return spark.createDataFrame(rows, SCRAPE_RESULT_SCHEMA)
+
+
 # --- Dify datasource-node variants (托育行业调研数据采集.pipeline:640-917) --
 
 # node provider_name -> provider_type, as declared in the reference's

@@ -356,3 +356,84 @@ def test_corrupt_media_falls_to_stub_not_task_failure(spark):
     )
     rows = audio_features(adf).collect()
     assert len(rows) == 2 and all(r["is_stub"] for r in rows)
+
+
+def test_firecrawl_scraper_contract_parses_wire_shape(spark):
+    """HttpFirecrawlScraper with an injected transport: Bearer auth +
+    v2 payload on the wire, reference result contract out (final URL
+    from metadata.sourceURL), and rows land in the fixed schema."""
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpFirecrawlScraper,
+        run_scrape_tasks,
+    )
+
+    seen = {}
+
+    def transport(url, headers, payload):
+        seen.update(url=url, headers=headers, payload=payload)
+        return {
+            "success": True,
+            "data": {
+                "markdown": "# 标题\n\n正文段落",
+                "metadata": {"sourceURL": "https://final.example/page"},
+            },
+        }
+
+    s = HttpFirecrawlScraper(api_key="fc-test", transport=transport)
+    out = s({"origin_key": "k1", "url": "https://req.example"})
+    assert out["status"] == "success"
+    assert out["url"] == "https://final.example/page"
+    assert out["content"].startswith("# 标题")
+    assert seen["headers"]["Authorization"] == "Bearer fc-test"
+    assert seen["payload"] == {
+        "url": "https://req.example",
+        "onlyMainContent": True,
+        "removeBase64Images": True,
+        "blockAds": True,
+    }
+    df = run_scrape_tasks(spark, [{"origin_key": "k1", "url": "https://req.example"}], s)
+    rows = df.collect()
+    assert rows[0]["status"] == "success" and rows[0]["error_message"] is None
+
+
+def test_firecrawl_scraper_retry_backoff_and_error_row(spark):
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpFirecrawlScraper,
+        run_scrape_tasks,
+    )
+
+    calls, sleeps = [], []
+
+    def flaky(url, headers, payload):
+        calls.append(1)
+        if len(calls) < 3:
+            raise OSError("boom")
+        return {"success": True, "data": {"markdown": "ok", "metadata": {}}}
+
+    s = HttpFirecrawlScraper(api_key="k", transport=flaky, sleeper=sleeps.append)
+    out = s({"url": "https://x.example"})
+    assert len(calls) == 3 and out["status"] == "success" and out["content"] == "ok"
+    assert sleeps == [1.0, 2.0]
+
+    # API-level failure shapes (success=false, missing data/markdown)
+    # all retry then degrade to the reference's failed row
+    for resp in ({"success": False, "error": "nope"},
+                 {"success": True},
+                 {"success": True, "data": {"html": "only"}}):
+        s2 = HttpFirecrawlScraper(
+            api_key="k", transport=lambda u, h, p, r=resp: r, sleeper=lambda x: None
+        )
+        out2 = s2({"origin_key": "o", "url": "https://y.example"})
+        assert out2["status"] == "failed" and out2["content"] == ""
+        assert "处理失败" in out2["error_message"]
+    df = run_scrape_tasks(spark, [{"origin_key": "o", "url": "https://y.example"}], s2)
+    assert df.collect()[0]["status"] == "failed"
+
+
+def test_firecrawl_scraper_requires_explicit_key():
+    import pytest as _pytest
+
+    from data_pipeline_childcare_spark.sources.connectors import HttpFirecrawlScraper
+
+    with _pytest.raises(ValueError, match="api_key"):
+        HttpFirecrawlScraper(api_key="")
