@@ -1835,9 +1835,13 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def lsh_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate cosine top-k via random-hyperplane LSH buckets — the
-    scale path next to the brute-force baseline. Rows-only check
-    (bucket assignment is engine-specific); recall vs the exact oracle
-    is asserted in tests."""
+    scale path next to the brute-force baseline, FULLY oracled: the
+    hyperplanes are deterministic literals from one Python source of
+    truth (operators/similarity.py _hyperplane), the dot-product fold
+    order matches DuckDB's list_dot_product, and the rounded rescore
+    decides ties — so bucket assignment, the candidate set, and the
+    final top-k are all hash-exact across engines. Recall vs the exact
+    baseline is additionally asserted in tests."""
     from data_pipeline_childcare_spark.operators.similarity import lsh_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -1855,9 +1859,10 @@ def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup dedup at corpus scale: LSH-bucketed candidate
     pairs → exact cosine verify → anti-join (same tail as the exact
     baseline; operators/similarity.py embedding_cosine_dedup_lsh).
-    Rows-only check: the candidate set is probabilistic, so survivors
-    can differ from the exact oracle on missed boundary pairs; the
-    ≥0.95-recall + no-false-drops contract is asserted in tests."""
+    FULLY oracled: deterministic hyperplane literals shared with the
+    DuckDB twin make bucket assignment — and therefore the candidate
+    set and survivors — hash-exact across engines; the ≥0.95-recall +
+    no-false-drops contract vs the exact baseline stays in tests."""
     from data_pipeline_childcare_spark.operators.similarity import (
         embedding_cosine_dedup_lsh,
     )
@@ -2690,6 +2695,34 @@ def oracle_sql() -> dict[str, str]:
                 FROM typ
             ), tyhits AS (SELECT i FROM typ WHERE p0)"""
 
+    # LSH ANN oracle: hyperplane literals generated from the SAME
+    # Python function the Spark operator inlines, so both engines
+    # compute identical sign bits (list_dot_product ≡ Spark's
+    # aggregate/zip_with left fold — already proven bit-compatible by
+    # the green cosine_topk_embeddings oracle).
+    from data_pipeline_childcare_spark.operators.similarity import (
+        _hyperplane as _lsh_plane,
+    )
+
+    def _lsh_bucket_duck(vec: str, dim: int, n_planes: int, table: int) -> str:
+        bits = []
+        for p in range(n_planes):
+            arr = "[" + ",".join(repr(v) for v in _lsh_plane(dim, table * 10_007 + p)) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product({vec}, {arr}) >= 0.0"
+                f" THEN {1 << p} ELSE 0 END)"
+            )
+        return "(" + " + ".join(bits) + ")"
+
+    def _lsh_buckets_case(vec: str, dim: int, n_planes: int, n_tables: int) -> str:
+        whens = "".join(
+            f" WHEN {t} THEN {_lsh_bucket_duck(vec, dim, n_planes, t)}"
+            for t in range(n_tables)
+        )
+        return f"CASE tbl{whens} END"
+
+    _lsh_tables_vals = ",".join(f"({t})" for t in range(4))
+
     def _jround(expr: str, d: int) -> str:
         # Round a DOUBLE the way Spark does: Spark's round() goes
         # through the shortest decimal repr (BigDecimal.valueOf) and
@@ -3360,6 +3393,66 @@ def oracle_sql() -> dict[str, str]:
                        ) AS cosine_sim
                 FROM c CROSS JOIN q
                 WHERE q.query_id <> c.vec_id
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT query_id, vec_id, cosine_sim,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "embedding_cosine_dedup_lsh": f"""
+            WITH c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), b AS (
+                SELECT vec_id, tbl, {_lsh_buckets_case('cv', 64, 3, 24)} AS bucket
+                FROM c CROSS JOIN (VALUES {",".join(f"({t})" for t in range(24))}) t(tbl)
+            ), cand AS (
+                SELECT DISTINCT a.vec_id AS ia, b2.vec_id AS ib
+                FROM b a JOIN b b2
+                  ON a.tbl = b2.tbl AND a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+            ), dups AS (
+                SELECT DISTINCT cand.ib
+                FROM cand
+                JOIN c ca ON ca.vec_id = cand.ia
+                JOIN c cb ON cb.vec_id = cand.ib
+                WHERE round(
+                          list_dot_product(ca.cv, cb.cv) /
+                          (sqrt(list_dot_product(ca.cv, ca.cv)) *
+                           sqrt(list_dot_product(cb.cv, cb.cv))), 6
+                      ) >= 0.4
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT ib FROM dups)
+        """,
+        "lsh_cosine_topk_embeddings": f"""
+            WITH c AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), q AS (
+                SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                FROM embeddings WHERE vec_id < 3
+            ), cb AS (
+                SELECT vec_id, tbl, {_lsh_buckets_case('cv', 64, 4, 4)} AS bucket
+                FROM c CROSS JOIN (VALUES {_lsh_tables_vals}) t(tbl)
+            ), qb AS (
+                SELECT query_id, tbl, {_lsh_buckets_case('qv', 64, 4, 4)} AS bucket
+                FROM q CROSS JOIN (VALUES {_lsh_tables_vals}) t(tbl)
+            ), cand AS (
+                SELECT DISTINCT qb.query_id, cb.vec_id
+                FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+                WHERE qb.query_id <> cb.vec_id
+            ), scored AS (
+                SELECT cand.query_id, cand.vec_id,
+                       round(
+                           list_dot_product(c.cv, q.qv) /
+                           (sqrt(list_dot_product(c.cv, c.cv)) *
+                            sqrt(list_dot_product(q.qv, q.qv))), 6
+                       ) AS cosine_sim
+                FROM cand
+                JOIN c ON c.vec_id = cand.vec_id
+                JOIN q ON q.query_id = cand.query_id
             )
             SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
             FROM (
