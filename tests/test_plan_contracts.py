@@ -87,3 +87,51 @@ def test_partition_pruning_on_partitioned_sink(spark, tmp_path):
     # pruning is real: only the click partition's rows are read
     clicks = ev.filter("event_type = 'click'").count()
     assert back.count() == clicks
+
+
+def test_salted_sum_engages_and_matches_plain_on_hot_key(spark):
+    """Skew contract at bench scale: the sf0.1 events table plus a
+    synthetic hot user (100k extra rows on ONE key, matching the whole
+    base table's volume) — the salted aggregation must (a) produce the
+    same totals as the plain groupBy and (b) actually run two phases:
+    one exchange keyed (user_id, _salt), one keyed (user_id) only."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_childcare_spark as eng
+    from data_pipeline_childcare_spark.operators.skew import salted_sum
+
+    ev = eng.load_table(spark, "events", "/root/testdata/sf0.1").select("user_id", "value")
+    hot = spark.range(100_000).select(
+        F.lit(999_999_999).alias("user_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    df = ev.unionByName(hot)
+    # integer-cents projection: float-sum order differs between the
+    # one-phase and two-phase plans, so exactness is asserted on an
+    # integer image of the values and the doubles on rounded equality
+    cents = df.select("user_id", (F.col("value") * 100).cast("long").alias("value"))
+
+    salted = {r["user_id"]: r["total"] for r in salted_sum(cents, ["user_id"], "value").collect()}
+    plain = {
+        r["user_id"]: r["total"]
+        for r in cents.groupBy("user_id").agg(F.sum("value").alias("total")).collect()
+    }
+    assert salted == plain
+    assert salted[999_999_999] == sum((i % 97) * 100 for i in range(100_000))
+
+    dbl_salted = {
+        r["user_id"]: round(r["total"], 4)
+        for r in salted_sum(df, ["user_id"], "value").collect()
+    }
+    dbl_plain = {
+        r["user_id"]: round(r["total"], 4)
+        for r in df.groupBy("user_id").agg(F.sum("value").alias("total")).collect()
+    }
+    assert dbl_salted == dbl_plain
+
+    plan = salted_sum(cents, ["user_id"], "value")._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    with_salt = [e for e in exchanges if "_salt" in e and "user_id" in e]
+    without_salt = [e for e in exchanges if "_salt" not in e and "user_id" in e]
+    assert with_salt and without_salt, exchanges  # two-phase shape engaged
+    assert "CartesianProduct" not in plan
