@@ -2326,6 +2326,58 @@ def hypertable_rollup_events_monthly(spark: SparkSession, sf_dir: str) -> DataFr
     return finalize_rollup(levels["1 month"])
 
 
+def streaming_hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream==batch certified IN the contract surface: the hourly
+    fine level maintained by a REAL Structured Streaming run
+    (readStream over the events parquet, availableNow trigger,
+    watermarked state, memory sink) finalized exactly like the batch
+    ladder — the DuckDB oracle is the plain batch SQL, so a green row
+    proves the incremental maintenance computes the batch answer
+    (streaming/ docstrings; operators/hypertable.py
+    streaming_bucket_partials)."""
+    import os
+
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        finalize_rollup,
+        streaming_bucket_partials,
+    )
+
+    from pyspark.sql.types import LongType
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    # the file stream source lists a DIRECTORY; glob-filter it down to
+    # the events file so sibling tables aren't ingested
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        # nanos-as-long environments: same conversion load_table does
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    fine = streaming_bucket_partials(ev, "1 hour")
+    qname = "streaming_hourly_partials_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        fine.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return finalize_rollup(spark.table(qname))
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -2446,6 +2498,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
+        "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
@@ -3806,6 +3859,17 @@ def oracle_sql() -> dict[str, str]:
                        '( ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+)', 1)) AS n_bpe_tokens,
                    len(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS n_ws_tokens
             FROM documents
+        """,
+        "streaming_hypertable_rollup_events": f"""
+            SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS sum_value,
+                   round(min(value), 4) AS min_value,
+                   round(max(value), 4) AS max_value,
+                   {_jround("round(sum(value), 4) / count(*)", 4)} AS avg_value
+            FROM events
+            GROUP BY 1, 2
         """,
         "hypertable_rollup_events": f"""
             SELECT time_bucket(INTERVAL '1 day', ts) AS bucket,

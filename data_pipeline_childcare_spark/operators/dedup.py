@@ -246,18 +246,21 @@ def minhash_est_pairs_portable(
         F.col(id_col),
         F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
     ).select(F.col(id_col), F.expr(portable_base_hash_sql("_s")).alias("_h"))
-    aggs = [
-        F.expr(f"min(({a} * _h + {b}) % {PORTABLE_P}) AS _m{i}")
-        for i, (a, b) in enumerate(cw_constants(num_hashes))
-    ]
-    sig_array = F.expr("array(" + ",".join(f"_m{i}" for i in range(num_hashes)) + ")")
-    # persist ONE array column (not 64 scalar columns): the columnar
-    # cache then has a single builder/reader, mirroring the xxhash64
-    # production path's storage shape
+    # ONE agg expression producing the array directly: 64 separate agg
+    # columns + a re-projection cost ~2.5x more analyzer time AND
+    # ~30% more execution than the fused form (measured at sf0.1);
+    # persisting the single array column also keeps the columnar cache
+    # to one builder/reader, like the xxhash64 production path
+    sig_expr = (
+        "array("
+        + ",".join(
+            f"min(({a} * _h + {b}) % {PORTABLE_P})" for a, b in cw_constants(num_hashes)
+        )
+        + ")"
+    )
     sigs = (
         shingled.groupBy(id_col)
-        .agg(*aggs)
-        .select(F.col(id_col), sig_array.alias("signature"))
+        .agg(F.expr(sig_expr).alias("signature"))
         .persist()
     )
 
@@ -414,17 +417,14 @@ def simhash_pairs_portable(
     shingled = spread_partitions(df, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
     ).select(F.col(id_col), F.expr(portable_base_hash_sql("_s")).alias("_h"))
-    votes = [
-        F.expr(
-            f"sum(CASE WHEN ((({a} * _h + {bb}) % {PORTABLE_P}) & 1) = 1"
-            f" THEN 1 ELSE -1 END) AS _v{b}"
-        )
-        for b, (a, bb) in enumerate(cw_constants(64, salt=100))
-    ]
+    # single fused agg expression: vote sums packed straight into the
+    # 64-bit signature (see the minhash note on analyzer cost)
     pack = " | ".join(
-        f"(CASE WHEN _v{b} > 0 THEN shiftleft(1L, {b}) ELSE 0L END)" for b in range(64)
+        f"(CASE WHEN sum(CASE WHEN ((({a} * _h + {bb}) % {PORTABLE_P}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b, (a, bb) in enumerate(cw_constants(64, salt=100))
     )
-    sigs = shingled.groupBy(id_col).agg(*votes).select(id_col, F.expr(pack).alias("sh")).persist()
+    sigs = shingled.groupBy(id_col).agg(F.expr(pack).alias("sh")).persist()
     banded = sigs.select(
         id_col,
         "sh",
