@@ -2273,6 +2273,59 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def split_leakage_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split contamination check — the training-data hygiene op
+    the dedup + split layers exist FOR: near-dup pairs (portable
+    MinHash estimate ≥ 0.5) whose members landed in DIFFERENT
+    train/val/test splits. A non-empty result means evaluation-set
+    leakage; the fix is dedup-before-split or split-by-cluster. Both
+    building blocks are independently oracled; this row proves the
+    COMPOSITION end-to-end (pairs → split join → mismatch filter)."""
+    from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
+    from data_pipeline_childcare_spark.operators.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_est_pairs_portable(docs, threshold=0.5)
+    split = hash_split(docs.select("doc_id")).select("doc_id", "split")
+    a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
+    b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("id_a", "id_b", "split_a", "split_b", "est_jaccard")
+    )
+
+
+def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pretraining corpus gate (Gopher/C4-style): token-count
+    window + repetition caps + quality-score floor, evaluated on the
+    ROUNDED metric columns so the keep/drop decision is
+    engine-portable. One row per doc with the metrics and the verdict
+    — the shape a data pipeline materializes before filtering."""
+    from data_pipeline_childcare_spark.functions.text import quality_score
+    from data_pipeline_childcare_spark.operators.cleaning import repetition_stats
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(
+        "doc_id",
+        quality_score("text", _QUALITY_STOPWORDS).alias("quality"),
+        F.size(tokenize(F.col("text"))).cast("long").alias("n_tokens"),
+    )
+    r = repetition_stats(docs).select("doc_id", "dup_line_frac", "top_bigram_frac")
+    j = q.join(r, "doc_id")
+    kept = (
+        (F.col("quality") >= 0.3)
+        & F.col("n_tokens").between(10, 100_000)
+        & (F.col("dup_line_frac") <= 0.3)
+        & (F.col("top_bigram_frac") <= 0.2)
+    )
+    return j.select(
+        "doc_id", "quality", "n_tokens", "dup_line_frac", "top_bigram_frac",
+        kept.alias("kept"),
+    )
+
+
 def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic md5-keyed train/val/test assignment + 20% sample
     flag — engine-independent (the oracle computes the identical CASE
@@ -2506,6 +2559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup_ivf": embedding_cosine_dedup_ivf_q,
         "image_decode_features": image_decode_features,
         "doc_train_split": doc_train_split,
+        "split_leakage_pairs_docs": split_leakage_pairs_docs,
+        "doc_quality_gate": doc_quality_gate,
         "tuoyu_rule_filter_docs": tuoyu_rule_filter_docs,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,
@@ -2785,7 +2840,7 @@ def oracle_sql() -> dict[str, str]:
         # 36.82375). VARCHAR cast = shortest repr; DECIMAL round =
         # half away from zero.
         return f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(30,15)), {d}) AS DOUBLE)"
-    return {
+    out = {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    round(sum(l_quantity), 2) AS sum_qty,
@@ -4329,3 +4384,33 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s_name
         """,
     }
+    # Composed entries built FROM other oracles (CTE bodies may carry
+    # their own WITH clauses in DuckDB) — one source of truth for the
+    # shared metric formulas.
+    out["split_leakage_pairs_docs"] = f"""
+        WITH {_minhash_ctes}, splits AS (
+            SELECT doc_id, {_split_case} AS split FROM documents
+        )
+        SELECT e.id_a, e.id_b, sa.split AS split_a, sb.split AS split_b,
+               e.est_jaccard
+        FROM est e
+        JOIN splits sa ON sa.doc_id = e.id_a
+        JOIN splits sb ON sb.doc_id = e.id_b
+        WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+    """
+    out["doc_quality_gate"] = f"""
+        WITH q AS ({out['doc_quality_scores']}),
+             r AS ({out['doc_repetition_stats']}),
+             tk AS (SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens
+                    FROM documents)
+        SELECT q.doc_id, q.quality, tk.n_tokens,
+               r.dup_line_frac, r.top_bigram_frac,
+               (q.quality >= 0.3
+                AND tk.n_tokens BETWEEN 10 AND 100000
+                AND r.dup_line_frac <= 0.3
+                AND r.top_bigram_frac <= 0.2) AS kept
+        FROM q
+        JOIN r ON r.doc_id = q.doc_id
+        JOIN tk ON tk.doc_id = q.doc_id
+    """
+    return out
