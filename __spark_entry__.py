@@ -2273,6 +2273,19 @@ def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_t(spark, sf_dir, "documents"))
 
 
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (operators/tfidf.py): every doc_id%10==0
+    document plays the target domain (same convention as the
+    contamination check); the rest of the corpus is the pool, weighted
+    by the target/pool unigram log-likelihood ratio."""
+    from data_pipeline_childcare_spark.operators.tfidf import dsir_logratio_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_logratio_weights(
+        docs.filter(F.col("doc_id") % 10 != 0), docs.filter(F.col("doc_id") % 10 == 0)
+    )
+
+
 def split_leakage_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-split contamination check — the training-data hygiene op
     the dedup + split layers exist FOR: near-dup pairs (portable
@@ -2561,6 +2574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_train_split": doc_train_split,
         "split_leakage_pairs_docs": split_leakage_pairs_docs,
         "doc_quality_gate": doc_quality_gate,
+        "doc_dsir_weights": doc_dsir_weights,
         "tuoyu_rule_filter_docs": tuoyu_rule_filter_docs,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "doc_repetition_stats": doc_repetition_stats,
@@ -4397,6 +4411,36 @@ def oracle_sql() -> dict[str, str]:
         JOIN splits sa ON sa.doc_id = e.id_a
         JOIN splits sb ON sb.doc_id = e.id_b
         WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+    """
+    out["doc_dsir_weights"] = f"""
+        WITH pool AS (
+            SELECT doc_id, {tokens} AS t FROM documents WHERE doc_id % 10 <> 0
+        ), tgt AS (
+            SELECT doc_id, {tokens} AS t FROM documents WHERE doc_id % 10 = 0
+        ), ptoks AS (
+            SELECT doc_id, unnest(t) AS tok FROM pool
+        ), ttoks AS (
+            SELECT unnest(t) AS tok FROM tgt
+        ), fp AS (
+            SELECT tok, count(*) AS cp FROM ptoks GROUP BY tok
+        ), ft AS (
+            SELECT tok, count(*) AS ct FROM ttoks GROUP BY tok
+        ), scalars AS (
+            SELECT (SELECT count(*) FROM (SELECT tok FROM fp UNION SELECT tok FROM ft)) AS v,
+                   (SELECT sum(cp) FROM fp) AS tp,
+                   (SELECT sum(ct) FROM ft) AS tt
+        ), lr AS (
+            SELECT p.doc_id,
+                   log10((coalesce(ft.ct, 0) + 1) * 1.0 / (s.tt + s.v))
+                   - log10((fp.cp + 1) * 1.0 / (s.tp + s.v)) AS lr
+            FROM ptoks p
+            JOIN fp ON fp.tok = p.tok
+            LEFT JOIN ft ON ft.tok = p.tok
+            CROSS JOIN scalars s
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               round(round(sum(lr), 6) / count(*), 6) AS dsir_weight
+        FROM lr GROUP BY doc_id
     """
     out["doc_quality_gate"] = f"""
         WITH q AS ({out['doc_quality_scores']}),

@@ -109,3 +109,68 @@ def unigram_logprob_scores(
             F.round(F.col("_num") / F.col("n_tokens"), ndigits).alias("avg_logprob"),
         )
     )
+
+
+def dsir_logratio_weights(
+    pool: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): for every pool
+    document, the average per-token log-likelihood ratio between a
+    TARGET corpus LM and the POOL (background) LM →
+    (id, n_tokens, dsir_weight). High weight = looks like the target
+    distribution; resampling the pool by these weights steers a
+    pretraining mix toward the target domain.
+
+    Unigram LMs with Laplace smoothing over the UNION vocabulary:
+    p(tok) = (c + 1) / (T + V), so target-OOV tokens are defined and
+    both engines agree exactly. Shapes: one token explode per corpus,
+    two (token)-keyed frequency aggregates (map-side combined), one
+    token-keyed join back over pool tokens, one per-doc aggregate; the
+    three scalars (V and the two totals) ride a single-row broadcast.
+    The per-doc ratio sum is pre-rounded before the division so the
+    average is canonical under any partition summation order.
+    """
+    pool_toks = spread_partitions(pool, id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    target_toks = target.select(F.explode(tokenize(F.col(text_col))).alias("tok"))
+    freq_p = pool_toks.groupBy("tok").agg(F.count("*").alias("_cp"))
+    freq_t = target_toks.groupBy("tok").agg(F.count("*").alias("_ct"))
+    vocab = (
+        freq_p.select("tok").unionByName(freq_t.select("tok")).distinct()
+        .agg(F.count("*").alias("_v"))
+    )
+    scalars = (
+        freq_p.agg(F.sum("_cp").alias("_tp"))
+        .crossJoin(freq_t.agg(F.sum("_ct").alias("_tt")))
+        .crossJoin(vocab)
+    )
+    lr = (
+        pool_toks.join(freq_p, "tok")
+        .join(F.broadcast(freq_t), "tok", "left")
+        .crossJoin(F.broadcast(scalars))
+        .select(
+            F.col(id_col),
+            (
+                F.log10((F.coalesce(F.col("_ct"), F.lit(0)) + 1) / (F.col("_tt") + F.col("_v")))
+                - F.log10((F.col("_cp") + 1) / (F.col("_tp") + F.col("_v")))
+            ).alias("_lr"),
+        )
+    )
+    return (
+        lr.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(F.sum("_lr"), ndigits).alias("_num"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            F.round(F.col("_num") / F.col("n_tokens"), ndigits).alias("dsir_weight"),
+        )
+    )

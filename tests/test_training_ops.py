@@ -142,3 +142,30 @@ def test_corpus_line_dedup_below_threshold_untouched(spark):
     )
     out = corpus_line_dedup(docs, max_df=5).collect()
     assert all(r["n_lines_kept"] == 2 for r in out)
+
+
+def test_dsir_weights_favor_target_lookalikes(spark):
+    """A pool doc written in the target domain's vocabulary must
+    out-weigh a pool doc of off-domain tokens, and weights must be
+    invariant to pool repartitioning (canonical rounding)."""
+    from data_pipeline_childcare_spark.operators.tfidf import dsir_logratio_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "medical clinical trial dosage patient outcome " * 4) for i in range(3)],
+        "doc_id long, text string",
+    )
+    pool = spark.createDataFrame(
+        [
+            (1, "clinical trial patient dosage medical outcome"),
+            (2, "football quarterback touchdown stadium referee"),
+            (3, "patient outcome football medical stadium dosage"),
+        ],
+        "doc_id long, text string",
+    )
+    w = {r["doc_id"]: r["dsir_weight"] for r in dsir_logratio_weights(pool, target).collect()}
+    assert w[1] > w[3] > w[2]
+    w2 = {
+        r["doc_id"]: r["dsir_weight"]
+        for r in dsir_logratio_weights(pool.repartition(7), target).collect()
+    }
+    assert w == w2
