@@ -321,6 +321,176 @@ class HttpFirecrawlScraper:
         }
 
 
+class HttpZhiLianJobSource:
+    """Real-HTTP job-posting source for the ZhiLian scrape-API wire
+    shape (多数据源获取数据.py:1640-1670): POST a JSON payload that MUST
+    carry ``keywords`` and ``provinces`` (invalid payloads short-circuit
+    to the reference's ``skipped`` result without touching the wire),
+    ``page_size`` coerced to int, and a ``{code: 200, data, message}``
+    envelope — non-200 codes and transport failures degrade to the
+    reference's ``failed`` result after bounded backoff retries. Same
+    injectability discipline as the other Http* connectors."""
+
+    def __init__(
+        self,
+        api_url: str,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        timeout_s: float = 60.0,
+        transport: Callable[[str, dict, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_url:
+            raise ValueError("api_url is required")
+        self.api_url = api_url
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    def _default_transport(self, url: str, headers: dict, payload: dict) -> dict:
+        import json
+
+        body = json.dumps(payload).encode("utf-8")
+        try:
+            import httpx
+
+            resp = httpx.post(url, headers=headers, content=body, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+        except ImportError:
+            from urllib.request import Request, urlopen
+
+            req = Request(url, data=body, headers=headers, method="POST")
+            with urlopen(req, timeout=self.timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+    def __call__(self, payload: dict) -> dict:
+        if not payload or not payload.get("keywords") or not payload.get("provinces"):
+            return {
+                "status": "skipped",
+                "data": [],
+                "message": "负载无效，缺少 'keywords' 或 'provinces'。",
+            }
+        payload = dict(payload)
+        if "page_size" in payload:
+            payload["page_size"] = int(payload["page_size"])
+        headers = {"accept": "application/json", "Content-Type": "application/json"}
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                data = self._transport(self.api_url, headers, payload)
+                if data.get("code") == 200:
+                    return {
+                        "status": "success",
+                        "data": data.get("data", []),
+                        "message": data.get("message"),
+                    }
+                return {
+                    "status": "failed",
+                    "data": [],
+                    "message": f"API返回错误码 {data.get('code')}: {data.get('message')}",
+                }
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return {
+            "status": "failed",
+            "data": [],
+            "message": f"API请求失败: {type(last_err).__name__} - {last_err}",
+        }
+
+
+class HttpTianyanEnterpriseLookup:
+    """Real-HTTP enterprise-info lookup for the Tianyancha wire shape
+    (多数据源获取数据.py:1673-1704): GET with ``keyword`` param under a
+    Token Authorization header, ``{error_code: 0, result, reason}``
+    envelope; empty names short-circuit to ``skipped``, non-zero error
+    codes and transport failures degrade to ``failed`` rows carrying
+    ``query_name`` so the downstream lookup join (J7) keeps its key."""
+
+    def __init__(
+        self,
+        token: str,
+        api_url: str = "https://open.api.tianyancha.com/services/open/ic/baseinfo/normal",
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        timeout_s: float = 30.0,
+        transport: Callable[[str, dict, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not token:
+            raise ValueError("token is required")
+        self.token = token
+        self.api_url = api_url
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    def _default_transport(self, url: str, headers: dict, params: dict) -> dict:
+        import json
+        from urllib.parse import urlencode
+
+        full = f"{url}?{urlencode(params)}"
+        try:
+            import httpx
+
+            resp = httpx.get(full, headers=headers, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+        except ImportError:
+            from urllib.request import Request, urlopen
+
+            req = Request(full, headers=headers)
+            with urlopen(req, timeout=self.timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+    def __call__(self, name: str) -> dict:
+        base = {"query_name": name}
+        if not name:
+            return {**base, "status": "skipped", "data": None, "message": "企业名称为空，跳过查询。"}
+        headers = {"Authorization": self.token}
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                data = self._transport(self.api_url, headers, {"keyword": name})
+                if data.get("error_code") == 0:
+                    return {
+                        **base,
+                        "status": "success",
+                        "data": data.get("result"),
+                        "message": data.get("reason"),
+                    }
+                return {
+                    **base,
+                    "status": "failed",
+                    "data": None,
+                    "message": f"API返回错误码 {data.get('error_code')}: {data.get('reason')}",
+                }
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return {
+            **base,
+            "status": "failed",
+            "data": None,
+            "message": f"API请求失败: {type(last_err).__name__} - {last_err}",
+        }
+
+
 SCRAPE_RESULT_SCHEMA = (
     "origin_key string, url string, title string, content string, "
     "status string, error_message string"

@@ -437,3 +437,68 @@ def test_firecrawl_scraper_requires_explicit_key():
 
     with _pytest.raises(ValueError, match="api_key"):
         HttpFirecrawlScraper(api_key="")
+
+
+def test_zhilian_job_source_contract():
+    """Wire shape + the reference's three result envelopes: skipped on
+    invalid payload (no network touch), success on code 200, failed on
+    non-200 / transport death after retries."""
+    from data_pipeline_childcare_spark.sources.connectors import HttpZhiLianJobSource
+
+    calls = []
+
+    def transport(url, headers, payload):
+        calls.append(payload)
+        assert headers["Content-Type"] == "application/json"
+        assert isinstance(payload["page_size"], int)
+        return {"code": 200, "data": [{"job": "托育师"}], "message": "ok"}
+
+    s = HttpZhiLianJobSource(api_url="https://jobs.example/api", transport=transport)
+    skipped = s({"keywords": "", "provinces": ["四川"]})
+    assert skipped["status"] == "skipped" and not calls  # no wire touch
+
+    out = s({"keywords": "托育", "provinces": ["四川"], "page_size": "20"})
+    assert out["status"] == "success" and out["data"] == [{"job": "托育师"}]
+    assert calls[0]["page_size"] == 20
+
+    s2 = HttpZhiLianJobSource(
+        api_url="u", transport=lambda u, h, p: {"code": 500, "message": "nope"},
+        sleeper=lambda x: None,
+    )
+    assert s2({"keywords": "k", "provinces": ["p"]})["status"] == "failed"
+
+    sleeps = []
+
+    def dead(u, h, p):
+        raise OSError("down")
+
+    s3 = HttpZhiLianJobSource(api_url="u", transport=dead, sleeper=sleeps.append)
+    out3 = s3({"keywords": "k", "provinces": ["p"]})
+    assert out3["status"] == "failed" and "API请求失败" in out3["message"]
+    assert sleeps == [1.0, 2.0]
+
+
+def test_tianyan_enterprise_lookup_contract():
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpTianyanEnterpriseLookup,
+    )
+
+    def transport(url, headers, params):
+        assert headers["Authorization"] == "tok-1"
+        assert params == {"keyword": "某某托育有限公司"}
+        return {"error_code": 0, "result": {"regCapital": "100万"}, "reason": "ok"}
+
+    t = HttpTianyanEnterpriseLookup(token="tok-1", transport=transport)
+    out = t("某某托育有限公司")
+    assert out["status"] == "success" and out["data"]["regCapital"] == "100万"
+    assert out["query_name"] == "某某托育有限公司"
+
+    assert t("")["status"] == "skipped"
+
+    t2 = HttpTianyanEnterpriseLookup(
+        token="tok-1",
+        transport=lambda u, h, p: {"error_code": 300001, "reason": "无权限"},
+        sleeper=lambda x: None,
+    )
+    bad = t2("公司")
+    assert bad["status"] == "failed" and bad["query_name"] == "公司"
