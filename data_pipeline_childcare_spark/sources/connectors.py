@@ -321,6 +321,164 @@ class HttpFirecrawlScraper:
         }
 
 
+class HttpJinaReaderScraper:
+    """Real-HTTP scraper for the Jina Reader wire shape
+    (多数据源获取数据.py:1552-1598): GET ``base_url + url`` with Bearer
+    auth and ``X-Return-Format: markdown``; the response is EITHER a
+    JSON envelope (``{code: 200, data: {content, url}}``) or raw
+    markdown text — both accepted, empty content treated as failure.
+    Same result contract and injectability as the other scrapers; the
+    transport returns ``(content_type, body_text)`` so the dual-shape
+    dispatch is contract-testable offline."""
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://r.jina.ai/",
+        timeout_s: float = 45.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict], tuple[str, str]] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeDatasourceProvider offline")
+        self.name = "jina"
+        self.api_key = api_key
+        self.base_url = base_url
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    def _default_transport(self, url: str, headers: dict) -> tuple[str, str]:
+        try:
+            import httpx
+
+            resp = httpx.get(url, headers=headers, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.headers.get("content-type", ""), resp.text
+        except ImportError:
+            from urllib.request import Request, urlopen
+
+            req = Request(url, headers=headers)
+            with urlopen(req, timeout=self.timeout_s) as r:
+                ct = r.headers.get("Content-Type", "")
+                return ct, r.read().decode("utf-8")
+
+    def __call__(self, item_info: dict) -> dict:
+        import json
+
+        url = item_info.get("url")
+        headers = {
+            "Authorization": f"Bearer {self.api_key}",
+            "Content-Type": "application/json",
+            "Accept": "application/json",
+            "X-Return-Format": "markdown",
+        }
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                ctype, body = self._transport(f"{self.base_url}{url}", headers)
+                if "application/json" in (ctype or "").lower():
+                    wrapper = json.loads(body)
+                    if wrapper.get("code") == 200 and "data" in wrapper:
+                        data = wrapper["data"]
+                        content = data.get("content")
+                        final_url = data.get("url", url)
+                        if content is None:
+                            raise ValueError("API JSON响应中缺少 'content' 字段。")
+                    else:
+                        raise ValueError(f"API JSON响应错误: {wrapper}")
+                else:
+                    content, final_url = body, url
+                if not content.strip():
+                    raise ValueError("API 返回内容为空。")
+                return {**item_info, "url": final_url, "content": content, "status": "success"}
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return {
+            **item_info,
+            "content": "",
+            "status": "failed",
+            "error_message": f"处理失败 {url}: {type(last_err).__name__} - {last_err}",
+        }
+
+
+class HttpTavilyScraper:
+    """Real-HTTP scraper for the Tavily extract wire shape
+    (多数据源获取数据.py:1601-1637): POST ``{urls: [url], format:
+    markdown}`` under Bearer auth; the first ``results`` entry must
+    carry ``raw_content`` (final URL from its ``url``), a missing or
+    empty ``results`` list raises with the ``failed_results`` detail.
+    Same contract and injectability as the other scrapers."""
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://api.tavily.com/extract",
+        timeout_s: float = 45.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeDatasourceProvider offline")
+        self.name = "tavily"
+        self.api_key = api_key
+        self.base_url = base_url
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    _default_transport = HttpFirecrawlScraper._default_transport
+
+    def __call__(self, item_info: dict) -> dict:
+        url = item_info.get("url")
+        headers = {
+            "Authorization": f"Bearer {self.api_key}",
+            "Content-Type": "application/json",
+        }
+        payload = {"urls": [url], "format": "markdown"}
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                data = self._transport(self.base_url, headers, payload)
+                results = data.get("results")
+                if not results or not isinstance(results, list):
+                    raise ValueError(f"API调用失败: {data.get('failed_results', [])}")
+                result = results[0]
+                content = result.get("raw_content")
+                if content is None:
+                    raise ValueError("API未返回raw_content内容。")
+                final_url = result.get("url", url)
+                return {**item_info, "url": final_url, "content": content, "status": "success"}
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return {
+            **item_info,
+            "content": "",
+            "status": "failed",
+            "error_message": f"处理失败 {url}: {type(last_err).__name__} - {last_err}",
+        }
+
+
 class HttpZhiLianJobSource:
     """Real-HTTP job-posting source for the ZhiLian scrape-API wire
     shape (多数据源获取数据.py:1640-1670): POST a JSON payload that MUST

@@ -502,3 +502,63 @@ def test_tianyan_enterprise_lookup_contract():
     )
     bad = t2("公司")
     assert bad["status"] == "failed" and bad["query_name"] == "公司"
+
+
+def test_jina_scraper_dual_response_shapes():
+    """Jina Reader returns either a JSON envelope or raw markdown —
+    both must satisfy the scrape-result contract; empty content and
+    bad envelopes degrade to the failed row."""
+    from data_pipeline_childcare_spark.sources.connectors import HttpJinaReaderScraper
+
+    def json_transport(url, headers):
+        assert url == "https://r.jina.ai/https://x.example/p"
+        assert headers["X-Return-Format"] == "markdown"
+        return (
+            "application/json",
+            '{"code": 200, "data": {"content": "# 正文", "url": "https://final.example"}}',
+        )
+
+    s = HttpJinaReaderScraper(api_key="jk", transport=json_transport)
+    out = s({"url": "https://x.example/p"})
+    assert out["status"] == "success"
+    assert out["url"] == "https://final.example" and out["content"] == "# 正文"
+
+    s2 = HttpJinaReaderScraper(
+        api_key="jk", transport=lambda u, h: ("text/markdown", "# raw body")
+    )
+    out2 = s2({"url": "https://y.example"})
+    assert out2["status"] == "success" and out2["content"] == "# raw body"
+    assert out2["url"] == "https://y.example"
+
+    for resp in (("application/json", '{"code": 403, "message": "denied"}'),
+                 ("text/plain", "   ")):
+        s3 = HttpJinaReaderScraper(
+            api_key="jk", transport=lambda u, h, r=resp: r, sleeper=lambda x: None
+        )
+        bad = s3({"url": "https://z.example"})
+        assert bad["status"] == "failed" and "处理失败" in bad["error_message"]
+
+
+def test_tavily_scraper_contract():
+    from data_pipeline_childcare_spark.sources.connectors import HttpTavilyScraper
+
+    seen = {}
+
+    def transport(url, headers, payload):
+        seen.update(payload=payload, auth=headers["Authorization"])
+        return {"results": [{"raw_content": "extracted md", "url": "https://f.example"}]}
+
+    s = HttpTavilyScraper(api_key="tv", transport=transport)
+    out = s({"origin_key": "o", "url": "https://x.example"})
+    assert out["status"] == "success" and out["content"] == "extracted md"
+    assert out["url"] == "https://f.example"
+    assert seen["payload"] == {"urls": ["https://x.example"], "format": "markdown"}
+    assert seen["auth"] == "Bearer tv"
+
+    for resp in ({"results": []}, {"failed_results": [{"error": "x"}]},
+                 {"results": [{"url": "u"}]}):
+        s2 = HttpTavilyScraper(
+            api_key="tv", transport=lambda u, h, p, r=resp: r, sleeper=lambda x: None
+        )
+        bad = s2({"url": "https://y.example"})
+        assert bad["status"] == "failed" and bad["content"] == ""
