@@ -2215,6 +2215,28 @@ def tuoyu_rule_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def winnowing_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc provenance pairs (the MOSS use of winnowing): doc
+    pairs sharing ≥3 window-min fingerprints — evidence of a common
+    substring of length ≥ k+window-1 per shared print. Candidate
+    generation is the fingerprint inverted index (equi-join), never
+    all-pairs; at corpus scale cap hot fingerprints with
+    operators/skew.df_capped_index exactly like the shingle index."""
+    from data_pipeline_childcare_spark.operators.dedup import winnowing_fingerprints
+
+    docs = _t(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
+    a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
+    b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= 3)
+    )
+
+
 def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (sampleBy semantics, but
     stable across runs/engines/partitionings): clicks at 10%,
@@ -2577,6 +2599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_weights": doc_dsir_weights,
         "tuoyu_rule_filter_docs": tuoyu_rule_filter_docs,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
+        "winnowing_pairs_docs": winnowing_pairs_docs,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_stratified_sample": events_stratified_sample,
@@ -4411,6 +4434,15 @@ def oracle_sql() -> dict[str, str]:
         JOIN splits sa ON sa.doc_id = e.id_a
         JOIN splits sb ON sb.doc_id = e.id_b
         WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+    """
+    out["winnowing_pairs_docs"] = f"""
+        WITH wfp AS ({out['winnowing_fingerprints_docs']})
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(count(*) AS BIGINT) AS shared_fingerprints
+        FROM wfp a JOIN wfp b
+          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING count(*) >= 3
     """
     out["doc_dsir_weights"] = f"""
         WITH pool AS (
