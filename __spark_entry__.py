@@ -2215,6 +2215,32 @@ def tuoyu_rule_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner loop of BPE tokenizer training, distributed: the 50
+    most frequent ADJACENT CHARACTER pairs inside whitespace tokens
+    across the whole corpus (the merge-candidate table a BPE trainer
+    ranks each round). Shapes: token explode → per-token pair explode
+    (narrow; pairs of a token never cross rows) → ONE (pair)-keyed
+    count aggregate, map-side combined — at 100 TB the only exchange
+    carries one row per distinct pair per task. Ties broken by pair
+    text so the top-50 cut is engine-deterministic."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokenize(F.col("text"))).alias("tok")).filter(
+        F.length("tok") >= 2
+    )
+    pairs = toks.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(tok) - 1), i -> substr(tok, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(50)
+    )
+
+
 def winnowing_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-doc provenance pairs (the MOSS use of winnowing): doc
     pairs sharing ≥3 window-min fingerprints — evidence of a common
@@ -2600,6 +2626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tuoyu_rule_filter_docs": tuoyu_rule_filter_docs,
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "winnowing_pairs_docs": winnowing_pairs_docs,
+        "corpus_bpe_pair_stats": corpus_bpe_pair_stats,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_stratified_sample": events_stratified_sample,
@@ -4434,6 +4461,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN splits sa ON sa.doc_id = e.id_a
         JOIN splits sb ON sb.doc_id = e.id_b
         WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+    """
+    out["corpus_bpe_pair_stats"] = f"""
+        WITH toks AS (
+            SELECT unnest({tokens}) AS tok FROM documents
+        ), pairs AS (
+            SELECT unnest(list_transform(
+                       range(1, length(tok)),
+                       i -> substr(tok, i, 2)
+                   )) AS pair
+            FROM toks WHERE length(tok) >= 2
+        )
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY pair
+        ORDER BY n DESC, pair
+        LIMIT 50
     """
     out["winnowing_pairs_docs"] = f"""
         WITH wfp AS ({out['winnowing_fingerprints_docs']})
