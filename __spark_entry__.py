@@ -2868,10 +2868,15 @@ def oracle_sql() -> dict[str, str]:
             ), tyhits AS (SELECT i FROM typ WHERE p0)"""
 
     # LSH ANN oracle: hyperplane literals generated from the SAME
-    # Python function the Spark operator inlines, so both engines
-    # compute identical sign bits (list_dot_product ≡ Spark's
-    # aggregate/zip_with left fold — already proven bit-compatible by
-    # the green cosine_topk_embeddings oracle).
+    # Python function the Spark operator inlines. Sign bits need the
+    # UNROUNDED dot products to agree bit-for-bit — evidence: the
+    # candidate SETS themselves (sign bits over 64 planes × the whole
+    # corpus) hash-match, which holds only if DuckDB's
+    # list_dot_product accumulates in the same sequential order as
+    # Spark's aggregate/zip_with left fold. Residual risk: a future
+    # DuckDB switching to SIMD/pairwise accumulation could flip a
+    # near-zero sign; if this oracle ever fails on a boundary
+    # embedding, that is the first thing to check.
     from data_pipeline_childcare_spark.operators.similarity import (
         _hyperplane as _lsh_plane,
     )
@@ -4513,6 +4518,16 @@ def oracle_sql() -> dict[str, str]:
             CROSS JOIN scalars s
         )
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+               -- plain round, NOT _jround: the DECIMAL(30,15)
+               -- intermediate ROUNDS AWAY significant digits of
+               -- small-magnitude quotients (log-ratios ~1e-3 carry 17
+               -- significant digits past 15 decimal PLACES),
+               -- manufacturing a .5 tie Spark's shortest-repr round
+               -- never sees. Binary-value rounding only diverges from
+               -- Spark when the shortest repr lands exactly on a
+               -- 7-digit tie — essentially impossible for these
+               -- non-terminating quotients, and _jround's money-style
+               -- inputs (short decimal quotients) are the opposite case.
                round(round(sum(lr), 6) / count(*), 6) AS dsir_weight
         FROM lr GROUP BY doc_id
     """

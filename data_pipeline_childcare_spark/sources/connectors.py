@@ -113,7 +113,90 @@ def run_search_tasks(
     return spark.createDataFrame(rows, SEARCH_RESULT_SCHEMA)
 
 
-class HttpSearchApiProvider:
+def _scrape_failed(item_info: dict, url: str | None, err: Exception | None) -> dict:
+    """The reference's failed scrape-result envelope, shared by every
+    scraper (多数据源获取数据.py's 处理失败 rows)."""
+    return {
+        **item_info,
+        "content": "",
+        "status": "failed",
+        "error_message": f"处理失败 {url}: {type(err).__name__} - {err}",
+    }
+
+
+class _HttpConnector:
+    """Shared plumbing for every Http* connector: timeout/retry
+    fields, injectable ``transport``/``sleeper`` resolution, the ONE
+    bounded exponential-backoff retry driver, and the default JSON
+    transports (httpx when importable, stdlib urllib otherwise — no
+    hard dependency). Subclasses keep only their wire shape, their
+    credential guard, and their failure envelope, so retry semantics
+    cannot drift between connectors."""
+
+    def _init_http(
+        self,
+        timeout_s: float,
+        max_retries: int,
+        backoff_s: float,
+        transport: Callable | None,
+        sleeper: Callable[[float], None] | None,
+    ) -> None:
+        self.timeout_s = timeout_s
+        self.max_retries = max_retries
+        self.backoff_s = backoff_s
+        self._transport = transport or self._default_transport
+        if sleeper is None:
+            import time
+
+            sleeper = time.sleep
+        self._sleep = sleeper
+
+    def _with_retries(self, attempt_fn: Callable[[], dict | list], on_failure: Callable[[Exception], dict | list]):
+        last_err: Exception | None = None
+        for attempt in range(self.max_retries):
+            try:
+                return attempt_fn()
+            except Exception as e:  # noqa: BLE001
+                last_err = e
+                if attempt < self.max_retries - 1:
+                    self._sleep(self.backoff_s * (2**attempt))
+        return on_failure(last_err)
+
+    def _post_json(self, url: str, headers: dict, payload: dict) -> dict:
+        import json
+
+        body = json.dumps(payload).encode("utf-8")
+        try:
+            import httpx
+
+            resp = httpx.post(url, headers=headers, content=body, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+        except ImportError:
+            from urllib.request import Request, urlopen
+
+            req = Request(url, data=body, headers=headers, method="POST")
+            with urlopen(req, timeout=self.timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+    def _get_json(self, url: str, headers: dict | None = None) -> dict:
+        import json
+
+        try:
+            import httpx
+
+            resp = httpx.get(url, headers=headers or {}, timeout=self.timeout_s)
+            resp.raise_for_status()
+            return resp.json()
+        except ImportError:
+            from urllib.request import Request, urlopen
+
+            req = Request(url, headers=headers or {})
+            with urlopen(req, timeout=self.timeout_s) as r:
+                return json.loads(r.read().decode("utf-8"))
+
+
+class HttpSearchApiProvider(_HttpConnector):
     """Real-HTTP provider for the SearchAPI.io wire shape
     (多数据源获取链接.py:776-880): GET base_url with q/engine/gl/hl/num/
     api_key params, parse ``organic_results``, emit provider-prefixed
@@ -153,32 +236,12 @@ class HttpSearchApiProvider:
         self.engine = engine
         self.gl = gl
         self.hl = hl
-        self.timeout_s = timeout_s
-        self.max_retries = max_retries
-        self.backoff_s = backoff_s
-        self._transport = transport or self._default_transport
-        if sleeper is None:
-            import time
-
-            sleeper = time.sleep
-        self._sleep = sleeper
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
     def _default_transport(self, url: str, params: dict) -> dict:
-        import json
         from urllib.parse import urlencode
 
-        full = f"{url}?{urlencode(params)}"
-        try:
-            import httpx
-
-            resp = httpx.get(full, timeout=self.timeout_s)
-            resp.raise_for_status()
-            return resp.json()
-        except ImportError:
-            from urllib.request import urlopen
-
-            with urlopen(full, timeout=self.timeout_s) as r:
-                return json.loads(r.read().decode("utf-8"))
+        return self._get_json(f"{url}?{urlencode(params)}")
 
     def __call__(self, query: str, n: int = 5) -> list[dict]:
         params = {
@@ -189,37 +252,36 @@ class HttpSearchApiProvider:
             "num": n,
             "api_key": self.api_key,
         }
-        last_err: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                data = self._transport(self.base_url, params)
-                out = []
-                for item in data.get("organic_results", []):
-                    if not item.get("link"):
-                        continue
-                    out.append(
-                        {
-                            f"{self.name}_url": item.get("link"),
-                            f"{self.name}_title": item.get("title"),
-                            f"{self.name}_source": item.get("source", ""),
-                            f"{self.name}_snippet": item.get("snippet", ""),
-                            "query": query,
-                        }
-                    )
-                return out
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.backoff_s * (2**attempt))
-        return [
-            {
-                f"{self.name}_error": f"request failed for '{query}': {last_err}",
-                "query": query,
-            }
-        ]
+
+        def attempt() -> list[dict]:
+            data = self._transport(self.base_url, params)
+            out = []
+            for item in data.get("organic_results", []):
+                if not item.get("link"):
+                    continue
+                out.append(
+                    {
+                        f"{self.name}_url": item.get("link"),
+                        f"{self.name}_title": item.get("title"),
+                        f"{self.name}_source": item.get("source", ""),
+                        f"{self.name}_snippet": item.get("snippet", ""),
+                        "query": query,
+                    }
+                )
+            return out
+
+        return self._with_retries(
+            attempt,
+            lambda err: [
+                {
+                    f"{self.name}_error": f"request failed for '{query}': {err}",
+                    "query": query,
+                }
+            ],
+        )
 
 
-class HttpFirecrawlScraper:
+class HttpFirecrawlScraper(_HttpConnector):
     """Real-HTTP scraper for the Firecrawl v2 wire shape
     (多数据源获取数据.py:1498-1549): POST base_url with a JSON payload
     ``{url, onlyMainContent, removeBase64Images, blockAds}`` under a
@@ -254,32 +316,9 @@ class HttpFirecrawlScraper:
         self.name = "firecrawl"
         self.api_key = api_key
         self.base_url = base_url
-        self.timeout_s = timeout_s
-        self.max_retries = max_retries
-        self.backoff_s = backoff_s
-        self._transport = transport or self._default_transport
-        if sleeper is None:
-            import time
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
-            sleeper = time.sleep
-        self._sleep = sleeper
-
-    def _default_transport(self, url: str, headers: dict, payload: dict) -> dict:
-        import json
-
-        body = json.dumps(payload).encode("utf-8")
-        try:
-            import httpx
-
-            resp = httpx.post(url, headers=headers, content=body, timeout=self.timeout_s)
-            resp.raise_for_status()
-            return resp.json()
-        except ImportError:
-            from urllib.request import Request, urlopen
-
-            req = Request(url, data=body, headers=headers, method="POST")
-            with urlopen(req, timeout=self.timeout_s) as r:
-                return json.loads(r.read().decode("utf-8"))
+    _default_transport = _HttpConnector._post_json
 
     def __call__(self, item_info: dict) -> dict:
         url = item_info.get("url")
@@ -293,35 +332,26 @@ class HttpFirecrawlScraper:
             "removeBase64Images": True,
             "blockAds": True,
         }
-        last_err: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                data_wrapper = self._transport(self.base_url, headers, payload)
-                if not data_wrapper.get("success"):
-                    raise ValueError(
-                        f"API returned failure: {data_wrapper.get('error', 'unknown')}"
-                    )
-                data = data_wrapper.get("data")
-                if not data:
-                    raise ValueError("API returned empty 'data'")
-                content = data.get("markdown")
-                if content is None:
-                    raise ValueError("API returned no 'markdown'")
-                final_url = (data.get("metadata") or {}).get("sourceURL", url)
-                return {**item_info, "url": final_url, "content": content, "status": "success"}
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.backoff_s * (2**attempt))
-        return {
-            **item_info,
-            "content": "",
-            "status": "failed",
-            "error_message": f"处理失败 {url}: {type(last_err).__name__} - {last_err}",
-        }
+
+        def attempt() -> dict:
+            data_wrapper = self._transport(self.base_url, headers, payload)
+            if not data_wrapper.get("success"):
+                raise ValueError(
+                    f"API returned failure: {data_wrapper.get('error', 'unknown')}"
+                )
+            data = data_wrapper.get("data")
+            if not data:
+                raise ValueError("API returned empty 'data'")
+            content = data.get("markdown")
+            if content is None:
+                raise ValueError("API returned no 'markdown'")
+            final_url = (data.get("metadata") or {}).get("sourceURL", url)
+            return {**item_info, "url": final_url, "content": content, "status": "success"}
+
+        return self._with_retries(attempt, lambda err: _scrape_failed(item_info, url, err))
 
 
-class HttpJinaReaderScraper:
+class HttpJinaReaderScraper(_HttpConnector):
     """Real-HTTP scraper for the Jina Reader wire shape
     (多数据源获取数据.py:1552-1598): GET ``base_url + url`` with Bearer
     auth and ``X-Return-Format: markdown``; the response is EITHER a
@@ -346,15 +376,7 @@ class HttpJinaReaderScraper:
         self.name = "jina"
         self.api_key = api_key
         self.base_url = base_url
-        self.timeout_s = timeout_s
-        self.max_retries = max_retries
-        self.backoff_s = backoff_s
-        self._transport = transport or self._default_transport
-        if sleeper is None:
-            import time
-
-            sleeper = time.sleep
-        self._sleep = sleeper
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
     def _default_transport(self, url: str, headers: dict) -> tuple[str, str]:
         try:
@@ -381,38 +403,28 @@ class HttpJinaReaderScraper:
             "Accept": "application/json",
             "X-Return-Format": "markdown",
         }
-        last_err: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                ctype, body = self._transport(f"{self.base_url}{url}", headers)
-                if "application/json" in (ctype or "").lower():
-                    wrapper = json.loads(body)
-                    if wrapper.get("code") == 200 and "data" in wrapper:
-                        data = wrapper["data"]
-                        content = data.get("content")
-                        final_url = data.get("url", url)
-                        if content is None:
-                            raise ValueError("API JSON响应中缺少 'content' 字段。")
-                    else:
-                        raise ValueError(f"API JSON响应错误: {wrapper}")
+        def attempt() -> dict:
+            ctype, body = self._transport(f"{self.base_url}{url}", headers)
+            if "application/json" in (ctype or "").lower():
+                wrapper = json.loads(body)
+                if wrapper.get("code") == 200 and "data" in wrapper:
+                    data = wrapper["data"]
+                    content = data.get("content")
+                    final_url = data.get("url", url)
+                    if content is None:
+                        raise ValueError("API JSON响应中缺少 'content' 字段。")
                 else:
-                    content, final_url = body, url
-                if not content.strip():
-                    raise ValueError("API 返回内容为空。")
-                return {**item_info, "url": final_url, "content": content, "status": "success"}
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.backoff_s * (2**attempt))
-        return {
-            **item_info,
-            "content": "",
-            "status": "failed",
-            "error_message": f"处理失败 {url}: {type(last_err).__name__} - {last_err}",
-        }
+                    raise ValueError(f"API JSON响应错误: {wrapper}")
+            else:
+                content, final_url = body, url
+            if not content.strip():
+                raise ValueError("API 返回内容为空。")
+            return {**item_info, "url": final_url, "content": content, "status": "success"}
+
+        return self._with_retries(attempt, lambda err: _scrape_failed(item_info, url, err))
 
 
-class HttpTavilyScraper:
+class HttpTavilyScraper(_HttpConnector):
     """Real-HTTP scraper for the Tavily extract wire shape
     (多数据源获取数据.py:1601-1637): POST ``{urls: [url], format:
     markdown}`` under Bearer auth; the first ``results`` entry must
@@ -435,17 +447,9 @@ class HttpTavilyScraper:
         self.name = "tavily"
         self.api_key = api_key
         self.base_url = base_url
-        self.timeout_s = timeout_s
-        self.max_retries = max_retries
-        self.backoff_s = backoff_s
-        self._transport = transport or self._default_transport
-        if sleeper is None:
-            import time
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
-            sleeper = time.sleep
-        self._sleep = sleeper
-
-    _default_transport = HttpFirecrawlScraper._default_transport
+    _default_transport = _HttpConnector._post_json
 
     def __call__(self, item_info: dict) -> dict:
         url = item_info.get("url")
@@ -454,32 +458,23 @@ class HttpTavilyScraper:
             "Content-Type": "application/json",
         }
         payload = {"urls": [url], "format": "markdown"}
-        last_err: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                data = self._transport(self.base_url, headers, payload)
-                results = data.get("results")
-                if not results or not isinstance(results, list):
-                    raise ValueError(f"API调用失败: {data.get('failed_results', [])}")
-                result = results[0]
-                content = result.get("raw_content")
-                if content is None:
-                    raise ValueError("API未返回raw_content内容。")
-                final_url = result.get("url", url)
-                return {**item_info, "url": final_url, "content": content, "status": "success"}
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.backoff_s * (2**attempt))
-        return {
-            **item_info,
-            "content": "",
-            "status": "failed",
-            "error_message": f"处理失败 {url}: {type(last_err).__name__} - {last_err}",
-        }
+
+        def attempt() -> dict:
+            data = self._transport(self.base_url, headers, payload)
+            results = data.get("results")
+            if not results or not isinstance(results, list):
+                raise ValueError(f"API调用失败: {data.get('failed_results', [])}")
+            result = results[0]
+            content = result.get("raw_content")
+            if content is None:
+                raise ValueError("API未返回raw_content内容。")
+            final_url = result.get("url", url)
+            return {**item_info, "url": final_url, "content": content, "status": "success"}
+
+        return self._with_retries(attempt, lambda err: _scrape_failed(item_info, url, err))
 
 
-class HttpZhiLianJobSource:
+class HttpZhiLianJobSource(_HttpConnector):
     """Real-HTTP job-posting source for the ZhiLian scrape-API wire
     shape (多数据源获取数据.py:1640-1670): POST a JSON payload that MUST
     carry ``keywords`` and ``provinces`` (invalid payloads short-circuit
@@ -501,32 +496,9 @@ class HttpZhiLianJobSource:
         if not api_url:
             raise ValueError("api_url is required")
         self.api_url = api_url
-        self.timeout_s = timeout_s
-        self.max_retries = max_retries
-        self.backoff_s = backoff_s
-        self._transport = transport or self._default_transport
-        if sleeper is None:
-            import time
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
-            sleeper = time.sleep
-        self._sleep = sleeper
-
-    def _default_transport(self, url: str, headers: dict, payload: dict) -> dict:
-        import json
-
-        body = json.dumps(payload).encode("utf-8")
-        try:
-            import httpx
-
-            resp = httpx.post(url, headers=headers, content=body, timeout=self.timeout_s)
-            resp.raise_for_status()
-            return resp.json()
-        except ImportError:
-            from urllib.request import Request, urlopen
-
-            req = Request(url, data=body, headers=headers, method="POST")
-            with urlopen(req, timeout=self.timeout_s) as r:
-                return json.loads(r.read().decode("utf-8"))
+    _default_transport = _HttpConnector._post_json
 
     def __call__(self, payload: dict) -> dict:
         if not payload or not payload.get("keywords") or not payload.get("provinces"):
@@ -536,36 +508,38 @@ class HttpZhiLianJobSource:
                 "message": "负载无效，缺少 'keywords' 或 'provinces'。",
             }
         payload = dict(payload)
-        if "page_size" in payload:
-            payload["page_size"] = int(payload["page_size"])
         headers = {"accept": "application/json", "Content-Type": "application/json"}
-        last_err: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                data = self._transport(self.api_url, headers, payload)
-                if data.get("code") == 200:
-                    return {
-                        "status": "success",
-                        "data": data.get("data", []),
-                        "message": data.get("message"),
-                    }
+
+        def attempt() -> dict:
+            # page_size coercion inside the attempt, like the
+            # reference: a non-numeric value degrades to the failed
+            # envelope instead of raising out of the task loop
+            if "page_size" in payload:
+                payload["page_size"] = int(payload["page_size"])
+            data = self._transport(self.api_url, headers, payload)
+            if data.get("code") == 200:
                 return {
-                    "status": "failed",
-                    "data": [],
-                    "message": f"API返回错误码 {data.get('code')}: {data.get('message')}",
+                    "status": "success",
+                    "data": data.get("data", []),
+                    "message": data.get("message"),
                 }
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.backoff_s * (2**attempt))
-        return {
-            "status": "failed",
-            "data": [],
-            "message": f"API请求失败: {type(last_err).__name__} - {last_err}",
-        }
+            return {
+                "status": "failed",
+                "data": [],
+                "message": f"API返回错误码 {data.get('code')}: {data.get('message')}",
+            }
+
+        return self._with_retries(
+            attempt,
+            lambda err: {
+                "status": "failed",
+                "data": [],
+                "message": f"API请求失败: {type(err).__name__} - {err}",
+            },
+        )
 
 
-class HttpTianyanEnterpriseLookup:
+class HttpTianyanEnterpriseLookup(_HttpConnector):
     """Real-HTTP enterprise-info lookup for the Tianyancha wire shape
     (多数据源获取数据.py:1673-1704): GET with ``keyword`` param under a
     Token Authorization header, ``{error_code: 0, result, reason}``
@@ -587,66 +561,44 @@ class HttpTianyanEnterpriseLookup:
             raise ValueError("token is required")
         self.token = token
         self.api_url = api_url
-        self.timeout_s = timeout_s
-        self.max_retries = max_retries
-        self.backoff_s = backoff_s
-        self._transport = transport or self._default_transport
-        if sleeper is None:
-            import time
-
-            sleeper = time.sleep
-        self._sleep = sleeper
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
     def _default_transport(self, url: str, headers: dict, params: dict) -> dict:
-        import json
         from urllib.parse import urlencode
 
-        full = f"{url}?{urlencode(params)}"
-        try:
-            import httpx
-
-            resp = httpx.get(full, headers=headers, timeout=self.timeout_s)
-            resp.raise_for_status()
-            return resp.json()
-        except ImportError:
-            from urllib.request import Request, urlopen
-
-            req = Request(full, headers=headers)
-            with urlopen(req, timeout=self.timeout_s) as r:
-                return json.loads(r.read().decode("utf-8"))
+        return self._get_json(f"{url}?{urlencode(params)}", headers)
 
     def __call__(self, name: str) -> dict:
         base = {"query_name": name}
         if not name:
             return {**base, "status": "skipped", "data": None, "message": "企业名称为空，跳过查询。"}
         headers = {"Authorization": self.token}
-        last_err: Exception | None = None
-        for attempt in range(self.max_retries):
-            try:
-                data = self._transport(self.api_url, headers, {"keyword": name})
-                if data.get("error_code") == 0:
-                    return {
-                        **base,
-                        "status": "success",
-                        "data": data.get("result"),
-                        "message": data.get("reason"),
-                    }
+
+        def attempt() -> dict:
+            data = self._transport(self.api_url, headers, {"keyword": name})
+            if data.get("error_code") == 0:
                 return {
                     **base,
-                    "status": "failed",
-                    "data": None,
-                    "message": f"API返回错误码 {data.get('error_code')}: {data.get('reason')}",
+                    "status": "success",
+                    "data": data.get("result"),
+                    "message": data.get("reason"),
                 }
-            except Exception as e:  # noqa: BLE001
-                last_err = e
-                if attempt < self.max_retries - 1:
-                    self._sleep(self.backoff_s * (2**attempt))
-        return {
-            **base,
-            "status": "failed",
-            "data": None,
-            "message": f"API请求失败: {type(last_err).__name__} - {last_err}",
-        }
+            return {
+                **base,
+                "status": "failed",
+                "data": None,
+                "message": f"API返回错误码 {data.get('error_code')}: {data.get('reason')}",
+            }
+
+        return self._with_retries(
+            attempt,
+            lambda err: {
+                **base,
+                "status": "failed",
+                "data": None,
+                "message": f"API请求失败: {type(err).__name__} - {err}",
+            },
+        )
 
 
 SCRAPE_RESULT_SCHEMA = (

@@ -470,9 +470,10 @@ def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
         return None
     except ValueError:
         raise
-    except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
-        # truncated/corrupt containers (e.g. a GIF cut before byte 13)
-        # otherwise leak struct.error/IndexError, breaking the
+    except (IndexError, KeyError, struct.error, ZeroDivisionError, zlib.error) as exc:
+        # truncated/corrupt containers (a GIF cut before byte 13, a
+        # PNG with garbage IDAT deflate data) otherwise leak
+        # struct.error/IndexError/zlib.error, breaking the
         # ValueError-only contract decode_jpeg_baseline already keeps
         raise ValueError(f"corrupt image container: {exc!r}") from exc
 

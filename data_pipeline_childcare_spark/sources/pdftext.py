@@ -243,10 +243,12 @@ def _content_to_text(cs: bytes) -> str:
                 in_text = False
                 pending.clear()
             elif in_text:
-                if op in (b"Tj", b"TJ", b"\""):
+                if op in (b"Tj", b"TJ"):
                     cur.extend(pending)
                     pending.clear()
-                elif op == b"'":
+                elif op in (b"'", b"\""):
+                    # both quote operators move to the NEXT line before
+                    # showing (PDF 32000-1 §9.4.3); " just adds spacing
                     breakline()
                     cur.extend(pending)
                     pending.clear()
@@ -289,7 +291,9 @@ def extract_pdf_text_minimal(data: bytes, max_pages: int = 50) -> str:
                 parts.append(
                     f"<!-- 第 {pi + 1} 页 -->\n\n{text}" if limit > 1 else text
                 )
-        if total > max_pages:
+        if total > max_pages and parts:
+            # only annotate REAL text: a cap note alone would read as
+            # extracted content and wrongly bypass the caller's stub tier
             parts.append(f"> PDF 共 {total} 页，已处理前 {limit} 页")
         return "\n\n".join(parts).strip()
     except Exception:  # noqa: BLE001  (corrupt structure → stub tier)

@@ -719,3 +719,19 @@ def test_truncated_gif_raises_valueerror_not_struct_error():
 
     with pytest.raises(ValueError):
         decode_image_stdlib(b"GIF89a\x10\x00")
+
+
+def test_png_garbage_idat_raises_valueerror():
+    """Corrupt IDAT deflate data must surface as ValueError from the
+    dispatch, not leak zlib.error."""
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_image_stdlib
+
+    ihdr = struct.pack(">II", 2, 2) + bytes([8, 0, 0, 0, 0])
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13) + b"IHDR" + ihdr + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr))
+        + struct.pack(">I", 8) + b"IDAT" + b"garbage!" + struct.pack(">I", zlib.crc32(b"IDAT" + b"garbage!"))
+        + struct.pack(">I", 0) + b"IEND" + struct.pack(">I", zlib.crc32(b"IEND"))
+    )
+    with pytest.raises(ValueError):
+        decode_image_stdlib(png)

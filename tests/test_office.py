@@ -338,3 +338,23 @@ def test_pdftext_flate_payload_ending_in_whitespace_byte():
             assert out == f"case {tag}"
             return
     raise AssertionError("no whitespace-tailed compressed payload in 2000 tries")
+
+
+def test_pdftext_quote_operators_break_lines():
+    """' and " both move to the next line before showing (PDF 32000-1
+    §9.4.3) — adjacent lines must not concatenate."""
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    cs = b"BT (line1) Tj (line2) ' 1 2 (line3) \" ET"
+    out = extract_pdf_text_minimal(_mini_pdf([cs], compress=False))
+    assert out.splitlines() == ["line1", "line2", "line3"]
+
+
+def test_pdftext_cap_note_not_returned_alone():
+    """An over-cap PDF with NO extractable text must return '' so the
+    caller's stub tier engages, not just the page-cap note."""
+    from data_pipeline_childcare_spark.sources.pdftext import extract_pdf_text_minimal
+
+    # 5 pages of image-only (no text operator) streams, cap at 3
+    pages = [b"q 1 0 0 1 0 0 cm Q" for _ in range(5)]
+    assert extract_pdf_text_minimal(_mini_pdf(pages), max_pages=3) == ""

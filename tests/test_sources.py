@@ -562,3 +562,15 @@ def test_tavily_scraper_contract():
         )
         bad = s2({"url": "https://y.example"})
         assert bad["status"] == "failed" and bad["content"] == ""
+
+
+def test_zhilian_non_numeric_page_size_degrades_to_failed():
+    from data_pipeline_childcare_spark.sources.connectors import HttpZhiLianJobSource
+
+    s = HttpZhiLianJobSource(
+        api_url="u",
+        transport=lambda u, h, p: {"code": 200, "data": [], "message": "ok"},
+        sleeper=lambda x: None,
+    )
+    out = s({"keywords": "k", "provinces": ["p"], "page_size": "二十"})
+    assert out["status"] == "failed" and "API请求失败" in out["message"]
