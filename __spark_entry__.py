@@ -2215,6 +2215,43 @@ def tuoyu_rule_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dedup: within each portable-MinHash
+    connected-component cluster, keep the HIGHEST-quality member
+    (ties on doc_id) instead of the smallest id — the policy real
+    training pipelines want (drop the worse copy, whichever arrived
+    first). Composes two independently-oracled layers: cluster
+    identity (minhash_dedup_clusters) and the quality score
+    (doc_quality_scores); one row per kept doc with its cluster size."""
+    from data_pipeline_childcare_spark.functions.text import quality_score
+    from data_pipeline_childcare_spark.operators.components import connected_components
+    from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_est_pairs_portable(docs, threshold=0.5)
+    comp = connected_components(pairs)
+    labeled = (
+        docs.select("doc_id", quality_score("text", _QUALITY_STOPWORDS).alias("quality"))
+        .join(comp, F.col("doc_id") == comp["id"], "left")
+        .select(
+            "doc_id",
+            "quality",
+            F.coalesce(comp["component"], F.col("doc_id")).alias("cluster_id"),
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = labeled.select(
+        "doc_id",
+        "quality",
+        "cluster_id",
+        F.count("*").over(w).alias("cluster_size"),
+        F.row_number()
+        .over(Window.partitionBy("cluster_id").orderBy(F.desc("quality"), "doc_id"))
+        .alias("_rk"),
+    )
+    return ranked.filter(F.col("_rk") == 1).drop("_rk")
+
+
 def corpus_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inner loop of BPE tokenizer training, distributed: the 50
     most frequent ADJACENT CHARACTER pairs inside whitespace tokens
@@ -2627,6 +2664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_fingerprints_docs": winnowing_fingerprints_docs,
         "winnowing_pairs_docs": winnowing_pairs_docs,
         "corpus_bpe_pair_stats": corpus_bpe_pair_stats,
+        "dedup_keep_best_quality": dedup_keep_best_quality,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "events_stratified_sample": events_stratified_sample,
@@ -4466,6 +4504,30 @@ def oracle_sql() -> dict[str, str]:
         JOIN splits sa ON sa.doc_id = e.id_a
         JOIN splits sb ON sb.doc_id = e.id_b
         WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+    """
+    out["dedup_keep_best_quality"] = f"""
+        WITH RECURSIVE {_minhash_ctes}, prs AS (
+            SELECT id_a, id_b FROM est WHERE est_jaccard >= 0.5
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM prs
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM prs
+        ), reach AS (
+            SELECT doc_id AS id, doc_id AS lbl FROM documents
+            UNION
+            SELECT e.dst AS id, r.lbl AS lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+            SELECT id AS doc_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        ), q AS ({out['doc_quality_scores']})
+        SELECT doc_id, quality, cluster_id, cluster_size FROM (
+            SELECT c.doc_id, q.quality, c.cluster_id,
+                   CAST(count(*) OVER (PARTITION BY c.cluster_id) AS BIGINT) AS cluster_size,
+                   row_number() OVER (PARTITION BY c.cluster_id
+                                      ORDER BY q.quality DESC, c.doc_id) AS rk
+            FROM comp c JOIN q ON q.doc_id = c.doc_id
+        ) WHERE rk = 1
     """
     out["corpus_bpe_pair_stats"] = f"""
         WITH toks AS (
