@@ -1876,8 +1876,9 @@ def embedding_cosine_dedup_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Third member of the embedding-dedup family: IVF (k-means cell)
     candidate pairs with multi-assignment, same exact-cosine verify +
-    anti-join tail. Rows-only for the same reason as the LSH variant;
-    recall ≥0.95 vs the exact baseline asserted in tests."""
+    anti-join tail — FULLY oracled via the canonical kmeans (see
+    ivf_cosine_topk_embeddings); recall ≥0.95 vs the exact baseline
+    stays asserted in tests."""
     from data_pipeline_childcare_spark.operators.similarity import (
         embedding_cosine_dedup_ivf,
     )
@@ -2060,8 +2061,12 @@ def parts_with_many_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def ivf_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means-lite coarse quantizer) approximate top-k — the
-    second ANN scale path next to LSH. Iterative algorithm ⇒ rows-only
-    check; recall vs brute force asserted in tests."""
+    second ANN scale path next to LSH, FULLY oracled: canonical
+    kmeans (md5 seed order + pre-rounded centroid means,
+    operators/similarity.py) walks an identical centroid trajectory
+    in any engine, so the DuckDB twin unrolls the two Lloyd
+    iterations and hash-matches the probed top-k exactly. Recall vs
+    brute force additionally asserted in tests."""
     from data_pipeline_childcare_spark.operators.similarity import ivf_cosine_topk
 
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -2938,6 +2943,36 @@ def oracle_sql() -> dict[str, str]:
 
     _lsh_tables_vals = ",".join(f"({t})" for t in range(4))
 
+    # IVF oracle: kmeans-lite unrolled (2 Lloyd iterations, 8 cells,
+    # 64 dims). Works because the Spark operator is CANONICAL: md5
+    # seed ordering + round(round(sum,6)/n,6) centroid means, so both
+    # engines walk the identical centroid trajectory.
+    _ivf_cos = (
+        "(list_dot_product({v}, {c}) / "
+        "(sqrt(list_dot_product({v}, {v})) * sqrt(list_dot_product({c}, {c}))))"
+    )
+
+    def _ivf_assign(name: str, cent: str) -> str:
+        sim = _ivf_cos.format(v="e.cv", c="c.centroid")
+        return f"""{name} AS (
+            SELECT vec_id, cv, cell FROM (
+                SELECT e.vec_id, e.cv, c.cell,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {sim} DESC, c.cell) AS rn
+                FROM emb e CROSS JOIN {cent} c
+            ) WHERE rn = 1
+        )"""
+
+    def _ivf_means(name: str, assigned: str) -> str:
+        return f"""{name} AS (
+            SELECT cell, list(m ORDER BY pos) AS centroid FROM (
+                SELECT a.cell, r.i AS pos,
+                       round(round(sum(a.cv[r.i]), 6) / count(*), 6) AS m
+                FROM {assigned} a CROSS JOIN range(1, 65) r(i)
+                GROUP BY a.cell, r.i
+            ) GROUP BY cell
+        )"""
+
     def _jround(expr: str, d: int) -> str:
         # Round a DOUBLE the way Spark does: Spark's round() goes
         # through the shortest decimal repr (BigDecimal.valueOf) and
@@ -3641,6 +3676,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, label FROM embeddings
             WHERE vec_id NOT IN (SELECT ib FROM dups)
+        """,
+        "embedding_cosine_dedup_ivf": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centroid
+                FROM (
+                    SELECT vec_id, cv,
+                           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM emb ORDER BY h LIMIT 16
+                )
+            ), {_ivf_assign('a1', 'c0')}, {_ivf_means('c1', 'a1')},
+               {_ivf_assign('a2', 'c1')}, {_ivf_means('c2', 'a2')},
+            multi AS (
+                SELECT vec_id, cv, cell FROM (
+                    SELECT e.vec_id, e.cv, c.cell,
+                           row_number() OVER (PARTITION BY e.vec_id
+                               ORDER BY {_ivf_cos.format(v='e.cv', c='c.centroid')} DESC, c.cell) AS rn
+                    FROM emb e CROSS JOIN c2 c
+                ) WHERE rn <= 4
+            ), cpairs AS (
+                SELECT DISTINCT a.vec_id AS ia, b.vec_id AS ib
+                FROM multi a JOIN multi b
+                  ON a.cell = b.cell AND a.vec_id < b.vec_id
+            ), dups AS (
+                SELECT DISTINCT p.ib
+                FROM cpairs p
+                JOIN emb x ON x.vec_id = p.ia
+                JOIN emb y ON y.vec_id = p.ib
+                WHERE round({_ivf_cos.format(v='x.cv', c='y.cv')}, 6) >= 0.4
+            )
+            SELECT vec_id, label FROM embeddings
+            WHERE vec_id NOT IN (SELECT ib FROM dups)
+        """,
+        "ivf_cosine_topk_embeddings": f"""
+            WITH emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centroid
+                FROM (
+                    SELECT vec_id, cv,
+                           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM emb ORDER BY h LIMIT 8
+                )
+            ), {_ivf_assign('a1', 'c0')}, {_ivf_means('c1', 'a1')},
+               {_ivf_assign('a2', 'c1')}, {_ivf_means('c2', 'a2')},
+               {_ivf_assign('afinal', 'c2')},
+            q AS (
+                SELECT vec_id AS query_id, cv AS qv FROM emb WHERE vec_id < 3
+            ), probes AS (
+                SELECT query_id, qv, cell FROM (
+                    SELECT q.query_id, q.qv, c.cell,
+                           row_number() OVER (PARTITION BY q.query_id
+                               ORDER BY {_ivf_cos.format(v='q.qv', c='c.centroid')} DESC, c.cell) AS rn
+                    FROM q CROSS JOIN c2 c
+                ) WHERE rn <= 4
+            ), cand AS (
+                SELECT p.query_id, p.qv, a.vec_id, a.cv
+                FROM afinal a JOIN probes p USING (cell)
+                WHERE p.query_id <> a.vec_id
+            ), scored AS (
+                SELECT query_id, vec_id,
+                       round({_ivf_cos.format(v='cv', c='qv')}, 6) AS cosine_sim
+                FROM cand
+            )
+            SELECT query_id, vec_id, cosine_sim, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT query_id, vec_id, cosine_sim,
+                       row_number() OVER (PARTITION BY query_id
+                           ORDER BY cosine_sim DESC, vec_id) AS rank
+                FROM scored
+            ) WHERE rank <= 5
         """,
         "lsh_cosine_topk_embeddings": f"""
             WITH c AS (

@@ -300,15 +300,24 @@ def kmeans_lite(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Few-iteration Lloyd's k-means as pure DataFrame ops — the IVF
-    coarse quantizer. Init: k seeds by id hash (deterministic). Each
-    iteration: assign via broadcast centroid crossJoin + windowed
-    argmin, recompute via posexplode/avg. k and iterations are small;
-    the corpus is scanned `iterations + 1` times, never collected.
+    coarse quantizer. Init: k seeds ordered by an md5-derived id hash
+    (engine-portable, so a SQL oracle reproduces the seed set and
+    order — xxhash64 would not be). Each iteration: assign via
+    broadcast centroid crossJoin + windowed argmin, recompute via
+    posexplode + CANONICAL means — round(round(sum,6)/n, 6), the
+    finalize_rollup discipline — so centroids are identical under any
+    partition summation order AND across engines; the last-ulp drift
+    of a raw avg() would otherwise flip boundary cell assignments
+    between runs. k and iterations are small; the corpus is scanned
+    `iterations + 1` times, never collected.
 
     Returns (cell, centroid ARRAY<DOUBLE>).
     """
+    seed_hash = F.expr(
+        f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
+    )
     centroids = (
-        corpus.withColumn("_r", F.xxhash64(F.col(id_col)))
+        corpus.withColumn("_r", seed_hash)
         .orderBy("_r")
         .limit(k)
         .select(
@@ -321,7 +330,9 @@ def kmeans_lite(
         exploded = assigned.select(
             "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
         )
-        per_pos = exploded.groupBy("cell", "pos").agg(F.avg("v").alias("m"))
+        per_pos = exploded.groupBy("cell", "pos").agg(
+            F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
+        )
         centroids = per_pos.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
