@@ -2563,6 +2563,35 @@ def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplication: longest contiguous token span
+    shared between document pairs (suffix-array-dedup signal via a
+    positional inverted 5-gram index; set-level Jaccard cannot see
+    contiguity). Portable md5 shingle keys — fully DuckDB-oracled."""
+    from data_pipeline_childcare_spark.operators.dedup import shared_span_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return shared_span_pairs(docs, k=5, min_span_tokens=10, portable_hash=True)
+
+
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document out-of-vocabulary rate vs the corpus top-256
+    vocabulary — tokenizer-coverage check before vocab commit."""
+    from data_pipeline_childcare_spark.operators.tfidf import doc_oov_rates
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_oov_rates(docs, vocab_size=256)
+
+
+def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing weights: per-source token shares and the sampling
+    multiplier that rebalances the corpus to a uniform token mixture."""
+    from data_pipeline_childcare_spark.operators.split import source_mixture_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return source_mixture_weights(docs)
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2672,6 +2701,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_quality": dedup_keep_best_quality,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "doc_shared_spans": doc_shared_spans,
+        "doc_oov_rate": doc_oov_rate,
+        "source_mixture_weights": source_mixture_weights_q,
         "events_stratified_sample": events_stratified_sample,
         "events_weighted_sample": events_weighted_sample,
         "docs_source_capped": docs_source_capped,
@@ -4714,5 +4746,80 @@ def oracle_sql() -> dict[str, str]:
         FROM q
         JOIN r ON r.doc_id = q.doc_id
         JOIN tk ON tk.doc_id = q.doc_id
+    """
+    out["doc_shared_spans"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(t) - 5, 0) + 2),
+                       i -> struct_pack(
+                           pos := i,
+                           h := substring(md5(array_to_string(t[i:i+4], ' ')), 1, 8)
+                       )
+                   ) AS g
+            FROM toks
+        ), posg AS (
+            SELECT doc_id, unnest(g, recursive := true) FROM grams
+        ), bset AS (
+            SELECT DISTINCT doc_id, h FROM posg
+        ), hits AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pos
+            FROM posg a JOIN bset b
+              ON a.h = b.h AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT id_a, id_b, pos,
+                   pos - row_number() OVER (
+                       PARTITION BY id_a, id_b ORDER BY pos
+                   ) AS grp
+            FROM hits
+        ), runs AS (
+            SELECT id_a, id_b, grp, count(*) AS run
+            FROM isl GROUP BY 1, 2, 3
+        )
+        SELECT id_a, id_b,
+               CAST(sum(run) AS BIGINT) AS shared_positions,
+               CAST(max(run) + 4 AS BIGINT) AS longest_span_tokens
+        FROM runs GROUP BY 1, 2
+        HAVING max(run) + 4 >= 10
+    """
+    out["doc_oov_rate"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS token FROM toks
+        ), freq AS (
+            SELECT token, count(*) AS freq FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token FROM freq ORDER BY freq DESC, token ASC LIMIT 256
+        ), agg AS (
+            SELECT tok.doc_id, count(*) AS n_tokens,
+                   sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+            FROM tok LEFT JOIN vocab v USING (token)
+            GROUP BY tok.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(a.n_oov, 0) AS BIGINT) AS n_oov,
+               round(CASE WHEN coalesce(a.n_tokens, 0) > 0
+                          THEN a.n_oov * 1.0 / a.n_tokens
+                          ELSE 0.0 END, 6) AS oov_rate
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+    out["source_mixture_weights"] = f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len({tokens})) AS n_tok
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(n_tok) * 1.0 AS total, count(*) AS ns FROM per
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               round(n_tok / total, 6) AS token_share,
+               round((1.0 / ns) / (n_tok / total), 6) AS mix_weight
+        FROM per, tot
     """
     return out

@@ -73,7 +73,10 @@ def main() -> None:
     # here and not in the engine defaults):
     # - 8 shuffle partitions: every sf0.1 shuffle is well under
     #   100 MB, so 8 keeps tasks above the ~8 MB that amortizes
-    #   task-launch overhead (at 100 TB: thousands).
+    #   task-launch overhead (at 100 TB: thousands). 16/32 were
+    #   A/B-tested on full bench runs: the difference is inside this
+    #   host's fast/slow-window jitter, so the smaller task count
+    #   stays.
     # - 512k file splits: the single-file-per-table testdata otherwise
     #   scans on ONE core (10 MB lineitem < 128 MB default split);
     #   smaller splits parallelize the scan like DuckDB's row-group

@@ -579,3 +579,95 @@ def ngram_jaccard_pairs(
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document repeated spans (substring-level near-dup signal)
+# ---------------------------------------------------------------------------
+
+
+def shared_span_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_span_tokens: int = 10,
+    max_df: int | None = None,
+    portable_hash: bool = True,
+) -> DataFrame:
+    """Substring-level duplication: per document pair, the longest run
+    of tokens in the lower-id document whose every k-gram also occurs
+    in the higher-id document, plus how many shingle positions overlap.
+
+    This is the signal suffix-array dedup pipelines extract ("training
+    data memorization spans"), re-expressed over a distributed
+    inverted k-gram index instead of a monolithic suffix array — the
+    same positional-shingle machinery as winnowing (above), but
+    measuring CONTIGUOUS overlap length, which set-level Jaccard and
+    MinHash cannot see (a 50-token verbatim quote inside two otherwise
+    unrelated documents has tiny Jaccard but a 50-token shared span).
+
+    Shape: posexplode k-gram shingles (position rides along) → A-side
+    keeps positions, B-side distinct shingles → equi-join on the
+    8-byte shingle hash (id_a < id_b) → distinct (pair, pos) →
+    gaps-and-islands (pos − row_number() groups consecutive runs) →
+    max island + k − 1 = longest shared token span. Every join is a
+    keyed shuffle on shingle hash or pair id; nothing is all-pairs.
+
+    ``max_df`` drops shingles occurring in more than that many
+    documents before the join — the df-cap that bounds hot-shingle
+    pair fan-out at corpus scale (boilerplate k-grams otherwise pair
+    everything with everything).
+
+    ``portable_hash=True`` keys the join on an 8-hex-char md5 prefix
+    (engine-portable, DuckDB-oracle-checkable); ``False`` uses
+    xxhash64 (cheaper, production default at scale).
+
+    Output: (id_a, id_b, shared_positions, longest_span_tokens),
+    filtered to ``longest_span_tokens >= min_span_tokens``.
+    """
+    from pyspark.sql import Window as W
+
+    spread = spread_partitions(df, id_col)
+    sh = spread.select(
+        F.col(id_col),
+        F.posexplode(word_ngrams(F.col(text_col), k)).alias("_pos", "_s"),
+    ).select(
+        id_col,
+        "_pos",
+        (
+            F.substring(F.md5(F.col("_s")), 1, 8)
+            if portable_hash
+            else F.xxhash64(F.col("_s")).cast("string")
+        ).alias("_h"),
+    )
+    if max_df is not None:
+        hot = (
+            sh.groupBy("_h")
+            .agg(F.count_distinct(id_col).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("_h")
+        )
+        sh = sh.join(hot, "_h", "left_anti")
+    a = sh.alias("a")
+    b = sh.select(id_col, "_h").distinct().alias("b")
+    hits = (
+        a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a._pos").alias("pos"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("id_a", "id_b").orderBy("pos")
+    islands = hits.withColumn("_grp", F.col("pos") - F.row_number().over(w))
+    runs = islands.groupBy("id_a", "id_b", "_grp").agg(F.count("*").alias("_run"))
+    return (
+        runs.groupBy("id_a", "id_b")
+        .agg(
+            F.sum("_run").cast("long").alias("shared_positions"),
+            (F.max("_run") + F.lit(k - 1)).cast("long").alias("longest_span_tokens"),
+        )
+        .filter(F.col("longest_span_tokens") >= min_span_tokens)
+    )

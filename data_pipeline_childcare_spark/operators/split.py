@@ -197,3 +197,59 @@ def split_sql_case(
         cum += frac
         arms.append(f"WHEN {hx} < '{_threshold_hex(cum)}' THEN '{name}'")
     return "CASE " + " ".join(arms) + f" ELSE '{splits[-1][0]}' END"
+
+
+def source_mixture_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    target_shares: dict[str, float] | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-source sampling multipliers that rebalance a corpus toward a
+    target token mixture — the knob a training-data pipeline turns when
+    one crawl source dominates raw token mass (a DoReMi/Pile-style
+    domain-mixing step, computed exactly from corpus stats rather than
+    learned).
+
+    For each source s: ``mix_weight = target_share(s) / actual_share(s)``
+    where actual share is s's fraction of corpus TOKENS (whitespace
+    tokenizer, the same budget unit as packing/token caps). Sampling
+    each source's documents with probability ∝ mix_weight yields the
+    target mixture in expectation. ``target_shares`` defaults to
+    uniform across observed sources; entries missing from an explicit
+    dict get weight 0.0 (dropped from the mix).
+
+    Shape: one map-side-combined (source) aggregate; the per-source
+    result (a handful of rows) gets its totals via a single-row
+    cross-broadcast — no window over the corpus, no second scan.
+
+    Output: (source, n_docs, n_tokens, token_share, mix_weight),
+    one row per source.
+    """
+    from data_pipeline_childcare_spark.functions.text import token_count
+
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").cast("double").alias("_total_tokens"),
+        F.count("*").cast("long").alias("_n_sources"),
+    )
+    joined = per_src.crossJoin(F.broadcast(totals))
+    if target_shares is None:
+        tgt = F.lit(1.0) / F.col("_n_sources")
+    else:
+        mapping = F.create_map(
+            *[F.lit(x) for kv in target_shares.items() for x in kv]
+        )
+        tgt = F.coalesce(mapping[F.col(source_col)], F.lit(0.0))
+    share = F.col("n_tokens") / F.col("_total_tokens")
+    return joined.select(
+        source_col,
+        "n_docs",
+        "n_tokens",
+        F.round(share, ndigits).alias("token_share"),
+        F.round(tgt / share, ndigits).alias("mix_weight"),
+    )

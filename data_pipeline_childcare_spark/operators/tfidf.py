@@ -174,3 +174,71 @@ def dsir_logratio_weights(
             F.round(F.col("_num") / F.col("n_tokens"), ndigits).alias("dsir_weight"),
         )
     )
+
+
+def corpus_top_vocab(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+) -> DataFrame:
+    """Top-``vocab_size`` tokens by corpus frequency → (token, freq,
+    rank). Ties break lexicographically so the cut is deterministic
+    and engine-portable. One map-side-combined (token) aggregate over
+    the exploded tokens, then a top-k — the word-count shape; the
+    ranked result is vocabulary-sized (thousands of rows), safe to
+    broadcast downstream."""
+    toks = spread_partitions(docs, id_col).select(
+        F.explode(tokenize(F.col(text_col))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # single-partition window is fine: input is already reduced to one
+    # row per distinct token, and only the top slice survives
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= vocab_size)
+        .select("token", "freq", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def doc_oov_rates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_size: int = 256,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against the corpus'
+    top-``vocab_size`` vocabulary — the tokenizer-coverage signal a
+    training pipeline checks before committing to a vocab: documents
+    with high OOV under the candidate vocabulary are the ones a
+    subword tokenizer will shred into long byte sequences.
+
+    Shape: token explode → broadcast left anti-ish join against the
+    vocabulary (vocab is top-k-bounded, always broadcastable) →
+    per-doc aggregate. Tokenization runs once; the OOV flag is
+    computed with a broadcast hash join, never a shuffle on the
+    corpus side beyond the per-doc count aggregate.
+
+    Output: (id, n_tokens, n_oov, oov_rate), one row per document
+    (zero-token documents report rate 0.0).
+    """
+    vocab = corpus_top_vocab(docs, id_col, text_col, vocab_size).select(
+        "token", F.lit(True).alias("_in_vocab")
+    )
+    toks = spread_partitions(docs, id_col).select(
+        F.col(id_col), F.explode_outer(tokenize(F.col(text_col))).alias("token")
+    )
+    flagged = toks.join(F.broadcast(vocab), "token", "left")
+    n_tok = F.count(F.col("token")).cast("long")
+    n_oov = F.sum(
+        F.when(F.col("token").isNotNull() & F.col("_in_vocab").isNull(), 1).otherwise(0)
+    ).cast("long")
+    return flagged.groupBy(id_col).agg(
+        n_tok.alias("n_tokens"),
+        n_oov.alias("n_oov"),
+        F.round(
+            F.when(n_tok > 0, n_oov / n_tok).otherwise(F.lit(0.0)), ndigits
+        ).alias("oov_rate"),
+    )

@@ -169,3 +169,83 @@ def test_dsir_weights_favor_target_lookalikes(spark):
         for r in dsir_logratio_weights(pool.repartition(7), target).collect()
     }
     assert w == w2
+
+
+def test_shared_span_pairs_exact_run(spark):
+    # doc 1 and doc 2 share a verbatim 12-token run; doc 3 is unrelated
+    run = "one two three four five six seven eight nine ten eleven twelve"
+    rows = [
+        (1, f"intro words here {run} tail a b c"),
+        (2, f"different opening {run} closing words x y"),
+        (3, "completely unrelated text with no overlap at all whatsoever here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_childcare_spark.operators.dedup import shared_span_pairs
+
+    got = shared_span_pairs(df, k=5, min_span_tokens=10).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # 12 shared tokens -> 8 shared 5-gram positions -> run of 8 -> 8+4
+    assert r["longest_span_tokens"] == 12
+    assert r["shared_positions"] == 8
+    # raising the bar above the true span suppresses the pair
+    assert shared_span_pairs(df, k=5, min_span_tokens=13).count() == 0
+
+
+def test_shared_span_pairs_max_df_cap(spark):
+    # a 5-gram present in ALL docs is boilerplate; max_df must drop it
+    boiler = "shared boilerplate footer line here"
+    rows = [(i, f"doc {i} body text number {i} {boiler}") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_childcare_spark.operators.dedup import shared_span_pairs
+
+    uncapped = shared_span_pairs(df, k=5, min_span_tokens=5)
+    capped = shared_span_pairs(df, k=5, min_span_tokens=5, max_df=3)
+    assert uncapped.count() > 0
+    assert capped.count() == 0
+
+
+def test_doc_oov_rates_vocab_cut(spark):
+    rows = [
+        (1, "aa aa aa bb bb cc"),
+        (2, "aa bb zz"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_childcare_spark.operators.tfidf import doc_oov_rates
+
+    # vocab_size=2 -> vocab {aa, bb}; cc and zz are OOV
+    got = {r["doc_id"]: r for r in doc_oov_rates(df, vocab_size=2).collect()}
+    assert (got[1]["n_tokens"], got[1]["n_oov"]) == (6, 1)
+    assert (got[2]["n_tokens"], got[2]["n_oov"]) == (3, 1)
+    assert got[2]["oov_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    # zero-token doc keeps a row with rate 0.0
+    assert (got[3]["n_tokens"], got[3]["n_oov"], got[3]["oov_rate"]) == (0, 0, 0.0)
+
+
+def test_source_mixture_weights_uniform_and_explicit(spark):
+    rows = [
+        (1, "a b c d e f", "web"),
+        (2, "a b c d e f", "web"),
+        (3, "a b c d e f g h i j k l", "web"),
+        (4, "a b c d e f g h", "books"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from data_pipeline_childcare_spark.operators.split import source_mixture_weights
+
+    got = {r["source"]: r for r in source_mixture_weights(df).collect()}
+    # web: 24 tokens of 32 -> share .75, uniform target .5 -> weight 2/3
+    assert got["web"]["n_docs"] == 3 and got["web"]["n_tokens"] == 24
+    assert got["web"]["token_share"] == pytest.approx(0.75, abs=1e-6)
+    assert got["web"]["mix_weight"] == pytest.approx(0.5 / 0.75, abs=1e-4)
+    assert got["books"]["mix_weight"] == pytest.approx(2.0, abs=1e-6)
+    # explicit targets: books 0.8 / web 0.2; missing source -> 0.0
+    exp = {
+        r["source"]: r
+        for r in source_mixture_weights(
+            df, target_shares={"books": 0.8, "wiki": 0.2}
+        ).collect()
+    }
+    assert exp["books"]["mix_weight"] == pytest.approx(0.8 / 0.25, abs=1e-4)
+    assert exp["web"]["mix_weight"] == 0.0
