@@ -2592,6 +2592,54 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(docs)
 
 
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for anchors vec_id < 3, the
+    top-5 most-cosine-similar vectors with a DIFFERENT label."""
+    from data_pipeline_childcare_spark.operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    anchors = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("anchor_vec"),
+        F.col("label").alias("anchor_label"),
+    )
+    out = hard_negative_topk(emb, anchors, k=5)
+    return out.select(
+        "anchor_id", "vec_id", "label", "cosine_sim", F.col("rank").cast("int").alias("rank")
+    )
+
+
+def lang_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by detected language: BPE-pretokenizer
+    tokens per whitespace word, aggregated per lang-id group — the
+    per-language token-budget inflation a multilingual corpus carries
+    into LLM training."""
+    from data_pipeline_childcare_spark.functions.text import (
+        bpe_like_token_count,
+        lang_guess,
+        token_count,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        lang_guess("text").alias("lang_guess"),
+        token_count("text").cast("long").alias("_ws"),
+        bpe_like_token_count("text").cast("long").alias("_bpe"),
+    )
+    sum_ws = F.sum("_ws").cast("long")
+    sum_bpe = F.sum("_bpe").cast("long")
+    return per_doc.groupBy("lang_guess").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        sum_ws.alias("ws_tokens"),
+        sum_bpe.alias("bpe_tokens"),
+        F.round(
+            F.when(sum_ws > 0, sum_bpe / sum_ws).otherwise(F.lit(0.0)), 6
+        ).alias("fertility"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -2704,6 +2752,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
+        "hard_negatives_embeddings": hard_negatives_embeddings,
+        "lang_fertility_stats": lang_fertility_stats,
         "events_stratified_sample": events_stratified_sample,
         "events_weighted_sample": events_weighted_sample,
         "docs_source_capped": docs_source_capped,
@@ -4806,6 +4856,52 @@ def oracle_sql() -> dict[str, str]:
                           THEN a.n_oov * 1.0 / a.n_tokens
                           ELSE 0.0 END, 6) AS oov_rate
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+    """
+    out["hard_negatives_embeddings"] = """
+        WITH q AS (
+            SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,
+                   label AS alabel
+            FROM embeddings WHERE vec_id < 3
+        ), c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv, label
+            FROM embeddings
+        ), scored AS (
+            SELECT q.anchor_id, c.vec_id, c.label,
+                   round(
+                       list_dot_product(c.cv, q.qv) /
+                       (sqrt(list_dot_product(c.cv, c.cv)) *
+                        sqrt(list_dot_product(q.qv, q.qv))), 6
+                   ) AS cosine_sim
+            FROM c CROSS JOIN q
+            WHERE c.label <> q.alabel AND c.vec_id <> q.anchor_id
+        )
+        SELECT anchor_id, vec_id, label, cosine_sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT anchor_id, vec_id, label, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY anchor_id ORDER BY cosine_sim DESC, vec_id
+                   ) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+    out["lang_fertility_stats"] = f"""
+        WITH q AS ({out['doc_quality_scores']}),
+        t AS (
+            SELECT doc_id,
+                   len({tokens}) AS ws,
+                   len(regexp_extract_all(text,
+                       '( ?[\\p{{L}}]+| ?[\\p{{N}}]+| ?[^\\s\\p{{L}}\\p{{N}}]+)', 1)) AS bpe
+            FROM documents
+        )
+        SELECT q.lang_guess,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(t.ws) AS BIGINT) AS ws_tokens,
+               CAST(sum(t.bpe) AS BIGINT) AS bpe_tokens,
+               round(CASE WHEN sum(t.ws) > 0
+                          THEN sum(t.bpe) * 1.0 / sum(t.ws)
+                          ELSE 0.0 END, 6) AS fertility
+        FROM q JOIN t ON t.doc_id = q.doc_id
+        GROUP BY q.lang_guess
     """
     out["source_mixture_weights"] = f"""
         WITH per AS (

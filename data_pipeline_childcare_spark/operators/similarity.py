@@ -417,3 +417,49 @@ def label_centroids(
             F.array_sort(F.collect_list(F.struct("pos", "mean_v"))), lambda s: s["mean_v"]
         ).alias("centroid")
     )
+
+
+def hard_negative_topk(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    anchor_id_col: str = "anchor_id",
+    anchor_vec_col: str = "anchor_vec",
+    anchor_label_col: str = "anchor_label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the ``k`` most-cosine-similar corpus vectors whose label DIFFERS
+    from the anchor's — the near-miss negatives that make contrastive
+    losses learn boundaries instead of memorizing easy negatives.
+
+    Same shape as :func:`cosine_topk_bruteforce` (anchors broadcast
+    against the corpus scan, one window per anchor), plus the label
+    inequality pushed into the scored projection so excluded positives
+    never reach the ranking window. ``anchors`` must be small (it is
+    crossJoin-broadcast); at corpus scale the anchor set is a batch and
+    the candidate side comes from an ANN prefilter
+    (:func:`lsh_cosine_topk` / :func:`ivf_cosine_topk`) with this same
+    label-aware rank as the verify tail.
+
+    Returns (anchor_id, vec_id, label, cosine_sim, rank).
+    """
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .filter(
+            (F.col(label_col) != F.col(anchor_label_col))
+            & (F.col(id_col) != F.col(anchor_id_col))
+        )
+        .select(
+            F.col(anchor_id_col),
+            F.col(id_col),
+            F.col(label_col),
+            F.round(cosine(F.col(vec_col), F.col(anchor_vec_col)), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

@@ -135,3 +135,19 @@ def test_simhash_properties(spark):
         hamming64(F.lit(sh[1]).cast("long"), F.lit(sh[3]).cast("long")).alias("d")
     ).first()["d"]
     assert d > 10  # unrelated text → far signature
+
+
+def test_lang_fertility_groups(spark):
+    import __spark_entry__ as entry_mod
+
+    out = {
+        r["lang_guess"]: r
+        for r in entry_mod.lang_fertility_stats(spark, "/root/testdata/sf0.001").collect()
+    }
+    # synthetic corpus is ASCII English-ish: every group's fertility
+    # (BPE-ish tokens per whitespace word) must be >= 1 whenever any
+    # words exist, and doc counts must total the corpus
+    assert sum(r["n_docs"] for r in out.values()) == 500
+    for lang, r in out.items():
+        if r["ws_tokens"] > 0:
+            assert r["fertility"] >= 1.0, (lang, r)

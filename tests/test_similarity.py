@@ -170,3 +170,25 @@ def test_embedding_cosine_dedup_ivf_recall_and_no_false_drops(spark):
     assert dropped_ivf <= dropped_exact
     recall = len(dropped_ivf) / len(dropped_exact) if dropped_exact else 1.0
     assert recall >= 0.95, f"recall {recall} ({len(dropped_ivf)}/{len(dropped_exact)})"
+
+
+def test_hard_negative_topk_label_aware(spark):
+    from data_pipeline_childcare_spark.operators.similarity import hard_negative_topk
+
+    # anchor [1,0]; same-label near-dup must be excluded, the hardest
+    # DIFFERENT-label vector (closest cosine) must rank first
+    rows = [
+        (0, [1.0, 0.0], 0),      # anchor, label 0
+        (1, [0.99, 0.01], 0),    # same label, nearly identical -> excluded
+        (2, [0.9, 0.1], 1),      # different label, very close -> rank 1
+        (3, [0.0, 1.0], 1),      # different label, orthogonal -> rank 2
+        (4, [-1.0, 0.0], 2),     # different label, opposite -> rank 3
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+    anchors = emb.filter("vec_id = 0").selectExpr(
+        "vec_id AS anchor_id", "embedding AS anchor_vec", "label AS anchor_label"
+    )
+    got = hard_negative_topk(emb, anchors, k=3).orderBy("rank").collect()
+    assert [r["vec_id"] for r in got] == [2, 3, 4]
+    assert all(r["label"] != 0 for r in got)
+    assert got[0]["cosine_sim"] > got[1]["cosine_sim"] > got[2]["cosine_sim"]
