@@ -148,8 +148,17 @@ def xpilot_retrieval(
         order_col = "rrf_score"
 
     # task list is plan metadata (a handful per request) — collecting
-    # it is not a data-path collect
-    task_order = sorted(r["task_id"] for r in tasks.select("task_id").distinct().collect())
+    # it is not a data-path collect. The guard makes MISUSE (passing a
+    # fact table as ``tasks``) fail loudly instead of silently pulling
+    # an unbounded list onto the driver and cross-joining it.
+    _MAX_TASKS = 10_000
+    task_rows = tasks.select("task_id").distinct().limit(_MAX_TASKS + 1).collect()
+    if len(task_rows) > _MAX_TASKS:
+        raise ValueError(
+            f"tasks has more than {_MAX_TASKS} distinct task_ids — this "
+            "argument is per-request plan metadata, not a data table"
+        )
+    task_order = sorted(r["task_id"] for r in task_rows)
     cand = capped.crossJoin(F.broadcast(tasks.select("task_id").distinct()))
     winners = top_k_sequential_dedup(
         cand,
