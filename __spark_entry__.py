@@ -2611,6 +2611,31 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mmr_diverse_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity-aware re-rank: cosine top-20 per anchor (vec_id < 2)
+    narrowed to 5 by Maximal Marginal Relevance (lam=0.5) — greedy
+    iterations unrolled identically in the DuckDB twin."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+        mmr_select,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = cosine_topk_bruteforce(emb, q, k=20)
+    cand = top.join(emb.select("vec_id", "embedding"), "vec_id").select(
+        "query_id",
+        "vec_id",
+        F.col("cosine_sim").alias("rel_score"),
+        "embedding",
+    )
+    return mmr_select(cand, k=5, lam=0.5)
+
+
 def lang_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer fertility by detected language: BPE-pretokenizer
     tokens per whitespace word, aggregated per lang-id group — the
@@ -2754,6 +2779,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_weights": source_mixture_weights_q,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "lang_fertility_stats": lang_fertility_stats,
+        "mmr_diverse_topk_embeddings": mmr_diverse_topk_embeddings,
         "events_stratified_sample": events_stratified_sample,
         "events_weighted_sample": events_weighted_sample,
         "docs_source_capped": docs_source_capped,
@@ -4857,6 +4883,35 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS oov_rate
         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     """
+    from data_pipeline_childcare_spark.operators.similarity import mmr_sql as _mmr_sql
+
+    _mmr_cand = """
+        WITH qv AS (
+            SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 2
+        ), cvv AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), sc AS (
+            SELECT qv.query_id, cvv.vec_id,
+                   round(
+                       list_dot_product(cvv.cv, qv.qv) /
+                       (sqrt(list_dot_product(cvv.cv, cvv.cv)) *
+                        sqrt(list_dot_product(qv.qv, qv.qv))), 6
+                   ) AS rel
+            FROM cvv CROSS JOIN qv
+            WHERE qv.query_id <> cvv.vec_id
+        ), topn AS (
+            SELECT query_id, vec_id, rel,
+                   row_number() OVER (
+                       PARTITION BY query_id ORDER BY rel DESC, vec_id
+                   ) AS rk
+            FROM sc
+        )
+        SELECT t.query_id AS q, t.vec_id AS id, t.rel AS rel, c2.cv AS v
+        FROM topn t JOIN cvv c2 ON c2.vec_id = t.vec_id
+        WHERE t.rk <= 20
+    """
+    out["mmr_diverse_topk_embeddings"] = _mmr_sql(_mmr_cand, k=5, lam=0.5)
     out["hard_negatives_embeddings"] = """
         WITH q AS (
             SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS qv,

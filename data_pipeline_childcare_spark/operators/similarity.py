@@ -463,3 +463,149 @@ def hard_negative_topk(
     )
     w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def mmr_select(
+    cand: DataFrame,
+    k: int = 5,
+    lam: float = 0.5,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    rel_col: str = "rel_score",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Maximal Marginal Relevance: greedily pick ``k`` candidates per
+    query maximizing ``lam*relevance − (1−lam)*max_sim_to_selected`` —
+    the diversity-aware re-rank that stops a result list (or a
+    curated sample) from being k copies of the same near-duplicate.
+
+    Greedy steps are ``k−1`` DataFrame iterations (anti-join the
+    selected set, max-cosine against it, windowed argmax per query) —
+    the same unrolled-iteration discipline as :func:`kmeans_lite`, so
+    a SQL twin (:func:`mmr_sql`) can replay the selection exactly.
+    Candidates are rerank-cap-bounded by contract (the reference caps
+    rerank at 100), so every per-step join is small and keyed by
+    query; nothing scales with the corpus.
+
+    Determinism: relevance and similarity are rounded to ``ndigits``
+    BEFORE scoring, ties break on ascending id, and the default
+    ``lam=0.5`` keeps the score arithmetic binary-exact given equal
+    inputs (0.5* is an exponent shift), so any engine replays the
+    same picks.
+
+    Returns (query_col, id_col, mmr_rank, rel_score, mmr_score).
+    """
+    # persist the candidate projection: every greedy step re-reads it
+    # (anti-join + similarity join), and without the cut each step
+    # would re-run the candidate-generation DAG (e.g. a brute-force
+    # top-k crossJoin) from scratch — measured 25× slower at sf0.01
+    base = cand.select(
+        F.col(query_col),
+        F.col(id_col),
+        F.round(F.col(rel_col), ndigits).alias("_rel"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).persist()
+    w1 = Window.partitionBy(query_col).orderBy(F.desc("_rel"), F.col(id_col))
+    sel = (
+        base.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") == 1)
+        .select(
+            query_col,
+            id_col,
+            F.lit(1).cast("int").alias("mmr_rank"),
+            "_rel",
+            "_v",
+            F.col("_rel").alias("mmr_score"),
+        )
+    )
+    for step in range(2, k + 1):
+        rem = base.join(
+            sel.select(query_col, id_col), [query_col, id_col], "left_anti"
+        )
+        joined = rem.join(
+            sel.select(F.col(query_col), F.col("_v").alias("_sv")), query_col
+        )
+        scored = joined.groupBy(query_col, id_col).agg(
+            F.first("_rel").alias("_rel"),
+            F.first("_v").alias("_v"),
+            F.max(F.round(cosine(F.col("_v"), F.col("_sv")), ndigits)).alias("_msim"),
+        )
+        scored = scored.withColumn(
+            "_sc",
+            F.round(
+                F.lit(lam) * F.col("_rel") - F.lit(1.0 - lam) * F.col("_msim"),
+                ndigits,
+            ),
+        )
+        wp = Window.partitionBy(query_col).orderBy(F.desc("_sc"), F.col(id_col))
+        pick = (
+            scored.withColumn("_rk", F.row_number().over(wp))
+            .filter(F.col("_rk") == 1)
+            .select(
+                query_col,
+                id_col,
+                F.lit(step).cast("int").alias("mmr_rank"),
+                "_rel",
+                "_v",
+                F.col("_sc").alias("mmr_score"),
+            )
+        )
+        # cut the growing union lineage: the selected set is at most
+        # k rows per query (bounded state), and each later step joins
+        # against it twice — without the checkpoint, step i re-derives
+        # every earlier step's windows recursively
+        sel = sel.unionByName(pick).localCheckpoint(eager=False)
+    return sel.select(
+        query_col,
+        id_col,
+        "mmr_rank",
+        F.col("_rel").alias("rel_score"),
+        "mmr_score",
+    )
+
+
+def mmr_sql(cand_cte: str, k: int = 5, lam: float = 0.5, ndigits: int = 6) -> str:
+    """DuckDB twin of :func:`mmr_select` with the greedy iterations
+    unrolled (same discipline as the kmeans oracle). ``cand_cte`` must
+    select columns (q, id, rel, v DOUBLE[]) with rel already rounded
+    to ``ndigits``. Returns a complete SELECT."""
+
+    def sim(a: str, b: str) -> str:
+        return (
+            f"round(list_dot_product({a}, {b}) / "
+            f"(sqrt(list_dot_product({a}, {a})) * "
+            f"sqrt(list_dot_product({b}, {b}))), {ndigits})"
+        )
+
+    parts = [f"mmr_cand AS ({cand_cte})"]
+    parts.append(
+        "sel1 AS (SELECT q, id, rel, v, 1 AS mmr_rank, rel AS mmr_score "
+        "FROM mmr_cand QUALIFY row_number() OVER "
+        "(PARTITION BY q ORDER BY rel DESC, id) = 1)"
+    )
+    for step in range(2, k + 1):
+        union = " UNION ALL ".join(f"SELECT * FROM sel{i}" for i in range(1, step))
+        parts.append(f"selu{step} AS ({union})")
+        parts.append(
+            f"sc{step} AS (SELECT c.q, c.id, first(c.rel) AS rel, "
+            f"first(c.v) AS v, round({lam} * first(c.rel) - {1.0 - lam} * "
+            f"max({sim('c.v', 's.v')}), {ndigits}) AS sc "
+            f"FROM mmr_cand c JOIN selu{step} s ON s.q = c.q "
+            f"WHERE NOT EXISTS (SELECT 1 FROM selu{step} x "
+            f"WHERE x.q = c.q AND x.id = c.id) "
+            f"GROUP BY c.q, c.id)"
+        )
+        parts.append(
+            f"sel{step} AS (SELECT q, id, rel, v, {step} AS mmr_rank, "
+            f"sc AS mmr_score FROM sc{step} QUALIFY row_number() OVER "
+            f"(PARTITION BY q ORDER BY sc DESC, id) = 1)"
+        )
+    final_union = " UNION ALL ".join(
+        f"SELECT q, id, mmr_rank, rel, mmr_score FROM sel{i}" for i in range(1, k + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts) + " "
+        "SELECT q AS query_id, id AS vec_id, CAST(mmr_rank AS INT) AS mmr_rank, "
+        f"rel AS rel_score, mmr_score FROM ({final_union})"
+    )

@@ -192,3 +192,28 @@ def test_hard_negative_topk_label_aware(spark):
     assert [r["vec_id"] for r in got] == [2, 3, 4]
     assert all(r["label"] != 0 for r in got)
     assert got[0]["cosine_sim"] > got[1]["cosine_sim"] > got[2]["cosine_sim"]
+
+
+def test_mmr_select_diversifies(spark):
+    from data_pipeline_childcare_spark.operators.similarity import mmr_select
+
+    # candidates: two near-identical high-relevance vectors + one
+    # orthogonal mid-relevance vector. Pure relevance would rank the
+    # twin second; MMR must leapfrog the orthogonal one over it.
+    rows = [
+        (7, 1, 0.99, [1.0, 0.0]),
+        (7, 2, 0.98, [0.999, 0.01]),   # near-dup of 1
+        (7, 3, 0.50, [0.0, 1.0]),      # orthogonal
+    ]
+    cand = spark.createDataFrame(
+        rows, "query_id long, vec_id long, rel_score double, embedding array<double>"
+    )
+    got = mmr_select(cand, k=3, lam=0.5).orderBy("mmr_rank").collect()
+    assert [r["vec_id"] for r in got] == [1, 3, 2]
+    assert [r["mmr_rank"] for r in got] == [1, 2, 3]
+    # rank-1 score is raw relevance; later scores are penalized
+    assert got[0]["mmr_score"] == 0.99
+    assert got[1]["mmr_score"] < got[0]["mmr_score"]
+    # a query with fewer candidates than k yields fewer rows, no error
+    small = cand.filter("vec_id = 1")
+    assert mmr_select(small, k=3, lam=0.5).count() == 1
