@@ -33,6 +33,14 @@ CONTRACTS = {
     "events_value_quantile_sketch": (3, True, True),
     "salted_supplier_quantity": (2, True, True),
     "user_event_transitions": (2, True, True),
+    # round-4 additions: shared spans tolerates an SMJ (the shingle
+    # self-join is the scale plan when the build side outgrows the
+    # broadcast threshold); the others must stay broadcast-only
+    "doc_shared_spans": (4, False, True),
+    "doc_oov_rate": (2, True, True),
+    "source_mixture_weights": (2, True, True),
+    "lang_fertility_stats": (1, True, True),
+    "hard_negatives_embeddings": (1, True, True),
 }
 
 
