@@ -57,13 +57,14 @@ BENCH_QUERIES = [
     "hypertable_rollup_events",
 ]
 
-# 2 timed runs per query per pass × 2 passes over the whole list,
-# reporting the min of the 4 samples. Two passes separated in time beat
+# 2 timed runs per query per pass × 3 passes over the whole list,
+# reporting the min of the 6 samples. Passes separated in time beat
 # best-of-N back-to-back runs on this box: transient multi-second slow
 # windows (host-level jitter) otherwise swallow ALL of one query's
-# consecutive attempts.
+# consecutive attempts; a third pass halves the chance a slow window
+# covers every sample of some query.
 RUNS = 2
-PASSES = 2
+PASSES = 3
 
 
 def main() -> None:
