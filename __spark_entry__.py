@@ -2400,6 +2400,37 @@ def split_leakage_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pairs (portable
+    MinHash estimate ≥ 0.5) aggregated by UNORDERED source pair —
+    which crawl sources are re-crawling each other's content. The
+    curation diagnostic that tells you whether dedup budget should go
+    within-source or across; diagonal rows are within-source dup mass.
+    Canonical-mean discipline on the Jaccard average keeps the row
+    values engine- and partition-order-exact."""
+    from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_est_pairs_portable(docs, threshold=0.5)
+    src = docs.select("doc_id", "source")
+    a = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    b = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_x"),
+            F.greatest("_sa", "_sb").alias("source_y"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.round(
+                F.round(F.sum("est_jaccard"), 6) / F.count("*"), 6
+            ).alias("avg_est_jaccard"),
+        )
+    )
+
+
 def doc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pretraining corpus gate (Gopher/C4-style): token-count
     window + repetition caps + quality-score floor, evaluated on the
@@ -2765,6 +2796,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_decode_features": image_decode_features,
         "doc_train_split": doc_train_split,
         "split_leakage_pairs_docs": split_leakage_pairs_docs,
+        "source_overlap_matrix": source_overlap_matrix,
         "doc_quality_gate": doc_quality_gate,
         "doc_dsir_weights": doc_dsir_weights,
         "tuoyu_rule_filter_docs": tuoyu_rule_filter_docs,
@@ -4719,6 +4751,21 @@ def oracle_sql() -> dict[str, str]:
         JOIN splits sa ON sa.doc_id = e.id_a
         JOIN splits sb ON sb.doc_id = e.id_b
         WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+    """
+    out["source_overlap_matrix"] = f"""
+        WITH {_minhash_ctes}, prs AS (
+            SELECT e.id_a, e.id_b, e.est_jaccard,
+                   least(da.source, db.source) AS source_x,
+                   greatest(da.source, db.source) AS source_y
+            FROM est e
+            JOIN documents da ON da.doc_id = e.id_a
+            JOIN documents db ON db.doc_id = e.id_b
+            WHERE e.est_jaccard >= 0.5
+        )
+        SELECT source_x, source_y,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               round(round(sum(est_jaccard), 6) / count(*), 6) AS avg_est_jaccard
+        FROM prs GROUP BY source_x, source_y
     """
     out["dedup_keep_best_quality"] = f"""
         WITH RECURSIVE {_minhash_ctes}, prs AS (

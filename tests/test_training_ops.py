@@ -249,3 +249,18 @@ def test_source_mixture_weights_uniform_and_explicit(spark):
     }
     assert exp["books"]["mix_weight"] == pytest.approx(0.8 / 0.25, abs=1e-4)
     assert exp["web"]["mix_weight"] == 0.0
+
+
+def test_source_overlap_matrix_canonical_pairs(spark):
+    import __spark_entry__ as entry_mod
+
+    rows = entry_mod.source_overlap_matrix(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "sf0.001 corpus has near-dup pairs; matrix must be non-empty"
+    for r in rows:
+        # unordered pair canonicalization and sane averages
+        assert r["source_x"] <= r["source_y"]
+        assert r["n_pairs"] >= 1
+        assert 0.5 <= r["avg_est_jaccard"] <= 1.0
+    # no duplicate cells
+    cells = [(r["source_x"], r["source_y"]) for r in rows]
+    assert len(cells) == len(set(cells))
