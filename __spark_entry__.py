@@ -4872,7 +4872,9 @@ def oracle_sql() -> dict[str, str]:
     """
     out["doc_shared_spans"] = f"""
         WITH toks AS (
+            -- sub-k-token docs are excluded (no k-gram can attest a span)
             SELECT doc_id, {tokens} AS t FROM documents
+            WHERE len({tokens}) >= 5
         ), grams AS (
             SELECT doc_id,
                    list_transform(

@@ -625,10 +625,19 @@ def shared_span_pairs(
 
     Output: (id_a, id_b, shared_positions, longest_span_tokens),
     filtered to ``longest_span_tokens >= min_span_tokens``.
+
+    Documents with fewer than ``k`` tokens are EXCLUDED: a k-gram
+    index cannot attest any span for them (``word_ngrams`` would emit
+    a whole-text shingle, which both manufactures phantom k-token
+    "spans" between short/empty documents and — at corpus scale —
+    pairs every empty document with every other on the single
+    md5("") hot key).
     """
     from pyspark.sql import Window as W
 
-    spread = spread_partitions(df, id_col)
+    from data_pipeline_childcare_spark.functions.text import token_count
+
+    spread = spread_partitions(df, id_col).filter(token_count(F.col(text_col)) >= k)
     sh = spread.select(
         F.col(id_col),
         F.posexplode(word_ngrams(F.col(text_col), k)).alias("_pos", "_s"),

@@ -44,19 +44,32 @@ def cosine_topk_bruteforce(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    candidate_filter: Column | None = None,
+    payload_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact cosine top-k neighbors for each query vector.
 
     ``queries`` must be small (it is crossJoin-broadcast against the
-    corpus). Returns (query_id, vec_id, cosine_sim, rank). Excludes
-    self-matches when ids collide.
+    corpus). Returns (query_id, [payload_cols...,] vec_id, cosine_sim,
+    rank). Excludes self-matches when ids collide.
+
+    ``candidate_filter`` is an extra predicate over the joined
+    (corpus × query) row applied BEFORE the ranking window — the hook
+    label-aware variants (hard-negative mining) use so excluded rows
+    never consume rank positions. ``payload_cols`` are corpus columns
+    carried through to the output.
     """
-    scored = corpus.crossJoin(F.broadcast(queries)).select(
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(
+        F.col(query_id_col) != F.col(id_col)
+    )
+    if candidate_filter is not None:
+        joined = joined.filter(candidate_filter)
+    scored = joined.select(
         F.col(query_id_col),
         F.col(id_col),
+        *[F.col(c) for c in payload_cols],
         F.round(cosine(F.col(vec_col), F.col(query_vec_col)), 6).alias("cosine_sim"),
     )
-    scored = scored.filter(F.col(query_id_col) != F.col(id_col))
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -435,34 +448,29 @@ def hard_negative_topk(
     from the anchor's — the near-miss negatives that make contrastive
     losses learn boundaries instead of memorizing easy negatives.
 
-    Same shape as :func:`cosine_topk_bruteforce` (anchors broadcast
-    against the corpus scan, one window per anchor), plus the label
-    inequality pushed into the scored projection so excluded positives
-    never reach the ranking window. ``anchors`` must be small (it is
-    crossJoin-broadcast); at corpus scale the anchor set is a batch and
-    the candidate side comes from an ANN prefilter
+    Delegates to :func:`cosine_topk_bruteforce` (one scored-topk
+    implementation to keep rounding/tie-break/self-exclusion in sync)
+    with the label inequality as the pre-window candidate filter, so
+    excluded positives never consume rank positions. ``anchors`` must
+    be small (it is crossJoin-broadcast); at corpus scale the anchor
+    set is a batch and the candidate side comes from an ANN prefilter
     (:func:`lsh_cosine_topk` / :func:`ivf_cosine_topk`) with this same
     label-aware rank as the verify tail.
 
     Returns (anchor_id, vec_id, label, cosine_sim, rank).
     """
-    scored = (
-        corpus.crossJoin(F.broadcast(anchors))
-        .filter(
-            (F.col(label_col) != F.col(anchor_label_col))
-            & (F.col(id_col) != F.col(anchor_id_col))
-        )
-        .select(
-            F.col(anchor_id_col),
-            F.col(id_col),
-            F.col(label_col),
-            F.round(cosine(F.col(vec_col), F.col(anchor_vec_col)), 6).alias(
-                "cosine_sim"
-            ),
-        )
+    out = cosine_topk_bruteforce(
+        corpus,
+        anchors,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        query_id_col=anchor_id_col,
+        query_vec_col=anchor_vec_col,
+        candidate_filter=F.col(label_col) != F.col(anchor_label_col),
+        payload_cols=(label_col,),
     )
-    w = Window.partitionBy(anchor_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return out.select(anchor_id_col, id_col, label_col, "cosine_sim", "rank")
 
 
 def mmr_select(
@@ -554,15 +562,26 @@ def mmr_select(
         # cut the growing union lineage: the selected set is at most
         # k rows per query (bounded state), and each later step joins
         # against it twice — without the checkpoint, step i re-derives
-        # every earlier step's windows recursively
-        sel = sel.unionByName(pick).localCheckpoint(eager=False)
-    return sel.select(
+        # every earlier step's windows recursively. Eager, so the
+        # final checkpoint materializes while base is still cached
+        # and the returned plan no longer references base at all.
+        # localCheckpoint blocks are executor-local (not recomputable
+        # after executor loss) — acceptable for this request-scale,
+        # seconds-long selection; a long-lived pipeline stage should
+        # write the selection out instead.
+        sel = sel.unionByName(pick).localCheckpoint(eager=True)
+    out = sel.select(
         query_col,
         id_col,
         "mmr_rank",
         F.col("_rel").alias("rel_score"),
         "mmr_score",
     )
+    # the checkpointed selection no longer needs the candidate cache;
+    # without this, every mmr_select call would leave a persisted
+    # DataFrame registered for the session's lifetime
+    base.unpersist(blocking=False)
+    return out
 
 
 def mmr_sql(cand_cte: str, k: int = 5, lam: float = 0.5, ndigits: int = 6) -> str:

@@ -217,8 +217,12 @@ def source_mixture_weights(
     tokenizer, the same budget unit as packing/token caps). Sampling
     each source's documents with probability ∝ mix_weight yields the
     target mixture in expectation. ``target_shares`` defaults to
-    uniform across observed sources; entries missing from an explicit
-    dict get weight 0.0 (dropped from the mix).
+    uniform across observed sources. An explicit dict is RENORMALIZED
+    over the sources actually present in the corpus — target mass
+    assigned to an absent source cannot be realized by any sampling
+    scheme, so silently keeping it would make the emitted weights sum
+    to a mixture that is not the stated target. Observed sources
+    missing from the dict get weight 0.0 (dropped from the mix).
 
     Shape: one map-side-combined (source) aggregate; the per-source
     result (a handful of rows) gets its totals via a single-row
@@ -237,14 +241,25 @@ def source_mixture_weights(
         F.sum("n_tokens").cast("double").alias("_total_tokens"),
         F.count("*").cast("long").alias("_n_sources"),
     )
-    joined = per_src.crossJoin(F.broadcast(totals))
     if target_shares is None:
+        joined = per_src.crossJoin(F.broadcast(totals))
         tgt = F.lit(1.0) / F.col("_n_sources")
     else:
         mapping = F.create_map(
             *[F.lit(x) for kv in target_shares.items() for x in kv]
         )
-        tgt = F.coalesce(mapping[F.col(source_col)], F.lit(0.0))
+        raw_tgt = F.coalesce(mapping[F.col(source_col)], F.lit(0.0))
+        with_tgt = per_src.withColumn("_raw_tgt", raw_tgt)
+        # renormalize over OBSERVED sources (see docstring)
+        totals = with_tgt.agg(
+            F.sum("n_tokens").cast("double").alias("_total_tokens"),
+            F.count("*").cast("long").alias("_n_sources"),
+            F.sum("_raw_tgt").alias("_tgt_mass"),
+        )
+        joined = with_tgt.crossJoin(F.broadcast(totals))
+        tgt = F.when(
+            F.col("_tgt_mass") > 0, F.col("_raw_tgt") / F.col("_tgt_mass")
+        ).otherwise(F.lit(0.0))
     share = F.col("n_tokens") / F.col("_total_tokens")
     return joined.select(
         source_col,

@@ -215,11 +215,15 @@ def doc_oov_rates(
     with high OOV under the candidate vocabulary are the ones a
     subword tokenizer will shred into long byte sequences.
 
-    Shape: token explode → broadcast left anti-ish join against the
-    vocabulary (vocab is top-k-bounded, always broadcastable) →
-    per-doc aggregate. Tokenization runs once; the OOV flag is
-    computed with a broadcast hash join, never a shuffle on the
-    corpus side beyond the per-doc count aggregate.
+    Shape: two corpus passes — a vocabulary pass (token explode →
+    (token) aggregate → top-V cut) and a scoring pass (token explode →
+    broadcast join against the vocab → per-doc aggregate). The two
+    passes are inherent to the algorithm (the vocabulary must be
+    complete before any document can be scored); at scale, cache the
+    tokenized projection or reuse a vocabulary computed by an earlier
+    pipeline stage to pay tokenization once. The vocab is
+    top-V-bounded, so the scoring join is ALWAYS a broadcast — the
+    only corpus-side shuffle is the per-doc count aggregate.
 
     Output: (id, n_tokens, n_oov, oov_rate), one row per document
     (zero-token documents report rate 0.0).

@@ -240,15 +240,27 @@ def test_source_mixture_weights_uniform_and_explicit(spark):
     assert got["web"]["token_share"] == pytest.approx(0.75, abs=1e-6)
     assert got["web"]["mix_weight"] == pytest.approx(0.5 / 0.75, abs=1e-4)
     assert got["books"]["mix_weight"] == pytest.approx(2.0, abs=1e-6)
-    # explicit targets: books 0.8 / web 0.2; missing source -> 0.0
+    # explicit targets: wiki is absent from the corpus, so its 0.2
+    # target mass is renormalized away — books' realizable target
+    # becomes 0.8/0.8 = 1.0; web (not in the dict) is dropped
     exp = {
         r["source"]: r
         for r in source_mixture_weights(
             df, target_shares={"books": 0.8, "wiki": 0.2}
         ).collect()
     }
-    assert exp["books"]["mix_weight"] == pytest.approx(0.8 / 0.25, abs=1e-4)
+    assert exp["books"]["mix_weight"] == pytest.approx(1.0 / 0.25, abs=1e-4)
     assert exp["web"]["mix_weight"] == 0.0
+    # an explicit dict covering every observed source with mass 1.0
+    # is unaffected by renormalization
+    exact = {
+        r["source"]: r
+        for r in source_mixture_weights(
+            df, target_shares={"books": 0.25, "web": 0.75}
+        ).collect()
+    }
+    assert exact["books"]["mix_weight"] == pytest.approx(0.25 / 0.25, abs=1e-4)
+    assert exact["web"]["mix_weight"] == pytest.approx(0.75 / 0.75, abs=1e-4)
 
 
 def test_source_overlap_matrix_canonical_pairs(spark):
@@ -264,3 +276,13 @@ def test_source_overlap_matrix_canonical_pairs(spark):
     # no duplicate cells
     cells = [(r["source_x"], r["source_y"]) for r in rows]
     assert len(cells) == len(set(cells))
+
+
+def test_shared_span_pairs_excludes_sub_k_docs(spark):
+    # empty and sub-k docs must produce NO phantom spans (a k-gram
+    # index cannot attest any span for them), even at min_span == k
+    rows = [(1, ""), (2, ""), (3, "ab cd"), (4, "ab cd")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from data_pipeline_childcare_spark.operators.dedup import shared_span_pairs
+
+    assert shared_span_pairs(df, k=5, min_span_tokens=5).count() == 0
