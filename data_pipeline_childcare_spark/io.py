@@ -85,8 +85,27 @@ def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     A small parquet file arrives as ONE partition and serializes the
     whole pipeline behind one core; at real scale inputs already carry
     enough partitions and this is a no-op (no shuffle inserted).
+
+    If the input plan already contains a repartitioning shuffle, its
+    partition count is governed by shuffle config and this is a no-op
+    decided STATICALLY — probing ``df.rdd`` there would be worse than
+    redundant: materializing the RDD of a shuffle-bearing plan under
+    AQE EXECUTES the upstream shuffle eagerly at plan-build time and
+    throws the result away (observed as phantom Spark jobs during
+    pure plan construction). The RDD partition probe only runs for
+    shuffle-free plans (bare scans), where it is a metadata read.
     """
+    import re
+
     target = df.sparkSession.sparkContext.defaultParallelism
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    if re.search(
+        r"Exchange (hashpartitioning|roundrobinpartitioning|rangepartitioning)"
+        r"|AQEShuffleRead",
+        plan,
+        re.IGNORECASE,
+    ):
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)

@@ -63,6 +63,15 @@ def test_no_driver_actions_while_building_plans(spark):
     hidden .collect()/.count() inside a query builder would register
     a job in the tracked group and fail here."""
     sc = spark.sparkContext
+    # warm the memoized table loaders OUTSIDE the tracked group: the
+    # FIRST parquet read of a table runs footer/schema-discovery jobs
+    # (scan metadata, not data actions), which made this test
+    # order-dependent — green after any test that touched the tables,
+    # red standalone
+    import data_pipeline_childcare_spark as eng
+
+    for t in eng.io.TESTDATA_TABLES:
+        entry_mod._t(spark, SF, t).columns
     group = "plan-build-audit"
     sc.setJobGroup(group, "plan construction must not execute")
     try:
