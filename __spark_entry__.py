@@ -2594,6 +2594,57 @@ def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X-Pilot RAG lifecycle END-TO-END (SURVEY §3.3, reference
+    retrieve.py:1713-1808): per-query ranking → RRF fusion (payload
+    first-seen-by-best-rank) → rerank-cap → reference-faithful
+    SEQUENTIAL per-task top-k with global dedup (task i's picks are
+    invisible to task i+1, retrieve.py:335-387) → db→doc rollup with
+    score-ordered blocks, exploded flat so the block ORDER itself is
+    hash-verified. Inputs are synthesized deterministically from
+    documents.doc_id: 60 chunks, two retrieval lists (two-term RRF
+    sums are commutative, hence bit-exact in any summation order and
+    any engine), three tasks, top_k=4. The DuckDB twin unrolls the
+    three sequential dedup rounds."""
+    from data_pipeline_childcare_spark.plans.retrieval import xpilot_retrieval
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+    qdf = spark.range(2).select(F.col("id").cast("long").alias("q"))
+    retrieved = (
+        docs.crossJoin(qdf)
+        .filter(((F.col("doc_id") + F.col("q")) % 3) != 0)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("doc_id").alias("chunk_id"),
+            F.round(
+                ((F.col("doc_id") * 7 + F.col("q") * 13) % 101) / F.lit(101.0), 6
+            ).alias("score"),
+            (F.col("doc_id") % 4).alias("database_id"),
+            (F.col("doc_id") % 10).alias("document_id"),
+            F.col("doc_id").alias("position"),
+            F.concat(F.lit("c"), F.col("doc_id")).alias("content"),
+        )
+    )
+    tasks = spark.createDataFrame([("t0",), ("t1",), ("t2",)], "task_id string")
+    rolled = xpilot_retrieval(retrieved, tasks, top_k=4)
+    return rolled.select(
+        "task_id",
+        F.col("database_id").cast("long").alias("database_id"),
+        F.col("document_id").cast("long").alias("document_id"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.posexplode("content_blocks").alias("_i", "_b"),
+    ).select(
+        "task_id",
+        "database_id",
+        "document_id",
+        (F.col("_i") + 1).cast("long").alias("block_idx"),
+        F.col("_b.chunk_id").alias("chunk_id"),
+        F.round(-F.col("_b.neg_score"), 8).alias("rrf_score"),
+        F.col("_b.content").alias("content"),
+        "n_blocks",
+    )
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -2806,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_quality": dedup_keep_best_quality,
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
+        "xpilot_retrieval_docs": xpilot_retrieval_docs,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -4869,6 +4921,63 @@ def oracle_sql() -> dict[str, str]:
         FROM q
         JOIN r ON r.doc_id = q.doc_id
         JOIN tk ON tk.doc_id = q.doc_id
+    """
+    out["xpilot_retrieval_docs"] = """
+        WITH retrieved AS (
+            SELECT q.q AS query_id, d.doc_id AS chunk_id,
+                   round(((d.doc_id * 7 + q.q * 13) % 101) / 101.0, 6) AS score,
+                   d.doc_id % 4 AS database_id, d.doc_id % 10 AS document_id,
+                   d.doc_id AS position, 'c' || d.doc_id AS content
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+            CROSS JOIN (VALUES (0), (1)) q(q)
+            WHERE (d.doc_id + q.q) % 3 <> 0
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, chunk_id
+                   ) AS rank
+            FROM retrieved
+        ), fused AS (
+            -- payload cols are functions of chunk_id (constant across
+            -- lists), so min() == first-seen-by-best-rank
+            SELECT chunk_id, sum(1.0 / (60 + rank)) AS rrf_score,
+                   min(database_id) AS database_id,
+                   min(document_id) AS document_id,
+                   min(position) AS position, min(content) AS content
+            FROM ranked GROUP BY chunk_id
+        ), s0 AS (
+            SELECT * FROM fused
+            QUALIFY row_number() OVER (ORDER BY rrf_score DESC, chunk_id) <= 4
+        ), r1 AS (
+            SELECT * FROM fused
+            WHERE chunk_id NOT IN (SELECT chunk_id FROM s0)
+        ), s1 AS (
+            SELECT * FROM r1
+            QUALIFY row_number() OVER (ORDER BY rrf_score DESC, chunk_id) <= 4
+        ), r2 AS (
+            SELECT * FROM r1
+            WHERE chunk_id NOT IN (SELECT chunk_id FROM s1)
+        ), s2 AS (
+            SELECT * FROM r2
+            QUALIFY row_number() OVER (ORDER BY rrf_score DESC, chunk_id) <= 4
+        ), win AS (
+            SELECT 't0' AS task_id, * FROM s0
+            UNION ALL SELECT 't1' AS task_id, * FROM s1
+            UNION ALL SELECT 't2' AS task_id, * FROM s2
+        )
+        SELECT task_id,
+               CAST(database_id AS BIGINT) AS database_id,
+               CAST(document_id AS BIGINT) AS document_id,
+               CAST(row_number() OVER (
+                   PARTITION BY task_id, database_id, document_id
+                   ORDER BY rrf_score DESC, position, content, chunk_id
+               ) AS BIGINT) AS block_idx,
+               chunk_id,
+               round(rrf_score, 8) AS rrf_score,
+               content,
+               CAST(count(*) OVER (
+                   PARTITION BY task_id, database_id, document_id
+               ) AS BIGINT) AS n_blocks
+        FROM win
     """
     out["doc_shared_spans"] = f"""
         WITH toks AS (
