@@ -2645,6 +2645,63 @@ def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X-Pilot path WITH the rerank stage engaged (W3): a
+    deterministic stand-in scorer (position-biased adjustment of the
+    RRF score — the dataflow of a cross-encoder without the model)
+    reorders the capped candidates; distribution and rollup then rank
+    on rerank_score. Proves the rerank plumbing end-to-end against a
+    twin that applies the same formula."""
+    from data_pipeline_childcare_spark.plans.retrieval import xpilot_retrieval
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+    qdf = spark.range(2).select(F.col("id").cast("long").alias("q"))
+    retrieved = (
+        docs.crossJoin(qdf)
+        .filter(((F.col("doc_id") + F.col("q")) % 3) != 0)
+        .select(
+            F.col("q").alias("query_id"),
+            F.col("doc_id").alias("chunk_id"),
+            F.round(
+                ((F.col("doc_id") * 7 + F.col("q") * 13) % 101) / F.lit(101.0), 6
+            ).alias("score"),
+            (F.col("doc_id") % 4).alias("database_id"),
+            (F.col("doc_id") % 10).alias("document_id"),
+            F.col("doc_id").alias("position"),
+            F.concat(F.lit("c"), F.col("doc_id")).alias("content"),
+        )
+    )
+    tasks = spark.createDataFrame([("t0",), ("t1",), ("t2",)], "task_id string")
+
+    def scorer(capped: DataFrame) -> DataFrame:
+        return capped.withColumn(
+            "rerank_score",
+            F.round(
+                F.round(F.col("rrf_score"), 8)
+                + ((F.col("position") % 7) - 3) / F.lit(100.0),
+                8,
+            ),
+        )
+
+    rolled = xpilot_retrieval(retrieved, tasks, rerank_scorer=scorer, top_k=4)
+    return rolled.select(
+        "task_id",
+        F.col("database_id").cast("long").alias("database_id"),
+        F.col("document_id").cast("long").alias("document_id"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        F.posexplode("content_blocks").alias("_i", "_b"),
+    ).select(
+        "task_id",
+        "database_id",
+        "document_id",
+        (F.col("_i") + 1).cast("long").alias("block_idx"),
+        F.col("_b.chunk_id").alias("chunk_id"),
+        F.round(-F.col("_b.neg_score"), 8).alias("rerank_score"),
+        F.col("_b.content").alias("content"),
+        "n_blocks",
+    )
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -2858,6 +2915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": doc_repetition_stats,
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "xpilot_retrieval_docs": xpilot_retrieval_docs,
+        "xpilot_retrieval_reranked_docs": xpilot_retrieval_reranked_docs,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -4973,6 +5031,66 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS block_idx,
                chunk_id,
                round(rrf_score, 8) AS rrf_score,
+               content,
+               CAST(count(*) OVER (
+                   PARTITION BY task_id, database_id, document_id
+               ) AS BIGINT) AS n_blocks
+        FROM win
+    """
+    out["xpilot_retrieval_reranked_docs"] = """
+        WITH retrieved AS (
+            SELECT q.q AS query_id, d.doc_id AS chunk_id,
+                   round(((d.doc_id * 7 + q.q * 13) % 101) / 101.0, 6) AS score,
+                   d.doc_id % 4 AS database_id, d.doc_id % 10 AS document_id,
+                   d.doc_id AS position, 'c' || d.doc_id AS content
+            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+            CROSS JOIN (VALUES (0), (1)) q(q)
+            WHERE (d.doc_id + q.q) % 3 <> 0
+        ), ranked AS (
+            SELECT *, row_number() OVER (
+                       PARTITION BY query_id ORDER BY score DESC, chunk_id
+                   ) AS rank
+            FROM retrieved
+        ), fused AS (
+            SELECT chunk_id, sum(1.0 / (60 + rank)) AS rrf_score,
+                   min(database_id) AS database_id,
+                   min(document_id) AS document_id,
+                   min(position) AS position, min(content) AS content
+            FROM ranked GROUP BY chunk_id
+        ), rr AS (
+            SELECT chunk_id, database_id, document_id, position, content,
+                   round(round(rrf_score, 8)
+                         + ((position % 7) - 3) / 100.0, 8) AS rerank_score
+            FROM fused
+        ), s0 AS (
+            SELECT * FROM rr
+            QUALIFY row_number() OVER (ORDER BY rerank_score DESC, chunk_id) <= 4
+        ), r1 AS (
+            SELECT * FROM rr
+            WHERE chunk_id NOT IN (SELECT chunk_id FROM s0)
+        ), s1 AS (
+            SELECT * FROM r1
+            QUALIFY row_number() OVER (ORDER BY rerank_score DESC, chunk_id) <= 4
+        ), r2 AS (
+            SELECT * FROM r1
+            WHERE chunk_id NOT IN (SELECT chunk_id FROM s1)
+        ), s2 AS (
+            SELECT * FROM r2
+            QUALIFY row_number() OVER (ORDER BY rerank_score DESC, chunk_id) <= 4
+        ), win AS (
+            SELECT 't0' AS task_id, * FROM s0
+            UNION ALL SELECT 't1' AS task_id, * FROM s1
+            UNION ALL SELECT 't2' AS task_id, * FROM s2
+        )
+        SELECT task_id,
+               CAST(database_id AS BIGINT) AS database_id,
+               CAST(document_id AS BIGINT) AS document_id,
+               CAST(row_number() OVER (
+                   PARTITION BY task_id, database_id, document_id
+                   ORDER BY rerank_score DESC, position, content, chunk_id
+               ) AS BIGINT) AS block_idx,
+               chunk_id,
+               round(rerank_score, 8) AS rerank_score,
                content,
                CAST(count(*) OVER (
                    PARTITION BY task_id, database_id, document_id
