@@ -2702,6 +2702,101 @@ def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def scrape_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The content-scrape lifecycle (SURVEY §3.2, reference
+    多数据源获取数据.py:1716-1819) END-TO-END: binary content →
+    Arrow-batched format-dispatched parse → noise-line cleaning
+    (P10-P12) → per-origin grouping with the success/failed/
+    partial_success status ladder (A8). Inputs synthesized from the
+    documents table: 100 fetched rows (url, origin_key, fmt, utf-8
+    bytes), with every 10th-ish row declared DOCX so the zip parser
+    raises and the error path is exercised. Output is the grouped
+    result EXPLODED flat (per-row hash check, no array-order
+    dependence) with the error projected to a boolean so the oracle
+    does not depend on Python exception strings."""
+    from data_pipeline_childcare_spark.plans.scrape import scrape_pipeline
+
+    fetched = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select(
+            F.concat(F.lit("u"), F.col("doc_id")).alias("url"),
+            F.concat(F.lit("g"), (F.col("doc_id") % 5)).alias("origin_key"),
+            F.when(F.col("doc_id") % 10 == 7, F.lit("docx"))
+            .otherwise(F.lit("txt"))
+            .alias("fmt"),
+            F.encode(F.col("text"), "utf-8").alias("content"),
+        )
+    )
+    grouped = scrape_pipeline(fetched)
+    return grouped.select(
+        "origin_key",
+        F.col("n_total").cast("long").alias("n_total"),
+        F.col("n_failed").cast("long").alias("n_failed"),
+        "status",
+        F.explode("results").alias("_r"),
+    ).select(
+        "origin_key",
+        "n_total",
+        "n_failed",
+        "status",
+        F.col("_r.url").alias("url"),
+        F.col("_r.fmt").alias("fmt"),
+        F.col("_r.content").alias("content"),
+        F.col("_r.error").isNotNull().alias("failed"),
+    )
+
+
+def search_plan_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The search-link planning lifecycle (SURVEY §3.1, reference
+    多数据源获取链接.py): distinct rule×query fan-out (A10) →
+    deterministic round-robin provider assignment → filtered-query
+    assembly for an include-list strategy and a regional-pattern
+    strategy, both with after:/before: time suffixes. Pure string/
+    window plan over dimension-sized inputs — the crossJoin IS the
+    connector-stage parallelism plan."""
+    import datetime as dt
+
+    from data_pipeline_childcare_spark.plans.search_plan import (
+        SearchStrategy,
+        assign_providers,
+        build_filtered_query,
+        build_search_queries,
+    )
+
+    lq = (
+        _t(spark, sf_dir, "nation")
+        .filter(F.col("n_nationkey") < 8)
+        .select(F.col("n_name").alias("query"))
+    )
+    rs = _t(spark, sf_dir, "region").select(
+        F.concat(F.col("r_name"), F.lit(" childcare")).alias("rule_string")
+    )
+    qs = build_search_queries(lq, rs)
+    tasks = assign_providers(qs, ["searchapi", "jina", "firecrawl", "tavily"])
+    web = SearchStrategy(
+        "web", includes=["site:gov.cn", "site:edu.cn"], supports_time=True
+    )
+    regional = SearchStrategy(
+        "web", regional_patterns=["site:{scope}.gov.cn"], supports_time=True
+    )
+    after, before = dt.date(2023, 1, 1), dt.date(2024, 12, 31)
+    return tasks.select(
+        "query",
+        "provider",
+        build_filtered_query(F.col("query"), web, after=after, before=before).alias(
+            "q_web"
+        ),
+        build_filtered_query(
+            F.col("query"),
+            regional,
+            regional_scope_domain="sc",
+            after=after,
+            before=before,
+        ).alias("q_regional"),
+    )
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -2916,6 +3011,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tfidf_top_terms": doc_tfidf_top_terms,
         "xpilot_retrieval_docs": xpilot_retrieval_docs,
         "xpilot_retrieval_reranked_docs": xpilot_retrieval_reranked_docs,
+        "scrape_pipeline_docs": scrape_pipeline_docs,
+        "search_plan_queries": search_plan_queries,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -5096,6 +5193,93 @@ def oracle_sql() -> dict[str, str]:
                    PARTITION BY task_id, database_id, document_id
                ) AS BIGINT) AS n_blocks
         FROM win
+    """
+    out["scrape_pipeline_docs"] = f"""
+        WITH fetched AS (
+            SELECT doc_id, 'u' || doc_id AS url,
+                   'g' || (doc_id % 5) AS origin_key,
+                   CASE WHEN doc_id % 10 = 7 THEN 'docx' ELSE 'txt' END AS fmt,
+                   text
+            FROM documents WHERE doc_id < 100
+        ), parsed AS (
+            -- txt parse is identity below the caps; DOCX over plain
+            -- text bytes raises in the zip layer -> failed
+            SELECT *, (fmt = 'docx') AS failed FROM fetched
+        ), lines AS (
+            SELECT doc_id, u.p - 1 AS line_no, u.l AS line
+            FROM (
+                SELECT doc_id,
+                       list_transform(
+                           string_split(text, chr(10)),
+                           (x, i) -> struct_pack(p := i, l := x)
+                       ) AS ls
+                FROM parsed WHERE NOT failed
+            ), unnest(ls) AS t(u)
+        ), denoised AS (
+            SELECT * FROM lines
+            WHERE NOT (
+                regexp_matches(line, '{_NOISE_RE_SQL}')
+                OR (
+                    len(string_split_regex(line, 'https?://')) - 1 > 2
+                    AND length(line) * 1.0 /
+                        greatest(len(string_split_regex(line, 'https?://')) - 1, 1) < 30
+                )
+            )
+        ), counted AS (
+            SELECT *,
+                   count(*) OVER (PARTITION BY doc_id, line) AS line_freq,
+                   count(*) OVER (PARTITION BY doc_id) AS doc_lines
+            FROM denoised
+        ), kept AS (
+            SELECT doc_id, line_no, line FROM counted
+            WHERE NOT (doc_lines >= 20 AND length(line) < 100 AND line_freq >= 3)
+        ), cleaned AS (
+            SELECT doc_id,
+                   substring(string_agg(line, chr(10) ORDER BY line_no), 1, 80000) AS ctext
+            FROM kept GROUP BY doc_id
+        ), enriched AS (
+            SELECT p.origin_key, p.url, p.fmt,
+                   coalesce(c.ctext, '') AS content, p.failed
+            FROM parsed p LEFT JOIN cleaned c ON c.doc_id = p.doc_id
+        ), stats AS (
+            SELECT origin_key, count(*) AS n_total,
+                   sum(CASE WHEN failed THEN 1 ELSE 0 END) AS n_failed
+            FROM enriched GROUP BY origin_key
+        )
+        SELECT e.origin_key,
+               CAST(s.n_total AS BIGINT) AS n_total,
+               CAST(s.n_failed AS BIGINT) AS n_failed,
+               CASE WHEN s.n_failed = 0 THEN 'success'
+                    WHEN s.n_failed = s.n_total THEN 'failed'
+                    ELSE 'partial_success' END AS status,
+               e.url, e.fmt, e.content, e.failed
+        FROM enriched e JOIN stats s USING (origin_key)
+    """
+    out["search_plan_queries"] = """
+        WITH lq AS (
+            SELECT n_name AS query FROM nation WHERE n_nationkey < 8
+        ), rs AS (
+            SELECT r_name || ' childcare' AS rule_string FROM region
+        ), u AS (
+            SELECT DISTINCT q FROM (
+                SELECT trim(rule_string || ' ' || query) AS q
+                FROM lq CROSS JOIN rs
+                UNION ALL
+                SELECT rule_string AS q FROM rs
+            )
+        ), prov AS (
+            SELECT q AS query,
+                   row_number() OVER (ORDER BY q) - 1 AS idx
+            FROM u
+        )
+        SELECT query,
+               CASE idx % 4 WHEN 0 THEN 'searchapi' WHEN 1 THEN 'jina'
+                            WHEN 2 THEN 'firecrawl' ELSE 'tavily' END AS provider,
+               query || ' (site:gov.cn OR site:edu.cn)'
+                     || ' after:2023-01-01' || ' before:2024-12-31' AS q_web,
+               query || ' (site:sc.gov.cn)'
+                     || ' after:2023-01-01' || ' before:2024-12-31' AS q_regional
+        FROM prov
     """
     out["doc_shared_spans"] = f"""
         WITH toks AS (
