@@ -2797,6 +2797,40 @@ def search_plan_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def moe_html_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3 MOE registry HTML table scan end-to-end: synthesized pages
+    (two valid table_list rows each, plus a short-row guard case and
+    a class-less row that must NOT match) → regexp row/cell
+    extraction with tag stripping → 7-column projection → the kv RAG
+    block (moe_majors_scraper.py:55-70,149-157). All JVM regexp
+    column expressions; the twin runs the same RE2-compatible
+    patterns in DuckDB."""
+    from data_pipeline_childcare_spark.sources.moe_html import (
+        MOE_COLUMNS,
+        extract_moe_rows,
+        moe_rows_to_rag_blocks,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40).select("doc_id")
+    i = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><table>"),
+        F.lit('<tr class="table_list"><td> P'), i, F.lit(" </td><td>M0"), i,
+        F.lit("</td><td><b>Major "), i, F.lit("</b></td><td>S"), i,
+        F.lit("</td><td>School "), i, F.lit("</td><td>3</td><td></td></tr>"),
+        F.lit('<tr class="table_list"><td>x</td></tr>'),
+        F.lit("<tr><td>a</td><td>b</td><td>c</td><td>d</td><td>e</td><td>f</td><td>g</td></tr>"),
+        F.lit('<tr class="table_list"><td>P'), i, F.lit("b</td><td>M1"), i,
+        F.lit("</td><td>Major B"), i, F.lit("</td><td>T"), i,
+        F.lit("</td><td>School B"), i, F.lit("</td><td>4</td><td>note</td></tr>"),
+        F.lit("</table></html>"),
+    )
+    pages = docs.select("doc_id", html.alias("html"), F.lit(2024).alias("year"))
+    rows = extract_moe_rows(pages)
+    out = moe_rows_to_rag_blocks(rows)
+    return out.select("doc_id", *MOE_COLUMNS, "block")
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -3013,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "xpilot_retrieval_reranked_docs": xpilot_retrieval_reranked_docs,
         "scrape_pipeline_docs": scrape_pipeline_docs,
         "search_plan_queries": search_plan_queries,
+        "moe_html_scan_docs": moe_html_scan_docs,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -5280,6 +5315,58 @@ def oracle_sql() -> dict[str, str]:
                query || ' (site:sc.gov.cn)'
                      || ' after:2023-01-01' || ' before:2024-12-31' AS q_regional
         FROM prov
+    """
+    out["moe_html_scan_docs"] = """
+        WITH pages AS (
+            SELECT doc_id,
+                   '<html><table>'
+                   || '<tr class="table_list"><td> P' || doc_id
+                   || ' </td><td>M0' || doc_id
+                   || '</td><td><b>Major ' || doc_id
+                   || '</b></td><td>S' || doc_id
+                   || '</td><td>School ' || doc_id
+                   || '</td><td>3</td><td></td></tr>'
+                   || '<tr class="table_list"><td>x</td></tr>'
+                   || '<tr><td>a</td><td>b</td><td>c</td><td>d</td><td>e</td><td>f</td><td>g</td></tr>'
+                   || '<tr class="table_list"><td>P' || doc_id
+                   || 'b</td><td>M1' || doc_id
+                   || '</td><td>Major B' || doc_id
+                   || '</td><td>T' || doc_id
+                   || '</td><td>School B' || doc_id
+                   || '</td><td>4</td><td>note</td></tr>'
+                   || '</table></html>' AS html,
+                   2024 AS year
+            FROM documents WHERE doc_id < 40
+        ), rows_ AS (
+            SELECT doc_id, year,
+                   unnest(regexp_extract_all(
+                       html, '(?s)<tr[^>]*class="table_list"[^>]*>(.*?)</tr>', 1
+                   )) AS row_html
+            FROM pages
+        ), cells AS (
+            SELECT doc_id, year,
+                   list_transform(
+                       regexp_extract_all(row_html, '(?s)<td[^>]*>(.*?)</td>', 1),
+                       c -> trim(regexp_replace(c, '<[^>]+>', '', 'g'))
+                   ) AS cs
+            FROM rows_
+        ), recs AS (
+            SELECT doc_id, year,
+                   cs[1] AS province, cs[2] AS major_code, cs[3] AS major_name,
+                   cs[4] AS school_code, cs[5] AS school_name,
+                   cs[6] AS duration, cs[7] AS remark
+            FROM cells WHERE len(cs) >= 7
+        )
+        SELECT doc_id, province, major_code, major_name, school_code,
+               school_name, duration, remark,
+               '机构名称：' || school_name || chr(10)
+               || '省份：' || province || chr(10)
+               || '学校标识码：' || school_code || chr(10)
+               || '开设专业：' || major_name || ' (' || major_code || ')' || chr(10)
+               || '修业年限：' || duration || chr(10)
+               || '年份：' || year || chr(10)
+               || '备注：' || coalesce(remark, '无') AS block
+        FROM recs
     """
     out["doc_shared_spans"] = f"""
         WITH toks AS (
