@@ -2831,6 +2831,43 @@ def moe_html_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", *MOE_COLUMNS, "block")
 
 
+def markdown_image_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15/J6/P13 dataflow end-to-end: markdown image-ref extraction
+    (reading order, ≤25 cap), the case-insensitive
+    basename-sans-extension rewrite join against an uploads dim
+    (uploaded 'fig_N.png' must rewrite the doc's 'images/Fig_N.PNG'
+    ref), unmatched refs left intact, and the dead-ref strip column.
+    The DuckDB twin states the expected rewrite INDEPENDENTLY (direct
+    string construction), so a broken name-key join cannot
+    hash-match."""
+    from data_pipeline_childcare_spark.functions.markdown import (
+        drop_image_refs,
+        extract_image_refs,
+        rewrite_image_refs,
+    )
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    i = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("Intro "), i,
+        F.lit(" ![fig](images/Fig_"), i, F.lit(".PNG) middle "),
+        F.lit("![x](http://ext/keep_"), i, F.lit(".jpg) "),
+        F.lit("![dead](local/dead_"), i, F.lit(".png) end"),
+    )
+    docs = base.select("doc_id", text.alias("text"))
+    uploads = base.select(
+        F.concat(F.lit("fig_"), i, F.lit(".png")).alias("filename"),
+        F.concat(F.lit("https://cdn/f"), i, F.lit(".png")).alias("served_url"),
+    )
+    rewritten = rewrite_image_refs(docs, uploads)
+    return rewritten.select(
+        "doc_id",
+        "text",
+        F.array_join(extract_image_refs(F.col("text")), ",").alias("refs_after"),
+        drop_image_refs(F.col("text")).alias("text_stripped"),
+    )
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -3048,6 +3085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scrape_pipeline_docs": scrape_pipeline_docs,
         "search_plan_queries": search_plan_queries,
         "moe_html_scan_docs": moe_html_scan_docs,
+        "markdown_image_rewrite_docs": markdown_image_rewrite_docs,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -5315,6 +5353,34 @@ def oracle_sql() -> dict[str, str]:
                query || ' (site:sc.gov.cn)'
                      || ' after:2023-01-01' || ' before:2024-12-31' AS q_regional
         FROM prov
+    """
+    out["markdown_image_rewrite_docs"] = """
+        WITH base AS (
+            SELECT doc_id FROM documents WHERE doc_id < 50
+        ), expected AS (
+            -- the rewrite expectation stated INDEPENDENTLY: the
+            -- uploaded fig ref becomes the served URL, the external
+            -- and dead refs stay verbatim
+            SELECT doc_id,
+                   'Intro ' || doc_id
+                   || ' ![fig](https://cdn/f' || doc_id || '.png) middle '
+                   || '![x](http://ext/keep_' || doc_id || '.jpg) '
+                   || '![dead](local/dead_' || doc_id || '.png) end' AS text
+            FROM base
+        )
+        SELECT doc_id, text,
+               array_to_string(
+                   list_transform(
+                       regexp_extract_all(
+                           text, '!\\[[^\\]]*\\]\\(([^)\\s]+)[^)]*\\)', 1
+                       )[1:25],
+                       x -> x
+                   ), ','
+               ) AS refs_after,
+               regexp_replace(
+                   text, '!\\[[^\\]]*\\]\\([^)]*\\)', '', 'g'
+               ) AS text_stripped
+        FROM expected
     """
     out["moe_html_scan_docs"] = """
         WITH pages AS (
