@@ -2594,20 +2594,12 @@ def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The X-Pilot RAG lifecycle END-TO-END (SURVEY §3.3, reference
-    retrieve.py:1713-1808): per-query ranking → RRF fusion (payload
-    first-seen-by-best-rank) → rerank-cap → reference-faithful
-    SEQUENTIAL per-task top-k with global dedup (task i's picks are
-    invisible to task i+1, retrieve.py:335-387) → db→doc rollup with
-    score-ordered blocks, exploded flat so the block ORDER itself is
-    hash-verified. Inputs are synthesized deterministically from
-    documents.doc_id: 60 chunks, two retrieval lists (two-term RRF
+def _xpilot_inputs(spark: SparkSession, sf_dir: str):
+    """Deterministic (retrieved, tasks) pair shared by both X-Pilot
+    contract queries: 60 chunks, TWO retrieval lists (two-term RRF
     sums are commutative, hence bit-exact in any summation order and
-    any engine), three tasks, top_k=4. The DuckDB twin unrolls the
-    three sequential dedup rounds."""
-    from data_pipeline_childcare_spark.plans.retrieval import xpilot_retrieval
-
+    any engine), three tasks. The oracle twin's `retrieved` CTE states
+    the same formulas."""
     docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
     qdf = spark.range(2).select(F.col("id").cast("long").alias("q"))
     retrieved = (
@@ -2626,7 +2618,11 @@ def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     tasks = spark.createDataFrame([("t0",), ("t1",), ("t2",)], "task_id string")
-    rolled = xpilot_retrieval(retrieved, tasks, top_k=4)
+    return retrieved, tasks
+
+
+def _xpilot_flat(rolled: DataFrame, score_name: str) -> DataFrame:
+    """Explode the nested rollup flat so block ORDER is hash-checked."""
     return rolled.select(
         "task_id",
         F.col("database_id").cast("long").alias("database_id"),
@@ -2639,10 +2635,26 @@ def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "document_id",
         (F.col("_i") + 1).cast("long").alias("block_idx"),
         F.col("_b.chunk_id").alias("chunk_id"),
-        F.round(-F.col("_b.neg_score"), 8).alias("rrf_score"),
+        F.round(-F.col("_b.neg_score"), 8).alias(score_name),
         F.col("_b.content").alias("content"),
         "n_blocks",
     )
+
+
+def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The X-Pilot RAG lifecycle END-TO-END (SURVEY §3.3, reference
+    retrieve.py:1713-1808): per-query ranking → RRF fusion (payload
+    first-seen-by-best-rank) → rerank-cap → reference-faithful
+    SEQUENTIAL per-task top-k with global dedup (task i's picks are
+    invisible to task i+1, retrieve.py:335-387) → db→doc rollup with
+    score-ordered blocks, exploded flat so the block ORDER itself is
+    hash-verified. Inputs come from ``_xpilot_inputs`` (shared with
+    the reranked variant), top_k=4. The DuckDB twin unrolls the three
+    sequential dedup rounds."""
+    from data_pipeline_childcare_spark.plans.retrieval import xpilot_retrieval
+
+    retrieved, tasks = _xpilot_inputs(spark, sf_dir)
+    return _xpilot_flat(xpilot_retrieval(retrieved, tasks, top_k=4), "rrf_score")
 
 
 def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2654,24 +2666,7 @@ def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFram
     twin that applies the same formula."""
     from data_pipeline_childcare_spark.plans.retrieval import xpilot_retrieval
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
-    qdf = spark.range(2).select(F.col("id").cast("long").alias("q"))
-    retrieved = (
-        docs.crossJoin(qdf)
-        .filter(((F.col("doc_id") + F.col("q")) % 3) != 0)
-        .select(
-            F.col("q").alias("query_id"),
-            F.col("doc_id").alias("chunk_id"),
-            F.round(
-                ((F.col("doc_id") * 7 + F.col("q") * 13) % 101) / F.lit(101.0), 6
-            ).alias("score"),
-            (F.col("doc_id") % 4).alias("database_id"),
-            (F.col("doc_id") % 10).alias("document_id"),
-            F.col("doc_id").alias("position"),
-            F.concat(F.lit("c"), F.col("doc_id")).alias("content"),
-        )
-    )
-    tasks = spark.createDataFrame([("t0",), ("t1",), ("t2",)], "task_id string")
+    retrieved, tasks = _xpilot_inputs(spark, sf_dir)
 
     def scorer(capped: DataFrame) -> DataFrame:
         return capped.withColumn(
@@ -2683,22 +2678,9 @@ def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
 
-    rolled = xpilot_retrieval(retrieved, tasks, rerank_scorer=scorer, top_k=4)
-    return rolled.select(
-        "task_id",
-        F.col("database_id").cast("long").alias("database_id"),
-        F.col("document_id").cast("long").alias("document_id"),
-        F.col("n_blocks").cast("long").alias("n_blocks"),
-        F.posexplode("content_blocks").alias("_i", "_b"),
-    ).select(
-        "task_id",
-        "database_id",
-        "document_id",
-        (F.col("_i") + 1).cast("long").alias("block_idx"),
-        F.col("_b.chunk_id").alias("chunk_id"),
-        F.round(-F.col("_b.neg_score"), 8).alias("rerank_score"),
-        F.col("_b.content").alias("content"),
-        "n_blocks",
+    return _xpilot_flat(
+        xpilot_retrieval(retrieved, tasks, rerank_scorer=scorer, top_k=4),
+        "rerank_score",
     )
 
 
@@ -5150,8 +5132,7 @@ def oracle_sql() -> dict[str, str]:
         JOIN r ON r.doc_id = q.doc_id
         JOIN tk ON tk.doc_id = q.doc_id
     """
-    out["xpilot_retrieval_docs"] = """
-        WITH retrieved AS (
+    _xpilot_ctes = """retrieved AS (
             SELECT q.q AS query_id, d.doc_id AS chunk_id,
                    round(((d.doc_id * 7 + q.q * 13) % 101) / 101.0, 6) AS score,
                    d.doc_id % 4 AS database_id, d.doc_id % 10 AS document_id,
@@ -5172,21 +5153,26 @@ def oracle_sql() -> dict[str, str]:
                    min(document_id) AS document_id,
                    min(position) AS position, min(content) AS content
             FROM ranked GROUP BY chunk_id
-        ), s0 AS (
-            SELECT * FROM fused
-            QUALIFY row_number() OVER (ORDER BY rrf_score DESC, chunk_id) <= 4
+        )"""
+
+    def _xpilot_tail(inv: str, score: str) -> str:
+        # three sequential dedup rounds unrolled over inventory CTE
+        # `inv` ranked on `score`, then the flat block-order output
+        return f""", s0 AS (
+            SELECT * FROM {inv}
+            QUALIFY row_number() OVER (ORDER BY {score} DESC, chunk_id) <= 4
         ), r1 AS (
-            SELECT * FROM fused
+            SELECT * FROM {inv}
             WHERE chunk_id NOT IN (SELECT chunk_id FROM s0)
         ), s1 AS (
             SELECT * FROM r1
-            QUALIFY row_number() OVER (ORDER BY rrf_score DESC, chunk_id) <= 4
+            QUALIFY row_number() OVER (ORDER BY {score} DESC, chunk_id) <= 4
         ), r2 AS (
             SELECT * FROM r1
             WHERE chunk_id NOT IN (SELECT chunk_id FROM s1)
         ), s2 AS (
             SELECT * FROM r2
-            QUALIFY row_number() OVER (ORDER BY rrf_score DESC, chunk_id) <= 4
+            QUALIFY row_number() OVER (ORDER BY {score} DESC, chunk_id) <= 4
         ), win AS (
             SELECT 't0' AS task_id, * FROM s0
             UNION ALL SELECT 't1' AS task_id, * FROM s1
@@ -5197,76 +5183,28 @@ def oracle_sql() -> dict[str, str]:
                CAST(document_id AS BIGINT) AS document_id,
                CAST(row_number() OVER (
                    PARTITION BY task_id, database_id, document_id
-                   ORDER BY rrf_score DESC, position, content, chunk_id
+                   ORDER BY {score} DESC, position, content, chunk_id
                ) AS BIGINT) AS block_idx,
                chunk_id,
-               round(rrf_score, 8) AS rrf_score,
+               round({score}, 8) AS {score},
                content,
                CAST(count(*) OVER (
                    PARTITION BY task_id, database_id, document_id
                ) AS BIGINT) AS n_blocks
-        FROM win
-    """
-    out["xpilot_retrieval_reranked_docs"] = """
-        WITH retrieved AS (
-            SELECT q.q AS query_id, d.doc_id AS chunk_id,
-                   round(((d.doc_id * 7 + q.q * 13) % 101) / 101.0, 6) AS score,
-                   d.doc_id % 4 AS database_id, d.doc_id % 10 AS document_id,
-                   d.doc_id AS position, 'c' || d.doc_id AS content
-            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
-            CROSS JOIN (VALUES (0), (1)) q(q)
-            WHERE (d.doc_id + q.q) % 3 <> 0
-        ), ranked AS (
-            SELECT *, row_number() OVER (
-                       PARTITION BY query_id ORDER BY score DESC, chunk_id
-                   ) AS rank
-            FROM retrieved
-        ), fused AS (
-            SELECT chunk_id, sum(1.0 / (60 + rank)) AS rrf_score,
-                   min(database_id) AS database_id,
-                   min(document_id) AS document_id,
-                   min(position) AS position, min(content) AS content
-            FROM ranked GROUP BY chunk_id
-        ), rr AS (
+        FROM win"""
+
+    out["xpilot_retrieval_docs"] = (
+        f"WITH {_xpilot_ctes}" + _xpilot_tail("fused", "rrf_score")
+    )
+    out["xpilot_retrieval_reranked_docs"] = (
+        f"""WITH {_xpilot_ctes}, rr AS (
             SELECT chunk_id, database_id, document_id, position, content,
                    round(round(rrf_score, 8)
                          + ((position % 7) - 3) / 100.0, 8) AS rerank_score
             FROM fused
-        ), s0 AS (
-            SELECT * FROM rr
-            QUALIFY row_number() OVER (ORDER BY rerank_score DESC, chunk_id) <= 4
-        ), r1 AS (
-            SELECT * FROM rr
-            WHERE chunk_id NOT IN (SELECT chunk_id FROM s0)
-        ), s1 AS (
-            SELECT * FROM r1
-            QUALIFY row_number() OVER (ORDER BY rerank_score DESC, chunk_id) <= 4
-        ), r2 AS (
-            SELECT * FROM r1
-            WHERE chunk_id NOT IN (SELECT chunk_id FROM s1)
-        ), s2 AS (
-            SELECT * FROM r2
-            QUALIFY row_number() OVER (ORDER BY rerank_score DESC, chunk_id) <= 4
-        ), win AS (
-            SELECT 't0' AS task_id, * FROM s0
-            UNION ALL SELECT 't1' AS task_id, * FROM s1
-            UNION ALL SELECT 't2' AS task_id, * FROM s2
-        )
-        SELECT task_id,
-               CAST(database_id AS BIGINT) AS database_id,
-               CAST(document_id AS BIGINT) AS document_id,
-               CAST(row_number() OVER (
-                   PARTITION BY task_id, database_id, document_id
-                   ORDER BY rerank_score DESC, position, content, chunk_id
-               ) AS BIGINT) AS block_idx,
-               chunk_id,
-               round(rerank_score, 8) AS rerank_score,
-               content,
-               CAST(count(*) OVER (
-                   PARTITION BY task_id, database_id, document_id
-               ) AS BIGINT) AS n_blocks
-        FROM win
-    """
+        )"""
+        + _xpilot_tail("rr", "rerank_score")
+    )
     out["scrape_pipeline_docs"] = f"""
         WITH fetched AS (
             SELECT doc_id, 'u' || doc_id AS url,
@@ -5275,9 +5213,13 @@ def oracle_sql() -> dict[str, str]:
                    text
             FROM documents WHERE doc_id < 100
         ), parsed AS (
-            -- txt parse is identity below the caps; DOCX over plain
-            -- text bytes raises in the zip layer -> failed
-            SELECT *, (fmt = 'docx') AS failed FROM fetched
+            -- txt parse = decode + the 80k MAX_OUT_CHARS cap applied
+            -- BEFORE cleaning (sources/documents._parse_partition);
+            -- DOCX over plain text bytes raises in the zip layer
+            SELECT doc_id, url, origin_key, fmt,
+                   substring(text, 1, 80000) AS text,
+                   (fmt = 'docx') AS failed
+            FROM fetched
         ), lines AS (
             SELECT doc_id, u.p - 1 AS line_no, u.l AS line
             FROM (

@@ -86,25 +86,28 @@ def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     whole pipeline behind one core; at real scale inputs already carry
     enough partitions and this is a no-op (no shuffle inserted).
 
-    If the input plan already contains a repartitioning shuffle, its
-    partition count is governed by shuffle config and this is a no-op
-    decided STATICALLY — probing ``df.rdd`` there would be worse than
-    redundant: materializing the RDD of a shuffle-bearing plan under
-    AQE EXECUTES the upstream shuffle eagerly at plan-build time and
-    throws the result away (observed as phantom Spark jobs during
-    pure plan construction). The RDD partition probe only runs for
-    shuffle-free plans (bare scans), where it is a metadata read.
-    """
-    import re
+    Scope: this guard exists for RAW SCANS — call it on the loaded
+    table BEFORE composing joins/aggregations (every in-engine caller
+    does). For any plan that already contains an exchange (shuffle,
+    broadcast, or a cached relation), the decision is made STATICALLY
+    and the function is a no-op:
 
+    - probing ``df.rdd`` on such plans is not a metadata read —
+      materializing the RDD under AQE EXECUTES the upstream
+      shuffle/broadcast eagerly at plan-build time and throws the
+      result away (observed as phantom Spark jobs during pure plan
+      construction);
+    - post-shuffle partition count is OWNED by
+      ``spark.sql.shuffle.partitions`` — a session configured to 1
+      partition has asked for 1 partition, and second-guessing it
+      with an extra repartition would double-shuffle every pipeline.
+
+    The RDD partition probe therefore runs only for exchange-free
+    plans (bare scans/projections), where ``df.rdd`` is job-free.
+    """
     target = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if re.search(
-        r"Exchange (hashpartitioning|roundrobinpartitioning|rangepartitioning)"
-        r"|AQEShuffleRead",
-        plan,
-        re.IGNORECASE,
-    ):
+    if "Exchange" in plan or "AQEShuffleRead" in plan or "InMemoryTableScan" in plan:
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -18,11 +18,9 @@ import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
+from data_pipeline_childcare_spark.io import TESTDATA_TABLES as TABLES
 
 SF = "/root/testdata/sf0.001"
-TABLES = (
-    "region nation customer supplier part orders lineitem events documents embeddings".split()
-)
 
 QUERIES = [
     "parse_dates_multi",          # multi-format timestamp parsing
