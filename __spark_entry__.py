@@ -2565,6 +2565,51 @@ def streaming_hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> Data
     return finalize_rollup(spark.table(qname))
 
 
+def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second stream==batch contract row: tumbling 1-hour event-time
+    windows maintained by a REAL availableNow Structured Streaming run
+    (watermarked window state, memory sink); the oracle is the plain
+    batch SQL shared with ``windowed_event_counts``. Two independent
+    stateful-operator families (window aggregate here, bucket partials
+    in ``streaming_hypertable_rollup_events``) are thus certified
+    inside the contract surface."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.windows import windowed_event_counts
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    counted = windowed_event_counts(ev, "1 hour")
+    qname = "streaming_windowed_counts_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        counted.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -3044,6 +3089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
+        "streaming_windowed_event_counts": streaming_windowed_event_counts,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
@@ -4430,6 +4476,15 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
         """,
         "windowed_event_counts": """
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   count(*) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "streaming_windowed_event_counts": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                    time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
                    event_type,
