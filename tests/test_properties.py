@@ -169,3 +169,115 @@ class TestBloomProperty:
         bitmap = bloom_build(bdf, "k", m=512, k=3)
         kept = {r["k"] for r in bloom_prefilter(pdf, "k", bitmap, m=512, k=3).collect()}
         assert (set(build) & set(probe)) <= kept
+
+
+def _py_shared_spans(docs: dict[int, str], k: int):
+    """Brute-force reference model for shared_span_pairs: per pair,
+    positions in A whose k-gram occurs anywhere in B; max consecutive
+    run + k - 1; docs with < k tokens excluded."""
+    grams = {}
+    for i, t in docs.items():
+        toks = [w for w in t.lower().split() if w]
+        if len(toks) < k:
+            continue
+        grams[i] = [" ".join(toks[p : p + k]) for p in range(len(toks) - k + 1)]
+    out = {}
+    ids = sorted(grams)
+    for ai in range(len(ids)):
+        for bi in range(ai + 1, len(ids)):
+            a, b = ids[ai], ids[bi]
+            bset = set(grams[b])
+            pos = sorted({p for p, g in enumerate(grams[a]) if g in bset})
+            if not pos:
+                continue
+            best = run = 1
+            for x, y in zip(pos, pos[1:]):
+                run = run + 1 if y == x + 1 else 1
+                best = max(best, run)
+            out[(a, b)] = (len(pos), best + k - 1)
+    return out
+
+
+class TestSharedSpanModel:
+    @settings(max_examples=12, deadline=None)
+    @given(
+        texts=st.lists(
+            st.lists(st.sampled_from("abcde"), min_size=0, max_size=14).map(" ".join),
+            min_size=2,
+            max_size=5,
+        )
+    )
+    def test_shared_span_pairs_matches_python_model(self, spark, texts):
+        from data_pipeline_childcare_spark.operators.dedup import shared_span_pairs
+
+        docs = dict(enumerate(texts))
+        df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+        got = {
+            (r["id_a"], r["id_b"]): (r["shared_positions"], r["longest_span_tokens"])
+            for r in shared_span_pairs(df, k=3, min_span_tokens=3).collect()
+        }
+        want = _py_shared_spans(docs, k=3)
+        assert got == want, (docs, got, want)
+
+
+def _py_mmr(cand: list[tuple[int, float, list[float]]], k: int, lam: float):
+    """Greedy MMR reference model (single query). cand rows:
+    (vec_id, rel, vec); returns ordered [vec_id]."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return round(d / (na * nb), 6)
+
+    rel = {i: round(r, 6) for i, r, _ in cand}
+    vec = {i: v for i, _, v in cand}
+    rest = set(rel)
+    sel: list[int] = []
+    while rest and len(sel) < k:
+        if not sel:
+            pick = max(rest, key=lambda i: (rel[i], -i))
+        else:
+            scored = {
+                i: round(
+                    lam * rel[i]
+                    - (1 - lam) * max(cos(vec[i], vec[s]) for s in sel),
+                    6,
+                )
+                for i in rest
+            }
+            pick = max(scored, key=lambda i: (scored[i], -i))
+        sel.append(pick)
+        rest.discard(pick)
+    return sel
+
+
+class TestMmrModel:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.floats(min_value=0.05, max_value=1.0, allow_nan=False),
+                st.tuples(
+                    st.floats(min_value=-1, max_value=1, allow_nan=False),
+                    st.floats(min_value=-1, max_value=1, allow_nan=False),
+                ).filter(lambda v: abs(v[0]) + abs(v[1]) > 1e-3),
+            ),
+            min_size=1,
+            max_size=7,
+        )
+    )
+    def test_mmr_select_matches_python_model(self, spark, rows):
+        from data_pipeline_childcare_spark.operators.similarity import mmr_select
+
+        cand = [(i, rel, list(vec)) for i, (rel, vec) in enumerate(rows)]
+        df = spark.createDataFrame(
+            [(9, i, rel, vec) for i, rel, vec in cand],
+            "query_id long, vec_id long, rel_score double, embedding array<double>",
+        )
+        got = [
+            r["vec_id"]
+            for r in mmr_select(df, k=3, lam=0.5).orderBy("mmr_rank").collect()
+        ]
+        assert got == _py_mmr(cand, k=3, lam=0.5), (cand, got)
