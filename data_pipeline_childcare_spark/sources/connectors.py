@@ -703,3 +703,214 @@ def run_datasource_nodes(
                 }
             )
     return spark.createDataFrame(rows, DOCUMENT_SOURCE_SCHEMA)
+
+
+class HttpJinaSearchProvider(_HttpConnector):
+    """Real-HTTP provider for the Jina s.jina.ai SEARCH wire shape
+    (多数据源获取链接.py:878-924): POST {"q", "gl", "hl"} with Bearer
+    auth, ``Accept: application/json`` and ``X-Respond-With:
+    no-content``; parse the ``data`` list (url/title/description/
+    content), cap at ``n``, emit jina-prefixed dicts — drop-in for
+    ``FakeSearchProvider("jina")``. Same opt-in/injectable/retry
+    contract as every other Http* connector (see ``_HttpConnector``).
+    """
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://s.jina.ai/",
+        gl: str = "CN",
+        hl: str = "zh-cn",
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeSearchProvider offline")
+        self.name = "jina"
+        self.api_key = api_key
+        self.base_url = base_url
+        self.gl = gl
+        self.hl = hl
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
+
+    def _default_transport(self, url: str, payload: dict) -> dict:
+        return self._post_json(
+            url,
+            {
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+                "Accept": "application/json",
+                "X-Respond-With": "no-content",
+            },
+            payload,
+        )
+
+    def __call__(self, query: str, n: int = 5) -> list[dict]:
+        payload = {"q": query, "gl": self.gl, "hl": self.hl}
+
+        def attempt() -> list[dict]:
+            data = self._transport(self.base_url, payload)
+            out = []
+            for item in (data.get("data") or [])[:n]:
+                if not item.get("url"):
+                    continue
+                out.append(
+                    {
+                        f"{self.name}_url": item.get("url"),
+                        f"{self.name}_title": item.get("title"),
+                        f"{self.name}_snippet": item.get("description", ""),
+                        f"{self.name}_content": item.get("content", ""),
+                        "query": query,
+                    }
+                )
+            return out
+
+        return self._with_retries(
+            attempt,
+            lambda err: [
+                {
+                    f"{self.name}_error": f"request failed for '{query}': {err}",
+                    "query": query,
+                }
+            ],
+        )
+
+
+class HttpFirecrawlSearchProvider(_HttpConnector):
+    """Real-HTTP provider for the Firecrawl v2 SEARCH wire shape
+    (多数据源获取链接.py:926-954): POST {"query", "limit"} with Bearer
+    auth; parse ``data.web`` items (url/title/description/markdown),
+    emit firecrawl-prefixed dicts — drop-in for
+    ``FakeSearchProvider("firecrawl")``."""
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://api.firecrawl.dev/v2/search",
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeSearchProvider offline")
+        self.name = "firecrawl"
+        self.api_key = api_key
+        self.base_url = base_url
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
+
+    def _default_transport(self, url: str, payload: dict) -> dict:
+        return self._post_json(
+            url,
+            {
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+            },
+            payload,
+        )
+
+    def __call__(self, query: str, n: int = 5) -> list[dict]:
+        payload = {"query": query, "limit": n}
+
+        def attempt() -> list[dict]:
+            data = self._transport(self.base_url, payload)
+            out = []
+            for item in (data.get("data") or {}).get("web", []):
+                if not item.get("url"):
+                    continue
+                out.append(
+                    {
+                        f"{self.name}_url": item.get("url"),
+                        f"{self.name}_title": item.get("title"),
+                        f"{self.name}_snippet": item.get("description", ""),
+                        f"{self.name}_markdown": item.get("markdown", ""),
+                        "query": query,
+                    }
+                )
+            return out
+
+        return self._with_retries(
+            attempt,
+            lambda err: [
+                {
+                    f"{self.name}_error": f"request failed for '{query}': {err}",
+                    "query": query,
+                }
+            ],
+        )
+
+
+class HttpTavilySearchProvider(_HttpConnector):
+    """Real-HTTP provider for the Tavily SEARCH wire shape
+    (多数据源获取链接.py:956-980 uses the SDK; this speaks the REST
+    endpoint the SDK wraps): POST {"query", "search_depth": "basic",
+    "max_results"} with Bearer auth; parse ``results`` items
+    (url/title/content/score), emit tavily-prefixed dicts — drop-in
+    for ``FakeSearchProvider("tavily")``."""
+
+    def __init__(
+        self,
+        api_key: str,
+        base_url: str = "https://api.tavily.com/search",
+        search_depth: str = "basic",
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 1.0,
+        transport: Callable[[str, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not api_key:
+            raise ValueError("api_key is required — use FakeSearchProvider offline")
+        self.name = "tavily"
+        self.api_key = api_key
+        self.base_url = base_url
+        self.search_depth = search_depth
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
+
+    def _default_transport(self, url: str, payload: dict) -> dict:
+        return self._post_json(
+            url,
+            {
+                "Authorization": f"Bearer {self.api_key}",
+                "Content-Type": "application/json",
+            },
+            payload,
+        )
+
+    def __call__(self, query: str, n: int = 5) -> list[dict]:
+        payload = {
+            "query": query,
+            "search_depth": self.search_depth,
+            "max_results": n,
+        }
+
+        def attempt() -> list[dict]:
+            data = self._transport(self.base_url, payload)
+            out = []
+            for item in data.get("results", []):
+                if not item.get("url"):
+                    continue
+                out.append(
+                    {
+                        f"{self.name}_url": item.get("url"),
+                        f"{self.name}_title": item.get("title"),
+                        f"{self.name}_snippet": item.get("content", ""),
+                        f"{self.name}_score": item.get("score"),
+                        "query": query,
+                    }
+                )
+            return out
+
+        return self._with_retries(
+            attempt,
+            lambda err: [
+                {
+                    f"{self.name}_error": f"request failed for '{query}': {err}",
+                    "query": query,
+                }
+            ],
+        )

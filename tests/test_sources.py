@@ -574,3 +574,111 @@ def test_zhilian_non_numeric_page_size_degrades_to_failed():
     )
     out = s({"keywords": "k", "provinces": ["p"], "page_size": "二十"})
     assert out["status"] == "failed" and "API请求失败" in out["message"]
+
+
+def _search_provider_cases():
+    """(ctor, prefix, wire_response, expected_urls, payload_check)"""
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpFirecrawlSearchProvider,
+        HttpJinaSearchProvider,
+        HttpTavilySearchProvider,
+    )
+
+    return [
+        (
+            HttpJinaSearchProvider,
+            "jina",
+            {
+                # reference semantics cap FIRST, then drop no-url rows
+                # (多数据源获取链接.py:912 `api_results[:num_results]`)
+                "data": [
+                    {"url": "https://j.example/1", "title": "t1", "description": "d1", "content": "c1"},
+                    {"url": "https://j.example/2", "title": "t2", "description": "d2"},
+                    {"title": "past-cap, never seen"},
+                ]
+            },
+            ["https://j.example/1", "https://j.example/2"],
+            lambda p: p["q"] == "托育" and p["gl"] == "CN" and p["hl"] == "zh-cn",
+        ),
+        (
+            HttpFirecrawlSearchProvider,
+            "firecrawl",
+            {
+                "data": {
+                    "web": [
+                        {"url": "https://f.example/1", "title": "t1", "description": "d1", "markdown": "m1"},
+                        {"title": "no-url dropped"},
+                        {"url": "https://f.example/2", "title": "t2"},
+                    ]
+                }
+            },
+            ["https://f.example/1", "https://f.example/2"],
+            lambda p: p["query"] == "托育" and p["limit"] >= 1,
+        ),
+        (
+            HttpTavilySearchProvider,
+            "tavily",
+            {
+                "results": [
+                    {"url": "https://t.example/1", "title": "t1", "content": "c1", "score": 0.9},
+                    {"title": "no-url dropped"},
+                    {"url": "https://t.example/2", "title": "t2", "content": "c2", "score": 0.5},
+                ]
+            },
+            ["https://t.example/1", "https://t.example/2"],
+            lambda p: p["query"] == "托育"
+            and p["search_depth"] == "basic"
+            and p["max_results"] >= 1,
+        ),
+    ]
+
+
+def test_search_provider_family_contract_parses_wire_shapes(spark):
+    """All three remaining search providers: wire shape, no-url drop,
+    cap, and drop-in normalization through run_search_tasks."""
+    from data_pipeline_childcare_spark.sources.connectors import run_search_tasks
+
+    for ctor, prefix, wire, want_urls, payload_ok in _search_provider_cases():
+        seen = {}
+
+        def transport(url, payload, _w=wire, _ok=payload_ok, _s=seen):
+            assert _ok(payload), payload
+            _s["url"] = url
+            return _w
+
+        p = ctor(api_key="k", transport=transport)
+        raws = p("托育", 2)
+        assert [r[f"{prefix}_url"] for r in raws] == want_urls, prefix
+        assert all(r["query"] == "托育" for r in raws)
+        df = run_search_tasks(spark, [("托育", prefix, "ok1")], {prefix: p})
+        rows = df.collect()
+        assert {r["provider"] for r in rows} == {prefix}
+        assert {r["url"] for r in rows} == set(want_urls)
+
+
+def test_search_provider_family_retry_backoff_and_error_row():
+    for ctor, prefix, wire, _, _ok in _search_provider_cases():
+        calls, sleeps = [], []
+
+        def flaky(url, payload, _w=wire, _c=calls):
+            _c.append(1)
+            if len(_c) < 3:
+                raise OSError("boom")
+            return _w
+
+        p = ctor(api_key="k", transport=flaky, sleeper=sleeps.append)
+        out = p("q", 2)
+        assert len(calls) == 3 and out and f"{prefix}_url" in out[0], prefix
+        assert sleeps == [1.0, 2.0], prefix
+
+        def dead(url, payload):
+            raise OSError("down")
+
+        p2 = ctor(api_key="k", transport=dead, sleeper=lambda s: None)
+        out2 = p2("q", 1)
+        assert len(out2) == 1 and f"{prefix}_error" in out2[0], prefix
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            ctor(api_key="")
