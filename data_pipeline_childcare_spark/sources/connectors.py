@@ -914,3 +914,86 @@ class HttpTavilySearchProvider(_HttpConnector):
                 }
             ],
         )
+
+
+class HttpTuoyuRegistrySource(_HttpConnector):
+    """Real-HTTP source for the national childcare-registry pagination
+    wire shape (S1, tuoyu_scraper.py:24-97 / fast_tuoyu_scraper.py:
+    32-98): GET base_url with pageNum/pageSize/key params; the
+    response envelope is ``{"code": "000000", "responseData":
+    {"totalRecord", "totalPage", "dataList": [...]}}`` — any other
+    code is an API error. Page 1 discovers ``totalPage``; the
+    remaining pages fan out (driver-side here, matching the
+    reference; the page list is plan metadata — at most thousands of
+    integers — so partition-distributed fetch is a trivial
+    ``mapPartitions`` over it if a deployment wants it).
+
+    ``base_url`` is required explicitly: the engine never defaults to
+    network IO, and the registry endpoint stays deployment config.
+    Per-page failures degrade to an ``errors`` entry, never an
+    exception, so a multi-thousand-page crawl survives flaky pages —
+    the reference's behavior (:46-47).
+    """
+
+    def __init__(
+        self,
+        base_url: str,
+        timeout_s: float = 30.0,
+        max_retries: int = 3,
+        backoff_s: float = 0.5,
+        transport: Callable[[str, dict], dict] | None = None,
+        sleeper: Callable[[float], None] | None = None,
+    ):
+        if not base_url:
+            raise ValueError("base_url is required — the registry endpoint is deployment config")
+        self.base_url = base_url
+        self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
+
+    def _default_transport(self, url: str, params: dict) -> dict:
+        from urllib.parse import urlencode
+
+        return self._get_json(f"{url}?{urlencode(params)}")
+
+    def fetch_page(self, page_num: int, page_size: int = 10, keyword: str = "") -> dict:
+        """One page → the ``responseData`` dict. Raises after retries
+        on transport failure or a non-000000 API code."""
+        params = {"pageNum": page_num, "pageSize": page_size, "key": keyword}
+
+        def attempt() -> dict:
+            data = self._transport(self.base_url, params)
+            if data.get("code") != "000000":
+                raise ValueError(f"API error: {data.get('message')}")
+            return data.get("responseData", {})
+
+        def failure(err: Exception) -> dict:
+            raise RuntimeError(f"page {page_num} failed: {err}") from err
+
+        return self._with_retries(attempt, failure)
+
+    def scrape_all(
+        self,
+        page_size: int = 10,
+        keyword: str = "",
+        max_pages: int | None = None,
+    ) -> dict:
+        """Page-1 discovery then full fan-out. Returns
+        ``{"records", "total_record", "total_page", "errors"}``;
+        per-page failures append to ``errors`` and the crawl
+        continues."""
+        first = self.fetch_page(1, page_size, keyword)
+        total_record = first.get("totalRecord", 0)
+        total_page = first.get("totalPage", 0)
+        pages = total_page if max_pages is None else min(total_page, max_pages)
+        records = list(first.get("dataList", []))
+        errors: list[str] = []
+        for page in range(2, pages + 1):
+            try:
+                records.extend(self.fetch_page(page, page_size, keyword).get("dataList", []))
+            except Exception as e:  # noqa: BLE001 — reference logs and continues
+                errors.append(f"page {page}: {e}")
+        return {
+            "records": records,
+            "total_record": total_record,
+            "total_page": total_page,
+            "errors": errors,
+        }

@@ -682,3 +682,67 @@ def test_search_provider_family_retry_backoff_and_error_row():
 
         with _pytest.raises(ValueError):
             ctor(api_key="")
+
+
+def test_tuoyu_registry_pagination_contract(spark):
+    """S1: page-1 discovery, full fan-out, max_pages cap, per-page
+    error tolerance, API-code guard, and Spark landing."""
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpTuoyuRegistrySource,
+    )
+
+    def make_transport(fail_pages=(), bad_code_pages=()):
+        seen = []
+
+        def transport(url, params):
+            page = params["pageNum"]
+            seen.append(page)
+            if page in fail_pages:
+                raise OSError(f"page {page} down")
+            if page in bad_code_pages:
+                return {"code": "999999", "message": "rate limited"}
+            return {
+                "code": "000000",
+                "responseData": {
+                    "totalRecord": 25,
+                    "totalPage": 3,
+                    "dataList": [
+                        {"机构名称": f"园{page}-{i}", "区域编号": f"{page}{i}"}
+                        for i in range(2 if page == 3 else 10)
+                    ],
+                },
+            }
+
+        transport.seen = seen
+        return transport
+
+    t = make_transport()
+    src = HttpTuoyuRegistrySource(base_url="https://registry.example/q", transport=t)
+    out = src.scrape_all(page_size=10)
+    assert out["total_record"] == 25 and out["total_page"] == 3
+    assert len(out["records"]) == 22 and out["errors"] == []
+    assert t.seen == [1, 2, 3]
+    # records land in Spark as a normal DataFrame
+    df = spark.createDataFrame(out["records"])
+    assert df.count() == 22
+
+    # max_pages caps the fan-out
+    t2 = make_transport()
+    src2 = HttpTuoyuRegistrySource(base_url="u", transport=t2)
+    assert len(src2.scrape_all(max_pages=2)["records"]) == 20 and t2.seen == [1, 2]
+
+    # a dead middle page degrades to an errors entry, crawl continues
+    t3 = make_transport(fail_pages=(2,))
+    src3 = HttpTuoyuRegistrySource(base_url="u", transport=t3, sleeper=lambda s: None)
+    out3 = src3.scrape_all()
+    assert len(out3["records"]) == 12 and len(out3["errors"]) == 1
+
+    # non-000000 API code on page 1 raises after retries
+    t4 = make_transport(bad_code_pages=(1,))
+    src4 = HttpTuoyuRegistrySource(base_url="u", transport=t4, sleeper=lambda s: None)
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        src4.scrape_all()
+    with _pytest.raises(ValueError):
+        HttpTuoyuRegistrySource(base_url="")
