@@ -195,6 +195,41 @@ class _HttpConnector:
             with urlopen(req, timeout=self.timeout_s) as r:
                 return json.loads(r.read().decode("utf-8"))
 
+    def _search_call(
+        self,
+        query: str,
+        request: dict,
+        items: Callable[[dict], list],
+        row: Callable[[dict], dict | None],
+    ) -> list[dict]:
+        """The one __call__ skeleton every search provider shares:
+        transport(request) → ``items`` extracts the result list →
+        ``row`` maps each item to a provider-prefixed dict (None =
+        drop) → retries wrap the whole attempt → the final failure
+        degrades to the standard error row. Subclasses keep only
+        their wire shape (request/items/row), per this class's
+        contract."""
+
+        def attempt() -> list[dict]:
+            data = self._transport(self.base_url, request)
+            out = []
+            for item in items(data):
+                r = row(item)
+                if r is not None:
+                    r["query"] = query
+                    out.append(r)
+            return out
+
+        return self._with_retries(
+            attempt,
+            lambda err: [
+                {
+                    f"{self.name}_error": f"request failed for '{query}': {err}",
+                    "query": query,
+                }
+            ],
+        )
+
 
 class HttpSearchApiProvider(_HttpConnector):
     """Real-HTTP provider for the SearchAPI.io wire shape
@@ -253,31 +288,18 @@ class HttpSearchApiProvider(_HttpConnector):
             "api_key": self.api_key,
         }
 
-        def attempt() -> list[dict]:
-            data = self._transport(self.base_url, params)
-            out = []
-            for item in data.get("organic_results", []):
-                if not item.get("link"):
-                    continue
-                out.append(
-                    {
-                        f"{self.name}_url": item.get("link"),
-                        f"{self.name}_title": item.get("title"),
-                        f"{self.name}_source": item.get("source", ""),
-                        f"{self.name}_snippet": item.get("snippet", ""),
-                        "query": query,
-                    }
-                )
-            return out
-
-        return self._with_retries(
-            attempt,
-            lambda err: [
-                {
-                    f"{self.name}_error": f"request failed for '{query}': {err}",
-                    "query": query,
-                }
-            ],
+        return self._search_call(
+            query,
+            params,
+            items=lambda data: data.get("organic_results") or [],
+            row=lambda item: None
+            if not item.get("link")
+            else {
+                f"{self.name}_url": item.get("link"),
+                f"{self.name}_title": item.get("title"),
+                f"{self.name}_source": item.get("source", ""),
+                f"{self.name}_snippet": item.get("snippet", ""),
+            },
         )
 
 
@@ -721,6 +743,7 @@ class HttpJinaSearchProvider(_HttpConnector):
         base_url: str = "https://s.jina.ai/",
         gl: str = "CN",
         hl: str = "zh-cn",
+        respond_with_content: bool = False,
         timeout_s: float = 30.0,
         max_retries: int = 3,
         backoff_s: float = 1.0,
@@ -734,48 +757,42 @@ class HttpJinaSearchProvider(_HttpConnector):
         self.base_url = base_url
         self.gl = gl
         self.hl = hl
+        # the reference sends X-Respond-With: no-content AND reads the
+        # per-item content field — which that header suppresses, so
+        # live content is always "". Default mirrors the reference
+        # (cheap responses); True drops the header so content flows.
+        self.respond_with_content = respond_with_content
         self._init_http(timeout_s, max_retries, backoff_s, transport, sleeper)
 
     def _default_transport(self, url: str, payload: dict) -> dict:
-        return self._post_json(
-            url,
-            {
-                "Authorization": f"Bearer {self.api_key}",
-                "Content-Type": "application/json",
-                "Accept": "application/json",
-                "X-Respond-With": "no-content",
-            },
-            payload,
-        )
+        headers = {
+            "Authorization": f"Bearer {self.api_key}",
+            "Content-Type": "application/json",
+            "Accept": "application/json",
+        }
+        if not self.respond_with_content:
+            headers["X-Respond-With"] = "no-content"
+        return self._post_json(url, headers, payload)
 
     def __call__(self, query: str, n: int = 5) -> list[dict]:
         payload = {"q": query, "gl": self.gl, "hl": self.hl}
-
-        def attempt() -> list[dict]:
-            data = self._transport(self.base_url, payload)
-            out = []
-            for item in (data.get("data") or [])[:n]:
-                if not item.get("url"):
-                    continue
-                out.append(
-                    {
-                        f"{self.name}_url": item.get("url"),
-                        f"{self.name}_title": item.get("title"),
-                        f"{self.name}_snippet": item.get("description", ""),
-                        f"{self.name}_content": item.get("content", ""),
-                        "query": query,
-                    }
-                )
-            return out
-
-        return self._with_retries(
-            attempt,
-            lambda err: [
-                {
-                    f"{self.name}_error": f"request failed for '{query}': {err}",
-                    "query": query,
-                }
-            ],
+        # cap FIRST, then drop no-url rows — reference semantics
+        # (多数据源获取链接.py:912). jina_content mirrors the
+        # reference's field, but note the no-content request header
+        # means live calls return it empty; construct with
+        # respond_with_content=True to actually receive content.
+        return self._search_call(
+            query,
+            payload,
+            items=lambda data: (data.get("data") or [])[:n],
+            row=lambda item: None
+            if not item.get("url")
+            else {
+                f"{self.name}_url": item.get("url"),
+                f"{self.name}_title": item.get("title"),
+                f"{self.name}_snippet": item.get("description", ""),
+                f"{self.name}_content": item.get("content", ""),
+            },
         )
 
 
@@ -815,32 +832,18 @@ class HttpFirecrawlSearchProvider(_HttpConnector):
 
     def __call__(self, query: str, n: int = 5) -> list[dict]:
         payload = {"query": query, "limit": n}
-
-        def attempt() -> list[dict]:
-            data = self._transport(self.base_url, payload)
-            out = []
-            for item in (data.get("data") or {}).get("web", []):
-                if not item.get("url"):
-                    continue
-                out.append(
-                    {
-                        f"{self.name}_url": item.get("url"),
-                        f"{self.name}_title": item.get("title"),
-                        f"{self.name}_snippet": item.get("description", ""),
-                        f"{self.name}_markdown": item.get("markdown", ""),
-                        "query": query,
-                    }
-                )
-            return out
-
-        return self._with_retries(
-            attempt,
-            lambda err: [
-                {
-                    f"{self.name}_error": f"request failed for '{query}': {err}",
-                    "query": query,
-                }
-            ],
+        return self._search_call(
+            query,
+            payload,
+            items=lambda data: (data.get("data") or {}).get("web") or [],
+            row=lambda item: None
+            if not item.get("url")
+            else {
+                f"{self.name}_url": item.get("url"),
+                f"{self.name}_title": item.get("title"),
+                f"{self.name}_snippet": item.get("description", ""),
+                f"{self.name}_markdown": item.get("markdown", ""),
+            },
         )
 
 
@@ -888,31 +891,18 @@ class HttpTavilySearchProvider(_HttpConnector):
             "max_results": n,
         }
 
-        def attempt() -> list[dict]:
-            data = self._transport(self.base_url, payload)
-            out = []
-            for item in data.get("results", []):
-                if not item.get("url"):
-                    continue
-                out.append(
-                    {
-                        f"{self.name}_url": item.get("url"),
-                        f"{self.name}_title": item.get("title"),
-                        f"{self.name}_snippet": item.get("content", ""),
-                        f"{self.name}_score": item.get("score"),
-                        "query": query,
-                    }
-                )
-            return out
-
-        return self._with_retries(
-            attempt,
-            lambda err: [
-                {
-                    f"{self.name}_error": f"request failed for '{query}': {err}",
-                    "query": query,
-                }
-            ],
+        return self._search_call(
+            query,
+            payload,
+            items=lambda data: data.get("results") or [],
+            row=lambda item: None
+            if not item.get("url")
+            else {
+                f"{self.name}_url": item.get("url"),
+                f"{self.name}_title": item.get("title"),
+                f"{self.name}_snippet": item.get("content", ""),
+                f"{self.name}_score": item.get("score"),
+            },
         )
 
 
@@ -955,42 +945,55 @@ class HttpTuoyuRegistrySource(_HttpConnector):
         return self._get_json(f"{url}?{urlencode(params)}")
 
     def fetch_page(self, page_num: int, page_size: int = 10, keyword: str = "") -> dict:
-        """One page → the ``responseData`` dict. Raises after retries
-        on transport failure or a non-000000 API code."""
+        """One page → the ``responseData`` dict. Transport failures
+        retry with backoff; a non-000000 API code raises IMMEDIATELY —
+        it is a deterministic server answer (bad key, changed
+        endpoint), and re-asking the same question burns the whole
+        backoff budget for the same reply."""
         params = {"pageNum": page_num, "pageSize": page_size, "key": keyword}
-
-        def attempt() -> dict:
-            data = self._transport(self.base_url, params)
-            if data.get("code") != "000000":
-                raise ValueError(f"API error: {data.get('message')}")
-            return data.get("responseData", {})
 
         def failure(err: Exception) -> dict:
             raise RuntimeError(f"page {page_num} failed: {err}") from err
 
-        return self._with_retries(attempt, failure)
+        data = self._with_retries(
+            lambda: self._transport(self.base_url, params), failure
+        )
+        if data.get("code") != "000000":
+            raise RuntimeError(f"page {page_num} API error: {data.get('message')}")
+        return data.get("responseData", {})
 
     def scrape_all(
         self,
         page_size: int = 10,
         keyword: str = "",
         max_pages: int | None = None,
+        max_consecutive_errors: int = 10,
     ) -> dict:
         """Page-1 discovery then full fan-out. Returns
         ``{"records", "total_record", "total_page", "errors"}``;
         per-page failures append to ``errors`` and the crawl
-        continues."""
+        continues — but ``max_consecutive_errors`` failures in a row
+        abort it (a systemic outage otherwise turns a 6,000-page
+        crawl into hours of retry sleeps for an all-errors result)."""
         first = self.fetch_page(1, page_size, keyword)
         total_record = first.get("totalRecord", 0)
         total_page = first.get("totalPage", 0)
         pages = total_page if max_pages is None else min(total_page, max_pages)
         records = list(first.get("dataList", []))
         errors: list[str] = []
+        consecutive = 0
         for page in range(2, pages + 1):
             try:
                 records.extend(self.fetch_page(page, page_size, keyword).get("dataList", []))
+                consecutive = 0
             except Exception as e:  # noqa: BLE001 — reference logs and continues
-                errors.append(f"page {page}: {e}")
+                errors.append(str(e))
+                consecutive += 1
+                if consecutive >= max_consecutive_errors:
+                    errors.append(
+                        f"aborted after {consecutive} consecutive page failures"
+                    )
+                    break
         return {
             "records": records,
             "total_record": total_record,

@@ -746,3 +746,50 @@ def test_tuoyu_registry_pagination_contract(spark):
         src4.scrape_all()
     with _pytest.raises(ValueError):
         HttpTuoyuRegistrySource(base_url="")
+
+
+def test_tuoyu_registry_api_code_not_retried_and_systemic_abort():
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpTuoyuRegistrySource,
+    )
+
+    calls = []
+
+    def transport(url, params):
+        calls.append(params["pageNum"])
+        if params["pageNum"] == 1:
+            return {
+                "code": "000000",
+                "responseData": {"totalRecord": 100, "totalPage": 10, "dataList": [{"a": 1}]},
+            }
+        return {"code": "999999", "message": "key revoked"}
+
+    src = HttpTuoyuRegistrySource(base_url="u", transport=transport, sleeper=lambda s: None)
+    out = src.scrape_all(max_consecutive_errors=3)
+    # deterministic API-code errors are NOT retried: one call per page
+    assert calls == [1, 2, 3, 4]
+    # abort entry after the consecutive-error budget
+    assert len(out["errors"]) == 4 and "aborted" in out["errors"][-1]
+    assert out["records"] == [{"a": 1}]
+
+
+def test_search_providers_null_result_lists_mean_empty_not_error():
+    """An explicit JSON null result list is zero results, not a
+    retried error."""
+    for ctor, prefix, _wire, _urls, _ok in _search_provider_cases():
+        calls = []
+        null_wire = (
+            {"data": None}
+            if prefix == "jina"
+            else {"data": {"web": None}}
+            if prefix == "firecrawl"
+            else {"results": None}
+        )
+
+        def transport(url, payload, _w=null_wire, _c=calls):
+            _c.append(1)
+            return _w
+
+        p = ctor(api_key="k", transport=transport, sleeper=lambda s: None)
+        out = p("q", 3)
+        assert out == [] and len(calls) == 1, prefix
