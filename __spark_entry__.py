@@ -2895,6 +2895,41 @@ def markdown_image_rewrite_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_doc_meta_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 end-to-end: chunk rows enriched with the (database_id,
+    document_id) metadata dim via a broadcast LEFT OUTER join —
+    missing detail yields nulls (the reference's empty dict,
+    retrieve.py:241-274). Chunks synthesized from documents; the meta
+    dim deliberately covers only half the (db, doc) keys so the
+    outer-ness itself is hash-verified."""
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        enrich_chunks_with_doc_meta,
+    )
+
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    chunks = base.select(
+        F.col("doc_id").alias("chunk_id"),
+        (F.col("doc_id") % 3).alias("database_id"),
+        (F.col("doc_id") % 20).alias("document_id"),
+        F.substring("text", 1, 40).alias("content"),
+    )
+    meta = (
+        base.filter(F.col("doc_id") < 30)
+        .select(
+            (F.col("doc_id") % 3).alias("database_id"),
+            (F.col("doc_id") % 20).alias("document_id"),
+        )
+        .distinct()
+        .withColumn(
+            "doc_name",
+            F.concat(F.lit("doc-"), F.col("database_id"), F.lit("-"), F.col("document_id")),
+        )
+    )
+    return enrich_chunks_with_doc_meta(chunks, meta).select(
+        "chunk_id", "database_id", "document_id", "content", "doc_name"
+    )
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -3114,6 +3149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "search_plan_queries": search_plan_queries,
         "moe_html_scan_docs": moe_html_scan_docs,
         "markdown_image_rewrite_docs": markdown_image_rewrite_docs,
+        "chunk_doc_meta_enrichment": chunk_doc_meta_enrichment,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -5378,6 +5414,30 @@ def oracle_sql() -> dict[str, str]:
                    text, '!\\[[^\\]]*\\]\\([^)]*\\)', '', 'g'
                ) AS text_stripped
         FROM expected
+    """
+    out["chunk_doc_meta_enrichment"] = """
+        WITH base AS (
+            SELECT doc_id, substring(text, 1, 40) AS content
+            FROM documents WHERE doc_id < 200
+        ), chunks AS (
+            SELECT doc_id AS chunk_id, doc_id % 3 AS database_id,
+                   doc_id % 20 AS document_id, content
+            FROM base
+        ), meta AS (
+            SELECT DISTINCT doc_id % 3 AS database_id,
+                            doc_id % 20 AS document_id
+            FROM documents WHERE doc_id < 30
+        ), named AS (
+            SELECT database_id, document_id,
+                   'doc-' || database_id || '-' || document_id AS doc_name
+            FROM meta
+        )
+        SELECT c.chunk_id, c.database_id, c.document_id, c.content,
+               n.doc_name
+        FROM chunks c
+        LEFT JOIN named n
+          ON n.database_id = c.database_id
+         AND n.document_id = c.document_id
     """
     out["moe_html_scan_docs"] = """
         WITH pages AS (
