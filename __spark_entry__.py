@@ -2930,6 +2930,71 @@ def chunk_doc_meta_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _video_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One deterministic 3-scene script JSON per doc_id < 30: scene 0
+    has an estimated duration + knowledge, scene 1 is an 'ending' with
+    a RELATIVE subtitle and the duration fallback, scene 2 has a
+    zero estimate (fallback to duration) and a bare subtitle field —
+    exercising every fallback chain in the outline/subtitle math."""
+    base = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 30)
+    i = F.col("doc_id")
+    d0 = (i % 7 + 3).cast("double").cast("string")
+    d1 = (i % 5 + 2).cast("double").cast("string")
+    d2 = (i % 4 + 1).cast("double").cast("string")
+    js = F.concat(
+        F.lit('{"scenes": [{"id": "s0", "title": "T'), i.cast("string"),
+        F.lit('", "estimated_duration_seconds": '), d0,
+        F.lit(', "scene_knowledge": "k"}, '),
+        F.lit('{"id": "s1", "type": "ending", "title": "", "duration": '), d1,
+        F.lit(', "subtitles": [{"id": "u1", "start_time_seconds": 1.5, '
+              '"end_time_seconds": 3.0, "text": "x"}], "target": "t"}, '),
+        F.lit('{"id": "s2", "estimated_duration_seconds": 0, "duration": '), d2,
+        F.lit(', "subtitle": "sub"}]}'),
+    )
+    return base.select(
+        F.concat(F.lit("v"), i.cast("string")).alias("video_id"), js.alias("script")
+    )
+
+
+def video_timeline_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dify_transformation outline lifecycle (A9) end-to-end:
+    script JSON → typed scenes → cumulative running-sum timeline with
+    MM:SS formatting and the reference's title/description/duration
+    fallback chains — against a twin that states the expected rows
+    independently."""
+    from data_pipeline_childcare_spark.operators.timeline import (
+        outline,
+        scenes_from_json,
+    )
+
+    sc = scenes_from_json(_video_scripts(spark, sf_dir), "script")
+    return outline(sc).select(
+        "video_id",
+        "id",
+        F.col("index").cast("int").alias("index"),
+        "title",
+        "description",
+        "duration",
+        "startTime",
+        "endTime",
+        "raw_duration",
+    )
+
+
+def video_subtitles_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5 subtitle absolute-time repair end-to-end: the synthesized
+    scene-1 subtitle is RELATIVE (raw start 1.5 < its scene's absolute
+    start), so it must shift by the scene offset and keep its
+    duration."""
+    from data_pipeline_childcare_spark.operators.timeline import (
+        scenes_from_json,
+        subtitles,
+    )
+
+    sc = scenes_from_json(_video_scripts(spark, sf_dir), "script")
+    return subtitles(sc)
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -3150,6 +3215,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "moe_html_scan_docs": moe_html_scan_docs,
         "markdown_image_rewrite_docs": markdown_image_rewrite_docs,
         "chunk_doc_meta_enrichment": chunk_doc_meta_enrichment,
+        "video_timeline_outline": video_timeline_outline,
+        "video_subtitles_repair": video_subtitles_repair,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -5414,6 +5481,54 @@ def oracle_sql() -> dict[str, str]:
                    text, '!\\[[^\\]]*\\]\\([^)]*\\)', '', 'g'
                ) AS text_stripped
         FROM expected
+    """
+    out["video_timeline_outline"] = """
+        WITH base AS (
+            SELECT doc_id,
+                   CAST(doc_id % 7 + 3 AS DOUBLE) AS d0,
+                   CAST(doc_id % 5 + 2 AS DOUBLE) AS d1,
+                   CAST(doc_id % 4 + 1 AS DOUBLE) AS d2
+            FROM documents WHERE doc_id < 30
+        ), sc AS (
+            SELECT 'v' || doc_id AS video_id, 1 AS idx, 's0' AS id,
+                   'T' || doc_id AS title, 'k' AS description,
+                   d0 AS dur, 0.0 AS start_s
+            FROM base
+            UNION ALL
+            SELECT 'v' || doc_id, 2, 's1', 'Ending', 't', d1, d0 FROM base
+            UNION ALL
+            SELECT 'v' || doc_id, 3, 's2', '场景 3', 'sub', d2, d0 + d1
+            FROM base
+        )
+        SELECT video_id, id, CAST(idx AS INT) AS "index", title,
+               description,
+               CAST(dur AS VARCHAR) || 's' AS duration,
+               printf('%02d:%02d',
+                      CAST(floor(start_s) AS INT) // 60,
+                      CAST(floor(start_s) AS INT) % 60) AS startTime,
+               printf('%02d:%02d',
+                      CAST(floor(start_s + dur) AS INT) // 60,
+                      CAST(floor(start_s + dur) AS INT) % 60) AS endTime,
+               dur AS raw_duration
+        FROM sc
+    """
+    out["video_subtitles_repair"] = """
+        WITH base AS (
+            SELECT doc_id, CAST(doc_id % 7 + 3 AS DOUBLE) AS d0
+            FROM documents WHERE doc_id < 30
+        )
+        -- the only subtitle lives in scene 1 (absolute start = d0);
+        -- raw 1.5 < d0 so it is relative: start = d0 + 1.5, and the
+        -- positive raw duration (1.5s) is preserved
+        SELECT 'v' || doc_id AS video_id, 'u1' AS id,
+               printf('%02d:%02d',
+                      CAST(floor(d0 + 1.5) AS INT) // 60,
+                      CAST(floor(d0 + 1.5) AS INT) % 60) AS startTime,
+               printf('%02d:%02d',
+                      CAST(floor(d0 + 3.0) AS INT) // 60,
+                      CAST(floor(d0 + 3.0) AS INT) % 60) AS endTime,
+               'x' AS text
+        FROM base
     """
     out["chunk_doc_meta_enrichment"] = """
         WITH base AS (
