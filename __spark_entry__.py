@@ -2995,6 +2995,31 @@ def video_subtitles_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     return subtitles(sc)
 
 
+def rerank_positional_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 end-to-end: an external reranker returns (index,
+    relevance_score) pairs POSITIONAL to the candidate ordering
+    (retrieve.py:215-227); the join key is re-derived with a
+    row_number over the same ordering. Scores are synthesized for the
+    top-20 positions only, so the left-outer nulls verify the
+    positional cutoff; candidate scores are collision-free by
+    construction (37 is invertible mod 101) so the ordering is
+    unambiguous."""
+    from data_pipeline_childcare_spark.operators.rrf import attach_rerank_scores
+
+    sup = _t(spark, sf_dir, "supplier").filter(F.col("s_suppkey") < 50)
+    cand = sup.select(
+        "s_suppkey",
+        F.round(((F.col("s_suppkey") * 37) % 101) / F.lit(101.0), 6).alias("rrf_score"),
+    )
+    scores = spark.range(20).select(
+        F.col("id").cast("int").alias("index"),
+        F.round(1.0 - F.col("id") * 0.01, 6).alias("relevance_score"),
+    )
+    return attach_rerank_scores(cand, scores).select(
+        "s_suppkey", "rrf_score", "relevance_score"
+    )
+
+
 def doc_shared_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Substring-level duplication: longest contiguous token span
     shared between document pairs (suffix-array-dedup signal via a
@@ -3217,6 +3242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_doc_meta_enrichment": chunk_doc_meta_enrichment,
         "video_timeline_outline": video_timeline_outline,
         "video_subtitles_repair": video_subtitles_repair,
+        "rerank_positional_backfill": rerank_positional_backfill,
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
@@ -5481,6 +5507,21 @@ def oracle_sql() -> dict[str, str]:
                    text, '!\\[[^\\]]*\\]\\([^)]*\\)', '', 'g'
                ) AS text_stripped
         FROM expected
+    """
+    out["rerank_positional_backfill"] = """
+        WITH cand AS (
+            SELECT s_suppkey,
+                   round(((s_suppkey * 37) % 101) / 101.0, 6) AS rrf_score
+            FROM supplier WHERE s_suppkey < 50
+        ), indexed AS (
+            SELECT s_suppkey, rrf_score,
+                   row_number() OVER (ORDER BY rrf_score DESC) - 1 AS idx
+            FROM cand
+        )
+        SELECT s_suppkey, rrf_score,
+               CASE WHEN idx < 20 THEN round(1.0 - idx * 0.01, 6) END
+                   AS relevance_score
+        FROM indexed
     """
     out["video_timeline_outline"] = """
         WITH base AS (
