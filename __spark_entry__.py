@@ -5658,7 +5658,7 @@ def oracle_sql() -> dict[str, str]:
                        range(1, greatest(len(t) - 5, 0) + 2),
                        i -> struct_pack(
                            pos := i,
-                           h := substring(md5(array_to_string(t[i:i+4], ' ')), 1, 8)
+                           h := substring(md5(array_to_string(t[i:i+4], ' ')), 1, 16)
                        )
                    ) AS g
             FROM toks

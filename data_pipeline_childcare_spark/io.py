@@ -10,6 +10,7 @@ column pruning and predicate pushdown reach the scan.
 from __future__ import annotations
 
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -107,7 +108,12 @@ def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     """
     target = df.sparkSession.sparkContext.defaultParallelism
     plan = df._jdf.queryExecution().executedPlan().toString()
-    if "Exchange" in plan or "AQEShuffleRead" in plan or "InMemoryTableScan" in plan:
+    # anchor to node-name positions (line-leading operator names after
+    # tree-drawing/codegen prefixes) so a column or path whose NAME
+    # contains "Exchange" can't spuriously disable the spread
+    if re.search(
+        r"(?m)^[\s:+\-*()0-9]*(Exchange|AQEShuffleRead|InMemoryTableScan)\b", plan
+    ):
         return df
     if df.rdd.getNumPartitions() >= target:
         return df

@@ -531,14 +531,24 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard similarity over word n-gram shingle SETS.
 
     Inverted-index shape: explode distinct shingles → self-join on the
     shingle → count common shingles per pair → |A∩B| / (|A|+|B|-|A∩B|).
-    Only pairs sharing ≥1 shingle are ever materialized. A df-frequency
-    cap would bound hot shingles at corpus scale (not needed at test SF,
-    noted for 100 TB: add ``HAVING count < limit`` on the shingle).
+    Only pairs sharing ≥1 shingle are ever materialized.
+
+    ``max_df`` (default off — exact Jaccard, what the oracle checks)
+    anti-joins away shingles occurring in more than that many
+    documents BEFORE the self-join — the df-cap that bounds hot-shingle
+    pair fan-out at corpus scale: one boilerplate trigram present in
+    half the corpus otherwise makes the self-join quadratic in corpus
+    size. With the cap set, ``common`` undercounts by the dropped hot
+    shingles while set sizes stay exact, so the reported jaccard is a
+    LOWER BOUND — the safe direction for a dedup gate (never merges
+    documents that only share boilerplate). Same contract as
+    :func:`shared_span_pairs`'s ``max_df``.
 
     The join/shuffle key is xxhash64(shingle) — 8 bytes instead of the
     shingle text. Exact up to 64-bit hash collisions (~1e-19 per pair).
@@ -562,6 +572,16 @@ def ngram_jaccard_pairs(
         F.size("_sh").cast("long").alias("set_size"),
         F.explode("_sh").alias("_s"),
     ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    if max_df is not None:
+        # shingles are per-doc distinct, so count(*) per shingle IS the
+        # document frequency; hot ones leave the index before the join
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(hot, "shingle", "left_anti")
     a, b = shingled.alias("a"), shingled.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -619,9 +639,12 @@ def shared_span_pairs(
     pair fan-out at corpus scale (boilerplate k-grams otherwise pair
     everything with everything).
 
-    ``portable_hash=True`` keys the join on an 8-hex-char md5 prefix
-    (engine-portable, DuckDB-oracle-checkable); ``False`` uses
-    xxhash64 (cheaper, production default at scale).
+    ``portable_hash=True`` keys the join on a 16-hex-char (64-bit) md5
+    prefix (engine-portable, DuckDB-oracle-checkable); ``False`` uses
+    xxhash64 (cheaper, production default at scale). 64 bits matter
+    here: at corpus scale distinct-shingle counts blow past the ~77k
+    birthday bound of a 32-bit key, and a collision manufactures
+    phantom span positions between unrelated documents.
 
     Output: (id_a, id_b, shared_positions, longest_span_tokens),
     filtered to ``longest_span_tokens >= min_span_tokens``.
@@ -645,7 +668,7 @@ def shared_span_pairs(
         id_col,
         "_pos",
         (
-            F.substring(F.md5(F.col("_s")), 1, 8)
+            F.substring(F.md5(F.col("_s")), 1, 16)
             if portable_hash
             else F.xxhash64(F.col("_s")).cast("string")
         ).alias("_h"),

@@ -514,6 +514,24 @@ def mmr_select(
         F.round(F.col(rel_col), ndigits).alias("_rel"),
         F.col(vec_col).cast("array<double>").alias("_v"),
     ).persist()
+    try:
+        return _mmr_greedy(base, k, lam, query_col, id_col, ndigits)
+    finally:
+        # the checkpointed selection no longer needs the candidate
+        # cache; unpersisting in finally means an exception mid-loop
+        # (or in localCheckpoint) can't leak the cached DataFrame for
+        # the session's lifetime
+        base.unpersist(blocking=False)
+
+
+def _mmr_greedy(
+    base: DataFrame,
+    k: int,
+    lam: float,
+    query_col: str,
+    id_col: str,
+    ndigits: int,
+) -> DataFrame:
     w1 = Window.partitionBy(query_col).orderBy(F.desc("_rel"), F.col(id_col))
     sel = (
         base.withColumn("_rk", F.row_number().over(w1))
@@ -570,18 +588,13 @@ def mmr_select(
         # seconds-long selection; a long-lived pipeline stage should
         # write the selection out instead.
         sel = sel.unionByName(pick).localCheckpoint(eager=True)
-    out = sel.select(
+    return sel.select(
         query_col,
         id_col,
         "mmr_rank",
         F.col("_rel").alias("rel_score"),
         "mmr_score",
     )
-    # the checkpointed selection no longer needs the candidate cache;
-    # without this, every mmr_select call would leave a persisted
-    # DataFrame registered for the session's lifetime
-    base.unpersist(blocking=False)
-    return out
 
 
 def mmr_sql(cand_cte: str, k: int = 5, lam: float = 0.5, ndigits: int = 6) -> str:

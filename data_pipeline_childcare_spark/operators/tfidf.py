@@ -185,20 +185,34 @@ def corpus_top_vocab(
     """Top-``vocab_size`` tokens by corpus frequency → (token, freq,
     rank). Ties break lexicographically so the cut is deterministic
     and engine-portable. One map-side-combined (token) aggregate over
-    the exploded tokens, then a top-k — the word-count shape; the
-    ranked result is vocabulary-sized (thousands of rows), safe to
-    broadcast downstream."""
+    the exploded tokens, then a top-k; the ranked result is
+    vocabulary-sized (thousands of rows), safe to broadcast downstream.
+
+    The top-k cut is ``orderBy().limit(V)`` — Spark plans it as
+    TakeOrderedAndProject, a per-partition bounded heap merged at the
+    driver, i.e. the two-phase distributed cut. At 100 TB of noisy
+    multilingual text the distinct-token table is easily 1e8 rows; an
+    unpartitioned ``row_number`` window over it would funnel all of
+    them through ONE task ("Moving all data to a single partition"),
+    so no WindowExec appears anywhere in this plan: rank over the V
+    surviving rows is a broadcast self-join count of strictly-better
+    rows (V×V comparisons, trivially parallel, V ≤ a few thousand)."""
     toks = spread_partitions(docs, id_col).select(
         F.explode(tokenize(F.col(text_col))).alias("token")
     )
     freq = toks.groupBy("token").agg(F.count("*").cast("long").alias("freq"))
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
-    # single-partition window is fine: input is already reduced to one
-    # row per distinct token, and only the top slice survives
+    top = freq.orderBy(F.desc("freq"), F.asc("token")).limit(vocab_size)
+    better = top.select(F.col("token").alias("_t2"), F.col("freq").alias("_f2"))
     return (
-        freq.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= vocab_size)
-        .select("token", "freq", F.col("rank").cast("long").alias("rank"))
+        top.join(
+            F.broadcast(better),
+            (F.col("_f2") > F.col("freq"))
+            | ((F.col("_f2") == F.col("freq")) & (F.col("_t2") < F.col("token"))),
+            "left",
+        )
+        .groupBy("token", "freq")
+        .agg((F.count("_t2") + F.lit(1)).cast("long").alias("rank"))
+        .select("token", "freq", "rank")
     )
 
 

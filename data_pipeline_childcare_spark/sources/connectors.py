@@ -976,8 +976,18 @@ class HttpTuoyuRegistrySource(_HttpConnector):
         abort it (a systemic outage otherwise turns a 6,000-page
         crawl into hours of retry sleeps for an all-errors result)."""
         first = self.fetch_page(1, page_size, keyword)
-        total_record = first.get("totalRecord", 0)
-        total_page = first.get("totalPage", 0)
+
+        def _as_int(v: object) -> int:
+            # servers have been observed returning totals as strings; a
+            # non-numeric value degrades to 0 (single-page crawl) instead
+            # of a TypeError in the range() fan-out below
+            try:
+                return int(v)  # type: ignore[arg-type]
+            except (TypeError, ValueError):
+                return 0
+
+        total_record = _as_int(first.get("totalRecord", 0))
+        total_page = _as_int(first.get("totalPage", 0))
         pages = total_page if max_pages is None else min(total_page, max_pages)
         records = list(first.get("dataList", []))
         errors: list[str] = []

@@ -116,6 +116,35 @@ def test_ngram_jaccard_exact_value(spark):
     assert rows[0]["jaccard"] == pytest.approx(1 / 3, abs=1e-6)
 
 
+def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
+    """A boilerplate shingle planted in every document would pair
+    everything with everything; max_df drops it from the inverted
+    index BEFORE the self-join, the remaining jaccard is a lower
+    bound of the exact value, and genuinely-similar pairs survive."""
+    boiler = "terms of service apply"
+    docs = [(i, f"unique{i} token{i} filler{i} {boiler}") for i in range(1, 21)]
+    # one genuinely near-duplicate pair sharing real (cold) shingles
+    docs += [(100, "the quick brown fox jumps high " + boiler),
+             (101, "the quick brown fox jumps low " + boiler)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    exact = ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    capped = ngram_jaccard_pairs(df, n=3, threshold=0.0, max_df=5).collect()
+
+    # uncapped: the hot boilerplate shingles pair all 22 docs → 231 pairs
+    assert len(exact) == 231
+    # capped: only the real near-dup pair shares any cold shingle
+    assert {(r["id_a"], r["id_b"]) for r in capped} == {(100, 101)}
+    # lower-bound contract: capped jaccard ≤ exact jaccard for the pair
+    exact_j = {(r["id_a"], r["id_b"]): r["jaccard"] for r in exact}
+    assert capped[0]["jaccard"] <= exact_j[(100, 101)] + 1e-9
+    # default (max_df=None) path is untouched: sanity via the 1/3 case
+    df2 = spark.createDataFrame([(1, "a b c d"), (2, "a b c e")], "doc_id long, text string")
+    assert ngram_jaccard_pairs(df2, n=3, threshold=0.0).collect()[0][
+        "jaccard"
+    ] == pytest.approx(1 / 3, abs=1e-6)
+
+
 def test_cosine_topk(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],

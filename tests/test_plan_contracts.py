@@ -37,7 +37,9 @@ CONTRACTS = {
     # self-join is the scale plan when the build side outgrows the
     # broadcast threshold); the others must stay broadcast-only
     "doc_shared_spans": (4, False, True),
-    "doc_oov_rate": (2, True, True),
+    # doc_oov_rate budget is 3: vocab freq agg + the V-row rank agg
+    # (replacing the round-4 single-partition window) + per-doc agg
+    "doc_oov_rate": (3, True, True),
     "source_mixture_weights": (2, True, True),
     "lang_fertility_stats": (1, True, True),
     "hard_negatives_embeddings": (1, True, True),
@@ -56,6 +58,52 @@ def test_plan_contract(spark, name):
         assert not re.search(r"\bExpand\b", plan), name
     hash_ex = len(re.findall(r"Exchange hashpartitioning", plan))
     assert hash_ex <= max_hash_ex, (name, hash_ex, max_hash_ex)
+
+
+def test_corpus_top_vocab_has_no_window(spark):
+    """The vocabulary cut must never route the distinct-token table
+    through a single-partition window (round-4 verdict item #1): the
+    plan is TakeOrderedAndProject + a broadcast rank join — no
+    WindowExec node at all, partitioned or otherwise."""
+    import data_pipeline_childcare_spark as eng
+    from data_pipeline_childcare_spark.operators.tfidf import corpus_top_vocab
+
+    docs = eng.load_table(spark, "documents", SF)
+    df = corpus_top_vocab(docs, vocab_size=64)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # and doc_oov_rate (the oracle-checked consumer) inherits it
+    oov_plan = (
+        entry_mod.queries()["doc_oov_rate"](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in oov_plan, oov_plan
+
+
+def test_spread_partitions_ignores_exchange_lookalike_names(spark, tmp_path):
+    """The exchange-detection must anchor on plan NODE names: a column
+    literally named ExchangeRate appears in Project lines and used to
+    substring-match 'Exchange', silently disabling the spread on a
+    one-partition scan (round-4 advice)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.io import spread_partitions
+
+    path = str(tmp_path / "one_file")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") * 1.1).alias("ExchangeRate")
+    ).coalesce(1).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() == 1
+    spread = spread_partitions(df, "id")
+    target = spark.sparkContext.defaultParallelism
+    assert spread.rdd.getNumPartitions() == target
+    # a plan that genuinely contains an exchange stays untouched
+    agged = df.groupBy("id").count()
+    assert spread_partitions(agged, "id") is agged
 
 
 def test_no_driver_actions_while_building_plans(spark):

@@ -217,3 +217,30 @@ def test_mmr_select_diversifies(spark):
     # a query with fewer candidates than k yields fewer rows, no error
     small = cand.filter("vec_id = 1")
     assert mmr_select(small, k=3, lam=0.5).count() == 1
+
+
+def test_mmr_select_unpersists_candidate_cache_even_on_failure(spark, monkeypatch):
+    """The candidate projection is persisted for the greedy loop; an
+    exception mid-loop must not leak it for the session's lifetime
+    (round-4 advice): the unpersist runs in a finally block."""
+    import pytest as _pytest
+
+    from data_pipeline_childcare_spark.operators import similarity as sim
+
+    cand = spark.createDataFrame(
+        [(7, 1, 0.99, [1.0, 0.0]), (7, 3, 0.50, [0.0, 1.0])],
+        "query_id long, vec_id long, rel_score double, embedding array<double>",
+    )
+    jsc = spark.sparkContext._jsc.sc()
+    before = jsc.getPersistentRDDs().size()
+
+    # failure path: blow up inside the greedy loop, cache still freed.
+    # (the success path's localCheckpoint blocks legitimately stay
+    # registered — only the candidate cache must not outlive the call)
+    def boom(*args, **kwargs):
+        raise RuntimeError("greedy loop exploded")
+
+    monkeypatch.setattr(sim, "_mmr_greedy", boom)
+    with _pytest.raises(RuntimeError, match="greedy loop exploded"):
+        sim.mmr_select(cand, k=2, lam=0.5)
+    assert jsc.getPersistentRDDs().size() == before

@@ -773,6 +773,36 @@ def test_tuoyu_registry_api_code_not_retried_and_systemic_abort():
     assert out["records"] == [{"a": 1}]
 
 
+def test_tuoyu_registry_coerces_wire_total_types():
+    """Servers returning totalPage/totalRecord as strings (or garbage)
+    must not raise TypeError in the page fan-out: numeric strings are
+    coerced, non-numeric values degrade to a single-page crawl."""
+    from data_pipeline_childcare_spark.sources.connectors import (
+        HttpTuoyuRegistrySource,
+    )
+
+    def make(total_page, total_record):
+        def transport(url, params):
+            return {
+                "code": "000000",
+                "responseData": {
+                    "totalRecord": total_record,
+                    "totalPage": total_page,
+                    "dataList": [{"p": params["pageNum"]}],
+                },
+            }
+
+        return HttpTuoyuRegistrySource(base_url="u", transport=transport)
+
+    out = make("2", "15").scrape_all()
+    assert out["total_page"] == 2 and out["total_record"] == 15
+    assert [r["p"] for r in out["records"]] == [1, 2]
+
+    out2 = make("garbage", None).scrape_all()
+    assert out2["total_page"] == 0 and out2["total_record"] == 0
+    assert [r["p"] for r in out2["records"]] == [1] and out2["errors"] == []
+
+
 def test_search_providers_null_result_lists_mean_empty_not_error():
     """An explicit JSON null result list is zero results, not a
     retried error."""
