@@ -1895,10 +1895,15 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels, cycling through all five PNG scanline filters), decode
     with the REAL stdlib codec inside image_features (zlib inflate +
     unfilter, sources/imagecodec.py), then aggregate per image width.
-    Rows-only: no SQL engine can inflate PNGs, but every stage is
-    deterministic, so rows/values are stable across runs. The decode
-    is separately proven bit-exact against known pixels in
-    tests/test_imagecodec.py."""
+
+    DuckDB-oracled WITHOUT a decoder on the oracle side: the pixel
+    generator is closed-form (``pix[i] = (doc_id*31 + i*7) % 256``,
+    dims from doc_id/n_chars) and PNG round-trips losslessly, so the
+    oracle derives the expected Rec.601 cell-0 luminance feature
+    directly from the generation formula — any decode defect (wrong
+    unfilter, wrong channel order, wrong dims) breaks the hash match.
+    The decode is additionally proven bit-exact against known pixels
+    in tests/test_imagecodec.py."""
     import pandas as pd  # noqa: PLC0415
 
     from data_pipeline_childcare_spark.sources.imagecodec import encode_png
@@ -5685,6 +5690,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(run) + 4 AS BIGINT) AS longest_span_tokens
         FROM runs GROUP BY 1, 2
         HAVING max(run) + 4 >= 10
+    """
+    # expected features derived from the PNG generator's closed form
+    # (see image_decode_features docstring): per-image cell-0 box-mean
+    # of Rec.601 integer luma over x<w//4, y<h//2, float32-quantized
+    # exactly like the operator's array<float> feature column
+    out["image_decode_features"] = """
+        WITH params AS (
+            SELECT doc_id, 8 + doc_id % 8 AS w, 4 + n_chars % 4 AS h
+            FROM documents
+        ), offs AS (
+            SELECT doc_id, w, h,
+                   unnest(flatten(list_transform(range(0, h // 2),
+                          y -> list_transform(range(0, w // 4),
+                          x -> (y * w + x) * 3)))) AS o
+            FROM params
+        ), lum AS (
+            SELECT doc_id, w, h,
+                   (299 * ((doc_id * 31 + o * 7) % 256)
+                  + 587 * ((doc_id * 31 + (o + 1) * 7) % 256)
+                  + 114 * ((doc_id * 31 + (o + 2) * 7) % 256)
+                  + 500) // 1000 AS l
+            FROM offs
+        ), f0 AS (
+            SELECT doc_id, w, h,
+                   CAST(sum(l) * 1.0 / count(*) / 255.0 AS FLOAT) AS f0
+            FROM lum GROUP BY doc_id, w, h
+        )
+        SELECT CAST(w AS INT) AS width,
+               CAST(count(*) AS BIGINT) AS n_images,
+               round(avg(h), 4) AS avg_height,
+               round(avg(f0), 6) AS avg_f0,
+               CAST(0 AS INT) AS any_stub
+        FROM f0 GROUP BY w
     """
     out["doc_oov_rate"] = f"""
         WITH toks AS (
