@@ -2644,13 +2644,28 @@ def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _xpilot_inputs(spark: SparkSession, sf_dir: str):
+# fixed request query for the reranked X-Pilot contract: common tokens
+# of the synthetic document corpus so BM25 tf/df stats are non-trivial
+_XPILOT_RERANK_QUERY = "window scan sort"
+
+
+def _xpilot_inputs(spark: SparkSession, sf_dir: str, real_content: bool = False):
     """Deterministic (retrieved, tasks) pair shared by both X-Pilot
     contract queries: 60 chunks, TWO retrieval lists (two-term RRF
     sums are commutative, hence bit-exact in any summation order and
     any engine), three tasks. The oracle twin's `retrieved` CTE states
-    the same formulas."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 60)
+    the same formulas. ``real_content=True`` carries the first 200
+    chars of each document's text as the chunk content (the reranked
+    variant needs real tokens for the BM25 default scorer); ``False``
+    keeps the compact ``c<doc_id>`` label."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        F.col("doc_id") < 60
+    )
+    content = (
+        F.substring(F.col("text"), 1, 200)
+        if real_content
+        else F.concat(F.lit("c"), F.col("doc_id"))
+    )
     qdf = spark.range(2).select(F.col("id").cast("long").alias("q"))
     retrieved = (
         docs.crossJoin(qdf)
@@ -2664,7 +2679,7 @@ def _xpilot_inputs(spark: SparkSession, sf_dir: str):
             (F.col("doc_id") % 4).alias("database_id"),
             (F.col("doc_id") % 10).alias("document_id"),
             F.col("doc_id").alias("position"),
-            F.concat(F.lit("c"), F.col("doc_id")).alias("content"),
+            content.alias("content"),
         )
     )
     tasks = spark.createDataFrame([("t0",), ("t1",), ("t2",)], "task_id string")
@@ -2708,26 +2723,23 @@ def xpilot_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The X-Pilot path WITH the rerank stage engaged (W3): a
-    deterministic stand-in scorer (position-biased adjustment of the
-    RRF score — the dataflow of a cross-encoder without the model)
-    reorders the capped candidates; distribution and rollup then rank
-    on rerank_score. Proves the rerank plumbing end-to-end against a
-    twin that applies the same formula."""
-    from data_pipeline_childcare_spark.plans.retrieval import xpilot_retrieval
+    """The X-Pilot path WITH the rerank stage engaged (W3), scored by
+    the engine's REAL shippable default — ``bm25_rerank_scorer``
+    (BM25 of the query terms against each capped candidate's content,
+    candidate-set document frequencies; plans/retrieval.py) — standing
+    where the reference calls its hosted cross-encoder
+    (retrieve.py:184-232). Chunk contents are real document text (the
+    first 200 chars), so term/df statistics are non-degenerate;
+    distribution and rollup rank on rerank_score. The DuckDB twin
+    replays the BM25 formula bit-exactly (integer-valued tf/df/len
+    doubles, idf rounded post-ln)."""
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        bm25_rerank_scorer,
+        xpilot_retrieval,
+    )
 
-    retrieved, tasks = _xpilot_inputs(spark, sf_dir)
-
-    def scorer(capped: DataFrame) -> DataFrame:
-        return capped.withColumn(
-            "rerank_score",
-            F.round(
-                F.round(F.col("rrf_score"), 8)
-                + ((F.col("position") % 7) - 3) / F.lit(100.0),
-                8,
-            ),
-        )
-
+    retrieved, tasks = _xpilot_inputs(spark, sf_dir, real_content=True)
+    scorer = bm25_rerank_scorer(_XPILOT_RERANK_QUERY)
     return _xpilot_flat(
         xpilot_retrieval(retrieved, tasks, rerank_scorer=scorer, top_k=4),
         "rerank_score",
@@ -5321,12 +5333,13 @@ def oracle_sql() -> dict[str, str]:
         JOIN r ON r.doc_id = q.doc_id
         JOIN tk ON tk.doc_id = q.doc_id
     """
-    _xpilot_ctes = """retrieved AS (
+    def _xpilot_ctes(content_expr: str) -> str:
+        return f"""retrieved AS (
             SELECT q.q AS query_id, d.doc_id AS chunk_id,
                    round(((d.doc_id * 7 + q.q * 13) % 101) / 101.0, 6) AS score,
                    d.doc_id % 4 AS database_id, d.doc_id % 10 AS document_id,
-                   d.doc_id AS position, 'c' || d.doc_id AS content
-            FROM (SELECT doc_id FROM documents WHERE doc_id < 60) d
+                   d.doc_id AS position, {content_expr} AS content
+            FROM (SELECT doc_id, text FROM documents WHERE doc_id < 60) d
             CROSS JOIN (VALUES (0), (1)) q(q)
             WHERE (d.doc_id + q.q) % 3 <> 0
         ), ranked AS (
@@ -5382,15 +5395,49 @@ def oracle_sql() -> dict[str, str]:
                ) AS BIGINT) AS n_blocks
         FROM win"""
 
+    _xp_plain = _xpilot_ctes("'c' || d.doc_id")
     out["xpilot_retrieval_docs"] = (
-        f"WITH {_xpilot_ctes}" + _xpilot_tail("fused", "rrf_score")
+        f"WITH {_xp_plain}" + _xpilot_tail("fused", "rrf_score")
+    )
+    # BM25 default-scorer twin (plans/retrieval.bm25_rerank_scorer):
+    # tf/df/len are integer-valued doubles (exact in any sum order),
+    # idf rounded to 8 right after ln, per-term contribution to 8,
+    # final score to 6 — bit-equal replay of the Spark scorer
+    _bm25_terms = ", ".join(
+        f"'{t}'" for t in sorted(set(_XPILOT_RERANK_QUERY.lower().split()))
     )
     out["xpilot_retrieval_reranked_docs"] = (
-        f"""WITH {_xpilot_ctes}, rr AS (
-            SELECT chunk_id, database_id, document_id, position, content,
-                   round(round(rrf_score, 8)
-                         + ((position % 7) - 3) / 100.0, 8) AS rerank_score
+        f"""WITH {_xpilot_ctes("substring(d.text, 1, 200)")}, ftoks AS (
+            SELECT chunk_id,
+                   list_filter(string_split_regex(lower(content), '\\s+'),
+                               x -> x <> '') AS t
             FROM fused
+        ), lens AS (
+            SELECT chunk_id, CAST(len(t) AS DOUBLE) AS dl, t FROM ftoks
+        ), bstats AS (
+            SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM lens
+        ), bhits AS (
+            SELECT chunk_id, dl, unnest(t) AS term FROM lens
+        ), btf AS (
+            SELECT chunk_id, term, CAST(count(*) AS DOUBLE) AS tf, min(dl) AS dl
+            FROM bhits WHERE term IN ({_bm25_terms})
+            GROUP BY chunk_id, term
+        ), bdf AS (
+            SELECT term, CAST(count(*) AS DOUBLE) AS df FROM btf GROUP BY term
+        ), bcontrib AS (
+            SELECT btf.chunk_id,
+                   round(round(ln(1.0 + (s.n - bdf.df + 0.5) / (bdf.df + 0.5)), 8)
+                         * (btf.tf * 2.2)
+                         / (btf.tf + 1.2 * (0.25 + (0.75 * btf.dl) / s.avgdl)),
+                         8) AS c
+            FROM btf JOIN bdf USING (term) CROSS JOIN bstats s
+        ), bscore AS (
+            SELECT chunk_id, round(sum(c), 6) AS rerank_score
+            FROM bcontrib GROUP BY chunk_id
+        ), rr AS (
+            SELECT f.chunk_id, f.database_id, f.document_id, f.position,
+                   f.content, coalesce(b.rerank_score, 0.0) AS rerank_score
+            FROM fused f LEFT JOIN bscore b ON b.chunk_id = f.chunk_id
         )"""
         + _xpilot_tail("rr", "rerank_score")
     )

@@ -114,6 +114,86 @@ def tuoyu_rule_filter(
     )
 
 
+def bm25_rerank_scorer(
+    query: str,
+    content_col: str = "content",
+    k1: float = 1.2,
+    b: float = 0.75,
+    ndigits: int = 6,
+) -> Callable[[DataFrame], DataFrame]:
+    """Shippable DEFAULT rerank scorer for :func:`xpilot_retrieval`.
+
+    The reference's rerank stage (retrieve.py:184-232) POSTs the query
+    and the top-100 candidate contents to a hosted cross-encoder and
+    backfills ``relevance_score``; the model endpoint stays a
+    pluggable hook here, and THIS is the honest local default behind
+    it: BM25 of the query terms against each candidate's content,
+    with document frequencies computed over the capped candidate set
+    itself (the only corpus the reference's scorer sees either — it is
+    handed exactly those ≤100 chunks).
+
+    Engine-portable determinism: token counts and candidate counts are
+    integer-valued doubles (exact in any summation order), the idf is
+    rounded to 8 digits straight after the only transcendental (ln),
+    each per-term contribution is rounded to 8, and the final score to
+    ``ndigits`` — so a SQL twin replays bit-equal scores. Candidates
+    containing no query term score 0.0 and keep their deterministic
+    downstream tie-break (chunk_id).
+
+    Cost shape: every aggregate/join runs over the rerank-capped set
+    (≤100 rows by contract), so all sides broadcast; nothing scales
+    with the corpus.
+    """
+    terms = sorted({t for t in query.lower().split() if t})
+
+    def scorer(capped: DataFrame) -> DataFrame:
+        if not terms:
+            return capped.withColumn(
+                "rerank_score", F.round(F.col("rrf_score"), ndigits)
+            )
+        toks = F.filter(
+            F.split(F.lower(F.col(content_col)), r"\s+"), lambda x: x != ""
+        )
+        base = capped.withColumn("_toks", toks).withColumn(
+            "_len", F.size("_toks").cast("double")
+        )
+        stats = base.agg(
+            F.count("*").cast("double").alias("_n"), F.avg("_len").alias("_avg")
+        )
+        hits = base.select(
+            "chunk_id", "_len", F.explode("_toks").alias("_t")
+        ).filter(F.col("_t").isin(terms))
+        tf = hits.groupBy("chunk_id", "_t").agg(
+            F.count("*").cast("double").alias("_tf"), F.first("_len").alias("_dl")
+        )
+        dfreq = tf.groupBy("_t").agg(F.count("*").cast("double").alias("_df"))
+        idf = F.round(
+            F.log(F.lit(1.0) + (F.col("_n") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)),
+            8,
+        )
+        contrib = (
+            tf.join(F.broadcast(dfreq), "_t")
+            .crossJoin(F.broadcast(stats))
+            .select(
+                "chunk_id",
+                F.round(
+                    idf
+                    * (F.col("_tf") * (k1 + 1.0))
+                    / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl") / F.col("_avg"))),
+                    8,
+                ).alias("_c"),
+            )
+        )
+        scores = contrib.groupBy("chunk_id").agg(
+            F.round(F.sum("_c"), ndigits).alias("rerank_score")
+        )
+        return capped.join(F.broadcast(scores), "chunk_id", "left").withColumn(
+            "rerank_score", F.coalesce(F.col("rerank_score"), F.lit(0.0))
+        )
+
+    return scorer
+
+
 def xpilot_retrieval(
     retrieved: DataFrame,
     tasks: DataFrame,
@@ -129,6 +209,12 @@ def xpilot_retrieval(
     ``rerank_cap`` (scorer failure falls back to RRF order — the
     reference's degradation chain) → per-task top-k with
     first-task-wins dedup → db→doc rollup with score-ordered blocks.
+
+    ``rerank_scorer``: None skips the rerank stage entirely;
+    :func:`bm25_rerank_scorer` is the shippable local default
+    (pass ``bm25_rerank_scorer(query)``); a hosted cross-encoder
+    plugs in through the same callable contract (add a
+    ``rerank_score`` column to the capped frame).
     """
     ranked = rank_lists(retrieved, "query_id", "score", "chunk_id")
     fused = rrf_fuse(
@@ -137,7 +223,12 @@ def xpilot_retrieval(
         list_col="query_id",
         payload_cols=["database_id", "document_id", "position", "content"],
     )
-    capped = fused.limit(rerank_cap)
+    # the reference reranks the top of the RRF-SORTED list
+    # (chunks[:100] of an already-ordered response) — an unordered
+    # limit() would also re-evaluate nondeterministically across the
+    # scorer's multiple reads of `capped`; TakeOrderedAndProject is
+    # deterministic and distributed
+    capped = fused.orderBy(F.desc("rrf_score"), "chunk_id").limit(rerank_cap)
     if rerank_scorer is not None:
         try:
             capped = rerank_scorer(capped)

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_pipeline_childcare_spark.operators.rules import RegionalRule
@@ -90,6 +91,65 @@ def test_xpilot_retrieval_path(spark):
             claimed[b["chunk_id"]] = r["task_id"]
     assert set(claimed) == {"c1", "c2", "c3"}
     assert claimed["c2"] == "t1"
+
+
+def test_bm25_rerank_scorer_values_and_zero_hit(spark):
+    """The shippable default scorer (reference retrieve.py:184-232's
+    local stand-in for the hosted cross-encoder): hand-computed BM25
+    over a 3-candidate set, zero-hit candidates score 0.0."""
+    import math
+
+    from data_pipeline_childcare_spark.plans.retrieval import bm25_rerank_scorer
+
+    capped = spark.createDataFrame(
+        [
+            ("c1", 0.5, "apple apple banana x"),
+            ("c2", 0.4, "apple x y z"),
+            ("c3", 0.3, "q r s t"),
+        ],
+        "chunk_id string, rrf_score double, content string",
+    )
+    got = {
+        r["chunk_id"]: r["rerank_score"]
+        for r in bm25_rerank_scorer("banana apple")(capped).collect()
+    }
+    # N=3, avgdl=4, df(apple)=2, df(banana)=1, dl/avgdl=1 for all
+    idf_a = round(math.log(1 + 1.5 / 2.5), 8)
+    idf_b = round(math.log(1 + 2.5 / 1.5), 8)
+    c1 = round(round(idf_a * 4.4 / 3.2, 8) + round(idf_b * 1.0, 8), 6)
+    c2 = round(round(idf_a * 1.0, 8), 6)
+    assert got["c1"] == pytest.approx(c1, abs=1e-9)
+    assert got["c2"] == pytest.approx(c2, abs=1e-9)
+    assert got["c3"] == 0.0
+    # empty query degrades to the RRF order (score = rounded rrf)
+    got_empty = {
+        r["chunk_id"]: r["rerank_score"]
+        for r in bm25_rerank_scorer("   ")(capped).collect()
+    }
+    assert got_empty == {"c1": 0.5, "c2": 0.4, "c3": 0.3}
+
+
+def test_xpilot_rerank_scorer_failure_falls_back_to_rrf(spark):
+    """W3 degradation chain: a scorer that raises must leave the
+    pipeline on RRF order — byte-identical output to the no-scorer
+    path (reference retrieve.py:229-232)."""
+    retrieved = spark.createDataFrame(
+        [
+            ("q1", "c1", 0.9, "db1", "d1", 0, "alpha"),
+            ("q1", "c2", 0.8, "db1", "d1", 1, "beta"),
+            ("q2", "c2", 0.95, "db1", "d1", 1, "beta"),
+            ("q2", "c3", 0.5, "db1", "d2", 0, "gamma"),
+        ],
+        "query_id string, chunk_id string, score double, database_id string, document_id string, position int, content string",
+    )
+    tasks = spark.createDataFrame([("t1", "q1")], "task_id string, query_id string")
+
+    def boom(capped):
+        raise RuntimeError("model endpoint down")
+
+    plain = xpilot_retrieval(retrieved, tasks, top_k=2).collect()
+    degraded = xpilot_retrieval(retrieved, tasks, rerank_scorer=boom, top_k=2).collect()
+    assert sorted(map(str, plain)) == sorted(map(str, degraded))
 
 
 def test_build_filtered_query_modes(spark):
