@@ -320,7 +320,12 @@ def parse_image_bytes(data: bytes) -> str:
         try:
             import pytesseract  # noqa: PLC0415
 
-            ocr = pytesseract.image_to_string(img, lang="chi_sim+eng")
+            try:
+                ocr = pytesseract.image_to_string(img, lang="chi_sim+eng")
+            except Exception:  # noqa: BLE001 — chi_sim pack absent:
+                # degrade to the default (eng) pack rather than losing
+                # OCR entirely on an english-only tesseract install
+                ocr = pytesseract.image_to_string(img)
             if ocr and ocr.strip():
                 parts.append(f"**OCR 识别文本**:\n\n{ocr.strip()}")
         except Exception:  # noqa: BLE001  (missing binary, bad lang pack…)

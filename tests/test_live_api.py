@@ -1,0 +1,140 @@
+"""Opt-in LIVE smoke tests for the ten HTTP wire paths.
+
+Skipped by default: every test here performs real network IO against a
+third-party endpoint and needs real credentials. Opt in with
+
+    SPARK_GRAFT_LIVE_API=1 \
+    SEARCHAPI_API_KEY=... JINA_API_KEY=... FIRECRAWL_API_KEY=... \
+    TAVILY_API_KEY=... ZHILIAN_API_URL=... TIANYANCHA_TOKEN=... \
+    TUOYU_REGISTRY_URL=... \
+    python -m pytest tests/test_live_api.py -v
+
+Each test runs only when the master flag AND its own credential are
+set, so a partially-keyed environment smokes whatever it can. The
+assertions check the NORMALIZED contract (the schema the engine's
+DataFrame layer consumes), not provider-specific payloads — exactly
+what the offline contract tests in test_sources.py pin against fakes.
+These are the same classes with their default (httpx/urllib)
+transports; no test code path differs from production.
+
+Documented in MIGRATION.md ("Live-API smoke").
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from data_pipeline_childcare_spark.sources.connectors import (
+    HttpFirecrawlScraper,
+    HttpFirecrawlSearchProvider,
+    HttpJinaReaderScraper,
+    HttpJinaSearchProvider,
+    HttpSearchApiProvider,
+    HttpTavilyScraper,
+    HttpTavilySearchProvider,
+    HttpTianyanEnterpriseLookup,
+    HttpTuoyuRegistrySource,
+    HttpZhiLianJobSource,
+    normalize_result,
+)
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_LIVE_API") != "1",
+    reason="live-API smoke is opt-in: set SPARK_GRAFT_LIVE_API=1",
+)
+
+_SCRAPE_URL = os.environ.get("SPARK_GRAFT_LIVE_SCRAPE_URL", "https://example.com/")
+
+
+def _key(name: str) -> str:
+    v = os.environ.get(name, "")
+    if not v:
+        pytest.skip(f"{name} not set")
+    return v
+
+
+def _assert_search_rows(rows: list[dict], provider: str) -> None:
+    """Normalized-search contract: ≥1 row, each either an error row or
+    a result whose normalize_result projection has url+provider."""
+    assert isinstance(rows, list) and rows
+    err_key = f"{provider}_error"
+    for raw in rows:
+        if err_key in raw:
+            pytest.fail(f"live {provider} search degraded to error row: {raw[err_key]}")
+        rec = normalize_result(raw)
+        assert rec["provider"] == provider
+        assert rec["url"] and rec["url"].startswith("http")
+        assert rec["query"] == "apache spark"
+
+
+def _assert_scrape_envelope(out: dict) -> None:
+    """Scrape-result contract (the reference's status ladder rows)."""
+    assert out["status"] in ("success", "failed")
+    if out["status"] == "success":
+        assert out["url"] and isinstance(out["content"], str) and out["content"]
+    else:
+        assert out["content"] == "" and out.get("error_message")
+
+
+def test_live_searchapi_search():
+    rows = HttpSearchApiProvider(api_key=_key("SEARCHAPI_API_KEY"))("apache spark", n=3)
+    _assert_search_rows(rows, "searchapi")
+
+
+def test_live_jina_search():
+    rows = HttpJinaSearchProvider(api_key=_key("JINA_API_KEY"))("apache spark", n=3)
+    _assert_search_rows(rows, "jina")
+
+
+def test_live_firecrawl_search():
+    rows = HttpFirecrawlSearchProvider(api_key=_key("FIRECRAWL_API_KEY"))("apache spark", n=3)
+    _assert_search_rows(rows, "firecrawl")
+
+
+def test_live_tavily_search():
+    rows = HttpTavilySearchProvider(api_key=_key("TAVILY_API_KEY"))("apache spark", n=3)
+    _assert_search_rows(rows, "tavily")
+
+
+def test_live_jina_reader_scrape():
+    out = HttpJinaReaderScraper(api_key=_key("JINA_API_KEY"))({"url": _SCRAPE_URL})
+    _assert_scrape_envelope(out)
+
+
+def test_live_firecrawl_scrape():
+    out = HttpFirecrawlScraper(api_key=_key("FIRECRAWL_API_KEY"))({"url": _SCRAPE_URL})
+    _assert_scrape_envelope(out)
+
+
+def test_live_tavily_extract():
+    out = HttpTavilyScraper(api_key=_key("TAVILY_API_KEY"))({"url": _SCRAPE_URL})
+    _assert_scrape_envelope(out)
+
+
+def test_live_zhilian_jobs():
+    src = HttpZhiLianJobSource(api_url=_key("ZHILIAN_API_URL"))
+    out = src({"keywords": "托育", "provinces": "四川", "page_size": 5})
+    assert out["status"] in ("success", "failed")
+    assert isinstance(out["data"], list)
+    if out["status"] == "failed":
+        pytest.fail(f"live ZhiLian call failed: {out['message']}")
+
+
+def test_live_tianyancha_lookup():
+    out = HttpTianyanEnterpriseLookup(token=_key("TIANYANCHA_TOKEN"))("北京百度网讯科技有限公司")
+    assert out["query_name"]
+    assert out["status"] in ("success", "failed")
+    if out["status"] == "success":
+        assert isinstance(out["data"], dict)
+    else:
+        pytest.fail(f"live Tianyancha lookup failed: {out['message']}")
+
+
+def test_live_tuoyu_registry_page():
+    src = HttpTuoyuRegistrySource(base_url=_key("TUOYU_REGISTRY_URL"))
+    out = src.scrape_all(page_size=10, max_pages=1)
+    assert isinstance(out["total_page"], int) and out["total_page"] >= 0
+    assert isinstance(out["records"], list)
+    assert out["errors"] == []

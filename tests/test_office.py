@@ -8,6 +8,8 @@ import io
 import struct
 import zipfile
 
+import pytest
+
 from data_pipeline_childcare_spark.sources.office import (
     MAX_TABLE_ROWS,
     parse_docx_bytes,
@@ -290,6 +292,51 @@ def test_image_dims_stdlib_sniff():
     out = parse_image_bytes(png)
     assert "640x480px" in out
     assert parse_image_bytes(b"junk") == "[图片文件, 4 bytes]"
+
+
+def _ocr_stack_available() -> bool:
+    try:
+        import pytesseract  # noqa: PLC0415
+        from PIL import Image, ImageDraw  # noqa: F401, PLC0415
+
+        pytesseract.get_tesseract_version()
+        return True
+    except Exception:  # noqa: BLE001  (lib or binary missing)
+        return False
+
+
+@pytest.mark.skipif(
+    not _ocr_stack_available(),
+    reason="S14 OCR tier needs PIL + pytesseract + the tesseract binary "
+    "(env-gated: runs automatically wherever the stack exists)",
+)
+def test_parse_image_bytes_ocr_golden():
+    """Golden scanned-image fixture: render known text with PIL's
+    built-in font, round-trip through parse_image_bytes, and require
+    the OCR section to carry the words back out (reference
+    多数据源获取数据.py:1029-1050). Skipped where the OCR stack is
+    absent — there parse_image_bytes' documented contract is the
+    dims-only metadata line (pinned by
+    test_image_dims_stdlib_sniff)."""
+    import io as _io
+
+    from PIL import Image, ImageDraw, ImageFont
+
+    try:
+        font = ImageFont.load_default(48)  # scalable embedded font (PIL>=10.1)
+        img = Image.new("L", (700, 160), 255)
+        ImageDraw.Draw(img).text((30, 40), "HELLO SPARK 2026", fill=0, font=font)
+    except TypeError:  # older PIL: tiny bitmap font — upscale for OCR
+        img = Image.new("L", (200, 40), 255)
+        ImageDraw.Draw(img).text((10, 12), "HELLO SPARK 2026", fill=0)
+        img = img.resize((800, 160), Image.NEAREST)
+    buf = _io.BytesIO()
+    img.save(buf, format="PNG")
+    out = parse_image_bytes(buf.getvalue())
+    assert "**图片信息**: PNG" in out
+    assert "OCR 识别文本" in out, f"no OCR section in: {out!r}"
+    up = out.upper()
+    assert "HELLO" in up and "SPARK" in up
 
 
 def test_rows_to_md_table_pads_ragged_rows():
