@@ -452,10 +452,10 @@ def encode_bmp(width: int, height: int, dib: bytes) -> bytes:
 
 def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
     """Dispatch to whichever library-free decoder matches the magic
-    bytes (PNG/GIF/baseline-JPEG/BMP/PPM); None for unrecognized
-    magic; ValueError for recognized-but-corrupt or unsupported
-    variants (progressive JPEG, 16-bit PNG, ...) so callers tier
-    down explicitly."""
+    bytes (PNG/GIF/baseline+progressive-JPEG/BMP/PPM); None for
+    unrecognized magic; ValueError for recognized-but-corrupt or
+    unsupported variants (arithmetic-coded JPEG, 16-bit PNG, ...) so
+    callers tier down explicitly."""
     try:
         if data[:8] == _PNG_SIG:
             return decode_png(data)
@@ -509,15 +509,18 @@ def luminance_thumbnail(
     return out
 
 
-# --- Baseline JPEG -----------------------------------------------------
+# --- JPEG (baseline SOF0 + progressive SOF2) ---------------------------
 #
-# Scope: baseline sequential DCT (SOF0), 8-bit, Huffman entropy
-# coding, grayscale or YCbCr with 4:4:4 / 4:2:0 sampling, optional
-# restart markers. Progressive (SOF2) and arithmetic coding raise
-# ValueError and fall to the next decode tier. numpy does the 8x8
-# IDCT; everything else is stdlib byte/bit work. The zigzag order and
-# the IDCT basis are DERIVED (not transcribed), so there is no
-# hand-copied table to get wrong.
+# Scope: 8-bit Huffman entropy coding, grayscale or YCbCr with
+# 4:4:4 / 4:2:0 sampling, optional restart markers; baseline
+# sequential DCT (SOF0) and progressive DCT (SOF2) with both spectral
+# selection and successive approximation — the scan scripts real
+# encoders (cjpeg, web "optimized" JPEGs) actually emit. Hierarchical
+# / lossless / arithmetic-coded variants raise ValueError and fall to
+# the next decode tier. numpy does the 8x8 IDCT; everything else is
+# stdlib byte/bit work. The zigzag order and the IDCT basis are
+# DERIVED (not transcribed), so there is no hand-copied table to get
+# wrong.
 
 
 def _zigzag_order() -> list[int]:
@@ -636,16 +639,22 @@ def _extend(v: int, t: int) -> int:
 
 
 def decode_jpeg_baseline(data: bytes) -> tuple[int, int, str, bytes]:
-    """Decode a baseline sequential Huffman JPEG → (w, h, mode, pixels)
-    with mode "L" (1 component) or "RGB" (YCbCr converted per JFIF).
-    Malformed input always raises ValueError (matching the other
-    codecs' contract), never Index/Key/struct errors."""
+    """Decode a Huffman JPEG — baseline sequential (SOF0) or
+    progressive (SOF2, spectral selection + successive approximation)
+    → (w, h, mode, pixels) with mode "L" (1 component) or "RGB"
+    (YCbCr converted per JFIF). The name keeps the original public
+    surface; ``decode_jpeg`` is the mode-neutral alias. Malformed
+    input always raises ValueError (matching the other codecs'
+    contract), never Index/Key/struct errors."""
     try:
         return _decode_jpeg_impl(data)
     except ValueError:
         raise
     except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
         raise ValueError(f"corrupt JPEG: {exc!r}") from exc
+
+
+decode_jpeg = decode_jpeg_baseline
 
 
 def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
@@ -657,6 +666,8 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
     qt: dict[int, list[int]] = {}
     huff: dict[tuple[int, int], dict] = {}  # (class, id) -> table
     frame = None
+    progressive = False
+    prog = None  # accumulated-coefficient state for SOF2
     restart_interval = 0
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
@@ -674,7 +685,7 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
                     raise ValueError("16-bit quant tables unsupported")
                 qt[tq] = list(body[i + 1 : i + 65])
                 i += 65
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             _prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             comps = []
             for c in range(nc):
@@ -682,13 +693,14 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
                 ch, cv = samp >> 4, samp & 0x0F
                 # a 0 factor would divide by zero computing MCU counts
                 # (and >4 is out of spec) — reject here so the
-                # ValueError-only contract holds for corrupt SOF0s
+                # ValueError-only contract holds for corrupt SOFs
                 if not (1 <= ch <= 4 and 1 <= cv <= 4):
                     raise ValueError(f"invalid sampling factors {ch}x{cv}")
                 comps.append((cid, ch, cv, tq))
             frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
-            raise ValueError("only baseline SOF0 JPEG supported")
+            progressive = marker == 0xC2
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError("only baseline SOF0 / progressive SOF2 JPEG supported")
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -707,10 +719,31 @@ def _decode_jpeg_impl(data: bytes) -> tuple[int, int, str, bytes]:
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan.append((cs, tables >> 4, tables & 0x0F))
             pos = pos + 2 + seg_len
-            return _decode_scan(
-                data, pos, frame, scan, qt, huff, restart_interval, np
+            if not progressive:
+                return _decode_scan(
+                    data, pos, frame, scan, qt, huff, restart_interval, np
+                )
+            if frame is None:
+                raise ValueError("JPEG scan before frame header")
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated progressive SOS header")
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            if prog is None:
+                prog = _init_progressive(frame)
+            pos = _decode_progressive_scan(
+                data,
+                pos,
+                prog,
+                scan,
+                (ss, se, ahal >> 4, ahal & 0x0F),
+                huff,
+                restart_interval,
             )
+            continue
         pos += 2 + seg_len
+    if prog is not None and prog["scans"] > 0:
+        return _finish_progressive(prog, qt, np)
     raise ValueError("JPEG has no scan")
 
 
@@ -763,6 +796,12 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval, np):
             except _RestartMarker:
                 raise ValueError("restart marker inside MCU") from None
             mcu_count += 1
+    return _assemble_pixels(planes, comps, hmax, vmax, w, h, np)
+
+
+def _assemble_pixels(planes, comps, hmax, vmax, w, h, np):
+    """Shared tail of both JPEG modes: chroma upsample, crop to image
+    bounds, grayscale or JFIF YCbCr→RGB conversion."""
     out_planes = []
     for cid, ch, cv, _tq in comps:
         p = planes[cid]
@@ -780,6 +819,250 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart_interval, np):
         [np.clip(x.round(), 0, 255) for x in (r, g, b)], axis=-1
     ).astype(np.uint8)
     return w, h, "RGB", rgb.tobytes()
+
+
+# --- Progressive (SOF2) scan decoding ----------------------------------
+#
+# A progressive JPEG spreads each block's 64 zigzag coefficients over
+# MANY scans: DC and AC bands arrive separately (spectral selection)
+# and/or most-significant-bits first (successive approximation, Ah/Al).
+# Decoding therefore accumulates integer coefficients per block across
+# scans and runs dequantize+IDCT once at EOI. The four scan kinds
+# (ITU-T T.81 §G.2): DC first, DC refine (one raw bit per block), AC
+# first (with EOB-run coding), AC refine (correction bits woven into
+# the runs).
+
+
+def _init_progressive(frame: tuple) -> dict:
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    coefs = {}
+    for cid, ch, cv, _tq in comps:
+        rows, cols = mcus_y * cv, mcus_x * ch
+        coefs[cid] = [[0] * 64 for _ in range(rows * cols)]
+    return {
+        "w": w,
+        "h": h,
+        "comps": comps,
+        "hmax": hmax,
+        "vmax": vmax,
+        "mcus_x": mcus_x,
+        "mcus_y": mcus_y,
+        "coefs": coefs,
+        "scans": 0,
+    }
+
+
+def _comp_block_grid(st: dict, comp: tuple) -> tuple[int, int, int]:
+    """(block rows, block cols, padded grid stride) for one component.
+
+    Non-interleaved scans walk the component's ACTUAL block grid
+    (ceil(comp_size/8)); the padded MCU-aligned grid (the coefficient
+    storage stride) can be wider for subsampled frames with
+    non-MCU-aligned dimensions."""
+    _cid, ch, cv, _tq = comp
+    cw = -(-(st["w"] * ch) // st["hmax"])
+    chh = -(-(st["h"] * cv) // st["vmax"])
+    return -(-chh // 8), -(-cw // 8), st["mcus_x"] * ch
+
+
+def _prog_restart(reader: _BitReader, data: bytes) -> None:
+    """Byte-align onto the next RSTn and consume it (between restart
+    intervals in a progressive scan)."""
+    while data[reader.pos] != 0xFF or not (0xD0 <= data[reader.pos + 1] <= 0xD7):
+        reader.pos += 1
+    reader.align_after_restart()
+
+
+def _first_ac(reader, table, coef, ss, se, al, eobrun):
+    """AC band, first (Ah=0) scan for one block; returns new EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _huff_decode(reader, table)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r < 15:  # EOBn: run of 2^r (+bits) all-done blocks
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += reader.read_bits(r)
+                break
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        coef[k] = _extend(reader.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _refine_ac(reader, table, coef, ss, se, al, eobrun):
+    """AC band, refinement (Ah>0) scan for one block: each previously
+    nonzero coefficient gets one correction bit (raising magnitude by
+    1<<Al when set and not already carried); zero-history runs place
+    newly nonzero ±1<<Al values; EOB runs still consume correction
+    bits for the nonzero history they cover. Returns new EOB run."""
+    p1 = 1 << al
+
+    def correct(c):
+        if (c & p1) == 0:
+            return c + (p1 if c >= 0 else -p1)
+        return c
+
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _huff_decode(reader, table)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.read_bits(r)
+                    break
+                # ZRL: skip 16 zero-history positions
+            else:
+                # refinement scans only ever code magnitude-1 newcomers
+                val = p1 if reader.read_bit() else -p1
+            while k <= se:
+                c = coef[k]
+                if c:
+                    if reader.read_bit():
+                        coef[k] = correct(c)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = coef[k]
+            if c and reader.read_bit():
+                coef[k] = correct(c)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data: bytes,
+    pos: int,
+    st: dict,
+    scan: list[tuple[int, int, int]],
+    spec: tuple[int, int, int, int],
+    huff: dict,
+    restart_interval: int,
+) -> int:
+    """Decode one progressive scan into the accumulated coefficient
+    state; returns the position of the next marker after the scan's
+    entropy data."""
+    ss, se, ah, al = spec
+    if not (0 <= ss <= se <= 63):
+        raise ValueError("invalid progressive spectral selection")
+    comps_by_cid = {c[0]: c for c in st["comps"]}
+    reader = _BitReader(data, pos)
+    pred = {c[0]: 0 for c in st["comps"]}
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart():
+        nonlocal eobrun
+        if restart_interval and unit and unit % restart_interval == 0:
+            _prog_restart(reader, data)
+            for cid in pred:
+                pred[cid] = 0
+            eobrun = 0
+
+    def dc_block(cid, td, coef):
+        if ah == 0:
+            t = _huff_decode(reader, huff[(0, td)])
+            pred[cid] += _extend(reader.read_bits(t), t) if t else 0
+            coef[0] = pred[cid] << al
+        elif reader.read_bit():
+            coef[0] |= 1 << al
+
+    try:
+        if ss == 0:  # DC scan
+            if se != 0:
+                raise ValueError("progressive DC scan must have Se=0")
+            if len(scan) > 1:  # interleaved, MCU order
+                for my in range(st["mcus_y"]):
+                    for mx in range(st["mcus_x"]):
+                        maybe_restart()
+                        for cs, td, _ta in scan:
+                            _cid, ch, cv, _tq = comps_by_cid[cs]
+                            cols = st["mcus_x"] * ch
+                            for by in range(cv):
+                                for bx in range(ch):
+                                    idx = (my * cv + by) * cols + (mx * ch + bx)
+                                    dc_block(cs, td, st["coefs"][cs][idx])
+                        unit += 1
+            else:  # single component: raster over its block grid
+                cs, td, _ta = scan[0]
+                bh, bw, cols = _comp_block_grid(st, comps_by_cid[cs])
+                for by in range(bh):
+                    for bx in range(bw):
+                        maybe_restart()
+                        dc_block(cs, td, st["coefs"][cs][by * cols + bx])
+                        unit += 1
+        else:  # AC scan: always one component, raster order
+            if len(scan) != 1:
+                raise ValueError("progressive AC scan must be single-component")
+            cs, _td, ta = scan[0]
+            table = huff[(1, ta)]
+            bh, bw, cols = _comp_block_grid(st, comps_by_cid[cs])
+            fn = _first_ac if ah == 0 else _refine_ac
+            for by in range(bh):
+                for bx in range(bw):
+                    maybe_restart()
+                    eobrun = fn(
+                        reader, table, st["coefs"][cs][by * cols + bx], ss, se, al, eobrun
+                    )
+                    unit += 1
+    except _RestartMarker:
+        raise ValueError("restart marker inside progressive data unit") from None
+    st["scans"] += 1
+    # skip to the next real marker (stuffed FF00 and RSTn are data)
+    p, n = reader.pos, len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (0xD0 <= data[p + 1] <= 0xD7):
+            return p
+        p += 1
+    return n
+
+
+def _finish_progressive(st: dict, qt: dict, np):
+    basis = _idct_matrix()
+    planes = {}
+    for cid, ch, cv, tq in st["comps"]:
+        if tq not in qt:
+            raise ValueError("missing quantization table")
+        q = qt[tq]
+        rows, cols = st["mcus_y"] * cv, st["mcus_x"] * ch
+        plane = np.zeros((rows * 8, cols * 8))
+        blocks = st["coefs"][cid]
+        for by in range(rows):
+            for bx in range(cols):
+                zz = blocks[by * cols + bx]
+                block = np.zeros(64)
+                for scan_pos, rm_idx in enumerate(_ZIGZAG):
+                    block[rm_idx] = zz[scan_pos] * q[scan_pos]
+                plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    basis.T @ block.reshape(8, 8) @ basis + 128.0
+                )
+        planes[cid] = plane
+    return _assemble_pixels(
+        planes, st["comps"], st["hmax"], st["vmax"], st["w"], st["h"], np
+    )
 
 
 def _decode_block(reader, dc_table, ac_table, quant, pred, cid, np):

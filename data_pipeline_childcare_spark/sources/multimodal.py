@@ -124,14 +124,14 @@ def attach_media_metadata(df: DataFrame, content_col: str = "content") -> DataFr
 def _decode_image(data: bytes) -> tuple[int, int, str, list[float]]:
     """Tiered decode, most-deterministic real path first:
 
-    1. stdlib(+numpy) codec (PNG via zlib, GIF via LZW, baseline
-       JPEG via Huffman+IDCT, BMP, PPM — sources/imagecodec.py) →
-       REAL decode: true dims/mode/pixels and an 8-dim box-mean
-       grayscale-thumbnail feature, bit-identical in every
-       environment — the cheapest visual embedding that supports
-       dedup/ANN downstream.
-    2. PIL importable (formats tier 1 can't: progressive JPEG,
-       WebP, ...) → real decode, same thumbnail semantics via PIL.
+    1. stdlib(+numpy) codec (PNG via zlib, GIF via LZW, baseline AND
+       progressive JPEG via Huffman+IDCT, BMP, PPM —
+       sources/imagecodec.py) → REAL decode: true dims/mode/pixels
+       and an 8-dim box-mean grayscale-thumbnail feature,
+       bit-identical in every environment — the cheapest visual
+       embedding that supports dedup/ANN downstream.
+    2. PIL importable (formats tier 1 can't: WebP, arithmetic-coded
+       JPEG, ...) → real decode, same thumbnail semantics via PIL.
     3. header parses (stdlib magic sniff) → real dims, mode
        "NODECODE", digest feature (marked stub).
     4. otherwise → fully deterministic digest fake (marked stub).

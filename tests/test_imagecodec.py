@@ -585,16 +585,325 @@ def test_jpeg_rgb_420_subsampled():
     assert err <= 14, err  # chroma box-mean + upsample replication
 
 
-def test_jpeg_progressive_rejected():
+# --- Progressive JPEG (test-side ENCODER) ------------------------------
+# Independent SOF2 encoder so the production progressive decoder is
+# exercised by a bitstream it did not write: spectral selection (DC
+# scan + per-component AC band scans) and successive approximation
+# (DC first/refine at Al=1→0, AC first/refine with EOB-run coding and
+# buffered correction bits).
+
+
+class _ProgSink:
+    """Emit interface shared by the symbol-gathering pass and the real
+    bit-writing pass."""
+
+    def __init__(self, writer=None, dc_codes=None, ac_codes=None):
+        self.writer = writer
+        self.dc_codes, self.ac_codes = dc_codes, ac_codes
+        self.dc_syms, self.ac_syms = set(), set()
+
+    def sym_dc(self, s):
+        self.dc_syms.add(s)
+        if self.writer:
+            ln, code = self.dc_codes[s]
+            self.writer.write(code, ln)
+
+    def sym_ac(self, s):
+        self.ac_syms.add(s)
+        if self.writer:
+            ln, code = self.ac_codes[s]
+            self.writer.write(code, ln)
+
+    def bits(self, v, n):
+        if n and self.writer:
+            self.writer.write(v, n)
+
+
+def _emit_dc_scan(sink, mcu_blocks, al, ah):
+    """mcu_blocks: [(comp_idx, zz)] in MCU-interleaved order."""
+    preds = {}
+    for ci, zz in mcu_blocks:
+        if ah == 0:
+            v = zz[0] >> al  # arithmetic shift, mirrors decoder's <<
+            diff = v - preds.get(ci, 0)
+            preds[ci] = v
+            t = _category(diff)
+            sink.sym_dc(t)
+            sink.bits(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        else:
+            sink.bits((zz[0] >> al) & 1, 1)
+
+
+def _emit_ac_first(sink, blocks, ss, se, al):
+    """AC band first scan (Ah=0): values at reduced precision
+    sign*(abs>>Al); simple per-block EOB (no run accumulation)."""
+    for zz in blocks:
+        vals = {
+            k: (abs(zz[k]) >> al) * (1 if zz[k] >= 0 else -1)
+            for k in range(ss, se + 1)
+        }
+        last_nz = max((k for k in vals if vals[k]), default=ss - 1)
+        run = 0
+        for k in range(ss, last_nz + 1):
+            v = vals[k]
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                sink.sym_ac(0xF0)
+                run -= 16
+            s = _category(v)
+            sink.sym_ac((run << 4) | s)
+            sink.bits(v if v >= 0 else v + (1 << s) - 1, s)
+            run = 0
+        if last_nz < se:
+            sink.sym_ac(0x00)  # EOB, run of 1
+
+
+def _emit_ac_refine(sink, blocks, ss, se, al):
+    """AC band refinement scan (Ah=Al+1): newly nonzero coefficients
+    (scaled magnitude exactly 1) as (run|1)+sign, correction bits for
+    history coefficients buffered and emitted after each symbol, runs
+    beyond the last newcomer folded into an EOB run."""
+    state = {"eobrun": 0, "eob_bits": []}
+
+    def flush_eob():
+        if state["eobrun"]:
+            nbits = state["eobrun"].bit_length() - 1
+            sink.sym_ac(nbits << 4)
+            sink.bits(state["eobrun"] - (1 << nbits), nbits)
+            for b in state["eob_bits"]:
+                sink.bits(b, 1)
+            state["eobrun"] = 0
+            state["eob_bits"] = []
+
+    for zz in blocks:
+        mags = {k: abs(zz[k]) >> al for k in range(ss, se + 1)}
+        eob = max((k for k in mags if mags[k] == 1), default=ss - 1)
+        r, br = 0, []
+        for k in range(ss, se + 1):
+            t = mags[k]
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                sink.sym_ac(0xF0)
+                r -= 16
+                for b in br:
+                    sink.bits(b, 1)
+                br = []
+            if t > 1:  # history: one buffered correction bit
+                br.append(t & 1)
+                continue
+            flush_eob()
+            sink.sym_ac((r << 4) | 1)
+            sink.bits(1 if zz[k] >= 0 else 0, 1)
+            for b in br:
+                sink.bits(b, 1)
+            r, br = 0, []
+        if r > 0 or br:
+            state["eobrun"] += 1
+            state["eob_bits"].extend(br)
+            if state["eobrun"] == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _jpeg_encode_progressive(pixels, w, h, mode="L", subsample=False, successive=True):
+    """Progressive JPEG, quant all-ones. ``successive=False`` emits a
+    spectral-selection-only script (DC, then AC 1-63 per component at
+    full precision); ``True`` adds successive approximation (DC and AC
+    at Al=1, then refinement scans to Al=0)."""
     import struct as _struct
 
+    arr = _np.frombuffer(pixels, dtype=_np.uint8).astype(float)
+    if mode == "L":
+        planes, samp = [arr.reshape(h, w)], [(1, 1)]
+    else:
+        rgb = arr.reshape(h, w, 3)
+        r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsample:
+            cb = cb.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            cr = cr.reshape(h // 2, 2, w // 2, 2).mean(axis=(1, 3))
+            planes, samp = [y, cb, cr], [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes, samp = [y, cb, cr], [(1, 1), (1, 1), (1, 1)]
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+    mcus_x = (w + 8 * hmax - 1) // (8 * hmax)
+    mcus_y = (h + 8 * vmax - 1) // (8 * vmax)
+    # zz coefficients on each component's padded MCU-aligned grid
+    grids = []
+    for p, (sh, sv) in zip(planes, samp):
+        rows, cols = mcus_y * sv, mcus_x * sh
+        pp = _np.zeros((rows * 8, cols * 8))
+        pp[: p.shape[0], : p.shape[1]] = p
+        pp[p.shape[0] :, : p.shape[1]] = p[-1:, :]
+        pp[:, p.shape[1] :] = pp[:, p.shape[1] - 1 : p.shape[1]]
+        grid = [
+            [_dct_zz(pp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]) for bx in range(cols)]
+            for by in range(rows)
+        ]
+        grids.append(grid)
+    mcu_blocks = []  # DC scan: interleaved MCU order
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        mcu_blocks.append((ci, grids[ci][my * sv + by][mx * sh + bx]))
+
+    def comp_raster(ci):  # AC scans: actual block grid, raster order
+        sh, sv = samp[ci]
+        bw = -(-(-(-(w * sh) // hmax)) // 8)
+        bh = -(-(-(-(h * sv) // vmax)) // 8)
+        return [grids[ci][by][bx] for by in range(bh) for bx in range(bw)]
+
+    if successive:
+        scans = [("dc", None, 0, 0, 0, 1), ("dc", None, 0, 0, 1, 0)]
+        for ci in range(len(planes)):
+            scans.append(("ac", ci, 1, 63, 0, 1))
+        for ci in range(len(planes)):
+            scans.append(("ac", ci, 1, 63, 1, 0))
+    else:
+        scans = [("dc", None, 0, 0, 0, 0)]
+        for ci in range(len(planes)):
+            scans.append(("ac", ci, 1, 63, 0, 0))
+
+    def run_scan(sink, kind, ci, ss, se, ah, al):
+        if kind == "dc":
+            _emit_dc_scan(sink, mcu_blocks, al, ah)
+        elif ah == 0:
+            _emit_ac_first(sink, comp_raster(ci), ss, se, al)
+        else:
+            _emit_ac_refine(sink, comp_raster(ci), ss, se, al)
+
+    # pass 1: gather symbols for one shared DC and one shared AC table
+    gather = _ProgSink()
+    for sc in scans:
+        run_scan(gather, *sc)
+    dc_bits, dc_vals, dc_codes = _canonical_codes(gather.dc_syms or {0})
+    ac_bits, ac_vals, ac_codes = _canonical_codes(gather.ac_syms or {0})
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    out = b"\xff\xd8"
+    out += seg(0xDB, bytes([0]) + bytes([1] * 64))
+    sof = _struct.pack(">BHHB", 8, h, w, len(planes))
+    for ci, (sh, sv) in enumerate(samp):
+        sof += bytes([ci + 1, (sh << 4) | sv, 0])
+    out += seg(0xC2, sof)  # SOF2: progressive
+    out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
+    out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
+    for kind, ci, ss, se, ah, al in scans:
+        if kind == "dc":
+            sos = bytes([len(planes)])
+            for c in range(len(planes)):
+                sos += bytes([c + 1, 0x00])
+        else:
+            sos = bytes([1, ci + 1, 0x00])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, sos)
+        writer = _BitWriter()
+        run_scan(_ProgSink(writer, dc_codes, ac_codes), kind, ci, ss, se, ah, al)
+        out += writer.flush()
+    return out + b"\xff\xd9"
+
+
+def test_jpeg_progressive_grayscale_spectral_only():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_image_stdlib,
+        decode_jpeg_baseline,
+    )
+
+    w, h = 20, 12  # non-8-aligned: exercises the raster block grid
+    pixels = bytes(((x * 16 + y * 7) % 256) for y in range(h) for x in range(w))
+    jpg = _jpeg_encode_progressive(pixels, w, h, mode="L", successive=False)
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "L")
+    err = max(abs(a - b) for a, b in zip(out, pixels))
+    assert err <= 2, err
+    assert decode_image_stdlib(jpg) is not None
+
+
+def test_jpeg_progressive_grayscale_successive_approximation():
     from data_pipeline_childcare_spark.sources.imagecodec import (
         decode_jpeg_baseline,
     )
 
-    fake = b"\xff\xd8" + bytes([0xFF, 0xC2]) + _struct.pack(">H", 8) + bytes(6)
-    with pytest.raises(ValueError):
-        decode_jpeg_baseline(fake)
+    w, h = 24, 16
+    pixels = bytes(((x * 13 + y * 29 + (x * y) // 3) % 256) for y in range(h) for x in range(w))
+    jpg = _jpeg_encode_progressive(pixels, w, h, mode="L", successive=True)
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "L")
+    # Al=1 first scans + refinement to Al=0 recover full precision
+    err = max(abs(a - b) for a, b in zip(out, pixels))
+    assert err <= 2, err
+
+
+def test_jpeg_progressive_rgb_444_successive():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w, h = 8, 8
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (x * 30 % 256, y * 30 % 256, (x + y) * 15 % 256)
+    )
+    jpg = _jpeg_encode_progressive(rgb, w, h, mode="RGB", successive=True)
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "RGB")
+    err = max(abs(a - b) for a, b in zip(out, rgb))
+    assert err <= 4, err
+
+
+def test_jpeg_progressive_rgb_420_nonaligned():
+    """4:2:0 with width 34: the luma raster grid (5 blocks wide) is
+    narrower than the padded MCU grid (6) — the non-interleaved AC
+    scans must walk the ACTUAL grid while DC fills the padded one."""
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w, h = 34, 18
+    rgb = bytes(
+        v
+        for y in range(h)
+        for x in range(w)
+        for v in (min(x * 7 + 10, 255), min(y * 9 + 20, 255), 128)
+    )
+    # pad to even dims for the 2x2 chroma box-mean, then crop via SOF dims
+    # (encoder requires even h/w for subsample): use 34x18 directly (even)
+    jpg = _jpeg_encode_progressive(rgb, w, h, mode="RGB", subsample=True, successive=True)
+    dw, dh, mode, out = decode_jpeg_baseline(jpg)
+    assert (dw, dh, mode) == (w, h, "RGB")
+    err = max(abs(a - b) for a, b in zip(out, rgb))
+    assert err <= 14, err  # chroma box-mean + replication upsample
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """The same image through the baseline and progressive encoders
+    decodes to identical pixels (both quant-1, same DCT): the two
+    decode paths agree bit-for-bit."""
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_jpeg_baseline,
+    )
+
+    w, h = 16, 16
+    pixels = bytes(((x * 5 + y * 11) % 256) for y in range(h) for x in range(w))
+    base = decode_jpeg_baseline(_jpeg_encode(pixels, w, h, mode="L"))
+    prog = decode_jpeg_baseline(
+        _jpeg_encode_progressive(pixels, w, h, mode="L", successive=True)
+    )
+    assert base == prog
 
 
 def test_jpeg_restart_markers():
@@ -697,6 +1006,15 @@ def test_jpeg_corrupt_raises_valueerror_only():
     ):
         with pytest.raises(ValueError):
             decode_jpeg_baseline(bad)
+    # progressive streams keep the same contract: any truncation either
+    # raises ValueError or decodes the partial scans (the progressive
+    # rendering property) — never leaks Index/Key/struct errors
+    prog = _jpeg_encode_progressive(bytes(range(64)), 8, 8, mode="L")
+    for cut in range(2, len(prog), 7):
+        try:
+            decode_jpeg_baseline(prog[:cut])
+        except ValueError:
+            pass
 
 
 def test_jpeg_zero_sampling_factor_raises_valueerror():
