@@ -403,20 +403,25 @@ def iter_riff_chunks(data: bytes, pos: int, end: int):
         pos = declared_end + (size & 1)
 
 
-def parse_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
-    """Parse an uncompressed AVI (RIFF) with stdlib struct only →
-    ``(width, height, usec_per_frame, frames)`` where each frame is
-    the raw '00db' DIB pixel array (bottom-up BGR, the BMP layout).
+def parse_avi(data: bytes) -> tuple[int, int, int, list[tuple[str, bytes]]]:
+    """Parse an AVI (RIFF) with stdlib struct only → ``(width, height,
+    usec_per_frame, frames)`` where each frame is ``(kind, payload)``:
 
-    Scope: the RIFF walk handles any chunk nesting; only '..db'
-    (uncompressed device-independent bitmap) frames are collected —
-    codec streams ('..dc') need a real video library and stay with
-    the stub tier. Malformed input always raises ValueError (never
-    struct.error) so callers' stub fallbacks fire."""
+    - ``("dib", pixels)`` — a '..db' uncompressed device-independent
+      bitmap (bottom-up BGR, the BMP layout; wrap with
+      :func:`encode_bmp`);
+    - ``("jpeg", bytes)`` — a '..dc' Motion-JPEG frame (each MJPEG
+      frame is a complete JPEG stream, SOI magic checked), decodable
+      by :func:`decode_jpeg_baseline` — MJPEG is the one compressed
+      AVI codec a library-free stack can genuinely play.
+
+    '..dc' frames of other codecs are skipped; a file with ONLY such
+    frames raises (the caller's stub tier fires). Malformed input
+    always raises ValueError (never struct.error)."""
     if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not an AVI")
     usec = width = height = None
-    frames: list[bytes] = []
+    frames: list[tuple[str, bytes]] = []
 
     def walk(pos: int, end: int) -> None:
         nonlocal usec, width, height
@@ -431,11 +436,13 @@ def parse_avi(data: bytes) -> tuple[int, int, int, list[bytes]]:
                     "<II", data[body_start + 32 : body_start + 40]
                 )
             elif fourcc[2:4] == b"db":
-                frames.append(bytes(data[body_start:body_end]))
+                frames.append(("dib", bytes(data[body_start:body_end])))
+            elif fourcc[2:4] == b"dc" and data[body_start : body_start + 2] == b"\xff\xd8":
+                frames.append(("jpeg", bytes(data[body_start:body_end])))
 
     walk(12, len(data))
     if usec is None or width is None or not frames:
-        raise ValueError("AVI missing avih header or uncompressed frames")
+        raise ValueError("AVI missing avih header or decodable frames")
     return int(width), int(height), int(usec), frames
 
 

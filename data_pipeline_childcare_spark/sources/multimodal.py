@@ -200,14 +200,17 @@ def sample_frames(
 
     Tiered like the image path:
 
-    1. uncompressed AVI (RIFF '00db' DIB streams) → REAL stdlib
-       decode (`imagecodec.parse_avi`): true frame timing from the
-       avih header, frames sampled every ``every_ms``, each emitted
-       as a standalone BMP so `image_features` decodes it downstream
-       — video → frames → features is an all-real stdlib pipeline.
-    2. anything else (codec streams need a video library) → marked
-       stub: deterministic byte-slices keep the row-explosion shape,
-       timestamps, and batch discipline testable everywhere.
+    1. AVI with decodable streams → REAL stdlib decode
+       (`imagecodec.parse_avi`): true frame timing from the avih
+       header, frames sampled every ``every_ms``. '00db' DIB frames
+       are emitted as standalone BMPs; '00dc' Motion-JPEG frames pass
+       through as the complete JPEGs they are — either way
+       `image_features` decodes them downstream, so video → frames →
+       features is an all-real library-free pipeline for both
+       uncompressed and MJPEG AVI.
+    2. anything else (other codec streams need a video library) →
+       marked stub: deterministic byte-slices keep the row-explosion
+       shape, timestamps, and batch discipline testable everywhere.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -237,12 +240,13 @@ def sample_frames(
                     for j, idx in enumerate(range(0, len(frames), step)):
                         if j >= max_frames:
                             break
+                        kind, payload = frames[idx]
                         rows.append(
                             (
                                 path,
                                 idx,
                                 idx * usec // 1000,
-                                encode_bmp(w, h, frames[idx]),
+                                encode_bmp(w, h, payload) if kind == "dib" else payload,
                                 False,
                             )
                         )
@@ -260,13 +264,79 @@ AUDIO_FEATURES_SCHEMA = (
 )
 
 
+# IMA/DVI ADPCM tables — the NORMATIVE constants from the IMA Digital
+# Audio compatibility spec (like the Rec.601 luma weights, these are
+# published interoperability constants, not derivable code)
+_IMA_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_IMA_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_adpcm_to_pcm16(data: bytes, channels: int, block_align: int) -> bytes:
+    """Decode IMA/DVI ADPCM (WAV format 0x11) blocks to interleaved
+    little-endian PCM16. Block layout: per-channel 4-byte header
+    (int16 predictor, uint8 step index, reserved), then 4-byte nibble
+    words round-robin per channel (low nibble first, 8 samples per
+    word). A trailing partial block is dropped; an out-of-range index
+    clamps — both the degradations real decoders apply."""
+    import struct  # noqa: PLC0415
+
+    if channels < 1 or block_align < 4 * channels:
+        raise ValueError("invalid IMA ADPCM block layout")
+    out = bytearray()
+    usable = len(data) - (len(data) % block_align)
+    for boff in range(0, usable, block_align):
+        block = data[boff : boff + block_align]
+        preds, idxs = [], []
+        chans: list[list[int]] = [[] for _ in range(channels)]
+        for c in range(channels):
+            pred, idx = struct.unpack_from("<hB", block, c * 4)
+            preds.append(pred)
+            idxs.append(min(idx, 88))
+            chans[c].append(pred)
+        pos = 4 * channels
+        while pos + 4 * channels <= len(block):
+            for c in range(channels):
+                for byte in block[pos + 4 * c : pos + 4 * c + 4]:
+                    for nib in (byte & 0x0F, byte >> 4):
+                        step = _IMA_STEPS[idxs[c]]
+                        diff = step >> 3
+                        if nib & 1:
+                            diff += step >> 2
+                        if nib & 2:
+                            diff += step >> 1
+                        if nib & 4:
+                            diff += step
+                        p = preds[c] + (-diff if nib & 8 else diff)
+                        preds[c] = max(-32768, min(32767, p))
+                        chans[c].append(preds[c])
+                        idxs[c] = max(0, min(88, idxs[c] + _IMA_INDEX_ADJ[nib & 7]))
+            pos += 4 * channels
+        n = min(len(ch) for ch in chans)
+        for s in range(n):
+            for c in range(channels):
+                out += struct.pack("<h", chans[c][s])
+    if not out:
+        raise ValueError("IMA ADPCM data shorter than one block")
+    return bytes(out)
+
+
 def _parse_wav_pcm(data: bytes) -> tuple[int, int, bytes]:
     """RIFF/WAVE walk (shared bounds-checked chunk iterator from
-    ``imagecodec``) → (sample_rate, channels, pcm16_bytes). Only
-    integer 16-bit mono/stereo-style PCM ('fmt ' audio format 1,
-    bits 16, channels ≥ 1) is real; anything else — including
-    truncated or lying chunk sizes — raises ValueError so the stub
-    tier fires."""
+    ``imagecodec``) → (sample_rate, channels, pcm16_bytes). Real
+    tiers: integer 16-bit PCM ('fmt ' audio format 1, bits 16) passes
+    through; IMA/DVI ADPCM (format 0x11, bits 4 — the classic
+    compressed-WAV codec) is decoded to PCM16 by
+    :func:`_ima_adpcm_to_pcm16`. Anything else — including truncated
+    or lying chunk sizes — raises ValueError so the stub tier
+    fires."""
     import struct  # noqa: PLC0415
 
     from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: PLC0415
@@ -285,13 +355,15 @@ def _parse_wav_pcm(data: bytes) -> tuple[int, int, bytes]:
             pcm = data[start:end]
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
-    audio_format, channels, rate, _br, _ba, bits = fmt
-    if audio_format != 1 or bits != 16 or channels < 1 or rate < 1:
-        raise ValueError(
-            f"unsupported WAV (format={audio_format}, bits={bits}, "
-            f"channels={channels}, rate={rate})"
-        )
-    return rate, channels, pcm
+    audio_format, channels, rate, _br, block_align, bits = fmt
+    if audio_format == 1 and bits == 16 and channels >= 1 and rate >= 1:
+        return rate, channels, pcm
+    if audio_format == 0x11 and bits == 4 and channels >= 1 and rate >= 1:
+        return rate, channels, _ima_adpcm_to_pcm16(pcm, channels, block_align)
+    raise ValueError(
+        f"unsupported WAV (format={audio_format}, bits={bits}, "
+        f"channels={channels}, rate={rate})"
+    )
 
 
 def audio_features(

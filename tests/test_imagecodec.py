@@ -298,10 +298,75 @@ def test_avi_parse_and_frame_bmp_roundtrip():
     avi = _make_avi(4, 2, 40000, colors)
     w, h, usec, frames = parse_avi(avi)
     assert (w, h, usec, len(frames)) == (4, 2, 40000, 3)
-    for frame, rgb in zip(frames, colors):
+    for (kind, frame), rgb in zip(frames, colors):
+        assert kind == "dib"
         dw, dh, mode, px = decode_bmp(encode_bmp(w, h, frame))
         assert (dw, dh, mode) == (4, 2, "RGB")
         assert px[:3] == bytes(rgb)
+
+
+def _make_mjpeg_avi(w, h, usec_per_frame, shades):
+    """AVI whose '00dc' stream carries Motion-JPEG frames (each a
+    complete grayscale JPEG from the independent test-side encoder)."""
+    frames = [
+        _chunk(b"00dc", _jpeg_encode(bytes([shade]) * (w * h), w, h, mode="L"))
+        for shade in shades
+    ]
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        usec_per_frame, 0, 0, 0, len(shades), 0, 1, 0, w, h, 0, 0, 0, 0,
+    )
+    movi = _list_chunk(b"movi", frames)
+    hdrl = _list_chunk(b"hdrl", [_chunk(b"avih", avih)])
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_avi_mjpeg_frames_decode_all_real(spark):
+    """Motion-JPEG AVI: '00dc' frames are complete JPEGs, so the
+    video → frames → image-features pipeline is all-real for the one
+    compressed AVI codec a library-free stack can play."""
+    from data_pipeline_childcare_spark.sources.imagecodec import parse_avi
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        image_features,
+        sample_frames,
+    )
+
+    shades = [10, 128, 240]
+    avi = _make_mjpeg_avi(8, 8, 40000, shades)
+    w, h, usec, frames = parse_avi(avi)
+    assert (w, h, usec) == (8, 8, 40000)
+    assert [k for k, _ in frames] == ["jpeg"] * 3
+
+    df = spark.createDataFrame([("clip.avi", avi)], "path string, content binary")
+    sampled = sample_frames(df, every_ms=40, max_frames=8).collect()
+    assert [r["frame_ms"] for r in sampled] == [0, 40, 80]
+    assert all(r["is_stub"] is False for r in sampled)
+    fdf = spark.createDataFrame(
+        [(f"f{r['frame_idx']}", bytes(r["frame"])) for r in sampled],
+        "path string, content binary",
+    )
+    feats = {r["path"]: r for r in image_features(fdf, "path", "content").collect()}
+    assert all(not r["is_stub"] and r["mode"] == "L" for r in feats.values())
+    # flat frames: the decoded luminance thumbnail recovers each shade
+    for i, shade in enumerate(shades):
+        f0 = feats[f"f{i}"]["feature"][0]
+        assert abs(f0 - shade / 255.0) < 0.02, (i, shade, f0)
+
+
+def test_avi_non_mjpeg_dc_stream_stays_stub(spark):
+    """A '00dc' stream that is NOT JPEG (e.g. a real codec bitstream)
+    must not be misdecoded — the file falls to the stub tier."""
+    from data_pipeline_childcare_spark.sources.multimodal import sample_frames
+
+    avih = struct.pack("<IIIIIIIIIIIIII", 40000, 0, 0, 0, 1, 0, 1, 0, 4, 2, 0, 0, 0, 0)
+    movi = _list_chunk(b"movi", [_chunk(b"00dc", b"\x00\x01codecbits" * 20)])
+    hdrl = _list_chunk(b"hdrl", [_chunk(b"avih", avih)])
+    body = b"AVI " + hdrl + movi
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+    df = spark.createDataFrame([("v.avi", avi)], "path string, content binary")
+    rows = sample_frames(df, every_ms=40, max_frames=3).collect()
+    assert rows and all(r["is_stub"] is True for r in rows)
 
 
 def test_video_frames_to_image_features_all_real(spark):

@@ -306,6 +306,102 @@ def test_audio_features_real_pcm_tier(spark):
     assert abs(row["zcr"] - 1.0) < 1e-3
 
 
+def _ima_encode(samples, rate, channels=1, samples_per_block=505):
+    """Independent test-side IMA/DVI ADPCM WAV encoder (mono): the
+    standard nibble quantizer with decoder-mirrored state so the
+    production decoder is exercised by a stream it did not write."""
+    import struct as _struct
+
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        _IMA_INDEX_ADJ,
+        _IMA_STEPS,
+    )
+
+    assert channels == 1
+    blocks = []
+    i = 0
+    idx = 0
+    while i < len(samples):
+        chunk = samples[i : i + samples_per_block]
+        i += samples_per_block
+        pred = chunk[0]
+        header = _struct.pack("<hBB", pred, idx, 0)
+        nibbles = []
+        for s in chunk[1:]:
+            step = _IMA_STEPS[idx]
+            diff = s - pred
+            nib = 0
+            if diff < 0:
+                nib = 8
+                diff = -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            # reconstruct exactly like the decoder so state stays in sync
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = max(-32768, min(32767, pred + (-d if nib & 8 else d)))
+            idx = max(0, min(88, idx + _IMA_INDEX_ADJ[nib & 7]))
+            nibbles.append(nib)
+        while len(nibbles) % 8:
+            nibbles.append(0)  # pad to whole 4-byte words
+        payload = bytes(
+            nibbles[j] | (nibbles[j + 1] << 4) for j in range(0, len(nibbles), 2)
+        )
+        blocks.append(header + payload)
+    block_align = 4 + (samples_per_block - 1 + 7) // 8 * 4
+    data = b"".join(b.ljust(block_align, b"\x00") for b in blocks)
+    fmt = _struct.pack("<HHIIHHH", 0x11, 1, rate, rate * block_align // samples_per_block, block_align, 4, samples_per_block)
+    body = (
+        b"WAVE"
+        + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+        + b"data" + _struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def test_audio_ima_adpcm_real_decode(spark):
+    """IMA ADPCM WAV (format 0x11) round-trips through the real
+    decode tier: waveform recovered within codec tolerance, features
+    non-stub, and a gentle sine's RMS matches the PCM ground truth."""
+    import math
+
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        _parse_wav_pcm,
+        audio_features,
+    )
+
+    rate = 8000
+    n = 1009  # an odd length exercises block padding
+    samples = [int(3000 * math.sin(2 * math.pi * i / 200)) for i in range(n)]
+    wav = _ima_encode(samples, rate)
+    grate, gch, pcm = _parse_wav_pcm(wav)
+    assert (grate, gch) == (rate, 1)
+    import struct as _struct
+
+    decoded = list(_struct.unpack("<" + "h" * (len(pcm) // 2), pcm))
+    # padded tail may extend beyond the source; compare the real span
+    assert len(decoded) >= n
+    err = max(abs(a - b) for a, b in zip(decoded[:n], samples))
+    assert err <= 200, err  # smooth signal → small adaptive steps
+
+    df = spark.createDataFrame([("a.wav", wav)], "path string, content binary")
+    row = audio_features(df).collect()[0]
+    assert row["is_stub"] is False and row["sample_rate"] == rate
+    true_rms = math.sqrt(sum(s * s for s in samples) / n) / 32768.0
+    assert abs(row["rms"] - true_rms) < 0.01
+
+
 def test_audio_features_stereo_downmix_and_stub(spark):
     from data_pipeline_childcare_spark.sources.multimodal import audio_features
 
