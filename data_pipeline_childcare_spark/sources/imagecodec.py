@@ -474,6 +474,8 @@ def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
             return decode_gif(data)
         if data[:2] == b"\xff\xd8":
             return decode_jpeg_baseline(data)
+        if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+            return decode_webp(data)
         return None
     except ValueError:
         raise
@@ -1096,3 +1098,480 @@ def _decode_block(reader, dc_table, ac_table, quant, pred, cid, np):
     for scan_pos, rm_idx in enumerate(_ZIGZAG):
         block[rm_idx] = coeffs[scan_pos]
     return block.reshape(8, 8)
+
+
+# --- WebP (VP8L lossless) ----------------------------------------------
+#
+# Scope: the complete VP8L lossless bitstream (RFC 9649 §3-5): LSB-
+# first bit packing, canonical prefix codes (simple and code-length-
+# coded), meta-prefix groups, color cache, LZ77 backward references
+# with the 2-D distance neighborhood, and all four transforms
+# (predictor, color/cross-color, subtract-green, color-indexing with
+# pixel bundling). Lossy VP8 needs a boolean arithmetic decoder + loop
+# filter and stays with the PIL tier (ValueError here). Constants that
+# are normative spec tables (code-length order) are cited; the
+# distance neighborhood is DERIVED from its ordering rule.
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+
+def _vp8l_distance_map() -> list[tuple[int, int]]:
+    """The 120 closest already-decoded pixel offsets, ordered by
+    squared Euclidean distance, then larger row offset first, then
+    positive column offset first — the rule that generates the
+    spec's distance-mapping table."""
+    cand = [
+        (dx, dy)
+        for dy in range(9)
+        for dx in range(-8, 9)
+        if dy > 0 or dx > 0
+    ]
+    cand.sort(key=lambda p: (p[0] * p[0] + p[1] * p[1], -p[1], 0 if p[0] > 0 else 1, abs(p[0])))
+    return cand[:120]
+
+
+_VP8L_DIST_MAP = _vp8l_distance_map()
+
+
+class _LsbReader:
+    """LSB-first bit reader (VP8L packing: bit i of the stream is bit
+    i of the value)."""
+
+    def __init__(self, data: bytes, pos: int = 0):
+        self.data = data
+        self.pos = pos  # bit position
+        self.nbits = len(data) * 8
+
+    def read(self, n: int) -> int:
+        if n == 0:
+            return 0
+        if self.pos + n > self.nbits:
+            raise ValueError("VP8L bitstream truncated")
+        v = 0
+        p = self.pos
+        for i in range(n):
+            byte = self.data[(p + i) >> 3]
+            v |= ((byte >> ((p + i) & 7)) & 1) << i
+        self.pos = p + n
+        return v
+
+
+def _rev_bits(code: int, n: int) -> int:
+    r = 0
+    for _ in range(n):
+        r = (r << 1) | (code & 1)
+        code >>= 1
+    return r
+
+
+def _vp8l_table(lengths: list[int]):
+    """Canonical prefix code from code lengths → either an int (the
+    lone symbol of a 0-bit code) or {(len, bits-as-read): symbol}.
+    Codes assigned shortest-first, same-length by symbol order; the
+    as-read key is the canonical code bit-reversed (VP8L serializes
+    prefix codes LSB-of-stream-first). Incomplete codes raise."""
+    used = [(ln, sym) for sym, ln in enumerate(lengths) if ln > 0]
+    if not used:
+        raise ValueError("VP8L prefix code with no symbols")
+    if len(used) == 1:
+        return used[0][1]
+    used.sort()
+    kraft = sum(1.0 / (1 << ln) for ln, _ in used)
+    if abs(kraft - 1.0) > 1e-9:
+        raise ValueError("incomplete VP8L prefix code")
+    table: dict[tuple[int, int], int] = {}
+    code = 0
+    prev_len = used[0][0]
+    for ln, sym in used:
+        code <<= ln - prev_len
+        prev_len = ln
+        table[(ln, _rev_bits(code, ln))] = sym
+        code += 1
+    return table
+
+
+def _vp8l_sym(br: _LsbReader, table) -> int:
+    if isinstance(table, int):
+        return table
+    code = 0
+    for n in range(1, 16):
+        code |= br.read(1) << (n - 1)
+        sym = table.get((n, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid VP8L prefix code")
+
+
+def _vp8l_read_code(br: _LsbReader, alphabet_size: int):
+    """One prefix code: simple (1-2 symbols) or code-length-coded."""
+    if br.read(1):  # simple
+        num_symbols = br.read(1) + 1
+        first_8bit = br.read(1)
+        lengths = [0] * alphabet_size
+        s0 = br.read(8 if first_8bit else 1)
+        if s0 >= alphabet_size:
+            raise ValueError("VP8L simple-code symbol out of range")
+        if num_symbols == 2:
+            s1 = br.read(8)
+            if s1 >= alphabet_size or s1 == s0:
+                raise ValueError("VP8L simple-code symbol invalid")
+            lengths[s0] = lengths[s1] = 1
+        else:
+            lengths[s0] = 1
+            return s0  # 0-bit code
+        return _vp8l_table(lengths)
+    num_codes = br.read(4) + 4
+    if num_codes > len(_VP8L_CL_ORDER):
+        raise ValueError("VP8L bad code-length count")
+    cl_lengths = [0] * 19
+    for i in range(num_codes):
+        cl_lengths[_VP8L_CL_ORDER[i]] = br.read(3)
+    cl_table = _vp8l_table(cl_lengths)
+    if br.read(1):  # explicit max-symbol
+        length_nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(length_nbits)
+    else:
+        max_symbol = alphabet_size
+    lengths = [0] * alphabet_size
+    prev = 8
+    sym = 0
+    while sym < alphabet_size:
+        if max_symbol <= 0:
+            break
+        max_symbol -= 1
+        cl = _vp8l_sym(br, cl_table)
+        if cl < 16:
+            lengths[sym] = cl
+            sym += 1
+            if cl:
+                prev = cl
+        elif cl == 16:
+            for _ in range(3 + br.read(2)):
+                if sym < alphabet_size:
+                    lengths[sym] = prev
+                    sym += 1
+        elif cl == 17:
+            sym += 3 + br.read(3)
+        else:
+            sym += 11 + br.read(7)
+    return _vp8l_table(lengths)
+
+
+def _vp8l_prefix_value(br: _LsbReader, code: int) -> int:
+    """LZ77 length / distance prefix decoding."""
+    if code < 4:
+        return code + 1
+    extra = (code - 2) >> 1
+    offset = (2 + (code & 1)) << extra
+    return offset + br.read(extra) + 1
+
+
+def _vp8l_groups(br: _LsbReader, cache_bits: int, n: int = 1) -> list[list]:
+    green_size = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    out = []
+    for _ in range(n):
+        out.append(
+            [
+                _vp8l_read_code(br, green_size),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 256),
+                _vp8l_read_code(br, 40),
+            ]
+        )
+    return out
+
+
+def _vp8l_entropy_image(br: _LsbReader, w: int, h: int, level0: bool, transforms=None):
+    """DecodeImageStream: [transforms (level 0 only)] + color cache +
+    [meta-prefix (level 0 only)] + prefix codes + LZ77 pixel loop.
+    Returns ARGB pixels as a flat list of ints (row-major, w*h)."""
+    if level0:
+        seen = set()
+        while br.read(1):
+            ttype = br.read(2)
+            if ttype in seen:
+                raise ValueError("VP8L transform repeated")
+            seen.add(ttype)
+            if ttype == 0 or ttype == 1:  # predictor / color
+                size_bits = br.read(3) + 2
+                tw = (w + (1 << size_bits) - 1) >> size_bits
+                th = (h + (1 << size_bits) - 1) >> size_bits
+                timg = _vp8l_entropy_image(br, tw, th, False)
+                transforms.append((ttype, size_bits, timg))
+            elif ttype == 2:  # subtract green
+                transforms.append((2, 0, None))
+            else:  # color indexing (palette)
+                n_colors = br.read(8) + 1
+                palette = _vp8l_entropy_image(br, n_colors, 1, False)
+                # palette rows are delta-coded component-wise
+                for i in range(1, n_colors):
+                    a = (palette[i - 1] >> 24) & 0xFF
+                    r = (palette[i - 1] >> 16) & 0xFF
+                    g = (palette[i - 1] >> 8) & 0xFF
+                    b = palette[i - 1] & 0xFF
+                    palette[i] = (
+                        (((palette[i] >> 24) + a) & 0xFF) << 24
+                        | (((palette[i] >> 16) + r) & 0xFF) << 16
+                        | ((((palette[i] >> 8) & 0xFF) + g) & 0xFF) << 8
+                        | (((palette[i] & 0xFF) + b) & 0xFF)
+                    )
+                if n_colors <= 2:
+                    xbits = 3
+                elif n_colors <= 4:
+                    xbits = 2
+                elif n_colors <= 16:
+                    xbits = 1
+                else:
+                    xbits = 0
+                transforms.append((3, xbits, (n_colors, palette)))
+                w = (w + (1 << xbits) - 1) >> xbits  # pixel bundling
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not (1 <= cache_bits <= 11):
+            raise ValueError("VP8L bad color-cache size")
+    cache = [0] * ((1 << cache_bits) if cache_bits else 0)
+    meta = None
+    meta_bits = 0
+    ngroups = 1
+    if level0 and br.read(1):
+        meta_bits = br.read(3) + 2
+        mw = (w + (1 << meta_bits) - 1) >> meta_bits
+        mh = (h + (1 << meta_bits) - 1) >> meta_bits
+        meta_img = _vp8l_entropy_image(br, mw, mh, False)
+        meta = [((p >> 8) & 0xFFFF) for p in meta_img]
+        ngroups = max(meta) + 1
+        meta_w = mw
+    groups = _vp8l_groups(br, cache_bits, ngroups)
+
+    def cache_insert(argb: int) -> None:
+        if cache_bits:
+            cache[((0x1E35A7BD * argb) & 0xFFFFFFFF) >> (32 - cache_bits)] = argb
+
+    npix = w * h
+    pixels: list[int] = []
+    while len(pixels) < npix:
+        if meta is not None:
+            i = len(pixels)
+            gx, gy = (i % w) >> meta_bits, (i // w) >> meta_bits
+            g = groups[meta[gy * meta_w + gx]]
+        else:
+            g = groups[0]
+        s = _vp8l_sym(br, g[0])
+        if s < 256:
+            red = _vp8l_sym(br, g[1])
+            blue = _vp8l_sym(br, g[2])
+            alpha = _vp8l_sym(br, g[3])
+            argb = (alpha << 24) | (red << 16) | (s << 8) | blue
+            pixels.append(argb)
+            cache_insert(argb)
+        elif s < 280:
+            length = _vp8l_prefix_value(br, s - 256)
+            dist_code = _vp8l_prefix_value(br, _vp8l_sym(br, g[4]))
+            if dist_code > 120:
+                dist = dist_code - 120
+            else:
+                dx, dy = _VP8L_DIST_MAP[dist_code - 1]
+                dist = max(1, dy * w + dx)
+            if dist > len(pixels):
+                raise ValueError("VP8L backward reference before start")
+            for _ in range(min(length, npix - len(pixels))):
+                argb = pixels[-dist]
+                pixels.append(argb)
+                cache_insert(argb)
+        else:
+            if not cache_bits:
+                raise ValueError("VP8L cache symbol without cache")
+            pixels.append(cache[s - 280])
+    return pixels
+
+
+def _vp8l_avg2(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) & 0xFF) + ((b >> 24) & 0xFF)) >> 1) << 24
+        | ((((a >> 16) & 0xFF) + ((b >> 16) & 0xFF)) >> 1) << 16
+        | ((((a >> 8) & 0xFF) + ((b >> 8) & 0xFF)) >> 1) << 8
+        | (((a & 0xFF) + (b & 0xFF)) >> 1)
+    )
+
+
+def _vp8l_select(left: int, top: int, tl: int) -> int:
+    p_l = p_t = 0
+    for sh in (24, 16, 8, 0):
+        pc = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        p_l += abs(pc - ((left >> sh) & 0xFF))
+        p_t += abs(pc - ((top >> sh) & 0xFF))
+    return left if p_l < p_t else top
+
+
+def _vp8l_clamp_full(left: int, top: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        v = ((left >> sh) & 0xFF) + ((top >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_clamp_half(avg: int, tl: int) -> int:
+    out = 0
+    for sh in (24, 16, 8, 0):
+        a = (avg >> sh) & 0xFF
+        v = a + int((a - ((tl >> sh) & 0xFF)) / 2)  # C-style trunc toward 0
+        out |= max(0, min(255, v)) << sh
+    return out
+
+
+def _vp8l_add(a: int, b: int) -> int:
+    return (
+        ((((a >> 24) + (b >> 24)) & 0xFF) << 24)
+        | ((((a >> 16) + (b >> 16)) & 0xFF) << 16)
+        | ((((a >> 8) + (b >> 8)) & 0xFF) << 8)
+        | (((a & 0xFF) + (b & 0xFF)) & 0xFF)
+    ) & 0xFFFFFFFF
+
+
+def _vp8l_apply_predictor(pixels: list[int], w: int, h: int, bits: int, timg: list[int]):
+    tw = (w + (1 << bits) - 1) >> bits
+    out = pixels  # in place: residual -> value
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if i == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = out[i - 1]  # left
+            elif x == 0:
+                pred = out[i - w]  # top
+            else:
+                mode = (timg[(y >> bits) * tw + (x >> bits)] >> 8) & 0xFF
+                left, top, tl = out[i - 1], out[i - w], out[i - w - 1]
+                # for x == w-1 the flat index i-w+1 lands on THIS row's
+                # first pixel (already decoded) — exactly the top-right
+                # convention of contiguous row storage
+                tr = out[i - w + 1]
+                if mode == 0:
+                    pred = 0xFF000000
+                elif mode == 1:
+                    pred = left
+                elif mode == 2:
+                    pred = top
+                elif mode == 3:
+                    pred = tr
+                elif mode == 4:
+                    pred = tl
+                elif mode == 5:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tr), top)
+                elif mode == 6:
+                    pred = _vp8l_avg2(left, tl)
+                elif mode == 7:
+                    pred = _vp8l_avg2(left, top)
+                elif mode == 8:
+                    pred = _vp8l_avg2(tl, top)
+                elif mode == 9:
+                    pred = _vp8l_avg2(top, tr)
+                elif mode == 10:
+                    pred = _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr))
+                elif mode == 11:
+                    pred = _vp8l_select(left, top, tl)
+                elif mode == 12:
+                    pred = _vp8l_clamp_full(left, top, tl)
+                elif mode == 13:
+                    pred = _vp8l_clamp_half(_vp8l_avg2(left, top), tl)
+                else:
+                    raise ValueError(f"VP8L bad predictor mode {mode}")
+            out[i] = _vp8l_add(out[i], pred)
+
+
+def _vp8l_apply_color(pixels: list[int], w: int, h: int, bits: int, timg: list[int]):
+    def s8(v: int) -> int:
+        return v - 256 if v >= 128 else v
+
+    tw = (w + (1 << bits) - 1) >> bits
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            cte = timg[(y >> bits) * tw + (x >> bits)]
+            g2r = s8(cte & 0xFF)
+            g2b = s8((cte >> 8) & 0xFF)
+            r2b = s8((cte >> 16) & 0xFF)
+            p = pixels[i]
+            a = (p >> 24) & 0xFF
+            r = (p >> 16) & 0xFF
+            g = (p >> 8) & 0xFF
+            b = p & 0xFF
+            r = (r + ((g2r * s8(g)) >> 5)) & 0xFF
+            b = (b + ((g2b * s8(g)) >> 5)) & 0xFF
+            b = (b + ((r2b * s8(r)) >> 5)) & 0xFF
+            pixels[i] = (a << 24) | (r << 16) | (g << 8) | b
+
+
+def decode_webp(data: bytes) -> tuple[int, int, str, bytes]:
+    """Decode a lossless (VP8L) WebP → (w, h, "RGBA", pixels). Lossy
+    VP8 and animated files raise ValueError so callers tier to PIL.
+    Handles plain VP8L files and VP8X containers wrapping a VP8L
+    chunk."""
+    try:
+        return _decode_webp_impl(data)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error, ZeroDivisionError) as exc:
+        raise ValueError(f"corrupt WebP: {exc!r}") from exc
+
+
+def _decode_webp_impl(data: bytes) -> tuple[int, int, str, bytes]:
+    if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    stream = None
+    for fourcc, start, end in iter_riff_chunks(data, 12, len(data)):
+        if fourcc == b"VP8L":
+            stream = data[start:end]
+            break
+        if fourcc == b"VP8 ":
+            raise ValueError("lossy (VP8) WebP unsupported — needs PIL tier")
+    if stream is None:
+        raise ValueError("WebP has no VP8L chunk")
+    if not stream or stream[0] != 0x2F:
+        raise ValueError("bad VP8L signature")
+    br = _LsbReader(stream, 8)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)  # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("unknown VP8L version")
+    transforms: list = []
+    pixels = _vp8l_entropy_image(br, w, h, True, transforms)
+    # inverse transforms, reverse order of appearance
+    for ttype, bits, payload in reversed(transforms):
+        if ttype == 3:  # color indexing (unbundle + palette lookup)
+            n_colors, palette = payload
+            packed_w = (w + (1 << bits) - 1) >> bits
+            out = [0] * (w * h)
+            per = 1 << bits
+            bwidth = 8 >> bits
+            mask = (1 << bwidth) - 1
+            for y in range(h):
+                for x in range(w):
+                    packed = pixels[y * packed_w + (x >> bits)]
+                    idx = ((packed >> 8) & 0xFF) >> ((x % per) * bwidth) & mask
+                    out[y * w + x] = palette[idx] if idx < n_colors else 0
+            pixels = out
+        elif ttype == 2:  # add green back
+            for i, p in enumerate(pixels):
+                g = (p >> 8) & 0xFF
+                pixels[i] = (
+                    (p & 0xFF00FF00)
+                    | ((((p >> 16) & 0xFF) + g & 0xFF) << 16)
+                    | ((p & 0xFF) + g & 0xFF)
+                )
+        elif ttype == 1:
+            _vp8l_apply_color(pixels, w, h, bits, payload)
+        else:
+            _vp8l_apply_predictor(pixels, w, h, bits, payload)
+    out_bytes = bytearray(w * h * 4)
+    for i, p in enumerate(pixels):
+        out_bytes[4 * i] = (p >> 16) & 0xFF
+        out_bytes[4 * i + 1] = (p >> 8) & 0xFF
+        out_bytes[4 * i + 2] = p & 0xFF
+        out_bytes[4 * i + 3] = (p >> 24) & 0xFF
+    return w, h, "RGBA", bytes(out_bytes)

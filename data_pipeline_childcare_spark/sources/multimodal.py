@@ -125,13 +125,14 @@ def _decode_image(data: bytes) -> tuple[int, int, str, list[float]]:
     """Tiered decode, most-deterministic real path first:
 
     1. stdlib(+numpy) codec (PNG via zlib, GIF via LZW, baseline AND
-       progressive JPEG via Huffman+IDCT, BMP, PPM —
-       sources/imagecodec.py) → REAL decode: true dims/mode/pixels
-       and an 8-dim box-mean grayscale-thumbnail feature,
-       bit-identical in every environment — the cheapest visual
-       embedding that supports dedup/ANN downstream.
-    2. PIL importable (formats tier 1 can't: WebP, arithmetic-coded
-       JPEG, ...) → real decode, same thumbnail semantics via PIL.
+       progressive JPEG via Huffman+IDCT, lossless VP8L WebP, BMP,
+       PPM — sources/imagecodec.py) → REAL decode: true
+       dims/mode/pixels and an 8-dim box-mean grayscale-thumbnail
+       feature, bit-identical in every environment — the cheapest
+       visual embedding that supports dedup/ANN downstream.
+    2. PIL importable (formats tier 1 can't: lossy-VP8 WebP,
+       arithmetic-coded JPEG, ...) → real decode, same thumbnail
+       semantics via PIL.
     3. header parses (stdlib magic sniff) → real dims, mode
        "NODECODE", digest feature (marked stub).
     4. otherwise → fully deterministic digest fake (marked stub).

@@ -304,6 +304,18 @@ def sniff_image_dims(data: bytes) -> tuple[str, int, int] | None:
                 return "JPEG", w, h
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
             i += 2 + seg_len
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        if data[12:16] == b"VP8L" and len(data) >= 25 and data[20] == 0x2F:
+            # VP8L: 14-bit w-1 / h-1 bit-packed after the signature byte
+            b0, b1, b2, b3 = data[21:25]
+            w = 1 + (b0 | ((b1 & 0x3F) << 8))
+            h = 1 + ((b1 >> 6) | (b2 << 2) | ((b3 & 0x0F) << 10))
+            return "WEBP", w, h
+        if data[12:16] == b"VP8 " and len(data) >= 30 and data[23:26] == b"\x9d\x01\x2a":
+            # lossy VP8 keyframe: start code then 14-bit LE dimensions
+            w = struct.unpack("<H", data[26:28])[0] & 0x3FFF
+            h = struct.unpack("<H", data[28:30])[0] & 0x3FFF
+            return "WEBP", w, h
     return None
 
 

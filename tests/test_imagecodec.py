@@ -1118,3 +1118,602 @@ def test_png_garbage_idat_raises_valueerror():
     )
     with pytest.raises(ValueError):
         decode_image_stdlib(png)
+
+
+# --- WebP VP8L (test-side ENCODER) -------------------------------------
+# Independent lossless-WebP encoder exercising the production decoder
+# with streams it did not write: LSB-first packing, canonical prefix
+# codes via the code-length code, optional subtract-green transform,
+# color cache, and LZ77 run copies.
+
+import heapq as _heapq
+
+from data_pipeline_childcare_spark.sources.imagecodec import (
+    _VP8L_CL_ORDER,
+    _rev_bits,
+)
+
+
+class _LsbWriter:
+    def __init__(self):
+        self.bits = []
+
+    def write(self, v, n):
+        for i in range(n):
+            self.bits.append((v >> i) & 1)
+
+    def code(self, length, canonical):
+        self.write(_rev_bits(canonical, length), length)
+
+    def tobytes(self):
+        out = bytearray()
+        for i in range(0, len(self.bits), 8):
+            b = 0
+            for j, bit in enumerate(self.bits[i : i + 8]):
+                b |= bit << j
+            out.append(b)
+        return bytes(out)
+
+
+def _huff_lengths(freqs, cap=15):
+    syms = sorted(s for s, f in freqs.items() if f > 0)
+    if not syms:
+        return {}
+    if len(syms) == 1:
+        return {syms[0]: 0}
+
+    def build(weights):
+        heap = [(wt, s, ("leaf", s)) for s, wt in weights.items()]
+        _heapq.heapify(heap)
+        while len(heap) > 1:
+            w1, t1, n1 = _heapq.heappop(heap)
+            w2, t2, n2 = _heapq.heappop(heap)
+            _heapq.heappush(heap, (w1 + w2, min(t1, t2), ("node", n1, n2)))
+        depths = {}
+
+        def walk(node, d):
+            if node[0] == "leaf":
+                depths[node[1]] = max(d, 1)
+            else:
+                walk(node[1], d + 1)
+                walk(node[2], d + 1)
+
+        walk(heap[0][2], 0)
+        return depths
+
+    depths = build({s: freqs[s] for s in syms})
+    if max(depths.values()) > cap:
+        depths = build({s: 1 for s in syms})
+    return depths
+
+
+def _canonical(lengths):
+    pairs = sorted((ln, s) for s, ln in lengths.items() if ln > 0)
+    codes = {}
+    code = 0
+    prev = pairs[0][0] if pairs else 0
+    for ln, s in pairs:
+        code <<= ln - prev
+        prev = ln
+        codes[s] = (ln, code)
+        code += 1
+    return codes
+
+
+def _emit_tree(wtr, lengths, alphabet):
+    """Serialize one prefix code; returns symbol→(len, code)."""
+    used = sorted(lengths)
+    if len(used) == 1:
+        s0 = used[0]
+        wtr.write(1, 1)  # simple
+        wtr.write(0, 1)  # one symbol
+        if s0 <= 1:
+            wtr.write(0, 1)
+            wtr.write(s0, 1)
+        else:
+            wtr.write(1, 1)
+            wtr.write(s0, 8)
+        return {s0: (0, 0)}
+    if len(used) == 2 and all(lengths[s] == 1 for s in used):
+        s0, s1 = used
+        wtr.write(1, 1)
+        wtr.write(1, 1)  # two symbols
+        if s0 <= 1:
+            wtr.write(0, 1)
+            wtr.write(s0, 1)
+        else:
+            wtr.write(1, 1)
+            wtr.write(s0, 8)
+        wtr.write(s1, 8)
+        return _canonical(lengths)
+    wtr.write(0, 1)  # full code
+    cl_seq = [lengths.get(s, 0) for s in range(alphabet)]
+    cl_lengths = _huff_lengths({v: 1 for v in set(cl_seq)}, cap=7)
+    if len(cl_lengths) == 1:  # degenerate: force a 2-symbol CL code
+        only = next(iter(cl_lengths))
+        other = 0 if only != 0 else 1
+        cl_lengths = {only: 1, other: 1}
+    cl_codes = _canonical(cl_lengths)
+    num_codes = max(_VP8L_CL_ORDER.index(s) for s in cl_lengths) + 1
+    num_codes = max(num_codes, 4)
+    wtr.write(num_codes - 4, 4)
+    for i in range(num_codes):
+        wtr.write(cl_lengths.get(_VP8L_CL_ORDER[i], 0), 3)
+    wtr.write(0, 1)  # no max-symbol shortcut
+    for v in cl_seq:
+        ln, code = cl_codes[v]
+        wtr.code(ln, code)
+    return _canonical(lengths)
+
+
+def _prefix_encode(v):
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    e = x.bit_length() - 2
+    if x >= (3 << e):
+        return 2 * e + 3, e, x - (3 << e)
+    return 2 * e + 2, e, x - (2 << e)
+
+
+def _emit_image_body(wtr, px, cache_bits=0, rle=False):
+    """NON-level-0 entropy image: cache bit + trees + tokens (used for
+    transform sub-images, palettes, and meta images)."""
+    if cache_bits:
+        wtr.write(1, 1)
+        wtr.write(cache_bits, 4)
+    else:
+        wtr.write(0, 1)
+    _emit_image_tokens_only(wtr, px, cache_bits, rle)
+
+
+def _emit_image_tokens_only(wtr, px, cache_bits=0, rle=False):
+    """Five prefix codes + token stream (no stream-header bits)."""
+    cache = [None] * (1 << cache_bits) if cache_bits else None
+
+    def chash(p):
+        return ((0x1E35A7BD * p) & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    tokens = []
+    i = 0
+    n = len(px)
+    while i < n:
+        if rle and i > 0 and px[i] == px[i - 1]:
+            run = 1
+            while i + run < n and px[i + run] == px[i]:
+                run += 1
+            if run >= 3:
+                tokens.append(("copy", run, 1))
+                if cache is not None:
+                    for j in range(run):
+                        cache[chash(px[i + j])] = px[i + j]
+                i += run
+                continue
+        p = px[i]
+        if cache is not None and cache[chash(p)] == p:
+            tokens.append(("cache", chash(p)))
+        else:
+            tokens.append(("lit", p))
+            if cache is not None:
+                cache[chash(p)] = p
+        i += 1
+
+    gfreq, rfreq, bfreq, afreq, dfreq = {}, {}, {}, {}, {}
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            gfreq[(p >> 8) & 0xFF] = gfreq.get((p >> 8) & 0xFF, 0) + 1
+            rfreq[(p >> 16) & 0xFF] = rfreq.get((p >> 16) & 0xFF, 0) + 1
+            bfreq[p & 0xFF] = bfreq.get(p & 0xFF, 0) + 1
+            afreq[(p >> 24) & 0xFF] = afreq.get((p >> 24) & 0xFF, 0) + 1
+        elif t[0] == "cache":
+            gfreq[280 + t[1]] = gfreq.get(280 + t[1], 0) + 1
+        else:
+            _k, run, dist = t
+            lc, _, _ = _prefix_encode(run)
+            dcode, _, _ = _prefix_encode(dist + 120)
+            gfreq[256 + lc] = gfreq.get(256 + lc, 0) + 1
+            dfreq[dcode] = dfreq.get(dcode, 0) + 1
+    for f in (rfreq, bfreq, afreq, dfreq):
+        if not f:
+            f[0] = 1  # unused tree still needs one symbol
+
+    green_alpha = 256 + 24 + ((1 << cache_bits) if cache_bits else 0)
+    gc = _emit_tree(wtr, _huff_lengths(gfreq), green_alpha)
+    rc = _emit_tree(wtr, _huff_lengths(rfreq), 256)
+    bc = _emit_tree(wtr, _huff_lengths(bfreq), 256)
+    ac = _emit_tree(wtr, _huff_lengths(afreq), 256)
+    dc_ = _emit_tree(wtr, _huff_lengths(dfreq), 40)
+    for t in tokens:
+        if t[0] == "lit":
+            p = t[1]
+            wtr.code(*gc[(p >> 8) & 0xFF])
+            wtr.code(*rc[(p >> 16) & 0xFF])
+            wtr.code(*bc[p & 0xFF])
+            wtr.code(*ac[(p >> 24) & 0xFF])
+        elif t[0] == "cache":
+            wtr.code(*gc[280 + t[1]])
+        else:
+            _k, run, dist = t
+            lc, le, lv = _prefix_encode(run)
+            wtr.code(*gc[256 + lc])
+            wtr.write(lv, le)
+            dcode, de, dv = _prefix_encode(dist + 120)
+            wtr.code(*dc_[dcode])
+            wtr.write(dv, de)
+
+
+def _vp8l_s8(v):
+    return v - 256 if v >= 128 else v
+
+
+def _vp8l_forward_predict(px, w, h, size_bits, modes):
+    """Forward predictor transform: residual = orig - pred, predictors
+    computed from ORIGINAL values in decoder scan order."""
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        _vp8l_avg2,
+        _vp8l_clamp_full,
+        _vp8l_clamp_half,
+        _vp8l_select,
+    )
+
+    tw = (w + (1 << size_bits) - 1) >> size_bits
+
+    def sub(a, b):
+        return (
+            ((((a >> 24) - (b >> 24)) & 0xFF) << 24)
+            | ((((a >> 16) - (b >> 16)) & 0xFF) << 16)
+            | ((((a >> 8) - (b >> 8)) & 0xFF) << 8)
+            | (((a & 0xFF) - (b & 0xFF)) & 0xFF)
+        ) & 0xFFFFFFFF
+
+    res = []
+    for y in range(h):
+        for x in range(w):
+            i = y * w + x
+            if i == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = px[i - 1]
+            elif x == 0:
+                pred = px[i - w]
+            else:
+                mode = modes[(y >> size_bits) * tw + (x >> size_bits)]
+                left, top, tl = px[i - 1], px[i - w], px[i - w - 1]
+                tr = px[i - w + 1]  # x==w-1 wraps to this row's first pixel
+                pred = [
+                    lambda: 0xFF000000,
+                    lambda: left,
+                    lambda: top,
+                    lambda: tr,
+                    lambda: tl,
+                    lambda: _vp8l_avg2(_vp8l_avg2(left, tr), top),
+                    lambda: _vp8l_avg2(left, tl),
+                    lambda: _vp8l_avg2(left, top),
+                    lambda: _vp8l_avg2(tl, top),
+                    lambda: _vp8l_avg2(top, tr),
+                    lambda: _vp8l_avg2(_vp8l_avg2(left, tl), _vp8l_avg2(top, tr)),
+                    lambda: _vp8l_select(left, top, tl),
+                    lambda: _vp8l_clamp_full(left, top, tl),
+                    lambda: _vp8l_clamp_half(_vp8l_avg2(left, top), tl),
+                ][mode]()
+            res.append(sub(px[i], pred))
+    return res
+
+
+def _vp8l_encode(
+    w,
+    h,
+    rgba,
+    subtract_green=False,
+    cache_bits=0,
+    rle=False,
+    meta_bits=0,
+    predictor_bits=0,
+    color_bits=0,
+    color_cte=None,
+    palette=None,
+):
+    """rgba: flat [(r, g, b, a)] row-major. Optional transforms:
+    subtract-green; predictor (size 2^predictor_bits tiles, modes
+    cycling 0..13); cross-color (uniform cte = (g2r, g2b, r2b));
+    palette (color-indexing with pixel bundling)."""
+    import struct as _struct
+
+    px = [(a << 24) | (r << 16) | (g << 8) | b for (r, g, b, a) in rgba]
+    wtr = _LsbWriter()
+    wtr.write(0x2F, 8)
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(1, 1)  # alpha hint
+    wtr.write(0, 3)  # version
+
+    eff_w = w
+    # transforms are written in the order the decoder reads them; the
+    # decoder inverse-applies them in reverse, so FORWARD application
+    # here must go in reverse of the write order (innermost last)
+    pending = []
+    if predictor_bits:
+        pending.append("pred")
+    if color_bits:
+        pending.append("color")
+    if subtract_green:
+        pending.append("sg")
+    if palette is not None:
+        pending.append("pal")
+    # forward-apply from the LAST written transform to the first
+    for t in reversed(pending):
+        if t == "pal":
+            lut = {c: i for i, c in enumerate(palette)}
+            idx = [lut[p] for p in px]
+            n_colors = len(palette)
+            if n_colors <= 2:
+                xbits = 3
+            elif n_colors <= 4:
+                xbits = 2
+            elif n_colors <= 16:
+                xbits = 1
+            else:
+                xbits = 0
+            per = 1 << xbits
+            bwidth = 8 >> xbits
+            packed_w = (w + per - 1) // per
+            packed = []
+            for y in range(h):
+                for bx in range(packed_w):
+                    v = 0
+                    for j in range(per):
+                        x = bx * per + j
+                        if x < w:
+                            v |= idx[y * w + x] << (j * bwidth)
+                    packed.append(0xFF000000 | (v << 8))
+            px = packed
+            eff_w = packed_w
+        elif t == "sg":
+            px = [
+                (p & 0xFF00FF00)
+                | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
+                | (((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF)
+                for p in px
+            ]
+        elif t == "color":
+            g2r, g2b, r2b = color_cte
+
+            def delta(tv, c):
+                return (_vp8l_s8(tv) * _vp8l_s8(c)) >> 5
+
+            out = []
+            for p in px:
+                a, r, g, b = (p >> 24) & 0xFF, (p >> 16) & 0xFF, (p >> 8) & 0xFF, p & 0xFF
+                nr = (r - delta(g2r, g)) & 0xFF
+                nb = (b - delta(r2b, r) - delta(g2b, g)) & 0xFF
+                out.append((a << 24) | (nr << 16) | (g << 8) | nb)
+            px = out
+        else:  # predictor
+            tw = (eff_w + (1 << predictor_bits) - 1) >> predictor_bits
+            th = (h + (1 << predictor_bits) - 1) >> predictor_bits
+            modes = [t_i % 14 for t_i in range(tw * th)]
+            px = _vp8l_forward_predict(px, eff_w, h, predictor_bits, modes)
+
+    # write transform headers in READ order
+    for t in pending:
+        wtr.write(1, 1)
+        if t == "pred":
+            wtr.write(0, 2)
+            wtr.write(predictor_bits - 2, 3)
+            tw = (eff_w + (1 << predictor_bits) - 1) >> predictor_bits
+            th = (h + (1 << predictor_bits) - 1) >> predictor_bits
+            _emit_image_body(
+                wtr, [0xFF000000 | ((t_i % 14) << 8) for t_i in range(tw * th)]
+            )
+        elif t == "color":
+            wtr.write(1, 2)
+            wtr.write(color_bits - 2, 3)
+            tw = (eff_w + (1 << color_bits) - 1) >> color_bits
+            th = (h + (1 << color_bits) - 1) >> color_bits
+            g2r, g2b, r2b = color_cte
+            cte_pixel = 0xFF000000 | ((r2b & 0xFF) << 16) | ((g2b & 0xFF) << 8) | (g2r & 0xFF)
+            _emit_image_body(wtr, [cte_pixel] * (tw * th))
+        elif t == "sg":
+            wtr.write(2, 2)
+        else:  # palette
+            wtr.write(3, 2)
+            wtr.write(len(palette) - 1, 8)
+            deltas = []
+            prev = 0
+            for c in palette:
+                deltas.append(
+                    ((((c >> 24) - (prev >> 24)) & 0xFF) << 24)
+                    | ((((c >> 16) - (prev >> 16)) & 0xFF) << 16)
+                    | ((((c >> 8) - (prev >> 8)) & 0xFF) << 8)
+                    | (((c & 0xFF) - (prev & 0xFF)) & 0xFF)
+                )
+                prev = c
+            _emit_image_body(wtr, deltas)
+    wtr.write(0, 1)  # end of transforms
+
+    # main image: cache bit + optional meta + trees + tokens
+    if meta_bits:
+        # emit cache bit then meta header inline (level-0 stream)
+        if cache_bits:
+            wtr.write(1, 1)
+            wtr.write(cache_bits, 4)
+        else:
+            wtr.write(0, 1)
+        wtr.write(1, 1)
+        wtr.write(meta_bits - 2, 3)
+        _emit_image_body(wtr, [0xFF000000])  # 1x1 meta image → group 0
+        # trees + tokens via the body helper minus its cache/meta bits
+        _emit_image_tokens_only(wtr, px, cache_bits, rle)
+    else:
+        if cache_bits:
+            wtr.write(1, 1)
+            wtr.write(cache_bits, 4)
+        else:
+            wtr.write(0, 1)
+        wtr.write(0, 1)  # no meta-prefix
+        _emit_image_tokens_only(wtr, px, cache_bits, rle)
+
+    payload = wtr.tobytes()
+    chunk = b"VP8L" + _struct.pack("<I", len(payload)) + payload
+    if len(payload) % 2:
+        chunk += b"\x00"
+    body = b"WEBP" + chunk
+    return b"RIFF" + _struct.pack("<I", len(body)) + body
+
+
+def _rgba_pattern(w, h):
+    return [
+        ((x * 17 + y * 3) % 256, (x * 5 + y * 29) % 256, (x + y * 7) % 256, 255)
+        for y in range(h)
+        for x in range(w)
+    ]
+
+
+def test_webp_vp8l_literal_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_image_stdlib,
+        decode_webp,
+    )
+
+    w, h = 13, 7
+    rgba = _rgba_pattern(w, h)
+    blob = _vp8l_encode(w, h, rgba)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    expect = bytes(v for px in rgba for v in px)
+    assert out == expect
+    assert decode_image_stdlib(blob) == (w, h, "RGBA", expect)
+
+
+def test_webp_vp8l_subtract_green_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 9, 5
+    rgba = _rgba_pattern(w, h)
+    blob = _vp8l_encode(w, h, rgba, subtract_green=True)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+
+
+def test_webp_vp8l_color_cache_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 16, 8
+    # few distinct colors repeating non-contiguously → cache hits
+    colors = [(250, 10, 10, 255), (10, 250, 10, 255), (10, 10, 250, 200), (0, 0, 0, 255)]
+    rgba = [colors[(x * 3 + y) % 4] for y in range(h) for x in range(w)]
+    blob = _vp8l_encode(w, h, rgba, cache_bits=4)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+
+
+def test_webp_vp8l_lz77_runs_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 24, 6
+    # flat banded image → long dist-1 copies through the LZ77 path
+    rgba = [
+        (200, 50, 25, 255) if y < 2 else (25, 50, 200, 255) if y < 4 else (1, 2, 3, 128)
+        for y in range(h)
+        for _x in range(w)
+    ]
+    blob = _vp8l_encode(w, h, rgba, rle=True)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+    # combined: rle + cache + subtract-green through one stream
+    blob2 = _vp8l_encode(w, h, rgba, rle=True, cache_bits=3, subtract_green=True)
+    assert decode_webp(blob2)[3] == bytes(v for px in rgba for v in px)
+
+
+def test_webp_lossy_and_corrupt_contract():
+    import struct as _struct
+
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_image_stdlib,
+        decode_webp,
+    )
+
+    lossy = b"RIFF" + _struct.pack("<I", 12) + b"WEBP" + b"VP8 " + _struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="lossy"):
+        decode_webp(lossy)
+    good = _vp8l_encode(4, 4, _rgba_pattern(4, 4))
+    for cut in range(12, len(good), 3):
+        try:
+            decode_image_stdlib(good[:cut])
+        except ValueError:
+            pass
+
+
+def test_webp_through_image_features(spark):
+    """WebP rides the REAL tier-1 decode path end-to-end."""
+    from data_pipeline_childcare_spark.sources.multimodal import image_features
+
+    w, h = 8, 4
+    rgba = [(x * 30 % 256, y * 60 % 256, 128, 255) for y in range(h) for x in range(w)]
+    blob = _vp8l_encode(w, h, rgba, subtract_green=True)
+    df = spark.createDataFrame([("pic.webp", blob)], "path string, content binary")
+    row = image_features(df).first()
+    assert (row["width"], row["height"], row["mode"]) == (w, h, "RGBA")
+    assert row["is_stub"] is False
+
+
+def test_webp_vp8l_predictor_all_modes_roundtrip():
+    """Predictor transform with 4x4 tiles cycling through ALL 14
+    predictor modes across a 32x16 image — exact reconstruction."""
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 32, 16
+    rgba = [
+        ((x * 9 + y * 2) % 256, (x * 3 + y * 11) % 256, (x * 5 + y * 13) % 256, 255)
+        for y in range(h)
+        for x in range(w)
+    ]
+    blob = _vp8l_encode(w, h, rgba, predictor_bits=2)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+
+
+def test_webp_vp8l_color_transform_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 12, 10
+    rgba = _rgba_pattern(w, h)
+    blob = _vp8l_encode(w, h, rgba, color_bits=3, color_cte=(0x40, 0xE0, 0x15))
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+
+
+@pytest.mark.parametrize("n_colors", [2, 4, 11, 40])
+def test_webp_vp8l_palette_bundling_roundtrip(n_colors):
+    """Color-indexing transform at every bundling width (8/4/2/1
+    pixels per byte), including a non-aligned image width."""
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 21, 5
+    palette = [
+        (0xFF000000 | ((i * 37 % 256) << 16) | ((i * 91 % 256) << 8) | (i * 13 % 256))
+        for i in range(n_colors)
+    ]
+    pal_rgba = [((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF, 255) for c in palette]
+    rgba = [pal_rgba[(x * 7 + y * 3) % n_colors] for y in range(h) for x in range(w)]
+    blob = _vp8l_encode(w, h, rgba, palette=palette)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+
+
+def test_webp_vp8l_meta_prefix_header_roundtrip():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 10, 6
+    rgba = _rgba_pattern(w, h)
+    blob = _vp8l_encode(w, h, rgba, meta_bits=6)  # one 64x64 tile → 1 group
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)

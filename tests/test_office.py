@@ -288,6 +288,22 @@ def test_image_dims_stdlib_sniff():
     assert sniff_image_dims(png) == ("PNG", 640, 480)
     assert sniff_image_dims(gif) == ("GIF", 12, 34)
     assert sniff_image_dims(jpeg) == ("JPEG", 640, 480)
+    # VP8L: bit-packed 14-bit dims after the 0x2F signature
+    dims = (799, 601)
+    packed = (dims[0] - 1) | ((dims[1] - 1) << 14)
+    vp8l = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8L"
+        + struct.pack("<I", 10) + bytes([0x2F])
+        + bytes((packed >> (8 * i)) & 0xFF for i in range(4)) + bytes(5)
+    )
+    assert sniff_image_dims(vp8l) == ("WEBP", 799, 601)
+    # lossy VP8 keyframe: start code 9d 01 2a then 14-bit LE dims
+    vp8 = (
+        b"RIFF" + struct.pack("<I", 30) + b"WEBP" + b"VP8 "
+        + struct.pack("<I", 12) + bytes(3) + b"\x9d\x01\x2a"
+        + struct.pack("<HH", 320, 240) + bytes(4)
+    )
+    assert sniff_image_dims(vp8) == ("WEBP", 320, 240)
     assert sniff_image_dims(b"not an image") is None
     out = parse_image_bytes(png)
     assert "640x480px" in out
