@@ -2085,6 +2085,58 @@ def ivf_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def url_canonical_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + URL-level dedup (functions/urls.py) —
+    the crawl-pipeline normalization pass. URLs are synthesized
+    deterministically from doc_id with every messy ingredient the
+    canonicalizer handles: uppercase scheme/host, default and
+    non-default ports, tracking params, unsorted params, fragments,
+    missing paths. Grouped by canonical form with count + first doc;
+    the DuckDB twin replays every rule in SQL."""
+    from data_pipeline_childcare_spark.functions.urls import canonical_url
+
+    d = F.col("doc_id")
+    scheme = F.when(d % 5 == 0, F.lit("HTTP://")).otherwise(F.lit("HTTPS://"))
+    port = (
+        F.when(d % 5 == 0, F.lit(":80"))
+        .when(d % 4 == 0, F.lit(":8443"))
+        .otherwise(F.lit(":443"))
+    )
+    tail = (
+        F.when(d % 3 == 0, F.lit("/Path/A?utm_source=x&b=2&a=1#frag"))
+        .when(d % 3 == 1, F.lit("/Path/A?b=2&a=1"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        scheme, F.lit("WWW.Site"), (d % 7).cast("string"), F.lit(".COM"), port, tail
+    )
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", canonical_url(url).alias("canonical_url")
+    )
+    return docs.groupBy("canonical_url").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic dedup = canonical
+    k-means clustering + within-cluster cosine shadowing
+    (operators/similarity.semdedup). Threshold 0.42 sits inside this
+    synthetic corpus's cosine tail so drops actually occur; the
+    DuckDB twin replays the identical centroid trajectory (shared
+    kmeans CTE chain with the IVF oracle) and the lowest-id-wins
+    shadowing rule."""
+    from data_pipeline_childcare_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semdedup(emb, n_cells=8, iterations=2, threshold=0.42).select(
+        "vec_id", "cell", "kept", F.col("dup_of").cast("long").alias("dup_of")
+    )
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-pretokenizer-style token counting (LLM budget estimation)."""
     from data_pipeline_childcare_spark.functions.text import bpe_like_token_count, token_count
@@ -3228,6 +3280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "late_shipment_orders": late_shipment_orders,
         "parts_with_many_suppliers": parts_with_many_suppliers,
         "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
+        "semdedup_embeddings": semdedup_embeddings,
+        "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
@@ -3566,6 +3620,21 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY a.cell, r.i
             ) GROUP BY cell
         )"""
+
+    # shared canonical-kmeans CTE chain (8 cells, 2 Lloyd iterations)
+    # used by the IVF top-k and SemDeDup oracles
+    _IVF_KMEANS_CTES = f"""emb AS (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+            ), c0 AS (
+                SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centroid
+                FROM (
+                    SELECT vec_id, cv,
+                           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                    FROM emb ORDER BY h LIMIT 8
+                )
+            ), {_ivf_assign('a1', 'c0')}, {_ivf_means('c1', 'a1')},
+               {_ivf_assign('a2', 'c1')}, {_ivf_means('c2', 'a2')},
+               {_ivf_assign('afinal', 'c2')}"""
 
     def _jround(expr: str, d: int) -> str:
         # Round a DOUBLE the way Spark does: Spark's round() goes
@@ -4305,18 +4374,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE vec_id NOT IN (SELECT ib FROM dups)
         """,
         "ivf_cosine_topk_embeddings": f"""
-            WITH emb AS (
-                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
-            ), c0 AS (
-                SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centroid
-                FROM (
-                    SELECT vec_id, cv,
-                           CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                    FROM emb ORDER BY h LIMIT 8
-                )
-            ), {_ivf_assign('a1', 'c0')}, {_ivf_means('c1', 'a1')},
-               {_ivf_assign('a2', 'c1')}, {_ivf_means('c2', 'a2')},
-               {_ivf_assign('afinal', 'c2')},
+            WITH {_IVF_KMEANS_CTES},
             q AS (
                 SELECT vec_id AS query_id, cv AS qv FROM emb WHERE vec_id < 3
             ), probes AS (
@@ -5737,6 +5795,65 @@ def oracle_sql() -> dict[str, str]:
                CAST(max(run) + 4 AS BIGINT) AS longest_span_tokens
         FROM runs GROUP BY 1, 2
         HAVING max(run) + 4 >= 10
+    """
+    out["semdedup_embeddings"] = f"""
+        WITH {_IVF_KMEANS_CTES},
+        pairs AS (
+            SELECT b.vec_id AS id_b, a.vec_id AS id_a
+            FROM afinal a JOIN afinal b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({_ivf_cos.format(v='a.cv', c='b.cv')}, 6) >= 0.42
+        ), shadows AS (
+            SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY id_b
+        )
+        SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+               s.dup_of IS NULL AS kept, s.dup_of
+        FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    out["url_canonical_dedup_docs"] = """
+        WITH urls AS (
+            SELECT doc_id,
+                   (CASE WHEN doc_id % 5 = 0 THEN 'HTTP://' ELSE 'HTTPS://' END)
+                   || 'WWW.Site' || CAST(doc_id % 7 AS VARCHAR) || '.COM'
+                   || (CASE WHEN doc_id % 5 = 0 THEN ':80'
+                            WHEN doc_id % 4 = 0 THEN ':8443'
+                            ELSE ':443' END)
+                   || (CASE WHEN doc_id % 3 = 0 THEN '/Path/A?utm_source=x&b=2&a=1#frag'
+                            WHEN doc_id % 3 = 1 THEN '/Path/A?b=2&a=1'
+                            ELSE '' END) AS url
+            FROM documents
+        ), parts AS (
+            SELECT doc_id,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+                   regexp_replace(regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', ''), '#.*', '') AS rest
+            FROM urls
+        ), comps AS (
+            SELECT doc_id, scheme,
+                   lower(regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), '^([^:]*)', 1)) AS host,
+                   regexp_extract(regexp_extract(rest, '^([^/?]*)', 1), ':([0-9]+)$', 1) AS port,
+                   regexp_extract(rest, '^[^/?]*(/[^?]*)?', 1) AS path,
+                   regexp_extract(rest, '\\?(.*)$', 1) AS qraw
+            FROM parts
+        ), canon AS (
+            SELECT doc_id,
+                   scheme || '://' || host
+                   || (CASE WHEN port <> '' AND NOT (
+                              (scheme = 'http' AND port = '80') OR
+                              (scheme = 'https' AND port = '443'))
+                        THEN ':' || port ELSE '' END)
+                   || (CASE WHEN path = '' THEN '/' ELSE path END)
+                   || (CASE WHEN len(ps) > 0 THEN '?' || array_to_string(ps, '&') ELSE '' END)
+                   AS canonical_url
+            FROM (
+                SELECT *, list_sort(list_filter(string_split(qraw, '&'),
+                           x -> x <> '' AND NOT regexp_matches(x,
+                               '^(utm_[^=]*|gclid|fbclid|ref)(=|$)'))) AS ps
+                FROM comps
+            )
+        )
+        SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_urls,
+               min(doc_id) AS first_doc
+        FROM canon GROUP BY canonical_url
     """
     # expected features derived from the PNG generator's closed form
     # (see image_decode_features docstring): per-image cell-0 box-mean

@@ -641,3 +641,67 @@ def mmr_sql(cand_cte: str, k: int = 5, lam: float = 0.5, ndigits: int = 6) -> st
         "SELECT q AS query_id, id AS vec_id, CAST(mmr_rank AS INT) AS mmr_rank, "
         f"rel AS rel_score, mmr_score FROM ({final_union})"
     )
+
+
+def semdedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iterations: int = 2,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ndigits: int = 6,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication by clustering then within-cluster cosine pruning —
+    the embedding-space analogue of MinHash dedup for a training
+    corpus where paraphrases and re-renders share no shingles.
+
+    Shape: canonical :func:`kmeans_lite` coarse clustering (broadcast
+    centroids, one corpus pass per Lloyd iteration) → cell-keyed
+    SELF-join (pairwise cosine only WITHIN a cell — candidate volume
+    is Σ|cell|², bounded by the clustering spread, never corpus²) →
+    a vector is dropped when its rounded cosine to any LOWER-id
+    vector in the same cell reaches ``threshold``.
+
+    Representative policy: lowest-id-wins (the paper keeps the item
+    closest to the centroid; id-order is the deterministic,
+    engine-portable choice here and a policy knob by design — greedy
+    shadowing, so a dropped vector's own shadows stay dropped).
+
+    At 100 TB: raise ``n_cells`` so cells stay executor-sized — the
+    pair join shuffles on ``cell`` and nothing else grows with the
+    corpus; centroids stay broadcast (n_cells × dim doubles).
+
+    Returns (id, cell, kept, dup_of) — ``dup_of`` is the smallest
+    shadowing id, NULL for kept rows.
+    """
+    centroids = kmeans_lite(corpus, n_cells, iterations, id_col, vec_col)
+    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+    va = assigned.select(
+        "cell",
+        F.col(id_col).alias("_ida"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+    )
+    vb = assigned.select(
+        "cell",
+        F.col(id_col).alias("_idb"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+    )
+    shadows = (
+        va.join(vb, "cell")
+        .filter(F.col("_ida") < F.col("_idb"))
+        .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
+        .groupBy("_idb")
+        .agg(F.min("_ida").alias("dup_of"))
+    )
+    return (
+        assigned.select(id_col, F.col("cell").cast("long").alias("cell"))
+        .join(shadows, F.col(id_col) == F.col("_idb"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNull().alias("kept"),
+            "dup_of",
+        )
+    )

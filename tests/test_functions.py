@@ -151,3 +151,27 @@ def test_lang_fertility_groups(spark):
     for lang, r in out.items():
         if r["ws_tokens"] > 0:
             assert r["fertility"] >= 1.0, (lang, r)
+
+
+def test_canonical_url_rules(spark):
+    """Every canonicalization rule on hand-written URLs: case, default
+    vs explicit ports, tracking params, param sort, fragments, empty
+    path, paths staying case-sensitive."""
+    from data_pipeline_childcare_spark.functions.urls import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/A/b?utm_source=x&b=2&a=1#top",
+         "https://www.example.com/A/b?a=1&b=2"),
+        ("https://www.example.com/A/b?a=1&b=2",
+         "https://www.example.com/A/b?a=1&b=2"),
+        ("HTTP://Host.com:80", "http://host.com/"),
+        ("http://host.com:8080/x", "http://host.com:8080/x"),
+        ("https://h.io/p?utm_campaign=z&gclid=1&fbclid=2&ref=r",
+         "https://h.io/p"),
+        ("https://h.io/p?z=9&y=8&z=1", "https://h.io/p?y=8&z=1&z=9"),
+        ("ftp://Files.NET/Data", "ftp://files.net/Data"),
+        ("https://h.io/#only-frag", "https://h.io/"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r["c"] for r in df.select(canonical_url(F.col("url")).alias("c")).collect()]
+    assert got == [want for _, want in cases]

@@ -244,3 +244,27 @@ def test_mmr_select_unpersists_candidate_cache_even_on_failure(spark, monkeypatc
     with _pytest.raises(RuntimeError, match="greedy loop exploded"):
         sim.mmr_select(cand, k=2, lam=0.5)
     assert jsc.getPersistentRDDs().size() == before
+
+
+def test_semdedup_crafted_clusters(spark):
+    """SemDeDup semantics on a hand-built corpus: near-identical
+    vectors in one semantic cluster collapse to the lowest id; the
+    orthogonal cluster survives untouched; greedy shadowing keeps a
+    dropped vector's own shadows dropped."""
+    from data_pipeline_childcare_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.01, 0.0, 0.0]),   # ~dup of 1
+        (3, [0.998, 0.02, 0.0, 0.0]),   # ~dup of 1 and 2
+        (10, [0.0, 0.0, 1.0, 0.0]),
+        (11, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in semdedup(df, n_cells=2, threshold=0.95).collect()}
+    assert got[1]["kept"] is True and got[1]["dup_of"] is None
+    assert got[2]["kept"] is False and got[2]["dup_of"] == 1
+    assert got[3]["kept"] is False and got[3]["dup_of"] == 1  # lowest shadow wins
+    assert got[10]["kept"] is True and got[11]["kept"] is True
+    # kept set is exactly the dedup survivors
+    assert sorted(v for v, r in got.items() if r["kept"]) == [1, 10, 11]
