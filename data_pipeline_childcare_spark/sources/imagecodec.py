@@ -55,16 +55,105 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+# Adam7 interlace pass grid: (x0, y0, dx, dy) per pass
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, pos: int, height: int, rowbytes: int, bpp: int):
+    """Unfilter ``height`` scanlines of ``rowbytes`` bytes starting at
+    ``raw[pos]`` (each prefixed by its filter-type byte). PNG filters
+    operate on BYTES at ``bpp`` (bytes per pixel, ≥1) offsets
+    regardless of bit depth, which is what makes one unfilter serve
+    every depth. Returns (bytes, next_pos)."""
+    out = bytearray(rowbytes * height)
+    prev_start = -1
+    for y in range(height):
+        if pos >= len(raw):
+            raise ValueError("PNG scanline data size mismatch")
+        ftype = raw[pos]
+        line = raw[pos + 1 : pos + 1 + rowbytes]
+        if len(line) < rowbytes:
+            raise ValueError("PNG scanline data size mismatch")
+        pos += 1 + rowbytes
+        o = y * rowbytes
+        if ftype == 0:  # None
+            out[o : o + rowbytes] = line
+        elif ftype == 1:  # Sub
+            for i in range(rowbytes):
+                left = out[o + i - bpp] if i >= bpp else 0
+                out[o + i] = (line[i] + left) & 0xFF
+        elif ftype == 2:  # Up
+            if prev_start < 0:
+                out[o : o + rowbytes] = line
+            else:
+                for i in range(rowbytes):
+                    out[o + i] = (line[i] + out[prev_start + i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowbytes):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                out[o + i] = (line[i] + ((left + up) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowbytes):
+                left = out[o + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if prev_start >= 0 else 0
+                ul = out[prev_start + i - bpp] if (prev_start >= 0 and i >= bpp) else 0
+                out[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev_start = o
+    return bytes(out), pos
+
+
+def _png_samples(rows: bytes, w: int, h: int, channels: int, depth: int) -> list[int]:
+    """Unfiltered rows → flat 8-bit samples (w*h*channels). 16-bit
+    takes the high byte (the standard 8-bit reduction); sub-8-bit
+    unpacks MSB-first and scales grayscale to full range (palette
+    indices pass through unscaled)."""
+    if depth == 8:
+        return list(rows)
+    rowbytes = (w * channels * depth + 7) // 8
+    out: list[int] = []
+    if depth == 16:
+        for y in range(h):
+            base = y * rowbytes
+            for i in range(w * channels):
+                out.append(rows[base + 2 * i])
+        return out
+    # depth 1 / 2 / 4, single channel by spec (gray or palette)
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    for y in range(h):
+        base = y * rowbytes
+        for x in range(w):
+            b = rows[base + x // per_byte]
+            shift = 8 - depth * (x % per_byte + 1)
+            out.append((b >> shift) & mask)
+    return out
+
+
 def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
-    """Decode an 8-bit non-interlaced PNG.
+    """Decode a PNG: bit depths 1/2/4/8/16, all five scanline filters,
+    grayscale/LA/RGB/RGBA/palette color types, and both interlace
+    methods (none and Adam7).
 
     Returns ``(width, height, mode, pixels)`` with ``pixels`` the raw
     scanlines concatenated (``width*height*channels`` bytes, palette
-    already expanded to RGB so mode "P" never escapes).
+    already expanded to RGB so mode "P" never escapes). 16-bit samples
+    reduce to their high byte; sub-8-bit grayscale scales to [0,255].
     """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG")
     pos, width, height, color_type, palette = 8, 0, 0, 0, b""
+    depth, interlace = 8, 0
     idat = bytearray()
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
@@ -75,10 +164,12 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
             width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", body
             )
-            if depth != 8:
+            if depth not in (1, 2, 4, 8, 16):
                 raise ValueError(f"unsupported PNG bit depth {depth}")
-            if interlace != 0:
-                raise ValueError("interlaced PNG unsupported")
+            if depth < 8 and color_type not in (0, 3):
+                raise ValueError("sub-8-bit PNG must be grayscale or palette")
+            if interlace not in (0, 1):
+                raise ValueError(f"unknown PNG interlace method {interlace}")
             if color_type not in _CHANNELS:
                 raise ValueError(f"unsupported PNG color type {color_type}")
         elif ctype == b"PLTE":
@@ -88,51 +179,50 @@ def decode_png(data: bytes) -> tuple[int, int, str, bytes]:
         elif ctype == b"IEND":
             break
     channels = _CHANNELS[color_type]
-    raw = zlib.decompress(bytes(idat))
-    stride = width * channels
-    if len(raw) != (stride + 1) * height:
-        raise ValueError("PNG scanline data size mismatch")
-    out = bytearray(stride * height)
-    prev_start = -1  # previous row start in `out`; -1 = no previous row
-    for y in range(height):
-        fpos = y * (stride + 1)
-        ftype = raw[fpos]
-        line = raw[fpos + 1 : fpos + 1 + stride]
-        o = y * stride
-        if ftype == 0:  # None
-            out[o : o + stride] = line
-        elif ftype == 1:  # Sub
-            for i in range(stride):
-                left = out[o + i - channels] if i >= channels else 0
-                out[o + i] = (line[i] + left) & 0xFF
-        elif ftype == 2:  # Up
-            if prev_start < 0:
-                out[o : o + stride] = line
-            else:
-                for i in range(stride):
-                    out[o + i] = (line[i] + out[prev_start + i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = out[o + i - channels] if i >= channels else 0
-                up = out[prev_start + i] if prev_start >= 0 else 0
-                out[o + i] = (line[i] + ((left + up) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                left = out[o + i - channels] if i >= channels else 0
-                up = out[prev_start + i] if prev_start >= 0 else 0
-                ul = out[prev_start + i - channels] if (prev_start >= 0 and i >= channels) else 0
-                out[o + i] = (line[i] + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise ValueError(f"bad PNG filter type {ftype}")
-        prev_start = o
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG deflate stream: {exc}") from exc
+    bpp = max(1, channels * depth // 8)
+
+    def rowbytes(w: int) -> int:
+        return (w * channels * depth + 7) // 8
+
+    if interlace == 0:
+        rows, end = _png_unfilter(raw, 0, height, rowbytes(width), bpp)
+        if end != len(raw):
+            raise ValueError("PNG scanline data size mismatch")
+        samples = _png_samples(rows, width, height, channels, depth)
+    else:  # Adam7: seven independently-filtered sub-images, scattered
+        samples = [0] * (width * height * channels)
+        rpos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            rows, rpos = _png_unfilter(raw, rpos, ph, rowbytes(pw), bpp)
+            sub = _png_samples(rows, pw, ph, channels, depth)
+            for j in range(ph):
+                for i in range(pw):
+                    dst = ((y0 + j * dy) * width + (x0 + i * dx)) * channels
+                    src = (j * pw + i) * channels
+                    samples[dst : dst + channels] = sub[src : src + channels]
+        if rpos != len(raw):
+            raise ValueError("PNG scanline data size mismatch")
     if color_type == 3:
         if not palette:
             raise ValueError("palette PNG without PLTE")
         rgb = bytearray(width * height * 3)
-        for i, idx in enumerate(out):
+        for i, idx in enumerate(samples):
+            if 3 * idx + 3 > len(palette):
+                raise ValueError("PNG palette index out of range")
             rgb[3 * i : 3 * i + 3] = palette[3 * idx : 3 * idx + 3]
         return width, height, "RGB", bytes(rgb)
-    return width, height, _MODES[color_type], bytes(out)
+    if depth < 8:  # grayscale: scale to full 8-bit range
+        scale = 255 // ((1 << depth) - 1)
+        return width, height, _MODES[color_type], bytes(s * scale for s in samples)
+    return width, height, _MODES[color_type], bytes(samples)
 
 
 def _chunk(ctype: bytes, body: bytes) -> bytes:
@@ -459,10 +549,11 @@ def encode_bmp(width: int, height: int, dib: bytes) -> bytes:
 
 def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
     """Dispatch to whichever library-free decoder matches the magic
-    bytes (PNG/GIF/baseline+progressive-JPEG/BMP/PPM); None for
+    bytes (PNG incl. Adam7/16-bit/sub-8-bit, GIF,
+    baseline+progressive JPEG, lossless WebP, BMP, PPM); None for
     unrecognized magic; ValueError for recognized-but-corrupt or
-    unsupported variants (arithmetic-coded JPEG, 16-bit PNG, ...) so
-    callers tier down explicitly."""
+    unsupported variants (arithmetic-coded JPEG, lossy-VP8 WebP, ...)
+    so callers tier down explicitly."""
     try:
         if data[:8] == _PNG_SIG:
             return decode_png(data)

@@ -54,14 +54,22 @@ def test_png_palette_expands_to_rgb():
 def test_png_rejects_unsupported():
     with pytest.raises(ValueError):
         decode_png(b"nope")
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     sig = b"\x89PNG\r\n\x1a\n"
-    chunk = struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
-        ">I", zlib.crc32(b"IHDR" + ihdr)
-    )
+
+    def ihdr_chunk(depth, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+        return struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + struct.pack(
+            ">I", zlib.crc32(b"IHDR" + ihdr)
+        )
+
+    # out-of-spec bit depth still rejected (16-bit is SUPPORTED now)
     with pytest.raises(ValueError, match="bit depth"):
-        decode_png(sig + chunk)
+        decode_png(sig + ihdr_chunk(3))
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(sig + ihdr_chunk(8, interlace=2))
+    # a 16-bit header with no/corrupt IDAT keeps the ValueError contract
+    with pytest.raises(ValueError):
+        decode_png(sig + ihdr_chunk(16))
 
 
 def _bmp_24(width: int, height: int, rows_rgb: list[list[tuple[int, int, int]]]) -> bytes:
@@ -1717,3 +1725,132 @@ def test_webp_vp8l_meta_prefix_header_roundtrip():
     dw, dh, mode, out = decode_webp(blob)
     assert (dw, dh, mode) == (w, h, "RGBA")
     assert out == bytes(v for px in rgba for v in px)
+
+
+# --- PNG: Adam7 interlace + non-8-bit depths ---------------------------
+
+
+def _raw_png(w, h, depth, color_type, raw_scanlines, interlace=0, palette=b""):
+    import struct as _struct
+    import zlib as _zlib
+
+    def chunk(ctype, body):
+        return (
+            _struct.pack(">I", len(body)) + ctype + body
+            + _struct.pack(">I", _zlib.crc32(ctype + body))
+        )
+
+    ihdr = _struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, interlace)
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette:
+        out += chunk(b"PLTE", palette)
+    out += chunk(b"IDAT", _zlib.compress(raw_scanlines)) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_adam7_interlaced_roundtrip():
+    """Adam7: seven independently filtered sub-images scatter back to
+    the full grid — verified against the same image stored
+    non-interlaced, with a non-zero filter inside one pass."""
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        _ADAM7,
+        decode_png,
+    )
+
+    w, h = 9, 10  # non-multiple-of-8: exercises partial passes
+    pixels = _pattern(w, h, 3)
+
+    def px(x, y):
+        return pixels[(y * w + x) * 3 : (y * w + x) * 3 + 3]
+
+    raw = bytearray()
+    for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        prev = bytearray(pw * 3)
+        for j in range(ph):
+            line = bytearray()
+            for i in range(pw):
+                line += px(x0 + i * dx, y0 + j * dy)
+            if pi % 2 == 1:  # alternate passes use the Up filter
+                enc = bytes((line[k] - prev[k]) & 0xFF for k in range(len(line)))
+                raw += b"\x02" + enc
+            else:
+                raw += b"\x00" + bytes(line)
+            prev = line
+    blob = _raw_png(w, h, 8, 2, bytes(raw), interlace=1)
+    dw, dh, mode, out = decode_png(blob)
+    assert (dw, dh, mode) == (w, h, "RGB")
+    assert out == pixels
+
+
+def test_png_16bit_reduces_to_high_byte():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_png
+
+    w, h = 5, 3
+    hi = _pattern(w, h, 3)
+    raw = bytearray()
+    k = 0
+    for _y in range(h):
+        raw += b"\x00"
+        for _i in range(w * 3):
+            raw += bytes([hi[k], (hi[k] * 7 + 3) % 256])  # hi, lo
+            k += 1
+    dw, dh, mode, out = decode_png(_raw_png(w, h, 16, 2, bytes(raw)))
+    assert (dw, dh, mode) == (w, h, "RGB")
+    assert out == hi
+
+
+def test_png_sub8bit_gray_and_palette():
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_png
+
+    # 4-bit grayscale, odd width (padding bits in the last byte)
+    w, h = 5, 2
+    vals = [[1, 15, 0, 7, 8], [3, 3, 12, 5, 10]]
+    raw = bytearray()
+    for row in vals:
+        raw += b"\x00"
+        packed = bytearray()
+        for i in range(0, len(row), 2):
+            hi = row[i] << 4
+            lo = row[i + 1] if i + 1 < len(row) else 0
+            packed.append(hi | lo)
+        raw += packed
+    dw, dh, mode, out = decode_png(_raw_png(w, h, 4, 0, bytes(raw)))
+    assert (dw, dh, mode) == (w, h, "L")
+    assert list(out) == [v * 17 for row in vals for v in row]
+
+    # 1-bit grayscale
+    raw1 = b"\x00" + bytes([0b10110000])  # 4px row: 1,0,1,1
+    dw, dh, mode, out = decode_png(_raw_png(4, 1, 1, 0, raw1))
+    assert list(out) == [255, 0, 255, 255]
+
+    # 2-bit palette
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 9, 9, 9])
+    raw2 = b"\x00" + bytes([0b00011011])  # indices 0,1,2,3
+    dw, dh, mode, out = decode_png(_raw_png(4, 1, 2, 3, raw2, palette=pal))
+    assert mode == "RGB" and bytes(out) == pal
+
+
+def test_png_adam7_through_dispatch(spark):
+    from data_pipeline_childcare_spark.sources.multimodal import image_features
+
+    w, h = 8, 8
+    pixels = _pattern(w, h, 3)
+    raw = bytearray()
+    from data_pipeline_childcare_spark.sources.imagecodec import _ADAM7
+
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        for j in range(ph):
+            raw += b"\x00"
+            for i in range(pw):
+                p = ((y0 + j * dy) * w + (x0 + i * dx)) * 3
+                raw += pixels[p : p + 3]
+    blob = _raw_png(w, h, 8, 2, bytes(raw), interlace=1)
+    df = spark.createDataFrame([("i.png", blob)], "path string, content binary")
+    row = image_features(df).first()
+    assert (row["width"], row["height"], row["mode"], row["is_stub"]) == (w, h, "RGB", False)
