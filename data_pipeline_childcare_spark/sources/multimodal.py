@@ -329,6 +329,27 @@ def _ima_adpcm_to_pcm16(data: bytes, channels: int, block_align: int) -> bytes:
     return bytes(out)
 
 
+def _g711_tables() -> tuple[list[int], list[int]]:
+    """(µ-law, A-law) byte→PCM16 decode tables DERIVED from the G.711
+    segment/mantissa formulas (no transcribed tables): µ-law is
+    complemented, biased by 0x84 and shifted by the 3-bit segment;
+    A-law is XOR 0x55 with segment 0 linear. Sign conventions follow
+    the spec: µ-law MSB set (post-complement) = negative, A-law MSB
+    set (post-XOR) = positive."""
+    ulaw, alaw = [], []
+    for byte in range(256):
+        u = ~byte & 0xFF
+        mag = (((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 0x07)
+        mag -= 0x84
+        ulaw.append(-mag if u & 0x80 else mag)
+        a = byte ^ 0x55
+        seg = (a & 0x70) >> 4
+        t = (a & 0x0F) << 4
+        t = ((t + 0x108) << (seg - 1)) if seg else t + 8
+        alaw.append(t if a & 0x80 else -t)
+    return ulaw, alaw
+
+
 def _parse_wav_pcm(data: bytes) -> tuple[int, int, bytes]:
     """RIFF/WAVE walk (shared bounds-checked chunk iterator from
     ``imagecodec``) → (sample_rate, channels, pcm16_bytes). Real
@@ -361,6 +382,15 @@ def _parse_wav_pcm(data: bytes) -> tuple[int, int, bytes]:
         return rate, channels, pcm
     if audio_format == 0x11 and bits == 4 and channels >= 1 and rate >= 1:
         return rate, channels, _ima_adpcm_to_pcm16(pcm, channels, block_align)
+    if audio_format in (6, 7) and bits == 8 and channels >= 1 and rate >= 1:
+        # G.711 A-law (6) / µ-law (7): one byte per sample, already
+        # channel-interleaved — expand through the derived tables
+        ulaw, alaw = _g711_tables()
+        table = ulaw if audio_format == 7 else alaw
+        out = bytearray(2 * len(pcm))
+        for i, byte in enumerate(pcm):
+            struct.pack_into("<h", out, 2 * i, table[byte])
+        return rate, channels, bytes(out)
     raise ValueError(
         f"unsupported WAV (format={audio_format}, bits={bits}, "
         f"channels={channels}, rate={rate})"

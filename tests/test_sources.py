@@ -402,6 +402,50 @@ def test_audio_ima_adpcm_real_decode(spark):
     assert abs(row["rms"] - true_rms) < 0.01
 
 
+def test_audio_g711_ulaw_alaw_real_decode(spark):
+    """G.711 µ-law / A-law WAV (formats 7 / 6): published anchor
+    bytes decode exactly, and a companded sine round-trips through
+    the real tier within companding error (nearest-byte encoding is
+    an independent brute-force search over the decode table)."""
+    import math
+    import struct as _struct
+
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        _g711_tables,
+        _parse_wav_pcm,
+        audio_features,
+    )
+
+    ulaw, alaw = _g711_tables()
+    # normative anchors (ITU-T G.711 tables)
+    assert (ulaw[0x00], ulaw[0xFF], ulaw[0x80]) == (-32124, 0, 32124)
+    assert (alaw[0x55], alaw[0xD5], alaw[0x2A], alaw[0xAA]) == (-8, 8, -32256, 32256)
+
+    def wav(fmt_code, table):
+        rate, n = 8000, 400
+        samples = [int(12000 * math.sin(2 * math.pi * i / 80)) for i in range(n)]
+        enc = bytes(min(range(256), key=lambda b: abs(table[b] - s)) for s in samples)
+        fmt = _struct.pack("<HHIIHH", fmt_code, 1, rate, rate, 1, 8)
+        body = (
+            b"WAVE"
+            + b"fmt " + _struct.pack("<I", len(fmt)) + fmt
+            + b"data" + _struct.pack("<I", len(enc)) + enc
+        )
+        return b"RIFF" + _struct.pack("<I", len(body)) + body, samples
+
+    for fmt_code, table in ((7, ulaw), (6, alaw)):
+        blob, samples = wav(fmt_code, table)
+        rate, ch, pcm = _parse_wav_pcm(blob)
+        assert (rate, ch) == (8000, 1)
+        dec = _struct.unpack("<" + "h" * (len(pcm) // 2), pcm)
+        # companding error bound: ~1/16 relative + segment-0 absolute
+        assert all(abs(d - s) <= abs(s) / 12 + 40 for d, s in zip(dec, samples))
+        row = audio_features(
+            spark.createDataFrame([("g.wav", blob)], "path string, content binary")
+        ).collect()[0]
+        assert row["is_stub"] is False and row["n_samples"] == 400
+
+
 def test_audio_features_stereo_downmix_and_stub(spark):
     from data_pipeline_childcare_spark.sources.multimodal import audio_features
 
