@@ -475,6 +475,124 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
     raise ValueError("GIF contains no image frame")
 
 
+def parse_gif_frames(
+    data: bytes, max_frames: int = 64
+) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """Animated GIF89a → ``(width, height, [(delay_ms, rgb)])`` with
+    full animation semantics: Graphic Control Extension delays,
+    transparency (transparent pixels leave the canvas unchanged), and
+    disposal methods 0/1 (leave), 2 (restore rect to background),
+    3 (restore previous canvas). Each emitted frame is a complete
+    RGB snapshot of the logical screen — what a player shows at that
+    point of the timeline. ``decode_gif`` stays the single-raster
+    still path; this is the video-sampling path."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh = struct.unpack("<HH", data[6:10])
+    packed = data[10]
+    bg_index = data[11]
+    pos = 13
+    gct = b""
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = data[pos : pos + 3 * n]
+        pos += 3 * n
+    bg_rgb = (
+        gct[3 * bg_index : 3 * bg_index + 3] if 3 * bg_index + 3 <= len(gct) else b"\x00\x00\x00"
+    )
+    canvas = bytearray(bg_rgb * (sw * sh))
+    frames: list[tuple[int, bytes]] = []
+    delay_ms, transp, disposal = 0, None, 0
+    while pos < len(data) and len(frames) < max_frames:
+        block = data[pos]
+        if block == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and pos < len(data) and data[pos] >= 4:
+                flags = data[pos + 1]
+                delay_ms = struct.unpack("<H", data[pos + 2 : pos + 4])[0] * 10
+                transp = data[pos + 4] if flags & 0x01 else None
+                disposal = (flags >> 2) & 0x07
+            while pos < len(data) and data[pos] != 0:
+                pos += 1 + data[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h = struct.unpack("<HHHH", data[pos + 1 : pos + 9])
+            if left + w > sw or top + h > sh:
+                raise ValueError("GIF frame rect exceeds logical screen")
+            ipacked = data[pos + 9]
+            pos += 10
+            table = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 0x07)
+                table = data[pos : pos + 3 * n]
+                pos += 3 * n
+            if not table:
+                raise ValueError("GIF frame has no color table")
+            min_code_size = data[pos]
+            pos += 1
+            lzw = bytearray()
+            while pos < len(data) and data[pos] != 0:
+                size = data[pos]
+                lzw += data[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1  # block terminator
+            idx = _gif_lzw_decode(min_code_size, bytes(lzw), w * h)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data truncated")
+            if ipacked & 0x40:  # interlaced
+                order = [
+                    y
+                    for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+                    for y in range(start, h, step)
+                ]
+                deinter = bytearray(w * h)
+                for i, y in enumerate(order):
+                    deinter[y * w : (y + 1) * w] = idx[i * w : (i + 1) * w]
+                idx = deinter
+            saved = bytes(canvas) if disposal == 3 else None
+            for y in range(h):
+                for x in range(w):
+                    ci = idx[y * w + x]
+                    if transp is not None and ci == transp:
+                        continue
+                    c = 3 * ci
+                    o = ((top + y) * sw + (left + x)) * 3
+                    canvas[o : o + 3] = (
+                        table[c : c + 3] if c + 3 <= len(table) else b"\x00\x00\x00"
+                    )
+            frames.append((delay_ms, bytes(canvas)))
+            if disposal == 2:  # restore rect to background
+                for y in range(h):
+                    o = ((top + y) * sw + left) * 3
+                    canvas[o : o + 3 * w] = bg_rgb * w
+            elif disposal == 3 and saved is not None:
+                canvas = bytearray(saved)
+            delay_ms, transp, disposal = 0, None, 0
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"unexpected GIF block 0x{block:02x}")
+    if not frames:
+        raise ValueError("GIF contains no image frame")
+    return sw, sh, frames
+
+
+def rgb_to_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB raster → 24-bit BMP file (rows flipped to the
+    bottom-up BGR DIB layout :func:`encode_bmp` wraps)."""
+    row_bytes = (width * 3 + 3) & ~3
+    dib = bytearray()
+    for y in range(height - 1, -1, -1):
+        line = bytearray()
+        for x in range(width):
+            o = (y * width + x) * 3
+            line += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))
+        line += bytes(row_bytes - len(line))
+        dib += line
+    return encode_bmp(width, height, bytes(dib))
+
+
 def iter_riff_chunks(data: bytes, pos: int, end: int):
     """Bounds-checked RIFF chunk walk shared by the AVI and WAV
     parsers → yields ``(fourcc, body_start, body_end)``. Bodies are

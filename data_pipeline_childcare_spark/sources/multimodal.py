@@ -209,7 +209,11 @@ def sample_frames(
        `image_features` decodes them downstream, so video → frames →
        features is an all-real library-free pipeline for both
        uncompressed and MJPEG AVI.
-    2. anything else (other codec streams need a video library) →
+    2. animated GIF → REAL stdlib decode (`imagecodec.
+       parse_gif_frames`): full compositing timeline (GCE delays,
+       transparency, disposal methods), frames sampled on cumulative
+       delay and emitted as BMP snapshots of the logical screen.
+    3. anything else (other codec streams need a video library) →
        marked stub: deterministic byte-slices keep the row-explosion
        shape, timestamps, and batch discipline testable everywhere.
     """
@@ -218,12 +222,37 @@ def sample_frames(
         from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: PLC0415
             encode_bmp,
             parse_avi,
+            parse_gif_frames,
+            rgb_to_bmp,
         )
 
         for pdf in batches:
             rows = []
             for path, data in zip(pdf[path_col], pdf[content_col]):
                 raw = bytes(data)
+                if raw[:6] in (b"GIF87a", b"GIF89a"):
+                    # animated GIF: full compositing timeline, frames
+                    # sampled on cumulative delay (0-delay frames use
+                    # the 100 ms player convention)
+                    try:
+                        gw, gh, gframes = parse_gif_frames(raw)
+                    except Exception:  # noqa: BLE001 — corrupt → stub tier
+                        gframes = None
+                    if gframes is not None:
+                        t, next_t, emitted = 0, 0, 0
+                        for fidx, (delay, rgb) in enumerate(gframes):
+                            if emitted >= max_frames:
+                                break
+                            if t >= next_t:
+                                rows.append(
+                                    (path, fidx, t, rgb_to_bmp(gw, gh, rgb), False)
+                                )
+                                emitted += 1
+                                next_t += every_ms
+                                while next_t <= t:
+                                    next_t += every_ms
+                            t += delay if delay else 100
+                        continue
                 try:
                     w, h, usec, frames = parse_avi(raw)
                 except Exception:  # noqa: BLE001 — ANY malformed blob

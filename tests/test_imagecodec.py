@@ -1854,3 +1854,73 @@ def test_png_adam7_through_dispatch(spark):
     df = spark.createDataFrame([("i.png", blob)], "path string, content binary")
     row = image_features(df).first()
     assert (row["width"], row["height"], row["mode"], row["is_stub"]) == (w, h, "RGB", False)
+
+
+# --- animated GIF ------------------------------------------------------
+
+
+def _gce(delay_cs, transp=None, disposal=0):
+    flags = (disposal << 2) | (1 if transp is not None else 0)
+    return (
+        bytes([0x21, 0xF9, 4, flags])
+        + struct.pack("<H", delay_cs)
+        + bytes([transp if transp is not None else 0, 0])
+    )
+
+
+def _gif_frame(left, top, w, h, indices, min_code_size=2):
+    out = b"\x2c" + struct.pack("<HHHH", left, top, w, h) + bytes([0])
+    out += bytes([min_code_size])
+    lzw = _lzw_encode(min_code_size, bytes(indices))
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out += bytes([len(chunk)]) + chunk
+    return out + b"\x00"
+
+
+def _animated_gif():
+    """4x2 screen, palette black/red/green/blue: full red frame
+    (50 ms) → green right-half with disposal=restore-background
+    (100 ms) → transparent-holed blue pixel over the restored canvas."""
+    palette = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 4, 2) + bytes([0x81, 0, 0]) + palette
+    out += _gce(5) + _gif_frame(0, 0, 4, 2, [1] * 8)
+    out += _gce(10, disposal=2) + _gif_frame(2, 0, 2, 2, [2] * 4)
+    out += _gce(10, transp=0) + _gif_frame(0, 0, 2, 1, [3, 0])
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_gif_animation_frames_composite():
+    from data_pipeline_childcare_spark.sources.imagecodec import parse_gif_frames
+
+    sw, sh, frames = parse_gif_frames(_animated_gif())
+    assert (sw, sh) == (4, 2)
+    assert [d for d, _ in frames] == [50, 100, 100]
+    R, G, B, K = (255, 0, 0), (0, 255, 0), (0, 0, 255), (0, 0, 0)
+
+    def grid(rgb):
+        return [tuple(rgb[3 * i : 3 * i + 3]) for i in range(8)]
+
+    assert grid(frames[0][1]) == [R, R, R, R, R, R, R, R]
+    assert grid(frames[1][1]) == [R, R, G, G, R, R, G, G]
+    # disposal 2 restored the green rect to background (black) before
+    # frame 3; the transparent pixel (1,0) keeps the red underneath
+    assert grid(frames[2][1]) == [B, R, K, K, R, R, K, K]
+
+
+def test_gif_animation_through_sample_frames(spark):
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_bmp
+    from data_pipeline_childcare_spark.sources.multimodal import sample_frames
+
+    df = spark.createDataFrame(
+        [("anim.gif", _animated_gif())], "path string, content binary"
+    )
+    rows = sample_frames(df, every_ms=100, max_frames=8).collect()
+    # timeline: f0 at 0 ms (emit), f1 at 50 ms (skip), f2 at 150 ms (emit)
+    assert [(r["frame_idx"], r["frame_ms"]) for r in rows] == [(0, 0), (2, 150)]
+    assert all(r["is_stub"] is False for r in rows)
+    w, h, mode, px = decode_bmp(bytes(rows[0]["frame"]))
+    assert (w, h, mode) == (4, 2, "RGB") and px[:3] == bytes([255, 0, 0])
+    w, h, mode, px = decode_bmp(bytes(rows[1]["frame"]))
+    assert px[:3] == bytes([0, 0, 255])  # frame-3 snapshot starts blue
