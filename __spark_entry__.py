@@ -2085,6 +2085,81 @@ def ivf_cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingestion end-to-end (sources/warc.py): synthesize one
+    WARC blob per document — a warcinfo record, a request record, and
+    an HTTP response record carrying the document text (every 3rd
+    blob gzip-compressed, mtime=0) — then parse back through the
+    Arrow-batched reader, which must keep ONLY the response records
+    and split the HTTP layer. DuckDB-oracled with no WARC code on the
+    oracle side: every output field is a closed-form function of
+    (doc_id, text), so the twin selects them straight from the
+    documents table — any parser defect (header split, payload
+    length, gzip path, record filtering) breaks the hash."""
+    import pandas as pd  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.warc import read_warc_responses
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").coalesce(8)
+
+    def gen(batches):
+        import gzip as _gzip  # noqa: PLC0415
+
+        def rec(rtype, rid, extra, payload):
+            head = (
+                f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Record-ID: {rid}\r\n"
+                + extra
+                + f"Content-Length: {len(payload)}\r\n\r\n"
+            ).encode()
+            return head + payload + b"\r\n\r\n"
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = str(text).encode("utf-8")
+                uri = f"https://example.com/doc/{d}"
+                http = (
+                    b"HTTP/1.1 200 OK\r\nContent-Type: text/plain; charset=utf-8\r\n"
+                    + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                    + body
+                )
+                blob = (
+                    rec("warcinfo", f"<urn:info:{d}>", "", b"software: synthetic\r\n")
+                    + rec(
+                        "request",
+                        f"<urn:req:{d}>",
+                        f"WARC-Target-URI: {uri}\r\n",
+                        b"GET / HTTP/1.1\r\n\r\n",
+                    )
+                    + rec(
+                        "response",
+                        f"<urn:resp:{d}>",
+                        f"WARC-Target-URI: {uri}\r\n"
+                        "Content-Type: application/http; msgtype=response\r\n",
+                        http,
+                    )
+                )
+                if d % 3 == 0:
+                    blob = _gzip.compress(blob, mtime=0)
+                paths.append(f"seg_{d}.warc" + (".gz" if d % 3 == 0 else ""))
+                blobs.append(blob)
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = docs.mapInPandas(gen, schema="path string, content binary")
+    out = read_warc_responses(blobs)
+    return out.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "record_id",
+        "target_uri",
+        "http_status",
+        "http_content_type",
+        F.col("error").isNotNull().alias("failed"),
+        F.length(F.decode(F.col("body"), "utf-8")).alias("n_body_chars"),
+        F.substring(F.decode(F.col("body"), "utf-8"), 1, 40).alias("body_prefix"),
+    )
+
+
 def url_canonical_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (functions/urls.py) —
     the crawl-pipeline normalization pass. URLs are synthesized
@@ -3282,6 +3357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
         "semdedup_embeddings": semdedup_embeddings,
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
+        "warc_ingest_docs": warc_ingest_docs,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
@@ -5809,6 +5885,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # WARC twin: every output field is a closed-form function of the
+    # generation inputs (see warc_ingest_docs docstring)
+    out["warc_ingest_docs"] = """
+        SELECT doc_id,
+               '<urn:resp:' || CAST(doc_id AS VARCHAR) || '>' AS record_id,
+               'https://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(200 AS INT) AS http_status,
+               'text/plain; charset=utf-8' AS http_content_type,
+               FALSE AS failed,
+               CAST(length(text) AS INT) AS n_body_chars,
+               substring(text, 1, 40) AS body_prefix
+        FROM documents
     """
     out["url_canonical_dedup_docs"] = """
         WITH urls AS (

@@ -963,3 +963,66 @@ def test_search_providers_null_result_lists_mean_empty_not_error():
         p = ctor(api_key="k", transport=transport, sleeper=lambda s: None)
         out = p("q", 3)
         assert out == [] and len(calls) == 1, prefix
+
+
+def test_warc_parse_and_response_extraction(spark):
+    """WARC reader: multi-record parse (plain + per-stream gzip),
+    response-only filtering, HTTP layer split, corrupt blob → error
+    row, non-HTTP payloads passed through."""
+    import gzip as _gzip
+
+    from data_pipeline_childcare_spark.sources.warc import (
+        parse_warc,
+        read_warc_responses,
+        split_http_response,
+    )
+
+    def rec(rtype, rid, extra, payload):
+        head = (
+            f"WARC/1.0\r\nWARC-Type: {rtype}\r\nWARC-Record-ID: {rid}\r\n"
+            + extra
+            + f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        return head + payload + b"\r\n\r\n"
+
+    body = "<html>你好 world</html>".encode()
+    http = (
+        b"HTTP/1.1 301 Moved\r\nLocation: /x\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    warc = (
+        rec("warcinfo", "<urn:i>", "", b"software: t\r\n")
+        + rec("request", "<urn:q>", "WARC-Target-URI: https://a/\r\n", b"GET /\r\n\r\n")
+        + rec("response", "<urn:r>", "WARC-Target-URI: https://a/\r\n", http)
+        + rec("response", "<urn:r2>", "WARC-Target-URI: https://b/\r\n", b"not-http-payload")
+    )
+    recs = parse_warc(warc)
+    assert [r["headers"]["warc-type"] for r in recs] == [
+        "warcinfo", "request", "response", "response",
+    ]
+    assert parse_warc(_gzip.compress(warc)) == recs  # gzip path identical
+    status, ctype, got_body = split_http_response(http)
+    assert (status, ctype, got_body) == (301, "text/html", body)
+    assert split_http_response(b"raw bytes") == (None, None, b"raw bytes")
+
+    df = spark.createDataFrame(
+        [("a.warc", warc), ("b.warc.gz", _gzip.compress(warc)), ("bad.warc", b"GARBAGE")],
+        "path string, content binary",
+    )
+    rows = read_warc_responses(df).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["path"], []).append(r)
+    for p in ("a.warc", "b.warc.gz"):
+        assert [r["record_id"] for r in by[p]] == ["<urn:r>", "<urn:r2>"]
+        assert by[p][0]["http_status"] == 301 and bytes(by[p][0]["body"]) == body
+        assert by[p][1]["http_status"] is None  # non-HTTP payload
+        assert bytes(by[p][1]["body"]) == b"not-http-payload"
+    assert len(by["bad.warc"]) == 1 and by["bad.warc"][0]["error"]
+
+    # truncation / garbage keep the ValueError contract in the parser
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="payload exceeds"):
+        parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort")
+    with _pytest.raises(ValueError, match="version line"):
+        parse_warc(b"NOT A WARC")
