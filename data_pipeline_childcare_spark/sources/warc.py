@@ -161,3 +161,42 @@ def read_warc_responses(
             )
 
     return df.select(path_col, content_col).mapInPandas(run, schema=WARC_RESPONSES_SCHEMA)
+
+
+def warc_documents(
+    df: DataFrame, path_col: str = "path", content_col: str = "content"
+) -> DataFrame:
+    """WARC blobs → parsed text documents, end-to-end: response
+    records exploded, the parse format taken from the HTTP
+    Content-Type (the crawl's own signal) with URL-extension/magic
+    sniffing as fallback, bodies through the same Arrow-batched
+    format-dispatch parser every other source uses
+    (``sources.documents.parse_documents``). This is the
+    crawl-corpus → clean-text entry point of the pipeline."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.documents import (  # noqa: PLC0415
+        parse_documents,
+        sniff_format,
+    )
+
+    resp = read_warc_responses(df, path_col, content_col).filter(
+        F.col("error").isNull() & F.col("body").isNotNull()
+    )
+    ct = F.lower(F.coalesce(F.col("http_content_type"), F.lit("")))
+    fmt_ct = (
+        F.when(ct.contains("text/html"), F.lit("html"))
+        .when(ct.contains("application/json"), F.lit("json"))
+        .when(ct.contains("application/pdf"), F.lit("pdf"))
+        .when(ct.contains("text/csv"), F.lit("csv"))
+        .when(ct.contains("text/markdown"), F.lit("md"))
+        .when(ct.contains("text/plain"), F.lit("txt"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    doc_path = F.coalesce(F.col("target_uri"), F.col("path"))
+    docs = resp.select(
+        doc_path.alias("path"),
+        F.coalesce(fmt_ct, sniff_format(doc_path, F.col("body"))).alias("fmt"),
+        F.col("body").alias("content"),
+    )
+    return parse_documents(docs)

@@ -1026,3 +1026,30 @@ def test_warc_parse_and_response_extraction(spark):
         parse_warc(b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999\r\n\r\nshort")
     with _pytest.raises(ValueError, match="version line"):
         parse_warc(b"NOT A WARC")
+
+
+def test_warc_documents_end_to_end(spark):
+    """WARC → parse_documents composition: Content-Type drives the
+    format (HTML stripped, JSON fenced), falling back to sniffing."""
+    from data_pipeline_childcare_spark.sources.warc import warc_documents
+
+    def rec(rid, uri, ctype, body):
+        http = (
+            f"HTTP/1.1 200 OK\r\nContent-Type: {ctype}\r\n\r\n".encode() + body
+        )
+        head = (
+            f"WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: {rid}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"Content-Length: {len(http)}\r\n\r\n"
+        ).encode()
+        return head + http + b"\r\n\r\n"
+
+    warc = rec(
+        "<urn:1>", "https://a/page", "text/html; charset=utf-8",
+        b"<html><script>x()</script><body><p>Crawl body text</p></body></html>",
+    ) + rec("<urn:2>", "https://a/data.json", "application/json", b'{"k": 1}')
+    df = spark.createDataFrame([("s.warc", warc)], "path string, content binary")
+    got = {r["path"]: r for r in warc_documents(df).collect()}
+    assert "Crawl body text" in got["https://a/page"]["content"]
+    assert "x()" not in got["https://a/page"]["content"]
+    assert got["https://a/data.json"]["content"].startswith("```json")
