@@ -2160,6 +2160,40 @@ def warc_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ROBOTS_RULES = [
+    ("site0.com", "*", "disallow", "/private/"),
+    ("site0.com", "*", "disallow", "/*.pdf$"),
+    ("site1.com", "*", "disallow", "/"),
+    ("site1.com", "*", "allow", "/public/"),
+    ("site2.com", "googlebot", "disallow", "/files/"),  # other agent: ignored
+]
+
+
+def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt REP filtering (operators/robots.py): URLs
+    synthesized from doc_id across 5 hosts × 4 path shapes, judged
+    against a fixed rule set covering prefix rules, wildcard+anchor
+    patterns (/*.pdf$), allow-overrides-disallow on longer match,
+    whole-site disallow, rule-less hosts, and another agent's group
+    being ignored. The DuckDB twin replays the longest-match window
+    with the same precompiled regexes."""
+    from data_pipeline_childcare_spark.operators.robots import (
+        robots_filter,
+        rules_to_df,
+    )
+
+    d = F.col("doc_id")
+    urls = _t(spark, sf_dir, "documents").select(
+        F.concat(F.lit("site"), (d % 5).cast("string"), F.lit(".com")).alias("host"),
+        F.when(d % 4 == 0, F.concat(F.lit("/private/p"), d.cast("string")))
+        .when(d % 4 == 1, F.concat(F.lit("/public/a"), d.cast("string")))
+        .when(d % 4 == 2, F.concat(F.lit("/files/f"), d.cast("string"), F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/index"), d.cast("string"), F.lit(".html")))
+        .alias("path"),
+    )
+    return robots_filter(urls, rules_to_df(spark, _ROBOTS_RULES), agent="*")
+
+
 def url_canonical_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + URL-level dedup (functions/urls.py) —
     the crawl-pipeline normalization pass. URLs are synthesized
@@ -3358,6 +3392,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_embeddings": semdedup_embeddings,
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "warc_ingest_docs": warc_ingest_docs,
+        "robots_filter_docs": robots_filter_docs,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
@@ -5885,6 +5920,42 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # robots twin: the '*'-agent rules with precompiled regexes; the
+    # longest-match window mirrors operators/robots.robots_filter
+    out["robots_filter_docs"] = """
+        WITH urls AS (
+            SELECT 'site' || CAST(doc_id % 5 AS VARCHAR) || '.com' AS host,
+                   CASE doc_id % 4
+                     WHEN 0 THEN '/private/p' || CAST(doc_id AS VARCHAR)
+                     WHEN 1 THEN '/public/a' || CAST(doc_id AS VARCHAR)
+                     WHEN 2 THEN '/files/f' || CAST(doc_id AS VARCHAR) || '.pdf'
+                     ELSE '/index' || CAST(doc_id AS VARCHAR) || '.html'
+                   END AS path
+            FROM documents
+        ), rules AS (
+            SELECT * FROM (VALUES
+                ('site0.com', 'disallow', '/private/', '^/private/', 9),
+                ('site0.com', 'disallow', '/*.pdf$', '^/.*\\.pdf$', 7),
+                ('site1.com', 'disallow', '/', '^/', 1),
+                ('site1.com', 'allow', '/public/', '^/public/', 8)
+            ) r(host, directive, pattern, regex, plen)
+        ), matched AS (
+            SELECT u.host, u.path, r.directive, r.pattern,
+                   row_number() OVER (
+                       PARTITION BY u.host, u.path
+                       ORDER BY r.plen DESC,
+                                CASE WHEN r.directive = 'allow' THEN 0 ELSE 1 END,
+                                r.pattern
+                   ) AS rn
+            FROM urls u LEFT JOIN rules r
+              ON u.host = r.host AND regexp_matches(u.path, r.regex)
+        )
+        SELECT host, path,
+               (directive IS NULL OR directive = 'allow') AS allowed,
+               directive AS matched_directive,
+               pattern AS matched_pattern
+        FROM matched WHERE rn = 1
     """
     # WARC twin: every output field is a closed-form function of the
     # generation inputs (see warc_ingest_docs docstring)

@@ -445,3 +445,49 @@ def test_simhash_portable_identical_docs_zero_hamming(spark):
     rows = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_pairs_portable(df).collect()}
     assert rows.get((1, 2)) == 0
     assert all(k == (1, 2) for k in rows)
+
+
+def test_robots_filter_rep_semantics(spark):
+    """REP matcher: longest pattern wins, allow beats disallow on tie,
+    wildcard + $ anchor, whole-site disallow, agent-group selection
+    (specific group suppresses '*'), rule-less hosts allowed."""
+    from data_pipeline_childcare_spark.operators.robots import (
+        parse_robots_txt,
+        robots_filter,
+        robots_pattern_regex,
+        rules_to_df,
+    )
+
+    body = (
+        "# crawl policy\nUser-agent: *\nDisallow: /private/\n"
+        "Allow: /private/press/\nDisallow: /*.pdf$\n\n"
+        "User-agent: gptbot\nDisallow: /\nAllow: /public/\n"
+    )
+    rules = parse_robots_txt("example.com", body)
+    assert ("example.com", "*", "allow", "/private/press/") in rules
+    assert robots_pattern_regex("/*.pdf$") == r"^/.*\.pdf$"
+    assert robots_pattern_regex("/a+b(c)") == r"^/a\+b\(c\)"
+
+    urls = spark.createDataFrame(
+        [
+            ("example.com", "/ok.html"),
+            ("example.com", "/private/x"),
+            ("example.com", "/private/press/y"),
+            ("example.com", "/docs/file.pdf"),
+            ("other.com", "/anything"),
+        ],
+        "host string, path string",
+    )
+    rdf = rules_to_df(spark, rules)
+    star = {r["path"]: (r["allowed"], r["matched_pattern"])
+            for r in robots_filter(urls, rdf).collect()}
+    assert star["/ok.html"] == (True, None)
+    assert star["/private/x"] == (False, "/private/")
+    assert star["/private/press/y"] == (True, "/private/press/")  # longer allow wins
+    assert star["/docs/file.pdf"] == (False, "/*.pdf$")
+    assert star["/anything"] == (True, None)  # no rules for host
+    bot = {r["path"]: r["allowed"] for r in robots_filter(urls, rdf, agent="gptbot").collect()}
+    # specific group replaces '*': everything under / disallowed
+    assert bot == {"/ok.html": False, "/private/x": False,
+                   "/private/press/y": False, "/docs/file.pdf": False,
+                   "/anything": True}
