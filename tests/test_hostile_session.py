@@ -34,6 +34,10 @@ QUERIES = [
     "doc_shared_spans",           # round-4: positional shingle index
     "source_mixture_weights",     # round-4: share arithmetic
     "mmr_diverse_topk_embeddings",# round-4: unrolled greedy selection
+    "semdedup_embeddings",        # round-5: canonical kmeans + cosine
+    "url_canonical_dedup_docs",   # round-5: regex/array normalization
+    "robots_filter_docs",         # round-5: longest-match window
+    "xpilot_retrieval_reranked_docs",  # round-5: BM25 float discipline
 ]
 
 

@@ -1053,3 +1053,51 @@ def test_warc_documents_end_to_end(spark):
     assert "Crawl body text" in got["https://a/page"]["content"]
     assert "x()" not in got["https://a/page"]["content"]
     assert got["https://a/data.json"]["content"].startswith("```json")
+
+
+def test_archive_members_zip_and_tar(spark):
+    """Archive ingestion: ZIP and TAR.GZ explode to member rows, a
+    corrupt archive degrades to an error row, directories and empty
+    members drop, and archive_documents parses members end-to-end."""
+    import io as _io
+    import tarfile as _tarfile
+    import zipfile as _zipfile
+
+    from data_pipeline_childcare_spark.sources.archives import (
+        archive_documents,
+        iter_archive_members,
+        read_archive_members,
+    )
+
+    zbuf = _io.BytesIO()
+    with _zipfile.ZipFile(zbuf, "w") as zf:
+        zf.writestr("docs/a.txt", "alpha text")
+        zf.writestr("docs/", "")           # directory: dropped
+        zf.writestr("empty.bin", "")       # zero bytes: dropped
+        zf.writestr("b.json", '{"k": 7}')
+    zip_blob = zbuf.getvalue()
+
+    tbuf = _io.BytesIO()
+    with _tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        payload = b"<html><body><p>tar body</p></body></html>"
+        info = _tarfile.TarInfo("site/page.html")
+        info.size = len(payload)
+        tf.addfile(info, _io.BytesIO(payload))
+    tar_blob = tbuf.getvalue()
+
+    assert [m for m, _ in iter_archive_members(zip_blob)] == ["docs/a.txt", "b.json"]
+    assert [m for m, _ in iter_archive_members(tar_blob)] == ["site/page.html"]
+
+    df = spark.createDataFrame(
+        [("c.zip", zip_blob), ("c.tgz", tar_blob), ("bad.zip", b"PK\x03\x04junk")],
+        "path string, content binary",
+    )
+    rows = read_archive_members(df).collect()
+    ok = [(r["path"], r["member"]) for r in rows if r["error"] is None]
+    assert set(ok) == {("c.zip", "docs/a.txt"), ("c.zip", "b.json"), ("c.tgz", "site/page.html")}
+    assert [r["path"] for r in rows if r["error"]] == ["bad.zip"]
+
+    parsed = {r["path"]: r["content"] for r in archive_documents(df).collect()}
+    assert parsed["c.zip::docs/a.txt"] == "alpha text"
+    assert parsed["c.zip::b.json"].startswith("```json")
+    assert "tar body" in parsed["c.tgz::site/page.html"]
