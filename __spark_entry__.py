@@ -2169,6 +2169,63 @@ _ROBOTS_RULES = [
 ]
 
 
+def archive_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive-corpus ingestion end-to-end (sources/archives.py): one
+    archive blob per document — ZIP for most, TAR.GZ for every 3rd —
+    each holding the doc text as a .txt member plus a directory entry
+    and an empty member that must be dropped; exploded back through
+    read_archive_members + the parse chain. All output fields are
+    closed-form in (doc_id, text), so the DuckDB twin needs no
+    archive code."""
+    import pandas as pd  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.archives import archive_documents
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text").coalesce(8)
+
+    def gen(batches):
+        import gzip as _gzip  # noqa: PLC0415
+        import io as _io  # noqa: PLC0415
+        import tarfile as _tarfile  # noqa: PLC0415
+        import zipfile as _zipfile  # noqa: PLC0415
+
+        for pdf in batches:
+            paths, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                d = int(doc_id)
+                body = str(text).encode("utf-8")
+                member = f"docs/doc_{d}.txt"
+                if d % 3 == 0:
+                    tbuf = _io.BytesIO()
+                    with _tarfile.open(fileobj=tbuf, mode="w") as tf:
+                        info = _tarfile.TarInfo(member)
+                        info.size = len(body)
+                        tf.addfile(info, _io.BytesIO(body))
+                        tf.addfile(_tarfile.TarInfo("docs/empty.bin"), _io.BytesIO(b""))
+                    blob = _gzip.compress(tbuf.getvalue(), mtime=0)
+                    paths.append(f"shard_{d}.tgz")
+                else:
+                    zbuf = _io.BytesIO()
+                    with _zipfile.ZipFile(zbuf, "w") as zf:
+                        zf.writestr(member, body)
+                        zf.writestr("docs/", b"")
+                        zf.writestr("docs/empty.bin", b"")
+                    blob = zbuf.getvalue()
+                    paths.append(f"shard_{d}.zip")
+                blobs.append(blob)
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    blobs = docs.mapInPandas(gen, schema="path string, content binary")
+    parsed = archive_documents(blobs)
+    return parsed.select(
+        F.regexp_extract("path", r"doc_(\d+)\.txt$", 1).cast("long").alias("doc_id"),
+        "path",
+        "fmt",
+        F.length("content").cast("int").alias("n_chars"),
+        F.substring("content", 1, 40).alias("prefix"),
+    )
+
+
 def robots_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """robots.txt REP filtering (operators/robots.py): URLs
     synthesized from doc_id across 5 hosts × 4 path shapes, judged
@@ -3393,6 +3450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "warc_ingest_docs": warc_ingest_docs,
         "robots_filter_docs": robots_filter_docs,
+        "archive_ingest_docs": archive_ingest_docs,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
@@ -5920,6 +5978,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # archive twin: all output fields closed-form in (doc_id, text)
+    out["archive_ingest_docs"] = """
+        SELECT doc_id,
+               'shard_' || CAST(doc_id AS VARCHAR)
+               || (CASE WHEN doc_id % 3 = 0 THEN '.tgz' ELSE '.zip' END)
+               || '::docs/doc_' || CAST(doc_id AS VARCHAR) || '.txt' AS path,
+               'txt' AS fmt,
+               CAST(length(text) AS INT) AS n_chars,
+               substring(text, 1, 40) AS prefix
+        FROM documents
     """
     # robots twin: the '*'-agent rules with precompiled regexes; the
     # longest-match window mirrors operators/robots.robots_filter
