@@ -281,3 +281,84 @@ class TestMmrModel:
             for r in mmr_select(df, k=3, lam=0.5).orderBy("mmr_rank").collect()
         ]
         assert got == _py_mmr(cand, k=3, lam=0.5), (cand, got)
+
+
+class TestUrlCanonicalInvariants:
+    url_chars = st.text(
+        alphabet=st.sampled_from("abAB09./?&=#:_-%~*$"), min_size=0, max_size=40
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(tail=url_chars, scheme=st.sampled_from(["http", "HTTPS", "ftp"]))
+    def test_canonical_url_idempotent(self, spark, tail, scheme):
+        """Canonicalization is a projection: applying it twice equals
+        applying it once, for arbitrary messy URL tails."""
+        from data_pipeline_childcare_spark.functions.urls import canonical_url
+
+        url = f"{scheme}://Host.Example.COM:443/{tail}"
+        df = spark.createDataFrame([(url,)], "u string")
+        once = df.select(canonical_url(F.col("u")).alias("c"))
+        twice = once.select(canonical_url(F.col("c")).alias("c"))
+        a, b = once.first()["c"], twice.first()["c"]
+        assert a == b, (url, a, b)
+
+
+class TestVp8lRoundtrip:
+    @settings(max_examples=12, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=9),
+        h=st.integers(min_value=1, max_value=7),
+        seed=st.integers(min_value=0, max_value=10_000),
+        sub_green=st.booleans(),
+        cache=st.sampled_from([0, 3]),
+    )
+    def test_vp8l_random_images_roundtrip(self, w, h, seed, sub_green, cache):
+        """Lossless WebP: ANY image round-trips bit-exactly through
+        the independent encoder and the production decoder, across
+        dims, transforms, and cache settings."""
+        from test_imagecodec import _vp8l_encode
+
+        from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+        rgba = [
+            (
+                (seed * 7 + i * 13) % 256,
+                (seed * 3 + i * 29) % 256,
+                (seed + i * 5) % 256,
+                (seed * 11 + i * 3) % 256,
+            )
+            for i in range(w * h)
+        ]
+        blob = _vp8l_encode(w, h, rgba, subtract_green=sub_green, cache_bits=cache)
+        dw, dh, mode, out = decode_webp(blob)
+        assert (dw, dh, mode) == (w, h, "RGBA")
+        assert out == bytes(v for px in rgba for v in px)
+
+
+class TestWarcRoundtrip:
+    @settings(max_examples=25, deadline=None)
+    @given(
+        payloads=st.lists(
+            st.binary(min_size=0, max_size=60), min_size=1, max_size=5
+        ),
+        use_gzip=st.booleans(),
+    )
+    def test_warc_record_roundtrip(self, payloads, use_gzip):
+        """Arbitrary binary payloads survive the WARC writer→parser
+        round-trip byte-exactly, plain and gzipped."""
+        import gzip as _gzip
+
+        from data_pipeline_childcare_spark.sources.warc import parse_warc
+
+        blob = b""
+        for i, p in enumerate(payloads):
+            blob += (
+                f"WARC/1.0\r\nWARC-Type: resource\r\nWARC-Record-ID: <urn:{i}>\r\n"
+                f"Content-Length: {len(p)}\r\n\r\n"
+            ).encode() + p + b"\r\n\r\n"
+        data = _gzip.compress(blob) if use_gzip else blob
+        recs = parse_warc(data)
+        assert [r["content"] for r in recs] == payloads
+        assert [r["headers"]["warc-record-id"] for r in recs] == [
+            f"<urn:{i}>" for i in range(len(payloads))
+        ]
