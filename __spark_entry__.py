@@ -2169,6 +2169,23 @@ _ROBOTS_RULES = [
 ]
 
 
+def doc_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WHOLE pretraining-corpus curation lifecycle in one plan
+    (plans/curation.py): quality gate + exact dedup + portable-MinHash
+    near-dup dedup + benchmark decontamination + deterministic split,
+    with independent per-stage flags and the conjunction verdict. The
+    DuckDB twin composes the same stage oracles (quality/repetition
+    fragments, the banded minhash CTE chain, the contamination
+    shingle join, the md5 split CASE) into one query — the engine's
+    headline end-to-end oracle."""
+    from data_pipeline_childcare_spark.plans.curation import curate_corpus
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, docs.filter(F.col("doc_id") % 10 == 0), _QUALITY_STOPWORDS
+    )
+
+
 def archive_ingest_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive-corpus ingestion end-to-end (sources/archives.py): one
     archive blob per document — ZIP for most, TAR.GZ for every 3rd —
@@ -3451,6 +3468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_ingest_docs": warc_ingest_docs,
         "robots_filter_docs": robots_filter_docs,
         "archive_ingest_docs": archive_ingest_docs,
+        "doc_curation_pipeline": doc_curation_pipeline,
         "doc_bpe_token_counts": doc_bpe_token_counts,
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
@@ -5978,6 +5996,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # curation twin: the stage oracles composed into one query — the
+    # quality/repetition fragments, the banded minhash chain (est CTE
+    # from _minhash_ctes), the contamination shingle join over the
+    # full corpus, and the md5 split CASE
+    out["doc_curation_pipeline"] = f"""
+        WITH {_minhash_ctes},
+        q AS ({out['doc_quality_scores']}),
+        r AS ({out['doc_repetition_stats']}),
+        tk AS (SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens
+               FROM documents),
+        fp AS (SELECT doc_id,
+                      md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+               FROM documents),
+        fmin AS (SELECT f, min(doc_id) AS fkeep FROM fp GROUP BY f),
+        exact AS (
+            SELECT fp.doc_id,
+                   CASE WHEN fp.doc_id <> fmin.fkeep THEN fmin.fkeep END
+                       AS exact_dup_of
+            FROM fp JOIN fmin USING (f)
+        ),
+        near AS (
+            SELECT id_b AS doc_id, min(id_a) AS near_dup_of
+            FROM est WHERE est_jaccard >= 0.5 GROUP BY id_b
+        ),
+        ctoks AS (SELECT doc_id, {tokens} AS t FROM documents),
+        cgrams AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(t) - 3, 0) + 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS sh
+            FROM ctoks
+        ),
+        docsh AS (SELECT doc_id, unnest(sh) AS s FROM cgrams),
+        bench AS (SELECT DISTINCT s FROM
+                  (SELECT unnest(sh) AS s FROM cgrams WHERE doc_id % 10 = 0)),
+        cm AS (SELECT doc_id, count(*) AS matched
+               FROM docsh JOIN bench USING (s) GROUP BY doc_id),
+        csz AS (SELECT doc_id, count(*) AS set_size FROM docsh GROUP BY doc_id),
+        cont AS (
+            SELECT csz.doc_id,
+                   round(CAST(COALESCE(matched, 0) AS DOUBLE) / set_size, 6)
+                       AS contamination
+            FROM csz LEFT JOIN cm ON csz.doc_id = cm.doc_id
+        ),
+        sp AS (SELECT doc_id, {_split_case} AS split FROM documents),
+        flags AS (
+            SELECT q.doc_id, q.quality, tk.n_tokens,
+                   r.dup_line_frac, r.top_bigram_frac,
+                   (q.quality >= 0.3 AND tk.n_tokens BETWEEN 10 AND 100000
+                    AND r.dup_line_frac <= 0.3 AND r.top_bigram_frac <= 0.2)
+                       AS quality_ok,
+                   e.exact_dup_of, n.near_dup_of,
+                   COALESCE(c.contamination, 0.0) AS contamination,
+                   COALESCE(c.contamination, 0.0) >= 0.5 AS contaminated,
+                   sp.split
+            FROM q
+            JOIN r ON r.doc_id = q.doc_id
+            JOIN tk ON tk.doc_id = q.doc_id
+            JOIN exact e ON e.doc_id = q.doc_id
+            LEFT JOIN near n ON n.doc_id = q.doc_id
+            LEFT JOIN cont c ON c.doc_id = q.doc_id
+            JOIN sp ON sp.doc_id = q.doc_id
+        )
+        SELECT doc_id, quality, n_tokens, dup_line_frac, top_bigram_frac,
+               quality_ok, exact_dup_of, near_dup_of, contamination,
+               contaminated, split,
+               (quality_ok AND exact_dup_of IS NULL AND near_dup_of IS NULL
+                AND NOT contaminated) AS kept
+        FROM flags
     """
     # archive twin: all output fields closed-form in (doc_id, text)
     out["archive_ingest_docs"] = """

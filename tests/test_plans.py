@@ -237,3 +237,44 @@ def test_tuoyu_rule_filter_docs_contract(spark):
     inst = [r for r in rows if r["document_id"] % 3 == 2]
     assert all((r["document_id"] // 3) % 2 == 0 for r in inst)  # 四川 addr
     assert all((r["document_id"] // 3) % 3 == 1 for r in inst)  # 2023 date
+
+
+def test_curate_corpus_every_stage_fires(spark):
+    """Crafted corpus where each curation stage drops exactly its
+    target: an exact duplicate, a MinHash near-duplicate, a
+    benchmark-contaminated doc, a symbol-soup low-quality doc — and a
+    clean document survives with a split assignment."""
+    from data_pipeline_childcare_spark.plans.curation import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the green forest to find a quiet place to rest today"
+    )
+    near = base.replace("quiet", "silent").replace("today", "tonight")
+    bench_text = (
+        "benchmark question text about history of science and the many "
+        "famous experiments that changed the world in profound ways"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, base),                     # clean → kept
+            (2, base),                     # exact dup of 1
+            (3, near),                     # near dup of 1
+            (4, bench_text),               # contaminated (== benchmark)
+            (5, "@@ ## $$ %% ^^ && ** (( )) !! ?? ;; :: ~~ ++ == [[ ]]"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, bench_text)], "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in curate_corpus(docs, bench, ("the", "a", "of", "and", "to"),
+                               token_range=(5, 100_000)).collect()
+    }
+    assert got[1]["kept"] is True and got[1]["split"] in ("train", "val", "test")
+    assert got[2]["exact_dup_of"] == 1 and got[2]["kept"] is False
+    assert got[3]["near_dup_of"] == 1 and got[3]["exact_dup_of"] is None
+    assert got[3]["kept"] is False
+    assert got[4]["contaminated"] is True and got[4]["contamination"] == 1.0
+    assert got[4]["kept"] is False
+    assert got[5]["quality_ok"] is False and got[5]["kept"] is False
