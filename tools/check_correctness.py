@@ -50,11 +50,19 @@ def normalize(df: pd.DataFrame, exact: bool = False) -> pd.DataFrame:
 def main() -> int:
     argv = sys.argv[1:]
     exact = "--exact" in argv
-    only = set(a for a in argv if a != "--exact")
+    hostile = "--hostile" in argv
+    only = set(a for a in argv if a not in ("--exact", "--hostile"))
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
     spark = eng.get_spark()
+    if hostile:
+        # the hostile-harness profile from tests/test_hostile_session:
+        # a session the engine's factory never touched
+        spark = spark.newSession()
+        spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        print("HOSTILE session: Asia/Shanghai timezone, 7 shuffle partitions")
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = []
