@@ -112,7 +112,9 @@ def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     # tree-drawing/codegen prefixes) so a column or path whose NAME
     # contains "Exchange" can't spuriously disable the spread
     if re.search(
-        r"(?m)^[\s:+\-*()0-9]*(Exchange|AQEShuffleRead|InMemoryTableScan)\b", plan
+        r"(?m)^[\s:+\-*()0-9]*"
+        r"(Exchange|BroadcastExchange|ReusedExchange|AQEShuffleRead|InMemoryTableScan)\b",
+        plan,
     ):
         return df
     if df.rdd.getNumPartitions() >= target:

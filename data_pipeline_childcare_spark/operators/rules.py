@@ -172,7 +172,18 @@ def time_predicate(
     if rng is None:
         return F.lit(True)
     lo, hi = rng
-    in_range = ts_col.between(F.lit(lo), F.lit(hi))
+    # session-timezone-proof boundaries: F.lit(datetime) converts the
+    # naive datetime through the DRIVER OS timezone, while the row
+    # values (try_to_timestamp strings) parse in the SESSION timezone
+    # — under a non-UTC harness session the two drift apart (found by
+    # the full --hostile oracle gate: boundary rows flipped by 8h
+    # under Asia/Shanghai). Parsing the boundary from a string keeps
+    # both sides of the comparison in the same (session) frame, so
+    # the predicate is invariant under ANY session timezone.
+    in_range = ts_col.between(
+        F.to_timestamp(F.lit(lo.strftime("%Y-%m-%d %H:%M:%S"))),
+        F.to_timestamp(F.lit(hi.strftime("%Y-%m-%d %H:%M:%S"))),
+    )
     base = in_range if strict else (ts_col.isNull() | in_range)
     if strict:
         base = ts_col.isNotNull() & in_range

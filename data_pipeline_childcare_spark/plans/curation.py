@@ -70,7 +70,9 @@ def curate_corpus(
         quality_score(text_col, stopwords).alias("quality"),
         F.size(tokenize(F.col(text_col))).cast("long").alias("n_tokens"),
     )
-    r = repetition_stats(docs).select(id_col, "dup_line_frac", "top_bigram_frac")
+    r = repetition_stats(docs, id_col=id_col, text_col=text_col).select(
+        id_col, "dup_line_frac", "top_bigram_frac"
+    )
 
     fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("_fp"))
     fmin = fp.groupBy("_fp").agg(F.min(id_col).alias("_fkeep"))

@@ -478,6 +478,20 @@ def decode_gif(data: bytes) -> tuple[int, int, str, bytes]:
 def parse_gif_frames(
     data: bytes, max_frames: int = 64
 ) -> tuple[int, int, list[tuple[int, bytes]]]:
+    """ValueError-contract wrapper over :func:`_parse_gif_frames_impl`
+    (truncated/corrupt GIFs must raise ValueError, never
+    Index/struct errors, like every other codec here)."""
+    try:
+        return _parse_gif_frames_impl(data, max_frames)
+    except ValueError:
+        raise
+    except (IndexError, KeyError, struct.error) as exc:
+        raise ValueError(f"corrupt GIF: {exc!r}") from exc
+
+
+def _parse_gif_frames_impl(
+    data: bytes, max_frames: int
+) -> tuple[int, int, list[tuple[int, bytes]]]:
     """Animated GIF89a → ``(width, height, [(delay_ms, rgb)])`` with
     full animation semantics: Graphic Control Extension delays,
     transparency (transparent pixels leave the canvas unchanged), and
@@ -1507,9 +1521,12 @@ def _vp8l_entropy_image(br: _LsbReader, w: int, h: int, level0: bool, transforms
                 tw = (w + (1 << size_bits) - 1) >> size_bits
                 th = (h + (1 << size_bits) - 1) >> size_bits
                 timg = _vp8l_entropy_image(br, tw, th, False)
-                transforms.append((ttype, size_bits, timg))
+                # record the width this transform saw at READ time:
+                # a color-indexing transform read earlier may have
+                # reduced it, and the inverse must run at that width
+                transforms.append((ttype, size_bits, timg, w))
             elif ttype == 2:  # subtract green
-                transforms.append((2, 0, None))
+                transforms.append((2, 0, None, w))
             else:  # color indexing (palette)
                 n_colors = br.read(8) + 1
                 palette = _vp8l_entropy_image(br, n_colors, 1, False)
@@ -1533,7 +1550,7 @@ def _vp8l_entropy_image(br: _LsbReader, w: int, h: int, level0: bool, transforms
                     xbits = 1
                 else:
                     xbits = 0
-                transforms.append((3, xbits, (n_colors, palette)))
+                transforms.append((3, xbits, (n_colors, palette), w))
                 w = (w + (1 << xbits) - 1) >> xbits  # pixel bundling
     cache_bits = 0
     if br.read(1):
@@ -1750,20 +1767,22 @@ def _decode_webp_impl(data: bytes) -> tuple[int, int, str, bytes]:
         raise ValueError("unknown VP8L version")
     transforms: list = []
     pixels = _vp8l_entropy_image(br, w, h, True, transforms)
-    # inverse transforms, reverse order of appearance
-    for ttype, bits, payload in reversed(transforms):
+    # inverse transforms, reverse order of appearance; each runs at
+    # the width IT saw when read (a color-indexing transform read
+    # before it may have bundled pixels and narrowed the image)
+    for ttype, bits, payload, tw_read in reversed(transforms):
         if ttype == 3:  # color indexing (unbundle + palette lookup)
             n_colors, palette = payload
-            packed_w = (w + (1 << bits) - 1) >> bits
-            out = [0] * (w * h)
+            packed_w = (tw_read + (1 << bits) - 1) >> bits
+            out = [0] * (tw_read * h)
             per = 1 << bits
             bwidth = 8 >> bits
             mask = (1 << bwidth) - 1
             for y in range(h):
-                for x in range(w):
+                for x in range(tw_read):
                     packed = pixels[y * packed_w + (x >> bits)]
                     idx = ((packed >> 8) & 0xFF) >> ((x % per) * bwidth) & mask
-                    out[y * w + x] = palette[idx] if idx < n_colors else 0
+                    out[y * tw_read + x] = palette[idx] if idx < n_colors else 0
             pixels = out
         elif ttype == 2:  # add green back
             for i, p in enumerate(pixels):
@@ -1774,9 +1793,11 @@ def _decode_webp_impl(data: bytes) -> tuple[int, int, str, bytes]:
                     | ((p & 0xFF) + g & 0xFF)
                 )
         elif ttype == 1:
-            _vp8l_apply_color(pixels, w, h, bits, payload)
+            _vp8l_apply_color(pixels, tw_read, h, bits, payload)
         else:
-            _vp8l_apply_predictor(pixels, w, h, bits, payload)
+            _vp8l_apply_predictor(pixels, tw_read, h, bits, payload)
+    if len(pixels) != w * h:
+        raise ValueError("VP8L transform chain width mismatch")
     out_bytes = bytearray(w * h * 4)
     for i, p in enumerate(pixels):
         out_bytes[4 * i] = (p >> 16) & 0xFF

@@ -233,9 +233,15 @@ def sample_frames(
                 if raw[:6] in (b"GIF87a", b"GIF89a"):
                     # animated GIF: full compositing timeline, frames
                     # sampled on cumulative delay (0-delay frames use
-                    # the 100 ms player convention)
+                    # the 100 ms player convention). Decode enough of
+                    # the timeline to cover the sampling budget even
+                    # at the 10 ms minimum frame delay — a long GIF
+                    # must not be silently truncated at a fixed cap.
+                    parse_cap = min(
+                        100_000, max(64, max_frames * max(1, every_ms // 10) + 1)
+                    )
                     try:
-                        gw, gh, gframes = parse_gif_frames(raw)
+                        gw, gh, gframes = parse_gif_frames(raw, max_frames=parse_cap)
                     except Exception:  # noqa: BLE001 — corrupt → stub tier
                         gframes = None
                     if gframes is not None:

@@ -86,12 +86,17 @@ def split_http_response(payload: bytes) -> tuple[int | None, str | None, bytes]:
     (None, None, payload)."""
     if not payload.startswith(b"HTTP/"):
         return None, None, payload
-    sep = payload.find(b"\r\n\r\n")
-    if sep < 0:
-        sep = payload.find(b"\n\n")
-        body_start = sep + 2 if sep >= 0 else len(payload)
+    # the header/body boundary is whichever blank line comes FIRST:
+    # bare-LF headers (old servers, common in real crawls) would
+    # otherwise split at a CRLFCRLF inside the body
+    crlf = payload.find(b"\r\n\r\n")
+    lf = payload.find(b"\n\n")
+    if crlf >= 0 and (lf < 0 or crlf <= lf):
+        sep, body_start = crlf, crlf + 4
+    elif lf >= 0:
+        sep, body_start = lf, lf + 2
     else:
-        body_start = sep + 4
+        sep, body_start = -1, len(payload)
     head = payload[: sep if sep >= 0 else len(payload)]
     lines = head.replace(b"\r\n", b"\n").split(b"\n")
     try:

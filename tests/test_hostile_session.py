@@ -38,6 +38,10 @@ QUERIES = [
     "url_canonical_dedup_docs",   # round-5: regex/array normalization
     "robots_filter_docs",         # round-5: longest-match window
     "xpilot_retrieval_reranked_docs",  # round-5: BM25 float discipline
+    # round-5 regression: F.lit(datetime) boundaries drifted 8h from
+    # try_to_timestamp rows under a non-UTC session (caught by the
+    # full --hostile oracle gate; fixed via string-literal boundaries)
+    "tuoyu_rule_filter_docs",
 ]
 
 

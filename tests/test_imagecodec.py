@@ -1437,20 +1437,21 @@ def _vp8l_encode(
     wtr.write(0, 3)  # version
 
     eff_w = w
-    # transforms are written in the order the decoder reads them; the
-    # decoder inverse-applies them in reverse, so FORWARD application
-    # here must go in reverse of the write order (innermost last)
+    # Decoder semantics: main = Tn(...T1(original)) with T1 = first
+    # transform READ; inverses run last-read-first. So the encoder
+    # forward-applies in READ (write) order. Palette goes first so
+    # its lookup sees original colors and later transforms (e.g. the
+    # predictor) operate on the PACKED image — the bundling combo.
     pending = []
+    if palette is not None:
+        pending.append("pal")
     if predictor_bits:
         pending.append("pred")
     if color_bits:
         pending.append("color")
     if subtract_green:
         pending.append("sg")
-    if palette is not None:
-        pending.append("pal")
-    # forward-apply from the LAST written transform to the first
-    for t in reversed(pending):
+    for t in pending:
         if t == "pal":
             lut = {c: i for i, c in enumerate(palette)}
             idx = [lut[p] for p in px]
@@ -1924,3 +1925,50 @@ def test_gif_animation_through_sample_frames(spark):
     assert (w, h, mode) == (4, 2, "RGB") and px[:3] == bytes([255, 0, 0])
     w, h, mode, px = decode_bmp(bytes(rows[1]["frame"]))
     assert px[:3] == bytes([0, 0, 255])  # frame-3 snapshot starts blue
+
+
+def test_webp_vp8l_palette_plus_predictor_bundled_roundtrip():
+    """The spec-legal combo the width bookkeeping must survive:
+    color-indexing (pixel bundling narrows the image) READ FIRST,
+    then a predictor transform operating on the PACKED image — each
+    inverse must run at the width its transform saw at read time."""
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_webp
+
+    w, h = 19, 6  # 4 colors → xbits=2 → packed width ceil(19/4)=5
+    palette = [0xFF000000 | c for c in (0x102030, 0x405060, 0x708090, 0xA0B0C0)]
+    pal_rgba = [((c >> 16) & 0xFF, (c >> 8) & 0xFF, c & 0xFF, 255) for c in palette]
+    rgba = [pal_rgba[(x * 3 + y) % 4] for y in range(h) for x in range(w)]
+    blob = _vp8l_encode(w, h, rgba, palette=palette, predictor_bits=2)
+    dw, dh, mode, out = decode_webp(blob)
+    assert (dw, dh, mode) == (w, h, "RGBA")
+    assert out == bytes(v for px in rgba for v in px)
+
+
+def test_gif_parse_frames_valueerror_contract():
+    from data_pipeline_childcare_spark.sources.imagecodec import parse_gif_frames
+
+    good = _animated_gif()
+    for cut in list(range(2, 14)) + list(range(14, len(good), 5)):
+        try:
+            parse_gif_frames(good[:cut])
+        except ValueError:
+            pass  # the ONLY allowed failure mode
+
+
+def test_gif_long_animation_not_truncated_by_parse_cap(spark):
+    """A 120-frame GIF sampled sparsely must cover the WHOLE timeline
+    — the sampler sizes the decode cap from its budget instead of
+    stopping at a fixed 64 frames."""
+    from data_pipeline_childcare_spark.sources.multimodal import sample_frames
+
+    palette = bytes([0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0, 255])
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 2, 1) + bytes([0x81, 0, 0]) + palette
+    for i in range(120):
+        out += _gce(10) + _gif_frame(0, 0, 2, 1, [i % 4, (i + 1) % 4])  # 100 ms each
+    out += b"\x3b"
+    df = spark.createDataFrame([("long.gif", bytes(out))], "path string, content binary")
+    rows = sample_frames(df, every_ms=3000, max_frames=5).collect()
+    # samples at 0, 3000, 6000, 9000 ms → frames 0, 30, 60, 90
+    assert [(r["frame_idx"], r["frame_ms"]) for r in rows] == [
+        (0, 0), (30, 3000), (60, 6000), (90, 9000),
+    ]

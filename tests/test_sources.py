@@ -1101,3 +1101,17 @@ def test_archive_members_zip_and_tar(spark):
     assert parsed["c.zip::docs/a.txt"] == "alpha text"
     assert parsed["c.zip::b.json"].startswith("```json")
     assert "tar body" in parsed["c.tgz::site/page.html"]
+
+
+def test_warc_bare_lf_headers_split_correctly():
+    """Old servers emit LF-only HTTP headers; a CRLFCRLF inside the
+    BODY must not be mistaken for the header/body boundary."""
+    from data_pipeline_childcare_spark.sources.warc import split_http_response
+
+    payload = (
+        b"HTTP/1.1 200 OK\nContent-Type: text/html\n\n"
+        b"<html>\r\n\r\n</html>"
+    )
+    status, ctype, body = split_http_response(payload)
+    assert (status, ctype) == (200, "text/html")
+    assert body == b"<html>\r\n\r\n</html>"
