@@ -39,7 +39,10 @@ def parse_robots_txt(host: str, body: str) -> list[tuple[str, str, str, str]]:
     Group structure per REP: consecutive ``User-agent`` lines open a
     group that the following allow/disallow lines belong to; comments
     and unknown directives are ignored; an empty Disallow means
-    "allow everything" and emits no rule."""
+    "allow everything" and emits no rule; allow/disallow lines BEFORE
+    any User-agent line belong to no group and are ignored
+    (RFC 9309 §2.2 — a stray leading Disallow must not blanket-block
+    the host)."""
     rules: list[tuple[str, str, str, str]] = []
     agents: list[str] = []
     last_was_agent = False
@@ -59,7 +62,10 @@ def parse_robots_txt(host: str, body: str) -> list[tuple[str, str, str, str]]:
             last_was_agent = False
             if not val:
                 continue
-            for agent in agents or ["*"]:
+            # rules OUTSIDE any User-agent group are ignored per
+            # RFC 9309 §2.2 (a leading stray Disallow must not
+            # blanket-block the host for every agent)
+            for agent in agents:
                 rules.append((host, agent, key, val))
         else:
             last_was_agent = False
@@ -126,34 +132,37 @@ def robots_filter(
         )
         .drop("_h")
     )
+    # underscore-prefixed rule columns so a frontier frame carrying
+    # its own "directive"/"pattern" columns can't collide
     joined = urls.join(
         F.broadcast(
             r.select(
                 F.col("host").alias("_rhost"),
-                "directive",
-                "pattern",
-                "pattern_re",
+                F.col("directive").alias("_rdir"),
+                F.col("pattern").alias("_rpat"),
+                F.col("pattern_re").alias("_rre"),
                 F.length("pattern").alias("_plen"),
             )
         ),
         (F.col(host_col) == F.col("_rhost"))
-        & F.rlike(F.col(path_col), F.col("pattern_re")),
+        & F.rlike(F.col(path_col), F.col("_rre")),
         "left",
     )
+    # NOTE: the window is keyed by the url columns, so duplicate url
+    # rows collapse to one output row — urls must be distinct (the
+    # documented precondition)
     w = Window.partitionBy(*urls.columns).orderBy(
         F.desc("_plen"),
-        F.when(F.col("directive") == "allow", 0).otherwise(1),  # tie → allow
-        "pattern",
+        F.when(F.col("_rdir") == "allow", 0).otherwise(1),  # tie → allow
+        "_rpat",
     )
     return (
         joined.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
         .select(
             *urls.columns,
-            (
-                F.col("directive").isNull() | (F.col("directive") == "allow")
-            ).alias("allowed"),
-            F.col("directive").alias("matched_directive"),
-            F.col("pattern").alias("matched_pattern"),
+            (F.col("_rdir").isNull() | (F.col("_rdir") == "allow")).alias("allowed"),
+            F.col("_rdir").alias("matched_directive"),
+            F.col("_rpat").alias("matched_pattern"),
         )
     )

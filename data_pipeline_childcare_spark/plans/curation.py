@@ -21,6 +21,12 @@ Scale shape: the expensive stage is the MinHash candidate join, which
 is LSH-banded (never all-pairs); fingerprints shuffle 32-byte keys;
 the benchmark shingle set broadcasts; the split is a pure projection.
 Every join in the final assembly is keyed by the document id.
+
+Caching is delegated to the caller (same discipline as the dedup
+operators): each stage scans the text column independently, so a
+real run should ``docs.persist()`` before calling and unpersist
+after the output is materialized — the function itself must not leak
+a cached frame into the session.
 """
 
 from __future__ import annotations
@@ -74,7 +80,15 @@ def curate_corpus(
         id_col, "dup_line_frac", "top_bigram_frac"
     )
 
-    fp = docs.select(F.col(id_col), doc_fingerprint(text_col).alias("_fp"))
+    # NULL text must still produce an audit row ("why did this doc
+    # drop" must be answerable for parse failures too): the sentinel
+    # keeps the fingerprint join key non-null, so NULL-text docs
+    # exact-dup each other (lowest id survives) instead of silently
+    # vanishing through the equi-joins
+    fp = docs.select(
+        F.col(id_col),
+        F.coalesce(doc_fingerprint(text_col), F.lit("__null_text__")).alias("_fp"),
+    )
     fmin = fp.groupBy("_fp").agg(F.min(id_col).alias("_fkeep"))
     exact = fp.join(fmin, "_fp").select(
         F.col(id_col),
@@ -97,18 +111,21 @@ def curate_corpus(
     ).select(id_col, "contamination")
 
     joined = (
-        q.join(r, id_col)
+        q.join(r, id_col, "left")  # NULL/empty text may have no stats
         .join(exact, id_col)
         .join(near, id_col, "left")
         .join(cont, id_col, "left")
     )
     joined = hash_split(joined, id_col=id_col)
 
-    quality_ok: Column = (
+    # null-safe verdicts: NULL metrics (unparseable text) read as a
+    # failed gate, never a NULL kept flag
+    quality_ok: Column = F.coalesce(
         (F.col("quality") >= min_quality)
         & F.col("n_tokens").between(*token_range)
         & (F.col("dup_line_frac") <= max_dup_line_frac)
-        & (F.col("top_bigram_frac") <= max_top_bigram_frac)
+        & (F.col("top_bigram_frac") <= max_top_bigram_frac),
+        F.lit(False),
     )
     contamination = F.round(F.coalesce(F.col("contamination"), F.lit(0.0)), 6)
     contaminated = contamination >= contamination_threshold

@@ -71,8 +71,13 @@ def iter_archive_members(
                     yield member.name, f.read()
                 except Exception:  # noqa: BLE001
                     continue
-    except tarfile.TarError as exc:
+    # EOFError / zlib.error / BadGzipFile(OSError) leak from the gzip
+    # layer on truncated .tar.gz streams — all must honor the
+    # ValueError-only contract, not just tarfile's own errors
+    except (tarfile.TarError, EOFError, OSError) as exc:
         raise ValueError(f"corrupt TAR: {exc}") from exc
+    except Exception as exc:  # noqa: BLE001  (zlib.error and friends)
+        raise ValueError(f"corrupt TAR stream: {exc!r}") from exc
 
 
 def read_archive_members(

@@ -491,3 +491,25 @@ def test_robots_filter_rep_semantics(spark):
     assert bot == {"/ok.html": False, "/private/x": False,
                    "/private/press/y": False, "/docs/file.pdf": False,
                    "/anything": True}
+
+
+def test_robots_stray_rules_and_column_collisions(spark):
+    from data_pipeline_childcare_spark.operators.robots import (
+        parse_robots_txt,
+        robots_filter,
+        rules_to_df,
+    )
+
+    # rules before any User-agent group are ignored (RFC 9309)
+    stray = parse_robots_txt("h.com", "Disallow: /x\nUser-agent: a\nDisallow: /y\n")
+    assert stray == [("h.com", "a", "disallow", "/y")]
+
+    # a frontier frame carrying its own directive/pattern columns must
+    # not collide with the rule side
+    urls = spark.createDataFrame(
+        [("h.com", "/y/1", "keep-me", "frontier-pat")],
+        "host string, path string, directive string, pattern string",
+    )
+    out = robots_filter(urls, rules_to_df(spark, stray), agent="a").collect()[0]
+    assert out["allowed"] is False and out["matched_pattern"] == "/y"
+    assert out["directive"] == "keep-me" and out["pattern"] == "frontier-pat"

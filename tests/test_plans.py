@@ -278,3 +278,22 @@ def test_curate_corpus_every_stage_fires(spark):
     assert got[4]["contaminated"] is True and got[4]["contamination"] == 1.0
     assert got[4]["kept"] is False
     assert got[5]["quality_ok"] is False and got[5]["kept"] is False
+
+
+def test_curate_corpus_null_text_gets_audit_row(spark):
+    """A parse-failure (NULL text) document must still appear in the
+    audit table with kept=False — never silently vanish."""
+    from data_pipeline_childcare_spark.plans.curation import curate_corpus
+
+    docs = spark.createDataFrame(
+        [(1, "a perfectly fine document with enough words to pass the gate here"),
+         (2, None), (3, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, "benchmark text")], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           curate_corpus(docs, bench, ("the", "a"), token_range=(5, 100)).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[2]["kept"] is False and got[2]["quality_ok"] is False
+    # NULL-text docs exact-dup each other (sentinel fingerprint)
+    assert got[3]["exact_dup_of"] == 2

@@ -1115,3 +1115,25 @@ def test_warc_bare_lf_headers_split_correctly():
     status, ctype, body = split_http_response(payload)
     assert (status, ctype) == (200, "text/html")
     assert body == b"<html>\r\n\r\n</html>"
+
+
+def test_archive_truncated_targz_valueerror_contract():
+    import io as _io
+    import tarfile as _tarfile
+
+    import pytest as _pytest
+
+    from data_pipeline_childcare_spark.sources.archives import iter_archive_members
+
+    tbuf = _io.BytesIO()
+    with _tarfile.open(fileobj=tbuf, mode="w:gz") as tf:
+        payload = b"x" * 4096
+        info = _tarfile.TarInfo("a.txt")
+        info.size = len(payload)
+        tf.addfile(info, _io.BytesIO(payload))
+    blob = tbuf.getvalue()
+    for cut in (20, len(blob) // 2, len(blob) - 5):
+        try:
+            list(iter_archive_members(blob[:cut]))
+        except ValueError:
+            pass  # the only allowed failure mode (EOFError must not leak)

@@ -46,9 +46,13 @@ def main() -> None:
         )
     oracles = entry_mod.oracle_sql()
     per_query: dict[str, float] = {}
+    skipped: list[str] = []
     for name in BENCH_QUERIES:
         sql = oracles.get(name)
         if sql is None:
+            # surfaced in the output: a partial DuckDB total must not
+            # silently pose as the full comparison
+            skipped.append(name)
             continue
         con.execute(sql).fetchall()  # warm (catalog + file cache)
         best = float("inf")
@@ -63,6 +67,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        "skipped_no_oracle": skipped,
         "sf_dir": args.sf_dir,
     }
     if args.spark_json:
