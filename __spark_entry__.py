@@ -860,6 +860,18 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs)
 
 
+def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated-bigram LM quality score per document
+    (operators/tfidf.bigram_logprob_scores) — the engine-scale shape
+    of CCNet's KenLM perplexity filter; the DuckDB twin replays the
+    Jelinek-Mercer mixture with identical association order and the
+    pre-rounded log-sum discipline."""
+    from data_pipeline_childcare_spark.operators.tfidf import bigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs)
+
+
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
     sold to ASIA customers, the fraction supplied by NATION_1, per
@@ -3448,6 +3460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_market_share": nation_market_share,
         "nation_profit_by_year": nation_profit_by_year,
         "doc_unigram_logprob": doc_unigram_logprob,
+        "doc_bigram_logprob": doc_bigram_logprob,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "orders_merge_upsert": orders_merge_upsert,
         "doc_pii_scrub": doc_pii_scrub,
@@ -5996,6 +6009,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # bigram-LM twin: same mixture association order as the Spark
+    # expression (0.75*(cpw/cp) + 0.25*(cw/N)), log10 both engines,
+    # per-doc log sum pre-rounded before the division
+    out["doc_bigram_logprob"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), bigr AS (
+            SELECT doc_id, bg,
+                   string_split(bg, ' ')[1] AS prev,
+                   string_split(bg, ' ')[2] AS w
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM toks WHERE len(t) >= 2
+            )
+        ), bgf AS (
+            SELECT bg, count(*) AS cpw FROM bigr GROUP BY bg
+        ), ctx AS (
+            SELECT prev, count(*) AS cp FROM bigr GROUP BY prev
+        ), uni AS (
+            SELECT tok, count(*) AS cw FROM (
+                SELECT unnest(t) AS tok FROM toks
+            ) GROUP BY tok
+        ), tot AS (
+            SELECT sum(cw) AS n FROM uni
+        ), lp AS (
+            SELECT b.doc_id,
+                   log10(0.75 * (bgf.cpw * 1.0 / ctx.cp)
+                         + 0.25 * (uni.cw * 1.0 / tot.n)) AS l
+            FROM bigr b
+            JOIN bgf ON bgf.bg = b.bg
+            JOIN ctx ON ctx.prev = b.prev
+            JOIN uni ON uni.tok = b.w
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(round(sum(l), 6) / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE

@@ -260,3 +260,77 @@ def doc_oov_rates(
             F.when(n_tok > 0, n_oov / n_tok).otherwise(F.lit(0.0)), ndigits
         ).alias("oov_rate"),
     )
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.75,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document average INTERPOLATED-BIGRAM log-probability →
+    (id, n_bigrams, avg_logprob) — the engine-scale shape of CCNet's
+    KenLM perplexity filter: a Jelinek-Mercer-smoothed corpus bigram
+    model, ``P(w|p) = λ·c(p,w)/c(p) + (1−λ)·c(w)/N``, scored over
+    every bigram position. Gibberish and wrong-register text scores
+    low even when its individual tokens are common — the signal the
+    unigram proxy (:func:`unigram_logprob_scores`) cannot see.
+
+    Shapes: one bigram explode + three keyed aggregates (bigram,
+    context, unigram — all map-side combined) + three keyed joins
+    back + one per-doc aggregate; the corpus total is a one-row
+    broadcast. Hot stopword contexts are the skew to watch at 100 TB
+    (``operators/skew`` salting applies). Documents with fewer than
+    two tokens have no bigram positions and emit no row, mirroring
+    the unigram scorer's empty-doc behavior.
+
+    λ = 0.75 keeps the mixture arithmetic exact in binary floating
+    point; the per-doc log sum is pre-rounded before the division so
+    the average is canonical under any partition order.
+    """
+    from data_pipeline_childcare_spark.functions.text import token_count, word_ngrams
+
+    spread = spread_partitions(docs, id_col).filter(
+        token_count(F.col(text_col)) >= 2
+    )
+    bigr = spread.select(
+        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("_bg")
+    ).select(
+        F.col(id_col),
+        "_bg",
+        F.split(F.col("_bg"), " ").getItem(0).alias("_prev"),
+        F.split(F.col("_bg"), " ").getItem(1).alias("_w"),
+    )
+    bg_freq = bigr.groupBy("_bg").agg(F.count("*").alias("_cpw"))
+    ctx_freq = bigr.groupBy("_prev").agg(F.count("*").alias("_cp"))
+    toks = spread_partitions(docs, id_col).select(
+        F.explode(tokenize(F.col(text_col))).alias("_t")
+    )
+    uni = toks.groupBy("_t").agg(F.count("*").alias("_cw"))
+    total = uni.agg(F.sum("_cw").alias("_n"))
+    lp = (
+        bigr.join(bg_freq, "_bg")
+        .join(ctx_freq, "_prev")
+        .join(uni, bigr["_w"] == uni["_t"])
+        .join(F.broadcast(total))
+        .select(
+            F.col(id_col),
+            F.log10(
+                F.lit(lam) * (F.col("_cpw") / F.col("_cp"))
+                + F.lit(1.0 - lam) * (F.col("_cw") / F.col("_n"))
+            ).alias("_lp"),
+        )
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(F.sum("_lp"), 6).alias("_num"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.round(F.col("_num") / F.col("n_bigrams"), ndigits).alias("avg_logprob"),
+        )
+    )

@@ -286,3 +286,23 @@ def test_shared_span_pairs_excludes_sub_k_docs(spark):
     from data_pipeline_childcare_spark.operators.dedup import shared_span_pairs
 
     assert shared_span_pairs(df, k=5, min_span_tokens=5).count() == 0
+
+
+def test_bigram_logprob_prefers_coherent_sequences(spark):
+    """The bigram LM must separate what the unigram proxy cannot:
+    two docs with IDENTICAL token multisets, one in the corpus'
+    dominant order and one scrambled — the coherent one scores
+    higher; and a short doc emits no row (no bigram positions)."""
+    from data_pipeline_childcare_spark.operators.tfidf import bigram_logprob_scores
+
+    coherent = "the quick brown fox " * 6
+    scrambled = "quick the fox brown " * 6
+    docs = spark.createDataFrame(
+        [(1, coherent.strip()), (2, coherent.strip()), (3, coherent.strip()),
+         (4, scrambled.strip()), (5, "single")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in bigram_logprob_scores(docs).collect()}
+    assert 5 not in got  # < 2 tokens → no bigram positions
+    assert got[1]["n_bigrams"] == 23
+    assert got[1]["avg_logprob"] > got[4]["avg_logprob"]
