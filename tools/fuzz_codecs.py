@@ -1,0 +1,104 @@
+"""Heavy round-trip fuzz for the library-free codecs — a deeper pass
+than the suite's hypothesis defaults, run on demand:
+
+    python tools/fuzz_codecs.py [iterations]
+
+For each seeded iteration it builds a random image (dims, pixel
+formula, transform/scan-script combination) with the INDEPENDENT
+test-side encoders and requires the production decoders to
+reconstruct it bit-exactly (PNG/VP8L/GIF) or within the documented
+tolerance (JPEG). Any failure prints the reproducing seed. Exit code
+0 = all clean.
+"""
+
+from __future__ import annotations
+
+import random
+import sys
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/tests")
+
+from test_imagecodec import (  # noqa: E402  (test-side encoders)
+    _jpeg_encode,
+    _jpeg_encode_progressive,
+    _vp8l_encode,
+)
+
+from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: E402
+    decode_jpeg_baseline,
+    decode_png,
+    decode_webp,
+    encode_png,
+)
+
+
+def fuzz_one(seed: int) -> str | None:
+    rng = random.Random(seed)
+    kind = rng.choice(["png", "vp8l", "jpeg_base", "jpeg_prog"])
+    w = rng.randint(1, 24)
+    h = rng.randint(1, 20)
+
+    def px(i: int, c: int) -> int:
+        return (seed * 31 + i * (7 + c) + c * 13) % 256
+
+    if kind == "png":
+        mode, ch = rng.choice([("L", 1), ("LA", 2), ("RGB", 3), ("RGBA", 4)])
+        pixels = bytes(px(i, c) for i in range(w * h) for c in range(ch))
+        blob = encode_png(w, h, pixels, mode=mode, filter_type=rng.randint(0, 4))
+        got = decode_png(blob)
+        if got != (w, h, mode, pixels):
+            return f"png mismatch seed={seed}"
+    elif kind == "vp8l":
+        rgba = [tuple(px(i, c) for c in range(4)) for i in range(w * h)]
+        kwargs = {}
+        if rng.random() < 0.4:
+            kwargs["subtract_green"] = True
+        if rng.random() < 0.4:
+            kwargs["cache_bits"] = rng.randint(1, 6)
+        if rng.random() < 0.3:
+            kwargs["rle"] = True
+        if rng.random() < 0.3:
+            kwargs["predictor_bits"] = rng.randint(2, 4)
+        elif rng.random() < 0.3:
+            kwargs["color_bits"] = rng.randint(2, 4)
+            kwargs["color_cte"] = (rng.randint(0, 255), rng.randint(0, 255), rng.randint(0, 255))
+        blob = _vp8l_encode(w, h, rgba, **kwargs)
+        dw, dh, mode, out = decode_webp(blob)
+        expect = bytes(v for p in rgba for v in p)
+        if (dw, dh, mode, out) != (w, h, "RGBA", expect):
+            return f"vp8l mismatch seed={seed} kwargs={kwargs}"
+    else:
+        w = max(1, (w // 8) * 8) if rng.random() < 0.5 else w
+        pixels = bytes(px(i, 0) for i in range(w * h))
+        if kind == "jpeg_base":
+            blob = _jpeg_encode(pixels, w, h, mode="L")
+        else:
+            blob = _jpeg_encode_progressive(
+                pixels, w, h, mode="L", successive=rng.random() < 0.7
+            )
+        dw, dh, mode, out = decode_jpeg_baseline(blob)
+        if (dw, dh, mode) != (w, h, "L"):
+            return f"{kind} dims mismatch seed={seed}"
+        err = max(abs(a - b) for a, b in zip(out, pixels))
+        if err > 2:
+            return f"{kind} error {err} seed={seed}"
+    return None
+
+
+def main() -> int:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
+    failures = []
+    for seed in range(n):
+        msg = fuzz_one(seed)
+        if msg:
+            failures.append(msg)
+            print("FAIL", msg)
+        if seed and seed % 100 == 0:
+            print(f"... {seed}/{n}", file=sys.stderr)
+    print(f"{n - len(failures)}/{n} clean")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
