@@ -6097,17 +6097,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         sp AS (SELECT doc_id, {_split_case} AS split FROM documents),
         flags AS (
+            -- LEFT JOIN r + null-safe gate mirror the Spark side's
+            -- parse-failure handling (NULL metrics = failed gate)
             SELECT q.doc_id, q.quality, tk.n_tokens,
                    r.dup_line_frac, r.top_bigram_frac,
-                   (q.quality >= 0.3 AND tk.n_tokens BETWEEN 10 AND 100000
-                    AND r.dup_line_frac <= 0.3 AND r.top_bigram_frac <= 0.2)
-                       AS quality_ok,
+                   COALESCE(q.quality >= 0.3 AND tk.n_tokens BETWEEN 10 AND 100000
+                    AND r.dup_line_frac <= 0.3 AND r.top_bigram_frac <= 0.2,
+                    FALSE) AS quality_ok,
                    e.exact_dup_of, n.near_dup_of,
                    COALESCE(c.contamination, 0.0) AS contamination,
                    COALESCE(c.contamination, 0.0) >= 0.5 AS contaminated,
                    sp.split
             FROM q
-            JOIN r ON r.doc_id = q.doc_id
+            LEFT JOIN r ON r.doc_id = q.doc_id
             JOIN tk ON tk.doc_id = q.doc_id
             JOIN exact e ON e.doc_id = q.doc_id
             LEFT JOIN near n ON n.doc_id = q.doc_id
