@@ -860,6 +860,23 @@ def doc_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob_scores(docs)
 
 
+_CLF_WEIGHTS = {"scan": 0.8, "window": -0.5, "join": 0.3, "table": -0.2, "data": 0.1}
+_CLF_BIAS = -0.2
+
+
+def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-filter inference (operators/classifier.py): a linear
+    bag-of-words model (fastText/logreg-style quality classifier)
+    applied to every document — broadcast weight dim, one explode,
+    one per-doc aggregate, sigmoid in column math. The DuckDB twin
+    joins the same weight VALUES and replays the rounded logit →
+    sigmoid chain."""
+    from data_pipeline_childcare_spark.operators.classifier import linear_text_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return linear_text_scores(docs, _CLF_WEIGHTS, bias=_CLF_BIAS)
+
+
 def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interpolated-bigram LM quality score per document
     (operators/tfidf.bigram_logprob_scores) — the engine-scale shape
@@ -3461,6 +3478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit_by_year": nation_profit_by_year,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_bigram_logprob": doc_bigram_logprob,
+        "doc_classifier_scores": doc_classifier_scores,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "orders_merge_upsert": orders_merge_upsert,
         "doc_pii_scrub": doc_pii_scrub,
@@ -6009,6 +6027,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    _clf_vals = ", ".join(
+        f"('{t}', {round(w, 6)})" for t, w in sorted(_CLF_WEIGHTS.items())
+    )
+    out["doc_classifier_scores"] = f"""
+        WITH w(tok, wt) AS (VALUES {_clf_vals}),
+        toks AS (
+            SELECT doc_id, unnest({tokens}) AS tok FROM documents
+        ), dots AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                   round(sum(wt), 6) AS dot
+            FROM toks JOIN w USING (tok) GROUP BY doc_id
+        ), scored AS (
+            SELECT d.doc_id,
+                   COALESCE(dots.n_hits, 0) AS n_hits,
+                   round({_CLF_BIAS} + COALESCE(dots.dot, 0.0), 6) AS logit
+            FROM documents d LEFT JOIN dots ON dots.doc_id = d.doc_id
+        )
+        SELECT doc_id, n_hits, logit,
+               round(1.0 / (1.0 + exp(-logit)), 6) AS score,
+               round(1.0 / (1.0 + exp(-logit)), 6) >= 0.5 AS positive
+        FROM scored
     """
     # bigram-LM twin: same mixture association order as the Spark
     # expression (0.75*(cpw/cp) + 0.25*(cw/N)), log10 both engines,

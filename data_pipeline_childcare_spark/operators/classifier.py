@@ -1,0 +1,112 @@
+"""Linear text-classifier INFERENCE — applying a trained quality /
+domain / toxicity filter to a corpus, the way production pipelines
+apply fastText or logistic-regression models trained offline (e.g.
+the GPT-3/LLaMA "looks like Wikipedia/books" quality classifiers).
+
+The model is data, not code: a (token → weight) map plus a bias.
+Scoring is a bag-of-words dot product through a sigmoid —
+``score = σ(bias + Σ_tok w[tok]·count(tok))`` — which at engine
+scale is one token explode, one broadcast join against the weight
+dim, and one per-doc aggregate. No UDF: the sigmoid is column math.
+
+Training stays out of scope by design (the reference pipelines apply
+hosted/offline models; weight fitting is an offline concern) — but
+:func:`centroid_weights` derives an honest lightweight model from
+labeled example documents (difference of class mean token rates),
+so the end-to-end train-apply loop is demonstrable without any ML
+library.
+
+Determinism: per-doc dot products sum integer counts × rounded
+weights, pre-rounded before the sigmoid so any engine replays the
+same scores (same discipline as the LM scorers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.functions.text import tokenize
+from data_pipeline_childcare_spark.io import spread_partitions
+
+
+def linear_text_scores(
+    docs: DataFrame,
+    weights: dict[str, float],
+    bias: float = 0.0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Apply a linear bag-of-words model → (id, n_hits, logit, score,
+    positive). ``weights`` is the trained model (token → weight);
+    tokens outside it contribute nothing. Every document gets a row
+    (zero-hit docs score σ(bias)).
+
+    Scale shape: the weight dim is vocabulary-sized → broadcast; one
+    explode + one per-doc aggregate; the model never shuffles with
+    the corpus.
+    """
+    spark = docs.sparkSession
+    wdf = F.broadcast(
+        spark.createDataFrame(
+            [(t, round(float(w), ndigits)) for t, w in sorted(weights.items())],
+            "tok string, w double",
+        )
+    )
+    toks = spread_partitions(docs, id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    dots = (
+        toks.join(wdf, "tok")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_hits"),
+            F.round(F.sum("w"), ndigits).alias("_dot"),
+        )
+    )
+    base = docs.select(id_col).join(dots, id_col, "left")
+    logit = F.round(F.lit(float(bias)) + F.coalesce(F.col("_dot"), F.lit(0.0)), ndigits)
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), ndigits)
+    return base.select(
+        id_col,
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        logit.alias("logit"),
+        score.alias("score"),
+        (score >= threshold).alias("positive"),
+    )
+
+
+def centroid_weights(
+    examples: DataFrame,
+    label_col: str = "label",
+    text_col: str = "text",
+    positive_label: str = "pos",
+    ndigits: int = 6,
+) -> tuple[dict[str, float], float]:
+    """Derive a difference-of-centroids linear model from labeled
+    example documents: ``w[tok] = rate(tok | pos) − rate(tok | neg)``
+    with rates = token count / class token total, scaled to unit-ish
+    magnitude; bias = 0. Driver-side (the example set is model-sized
+    by contract, like the reference's few-shot inputs) — the OUTPUT
+    is what runs distributed through :func:`linear_text_scores`."""
+    rows = (
+        examples.select(
+            (F.col(label_col) == positive_label).alias("_pos"),
+            F.explode(tokenize(F.col(text_col))).alias("tok"),
+        )
+        .groupBy("_pos", "tok")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    totals = {True: 0, False: 0}
+    for r in rows:
+        totals[r["_pos"]] += r["c"]
+    weights: dict[str, float] = {}
+    for r in rows:
+        rate = r["c"] / max(totals[r["_pos"]], 1)
+        weights[r["tok"]] = round(
+            weights.get(r["tok"], 0.0) + (rate if r["_pos"] else -rate), ndigits
+        )
+    return {t: w for t, w in weights.items() if w != 0.0}, 0.0

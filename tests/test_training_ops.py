@@ -306,3 +306,35 @@ def test_bigram_logprob_prefers_coherent_sequences(spark):
     assert 5 not in got  # < 2 tokens → no bigram positions
     assert got[1]["n_bigrams"] == 23
     assert got[1]["avg_logprob"] > got[4]["avg_logprob"]
+
+
+def test_linear_classifier_train_apply_loop(spark):
+    """centroid_weights → linear_text_scores end-to-end: a model
+    derived from labeled examples separates held-out docs of the two
+    registers; zero-hit docs score the bias sigmoid."""
+    from data_pipeline_childcare_spark.operators.classifier import (
+        centroid_weights,
+        linear_text_scores,
+    )
+
+    examples = spark.createDataFrame(
+        [("pos", "science method experiment theory data analysis"),
+         ("pos", "theory experiment science evidence data"),
+         ("neg", "click buy now cheap deal offer sale"),
+         ("neg", "free offer deal click sale now")],
+        "label string, text string",
+    )
+    weights, bias = centroid_weights(examples)
+    assert weights["science"] > 0 and weights["click"] < 0
+
+    docs = spark.createDataFrame(
+        [(1, "new experiment confirms theory with data"),
+         (2, "cheap deal click now limited offer"),
+         (3, "completely unrelated words zebra qux")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           linear_text_scores(docs, weights, bias).collect()}
+    assert got[1]["positive"] is True and got[1]["score"] > 0.5
+    assert got[2]["positive"] is False and got[2]["score"] < 0.5
+    assert got[3]["n_hits"] == 0 and got[3]["score"] == 0.5  # sigmoid(bias=0)
