@@ -43,6 +43,18 @@ CONTRACTS = {
     "source_mixture_weights": (2, True, True),
     "lang_fertility_stats": (1, True, True),
     "hard_negatives_embeddings": (1, True, True),
+    # round-5 additions. classifier tolerates one SMJ (the doc-keyed
+    # join-back attaching zero-hit docs — uniform key, corpus-sized
+    # both sides); semdedup's 24 exchanges are the unrolled canonical
+    # kmeans lineage (see PLANS.md); warc/archive are single
+    # mapInPandas passes with ZERO shuffles
+    "doc_bigram_logprob": (5, True, True),
+    "doc_classifier_scores": (2, False, True),
+    "url_canonical_dedup_docs": (1, True, True),
+    "robots_filter_docs": (2, True, True),
+    "semdedup_embeddings": (24, False, True),
+    "warc_ingest_docs": (0, True, True),
+    "archive_ingest_docs": (0, True, True),
 }
 
 

@@ -86,17 +86,83 @@ def fuzz_one(seed: int) -> str | None:
     return None
 
 
+# --- animated GIF cross-check ------------------------------------------
+# An independent reference compositor (pure python, no shared code with
+# parse_gif_frames) replays GCE/disposal semantics; the fuzz builds
+# random animations and requires identical frame snapshots.
+
+import struct as _struct  # noqa: E402
+
+from test_imagecodec import _gce, _gif_frame  # noqa: E402
+
+from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: E402
+    parse_gif_frames,
+)
+
+
+def _ref_composite(sw, sh, palette, frames_spec):
+    bg = palette[0]
+    canvas = [bg] * (sw * sh)
+    out = []
+    for left, top, fw, fh, idxs, delay_cs, transp, disposal in frames_spec:
+        saved = list(canvas) if disposal == 3 else None
+        for y in range(fh):
+            for x in range(fw):
+                ci = idxs[y * fw + x]
+                if transp is not None and ci == transp:
+                    continue
+                canvas[(top + y) * sw + (left + x)] = palette[ci]
+        out.append((delay_cs * 10, [c for px in canvas for c in px]))
+        if disposal == 2:
+            for y in range(fh):
+                for x in range(fw):
+                    canvas[(top + y) * sw + (left + x)] = bg
+        elif disposal == 3:
+            canvas = saved
+    return out
+
+
+def fuzz_gif_anim(seed: int) -> str | None:
+    rng = random.Random(10_000_000 + seed)
+    sw, sh = rng.randint(2, 10), rng.randint(2, 8)
+    palette = [(i * 60 % 256, i * 90 % 256, i * 30 % 256) for i in range(4)]
+    pal_bytes = bytes(v for c in palette for v in c)
+    blob = bytearray(b"GIF89a") + _struct.pack("<HH", sw, sh) + bytes([0x81, 0, 0]) + pal_bytes
+    spec = []
+    for _f in range(rng.randint(1, 6)):
+        fw = rng.randint(1, sw)
+        fh = rng.randint(1, sh)
+        left = rng.randint(0, sw - fw)
+        top = rng.randint(0, sh - fh)
+        idxs = [rng.randint(0, 3) for _ in range(fw * fh)]
+        delay = rng.randint(1, 20)
+        transp = rng.choice([None, 0, 3])
+        disposal = rng.choice([0, 1, 2, 3])
+        spec.append((left, top, fw, fh, idxs, delay, transp, disposal))
+        blob += _gce(delay, transp=transp, disposal=disposal)
+        blob += _gif_frame(left, top, fw, fh, idxs)
+    blob += b"\x3b"
+    gw, gh, got = parse_gif_frames(bytes(blob))
+    want = _ref_composite(sw, sh, palette, spec)
+    if (gw, gh) != (sw, sh) or len(got) != len(want):
+        return f"gif dims/frames mismatch seed={seed}"
+    for i, ((gd, gp), (wd, wp)) in enumerate(zip(got, want)):
+        if gd != wd or list(gp) != wp:
+            return f"gif frame {i} mismatch seed={seed}"
+    return None
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     failures = []
     for seed in range(n):
-        msg = fuzz_one(seed)
-        if msg:
-            failures.append(msg)
-            print("FAIL", msg)
+        for fn in (fuzz_one, fuzz_gif_anim):
+            msg = fn(seed)
+            if msg:
+                failures.append(msg)
+                print("FAIL", msg)
         if seed and seed % 100 == 0:
             print(f"... {seed}/{n}", file=sys.stderr)
-    print(f"{n - len(failures)}/{n} clean")
+    print(f"{2 * n - len(failures)}/{2 * n} clean")
     return 1 if failures else 0
 
 
