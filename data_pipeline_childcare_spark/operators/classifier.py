@@ -91,6 +91,11 @@ def centroid_weights(
     magnitude; bias = 0. Driver-side (the example set is model-sized
     by contract, like the reference's few-shot inputs) — the OUTPUT
     is what runs distributed through :func:`linear_text_scores`."""
+    # model-sized by contract: the collect is the MODEL leaving the
+    # cluster, not a data path — same loud-failure discipline as the
+    # retrieval task-list guard (a corpus passed as `examples` must
+    # fail fast, not silently pull itself onto the driver)
+    _MAX_MODEL_ROWS = 200_000
     rows = (
         examples.select(
             (F.col(label_col) == positive_label).alias("_pos"),
@@ -98,8 +103,14 @@ def centroid_weights(
         )
         .groupBy("_pos", "tok")
         .agg(F.count("*").alias("c"))
+        .limit(_MAX_MODEL_ROWS + 1)
         .collect()
     )
+    if len(rows) > _MAX_MODEL_ROWS:
+        raise ValueError(
+            f"examples vocabulary exceeds {_MAX_MODEL_ROWS} rows — this "
+            "argument is a model-sized labeled set, not a corpus"
+        )
     totals = {True: 0, False: 0}
     for r in rows:
         totals[r["_pos"]] += r["c"]
