@@ -864,6 +864,28 @@ _CLF_WEIGHTS = {"scan": 0.8, "window": -0.5, "join": 0.3, "table": -0.2, "data":
 _CLF_BIAS = -0.2
 
 
+def bpe_learned_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): the top
+    5 merges learned over the corpus word-frequency table — one
+    corpus pass, then vocabulary-sized rounds. The DuckDB twin
+    unrolls the identical count → argmax → sentinel-replace
+    trajectory, so the learned merge TABLE itself is hash-checked."""
+    from data_pipeline_childcare_spark.operators.bpe import learn_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_bpe_merges(docs, n_merges=5)
+
+
+def bpe_doc_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE application (operators/bpe.py): the learned vocab state
+    joined back onto the corpus tokens → per-document word/symbol
+    counts, the compression report of a tokenizer-training run."""
+    from data_pipeline_childcare_spark.operators.bpe import bpe_segment_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_segment_counts(docs, n_merges=5)
+
+
 def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained-filter inference (operators/classifier.py): a linear
     bag-of-words model (fastText/logreg-style quality classifier)
@@ -3479,6 +3501,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_classifier_scores": doc_classifier_scores,
+        "bpe_learned_merges": bpe_learned_merges,
+        "bpe_doc_segment_counts": bpe_doc_segment_counts,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "orders_merge_upsert": orders_merge_upsert,
         "doc_pii_scrub": doc_pii_scrub,
@@ -6027,6 +6051,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # BPE twins: the sentinel-replace training loop unrolled — both
+    # engines walk the identical count → argmax → replace trajectory
+    def _bpe_round(i: int) -> str:
+        return f"""p{i} AS (
+            SELECT pair, CAST(sum(freq) AS BIGINT) AS c FROM (
+                SELECT freq, unnest(list_transform(
+                    range(1, len(string_split(s, ' '))),
+                    j -> string_split(s, ' ')[j] || ' ' || string_split(s, ' ')[j + 1]
+                )) AS pair
+                FROM s{i - 1}
+            ) GROUP BY pair
+        ), b{i} AS (
+            SELECT pair, c FROM p{i} ORDER BY c DESC, pair LIMIT 1
+        ), s{i} AS (
+            SELECT freq, replace(s, b.pair, replace(b.pair, ' ' || chr(1), '')) AS s
+            FROM s{i - 1}, b{i} b
+        )"""
+
+    _bpe_ctes = (
+        f"""w0 AS (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest({tokens}) AS w FROM documents
+            ) GROUP BY w
+        ), s0 AS (
+            SELECT freq,
+                   array_to_string(list_transform(range(1, len(w) + 1),
+                                   i -> chr(1) || w[i]), ' ') AS s
+            FROM w0
+        ), """
+        + ", ".join(_bpe_round(i) for i in range(1, 6))
+    )
+    _bpe_row = (
+        "SELECT CAST({i} AS INT) AS round, "
+        "replace(string_split(pair, ' ')[1], chr(1), '') AS left, "
+        "replace(string_split(pair, ' ')[2], chr(1), '') AS right, "
+        "replace(replace(pair, ' ', ''), chr(1), '') AS merged, "
+        "c AS pair_count FROM b{i}"
+    )
+    out["bpe_learned_merges"] = (
+        f"WITH {_bpe_ctes} "
+        + " UNION ALL ".join(_bpe_row.format(i=i) for i in range(1, 6))
+    )
+    out["bpe_doc_segment_counts"] = f"""
+        WITH {_bpe_ctes},
+        vocab AS (
+            SELECT replace(replace(s, ' ', ''), chr(1), '') AS w,
+                   CAST(len(string_split(s, ' ')) AS BIGINT) AS nsym
+            FROM s5
+        ), tok AS (
+            SELECT doc_id, unnest({tokens}) AS w FROM documents
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(nsym) AS BIGINT) AS n_symbols
+        FROM tok JOIN vocab USING (w) GROUP BY doc_id
     """
     _clf_vals = ", ".join(
         f"('{t}', {round(w, 6)})" for t, w in sorted(_CLF_WEIGHTS.items())

@@ -338,3 +338,29 @@ def test_linear_classifier_train_apply_loop(spark):
     assert got[1]["positive"] is True and got[1]["score"] > 0.5
     assert got[2]["positive"] is False and got[2]["score"] < 0.5
     assert got[3]["n_hits"] == 0 and got[3]["score"] == 0.5  # sigmoid(bias=0)
+
+
+def test_bpe_learning_textbook_case(spark):
+    """Sennrich-style corpus: the learned merge order must be the
+    classic l+o → lo+w → e+w → n+ew trajectory, and segment counts
+    reflect the merged vocabulary."""
+    from data_pipeline_childcare_spark.operators.bpe import (
+        bpe_segment_counts,
+        learn_bpe_merges,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "new newer newest new"),
+         (3, "low new lower newer")],
+        "doc_id long, text string",
+    )
+    merges = [(r["left"], r["right"], r["merged"], r["pair_count"])
+              for r in learn_bpe_merges(docs, n_merges=5).orderBy("round").collect()]
+    assert merges[:4] == [
+        ("l", "o", "lo", 7), ("lo", "w", "low", 7),
+        ("e", "w", "ew", 6), ("n", "ew", "new", 6),
+    ]
+    got = {r["doc_id"]: (r["n_words"], r["n_symbols"])
+           for r in bpe_segment_counts(docs, n_merges=5).collect()}
+    # doc1: low(1) + low,er(2) + low,e,s,t(4) + low(1) + low(1) = 9
+    assert got[1] == (5, 9)
