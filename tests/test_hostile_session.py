@@ -42,6 +42,7 @@ QUERIES = [
     # try_to_timestamp rows under a non-UTC session (caught by the
     # full --hostile oracle gate; fixed via string-literal boundaries)
     "tuoyu_rule_filter_docs",
+    "bpe_learned_merges",       # round-5: binary-collation argmax ties
 ]
 
 
