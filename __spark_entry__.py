@@ -3352,6 +3352,19 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(docs)
 
 
+def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened (α=0.5) domain mixture — the mT5/XLM-R
+    multilingual sampling trick (operators/split.py
+    temperature_mixture_weights); pre-rounded shares before the pow
+    keep the twin hash-exact."""
+    from data_pipeline_childcare_spark.operators.split import (
+        temperature_mixture_weights,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return temperature_mixture_weights(docs, alpha=0.5)
+
+
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contrastive hard-negative mining: for anchors vec_id < 3, the
     top-5 most-cosine-similar vectors with a DIFFERENT label."""
@@ -3559,6 +3572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_shared_spans": doc_shared_spans,
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
+        "source_temperature_weights": source_temperature_weights,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "lang_fertility_stats": lang_fertility_stats,
         "mmr_diverse_topk_embeddings": mmr_diverse_topk_embeddings,
@@ -6477,6 +6491,30 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END, 6) AS fertility
         FROM q JOIN t ON t.doc_id = q.doc_id
         GROUP BY q.lang_guess
+    """
+    out["source_temperature_weights"] = f"""
+        WITH per AS (
+            SELECT source, count(*) AS n_docs,
+                   sum(len({tokens})) AS n_tok
+            FROM documents GROUP BY source
+        ), tot AS (
+            SELECT sum(n_tok) * 1.0 AS total FROM per
+        ), sh AS (
+            SELECT source, n_docs, n_tok,
+                   round(n_tok / total, 6) AS share
+            FROM per, tot
+        ), tt AS (
+            SELECT *, round(pow(share, 0.5), 8) AS t FROM sh
+        ), ts AS (
+            SELECT round(sum(t), 8) AS tsum FROM tt
+        )
+        SELECT source,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_tok AS BIGINT) AS n_tokens,
+               share AS token_share,
+               round(t / tsum, 6) AS target_share,
+               round(round(t / tsum, 6) / share, 6) AS mix_weight
+        FROM tt, ts
     """
     out["source_mixture_weights"] = f"""
         WITH per AS (

@@ -268,3 +268,55 @@ def source_mixture_weights(
         F.round(share, ndigits).alias("token_share"),
         F.round(tgt / share, ndigits).alias("mix_weight"),
     )
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    alpha: float = 0.5,
+    source_col: str = "source",
+    text_col: str = "text",
+    ndigits: int = 6,
+) -> DataFrame:
+    """Temperature-flattened domain mixture (the mT5/XLM-R multilingual
+    sampling trick): target share ∝ (actual token share)^alpha, so
+    alpha=1 keeps the natural mixture, alpha→0 approaches uniform, and
+    the usual 0.3–0.7 range up-samples small sources without letting
+    them dominate. ``mix_weight = target_share / actual_share`` is the
+    per-source sampling multiplier, like :func:`source_mixture_weights`.
+
+    Shape: one map-side-combined (source) aggregate + two sources-sized
+    reductions riding one-row broadcasts — no corpus window, one scan.
+    Shares are rounded BEFORE the pow and the normalizer is a sum of
+    pre-rounded terms, so any engine replays identical weights.
+
+    Output: (source, n_docs, n_tokens, token_share, target_share,
+    mix_weight).
+    """
+    from data_pipeline_childcare_spark.functions.text import token_count
+
+    per_src = df.groupBy(source_col).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(token_count(F.col(text_col))).cast("long").alias("n_tokens"),
+    )
+    totals = per_src.agg(F.sum("n_tokens").cast("double").alias("_total"))
+    shared = per_src.crossJoin(F.broadcast(totals)).withColumn(
+        "_share", F.round(F.col("n_tokens") / F.col("_total"), ndigits)
+    )
+    shared = shared.withColumn(
+        "_t", F.round(F.pow(F.col("_share"), F.lit(float(alpha))), 8)
+    )
+    tsum = shared.agg(F.round(F.sum("_t"), 8).alias("_tsum"))
+    return (
+        shared.crossJoin(F.broadcast(tsum))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.col("_share").alias("token_share"),
+            F.round(F.col("_t") / F.col("_tsum"), ndigits).alias("target_share"),
+            F.round(
+                F.round(F.col("_t") / F.col("_tsum"), ndigits) / F.col("_share"),
+                ndigits,
+            ).alias("mix_weight"),
+        )
+    )

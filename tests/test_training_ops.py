@@ -364,3 +364,23 @@ def test_bpe_learning_textbook_case(spark):
            for r in bpe_segment_counts(docs, n_merges=5).collect()}
     # doc1: low(1) + low,er(2) + low,e,s,t(4) + low(1) + low(1) = 9
     assert got[1] == (5, 9)
+
+
+def test_temperature_mixture_flattens_toward_uniform(spark):
+    """α=1 keeps the natural mixture (weights 1.0); smaller α
+    up-samples the minority source and down-samples the giant, with
+    target shares summing to 1."""
+    from data_pipeline_childcare_spark.operators.split import (
+        temperature_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "tok " * 99 + "tok", "big") for i in range(9)]
+        + [(100, "tok " * 99 + "tok", "small")],
+        "doc_id long, text string, source string",
+    )
+    nat = {r["source"]: r for r in temperature_mixture_weights(docs, alpha=1.0).collect()}
+    assert nat["big"]["mix_weight"] == 1.0 and nat["small"]["mix_weight"] == 1.0
+    cool = {r["source"]: r for r in temperature_mixture_weights(docs, alpha=0.5).collect()}
+    assert cool["small"]["mix_weight"] > 1.0 > cool["big"]["mix_weight"]
+    assert abs(cool["big"]["target_share"] + cool["small"]["target_share"] - 1.0) < 1e-5
