@@ -42,7 +42,14 @@ def _initial_vocab(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
     symbol sequences. The ONLY corpus-sized pass in BPE training."""
     words = (
         spread_partitions(docs, id_col)
-        .select(F.explode(tokenize(F.col(text_col))).alias("w"))
+        # a corpus token CONTAINING the sentinel would corrupt symbol
+        # boundaries — strip it (a 100 TB crawl contains every byte)
+        .select(
+            F.replace(
+                F.explode(tokenize(F.col(text_col))), F.lit(MARKER), F.lit("")
+            ).alias("w")
+        )
+        .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
     )
@@ -152,8 +159,11 @@ def bpe_segment_counts(
         word.alias("w"), F.size(F.split(F.col("s"), " ")).cast("long").alias("_nsym")
     )
     toks = spread_partitions(docs, id_col).select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
-    )
+        F.col(id_col),
+        F.replace(
+            F.explode(tokenize(F.col(text_col))), F.lit(MARKER), F.lit("")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
     return (
         toks.join(vocab, "w")
         .groupBy(id_col)
