@@ -44,11 +44,8 @@ def _initial_vocab(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
         spread_partitions(docs, id_col)
         # a corpus token CONTAINING the sentinel would corrupt symbol
         # boundaries — strip it (a 100 TB crawl contains every byte)
-        .select(
-            F.replace(
-                F.explode(tokenize(F.col(text_col))), F.lit(MARKER), F.lit("")
-            ).alias("w")
-        )
+        .select(F.explode(tokenize(F.col(text_col))).alias("_raw"))
+        .select(F.replace(F.col("_raw"), F.lit(MARKER), F.lit("")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count("*").cast("long").alias("freq"))
@@ -158,12 +155,15 @@ def bpe_segment_counts(
     vocab = state.select(
         word.alias("w"), F.size(F.split(F.col("s"), " ")).cast("long").alias("_nsym")
     )
-    toks = spread_partitions(docs, id_col).select(
-        F.col(id_col),
-        F.replace(
-            F.explode(tokenize(F.col(text_col))), F.lit(MARKER), F.lit("")
-        ).alias("w"),
-    ).filter(F.col("w") != "")
+    toks = (
+        spread_partitions(docs, id_col)
+        .select(F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_raw"))
+        .select(
+            F.col(id_col),
+            F.replace(F.col("_raw"), F.lit(MARKER), F.lit("")).alias("w"),
+        )
+        .filter(F.col("w") != "")
+    )
     return (
         toks.join(vocab, "w")
         .groupBy(id_col)
