@@ -151,18 +151,80 @@ def fuzz_gif_anim(seed: int) -> str | None:
             return f"gif frame {i} mismatch seed={seed}"
     return None
 
+# --- audio tiers (IMA ADPCM + G.711) -----------------------------------
+
+import math  # noqa: E402
+
+from test_sources import _ima_encode  # noqa: E402
+
+from data_pipeline_childcare_spark.sources.multimodal import (  # noqa: E402
+    _g711_tables,
+    _parse_wav_pcm,
+)
+
+_ULAW, _ALAW = _g711_tables()
+
+
+def fuzz_audio(seed: int) -> str | None:
+    rng = random.Random(20_000_000 + seed)
+    kind = rng.choice(["ima", "ulaw", "alaw"])
+    n = rng.randint(50, 900)
+    if kind == "ima":
+        # ADPCM is a slope codec: keep max slope within what the step
+        # table tracks quickly (speech-like signals), else slope
+        # overload — an INHERENT artifact, not a decode defect —
+        # dominates the error and the bound means nothing
+        amp = rng.randint(500, 8000)
+        period = rng.randint(120, 400)
+    else:
+        amp = rng.randint(500, 20000)
+        period = rng.randint(40, 300)
+    samples = [int(amp * math.sin(2 * math.pi * i / period)) for i in range(n)]
+    if kind == "ima":
+        blob = _ima_encode(samples, 8000)
+        _r, _c, pcm = _parse_wav_pcm(blob)
+        dec = [int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
+               for i in range(len(pcm) // 2)]
+        if len(dec) < n:
+            return f"ima short seed={seed}"
+        # adaptation transients after direction changes reach ~20% of
+        # amplitude; a sign/table bug produces ~2x amplitude errors,
+        # which this still catches
+        bound = max(64, amp // 3)
+        err = max(abs(a - b) for a, b in zip(dec[:n], samples))
+        if err > bound:
+            return f"ima err {err} > {bound} seed={seed}"
+    else:
+        table = _ULAW if kind == "ulaw" else _ALAW
+        import struct as _s
+
+        enc = bytes(min(range(256), key=lambda b: abs(table[b] - s)) for s in samples)
+        fmt_code = 7 if kind == "ulaw" else 6
+        fmt = _s.pack("<HHIIHH", fmt_code, 1, 8000, 8000, 1, 8)
+        body = (b"WAVE" + b"fmt " + _s.pack("<I", len(fmt)) + fmt
+                + b"data" + _s.pack("<I", len(enc)) + enc)
+        blob = b"RIFF" + _s.pack("<I", len(body)) + body
+        _r, _c, pcm = _parse_wav_pcm(blob)
+        dec = [int.from_bytes(pcm[2 * i : 2 * i + 2], "little", signed=True)
+               for i in range(len(pcm) // 2)]
+        # companding: logarithmic quantization error bound
+        err = max(abs(a - b) for a, b in zip(dec, samples))
+        if err > max(40, amp // 10):
+            return f"{kind} err {err} seed={seed}"
+    return None
+
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 500
     failures = []
     for seed in range(n):
-        for fn in (fuzz_one, fuzz_gif_anim):
+        for fn in (fuzz_one, fuzz_gif_anim, fuzz_audio):
             msg = fn(seed)
             if msg:
                 failures.append(msg)
                 print("FAIL", msg)
         if seed and seed % 100 == 0:
             print(f"... {seed}/{n}", file=sys.stderr)
-    print(f"{2 * n - len(failures)}/{2 * n} clean")
+    print(f"{3 * n - len(failures)}/{3 * n} clean")
     return 1 if failures else 0
 
 
