@@ -3352,6 +3352,59 @@ def source_mixture_weights_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_mixture_weights(docs)
 
 
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-method AUDIT: pairwise agreement between the engine's
+    three near-dup detectors (portable MinHash ≥0.5, portable SimHash
+    hamming ≤3, exact 3-gram Jaccard ≥0.2) — the cross-validation
+    table a curation run inspects before trusting one method's drops.
+    Pair sets are the banded detector outputs (bounded), so every
+    stage here is pair-volume-sized; the DuckDB twin nests the three
+    already-oracled pair queries and replays the agreement join."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        minhash_est_pairs_portable,
+        ngram_jaccard_pairs,
+        simhash_pairs_portable,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    methods = [
+        ("minhash", minhash_est_pairs_portable(docs, threshold=0.5)),
+        ("ngram", ngram_jaccard_pairs(docs, n=3, threshold=0.2)),
+        ("simhash", simhash_pairs_portable(docs, max_hamming=3)),
+    ]
+    tagged = None
+    for name, df in methods:
+        t = df.select(F.lit(name).alias("m"), "id_a", "id_b")
+        tagged = t if tagged is None else tagged.unionByName(t)
+    totals = tagged.groupBy("m").agg(F.count("*").alias("n"))
+    a, b = tagged.alias("a"), tagged.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.id_a") == F.col("b.id_a"))
+            & (F.col("a.id_b") == F.col("b.id_b"))
+            & (F.col("a.m") < F.col("b.m")),
+        )
+        .groupBy(F.col("a.m").alias("method_a"), F.col("b.m").alias("method_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    t1 = totals.select(F.col("m").alias("method_a"), F.col("n").alias("_na"))
+    t2 = totals.select(F.col("m").alias("method_b"), F.col("n").alias("_nb"))
+    pairs = t1.crossJoin(t2).filter(F.col("method_a") < F.col("method_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    return (
+        pairs.join(common, ["method_a", "method_b"], "left")
+        .select(
+            "method_a",
+            "method_b",
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            nc.cast("long").alias("n_common"),
+            F.round(nc / (F.col("_na") + F.col("_nb") - nc), 6).alias("pair_jaccard"),
+        )
+    )
+
+
 def source_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-flattened (α=0.5) domain mixture — the mT5/XLM-R
     multilingual sampling trick (operators/split.py
@@ -3573,6 +3626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_oov_rate": doc_oov_rate,
         "source_mixture_weights": source_mixture_weights_q,
         "source_temperature_weights": source_temperature_weights,
+        "dedup_method_agreement": dedup_method_agreement,
         "hard_negatives_embeddings": hard_negatives_embeddings,
         "lang_fertility_stats": lang_fertility_stats,
         "mmr_diverse_topk_embeddings": mmr_diverse_topk_embeddings,
@@ -6065,6 +6119,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
                s.dup_of IS NULL AS kept, s.dup_of
         FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # dedup-audit twin: the three oracled pair queries nested as
+    # subqueries (their internal CTE names stay scoped), then the
+    # same tag → totals → pair-overlap join
+    out["dedup_method_agreement"] = f"""
+        WITH mh AS ({out['minhash_portable_pairs_docs']}),
+             ng AS ({out['ngram_jaccard_docs']}),
+             sh AS ({out['simhash_portable_pairs_docs']}),
+        tagged AS (
+            SELECT 'minhash' AS m, id_a, id_b FROM mh
+            UNION ALL SELECT 'ngram', id_a, id_b FROM ng
+            UNION ALL SELECT 'simhash', id_a, id_b FROM sh
+        ), totals AS (
+            SELECT m, count(*) AS n FROM tagged GROUP BY m
+        ), common AS (
+            SELECT a.m AS method_a, b.m AS method_b, count(*) AS n_common
+            FROM tagged a JOIN tagged b
+              ON a.id_a = b.id_a AND a.id_b = b.id_b AND a.m < b.m
+            GROUP BY a.m, b.m
+        )
+        SELECT t1.m AS method_a, t2.m AS method_b,
+               CAST(t1.n AS BIGINT) AS n_a,
+               CAST(t2.n AS BIGINT) AS n_b,
+               CAST(COALESCE(c.n_common, 0) AS BIGINT) AS n_common,
+               round(COALESCE(c.n_common, 0) * 1.0
+                     / (t1.n + t2.n - COALESCE(c.n_common, 0)), 6) AS pair_jaccard
+        FROM totals t1
+        JOIN totals t2 ON t1.m < t2.m
+        LEFT JOIN common c ON c.method_a = t1.m AND c.method_b = t2.m
     """
     # BPE twins: the sentinel-replace training loop unrolled — both
     # engines walk the identical count → argmax → replace trajectory
