@@ -6278,7 +6278,12 @@ def oracle_sql() -> dict[str, str]:
         tk AS (SELECT doc_id, CAST(len({tokens}) AS BIGINT) AS n_tokens
                FROM documents),
         fp AS (SELECT doc_id,
-                      md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f
+                      -- mirror the Spark side's __null_text__ sentinel:
+                      -- md5(NULL) is NULL and would drop the row at the
+                      -- fmin join, silently diverging on NULL-text docs
+                      COALESCE(
+                          md5(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                          '__null_text__') AS f
                FROM documents),
         fmin AS (SELECT f, min(doc_id) AS fkeep FROM fp GROUP BY f),
         exact AS (
@@ -6587,7 +6592,11 @@ def oracle_sql() -> dict[str, str]:
                    round(n_tok / total, 6) AS share
             FROM per, tot
         ), tt AS (
-            SELECT *, round(pow(share, 0.5), 8) AS t FROM sh
+            -- mirror the Spark side's one-ulp clamp: a share that
+            -- rounds to 0 is up-sampled from the grid floor, never
+            -- zeroed or divided into Inf/NaN
+            SELECT *, round(pow(greatest(share, 0.000001), 0.5), 8) AS t
+            FROM sh
         ), ts AS (
             SELECT round(sum(t), 8) AS tsum FROM tt
         )
@@ -6596,7 +6605,8 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_tok AS BIGINT) AS n_tokens,
                share AS token_share,
                round(t / tsum, 6) AS target_share,
-               round(round(t / tsum, 6) / share, 6) AS mix_weight
+               round(round(t / tsum, 6) / greatest(share, 0.000001), 6)
+                   AS mix_weight  -- same clamp as the Spark divisor
         FROM tt, ts
     """
     out["source_mixture_weights"] = f"""

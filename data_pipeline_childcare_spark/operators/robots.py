@@ -99,12 +99,21 @@ def robots_filter(
     agent: str = "*",
     host_col: str = "host",
     path_col: str = "path",
+    dedupe_input: bool = False,
 ) -> DataFrame:
-    """Attach the robots verdict to every URL row (``urls`` rows must
-    be distinct): ``allowed`` boolean plus the winning rule's
-    directive/pattern (NULL when no rule matched). The pattern→regex
-    conversion is pure column expressions (no UDF), the column twin
-    of :func:`robots_pattern_regex`."""
+    """Attach the robots verdict to every URL row: ``allowed`` boolean
+    plus the winning rule's directive/pattern (NULL when no rule
+    matched). The pattern→regex conversion is pure column expressions
+    (no UDF), the column twin of :func:`robots_pattern_regex`.
+
+    **Precondition: ``urls`` rows must be distinct.** The winning-rule
+    selection is a row_number window keyed by all url columns, so
+    duplicate frontier rows would silently collapse to one output row
+    each. Pass ``dedupe_input=True`` to have the operator
+    ``dropDuplicates()`` the frontier itself (an extra keyed exchange)
+    when the caller can't guarantee distinctness."""
+    if dedupe_input:
+        urls = urls.dropDuplicates()
     agent = agent.lower()
     r = rules.filter(F.lower(F.col("agent")).isin(agent, "*"))
     if "pattern_re" not in r.columns:

@@ -302,9 +302,13 @@ def temperature_mixture_weights(
     shared = per_src.crossJoin(F.broadcast(totals)).withColumn(
         "_share", F.round(F.col("n_tokens") / F.col("_total"), ndigits)
     )
+    # Clamp the share to one ulp of the rounding grid before pow and
+    # before the mix-weight division: a source whose share rounds to 0
+    # (exactly the tiny-source case temperature flattening targets)
+    # must be up-sampled, not zeroed or divided-by-zero into Inf/NaN.
     shared = shared.withColumn(
-        "_t", F.round(F.pow(F.col("_share"), F.lit(float(alpha))), 8)
-    )
+        "_share_c", F.greatest(F.col("_share"), F.lit(10.0 ** -ndigits))
+    ).withColumn("_t", F.round(F.pow(F.col("_share_c"), F.lit(float(alpha))), 8))
     tsum = shared.agg(F.round(F.sum("_t"), 8).alias("_tsum"))
     return (
         shared.crossJoin(F.broadcast(tsum))
@@ -315,7 +319,7 @@ def temperature_mixture_weights(
             F.col("_share").alias("token_share"),
             F.round(F.col("_t") / F.col("_tsum"), ndigits).alias("target_share"),
             F.round(
-                F.round(F.col("_t") / F.col("_tsum"), ndigits) / F.col("_share"),
+                F.round(F.col("_t") / F.col("_tsum"), ndigits) / F.col("_share_c"),
                 ndigits,
             ).alias("mix_weight"),
         )

@@ -101,7 +101,7 @@ def unigram_logprob_scores(
         lp.groupBy(id_col)
         .agg(
             F.count("*").alias("n_tokens"),
-            F.round(F.sum("_lp"), 6).alias("_num"),
+            F.round(F.sum("_lp"), ndigits).alias("_num"),
         )
         .select(
             id_col,
@@ -326,7 +326,7 @@ def bigram_logprob_scores(
         lp.groupBy(id_col)
         .agg(
             F.count("*").alias("n_bigrams"),
-            F.round(F.sum("_lp"), 6).alias("_num"),
+            F.round(F.sum("_lp"), ndigits).alias("_num"),
         )
         .select(
             id_col,

@@ -28,14 +28,45 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 
-def parse_warc(data: bytes, max_records: int | None = None) -> list[dict]:
+def _gunzip_capped(data: bytes, max_bytes: int) -> bytes:
+    """Decompress a (possibly multi-member) gzip stream, raising
+    ValueError once the decompressed size exceeds ``max_bytes`` — the
+    same zip-bomb discipline as archives.extract_zip's member cap."""
+    import io
+
+    out: list[bytes] = []
+    total = 0
+    with gzip.GzipFile(fileobj=io.BytesIO(data)) as gz:
+        while True:
+            chunk = gz.read(1 << 20)
+            if not chunk:
+                break
+            total += len(chunk)
+            if total > max_bytes:
+                raise ValueError(
+                    f"WARC gzip stream exceeds {max_bytes} decompressed bytes"
+                )
+            out.append(chunk)
+    return b"".join(out)
+
+
+def parse_warc(
+    data: bytes,
+    max_records: int | None = None,
+    max_decompressed_bytes: int = 256 * 1024 * 1024,
+) -> list[dict]:
     """Parse WARC bytes (plain or gzip, incl. member-per-record
     multi-member gzip) → list of records:
     ``{"headers": {lowercased: value}, "content": bytes}``.
-    Malformed input raises ValueError (never struct/Index errors)."""
+    Malformed input raises ValueError (never struct/Index errors).
+    ``max_decompressed_bytes`` caps the inflated stream so a
+    gzip-bombed segment fails loudly instead of exhausting executor
+    memory (mirrors archives.py's max_member_bytes guard)."""
     if data[:2] == b"\x1f\x8b":
         try:
-            data = gzip.decompress(data)
+            data = _gunzip_capped(data, max_decompressed_bytes)
+        except ValueError:
+            raise
         except Exception as exc:  # noqa: BLE001
             raise ValueError(f"corrupt WARC gzip stream: {exc}") from exc
     records: list[dict] = []

@@ -1027,6 +1027,12 @@ def test_warc_parse_and_response_extraction(spark):
     with _pytest.raises(ValueError, match="version line"):
         parse_warc(b"NOT A WARC")
 
+    # gzip-bomb guard: a tiny compressed stream inflating past the cap
+    # raises loudly instead of exhausting memory (archives.py parity)
+    bomb = _gzip.compress(b"\x00" * (4 << 20))
+    with _pytest.raises(ValueError, match="decompressed bytes"):
+        parse_warc(bomb, max_decompressed_bytes=1 << 20)
+
 
 def test_warc_documents_end_to_end(spark):
     """WARC → parse_documents composition: Content-Type drives the

@@ -384,3 +384,25 @@ def test_temperature_mixture_flattens_toward_uniform(spark):
     cool = {r["source"]: r for r in temperature_mixture_weights(docs, alpha=0.5).collect()}
     assert cool["small"]["mix_weight"] > 1.0 > cool["big"]["mix_weight"]
     assert abs(cool["big"]["target_share"] + cool["small"]["target_share"] - 1.0) < 1e-5
+
+
+def test_temperature_mixture_tiny_source_finite(spark):
+    """A source whose token share rounds to 0 at ndigits must still get
+    a finite mix_weight (the clamp divides by one ulp of the rounding
+    grid instead of the rounded-to-zero share)."""
+    import math
+
+    from data_pipeline_childcare_spark.operators.split import (
+        temperature_mixture_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "tok " * 4_000_000, "giant"), (1, "tok", "speck")],
+        "doc_id long, text string, source string",
+    )
+    rows = {
+        r["source"]: r
+        for r in temperature_mixture_weights(docs, alpha=0.5, ndigits=6).collect()
+    }
+    w = rows["speck"]["mix_weight"]
+    assert w is not None and math.isfinite(w) and w > 1.0
