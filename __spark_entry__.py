@@ -3357,20 +3357,50 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     three near-dup detectors (portable MinHash ≥0.5, portable SimHash
     hamming ≤3, exact 3-gram Jaccard ≥0.2) — the cross-validation
     table a curation run inspects before trusting one method's drops.
-    Pair sets are the banded detector outputs (bounded), so every
-    stage here is pair-volume-sized; the DuckDB twin nests the three
-    already-oracled pair queries and replays the agreement join."""
+    Pair sets are the banded detector outputs (bounded), and two
+    volume guards keep the audit linear on duplicate-saturated
+    corpora (a verbatim c-copy cluster otherwise emits ~c²/2 pairs
+    per method): the ngram leg runs with the hot-shingle df-cap
+    (max_df=64 — boilerplate trigrams leave the inverted index before
+    the self-join), and every method's pair set is capped to each
+    document's top-8 strongest neighbors per side
+    (cap_pairs_per_doc). The DuckDB twin replays both guards
+    (identical df filter + row_number windows), so the oracle stays
+    hash-exact."""
     from data_pipeline_childcare_spark.operators.dedup import (
+        cap_pairs_per_doc,
         minhash_est_pairs_portable,
         ngram_jaccard_pairs,
         simhash_pairs_portable,
     )
 
     docs = _t(spark, sf_dir, "documents")
+    cap = 8
     methods = [
-        ("minhash", minhash_est_pairs_portable(docs, threshold=0.5)),
-        ("ngram", ngram_jaccard_pairs(docs, n=3, threshold=0.2)),
-        ("simhash", simhash_pairs_portable(docs, max_hamming=3)),
+        (
+            "minhash",
+            cap_pairs_per_doc(
+                minhash_est_pairs_portable(docs, threshold=0.5),
+                cap,
+                [F.desc("est_jaccard")],
+            ),
+        ),
+        (
+            "ngram",
+            cap_pairs_per_doc(
+                ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64),
+                cap,
+                [F.desc("jaccard")],
+            ),
+        ),
+        (
+            "simhash",
+            cap_pairs_per_doc(
+                simhash_pairs_portable(docs, max_hamming=3),
+                cap,
+                [F.asc("hamming")],
+            ),
+        ),
     ]
     tagged = None
     for name, df in methods:
@@ -6122,11 +6152,81 @@ def oracle_sql() -> dict[str, str]:
     """
     # dedup-audit twin: the three oracled pair queries nested as
     # subqueries (their internal CTE names stay scoped), then the
-    # same tag → totals → pair-overlap join
+    # same volume guards the Spark side applies — the ngram leg's
+    # hot-shingle df-cap (max_df=64) and the per-doc top-8-per-side
+    # candidate cap (cap_pairs_per_doc's two row_number windows,
+    # identical strength ordering + id tiebreak) — then the same
+    # tag → totals → pair-overlap join
     out["dedup_method_agreement"] = f"""
-        WITH mh AS ({out['minhash_portable_pairs_docs']}),
-             ng AS ({out['ngram_jaccard_docs']}),
-             sh AS ({out['simhash_portable_pairs_docs']}),
+        WITH mh0 AS ({out['minhash_portable_pairs_docs']}),
+             ng0 AS (
+                WITH toks AS (
+                    SELECT doc_id, {tokens} AS t FROM documents
+                ), grams AS (
+                    SELECT doc_id,
+                           list_distinct(
+                               list_transform(
+                                   range(1, greatest(len(t) - 3, 0) + 2),
+                                   i -> array_to_string(t[i:i+2], ' ')
+                               )
+                           ) AS shingles
+                    FROM toks
+                ), inv AS (
+                    SELECT doc_id, unnest(shingles) AS shingle FROM grams
+                ), sizes AS (
+                    SELECT doc_id, count(*) AS set_size FROM inv GROUP BY doc_id
+                ), hot AS (
+                    -- df-cap: shingles in > 64 docs leave the index
+                    -- BEFORE the self-join (set sizes stay exact, so
+                    -- jaccard is the same lower bound Spark computes)
+                    SELECT shingle FROM inv GROUP BY shingle
+                    HAVING count(*) > 64
+                ), invc AS (
+                    SELECT inv.* FROM inv ANTI JOIN hot USING (shingle)
+                ), common AS (
+                    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                           count(*) AS common
+                    FROM invc a JOIN invc b
+                      ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                    GROUP BY a.doc_id, b.doc_id
+                )
+                SELECT id_a, id_b,
+                       round(common * 1.0
+                             / (sa.set_size + sb.set_size - common), 6) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE common * 1.0 / (sa.set_size + sb.set_size - common) >= 0.2
+             ),
+             sh0 AS ({out['simhash_portable_pairs_docs']}),
+        mh AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY est_jaccard DESC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY est_jaccard DESC, id_a) AS rb
+                FROM mh0)
+            WHERE ra <= 8 AND rb <= 8
+        ), ng AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY jaccard DESC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY jaccard DESC, id_a) AS rb
+                FROM ng0)
+            WHERE ra <= 8 AND rb <= 8
+        ), sh AS (
+            SELECT id_a, id_b FROM (
+                SELECT id_a, id_b,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY hamming ASC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY hamming ASC, id_a) AS rb
+                FROM sh0)
+            WHERE ra <= 8 AND rb <= 8
+        ),
         tagged AS (
             SELECT 'minhash' AS m, id_a, id_b FROM mh
             UNION ALL SELECT 'ngram', id_a, id_b FROM ng

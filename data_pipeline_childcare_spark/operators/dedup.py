@@ -601,6 +601,45 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def cap_pairs_per_doc(
+    pairs: DataFrame,
+    cap: int,
+    order_by: list,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-document candidate-volume guard for duplicate-saturated
+    corpora: keep a pair only if it ranks within the top-``cap``
+    neighbors of BOTH endpoints on its side of the canonical
+    (id_a < id_b) pair set.
+
+    Why: a verbatim-copy cluster of size c emits C(c,2) ≈ c²/2 pairs —
+    the true near-dup answer, but at 100 TB a duplicate-saturated
+    corpus would shuffle O(dups²) rows through every downstream join.
+    With the cap, per-doc degree is ≤ 2·cap (≤ cap per side), so pair
+    volume downstream is linear in corpus size regardless of cluster
+    structure. The strongest neighbors survive (``order_by`` should
+    rank by similarity, e.g. ``[F.desc("jaccard")]``); ties break on
+    the other endpoint's id, making the result deterministic and
+    SQL-mirrorable (the dedup_method_agreement DuckDB twin replays
+    the same two row_number windows).
+
+    Two row_number windows = two keyed exchanges over the (already
+    candidate-bounded) pair set — cheap relative to the unbounded
+    downstream join volume they prevent.
+    """
+    from pyspark.sql import Window as W
+
+    wa = W.partitionBy(id_a).orderBy(*order_by, F.col(id_b))
+    wb = W.partitionBy(id_b).orderBy(*order_by, F.col(id_a))
+    return (
+        pairs.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter((F.col("_ra") <= cap) & (F.col("_rb") <= cap))
+        .drop("_ra", "_rb")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document repeated spans (substring-level near-dup signal)
 # ---------------------------------------------------------------------------

@@ -145,6 +145,44 @@ def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
     ] == pytest.approx(1 / 3, abs=1e-6)
 
 
+def test_cap_pairs_per_doc_bounds_cluster_blowup(spark):
+    """A verbatim c-copy cluster emits C(c,2) pairs; the per-doc cap
+    keeps only each endpoint's strongest `cap` neighbors per side, so
+    per-doc degree (and thus downstream pair volume) stays bounded
+    regardless of cluster size. Strongest-first: the highest-scored
+    pairs must be the survivors; determinism: ties break on the other
+    endpoint's id."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.dedup import cap_pairs_per_doc
+
+    # a 12-doc clique: 66 pairs, score favors low id_b then low id_a
+    pairs = spark.createDataFrame(
+        [
+            (a, b, round(1.0 - 0.01 * (a + b), 6))
+            for a in range(12)
+            for b in range(a + 1, 12)
+        ],
+        "id_a long, id_b long, score double",
+    )
+    capped = cap_pairs_per_doc(pairs, cap=2, order_by=[F.desc("score")])
+    rows = capped.collect()
+    # every doc appears at most cap times per side
+    from collections import Counter
+
+    ca = Counter(r["id_a"] for r in rows)
+    cb = Counter(r["id_b"] for r in rows)
+    assert max(ca.values()) <= 2 and max(cb.values()) <= 2
+    # the globally strongest pair always survives (rank 1 on both sides)
+    assert any((r["id_a"], r["id_b"]) == (0, 1) for r in rows)
+    # deterministic: re-run yields the identical set
+    again = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert again == {(r["id_a"], r["id_b"]) for r in rows}
+    # a cap larger than any degree is the identity
+    all_pairs = cap_pairs_per_doc(pairs, cap=100, order_by=[F.desc("score")])
+    assert all_pairs.count() == 66
+
+
 def test_cosine_topk(spark):
     emb = spark.createDataFrame(
         [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
