@@ -311,7 +311,7 @@ def kmeans_lite(
     iterations: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    checkpoint: bool = False,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Few-iteration Lloyd's k-means as pure DataFrame ops — the IVF
     coarse quantizer. Init: k seeds ordered by an md5-derived id hash
@@ -325,12 +325,16 @@ def kmeans_lite(
     between runs. k and iterations are small; the corpus is scanned
     `iterations + 1` times, never collected.
 
-    ``checkpoint=True`` eagerly localCheckpoints the k-row centroid
-    frame each iteration, cutting the unrolled lineage so later
-    iterations don't re-derive earlier ones (total corpus passes
-    drop from O(iterations²) to O(iterations)) — turn it on for
-    production runs with iterations > ~5; the default keeps the pure
-    lazily-built plan the SQL oracles mirror.
+    ``checkpoint`` (DEFAULT ON, matching operators/bpe.py's measured
+    fix) eagerly localCheckpoints the k-row centroid frame each
+    iteration, cutting the unrolled lineage so later iterations don't
+    re-derive earlier ones (total corpus passes drop from
+    O(iterations²) to O(iterations)) — un-checkpointed Lloyd
+    iterations re-derive all predecessors through lineage, the same
+    failure mode that made un-checkpointed BPE at k=20 never finish.
+    Centroid VALUES are identical either way (the checkpoint only cuts
+    lineage), so SQL-oracle parity is unaffected; pass
+    ``checkpoint=False`` only to inspect the pure unrolled plan.
 
     Returns (cell, centroid ARRAY<DOUBLE>).
     """
