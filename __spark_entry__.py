@@ -2483,7 +2483,13 @@ def _tuoyu_synth(spark: SparkSession, sf_dir: str):
             )
         ).alias("_b"),
     ).select("database_id", "document_id", F.col("_b.position"), F.col("_b.content"))
-    return chunks, segments
+    # Materialize the synthetic fixture (as a real pipeline reads a
+    # concrete table): without the cut, the content-synthesis
+    # expression trees are inlined into every downstream parse/rule
+    # reference, multiplying the flagship plan to hundreds of KB and
+    # dominating driver-side plan build + codegen time. Values are
+    # identical; only lineage is cut.
+    return chunks.localCheckpoint(eager=True), segments.localCheckpoint(eager=True)
 
 
 def tuoyu_rule_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

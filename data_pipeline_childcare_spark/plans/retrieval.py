@@ -53,17 +53,44 @@ def parse_chunk_records(chunks: DataFrame, content_col: str = "content") -> Data
     )
 
 
-def _rule_condition(rule: RegionalRule) -> Column:
+def extract_rule_fields(parsed: DataFrame) -> DataFrame:
+    """Project the rule-relevant record fields out of the ``rec`` map
+    into plain columns, ONCE. The rule conjunction references its
+    inputs ~30× (a province scope alone is a >20-arm contains chain);
+    if each reference is a map-extraction over ``rec``, Catalyst's
+    filter pushdown inlines the whole kv-parse expression tree into
+    every reference — measured: 576 copies of map_from_entries in the
+    flagship plan, 200+ KB of optimized plan, with plan build/codegen
+    dominating sf0.01 wall-time. Extracting to named columns (and
+    cutting lineage right after — see tuoyu_rule_filter) keeps the
+    parse tree in the plan exactly once."""
     g = F.col("rec").getItem
+    return parsed.withColumns(
+        {
+            "_loc": F.coalesce(g("城市"), g("省份"), g("详细地址"), F.lit("")),
+            "_lvl": F.coalesce(g("学历"), F.lit("")),
+            "_maj": F.coalesce(g("开设专业"), g("专业"), g("岗位")),
+            "_name": F.coalesce(g("机构名称"), g("别名"), F.lit("")),
+            "_alias": g("别名"),
+            "_ts": parse_ts_multi(
+                F.coalesce(g("备案及完成时间"), F.concat(g("年份"), F.lit("-01-01")))
+            ),
+        }
+    )
+
+
+def _rule_condition(rule: RegionalRule) -> Column:
+    """The rule conjunction over the columns extract_rule_fields
+    projects (apply to its output, not to a raw parsed frame)."""
     return check_rule(
         rule,
         record_type=F.col("record_type"),
-        location_col=F.coalesce(g("城市"), g("省份"), g("详细地址"), F.lit("")),
-        level_col=F.coalesce(g("学历"), F.lit("")),
-        major_col=F.coalesce(g("开设专业"), g("专业"), g("岗位")),
-        name_col=F.coalesce(g("机构名称"), g("别名"), F.lit("")),
-        alias_col=F.col("rec").getItem("别名"),
-        ts_col=parse_ts_multi(F.coalesce(g("备案及完成时间"), F.concat(g("年份"), F.lit("-01-01")))),
+        location_col=F.col("_loc"),
+        level_col=F.col("_lvl"),
+        major_col=F.col("_maj"),
+        name_col=F.col("_name"),
+        alias_col=F.col("_alias"),
+        ts_col=F.col("_ts"),
     )
 
 
@@ -71,6 +98,7 @@ def tuoyu_rule_filter(
     chunks: DataFrame,
     segments: DataFrame,
     rule: RegionalRule,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Flagship query (SURVEY §3.3 sketch):
 
@@ -80,16 +108,45 @@ def tuoyu_rule_filter(
     4. re-apply the rule at segment granularity (retrieve.py:1609-1623);
     5. roll up db→document with position-ordered blocks and
        Tuoyu_Questionnaire / Tuoyu_institution classification.
+
+    ``checkpoint`` (default on) eagerly localCheckpoints the surviving
+    document-id set (2 columns, a few rows per rule) before the
+    segment semi-join. The kv-parse + gazetteer rule condition are
+    multi-megabyte expression trees; without the cut they are embedded
+    TWICE in the final plan (once in the semi-join build side, once in
+    the segment leg), and plan construction/optimization/serialization
+    cost is driver CPU that grows with composition depth, not data.
+    Values are identical either way — the checkpoint only cuts
+    lineage, so oracle hashes are unaffected.
     """
     cond = _rule_condition(rule)
-    hits = (
+    _FIELDS = ["_loc", "_lvl", "_maj", "_name", "_alias", "_ts"]
+
+    parsed_chunks = extract_rule_fields(
         parse_chunk_records(chunks.dropDuplicates(["chunk_id"]))
-        .filter(cond)
+    )
+    if checkpoint:
+        # narrow projection (ids + extracted fields) then cut lineage:
+        # downstream the rule condition references plain materialized
+        # columns, so the kv-parse tree can't be inlined per reference
+        parsed_chunks = parsed_chunks.select(
+            "database_id", "document_id", "record_type", *_FIELDS
+        ).localCheckpoint(eager=True)
+    hits = (
+        parsed_chunks.filter(cond)
         .select("database_id", "document_id")
         .distinct()
     )
+    if checkpoint:
+        hits = hits.localCheckpoint(eager=True)
+    parsed_segs = extract_rule_fields(parse_chunk_records(segments))
+    if checkpoint:
+        parsed_segs = parsed_segs.select(
+            "database_id", "document_id", "position", "content",
+            "record_type", *_FIELDS,
+        ).localCheckpoint(eager=True)
     seg_checked = (
-        parse_chunk_records(segments)
+        parsed_segs
         .join(hits, ["database_id", "document_id"], "left_semi")
         .filter(cond)
     )
