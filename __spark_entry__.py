@@ -562,10 +562,15 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monetary",
     )
     # lower recency is better → ascending; higher freq/monetary better
-    # → descending; o_custkey breaks every tie deterministically
-    wr = Window.orderBy("recency_days", "o_custkey")
-    wf = Window.orderBy(F.desc("frequency"), "o_custkey")
-    wm = Window.orderBy(F.desc("monetary"), "o_custkey")
+    # → descending; o_custkey breaks every tie deterministically.
+    # ntile NEEDS one total order (quartiles are global by
+    # definition); the windows run over the |customers| aggregate,
+    # never the fact table — at a scale where even that is too large,
+    # swap ntile for percentile_approx cut points. lit(0) partition =
+    # explicit single-partition intent, no WindowExec warning.
+    wr = Window.partitionBy(F.lit(0)).orderBy("recency_days", "o_custkey")
+    wf = Window.partitionBy(F.lit(0)).orderBy(F.desc("frequency"), "o_custkey")
+    wm = Window.partitionBy(F.lit(0)).orderBy(F.desc("monetary"), "o_custkey")
     return scored.select(
         "o_custkey",
         "recency_days",

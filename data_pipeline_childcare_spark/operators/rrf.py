@@ -62,8 +62,14 @@ def attach_rerank_scores(
     """Positional rerank backfill (SURVEY §2.3 J4): an external
     reranker returns (index, relevance_score) pairs positional to the
     candidate order; re-derive the position with a row_number over the
-    same ordering and join on it."""
-    w = Window.orderBy(F.desc(order_col))
+    same ordering and join on it.
+
+    The window is intentionally global: the candidate frame is
+    rerank-cap bounded by contract (≤ ~100 rows — the reranker itself
+    saw the whole list in one call). The constant partitionBy(lit(0))
+    makes that single-partition intent explicit and keeps real-scale
+    logs free of WindowExec's "No Partition Defined" warning."""
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc(order_col))
     indexed = candidates.withColumn(index_col, F.row_number().over(w) - 1)
     return indexed.join(
         F.broadcast(scores.select(index_col, score_col)), index_col, "left"

@@ -346,7 +346,9 @@ def kmeans_lite(
         .orderBy("_r")
         .limit(k)
         .select(
-            F.row_number().over(Window.orderBy("_r")).alias("cell"),
+            # global by design over the limit(k) seed rows; lit(0)
+            # partition silences the WindowExec single-partition warning
+            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_r")).alias("cell"),
             F.col(vec_col).cast("array<double>").alias("centroid"),
         )
     )

@@ -142,7 +142,9 @@ def weighted_sample(
         .orderBy("_r", id_col)
         .limit(n)
     )
-    w = Window.orderBy("_r", id_col)
+    # global by design: `top` is already limit(n)-bounded; lit(0)
+    # partition makes that explicit and avoids the WindowExec warning
+    w = Window.partitionBy(F.lit(0)).orderBy("_r", id_col)
     return top.withColumn("rank", F.row_number().over(w).cast("int")).drop("_r")
 
 

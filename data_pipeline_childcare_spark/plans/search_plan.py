@@ -93,10 +93,16 @@ def assign_providers(
 ) -> DataFrame:
     """Deterministic round-robin provider assignment (the reference
     cycles an iterator, 多数据源获取链接.py:1218-1223): row_number over
-    a stable order, modulo the provider list."""
+    a stable order, modulo the provider list.
+
+    The window is intentionally global: ``tasks`` is a plan-sized
+    task list (tens of rows by contract), and round-robin NEEDS one
+    total order. partitionBy(lit(0)) makes the single-partition
+    intent explicit and silences WindowExec's "No Partition Defined"
+    warning in real-scale logs."""
     from pyspark.sql import Window
 
-    w = Window.orderBy(order_col)
+    w = Window.partitionBy(F.lit(0)).orderBy(order_col)
     idx = F.row_number().over(w) - 1
     prov = F.element_at(
         F.array(*[F.lit(p) for p in providers]), (idx % len(providers) + 1).cast("int")
