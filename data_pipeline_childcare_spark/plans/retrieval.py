@@ -251,6 +251,70 @@ def bm25_rerank_scorer(
     return scorer
 
 
+def cross_encoder_rerank_scorer(
+    query: str,
+    model_name: str = "cross-encoder/ms-marco-MiniLM-L-6-v2",
+    content_col: str = "content",
+    ndigits: int = 6,
+    model_loader: Callable[[], object] | None = None,
+) -> Callable[[DataFrame], DataFrame]:
+    """Model-backed rerank scorer for :func:`xpilot_retrieval` — the
+    executable twin of the reference's hosted cross-encoder stage
+    (retrieve.py:184-232, bge-reranker-v2-m3): score each (query,
+    candidate content) pair with a real cross-encoder and attach
+    ``rerank_score``.
+
+    Same callable contract as :func:`bm25_rerank_scorer` (the oracle
+    default): takes the rerank-capped frame, returns it with a
+    ``rerank_score`` column. Scoring runs in an Arrow-batched pandas
+    UDF; the model is loaded once per executor process and cached.
+
+    Degradation chain: the model is loaded EAGERLY here on the driver
+    (and the loader re-runs per executor), so a missing
+    sentence-transformers install or an unloadable model raises inside
+    xpilot_retrieval's try — which falls back to RRF order, the
+    reference's own API-failure behavior. sentence-transformers is an
+    OPTIONAL dependency: nothing else in the engine imports it.
+
+    ``model_loader`` overrides model construction (tests inject a
+    deterministic fake to exercise the UDF plumbing without the
+    dependency); the loaded object needs one method,
+    ``predict(list[tuple[str, str]]) -> sequence[float]`` — the
+    sentence-transformers ``CrossEncoder`` signature.
+    """
+    if model_loader is None:
+        def model_loader() -> object:  # noqa: PLR0206
+            from sentence_transformers import CrossEncoder  # optional dep
+
+            return CrossEncoder(model_name)
+
+    # eager load: dependency/model failures must raise at scorer-call
+    # time (inside the caller's try), not at lazy plan execution
+    model_loader()
+
+    _cache: dict[str, object] = {}
+
+    def scorer(capped: DataFrame) -> DataFrame:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        # no type hints: the module's `from __future__ import
+        # annotations` would stringify them and break pandas_udf's
+        # signature inference
+        @pandas_udf("double")
+        def _score(contents):
+            if "m" not in _cache:  # once per executor process
+                _cache["m"] = model_loader()
+            preds = _cache["m"].predict(
+                [(query, c if c is not None else "") for c in contents]
+            )
+            return pd.Series([round(float(p), ndigits) for p in preds])
+
+        return capped.withColumn("rerank_score", _score(F.col(content_col)))
+
+    return scorer
+
+
 def xpilot_retrieval(
     retrieved: DataFrame,
     tasks: DataFrame,

@@ -152,6 +152,110 @@ def test_xpilot_rerank_scorer_failure_falls_back_to_rrf(spark):
     assert sorted(map(str, plain)) == sorted(map(str, degraded))
 
 
+_XPILOT_ROWS = [
+    ("q1", "c1", 0.9, "db1", "d1", 0, "alpha growth report"),
+    ("q1", "c2", 0.8, "db1", "d1", 1, "beta summary"),
+    ("q2", "c2", 0.95, "db1", "d1", 1, "beta summary"),
+    ("q2", "c3", 0.5, "db1", "d2", 0, "gamma appendix"),
+]
+_XPILOT_SCHEMA = (
+    "query_id string, chunk_id string, score double, database_id string, "
+    "document_id string, position int, content string"
+)
+
+
+def test_cross_encoder_scorer_fake_model_plumbing(spark):
+    """The model-backed scorer's Spark plumbing (Arrow-batched pandas
+    UDF, per-executor model cache, rerank_score column contract)
+    exercised end-to-end through xpilot_retrieval with an injected
+    deterministic fake (score = shared-token count, so ordering is
+    inspectable) — no optional dependency needed. The loader is a
+    self-contained local function referencing no test-module globals,
+    so cloudpickle ships it BY VALUE: executor workers don't have the
+    tests/ directory on their import path."""
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        cross_encoder_rerank_scorer,
+        xpilot_retrieval,
+    )
+
+    def fake_cross_encoder():
+        class _M:
+            def predict(self, pairs):
+                out = []
+                for q, c in pairs:
+                    qs = set(q.lower().split())
+                    cs = set((c or "").lower().split())
+                    out.append(float(len(qs & cs)))
+                return out
+
+        return _M()
+
+    retrieved = spark.createDataFrame(_XPILOT_ROWS, _XPILOT_SCHEMA)
+    tasks = spark.createDataFrame([("t1", "q1")], "task_id string, query_id string")
+    scorer = cross_encoder_rerank_scorer(
+        "beta summary", model_loader=fake_cross_encoder
+    )
+    out = xpilot_retrieval(retrieved, tasks, rerank_scorer=scorer, top_k=3).collect()
+    blocks = [b for r in out for b in r["content_blocks"]]
+    # rerank order ≠ RRF order: c2 ("beta summary", 2 shared tokens)
+    # must outrank c1 (0 shared) — block structs sort by -score first
+    by_score = sorted(blocks, key=lambda b: b["neg_score"])
+    assert by_score[0]["chunk_id"] == "c2"
+    # direct scorer contract: rerank_score present and deterministic
+    capped = spark.createDataFrame(
+        [("c1", 0.5, "alpha growth report"), ("c2", 0.4, "beta summary")],
+        "chunk_id string, rrf_score double, content string",
+    )
+    got = {r["chunk_id"]: r["rerank_score"] for r in scorer(capped).collect()}
+    assert got == {"c1": 0.0, "c2": 2.0}
+
+
+def test_cross_encoder_scorer_missing_dep_falls_back(spark):
+    """Without sentence-transformers installed, the scorer raises at
+    construction/call time — inside xpilot's try — so the pipeline
+    degrades to RRF order exactly like the no-scorer path
+    (reference retrieve.py:229-232's API-failure fallback)."""
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        cross_encoder_rerank_scorer,
+        xpilot_retrieval,
+    )
+
+    retrieved = spark.createDataFrame(_XPILOT_ROWS, _XPILOT_SCHEMA)
+    tasks = spark.createDataFrame([("t1", "q1")], "task_id string, query_id string")
+
+    def make_scorer_then_score(capped):
+        # default loader imports sentence_transformers; absent here it
+        # raises ImportError inside xpilot_retrieval's try
+        return cross_encoder_rerank_scorer("beta summary")(capped)
+
+    plain = xpilot_retrieval(retrieved, tasks, top_k=2).collect()
+    degraded = xpilot_retrieval(
+        retrieved, tasks, rerank_scorer=make_scorer_then_score, top_k=2
+    ).collect()
+    assert sorted(map(str, plain)) == sorted(map(str, degraded))
+
+
+def test_cross_encoder_scorer_real_model(spark):
+    """Env-gated: the REAL sentence-transformers cross-encoder through
+    the same hook — model download/load happens once; skipped wherever
+    the optional dependency or model weights are unavailable."""
+    st = pytest.importorskip("sentence_transformers")
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        cross_encoder_rerank_scorer,
+        xpilot_retrieval,
+    )
+
+    try:
+        scorer = cross_encoder_rerank_scorer("beta summary")
+    except Exception as exc:  # pragma: no cover - offline weights
+        pytest.skip(f"cross-encoder model unavailable: {exc}")
+    retrieved = spark.createDataFrame(_XPILOT_ROWS, _XPILOT_SCHEMA)
+    tasks = spark.createDataFrame([("t1", "q1")], "task_id string, query_id string")
+    out = xpilot_retrieval(retrieved, tasks, rerank_scorer=scorer, top_k=3).collect()
+    scores = [b["neg_score"] for r in out for b in r["content_blocks"]]
+    assert scores and all(isinstance(s, float) for s in scores)
+
+
 def test_build_filtered_query_modes(spark):
     df = spark.createDataFrame([("托育 政策",)], "q string")
 

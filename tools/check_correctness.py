@@ -4,7 +4,7 @@ Runs every ``queries()`` entry against its ``oracle_sql()`` DuckDB
 equivalent at sf0.01 and compares row count, column names, and
 order-insensitive values. Usage:
 
-    python tools/check_correctness.py [--exact] [query ...]
+    python tools/check_correctness.py [--exact] [--json OUT.json] [query ...]
 
 ``--exact`` compares values bit-exactly (atol=0) and reports dtype
 drift (e.g. DuckDB HUGEINT -> pandas float/object vs Spark BIGINT) —
@@ -14,6 +14,7 @@ the default 1e-6 comparison forgives.
 
 from __future__ import annotations
 
+import json
 import sys
 import time
 
@@ -51,7 +52,13 @@ def main() -> int:
     argv = sys.argv[1:]
     exact = "--exact" in argv
     hostile = "--hostile" in argv
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
     only = set(a for a in argv if a not in ("--exact", "--hostile"))
+    results: dict[str, dict] = {}
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
@@ -75,27 +82,32 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "reason": f"spark error {type(e).__name__}"}
             continue
         el = time.time() - t0
         if name not in oracles:
             print(f"rows  {name}: {len(sdf)} rows (no oracle, rows-only) [{el:.1f}s]")
             if len(sdf) == 0:
                 print(f"      WARNING {name}: zero rows")
+            results[name] = {"status": "rows_only", "rows": len(sdf), "sec": round(el, 2)}
             continue
         try:
             odf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error {e}")
             failures.append(name)
+            results[name] = {"status": "fail", "reason": "oracle error"}
             continue
         s, o = normalize(sdf, exact), normalize(odf, exact)
         if list(s.columns) != list(o.columns):
             print(f"FAIL  {name}: columns {list(s.columns)} vs {list(o.columns)}")
             failures.append(name)
+            results[name] = {"status": "fail", "reason": "schema mismatch"}
             continue
         if len(s) != len(o):
             print(f"FAIL  {name}: rowcount {len(s)} vs {len(o)}")
             failures.append(name)
+            results[name] = {"status": "fail", "reason": f"rowcount {len(s)} vs {len(o)}"}
             continue
         if exact:
             drift = [
@@ -106,6 +118,7 @@ def main() -> int:
             if drift:
                 print(f"FAIL  {name}: dtype drift — {'; '.join(drift)}")
                 failures.append(name)
+                results[name] = {"status": "fail", "reason": "dtype drift"}
                 continue
         try:
             if exact:
@@ -113,6 +126,10 @@ def main() -> int:
             else:
                 pd.testing.assert_frame_equal(s, o, check_dtype=False, check_exact=False, atol=1e-6)
             print(f"OK    {name}: {len(s)} rows match [{el:.1f}s]")
+            results[name] = {
+                "status": "ok", "rows": len(s), "sec": round(el, 2),
+                "compare": "exact" if exact else "atol1e-6",
+            }
         except AssertionError as e:
             msg = str(e).splitlines()
             print(f"FAIL  {name}: value mismatch: {' | '.join(msg[:4])}")
@@ -122,7 +139,21 @@ def main() -> int:
                 idx = diff[c].idxmax()
                 print(f"      col={c} first-diff row {idx}: spark={s.loc[idx, c]!r} oracle={o.loc[idx, c]!r}")
             failures.append(name)
+            results[name] = {"status": "fail", "reason": "value mismatch"}
     spark.stop()
+    if json_out:
+        summary = {
+            "sf_dir": SF_DIR,
+            "mode": ("exact" if exact else "atol1e-6") + ("+hostile" if hostile else ""),
+            "n_queries": len(results),
+            "n_ok": sum(1 for r in results.values() if r["status"] == "ok"),
+            "n_rows_only": sum(1 for r in results.values() if r["status"] == "rows_only"),
+            "n_fail": len(failures),
+            "queries": results,
+        }
+        with open(json_out, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
