@@ -2494,7 +2494,7 @@ def _tuoyu_synth(spark: SparkSession, sf_dir: str):
     # reference, multiplying the flagship plan to hundreds of KB and
     # dominating driver-side plan build + codegen time. Values are
     # identical; only lineage is cut.
-    return chunks.localCheckpoint(eager=True), segments.localCheckpoint(eager=True)
+    return chunks.localCheckpoint(eager=False), segments.localCheckpoint(eager=False)
 
 
 def tuoyu_rule_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:

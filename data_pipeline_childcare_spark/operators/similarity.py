@@ -366,7 +366,12 @@ def kmeans_lite(
             ).alias("centroid")
         )
         if checkpoint:
-            centroids = centroids.localCheckpoint(eager=True)
+            # LAZY: cuts the unrolled lineage (the k-row frame becomes
+            # a LogicalRDD) without running a job at plan-BUILD time —
+            # building a plan must never execute (see
+            # test_no_driver_actions_while_building_plans); the RDD
+            # materializes once at the first action
+            centroids = centroids.localCheckpoint(eager=False)
     return centroids
 
 

@@ -109,9 +109,11 @@ def tuoyu_rule_filter(
     5. roll up db→document with position-ordered blocks and
        Tuoyu_Questionnaire / Tuoyu_institution classification.
 
-    ``checkpoint`` (default on) eagerly localCheckpoints the surviving
-    document-id set (2 columns, a few rows per rule) before the
-    segment semi-join. The kv-parse + gazetteer rule condition are
+    ``checkpoint`` (default on) LAZILY localCheckpoints the parsed
+    narrow projections and the surviving document-id set before the
+    segment semi-join (lazy: plan building must never run jobs —
+    test_no_driver_actions_while_building_plans; the RDDs materialize
+    once at the first action). The kv-parse + gazetteer rule condition are
     multi-megabyte expression trees; without the cut they are embedded
     TWICE in the final plan (once in the semi-join build side, once in
     the segment leg), and plan construction/optimization/serialization
@@ -131,20 +133,20 @@ def tuoyu_rule_filter(
         # columns, so the kv-parse tree can't be inlined per reference
         parsed_chunks = parsed_chunks.select(
             "database_id", "document_id", "record_type", *_FIELDS
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     hits = (
         parsed_chunks.filter(cond)
         .select("database_id", "document_id")
         .distinct()
     )
     if checkpoint:
-        hits = hits.localCheckpoint(eager=True)
+        hits = hits.localCheckpoint(eager=False)
     parsed_segs = extract_rule_fields(parse_chunk_records(segments))
     if checkpoint:
         parsed_segs = parsed_segs.select(
             "database_id", "document_id", "position", "content",
             "record_type", *_FIELDS,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     seg_checked = (
         parsed_segs
         .join(hits, ["database_id", "document_id"], "left_semi")

@@ -320,9 +320,14 @@ def sniff_image_dims(data: bytes) -> tuple[str, int, int] | None:
 
 
 def parse_image_bytes(data: bytes) -> str:
-    """Image info + OCR when PIL/pytesseract exist (ref :1029-1050);
-    stdlib header sniff keeps the metadata real without PIL."""
+    """Image info + OCR, tiered (ref :1029-1050): PIL dims where PIL
+    exists, else the stdlib header sniff; pytesseract OCR where the
+    full stack exists, else the vendored dot-matrix bitmap-font
+    matcher (sources/bitmapfont.py) — conservative, so only
+    machine-rendered dot-matrix text produces an OCR section on the
+    library-free tier; photos stay dims-only."""
     parts: list[str] = []
+    ocr_text = ""
     try:
         from PIL import Image as PILImage  # noqa: PLC0415
 
@@ -333,13 +338,11 @@ def parse_image_bytes(data: bytes) -> str:
             import pytesseract  # noqa: PLC0415
 
             try:
-                ocr = pytesseract.image_to_string(img, lang="chi_sim+eng")
+                ocr_text = pytesseract.image_to_string(img, lang="chi_sim+eng")
             except Exception:  # noqa: BLE001 — chi_sim pack absent:
                 # degrade to the default (eng) pack rather than losing
                 # OCR entirely on an english-only tesseract install
-                ocr = pytesseract.image_to_string(img)
-            if ocr and ocr.strip():
-                parts.append(f"**OCR 识别文本**:\n\n{ocr.strip()}")
+                ocr_text = pytesseract.image_to_string(img)
         except Exception:  # noqa: BLE001  (missing binary, bad lang pack…)
             pass
     except ImportError:
@@ -349,6 +352,17 @@ def parse_image_bytes(data: bytes) -> str:
             parts.append(f"**图片信息**: {fmt}, {w}x{h}px")
     except Exception:  # noqa: BLE001
         pass
+    if not (ocr_text and ocr_text.strip()):
+        try:
+            from data_pipeline_childcare_spark.sources.bitmapfont import (  # noqa: PLC0415
+                ocr_bitmap_text,
+            )
+
+            ocr_text = ocr_bitmap_text(data)
+        except Exception:  # noqa: BLE001 — undecodable image
+            pass
+    if ocr_text and ocr_text.strip():
+        parts.append(f"**OCR 识别文本**:\n\n{ocr_text.strip()}")
     if not parts:
         return f"[图片文件, {len(data)} bytes]"
     return "\n\n".join(parts)

@@ -40,10 +40,16 @@ from data_pipeline_childcare_spark.sources.connectors import (
     normalize_result,
 )
 
-pytestmark = pytest.mark.skipif(
-    os.environ.get("SPARK_GRAFT_LIVE_API") != "1",
-    reason="live-API smoke is opt-in: set SPARK_GRAFT_LIVE_API=1",
-)
+# opt-in suite: deselected by default via pytest.ini (-m "not
+# live_api"); the skipif keeps a bare `pytest -m live_api` from
+# hitting the network without the explicit env opt-in
+pytestmark = [
+    pytest.mark.live_api,
+    pytest.mark.skipif(
+        os.environ.get("SPARK_GRAFT_LIVE_API") != "1",
+        reason="live-API smoke is opt-in: set SPARK_GRAFT_LIVE_API=1",
+    ),
+]
 
 _SCRAPE_URL = os.environ.get("SPARK_GRAFT_LIVE_SCRAPE_URL", "https://example.com/")
 

@@ -321,10 +321,54 @@ def _ocr_stack_available() -> bool:
         return False
 
 
+def test_parse_image_bytes_ocr_golden_vendored():
+    """ALWAYS-RUN golden OCR round-trip on the vendored dot-matrix
+    tier (sources/bitmapfont.py): render known text through the
+    in-repo PNG encoder, feed the bytes to parse_image_bytes, and
+    require the OCR section to carry the words back out — no PIL, no
+    pytesseract. The pytesseract tier keeps its own env-gated golden
+    test below."""
+    from data_pipeline_childcare_spark.sources.bitmapfont import render_text_png
+
+    png = render_text_png("HELLO SPARK 2026", scale=3, margin=6)
+    out = parse_image_bytes(png)
+    assert "**图片信息**" in out and "PNG" in out
+    assert "OCR 识别文本" in out, f"no OCR section in: {out!r}"
+    assert "HELLO SPARK 2026" in out
+
+
+def test_bitmapfont_roundtrip_and_conservative_gate():
+    """The vendored matcher: exact round-trip across scales/margins,
+    full alphabet, punctuation, multi-space; noise and non-images
+    return '' (never garbage)."""
+    import hashlib
+
+    from data_pipeline_childcare_spark.sources.bitmapfont import (
+        ocr_bitmap_text,
+        render_text_png,
+    )
+    from data_pipeline_childcare_spark.sources.imagecodec import encode_png
+
+    for txt, sc, mg in [
+        ("ABCDEFGHIJKLM", 1, 2),
+        ("NOPQRSTUVWXYZ", 2, 3),
+        ("0123456789", 4, 10),
+        ("TEST-1.5: OK", 3, 7),
+        ("IJI JIJ", 2, 4),
+    ]:
+        assert ocr_bitmap_text(render_text_png(txt, scale=sc, margin=mg)) == txt
+    noise = bytes(
+        hashlib.md5(bytes([i % 251])).digest()[0] for i in range(64 * 64)
+    )
+    assert ocr_bitmap_text(encode_png(64, 64, noise, mode="L")) == ""
+    assert ocr_bitmap_text(b"not an image at all") == ""
+
+
 @pytest.mark.skipif(
     not _ocr_stack_available(),
-    reason="S14 OCR tier needs PIL + pytesseract + the tesseract binary "
-    "(env-gated: runs automatically wherever the stack exists)",
+    reason="S14 pytesseract OCR tier needs PIL + pytesseract + the tesseract "
+    "binary (env-gated: runs automatically wherever the stack exists; the "
+    "vendored dot-matrix tier above runs everywhere)",
 )
 def test_parse_image_bytes_ocr_golden():
     """Golden scanned-image fixture: render known text with PIL's
