@@ -264,6 +264,26 @@ def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_fingerprint(docs).select("doc_id", doc_fingerprint("text").alias("fp"))
 
 
+def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup, C4-style (operators/dedup.py
+    dedup_paragraphs): every blank-line-separated paragraph survives
+    only at its FIRST (doc_id, position) occurrence; documents are
+    reassembled from their surviving paragraphs in order. The
+    complement of doc_corpus_line_dedup's frequency threshold —
+    boilerplate vanishes on its SECOND occurrence, deterministically.
+    Text compared via md5 digest to keep the compare row narrow."""
+    from data_pipeline_childcare_spark.operators.dedup import dedup_paragraphs
+
+    docs = _t(spark, sf_dir, "documents")
+    out = dedup_paragraphs(docs)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_digest"),
+        "n_paragraphs",
+        "n_kept",
+    )
+
+
 def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup, FULLY oracled: the engine-portable
     Carter–Wegman hash family (operators/dedup.py) makes the kept-doc
@@ -889,6 +909,39 @@ def bpe_doc_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _t(spark, sf_dir, "documents")
     return bpe_segment_counts(docs, n_merges=5)
+
+
+_WP_ARGS = dict(vocab_size=40, n_rounds=2, max_piece_len=4, max_word_len=12)
+
+
+def wordpiece_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style tokenizer training (operators/wordpiece.py):
+    greedy longest-match segmentation with an iteratively
+    re-estimated piece inventory — the BERT-tokenizer shape, the
+    top-down companion to bottom-up BPE. One corpus pass, then
+    word-vocabulary-sized rounds with the model as literal InSet
+    predicates (guarded model-collect). The DuckDB twin unrolls the
+    identical seed → segment → recount → prune trajectory, so the
+    final inventory is hash-checked."""
+    from data_pipeline_childcare_spark.operators.wordpiece import (
+        learn_wordpiece_vocab,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return learn_wordpiece_vocab(docs, **_WP_ARGS)
+
+
+def wordpiece_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece application: the final inventory segments every
+    corpus word (greedy longest-match) → per-document (n_words,
+    n_pieces, n_unk) — tokenizer fertility, with over-length words
+    counting one [UNK] each (BERT's max_input_chars_per_word cap)."""
+    from data_pipeline_childcare_spark.operators.wordpiece import (
+        wordpiece_segment_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return wordpiece_segment_counts(docs, **_WP_ARGS)
 
 
 def doc_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3554,6 +3607,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rrf_suppliers": rrf_suppliers,
         "topk_global_dedup_events": topk_global_dedup_events,
         "dedup_exact_docs": dedup_exact_docs,
+        "dedup_paragraphs_docs": dedup_paragraphs_docs,
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
@@ -3609,6 +3663,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
+        "wordpiece_vocab_docs": wordpiece_vocab_docs,
+        "wordpiece_fertility_docs": wordpiece_fertility_docs,
         "bpe_doc_segment_counts": bpe_doc_segment_counts,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "orders_merge_upsert": orders_merge_upsert,
@@ -4155,6 +4211,51 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "dedup_paragraphs_docs": r"""
+            WITH paras AS (
+                SELECT doc_id, u.p - 1 AS pos, u.t AS para
+                FROM (
+                    SELECT doc_id,
+                           list_transform(
+                               list_filter(
+                                   list_transform(
+                                       regexp_split_to_array(text, '\n\s*\n'),
+                                       x -> trim(x)
+                                   ),
+                                   x -> x <> ''
+                               ),
+                               (x, i) -> struct_pack(p := i, t := x)
+                           ) AS ps
+                    FROM documents
+                ), unnest(ps) AS t(u)
+            ), keyed AS (
+                SELECT doc_id, pos, para,
+                       md5(regexp_replace(lower(para), '\s+', ' ', 'g')) AS fp
+                FROM paras
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY fp ORDER BY doc_id, pos
+                ) AS rn
+                FROM keyed
+            ), kept AS (
+                SELECT doc_id, pos, para FROM ranked WHERE rn = 1
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text,
+                       CAST(count(*) AS BIGINT) AS n_kept
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, CAST(count(*) AS BIGINT) AS n_paragraphs
+                FROM paras GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   md5(coalesce(r.text, '')) AS text_digest,
+                   coalesce(t.n_paragraphs, 0) AS n_paragraphs,
+                   coalesce(r.n_kept, 0) AS n_kept
+            FROM documents d
+            LEFT JOIN totals t USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """,
         "doc_corpus_line_dedup": """
             WITH lines AS (
                 SELECT doc_id, u.p - 1 AS line_no, u.l AS line
@@ -6314,6 +6415,103 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
                CAST(sum(nsym) AS BIGINT) AS n_symbols
         FROM tok JOIN vocab USING (w) GROUP BY doc_id
+    """
+    # WordPiece twins: the seed → segment → recount → prune trajectory
+    # unrolled — greedy longest-match per word as max_word_len chained
+    # CTE steps (each a coalesce of correlated inventory lookups, the
+    # SQL mirror of the Spark side's per-step withColumns projections)
+    _WPV, _WPR, _WPP, _WPW = (
+        _WP_ARGS["vocab_size"], _WP_ARGS["n_rounds"],
+        _WP_ARGS["max_piece_len"], _WP_ARGS["max_word_len"],
+    )
+
+    def _wp_seg_ctes(rnd: int, inv: str) -> str:
+        lookups = ", ".join(
+            f"(SELECT v.piece FROM {inv} v WHERE v.piece = substr(w, off, {L}))"
+            for L in range(_WPP, 1, -1)
+        )
+        ctes = [
+            f"s{rnd}_0 AS MATERIALIZED (SELECT w, freq, 1 AS off,"
+            f" CAST([] AS VARCHAR[]) AS ps FROM wpwords)"
+        ]
+        for k in range(1, _WPW + 1):
+            ctes.append(f"""s{rnd}_{k} AS MATERIALIZED (
+                SELECT w, freq,
+                       CASE WHEN off <= len(w) THEN off + len(pc)
+                            ELSE off END AS off,
+                       CASE WHEN off <= len(w) THEN list_append(ps, pc)
+                            ELSE ps END AS ps
+                FROM (
+                    SELECT w, freq, off, ps,
+                           coalesce({lookups}, substr(w, off, 1)) AS pc
+                    FROM s{rnd}_{k - 1})
+            )""")
+        return ", ".join(ctes)
+
+    def _wp_round_ctes(rnd: int) -> str:
+        return f"""{_wp_seg_ctes(rnd, f"inv{rnd - 1}")},
+        cnt{rnd} AS MATERIALIZED (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+            FROM (SELECT freq, unnest(ps) AS piece FROM s{rnd}_{_WPW})
+            GROUP BY piece
+        ), minv{rnd} AS (
+            SELECT piece FROM (
+                SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+                FROM cnt{rnd} WHERE len(piece) >= 2)
+            WHERE rn <= {_WPV} - (SELECT n FROM nch)
+        ), inv{rnd} AS MATERIALIZED (
+            SELECT piece FROM chars UNION SELECT piece FROM minv{rnd}
+        )"""
+
+    _wp_subs = " UNION ALL ".join(
+        f"SELECT freq, substr(w, i, {L}) AS piece FROM wpwords,"
+        f" unnest(range(1, len(w) - {L} + 2)) AS t(i)"
+        for L in range(2, _WPP + 1)
+    )
+    _wp_base = f"""wpwords AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest({tokens}) AS w FROM documents
+            ) WHERE w <> '' AND len(w) <= {_WPW} GROUP BY w
+        ), chars AS MATERIALIZED (
+            SELECT DISTINCT substr(w, i, 1) AS piece
+            FROM wpwords, unnest(range(1, len(w) + 1)) AS t(i)
+        ), nch AS MATERIALIZED (SELECT count(*) AS n FROM chars),
+        seedc AS (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+            FROM ({_wp_subs}) GROUP BY piece
+        ), minv0 AS (
+            SELECT piece FROM (
+                SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+                FROM seedc)
+            WHERE rn <= {_WPV} - (SELECT n FROM nch)
+        ), inv0 AS MATERIALIZED (
+            SELECT piece FROM chars UNION SELECT piece FROM minv0
+        ), """ + ", ".join(_wp_round_ctes(r) for r in range(1, _WPR + 1))
+    out["wordpiece_vocab_docs"] = f"""
+        WITH {_wp_base}
+        SELECT piece, CAST(len(piece) AS INT) AS piece_len,
+               c AS weighted_count,
+               CAST(row_number() OVER (ORDER BY c DESC, piece) AS INT) AS rank,
+               len(piece) = 1 AS is_char
+        FROM cnt{_WPR}
+        WHERE piece IN (SELECT piece FROM inv{_WPR})
+    """
+    out["wordpiece_fertility_docs"] = f"""
+        WITH {_wp_base},
+        {_wp_seg_ctes(_WPR + 1, f"inv{_WPR}")},
+        perw AS (
+            SELECT w, CAST(len(ps) AS BIGINT) AS np FROM s{_WPR + 1}_{_WPW}
+        ), tok AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest({tokens}) AS w FROM documents
+            ) WHERE w <> ''
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces,
+               CAST(sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unk
+        FROM tok LEFT JOIN perw USING (w) GROUP BY doc_id
     """
     _clf_vals = ", ".join(
         f"('{t}', {round(w, 6)})" for t, w in sorted(_CLF_WEIGHTS.items())

@@ -640,6 +640,88 @@ def cap_pairs_per_doc(
     )
 
 
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide paragraph-level exact dedup, C4-style: every
+    paragraph (blank-line-separated block) appears at most once in the
+    whole corpus — the FIRST occurrence (smallest (doc_id, position))
+    wins, later copies are dropped and the documents are reassembled
+    from their surviving paragraphs in order.
+
+    This is the curation stage between document-level dedup (whole-doc
+    fingerprints miss shared boilerplate) and line-frequency cleaning
+    (which needs a frequency threshold): navigation blocks, license
+    headers, and syndicated fragments vanish on their second
+    occurrence, deterministically.
+
+    Fingerprint = md5 of the whitespace-collapsed lowercased
+    paragraph (engine-portable → fully SQL-oracled). Paragraphs
+    shorter than ``min_chars`` after normalization are kept verbatim
+    (never deduped — single-word headers repeat legitimately).
+
+    Scale shape: posexplode (narrow) → one (fingerprint)-keyed
+    row_number window electing the first occurrence → one
+    (fingerprint)-keyed semi-join of survivors → one (doc)-keyed
+    reassembly aggregate. Three keyed exchanges, no self-join, no
+    pair materialization — linear at any corpus size; the hot key
+    (one paragraph duplicated millions of times) costs one window
+    partition whose SIZE is the duplicate count but whose output is
+    one row.
+
+    Output: (id, text, n_paragraphs, n_kept) with ``text`` rebuilt
+    from kept paragraphs joined by blank lines; documents whose every
+    paragraph was dropped keep an empty string.
+    """
+    from pyspark.sql import Window as W
+
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.transform(F.split(F.col(text_col), r"\n\s*\n"), lambda p: F.trim(p)),
+                lambda p: p != "",
+            )
+        ).alias("pos", "para"),
+    ).withColumn(
+        "_norm", F.lower(F.regexp_replace(F.col("para"), r"\s+", " "))
+    )
+    eligible = F.length("_norm") >= min_chars
+    fp = F.when(eligible, F.md5(F.col("_norm")))
+    w = W.partitionBy("_fp").orderBy(F.col(id_col), F.col("pos"))
+    ranked = paras.withColumn("_fp", fp).withColumn(
+        "_rn", F.when(F.col("_fp").isNull(), F.lit(1)).otherwise(F.row_number().over(w))
+    )
+    kept = ranked.filter(F.col("_rn") == 1)
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+        ).alias("text"),
+        F.count("*").cast("long").alias("n_kept"),
+    )
+    totals = paras.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_paragraphs")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
+            F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Cross-document repeated spans (substring-level near-dup signal)
 # ---------------------------------------------------------------------------

@@ -145,6 +145,35 @@ def test_ngram_jaccard_max_df_caps_hot_shingle(spark):
     ] == pytest.approx(1 / 3, abs=1e-6)
 
 
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """C4-style corpus paragraph dedup: a license block shared by
+    three docs survives only in the smallest (doc_id, pos); documents
+    rebuild from surviving paragraphs in original order; whitespace
+    variants of the same paragraph share a fingerprint."""
+    from data_pipeline_childcare_spark.operators.dedup import dedup_paragraphs
+
+    boiler = "All rights reserved."
+    docs = spark.createDataFrame(
+        [
+            (1, f"unique one\n\n{boiler}\n\ntail one"),
+            (2, f"{boiler}\n\nunique two"),
+            (3, f"unique three\n\n  all   RIGHTS  reserved. "),  # ws variant
+            (4, None),  # NULL text → empty rebuild, zero counts
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup_paragraphs(docs).collect()}
+    assert got[1]["text"] == f"unique one\n\n{boiler}\n\ntail one"
+    assert got[1]["n_paragraphs"] == 3 and got[1]["n_kept"] == 3
+    # doc 2's copy dropped (doc 1 owns the fingerprint), order kept
+    assert got[2]["text"] == "unique two"
+    assert got[2]["n_paragraphs"] == 2 and got[2]["n_kept"] == 1
+    # whitespace/case variant also dropped
+    assert got[3]["text"] == "unique three"
+    assert got[3]["n_kept"] == 1
+    assert got[4]["text"] == "" and got[4]["n_paragraphs"] == 0
+
+
 def test_cap_pairs_per_doc_bounds_cluster_blowup(spark):
     """A verbatim c-copy cluster emits C(c,2) pairs; the per-doc cap
     keeps only each endpoint's strongest `cap` neighbors per side, so

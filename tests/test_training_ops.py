@@ -406,3 +406,65 @@ def test_temperature_mixture_tiny_source_finite(spark):
     }
     w = rows["speck"]["mix_weight"]
     assert w is not None and math.isfinite(w) and w > 1.0
+
+
+def test_wordpiece_greedy_semantics_and_unk(spark):
+    """WordPiece trainer + application, hand-checkable corpus:
+    alphabet always retained, greedy longest-match wins over shorter
+    pieces, over-length words excluded from training and counted as
+    one [UNK] at application."""
+    from data_pipeline_childcare_spark.operators.wordpiece import (
+        learn_wordpiece_vocab,
+        wordpiece_segment_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "banana bandana banana"),
+            (2, "ban dan ana banana"),
+            (3, "a wordwaypastthesixteencharcap x"),
+        ],
+        "doc_id long, text string",
+    )
+    vocab = {
+        r["piece"]: r
+        for r in learn_wordpiece_vocab(
+            docs, vocab_size=12, n_rounds=2, max_piece_len=4
+        ).collect()
+    }
+    # alphabet coverage: every char of every trainable word survives
+    for ch in "bandx":
+        assert ch in vocab or any(ch in p for p in vocab if len(p) > 1)
+    # the dominant substring is learned as a multi-char piece
+    assert "bana" in vocab and not vocab["bana"]["is_char"]
+    # rank 1 = highest weighted count, ties broken by piece asc
+    ranked = sorted(vocab.values(), key=lambda r: r["rank"])
+    counts = [r["weighted_count"] for r in ranked]
+    assert counts == sorted(counts, reverse=True)
+
+    fert = {
+        r["doc_id"]: r
+        for r in wordpiece_segment_counts(
+            docs, vocab_size=12, n_rounds=2, max_piece_len=4
+        ).collect()
+    }
+    # banana -> bana+na (2), bandana -> ban+d+ana (3): doc1 = 2+3+2
+    assert fert[1]["n_words"] == 3 and fert[1]["n_pieces"] == 7
+    assert fert[1]["n_unk"] == 0
+    # doc3: 'a' (1 piece) + over-length word (1 UNK) + 'x' (1 piece)
+    assert fert[3]["n_words"] == 3
+    assert fert[3]["n_pieces"] == 3 and fert[3]["n_unk"] == 1
+
+
+def test_wordpiece_model_collect_guard(spark):
+    """A corpus-sized piece frame must fail loudly, never silently
+    stream onto the driver (the guarded model-collect contract)."""
+    import pytest as _pytest
+
+    from data_pipeline_childcare_spark.operators import wordpiece as wp
+
+    big = spark.range(wp._MAX_MODEL_ROWS + 10).selectExpr(
+        "cast(id as string) AS piece"
+    )
+    with _pytest.raises(ValueError, match="model-sized"):
+        wp._collect_pieces(big, "test frame")
