@@ -911,6 +911,55 @@ def bpe_doc_segment_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_segment_counts(docs, n_merges=5)
 
 
+_LR_ARGS = dict(n_iters=3, lr=0.5, vocab_size=32)
+
+
+def _lr_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic labeled set for the in-engine trainer: label 1
+    iff the document contains the token 'the' — content-derived, so
+    the learned weights are non-trivial and SQL-replayable."""
+    from data_pipeline_childcare_spark.functions.text import tokenize
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(tokenize(F.col("text")), "the").cast("int").alias("label"),
+    )
+
+
+def train_quality_filter_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality-filter TRAINING (operators/classifier.py
+    train_logreg_weights): full-batch logistic regression as pure
+    DataFrame ops — per-iteration logit → sigmoid → error → token
+    gradient → weight update, everything pre-rounded so the DuckDB
+    twin replays the identical 3-iteration trajectory and the learned
+    weight TABLE itself is hash-checked (the train side of the
+    doc_classifier_scores apply path)."""
+    from data_pipeline_childcare_spark.operators.classifier import (
+        train_logreg_weights,
+    )
+
+    return train_logreg_weights(_lr_examples(spark, sf_dir), **_LR_ARGS)
+
+
+def trained_filter_scores_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train → apply composed: the weights learned by
+    train_quality_filter_docs scored back over the corpus through
+    linear_text_scores (weights leave the cluster via the guarded
+    model-collect — 33 rows)."""
+    from data_pipeline_childcare_spark.operators.classifier import (
+        linear_text_scores,
+        train_logreg_weights,
+    )
+
+    w = train_logreg_weights(_lr_examples(spark, sf_dir), **_LR_ARGS).collect()
+    weights = {r["token"]: r["weight"] for r in w if r["token"] != "__bias__"}
+    bias = next(r["weight"] for r in w if r["token"] == "__bias__")
+    docs = _t(spark, sf_dir, "documents")
+    return linear_text_scores(docs, weights, bias=bias)
+
+
 _WP_ARGS = dict(vocab_size=40, n_rounds=2, max_piece_len=4, max_word_len=12)
 
 
@@ -3665,6 +3714,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
         "wordpiece_fertility_docs": wordpiece_fertility_docs,
+        "train_quality_filter_docs": train_quality_filter_docs,
+        "trained_filter_scores_docs": trained_filter_scores_docs,
         "bpe_doc_segment_counts": bpe_doc_segment_counts,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "orders_merge_upsert": orders_merge_upsert,
@@ -6416,6 +6467,86 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(nsym) AS BIGINT) AS n_symbols
         FROM tok JOIN vocab USING (w) GROUP BY doc_id
     """
+    # Logistic-regression trainer twins: the 3-iteration full-batch GD
+    # trajectory unrolled — dots → errors → gradients → update per
+    # iteration, every quantity pre-rounded exactly as the Spark side
+    _LRI, _LRLR, _LRV = (
+        _LR_ARGS["n_iters"], _LR_ARGS["lr"], _LR_ARGS["vocab_size"],
+    )
+
+    def _lr_iter(i: int) -> str:
+        return f"""dots{i} AS MATERIALIZED (
+            SELECT doc_id, round(sum(cnt * w), 6) AS dot
+            FROM lrfeats JOIN w{i - 1} USING (tok) GROUP BY doc_id
+        ), errs{i} AS MATERIALIZED (
+            SELECT l.doc_id,
+                   round(round(1.0 / (1.0 + exp(-round(
+                       (SELECT b FROM b{i - 1}) + coalesce(dot, 0.0), 6))), 6)
+                       - y, 6) AS err
+            FROM lrlab l LEFT JOIN dots{i} USING (doc_id)
+        ), grads{i} AS MATERIALIZED (
+            SELECT tok, round(sum(cnt * err) / (SELECT n FROM lrnd), 8) AS g
+            FROM lrfeats JOIN errs{i} USING (doc_id) GROUP BY tok
+        ), w{i} AS MATERIALIZED (
+            SELECT w{i - 1}.tok,
+                   round(w - {_LRLR} * coalesce(g, 0.0), 6) AS w
+            FROM w{i - 1} LEFT JOIN grads{i} USING (tok)
+        ), b{i} AS MATERIALIZED (
+            SELECT round((SELECT b FROM b{i - 1}) - {_LRLR} * coalesce(
+                (SELECT round(sum(err) / (SELECT n FROM lrnd), 8)
+                 FROM errs{i}), 0.0), 6) AS b
+        )"""
+
+    _lr_base = f"""lrex AS MATERIALIZED (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), lrlab AS MATERIALIZED (
+            SELECT doc_id,
+                   CASE WHEN list_contains(t, 'the') THEN 1.0 ELSE 0.0 END AS y
+            FROM lrex
+        ), lrtk AS MATERIALIZED (
+            SELECT doc_id, unnest(t) AS tok FROM lrex
+        ), lrvoc AS MATERIALIZED (
+            SELECT tok FROM (
+                SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+                FROM lrtk GROUP BY tok)
+            WHERE rn <= {_LRV}
+        ), lrfeats AS MATERIALIZED (
+            SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS cnt
+            FROM lrtk JOIN lrvoc USING (tok) GROUP BY doc_id, tok
+        ), lrnd AS MATERIALIZED (SELECT count(*) * 1.0 AS n FROM documents),
+        w0 AS MATERIALIZED (SELECT tok, 0.0 AS w FROM lrvoc),
+        b0 AS MATERIALIZED (SELECT 0.0 AS b),
+        """ + ", ".join(_lr_iter(i) for i in range(1, _LRI + 1))
+    out["train_quality_filter_docs"] = f"""
+        WITH {_lr_base}
+        SELECT tok AS token, w AS weight,
+               CAST(CASE WHEN tok = '__bias__' THEN 0
+                    ELSE row_number() OVER (
+                        PARTITION BY tok = '__bias__'
+                        ORDER BY w DESC, tok) END AS INT) AS rank
+        FROM (SELECT tok, w FROM w{_LRI}
+              UNION ALL SELECT '__bias__', b FROM b{_LRI})
+    """
+    out["trained_filter_scores_docs"] = f"""
+        WITH {_lr_base},
+        sdots AS MATERIALIZED (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+                   round(sum(w), 6) AS dot
+            FROM lrtk JOIN w{_LRI} USING (tok)
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(s.n_hits, 0) AS n_hits,
+               round((SELECT b FROM b{_LRI}) + coalesce(s.dot, 0.0), 6) AS logit,
+               round(1.0 / (1.0 + exp(-round(
+                   (SELECT b FROM b{_LRI}) + coalesce(s.dot, 0.0), 6))), 6)
+                   AS score,
+               round(1.0 / (1.0 + exp(-round(
+                   (SELECT b FROM b{_LRI}) + coalesce(s.dot, 0.0), 6))), 6)
+                   >= 0.5 AS positive
+        FROM documents d LEFT JOIN sdots s USING (doc_id)
+    """
+
     # WordPiece twins: the seed → segment → recount → prune trajectory
     # unrolled — greedy longest-match per word as max_word_len chained
     # CTE steps (each a coalesce of correlated inventory lookups, the

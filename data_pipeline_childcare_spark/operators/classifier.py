@@ -121,3 +121,114 @@ def centroid_weights(
             weights.get(r["tok"], 0.0) + (rate if r["_pos"] else -rate), ndigits
         )
     return {t: w for t, w in weights.items() if w != 0.0}, 0.0
+
+
+def train_logreg_weights(
+    examples: DataFrame,
+    label_col: str = "label",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_iters: int = 3,
+    lr: float = 0.5,
+    vocab_size: int = 64,
+    ndigits: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Train the linear bag-of-words filter IN-ENGINE: full-batch
+    logistic-regression gradient descent as pure DataFrame ops — the
+    missing train side of :func:`linear_text_scores` (the apply side),
+    so the complete fastText-style quality-filter loop runs
+    distributed with no ML library.
+
+    Every iteration is: per-doc logit (features × broadcast weights,
+    one keyed aggregate) → sigmoid → error → per-token gradient (one
+    keyed aggregate over the feature rows) → weight update (model-
+    sized join). Features are (doc, token, count) rows restricted to
+    the corpus top-``vocab_size`` tokens, so the weight frame is
+    MODEL-sized and broadcasts; the corpus-sized feature frame is
+    computed once and reused every iteration.
+
+    Determinism (SQL-twin discipline): logits, probabilities and
+    errors are pre-rounded to ``ndigits`` and gradients to 8 digits
+    before every downstream use, so DuckDB replays the identical
+    trajectory; ties in the vocab cut break on (count DESC, token
+    ASC). ``checkpoint`` lazily localCheckpoints the weight frame per
+    iteration (kmeans/BPE lineage discipline).
+
+    Returns (token, weight, rank) for the vocab plus one
+    ``__bias__`` row (rank 0); rank orders weights DESC then token.
+    """
+    from pyspark.sql import Window as W
+
+    y = F.col(label_col).cast("double")
+    toks = spread_partitions(examples, id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("tok"))
+        .limit(vocab_size)
+        .select("tok")
+    )
+    feats = (
+        toks.join(F.broadcast(vocab), "tok")
+        .groupBy(id_col, "tok")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    if checkpoint:
+        feats = feats.localCheckpoint(eager=False)
+    labels = examples.select(F.col(id_col), y.alias("_y"))
+    n_docs = examples.count()  # scalar, model metadata
+
+    weights = vocab.select("tok", F.lit(0.0).alias("w"))
+    bias = 0.0
+    for _ in range(n_iters):
+        dots = (
+            feats.join(F.broadcast(weights), "tok")
+            .groupBy(id_col)
+            .agg(F.round(F.sum(F.col("cnt") * F.col("w")), ndigits).alias("_dot"))
+        )
+        logit = F.round(F.lit(bias) + F.coalesce(F.col("_dot"), F.lit(0.0)), ndigits)
+        p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), ndigits)
+        errs = (
+            labels.join(dots, id_col, "left")
+            .select(F.col(id_col), F.round(p - F.col("_y"), ndigits).alias("_err"))
+        )
+        grads = (
+            feats.join(errs, id_col)
+            .groupBy("tok")
+            .agg(
+                F.round(F.sum(F.col("cnt") * F.col("_err")) / n_docs, 8).alias("_g")
+            )
+        )
+        weights = (
+            weights.join(grads, "tok", "left")
+            .select(
+                "tok",
+                F.round(
+                    F.col("w") - F.lit(lr) * F.coalesce(F.col("_g"), F.lit(0.0)),
+                    ndigits,
+                ).alias("w"),
+            )
+        )
+        if checkpoint:
+            weights = weights.localCheckpoint(eager=False)
+        # bias gradient: mean error — one scalar per iteration, the
+        # same guarded-model-metadata contract as n_docs
+        gb = errs.agg(F.round(F.sum("_err") / n_docs, 8).alias("g")).collect()[0]["g"]
+        bias = round(bias - lr * (gb or 0.0), ndigits)
+
+    out = weights.unionByName(
+        examples.sparkSession.createDataFrame([("__bias__", bias)], "tok string, w double")
+    )
+    rank = F.when(F.col("tok") == "__bias__", F.lit(0)).otherwise(
+        F.row_number().over(
+            W.partitionBy(F.col("tok") == "__bias__").orderBy(F.desc("w"), F.asc("tok"))
+        )
+    )
+    return out.select(
+        F.col("tok").alias("token"),
+        F.col("w").alias("weight"),
+        rank.cast("int").alias("rank"),
+    )

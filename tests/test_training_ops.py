@@ -468,3 +468,36 @@ def test_wordpiece_model_collect_guard(spark):
     )
     with _pytest.raises(ValueError, match="model-sized"):
         wp._collect_pieces(big, "test frame")
+
+
+def test_train_logreg_separable_corpus(spark):
+    """In-engine LR training: on a linearly separable toy corpus the
+    learned weights point the right way, train accuracy is 1.0
+    through the apply path, and the trajectory is deterministic
+    across repartitioning (pre-rounded arithmetic)."""
+    from data_pipeline_childcare_spark.operators.classifier import (
+        linear_text_scores,
+        train_logreg_weights,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "cat cats purr feline cat", 1) for i in range(6)]
+        + [(10 + i, "stock market ticker price stock", 0) for i in range(6)],
+        "doc_id long, text string, label int",
+    )
+    w1 = {
+        r["token"]: r["weight"]
+        for r in train_logreg_weights(docs, n_iters=3, vocab_size=16).collect()
+    }
+    assert w1["cat"] > 0 > w1["stock"]
+    weights = {t: v for t, v in w1.items() if t != "__bias__"}
+    scored = linear_text_scores(docs, weights, bias=w1["__bias__"]).collect()
+    assert all((r["score"] >= 0.5) == (r["doc_id"] < 10) for r in scored)
+    # partitioning-invariant trajectory
+    w2 = {
+        r["token"]: r["weight"]
+        for r in train_logreg_weights(
+            docs.repartition(7), n_iters=3, vocab_size=16
+        ).collect()
+    }
+    assert w1 == w2
