@@ -284,6 +284,26 @@ def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def remove_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-SPAN removal (operators/dedup.py
+    remove_duplicate_spans — Lee et al. 2022 ExactSubstr): every
+    8-token window occurring more than once corpus-wide survives only
+    at its first (doc_id, pos); later occurrences are cut and the
+    documents rebuilt from surviving tokens. Detection's enforcement
+    twin (doc_shared_spans detects; this removes). Rebuilt text
+    compared by digest."""
+    from data_pipeline_childcare_spark.operators.dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    out = remove_duplicate_spans(docs, k=8)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text")).alias("text_digest"),
+        "n_tokens",
+        "n_removed",
+    )
+
+
 def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup, FULLY oracled: the engine-portable
     Carter–Wegman hash family (operators/dedup.py) makes the kept-doc
@@ -3657,6 +3677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "topk_global_dedup_events": topk_global_dedup_events,
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_paragraphs_docs": dedup_paragraphs_docs,
+        "remove_dup_spans_docs": remove_dup_spans_docs,
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
@@ -4262,6 +4283,48 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "remove_dup_spans_docs": r"""
+            WITH tk AS MATERIALIZED (
+                SELECT doc_id, {tokens} AS t FROM documents
+            ), grams AS MATERIALIZED (
+                SELECT doc_id, i - 1 AS pos,
+                       md5(array_to_string(t[i:i+7], ' ')) AS h
+                FROM tk, unnest(range(1, len(t) - 8 + 2)) AS r(i)
+                WHERE len(t) >= 8
+            ), dup AS MATERIALIZED (
+                SELECT h FROM grams GROUP BY h HAVING count(*) > 1
+            ), occ AS MATERIALIZED (
+                SELECT g.doc_id, g.pos,
+                       row_number() OVER (
+                           PARTITION BY g.h ORDER BY g.doc_id, g.pos) AS rn
+                FROM grams g JOIN dup USING (h)
+            ), removal AS MATERIALIZED (
+                SELECT DISTINCT doc_id, pos + off AS rmpos
+                FROM occ, unnest(range(0, 8)) AS o(off)
+                WHERE rn > 1
+            ), positions AS MATERIALIZED (
+                SELECT doc_id, i - 1 AS rmpos, t[i] AS tok
+                FROM tk, unnest(range(1, len(t) + 1)) AS r(i)
+            ), kept AS (
+                SELECT p.doc_id, p.rmpos, p.tok
+                FROM positions p ANTI JOIN removal USING (doc_id, rmpos)
+            ), rebuilt AS (
+                SELECT doc_id,
+                       string_agg(tok, ' ' ORDER BY rmpos) AS text,
+                       CAST(count(*) AS BIGINT) AS nk
+                FROM kept GROUP BY doc_id
+            ), totals AS (
+                SELECT doc_id, CAST(coalesce(len(t), 0) AS BIGINT) AS n_tokens
+                FROM tk
+            )
+            SELECT d.doc_id,
+                   md5(coalesce(r.text, '')) AS text_digest,
+                   coalesce(tt.n_tokens, 0) AS n_tokens,
+                   coalesce(tt.n_tokens, 0) - coalesce(r.nk, 0) AS n_removed
+            FROM documents d
+            LEFT JOIN totals tt USING (doc_id)
+            LEFT JOIN rebuilt r USING (doc_id)
+        """.replace("{tokens}", tokens),
         "dedup_paragraphs_docs": r"""
             WITH paras AS (
                 SELECT doc_id, u.p - 1 AS pos, u.t AS para

@@ -28,6 +28,7 @@ from data_pipeline_childcare_spark.functions.text import (
     doc_fingerprint,
     simhash64,
     hamming64,
+    tokenize,
     word_ngrams,
 )
 from data_pipeline_childcare_spark.io import spread_partitions
@@ -718,6 +719,93 @@ def dedup_paragraphs(
             F.coalesce(F.col("text"), F.lit("")).alias("text"),
             F.coalesce(F.col("n_paragraphs"), F.lit(0)).alias("n_paragraphs"),
             F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        )
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact duplicate-SPAN removal at k-token granularity — the
+    ExactSubstr operation of Lee et al. 2022 ("Deduplicating Training
+    Data Makes Language Models Better"), which REMOVES repeated spans
+    instead of dropping whole near-duplicate documents: every k-token
+    window that occurs more than once in the corpus survives only at
+    its first (doc_id, position) occurrence; all other occurrences'
+    token positions are cut and the documents are rebuilt from the
+    remaining tokens (space-joined — token-normalized output, like
+    the suffix-array reference implementation).
+
+    Companion to :func:`shared_span_pairs` (detection) — this is the
+    enforcement side. Window hash = md5 of the space-joined k-token
+    window (engine-portable → fully SQL-oracled).
+
+    Scale shape: one posexplode-sized gram frame, one (hash)-keyed
+    duplicate filter + first-occurrence window, a k-bounded position
+    explode for the losers, one (id, pos)-keyed anti-join, one per-doc
+    reassembly aggregate. No self-join, no pair materialization —
+    cost is linear in corpus tokens + k × duplicate-window
+    occurrences (the size of what's being removed).
+
+    Output: (id, text, n_tokens, n_removed).
+    """
+    from pyspark.sql import Window as W
+
+    toks = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("_t")
+    )
+    grams = toks.select(
+        F.col(id_col),
+        F.posexplode(
+            F.when(
+                F.size("_t") >= k,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("_t") - k),
+                    lambda i: F.md5(F.array_join(F.slice(F.col("_t"), i + 1, k), " ")),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "h"),
+    )
+    dup = grams.groupBy("h").agg(F.count("*").alias("_n")).filter(F.col("_n") > 1)
+    occ = grams.join(dup.select("h"), "h")
+    w = W.partitionBy("h").orderBy(F.col(id_col), F.col("pos"))
+    losers = occ.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") > 1)
+    removal = losers.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("rmpos"),
+    ).distinct()
+    positions = toks.select(
+        F.col(id_col), F.posexplode("_t").alias("rmpos", "tok")
+    )
+    kept = positions.join(removal, [id_col, "rmpos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct(F.col("rmpos"), F.col("tok")))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("text"),
+        F.count("*").cast("long").alias("_nkept"),
+    )
+    totals = toks.select(
+        F.col(id_col), F.size("_t").cast("long").alias("n_tokens")
+    )
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text"), F.lit("")).alias("text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce(F.col("n_tokens"), F.lit(0))
+                - F.coalesce(F.col("_nkept"), F.lit(0))
+            ).alias("n_removed"),
         )
     )
 

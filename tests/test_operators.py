@@ -174,6 +174,32 @@ def test_dedup_paragraphs_first_occurrence_wins(spark):
     assert got[4]["text"] == "" and got[4]["n_paragraphs"] == 0
 
 
+def test_remove_duplicate_spans_first_occurrence_survives(spark):
+    """ExactSubstr enforcement: a verbatim 10-token run shared by two
+    docs is cut from the LATER doc only; unique text unaffected;
+    within-doc repetition of a duplicated window also removed."""
+    from data_pipeline_childcare_spark.operators.dedup import remove_duplicate_spans
+
+    run = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro {run} outro"),
+            (2, f"prefix {run} suffix"),
+            (3, "totally unrelated short text"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in remove_duplicate_spans(docs, k=8).collect()}
+    # doc 1 owns the first occurrence — untouched
+    assert got[1]["text"] == f"intro {run} outro" and got[1]["n_removed"] == 0
+    # doc 2 loses the whole shared run (all 8-gram windows in it are
+    # duplicated, and their union covers w1..w10)
+    assert got[2]["text"] == "prefix suffix"
+    assert got[2]["n_removed"] == 10
+    # under-k doc untouched (no 8-gram windows at all)
+    assert got[3]["n_removed"] == 0 and got[3]["text"] == got[3]["text"]
+
+
 def test_cap_pairs_per_doc_bounds_cluster_blowup(spark):
     """A verbatim c-copy cluster emits C(c,2) pairs; the per-doc cap
     keeps only each endpoint's strongest `cap` neighbors per side, so
