@@ -304,6 +304,34 @@ def remove_dup_spans_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_export_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-CAP composition — the training-data EXPORT step: paragraph
+    dedup (C4-style clean) → deterministic hash split → sequence
+    packing → per-(split, shard) manifest (doc/token/bin counts), the
+    summary a data loader consumes. Composes three independently
+    oracled operators; the DuckDB twin nests their SQL and the
+    manifest is hash-exact, so the whole export path is certified as
+    one row set."""
+    from data_pipeline_childcare_spark.operators.dedup import dedup_paragraphs
+    from data_pipeline_childcare_spark.operators.packing import pack_sequences
+    from data_pipeline_childcare_spark.operators.split import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    cleaned = hash_split(dedup_paragraphs(docs).select("doc_id", "text"))
+    packed = pack_sequences(cleaned)
+    return (
+        packed.join(cleaned.select("doc_id", "split"), "doc_id")
+        .groupBy("split", "shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            # collect_set instead of count(DISTINCT): no Expand in the
+            # plan; bins per (split, shard) are tokens/seq_len-bounded
+            F.size(F.collect_set("bin_id")).cast("long").alias("n_bins"),
+        )
+    )
+
+
 def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup, FULLY oracled: the engine-portable
     Carter–Wegman hash family (operators/dedup.py) makes the kept-doc
@@ -3678,6 +3706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_docs": dedup_exact_docs,
         "dedup_paragraphs_docs": dedup_paragraphs_docs,
         "remove_dup_spans_docs": remove_dup_spans_docs,
+        "corpus_export_manifest": corpus_export_manifest,
         "dedup_fingerprint_docs": dedup_fingerprint_docs,
         "minhash_dedup_docs": minhash_dedup_docs,
         "simhash_pairs_docs": simhash_pairs_docs,
@@ -4283,6 +4312,60 @@ def oracle_sql() -> dict[str, str]:
         "events_value_quantile_sketch": _histq_sql(
             "events", ("event_type",), "value", bins=256
         ),
+        "corpus_export_manifest": r"""
+            WITH paras AS MATERIALIZED (
+                SELECT doc_id, u.p - 1 AS pos, u.t AS para
+                FROM (
+                    SELECT doc_id,
+                           list_transform(
+                               list_filter(
+                                   list_transform(
+                                       regexp_split_to_array(text, '\n\s*\n'),
+                                       x -> trim(x)
+                                   ),
+                                   x -> x <> ''
+                               ),
+                               (x, i) -> struct_pack(p := i, t := x)
+                           ) AS ps
+                    FROM documents
+                ), unnest(ps) AS t(u)
+            ), keyed AS MATERIALIZED (
+                SELECT doc_id, pos, para,
+                       md5(regexp_replace(lower(para), '\s+', ' ', 'g')) AS fp
+                FROM paras
+            ), ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY fp ORDER BY doc_id, pos
+                ) AS rn
+                FROM keyed
+            ), rebuilt AS MATERIALIZED (
+                SELECT doc_id,
+                       string_agg(para, chr(10) || chr(10) ORDER BY pos) AS text
+                FROM ranked WHERE rn = 1 GROUP BY doc_id
+            ), clean AS MATERIALIZED (
+                SELECT d.doc_id, coalesce(r.text, '') AS text
+                FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ), base AS (
+                SELECT doc_id,
+                       CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) AS BIGINT) % 4 AS shard,
+                       md5(CAST(doc_id AS VARCHAR)) AS k,
+                       CAST(len({tokens}) AS BIGINT) AS n_tokens,
+                       {split_case} AS split
+                FROM clean
+            ), pos AS (
+                SELECT doc_id, shard, split, n_tokens,
+                       COALESCE(CAST(sum(n_tokens) OVER (
+                           PARTITION BY shard ORDER BY k
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS BIGINT), 0) AS cum_excl
+                FROM base
+            )
+            SELECT split, shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(count(DISTINCT cum_excl // 2048) AS BIGINT) AS n_bins
+            FROM pos GROUP BY split, shard
+        """.replace("{tokens}", tokens).replace("{split_case}", _split_case),
         "remove_dup_spans_docs": r"""
             WITH tk AS MATERIALIZED (
                 SELECT doc_id, {tokens} AS t FROM documents
