@@ -55,6 +55,11 @@ CONTRACTS = {
     "semdedup_embeddings": (24, False, True),
     "warc_ingest_docs": (0, True, True),
     "archive_ingest_docs": (0, True, True),
+    # round-6 additions: all broadcast-only, no Expand (the manifest
+    # uses collect_set instead of count(DISTINCT) for exactly that)
+    "dedup_paragraphs_docs": (3, True, True),
+    "remove_dup_spans_docs": (4, True, True),
+    "corpus_export_manifest": (3, True, True),
 }
 
 
