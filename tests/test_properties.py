@@ -362,3 +362,98 @@ class TestWarcRoundtrip:
         assert [r["headers"]["warc-record-id"] for r in recs] == [
             f"<urn:{i}>" for i in range(len(payloads))
         ]
+
+
+class TestSpanDedupProperties:
+    @given(
+        texts=st.lists(
+            st.lists(
+                st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+                min_size=0,
+                max_size=14,
+            ).map(" ".join),
+            min_size=1,
+            max_size=6,
+        )
+    )
+    @settings(max_examples=25, deadline=None)
+    def test_remove_duplicate_spans_idempotent_and_python_model(self, spark, texts):
+        """remove_duplicate_spans == a direct python model of
+        'first k-window occurrence wins', and applying it twice
+        changes nothing (the survivor set is already duplicate-free
+        at k-window granularity)."""
+        import hashlib
+
+        from data_pipeline_childcare_spark.operators.dedup import (
+            remove_duplicate_spans,
+        )
+
+        k = 3
+        df = spark.createDataFrame(
+            list(enumerate(texts)), "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: (r["text"], r["n_removed"])
+            for r in remove_duplicate_spans(df, k=k).collect()
+        }
+
+        # python model
+        toks = {i: t.split() if t else [] for i, t in enumerate(texts)}
+        seen: dict[str, tuple[int, int]] = {}
+        for i in sorted(toks):
+            for p in range(len(toks[i]) - k + 1):
+                h = hashlib.md5(" ".join(toks[i][p : p + k]).encode()).hexdigest()
+                seen.setdefault(h, (i, p))
+        removed: dict[int, set] = {i: set() for i in toks}
+        for i in sorted(toks):
+            for p in range(len(toks[i]) - k + 1):
+                h = hashlib.md5(" ".join(toks[i][p : p + k]).encode()).hexdigest()
+                if seen[h] != (i, p):
+                    removed[i].update(range(p, p + k))
+        for i in toks:
+            keep = [t for j, t in enumerate(toks[i]) if j not in removed[i]]
+            assert got[i] == (" ".join(keep), len(removed[i])), (i, texts)
+
+        # idempotence on the rebuilt corpus
+        rebuilt = spark.createDataFrame(
+            [(i, got[i][0]) for i in sorted(got)], "doc_id long, text string"
+        )
+        again = {
+            r["doc_id"]: r["n_removed"]
+            for r in remove_duplicate_spans(rebuilt, k=k).collect()
+        }
+        assert all(v == 0 for v in again.values()), (again, texts)
+
+    @given(
+        paras=st.lists(
+            st.lists(
+                st.sampled_from(["shared block", "unique %d" % 7, "tail words", "intro"]),
+                min_size=0,
+                max_size=4,
+            ),
+            min_size=1,
+            max_size=5,
+        )
+    )
+    @settings(max_examples=20, deadline=None)
+    def test_dedup_paragraphs_idempotent(self, spark, paras):
+        """A paragraph-deduped corpus re-deduplicates to itself: every
+        surviving paragraph is corpus-unique by construction."""
+        from data_pipeline_childcare_spark.operators.dedup import dedup_paragraphs
+
+        df = spark.createDataFrame(
+            [(i, "\n\n".join(ps)) for i, ps in enumerate(paras)],
+            "doc_id long, text string",
+        )
+        once = dedup_paragraphs(df)
+        rows1 = {r["doc_id"]: r for r in once.collect()}
+        twice = dedup_paragraphs(
+            spark.createDataFrame(
+                [(i, rows1[i]["text"]) for i in sorted(rows1)],
+                "doc_id long, text string",
+            )
+        )
+        rows2 = {r["doc_id"]: r for r in twice.collect()}
+        for i in rows1:
+            assert rows2[i]["text"] == rows1[i]["text"]
+            assert rows2[i]["n_kept"] == rows2[i]["n_paragraphs"]
