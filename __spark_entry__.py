@@ -1066,6 +1066,23 @@ def doc_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_logprob_scores(docs)
 
 
+def doc_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM scoring (Brants et al. 2007,
+    operators/tfidf.trigram_backoff_scores): counts come from a
+    deterministic 70% md5 hash sample (salt ``lm``), every document
+    is scored, so the ~30% held-out docs exercise the backoff tiers
+    (trigram hit → α·bigram → α²·unigram-with-OOV-floor). The DuckDB
+    twin replays the same split predicate, the same per-order count
+    tables and the same association order, with the pre-rounded
+    log-sum discipline."""
+    from data_pipeline_childcare_spark.operators.split import hash_sample
+    from data_pipeline_childcare_spark.operators.tfidf import trigram_backoff_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    train = hash_sample(docs, 0.7, salt="lm")
+    return trigram_backoff_scores(docs, train)
+
+
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
     sold to ASIA customers, the fraction supplied by NATION_1, per
@@ -3760,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_profit_by_year": nation_profit_by_year,
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_bigram_logprob": doc_bigram_logprob,
+        "doc_trigram_backoff": doc_trigram_backoff,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -6850,6 +6868,71 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT doc_id,
                CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(round(sum(l), 6) / count(*), 6) AS avg_logprob
+        FROM lp GROUP BY doc_id
+    """
+    # stupid-backoff twin: same 70% md5 split (salt 'lm'), per-order
+    # count tables over the train subset only (each order filtered to
+    # docs long enough for it, mirroring the operator), identical
+    # CASE tiers and association order
+    out["doc_trigram_backoff"] = f"""
+        WITH lt AS (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), train AS (
+            SELECT * FROM lt
+            WHERE substr(md5('lm:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                  < 'b3333333'
+        ), tri_c AS (
+            SELECT tg, count(*) AS c3 FROM (
+                SELECT unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+                FROM train WHERE len(t) >= 3
+            ) GROUP BY tg
+        ), bi_c AS (
+            SELECT bg, count(*) AS c2 FROM (
+                SELECT unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i + 1])) AS bg
+                FROM train WHERE len(t) >= 2
+            ) GROUP BY bg
+        ), uni_c AS (
+            SELECT tok, count(*) AS c1 FROM (
+                SELECT unnest(t) AS tok FROM train
+            ) GROUP BY tok
+        ), tot AS (
+            SELECT sum(c1) AS n FROM uni_c
+        ), pos AS (
+            SELECT doc_id, tg,
+                   string_split(tg, ' ')[1] || ' ' || string_split(tg, ' ')[2]
+                       AS ctx,
+                   string_split(tg, ' ')[2] || ' ' || string_split(tg, ' ')[3]
+                       AS bg2,
+                   string_split(tg, ' ')[2] AS w2,
+                   string_split(tg, ' ')[3] AS w3
+            FROM (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS tg
+                FROM lt WHERE len(t) >= 3
+            )
+        ), lp AS (
+            SELECT p.doc_id,
+                   log10(CASE
+                       WHEN tri_c.c3 IS NOT NULL
+                           THEN tri_c.c3 * 1.0 / cx.c2
+                       WHEN b2.c2 IS NOT NULL
+                           THEN 0.4 * (b2.c2 * 1.0 / u2.c1)
+                       ELSE 0.4 * 0.4 * (COALESCE(u3.c1, 0.5) * 1.0 / tot.n)
+                   END) AS l
+            FROM pos p
+            LEFT JOIN tri_c ON tri_c.tg = p.tg
+            LEFT JOIN bi_c cx ON cx.bg = p.ctx
+            LEFT JOIN bi_c b2 ON b2.bg = p.bg2
+            LEFT JOIN uni_c u2 ON u2.tok = p.w2
+            LEFT JOIN uni_c u3 ON u3.tok = p.w3
+            CROSS JOIN tot
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_trigrams,
                round(round(sum(l), 6) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id
     """

@@ -334,3 +334,137 @@ def bigram_logprob_scores(
             F.round(F.col("_num") / F.col("n_bigrams"), ndigits).alias("avg_logprob"),
         )
     )
+
+
+def trigram_backoff_scores(
+    docs: DataFrame,
+    train_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.4,
+    oov_count: float = 0.5,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Per-document average TRIGRAM STUPID-BACKOFF log-score →
+    (id, n_trigrams, avg_logprob) — Brants et al.'s "Stupid Backoff"
+    (Large Language Models in Machine Translation, EMNLP 2007), the
+    counts-only scoring rule production n-gram LMs use at corpus
+    scale because it needs no discount fitting:
+
+        S(w3 | w1 w2) = c(w1 w2 w3) / c(w1 w2)      if the trigram
+                                                     was seen in train
+                      = α · c(w2 w3) / c(w2)         else if the bigram
+                                                     was seen
+                      = α² · c(w3) / N               else (OOV words
+                                                     take a half-count
+                                                     ``oov_count`` so
+                                                     the log is finite)
+
+    Unlike :func:`bigram_logprob_scores` (which interpolates and can
+    self-score), backoff is only meaningful when scoring text the
+    model did NOT memorize — callers pass a ``train_docs`` subset
+    (e.g. ``hash_sample``) and score the full corpus; held-out
+    documents exercise the backoff tiers.
+
+    Shapes: one trigram explode over the scored corpus; three keyed
+    count aggregates over the train corpus (trigram, bigram, unigram
+    — all map-side combined; the bigram table serves both the w1w2
+    context and the w2w3 backoff via two keyed joins); five left
+    joins back on uniform n-gram keys; one per-doc aggregate. The
+    corpus total N is a one-row broadcast. No all-pairs structure;
+    stopword-context skew is bounded by the vocab-keyed aggregates
+    exactly as in tf-idf above. Documents with fewer than three
+    tokens emit no row.
+
+    The per-doc log sum is pre-rounded before the division so the
+    average is canonical under any partition order (same discipline
+    as the bigram scorer).
+    """
+    from data_pipeline_childcare_spark.functions.text import token_count, word_ngrams
+
+    # --- train-side count tables (vocab-sized, keyed aggregates) ---
+    # docs shorter than n tokens have no order-n positions (word_ngrams
+    # degrades to a whole-text shingle there, which is NOT an n-gram
+    # count), so each table filters to docs long enough for its order
+    train = spread_partitions(train_docs, id_col)
+    tri_c = (
+        train.filter(token_count(F.col(text_col)) >= 3)
+        .select(F.explode(word_ngrams(F.col(text_col), 3)).alias("_tg"))
+        .groupBy("_tg")
+        .agg(F.count("*").alias("_c3"))
+    )
+    bi_c = (
+        train.filter(token_count(F.col(text_col)) >= 2)
+        .select(F.explode(word_ngrams(F.col(text_col), 2)).alias("_bg"))
+        .groupBy("_bg")
+        .agg(F.count("*").alias("_c2"))
+    )
+    uni_c = (
+        train.select(F.explode(tokenize(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").alias("_c1"))
+    )
+    total = uni_c.agg(F.sum("_c1").alias("_n"))
+
+    # --- scored-corpus trigram positions ---
+    pos = (
+        spread_partitions(docs, id_col)
+        .filter(token_count(F.col(text_col)) >= 3)
+        .select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), 3)).alias("_tg")
+        )
+        .select(
+            F.col(id_col),
+            "_tg",
+            F.split(F.col("_tg"), " ").alias("_parts"),
+        )
+        .select(
+            F.col(id_col),
+            "_tg",
+            F.concat_ws(" ", F.col("_parts")[0], F.col("_parts")[1]).alias("_ctx"),
+            F.concat_ws(" ", F.col("_parts")[1], F.col("_parts")[2]).alias("_bg2"),
+            F.col("_parts")[1].alias("_w2"),
+            F.col("_parts")[2].alias("_w3"),
+        )
+    )
+
+    ctx_c = bi_c.withColumnRenamed("_bg", "_ctx").withColumnRenamed("_c2", "_cctx")
+    bg2_c = bi_c.withColumnRenamed("_bg", "_bg2").withColumnRenamed("_c2", "_cbg2")
+    w2_c = uni_c.withColumnRenamed("_t", "_w2").withColumnRenamed("_c1", "_cw2")
+    w3_c = uni_c.withColumnRenamed("_t", "_w3").withColumnRenamed("_c1", "_cw3")
+
+    score = (
+        F.when(
+            F.col("_c3").isNotNull(), F.col("_c3") / F.col("_cctx")
+        )
+        .when(
+            F.col("_cbg2").isNotNull(),
+            F.lit(alpha) * (F.col("_cbg2") / F.col("_cw2")),
+        )
+        .otherwise(
+            F.lit(alpha)
+            * F.lit(alpha)
+            * (F.coalesce(F.col("_cw3"), F.lit(oov_count)) / F.col("_n"))
+        )
+    )
+    lp = (
+        pos.join(tri_c, "_tg", "left")
+        .join(ctx_c, "_ctx", "left")
+        .join(bg2_c, "_bg2", "left")
+        .join(w2_c, "_w2", "left")
+        .join(w3_c, "_w3", "left")
+        .join(F.broadcast(total))
+        .select(F.col(id_col), F.log10(score).alias("_lp"))
+    )
+    return (
+        lp.groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_trigrams"),
+            F.round(F.sum("_lp"), ndigits).alias("_num"),
+        )
+        .select(
+            id_col,
+            "n_trigrams",
+            F.round(F.col("_num") / F.col("n_trigrams"), ndigits).alias("avg_logprob"),
+        )
+    )

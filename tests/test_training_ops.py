@@ -501,3 +501,31 @@ def test_train_logreg_separable_corpus(spark):
         ).collect()
     }
     assert w1 == w2
+
+
+def test_trigram_backoff_tiers(spark):
+    """Stupid backoff hits all three tiers: a train-seen trigram
+    scores c3/c(ctx); an unseen trigram with a seen backoff bigram
+    scores alpha*c(bg)/c(w2); a fully novel continuation takes the
+    alpha^2 unigram tier with the OOV half-count floor; and a
+    2-token doc emits no row."""
+    import math
+
+    from data_pipeline_childcare_spark.operators.tfidf import trigram_backoff_scores
+
+    train = spark.createDataFrame([(1, "a b c a b c")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b c"), (3, "x b c"), (4, "b c z"), (5, "a b")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in trigram_backoff_scores(docs, train).collect()}
+    assert 5 not in got  # < 3 tokens -> no trigram positions
+    # tier 1: c("a b c")=2 / c("a b")=2 = 1.0
+    assert got[2]["n_trigrams"] == 1
+    assert got[2]["avg_logprob"] == 0.0
+    # tier 2: 0.4 * c("b c")=2 / c("b")=2 = 0.4
+    assert got[3]["avg_logprob"] == round(math.log10(0.4), 6)
+    # tier 3: 0.4^2 * 0.5(OOV floor) / N=6
+    assert got[4]["avg_logprob"] == round(math.log10(0.4 * 0.4 * (0.5 / 6)), 6)
+    # tiers are ordered: exact match > backoff > novel
+    assert got[2]["avg_logprob"] > got[3]["avg_logprob"] > got[4]["avg_logprob"]
