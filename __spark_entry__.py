@@ -2159,6 +2159,64 @@ def image_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end
+    (operators/imagehash): synthesize a deterministic 8×8 grayscale
+    PNG per document — groups of 8 docs share a base pattern, with
+    per-doc tiers (identical / one-pixel-perturbed / different
+    pattern) so real near-dup structure exists — then aHash through
+    the REAL stdlib PNG decode and find pairs with the 4×16-bit
+    pigeonhole band join (hamming ≤ 3).
+
+    Oracled WITHOUT a decoder on the oracle side, same discipline as
+    image_decode_features: the pixel formula is closed-form, PNG
+    round-trips losslessly, and the aHash bit rule is exact integer
+    arithmetic (cell·64 > Σcells), so DuckDB derives the bits from
+    the formula and takes all-pairs hamming at oracle scale — any
+    decode, hashing or blocking defect breaks the hash match. The
+    blocked join must equal all-pairs exactly (pigeonhole
+    completeness for hamming ≤ 3)."""
+    import pandas as pd  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.operators.imagehash import (
+        hamming_near_dup_pairs,
+        image_perceptual_hashes,
+    )
+    from data_pipeline_childcare_spark.sources.imagecodec import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, paths, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, p = d // 8, d % 8
+                # the aHash bit rule is invariant to a constant added
+                # to every pixel, so the per-group term must change
+                # the SLOPE (i-coefficient), not just the offset —
+                # otherwise every group hashes identically and pair
+                # volume goes quadratic in the corpus
+                slope = 11 + g % 251
+                pix = bytearray()
+                for i in range(64):
+                    if p >= 6:
+                        v = (g * 37 + i * (slope + 12 + 13 * p) + 97 * p) % 256
+                    else:
+                        v = (g * 37 + i * slope) % 256
+                        if p >= 4 and i == d % 64:
+                            v = (v + 140) % 256
+                    pix.append(v)
+                ids.append(d)
+                paths.append(f"img_{d}.png")
+                blobs.append(encode_png(8, 8, bytes(pix), mode="L", filter_type=d % 5))
+            yield pd.DataFrame({"doc_id": ids, "path": paths, "content": blobs})
+
+    imgs = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
+    hashed = image_perceptual_hashes(imgs, id_cols=("doc_id",))
+    return hamming_near_dup_pairs(hashed, id_col="doc_id", sig_col="ahash", max_hamming=3)
+
+
 def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     operator — same expression, no watermark)."""
@@ -3778,6 +3836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_unigram_logprob": doc_unigram_logprob,
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_trigram_backoff": doc_trigram_backoff,
+        "image_ahash_near_dup": image_ahash_near_dup,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -6935,6 +6994,41 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_trigrams,
                round(round(sum(l), 6) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id
+    """
+    # perceptual-hash twin: bits derived closed-form from the pixel
+    # generator (no decoder needed — PNG round-trips losslessly and
+    # the aHash bit rule is exact integer arithmetic); all-pairs
+    # hamming is affordable at oracle scale and must equal the Spark
+    # side's pigeonhole-blocked join exactly
+    out["image_ahash_near_dup"] = """
+        WITH ids AS (
+            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
+            FROM documents
+        ), pix AS (
+            SELECT doc_id,
+                   CAST(i AS INT) AS b,
+                   CASE WHEN p >= 6
+                            THEN (g * 37 + i * (23 + g % 251 + 13 * p) + 97 * p) % 256
+                        WHEN p >= 4 AND i = doc_id % 64
+                            THEN (g * 37 + i * (11 + g % 251) + 140) % 256
+                        ELSE (g * 37 + i * (11 + g % 251)) % 256
+                   END AS v
+            FROM ids CROSS JOIN range(64) r(i)
+        ), tot AS (
+            SELECT doc_id, sum(v) AS s FROM pix GROUP BY doc_id
+        ), bits AS (
+            SELECT p.doc_id, p.b,
+                   CASE WHEN p.v * 64 > t.s THEN 1 ELSE 0 END AS bit
+            FROM pix p JOIN tot t USING (doc_id)
+        ), ham AS (
+            SELECT ba.doc_id AS id_a, bb.doc_id AS id_b,
+                   CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                        AS INT) AS hamming
+            FROM bits ba
+            JOIN bits bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
+            GROUP BY ba.doc_id, bb.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE

@@ -710,16 +710,17 @@ def decode_image_stdlib(data: bytes) -> tuple[int, int, str, bytes] | None:
         raise ValueError(f"corrupt image container: {exc!r}") from exc
 
 
-def luminance_thumbnail(
-    width: int, height: int, mode: str, pixels: bytes, tw: int = 4, th: int = 2
-) -> list[float]:
-    """Box-mean grayscale thumbnail, the deterministic counterpart of
-    PIL's convert("L").resize(): Rec.601 integer luma per pixel, then
-    the mean over each of the tw×th cells, scaled to [0,1]. Engine-
-    portable (no resampling-kernel ambiguity) so features compare
-    across environments."""
+def luminance_cells(
+    width: int, height: int, mode: str, pixels: bytes, tw: int, th: int
+) -> list[tuple[int, int]]:
+    """Integer box-sum grayscale grid → (luma_total, pixel_count) per
+    tw×th cell, row-major. The EXACT-arithmetic core under both the
+    float thumbnail feature and the perceptual hashes: keeping totals
+    and counts as integers lets hash bit decisions use cross-
+    multiplied integer comparisons (no float-tie ambiguity between
+    engines)."""
     channels = {"L": 1, "LA": 2, "RGB": 3, "RGBA": 4}[mode]
-    out: list[float] = []
+    out: list[tuple[int, int]] = []
     for j in range(th):
         y0, y1 = j * height // th, (j + 1) * height // th
         y1 = max(y1, y0 + 1)
@@ -737,8 +738,22 @@ def luminance_thumbnail(
                         lum = pixels[o]
                     total += lum
                     count += 1
-            out.append(total / count / 255.0)
+            out.append((total, count))
     return out
+
+
+def luminance_thumbnail(
+    width: int, height: int, mode: str, pixels: bytes, tw: int = 4, th: int = 2
+) -> list[float]:
+    """Box-mean grayscale thumbnail, the deterministic counterpart of
+    PIL's convert("L").resize(): Rec.601 integer luma per pixel, then
+    the mean over each of the tw×th cells, scaled to [0,1]. Engine-
+    portable (no resampling-kernel ambiguity) so features compare
+    across environments."""
+    return [
+        total / count / 255.0
+        for total, count in luminance_cells(width, height, mode, pixels, tw, th)
+    ]
 
 
 # --- JPEG (baseline SOF0 + progressive SOF2) ---------------------------

@@ -60,6 +60,14 @@ CONTRACTS = {
     "dedup_paragraphs_docs": (3, True, True),
     "remove_dup_spans_docs": (4, True, True),
     "corpus_export_manifest": (3, True, True),
+    # stupid-backoff: 3 n-gram count aggs (bigram/unigram subtrees
+    # each used twice -> computed twice) + the per-doc agg; all five
+    # join-backs broadcast at contract scale
+    "doc_trigram_backoff": (7, True, True),
+    # perceptual hash: two mapInPandas passes, the band self-join
+    # (broadcast at contract scale, sort-merge at corpus scale — both
+    # acceptable) and the pair distinct
+    "image_ahash_near_dup": (2, False, True),
 }
 
 
