@@ -2217,6 +2217,90 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(hashed, id_col="doc_id", sig_col="ahash", max_hamming=3)
 
 
+def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup via keyframe perceptual hashes, end-to-end
+    through the REAL video stack: synthesize a deterministic
+    4-frame uncompressed AVI per document (imagecodec.encode_avi_dib,
+    grayscale r=g=b so Rec.601 luma is exactly the closed-form pixel
+    value), sample every frame with sources/multimodal.sample_frames
+    (real RIFF walk + DIB→BMP), aHash each frame through the real BMP
+    decode, block frame pairs with the 4×16-bit pigeonhole join, then
+    roll aligned-frame matches up to video pairs: videos sharing ≥ 3
+    of their 4 frame positions at hamming ≤ 3 →
+    (video_a, video_b, n_frame_matches, max_hamming).
+
+    Group structure mirrors image_ahash_near_dup (8 docs per group:
+    4 identical videos, 2 one-pixel-perturbed in one frame, 2 with an
+    unrelated slope family), with the per-frame SLOPE varying so
+    frames within a video differ. The DuckDB twin derives the frame
+    bits closed-form (lossless DIB round-trip + integer aHash rule)
+    and takes all-pairs aligned-frame hamming at oracle scale."""
+    import pandas as pd  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.operators.imagehash import (
+        hamming_near_dup_pairs,
+        image_perceptual_hashes,
+    )
+    from data_pipeline_childcare_spark.sources.imagecodec import encode_avi_dib
+    from data_pipeline_childcare_spark.sources.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, paths, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, p = d // 8, d % 8
+                frames = []
+                for f in range(4):
+                    if p >= 6:
+                        slope = 11 + (g * 4 + f + 101 + 13 * p) % 251
+                    else:
+                        slope = 11 + (g * 4 + f) % 251
+                    rgb = bytearray()
+                    for i in range(64):
+                        v = (g * 37 + i * slope) % 256
+                        if 4 <= p < 6 and f == d % 4 and i == d % 64:
+                            v = (v + 140) % 256
+                        rgb += bytes((v, v, v))
+                    frames.append(bytes(rgb))
+                ids.append(d)
+                paths.append(f"vid_{d}.avi")
+                blobs.append(encode_avi_dib(8, 8, frames, usec_per_frame=100_000))
+            yield pd.DataFrame({"doc_id": ids, "path": paths, "content": blobs})
+
+    vids = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
+    frames = sample_frames(vids, every_ms=100, max_frames=4)
+    # frame key packs (video, frame) into one orderable long so the
+    # generic pair join applies; 16 ≫ max_frames keeps it collision-free
+    keyed = frames.select(
+        (
+            F.regexp_extract("path", r"vid_(\d+)\.avi", 1).cast("long") * 16
+            + F.col("frame_idx")
+        ).alias("fkey"),
+        F.col("frame").alias("content"),
+        "path",
+    )
+    hashed = image_perceptual_hashes(keyed, id_cols=("fkey",))
+    pairs = hamming_near_dup_pairs(hashed, id_col="fkey", sig_col="ahash", max_hamming=3)
+    aligned = pairs.filter(
+        (F.col("id_a") % 16) == (F.col("id_b") % 16)
+    ).select(
+        F.shiftright(F.col("id_a"), 4).alias("video_a"),
+        F.shiftright(F.col("id_b"), 4).alias("video_b"),
+        "hamming",
+    )
+    return (
+        aligned.groupBy("video_a", "video_b")
+        .agg(
+            F.count("*").alias("n_frame_matches"),
+            F.max("hamming").alias("max_hamming"),
+        )
+        .filter(F.col("n_frame_matches") >= 3)
+    )
+
+
 def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     operator — same expression, no watermark)."""
@@ -3837,6 +3921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bigram_logprob": doc_bigram_logprob,
         "doc_trigram_backoff": doc_trigram_backoff,
         "image_ahash_near_dup": image_ahash_near_dup,
+        "video_keyframe_dedup": video_keyframe_dedup,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7029,6 +7114,50 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ba.doc_id, bb.doc_id
         )
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """
+    # video twin: same closed-form bit derivation with a frame
+    # dimension (the DIB frames round-trip losslessly and r=g=b makes
+    # Rec.601 luma the pixel value itself); aligned-frame all-pairs
+    # hamming, rolled up to video pairs with the >= 3-of-4 gate
+    out["video_keyframe_dedup"] = """
+        WITH ids AS (
+            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
+            FROM documents
+        ), fr AS (
+            SELECT doc_id, g, p, CAST(f AS INT) AS f
+            FROM ids CROSS JOIN range(4) rf(f)
+        ), pix AS (
+            SELECT doc_id, f, CAST(i AS INT) AS b,
+                   CASE WHEN p >= 6
+                            THEN (g * 37
+                                  + i * (11 + (g * 4 + f + 101 + 13 * p) % 251))
+                                 % 256
+                        WHEN p >= 4 AND f = doc_id % 4 AND i = doc_id % 64
+                            THEN (g * 37 + i * (11 + (g * 4 + f) % 251) + 140)
+                                 % 256
+                        ELSE (g * 37 + i * (11 + (g * 4 + f) % 251)) % 256
+                   END AS v
+            FROM fr CROSS JOIN range(64) r(i)
+        ), tot AS (
+            SELECT doc_id, f, sum(v) AS s FROM pix GROUP BY doc_id, f
+        ), bits AS (
+            SELECT p.doc_id, p.f, p.b,
+                   CASE WHEN p.v * 64 > t.s THEN 1 ELSE 0 END AS bit
+            FROM pix p JOIN tot t ON t.doc_id = p.doc_id AND t.f = p.f
+        ), fham AS (
+            SELECT ba.doc_id AS va, bb.doc_id AS vb, ba.f,
+                   CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                        AS INT) AS hamming
+            FROM bits ba
+            JOIN bits bb ON bb.b = ba.b AND bb.f = ba.f
+                        AND ba.doc_id < bb.doc_id
+            GROUP BY ba.doc_id, bb.doc_id, ba.f
+        )
+        SELECT va AS video_a, vb AS video_b,
+               CAST(count(*) AS BIGINT) AS n_frame_matches,
+               max(hamming) AS max_hamming
+        FROM fham WHERE hamming <= 3
+        GROUP BY va, vb HAVING count(*) >= 3
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE

@@ -592,9 +592,10 @@ def _parse_gif_frames_impl(
     return sw, sh, frames
 
 
-def rgb_to_bmp(width: int, height: int, rgb: bytes) -> bytes:
-    """Top-down RGB raster → 24-bit BMP file (rows flipped to the
-    bottom-up BGR DIB layout :func:`encode_bmp` wraps)."""
+def rgb_to_dib(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB raster → raw DIB pixel array (bottom-up BGR,
+    4-byte-padded rows — the layout BMP files and AVI '00db' frame
+    chunks share)."""
     row_bytes = (width * 3 + 3) & ~3
     dib = bytearray()
     for y in range(height - 1, -1, -1):
@@ -604,7 +605,42 @@ def rgb_to_bmp(width: int, height: int, rgb: bytes) -> bytes:
             line += bytes((rgb[o + 2], rgb[o + 1], rgb[o]))
         line += bytes(row_bytes - len(line))
         dib += line
-    return encode_bmp(width, height, bytes(dib))
+    return bytes(dib)
+
+
+def rgb_to_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Top-down RGB raster → 24-bit BMP file (rows flipped to the
+    bottom-up BGR DIB layout :func:`encode_bmp` wraps)."""
+    return encode_bmp(width, height, rgb_to_dib(width, height, rgb))
+
+
+def encode_avi_dib(
+    width: int,
+    height: int,
+    frames_rgb: list[bytes],
+    usec_per_frame: int = 100_000,
+) -> bytes:
+    """Uncompressed AVI writer (fixture-grade, like :func:`encode_png`
+    / :func:`encode_bmp`): top-down RGB rasters → '00db' DIB frames in
+    a RIFF 'AVI ' container with an avih header, exactly the subset
+    :func:`parse_avi` plays back — so video-pipeline tests and the
+    driver oracle queries can synthesize real, losslessly
+    round-tripping video blobs with no media library."""
+    dibs = [rgb_to_dib(width, height, rgb) for rgb in frames_rgb]
+    # avih: usec/frame, max bytes/sec, padding, flags, total frames,
+    # initial frames, streams, suggested buffer, width, height, rsvd×4
+    avih = struct.pack(
+        "<14I", usec_per_frame, 0, 0, 0, len(dibs), 0, 1, 0, width, height, 0, 0, 0, 0
+    )
+    hdrl_body = b"avih" + struct.pack("<I", len(avih)) + avih
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(hdrl_body)) + b"hdrl" + hdrl_body
+    movi_body = b"".join(
+        b"00db" + struct.pack("<I", len(d)) + d + (b"\x00" if len(d) & 1 else b"")
+        for d in dibs
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    payload = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(payload)) + payload
 
 
 def iter_riff_chunks(data: bytes, pos: int, end: int):

@@ -1972,3 +1972,38 @@ def test_gif_long_animation_not_truncated_by_parse_cap(spark):
     assert [(r["frame_idx"], r["frame_ms"]) for r in rows] == [
         (0, 0), (30, 3000), (60, 6000), (90, 9000),
     ]
+
+
+def test_encode_avi_dib_round_trips_through_parse_avi():
+    """The fixture AVI writer must produce exactly the subset
+    parse_avi plays back, losslessly: header fields and every frame's
+    RGB raster."""
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_bmp,
+        encode_avi_dib,
+        encode_bmp,
+        parse_avi,
+    )
+
+    frames = [bytes((f * 29 + i * 7) % 256 for i in range(8 * 8 * 3)) for f in range(3)]
+    avi = encode_avi_dib(8, 8, frames, usec_per_frame=40_000)
+    w, h, usec, out = parse_avi(avi)
+    assert (w, h, usec) == (8, 8, 40_000)
+    assert [k for k, _ in out] == ["dib"] * 3
+    for f, (_, dib) in enumerate(out):
+        assert decode_bmp(encode_bmp(8, 8, dib))[3] == frames[f]
+
+
+def test_encode_avi_dib_odd_width_padding():
+    """5-px-wide rows need 4-byte padding in the DIB layout; the
+    padding must survive the container round trip."""
+    from data_pipeline_childcare_spark.sources.imagecodec import (
+        decode_bmp,
+        encode_avi_dib,
+        encode_bmp,
+        parse_avi,
+    )
+
+    rgb = bytes((i * 3) % 256 for i in range(5 * 4 * 3))
+    w, h, usec, out = parse_avi(encode_avi_dib(5, 4, [rgb]))
+    assert decode_bmp(encode_bmp(5, 4, out[0][1]))[3] == rgb

@@ -139,3 +139,74 @@ def test_image_perceptual_hashes_carries_id_cols(spark):
     assert rows[1]["width"] == 8 and not rows[1]["is_stub"]
     expected = _ref_ahash(bytes((1 * 31 + i * 7) % 256 for i in range(64)))
     assert rows[1]["ahash"] == expected
+
+
+def test_video_keyframe_pipeline_real_tier(spark):
+    """AVI synth → sample_frames (real tier, no stubs) → per-frame
+    aHash → near-dup pairs: two identical 2-frame videos match on
+    both frame positions; an unrelated video matches nothing."""
+
+    def make_gen():
+        def gen(batches):
+            import pandas as pd
+
+            from data_pipeline_childcare_spark.sources.imagecodec import (
+                encode_avi_dib,
+            )
+
+            def vid(seed):
+                frames = []
+                for f in range(2):
+                    frames.append(
+                        bytes(
+                            b
+                            for i in range(64)
+                            for b in [(seed * 13 + i * (7 + f)) % 256] * 3
+                        )
+                    )
+                return encode_avi_dib(8, 8, frames)
+
+            for pdf in batches:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"],
+                        "path": [f"v_{d}.avi" for d in pdf["doc_id"]],
+                        # docs 1,2 identical; doc 3 unrelated
+                        "content": [
+                            vid(1 if int(d) < 3 else 99) for d in pdf["doc_id"]
+                        ],
+                    }
+                )
+
+        return gen
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.imagehash import (
+        hamming_near_dup_pairs,
+        image_perceptual_hashes,
+    )
+    from data_pipeline_childcare_spark.sources.multimodal import sample_frames
+
+    vids = spark.createDataFrame([(1,), (2,), (3,)], "doc_id long").mapInPandas(
+        make_gen(), schema="doc_id long, path string, content binary"
+    )
+    frames = sample_frames(vids, every_ms=100, max_frames=2)
+    assert frames.filter("is_stub").count() == 0  # real AVI tier
+    keyed = frames.select(
+        (
+            F.regexp_extract("path", r"v_(\d+)\.avi", 1).cast("long") * 16
+            + F.col("frame_idx")
+        ).alias("fkey"),
+        F.col("frame").alias("content"),
+        "path",
+    )
+    hashed = image_perceptual_hashes(keyed, id_cols=("fkey",))
+    assert hashed.filter("is_stub").count() == 0
+    pairs = hamming_near_dup_pairs(
+        hashed, id_col="fkey", sig_col="ahash", max_hamming=0
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # videos 1 and 2: frame 0 keys (16, 32), frame 1 keys (17, 33)
+    assert (16, 32) in got and (17, 33) in got
+    assert all(48 not in p and 49 not in p for p in got)

@@ -68,6 +68,9 @@ CONTRACTS = {
     # (broadcast at contract scale, sort-merge at corpus scale — both
     # acceptable) and the pair distinct
     "image_ahash_near_dup": (2, False, True),
+    # video: the frame-pair distinct + the video rollup agg on top of
+    # the band self-join (broadcast at contract scale)
+    "video_keyframe_dedup": (3, False, True),
 }
 
 
