@@ -2301,6 +2301,59 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup via the windowed energy-delta sign fingerprint
+    (sources/multimodal.audio_fingerprints), end-to-end through the
+    REAL audio stack: synthesize a deterministic 512-sample PCM16 WAV
+    per document (multimodal.encode_wav_pcm16), decode it with the
+    real RIFF/fmt/data walk, fingerprint with exact integer window
+    energies, and pair with the 4×16-bit pigeonhole band join
+    (hamming ≤ 3) → (id_a, id_b, hamming).
+
+    Same 8-docs-per-group tier structure as the image/video twins
+    (identical / one-sample-spiked / different sample slope), with a
+    per-group slope so fingerprint collisions across groups stay
+    bounded. The DuckDB twin derives window energies closed-form from
+    the generator (PCM16 round-trips losslessly) and takes all-pairs
+    hamming at oracle scale."""
+    import pandas as pd  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.operators.imagehash import (
+        hamming_near_dup_pairs,
+    )
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        audio_fingerprints,
+        encode_wav_pcm16,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, paths, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, p = d // 8, d % 8
+                mult = (g % 89 + 14 + p) if p >= 6 else (g % 89 + 3)
+                samples = []
+                for i in range(512):
+                    s = ((g * 7 + i * mult) % 4001) - 2000
+                    if 4 <= p < 6 and i == d % 512:
+                        s += 500
+                    samples.append(s)
+                ids.append(d)
+                paths.append(f"au_{d}.wav")
+                blobs.append(
+                    encode_wav_pcm16(8000, 1, struct.pack("<512h", *samples))
+                )
+            yield pd.DataFrame({"doc_id": ids, "path": paths, "content": blobs})
+
+    wavs = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
+    fps = audio_fingerprints(wavs, id_cols=("doc_id",))
+    return hamming_near_dup_pairs(fps, id_col="doc_id", sig_col="afp", max_hamming=3)
+
+
 def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     operator — same expression, no watermark)."""
@@ -3922,6 +3975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_backoff": doc_trigram_backoff,
         "image_ahash_near_dup": image_ahash_near_dup,
         "video_keyframe_dedup": video_keyframe_dedup,
+        "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7158,6 +7212,40 @@ def oracle_sql() -> dict[str, str]:
                max(hamming) AS max_hamming
         FROM fham WHERE hamming <= 3
         GROUP BY va, vb HAVING count(*) >= 3
+    """
+    # audio twin: window energies derived closed-form from the PCM
+    # generator (integer s², 8 samples per window), delta-sign bits,
+    # all-pairs hamming at oracle scale
+    out["audio_fingerprint_near_dup"] = """
+        WITH ids AS (
+            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
+            FROM documents
+        ), samp AS (
+            SELECT doc_id, CAST(i AS INT) AS i,
+                   CASE WHEN p >= 4 AND p < 6 AND i = doc_id % 512
+                        THEN ((g * 7 + i * (g % 89 + 3)) % 4001) - 2000 + 500
+                        WHEN p >= 6
+                        THEN ((g * 7 + i * (g % 89 + 14 + p)) % 4001) - 2000
+                        ELSE ((g * 7 + i * (g % 89 + 3)) % 4001) - 2000
+                   END AS s
+            FROM ids CROSS JOIN range(512) r(i)
+        ), en AS (
+            SELECT doc_id, i // 8 AS w, sum(s * s) AS e
+            FROM samp GROUP BY doc_id, i // 8
+        ), bits AS (
+            SELECT a.doc_id, CAST(a.w AS INT) AS b,
+                   CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+            FROM en a JOIN en nx
+              ON nx.doc_id = a.doc_id AND nx.w = a.w + 1
+        ), ham AS (
+            SELECT ba.doc_id AS id_a, bb.doc_id AS id_b,
+                   CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END)
+                        AS INT) AS hamming
+            FROM bits ba
+            JOIN bits bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
+            GROUP BY ba.doc_id, bb.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE

@@ -508,3 +508,105 @@ def audio_features(
     return df.select(path_col, content_col).mapInPandas(
         run, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+def encode_wav_pcm16(rate: int, channels: int, pcm: bytes) -> bytes:
+    """16-bit PCM WAV writer (fixture-grade, the audio sibling of
+    ``imagecodec.encode_png`` / ``encode_avi_dib``): raw
+    little-endian interleaved PCM16 → RIFF/WAVE blob that
+    :func:`_parse_wav_pcm` round-trips losslessly, so audio-pipeline
+    tests and oracle queries can synthesize real audio with no media
+    library."""
+    import struct  # noqa: PLC0415
+
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * channels * 2, channels * 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+        + (b"\x00" if len(pcm) & 1 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def audio_fingerprint_bytes(data: bytes, n_windows: int = 64) -> tuple[int, int, int, bool]:
+    """(sample_rate, n_samples, fingerprint, is_stub) for one audio
+    blob. The fingerprint is a windowed ENERGY-DELTA SIGN hash — the
+    audio analogue of the image dHash: split the (first-channel)
+    sample stream into ``n_windows`` equal windows, bit w is 1 iff
+    window w+1 carries more energy (Σ s², exact integer arithmetic)
+    than window w. 63 data bits for 64 windows; the top bit stays 0,
+    so the signature is a non-negative int64 in every engine.
+
+    Robust to the transforms that defeat byte-level hashes (format
+    re-encode, constant gain does NOT cancel — but the sign pattern
+    of energy deltas is far more stable than the samples), and exact:
+    integer energies mean no float-tie ambiguity, which is what the
+    closed-form oracle twins rely on. Window w covers samples
+    [w·n//W, (w+1)·n//W) — equal slices when W divides n.
+    """
+    try:
+        rate, channels, pcm = _parse_wav_pcm(data)
+    except Exception:  # noqa: BLE001  (corrupt/unsupported: stub tier)
+        digest = hashlib.sha256(data).digest()
+        bits = [(digest[i // 8] >> (i % 8)) & 1 for i in range(63)]
+        v = sum(1 << i for i, b in enumerate(bits) if b)
+        return 0, 0, v, True
+    import struct  # noqa: PLC0415
+
+    n_total = len(pcm) // 2
+    # first channel only: integer-exact (a float mono mixdown would
+    # reintroduce tie ambiguity across engines)
+    step = max(1, channels)
+    samples = struct.unpack(f"<{n_total}h", pcm[: n_total * 2])[::step]
+    n = len(samples)
+    if n < n_windows:
+        return rate, n, 0, False
+    energies = []
+    for w in range(n_windows):
+        lo, hi = w * n // n_windows, (w + 1) * n // n_windows
+        energies.append(sum(s * s for s in samples[lo:hi]))
+    v = 0
+    for w in range(n_windows - 1):
+        if energies[w + 1] > energies[w]:
+            v |= 1 << w
+    return rate, n, v, False
+
+
+def audio_fingerprints(
+    df: DataFrame,
+    path_col: str = "path",
+    content_col: str = "content",
+    n_windows: int = 64,
+    id_cols: tuple = (),
+) -> DataFrame:
+    """Decode + fingerprint audio blobs in Arrow batches →
+    (*id_cols, path, sample_rate, n_samples, afp, is_stub); feed
+    ``afp`` to ``operators.imagehash.hamming_near_dup_pairs`` for
+    banded near-dup pairing — the audio third of the multimodal dedup
+    family (image aHash / video keyframe / audio energy-delta)."""
+    carry = [c for c in id_cols if c != path_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {c: pdf[c] for c in carry}
+            out[path_col] = pdf[path_col]
+            rates, ns, fps, st = [], [], [], []
+            for data in pdf[content_col]:
+                rate, n, v, stub = audio_fingerprint_bytes(bytes(data), n_windows)
+                rates.append(rate)
+                ns.append(n)
+                fps.append(v)
+                st.append(stub)
+            out["sample_rate"] = rates
+            out["n_samples"] = ns
+            out["afp"] = fps
+            out["is_stub"] = st
+            yield pd.DataFrame(out)
+
+    in_schema = df.select(*carry, path_col).schema
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in in_schema)
+    return df.select(*carry, path_col, content_col).mapInPandas(
+        run,
+        schema=f"{fields}, sample_rate int, n_samples long, afp long, is_stub boolean",
+    )

@@ -71,6 +71,9 @@ CONTRACTS = {
     # video: the frame-pair distinct + the video rollup agg on top of
     # the band self-join (broadcast at contract scale)
     "video_keyframe_dedup": (3, False, True),
+    # audio: same shape as the image variant (band self-join + pair
+    # distinct)
+    "audio_fingerprint_near_dup": (2, False, True),
 }
 
 

@@ -1143,3 +1143,53 @@ def test_archive_truncated_targz_valueerror_contract():
             list(iter_archive_members(blob[:cut]))
         except ValueError:
             pass  # the only allowed failure mode (EOFError must not leak)
+
+
+def test_encode_wav_pcm16_round_trip():
+    """The fixture WAV writer must round-trip losslessly through the
+    real RIFF parse, including the odd-length data pad."""
+    import struct
+
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        _parse_wav_pcm,
+        encode_wav_pcm16,
+    )
+
+    samples = [((i * 37) % 2001) - 1000 for i in range(101)]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    rate, ch, out = _parse_wav_pcm(encode_wav_pcm16(22050, 1, pcm))
+    assert (rate, ch) == (22050, 1)
+    assert out == pcm
+
+
+def test_audio_fingerprint_energy_delta_bits():
+    """Fingerprint bits follow the exact integer energy-delta rule;
+    stereo uses the first channel only; short and corrupt blobs
+    degrade (zero fp / marked stub) instead of raising."""
+    import struct
+
+    from data_pipeline_childcare_spark.sources.multimodal import (
+        audio_fingerprint_bytes,
+        encode_wav_pcm16,
+    )
+
+    # loud/quiet alternating windows -> alternating delta signs
+    samples = [1000 if (i // 8) % 2 == 0 else 10 for i in range(512)]
+    wav = encode_wav_pcm16(8000, 1, struct.pack("<512h", *samples))
+    rate, n, v, stub = audio_fingerprint_bytes(wav)
+    assert (rate, n, stub) == (8000, 512, False)
+    expected = sum(1 << w for w in range(63) if w % 2 == 1)  # quiet->loud rises
+    assert v == expected
+    # stereo: channel 0 loud-alternating, channel 1 constant noise
+    inter = []
+    for i in range(512):
+        inter += [samples[i], 777]
+    wav2 = encode_wav_pcm16(8000, 2, struct.pack(f"<{len(inter)}h", *inter))
+    assert audio_fingerprint_bytes(wav2)[2] == expected
+    # shorter than one window per bit -> all-zero fp, not an error
+    tiny = encode_wav_pcm16(8000, 1, struct.pack("<8h", *([5] * 8)))
+    assert audio_fingerprint_bytes(tiny)[2:] == (0, False)
+    # not audio at all -> deterministic marked stub
+    a = audio_fingerprint_bytes(b"not audio")
+    assert a == audio_fingerprint_bytes(b"not audio")
+    assert a[3] is True
