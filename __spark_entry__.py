@@ -2354,6 +2354,93 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hamming_near_dup_pairs(fps, id_col="doc_id", sig_col="afp", max_hamming=3)
 
 
+def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-byte vs perceptual image dedup, audited side by side —
+    the multimodal edition of ``dedup_method_agreement``: the same
+    deterministic image corpus as image_ahash_near_dup, except the
+    PNG filter type cycles ``doc_id % 3`` so byte-identical
+    re-encodes exist (same pixels + same filter) alongside
+    pixel-identical-but-differently-encoded copies that defeat
+    byte-level hashes. Exact pairs = equi-join on md5(blob) — the
+    real thing, computed over the real encoder output; perceptual
+    pairs = aHash hamming ≤ 3 through the real decode. One audit row:
+    exact ⊂ perceptual-with-margin, and the perceptual-only mass is
+    what re-encoding + perturbation hides from byte hashing.
+
+    Oracle discipline: DuckDB cannot run zlib, but byte equality of a
+    DETERMINISTIC encoder is pixel equality AND filter equality —
+    both closed-form (same group, both p < 4, doc_id ≡ mod 3); the
+    perceptual chain reuses the closed-form bit derivation."""
+    import pandas as pd  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.operators.imagehash import (
+        hamming_near_dup_pairs,
+        image_perceptual_hashes,
+    )
+    from data_pipeline_childcare_spark.sources.imagecodec import encode_png
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+
+    def gen(batches):
+        for pdf in batches:
+            ids, paths, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, p = d // 8, d % 8
+                slope = 11 + g % 251
+                pix = bytearray()
+                for i in range(64):
+                    if p >= 6:
+                        v = (g * 37 + i * (slope + 12 + 13 * p) + 97 * p) % 256
+                    else:
+                        v = (g * 37 + i * slope) % 256
+                        if p >= 4 and i == d % 64:
+                            v = (v + 140) % 256
+                    pix.append(v)
+                ids.append(d)
+                paths.append(f"img_{d}.png")
+                blobs.append(encode_png(8, 8, bytes(pix), mode="L", filter_type=d % 3))
+            yield pd.DataFrame({"doc_id": ids, "path": paths, "content": blobs})
+
+    # no persist: the generator is deterministic and cheap, and the two
+    # consumers (md5 branch, hash branch) run in one job — recompute
+    # beats carrying cached blobs across the query's lifetime
+    imgs = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
+    fp = imgs.select("doc_id", F.md5("content").alias("_fp"))
+    a, b = fp.alias("a"), fp.alias("b")
+    exact = a.join(
+        b,
+        (F.col("a._fp") == F.col("b._fp"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+    )
+    perc = hamming_near_dup_pairs(
+        image_perceptual_hashes(imgs, id_cols=("doc_id",)),
+        id_col="doc_id",
+        sig_col="ahash",
+        max_hamming=3,
+    ).select("id_a", "id_b")
+    joined = exact.withColumn("_e", F.lit(1)).join(
+        perc.withColumn("_p", F.lit(1)), ["id_a", "id_b"], "full_outer"
+    )
+    out = joined.agg(
+        F.count("*").alias("n_pairs_union"),
+        F.sum(F.coalesce(F.col("_e"), F.lit(0))).alias("n_exact"),
+        F.sum(F.coalesce(F.col("_p"), F.lit(0))).alias("n_perceptual"),
+        F.sum(
+            F.when(F.col("_e").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when(F.col("_e").isNotNull() & F.col("_p").isNull(), 1).otherwise(0)
+        ).alias("n_exact_only"),
+        F.sum(
+            F.when(F.col("_e").isNull() & F.col("_p").isNotNull(), 1).otherwise(0)
+        ).alias("n_perceptual_only"),
+    )
+    return out
+
+
 def windowed_event_counts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows (batch form of the streaming
     operator — same expression, no watermark)."""
@@ -3976,6 +4063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dup": image_ahash_near_dup,
         "video_keyframe_dedup": video_keyframe_dedup,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
+        "multimodal_dedup_agreement": multimodal_dedup_agreement,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7138,9 +7226,9 @@ def oracle_sql() -> dict[str, str]:
     # generator (no decoder needed — PNG round-trips losslessly and
     # the aHash bit rule is exact integer arithmetic); all-pairs
     # hamming is affordable at oracle scale and must equal the Spark
-    # side's pigeonhole-blocked join exactly
-    out["image_ahash_near_dup"] = """
-        WITH ids AS (
+    # side's pigeonhole-blocked join exactly. The CTE chain is shared
+    # with the multimodal agreement audit below.
+    _ahash_ctes = """ids AS (
             SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
             FROM documents
         ), pix AS (
@@ -7166,8 +7254,43 @@ def oracle_sql() -> dict[str, str]:
             FROM bits ba
             JOIN bits bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
             GROUP BY ba.doc_id, bb.doc_id
-        )
+        )"""
+    out["image_ahash_near_dup"] = f"""
+        WITH {_ahash_ctes}
         SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+    """
+    # multimodal agreement twin: byte equality of a deterministic
+    # encoder IS pixel equality + filter equality — same group, both
+    # unperturbed (p < 4), doc_id ≡ mod 3 (the filter cycle); the
+    # perceptual side reuses the closed-form bit chain
+    out["multimodal_dedup_agreement"] = f"""
+        WITH {_ahash_ctes}, perc AS (
+            SELECT id_a, id_b FROM ham WHERE hamming <= 3
+        ), exact AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM ids a JOIN ids b
+              ON a.g = b.g AND a.p < 4 AND b.p < 4
+             AND a.doc_id % 3 = b.doc_id % 3
+             AND a.doc_id < b.doc_id
+        ), u AS (
+            SELECT e.id_a IS NOT NULL AS has_e,
+                   p.id_a IS NOT NULL AS has_p
+            FROM exact e
+            FULL OUTER JOIN perc p
+              ON e.id_a = p.id_a AND e.id_b = p.id_b
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs_union,
+               CAST(sum(CASE WHEN has_e THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_exact,
+               CAST(sum(CASE WHEN has_p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_perceptual,
+               CAST(sum(CASE WHEN has_e AND has_p THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both,
+               CAST(sum(CASE WHEN has_e AND NOT has_p THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_exact_only,
+               CAST(sum(CASE WHEN has_p AND NOT has_e THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_perceptual_only
+        FROM u
     """
     # video twin: same closed-form bit derivation with a frame
     # dimension (the DIB frames round-trip losslessly and r=g=b makes

@@ -210,3 +210,19 @@ def test_video_keyframe_pipeline_real_tier(spark):
     # videos 1 and 2: frame 0 keys (16, 32), frame 1 keys (17, 33)
     assert (16, 32) in got and (17, 33) in got
     assert all(48 not in p and 49 not in p for p in got)
+
+
+def test_multimodal_agreement_exact_subset_of_perceptual(spark):
+    """Audit invariant: byte-identical blobs decode to identical
+    pixels, so every exact pair must also be a perceptual pair
+    (n_exact_only == 0) and the perceptual-only mass (re-encodes,
+    perturbations) is non-negative."""
+    import __spark_entry__ as entry_mod
+
+    row = entry_mod.queries()["multimodal_dedup_agreement"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()[0]
+    assert row["n_exact_only"] == 0
+    assert row["n_both"] == row["n_exact"]
+    assert row["n_perceptual"] >= row["n_exact"]
+    assert row["n_pairs_union"] == row["n_perceptual"] + row["n_exact_only"]

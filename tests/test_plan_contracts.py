@@ -74,6 +74,9 @@ CONTRACTS = {
     # audio: same shape as the image variant (band self-join + pair
     # distinct)
     "audio_fingerprint_near_dup": (2, False, True),
+    # agreement audit: md5 equi-join + band join + the full-outer
+    # pair align (an SMJ on the pair key is the right plan there)
+    "multimodal_dedup_agreement": (4, False, True),
 }
 
 
