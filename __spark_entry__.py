@@ -1083,6 +1083,25 @@ def doc_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_backoff_scores(docs, train)
 
 
+def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale BM25 retrieval (operators/tfidf.bm25_topk):
+    every 50th document's first three tokens become a query, scored
+    against the whole corpus through the inverted index — Okapi
+    k1=1.2, b=0.75, Lucene idf, distinct query terms, round-before-
+    rank top-10 with (score desc, doc_id) tie-breaks. The DuckDB twin
+    replays the identical tf/df/dl tables, the exact integer-sum
+    avgdl division and the same association order."""
+    from data_pipeline_childcare_spark.functions.text import tokenize
+    from data_pipeline_childcare_spark.operators.tfidf import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 3)).alias("qtext"),
+    )
+    return bm25_topk(docs, q, k=10)
+
+
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
     sold to ASIA customers, the fraction supplied by NATION_1, per
@@ -4064,6 +4083,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_keyframe_dedup": video_keyframe_dedup,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "multimodal_dedup_agreement": multimodal_dedup_agreement,
+        "bm25_search_docs": bm25_search_docs,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7156,6 +7176,46 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_bigrams,
                round(round(sum(l), 6) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id
+    """
+    # BM25 twin: identical tf/df/dl count tables, exact integer-sum
+    # avgdl division, Lucene idf, same association order, round
+    # before the rank window
+    out["bm25_search_docs"] = f"""
+        WITH lt AS (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf FROM (
+                SELECT doc_id, unnest(t) AS tok FROM lt
+            ) GROUP BY doc_id, tok
+        ), dl AS (
+            SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n, sum(dl) * 1.0 / count(*) AS avgdl FROM dl
+        ), dfreq AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), qt AS (
+            SELECT DISTINCT doc_id AS query_id, unnest(t[1:3]) AS tok
+            FROM lt WHERE doc_id % 50 = 0
+        ), scored AS (
+            SELECT qt.query_id, tf.doc_id,
+                   round(sum(
+                       ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                       * (tf.tf * (1.2 + 1))
+                       / (tf.tf + 1.2 * (1 - 0.75
+                                         + (0.75 * dl.dl) / stats.avgdl))
+                   ), 6) AS score
+            FROM qt
+            JOIN dfreq USING (tok)
+            JOIN tf USING (tok)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+            GROUP BY qt.query_id, tf.doc_id
+        )
+        SELECT query_id, doc_id, CAST(rank AS INT) AS rank, score FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY score DESC, doc_id
+            ) AS rank FROM scored
+        ) WHERE rank <= 10
     """
     # stupid-backoff twin: same 70% md5 split (salt 'lm'), per-order
     # count tables over the train subset only (each order filtered to

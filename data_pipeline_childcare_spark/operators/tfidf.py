@@ -468,3 +468,83 @@ def trigram_backoff_scores(
             F.round(F.col("_num") / F.col("n_trigrams"), ndigits).alias("avg_logprob"),
         )
     )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    qid_col: str = "query_id",
+    qtext_col: str = "qtext",
+    max_df: int | None = None,
+    ndigits: int = 6,
+) -> DataFrame:
+    """Corpus-scale Okapi BM25 retrieval → (query_id, doc_id, rank,
+    score): the full-text search primitive under every lexical
+    retrieval stack (and the corpus-scale generalization of the
+    cap-bounded ``plans/retrieval.bm25_rerank_scorer``, which scores
+    ≤100 candidates per request — this scores the whole corpus per
+    query through an inverted index).
+
+        score(q, d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)      = ln((N − df + 0.5) / (df + 0.5) + 1)   (Lucene form,
+                                                             always > 0)
+
+    Query terms are DISTINCT per query (qtf saturation at 1 — the
+    common engine simplification). Scores are rounded BEFORE the
+    rank window so the top-k cut and tie-breaks (score desc, doc_id)
+    are identical in any engine.
+
+    Shapes: one tokenize pass over the corpus → (doc, term) tf
+    aggregate (map-side combined) + per-doc lengths re-aggregated
+    from the tf rows; term df from the SAME rows; the query side is
+    query-plan-sized. The one big join is postings ⨝ query-terms on
+    the term key — stopword terms are the skew, exactly where
+    classic search engines stop-list: ``max_df`` drops terms in more
+    than that many documents from the INDEX side (with Lucene-idf
+    those terms contribute least per posting and cost most to join).
+    avgdl is an exact integer-sum / count division, so the float is
+    bit-identical across engines; one-row broadcast.
+    """
+    toks = spread_partitions(docs, id_col).select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("_t")
+    )
+    tf = toks.groupBy(id_col, "_t").agg(F.count("*").alias("_tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("_tf").alias("_dl"))
+    stats = dl.agg(
+        F.count("*").alias("_n"), F.sum("_dl").alias("_sumdl")
+    ).select("_n", (F.col("_sumdl") / F.col("_n")).alias("_avgdl"))
+    dfreq = tf.groupBy("_t").agg(F.count("*").alias("_df"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("_df") <= max_df)
+    qterms = (
+        spread_partitions(queries, qid_col)
+        .select(F.col(qid_col), F.explode(tokenize(F.col(qtext_col))).alias("_t"))
+        .distinct()
+    )
+    idf = F.log(
+        (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    term_score = idf * (F.col("_tf") * F.lit(k1 + 1.0)) / (
+        F.col("_tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + (F.lit(b) * F.col("_dl")) / F.col("_avgdl"))
+    )
+    scored = (
+        qterms.join(dfreq, "_t")
+        .join(tf, "_t")
+        .join(dl, id_col)
+        .join(F.broadcast(stats))
+        .groupBy(qid_col, id_col)
+        .agg(F.round(F.sum(term_score), ndigits).alias("score"))
+    )
+    w = Window.partitionBy(qid_col).orderBy(F.desc("score"), F.col(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(qid_col, id_col, "rank", "score")
+    )

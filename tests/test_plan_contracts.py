@@ -77,6 +77,10 @@ CONTRACTS = {
     # agreement audit: md5 equi-join + band join + the full-outer
     # pair align (an SMJ on the pair key is the right plan there)
     "multimodal_dedup_agreement": (4, False, True),
+    # BM25: tf/dl/df aggregates (tf subtree referenced by dl and df ->
+    # re-materialized), query-side distinct, scored agg + the
+    # per-query rank window; all joins broadcast at contract scale
+    "bm25_search_docs": (10, True, True),
 }
 
 

@@ -529,3 +529,54 @@ def test_trigram_backoff_tiers(spark):
     assert got[4]["avg_logprob"] == round(math.log10(0.4 * 0.4 * (0.5 / 6)), 6)
     # tiers are ordered: exact match > backoff > novel
     assert got[2]["avg_logprob"] > got[3]["avg_logprob"] > got[4]["avg_logprob"]
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    """BM25 must (a) rank exact-term-matching docs above non-matching,
+    (b) reward rarer matching terms over stopword matches via idf,
+    (c) penalize term-stuffed long docs via length normalization, and
+    (d) respect the k cut with deterministic tie-breaks."""
+    from data_pipeline_childcare_spark.operators.tfidf import bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "rust compiler design"),        # both query terms, short
+            (2, "rust rust rust rust rust rust rust rust filler filler "
+                "filler filler filler filler filler filler"),  # stuffed+long
+            (3, "compiler theory the the"),     # one rare term
+            (4, "the the the the"),             # stopwords only
+            (5, "gardening tips"),              # no overlap
+        ],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame([(100, "rust compiler")], "query_id long, qtext string")
+    got = bm25_topk(docs, q, k=3).collect()
+    order = [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])]
+    assert order[0] == 1  # both terms beat any single-term doc
+    assert 5 not in order and 4 not in order
+    assert len(order) == 3
+    scores = {r["doc_id"]: r["score"] for r in got}
+    assert scores[1] > scores[3] > 0
+    # doc 2 has tf=7 of 'rust' but length-normalization caps the gain:
+    # it must not outrank the doc matching BOTH terms
+    assert scores[1] > scores[2]
+
+
+def test_bm25_topk_max_df_drops_stopword_postings(spark):
+    """max_df removes ultra-common terms from the index side: queries
+    made only of dropped terms retrieve nothing."""
+    from data_pipeline_childcare_spark.operators.tfidf import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "common filler" if i else "common rare") for i in range(6)],
+        "doc_id long, text string",
+    )
+    q = spark.createDataFrame(
+        [(1, "common"), (2, "rare")], "query_id long, qtext string"
+    )
+    got = bm25_topk(docs, q, k=5, max_df=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["doc_id"])
+    assert 1 not in by_q          # 'common' is in all 6 docs -> dropped
+    assert by_q[2] == [0]         # 'rare' only in doc 0
