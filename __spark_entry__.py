@@ -1083,19 +1083,48 @@ def doc_trigram_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trigram_backoff_scores(docs, train)
 
 
+def dedup_incremental_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (ingest-time) near-dedup
+    (operators/dedup.minhash_dedup_incremental): every 4th document
+    plays the incoming batch, the rest the existing corpus; a new doc
+    survives only if it is a near-dup (est_jaccard ≥ 0.8, portable
+    MinHash) of neither any corpus doc (history wins regardless of id
+    order) nor an earlier-id batch doc. The asymmetric band join
+    touches only buckets containing a new doc — the plan a daily
+    ingest actually wants, instead of re-paying corpus×corpus.
+
+    The DuckDB twin reuses the portable-minhash pair chain over the
+    full corpus and applies the same keep rule: drop a new id that
+    appears as the larger side of any qualifying pair, or as the
+    smaller side when the larger side is a corpus doc."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % 4 == 0)
+    corpus = docs.filter(F.col("doc_id") % 4 != 0)
+    return minhash_dedup_incremental(new, corpus).select("doc_id")
+
+
 def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-scale BM25 retrieval (operators/tfidf.bm25_topk):
-    every 50th document's first three tokens become a query, scored
-    against the whole corpus through the inverted index — Okapi
-    k1=1.2, b=0.75, Lucene idf, distinct query terms, round-before-
-    rank top-10 with (score desc, doc_id) tie-breaks. The DuckDB twin
+    """Corpus-scale BM25 retrieval (operators/tfidf.bm25_topk): a
+    FIXED query set — the first three tokens of each of the ten docs
+    with doc_id % 50 == 0 below 500 — scored against the whole corpus
+    through the inverted index, Okapi k1=1.2, b=0.75, Lucene idf,
+    distinct query terms, round-before-rank top-10 with
+    (score desc, doc_id) tie-breaks. The query COUNT is bounded so
+    scale-up measures per-query latency vs corpus size (the retrieval
+    metric that matters), not query-load growth. The DuckDB twin
     replays the identical tf/df/dl tables, the exact integer-sum
     avgdl division and the same association order."""
     from data_pipeline_childcare_spark.functions.text import tokenize
     from data_pipeline_childcare_spark.operators.tfidf import bm25_topk
 
     docs = _t(spark, sf_dir, "documents")
-    q = docs.filter(F.col("doc_id") % 50 == 0).select(
+    q = docs.filter(
+        (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500)
+    ).select(
         F.col("doc_id").alias("query_id"),
         F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 3)).alias("qtext"),
     )
@@ -2213,16 +2242,19 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 g, p = d // 8, d % 8
                 # the aHash bit rule is invariant to a constant added
                 # to every pixel, so the per-group term must change
-                # the SLOPE (i-coefficient), not just the offset —
-                # otherwise every group hashes identically and pair
-                # volume goes quadratic in the corpus
+                # the pattern SHAPE, not just the offset — and linear
+                # patterns only admit 256 distinct slopes in 8-bit
+                # pixel space, so a quadratic term (17 classes)
+                # multiplies the shape space to ~4267, keeping hash-
+                # collision clusters bounded as the corpus grows
                 slope = 11 + g % 251
+                quad = g % 17
                 pix = bytearray()
                 for i in range(64):
                     if p >= 6:
-                        v = (g * 37 + i * (slope + 12 + 13 * p) + 97 * p) % 256
+                        v = (g * 37 + i * (slope + 12 + 13 * p) + i * i * quad + 97 * p) % 256
                     else:
-                        v = (g * 37 + i * slope) % 256
+                        v = (g * 37 + i * slope + i * i * quad) % 256
                         if p >= 4 and i == d % 64:
                             v = (v + 140) % 256
                     pix.append(v)
@@ -2277,9 +2309,10 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                         slope = 11 + (g * 4 + f + 101 + 13 * p) % 251
                     else:
                         slope = 11 + (g * 4 + f) % 251
+                    quad = (g * 4 + f) % 17
                     rgb = bytearray()
                     for i in range(64):
-                        v = (g * 37 + i * slope) % 256
+                        v = (g * 37 + i * slope + i * i * quad) % 256
                         if 4 <= p < 6 and f == d % 4 and i == d % 64:
                             v = (v + 140) % 256
                         rgb += bytes((v, v, v))
@@ -2355,9 +2388,10 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 g, p = d // 8, d % 8
                 mult = (g % 89 + 14 + p) if p >= 6 else (g % 89 + 3)
+                quad = g % 13
                 samples = []
                 for i in range(512):
-                    s = ((g * 7 + i * mult) % 4001) - 2000
+                    s = ((g * 7 + i * mult + i * i * quad) % 4001) - 2000
                     if 4 <= p < 6 and i == d % 512:
                         s += 500
                     samples.append(s)
@@ -2407,12 +2441,13 @@ def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                 d = int(doc_id)
                 g, p = d // 8, d % 8
                 slope = 11 + g % 251
+                quad = g % 17
                 pix = bytearray()
                 for i in range(64):
                     if p >= 6:
-                        v = (g * 37 + i * (slope + 12 + 13 * p) + 97 * p) % 256
+                        v = (g * 37 + i * (slope + 12 + 13 * p) + i * i * quad + 97 * p) % 256
                     else:
-                        v = (g * 37 + i * slope) % 256
+                        v = (g * 37 + i * slope + i * i * quad) % 256
                         if p >= 4 and i == d % 64:
                             v = (v + 140) % 256
                     pix.append(v)
@@ -4084,6 +4119,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "multimodal_dedup_agreement": multimodal_dedup_agreement,
         "bm25_search_docs": bm25_search_docs,
+        "dedup_incremental_docs": dedup_incremental_docs,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7177,6 +7213,22 @@ def oracle_sql() -> dict[str, str]:
                round(round(sum(l), 6) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id
     """
+    # incremental-dedup twin: the portable-minhash pair chain over the
+    # full corpus + the incremental keep rule (drop a new id that is
+    # the larger side of any qualifying pair, or the smaller side when
+    # the larger side is a corpus doc — history wins either way)
+    out["dedup_incremental_docs"] = f"""
+        WITH {_minhash_ctes}
+        SELECT doc_id FROM documents
+        WHERE doc_id % 4 = 0
+          AND doc_id NOT IN (
+            SELECT id_b FROM est
+            WHERE est_jaccard >= 0.8 AND id_b % 4 = 0
+            UNION
+            SELECT id_a FROM est
+            WHERE est_jaccard >= 0.8 AND id_a % 4 = 0 AND id_b % 4 <> 0
+          )
+    """
     # BM25 twin: identical tf/df/dl count tables, exact integer-sum
     # avgdl division, Lucene idf, same association order, round
     # before the rank window
@@ -7195,7 +7247,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT tok, count(*) AS df FROM tf GROUP BY tok
         ), qt AS (
             SELECT DISTINCT doc_id AS query_id, unnest(t[1:3]) AS tok
-            FROM lt WHERE doc_id % 50 = 0
+            FROM lt WHERE doc_id % 50 = 0 AND doc_id < 500
         ), scored AS (
             SELECT qt.query_id, tf.doc_id,
                    round(sum(
@@ -7295,10 +7347,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CAST(i AS INT) AS b,
                    CASE WHEN p >= 6
-                            THEN (g * 37 + i * (23 + g % 251 + 13 * p) + 97 * p) % 256
+                            THEN (g * 37 + i * (23 + g % 251 + 13 * p)
+                                  + i * i * (g % 17) + 97 * p) % 256
                         WHEN p >= 4 AND i = doc_id % 64
-                            THEN (g * 37 + i * (11 + g % 251) + 140) % 256
-                        ELSE (g * 37 + i * (11 + g % 251)) % 256
+                            THEN (g * 37 + i * (11 + g % 251)
+                                  + i * i * (g % 17) + 140) % 256
+                        ELSE (g * 37 + i * (11 + g % 251)
+                              + i * i * (g % 17)) % 256
                    END AS v
             FROM ids CROSS JOIN range(64) r(i)
         ), tot AS (
@@ -7367,12 +7422,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, f, CAST(i AS INT) AS b,
                    CASE WHEN p >= 6
                             THEN (g * 37
-                                  + i * (11 + (g * 4 + f + 101 + 13 * p) % 251))
-                                 % 256
+                                  + i * (11 + (g * 4 + f + 101 + 13 * p) % 251)
+                                  + i * i * ((g * 4 + f) % 17)) % 256
                         WHEN p >= 4 AND f = doc_id % 4 AND i = doc_id % 64
-                            THEN (g * 37 + i * (11 + (g * 4 + f) % 251) + 140)
-                                 % 256
-                        ELSE (g * 37 + i * (11 + (g * 4 + f) % 251)) % 256
+                            THEN (g * 37 + i * (11 + (g * 4 + f) % 251)
+                                  + i * i * ((g * 4 + f) % 17) + 140) % 256
+                        ELSE (g * 37 + i * (11 + (g * 4 + f) % 251)
+                              + i * i * ((g * 4 + f) % 17)) % 256
                    END AS v
             FROM fr CROSS JOIN range(64) r(i)
         ), tot AS (
@@ -7406,10 +7462,13 @@ def oracle_sql() -> dict[str, str]:
         ), samp AS (
             SELECT doc_id, CAST(i AS INT) AS i,
                    CASE WHEN p >= 4 AND p < 6 AND i = doc_id % 512
-                        THEN ((g * 7 + i * (g % 89 + 3)) % 4001) - 2000 + 500
+                        THEN ((g * 7 + i * (g % 89 + 3) + i * i * (g % 13))
+                              % 4001) - 2000 + 500
                         WHEN p >= 6
-                        THEN ((g * 7 + i * (g % 89 + 14 + p)) % 4001) - 2000
-                        ELSE ((g * 7 + i * (g % 89 + 3)) % 4001) - 2000
+                        THEN ((g * 7 + i * (g % 89 + 14 + p) + i * i * (g % 13))
+                              % 4001) - 2000
+                        ELSE ((g * 7 + i * (g % 89 + 3) + i * i * (g % 13))
+                              % 4001) - 2000
                    END AS s
             FROM ids CROSS JOIN range(512) r(i)
         ), en AS (

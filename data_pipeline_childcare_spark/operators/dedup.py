@@ -206,6 +206,51 @@ def minhash_dedup(
     return df.join(dups, id_col, "left_anti")
 
 
+def _portable_signatures(
+    df: DataFrame, id_col: str, text_col: str, num_hashes: int, shingle_n: int
+) -> DataFrame:
+    """(id, signature ARRAY<LONG>) on the Carter–Wegman family over
+    the md5 base hash — shared by the batch-portable and incremental
+    minhash paths (identical expression strings, so the oracle math
+    is one definition)."""
+    shingled = spread_partitions(df, id_col).select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
+    ).select(F.col(id_col), F.expr(portable_base_hash_sql("_s")).alias("_h"))
+    # ONE agg expression producing the array directly: 64 separate agg
+    # columns + a re-projection cost ~2.5x more analyzer time AND
+    # ~30% more execution than the fused form (measured at sf0.1);
+    # persisting the single array column also keeps the columnar cache
+    # to one builder/reader, like the xxhash64 production path
+    sig_expr = (
+        "array("
+        + ",".join(
+            f"min(({a} * _h + {b}) % {PORTABLE_P})" for a, b in cw_constants(num_hashes)
+        )
+        + ")"
+    )
+    return shingled.groupBy(id_col).agg(F.expr(sig_expr).alias("signature"))
+
+
+def _portable_banded(sigs: DataFrame, id_col: str, bands: int, rows: int) -> DataFrame:
+    """(id, _band, _bh): ordered polynomial fold of each signature
+    slice over p — plain BIGINT band keys (see
+    ``minhash_est_pairs_portable``'s docstring for why not arrays)."""
+
+    def _poly(b: int) -> str:
+        acc = f"signature[{b * rows}]"
+        for r in range(1, rows):
+            acc = f"(({acc}) * 1000003 + signature[{b * rows + r}]) % {PORTABLE_P}"
+        return acc
+
+    return sigs.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.expr(_poly(b)) for b in range(bands)])).alias(
+            "_band", "_bh"
+        ),
+    )
+
+
 def minhash_est_pairs_portable(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -243,40 +288,8 @@ def minhash_est_pairs_portable(
     band-keyed self-join, candidate-only estimate join.
     """
     rows = num_hashes // bands
-    shingled = spread_partitions(df, id_col).select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_ngrams(F.col(text_col), shingle_n))).alias("_s"),
-    ).select(F.col(id_col), F.expr(portable_base_hash_sql("_s")).alias("_h"))
-    # ONE agg expression producing the array directly: 64 separate agg
-    # columns + a re-projection cost ~2.5x more analyzer time AND
-    # ~30% more execution than the fused form (measured at sf0.1);
-    # persisting the single array column also keeps the columnar cache
-    # to one builder/reader, like the xxhash64 production path
-    sig_expr = (
-        "array("
-        + ",".join(
-            f"min(({a} * _h + {b}) % {PORTABLE_P})" for a, b in cw_constants(num_hashes)
-        )
-        + ")"
-    )
-    sigs = (
-        shingled.groupBy(id_col)
-        .agg(F.expr(sig_expr).alias("signature"))
-        .persist()
-    )
-
-    def _poly(b: int) -> str:
-        acc = f"signature[{b * rows}]"
-        for r in range(1, rows):
-            acc = f"(({acc}) * 1000003 + signature[{b * rows + r}]) % {PORTABLE_P}"
-        return acc
-
-    banded = sigs.select(
-        F.col(id_col),
-        F.posexplode(F.array(*[F.expr(_poly(b)) for b in range(bands)])).alias(
-            "_band", "_bh"
-        ),
-    )
+    sigs = _portable_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    banded = _portable_banded(sigs, id_col, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -313,6 +326,75 @@ def minhash_dedup_portable(
         .distinct()
     )
     return df.join(dups, id_col, "left_anti")
+
+
+def minhash_dedup_incremental(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+    bands: int = 16,
+) -> DataFrame:
+    """INCREMENTAL near-dedup — the daily-ingest shape: keep only the
+    ``new_docs`` that are near-dups of neither the existing
+    ``corpus_docs`` (history always wins, regardless of id order) nor
+    an earlier-id doc within the new batch itself. Returns the kept
+    new docs; the corpus is never modified.
+
+    This is the operation a production pipeline runs every ingest
+    cycle, and the one place batch dedup's cost model breaks: re-
+    running ``minhash_dedup_portable`` over corpus+batch pays the
+    corpus×corpus band join again every day. Here the band self-join
+    is replaced by an asymmetric join — (corpus ∪ batch) bands ⨝
+    BATCH bands — so only buckets containing at least one new doc are
+    touched: cost scales with |batch| × bucket occupancy, not
+    |corpus|². (At 100 TB the corpus signatures/bands would be a
+    persisted table; they are recomputed here because the engine's
+    query surface is stateless — the plan shape downstream of the
+    signature scan is identical either way.)
+
+    Hash family, banding and the estimate-verify stage are the
+    engine-portable definitions shared with
+    ``minhash_est_pairs_portable``, so the kept set is SQL-oracle-
+    checkable. Precondition: ids are globally unique across corpus
+    and batch.
+    """
+    rows = num_hashes // bands
+    tagged = corpus_docs.select(
+        F.col(id_col), F.col(text_col), F.lit(False).alias("_new")
+    ).unionByName(
+        new_docs.select(F.col(id_col), F.col(text_col), F.lit(True).alias("_new"))
+    )
+    sigs = _portable_signatures(tagged, id_col, text_col, num_hashes, shingle_n)
+    tags = tagged.select(id_col, "_new")
+    sigs = sigs.join(tags, id_col).persist()
+    banded = _portable_banded(sigs, id_col, bands, rows).join(tags, id_col)
+    a = banded.alias("a")
+    b = banded.filter(F.col("_new")).alias("b")
+    # corpus side beats any new doc; within the batch, first id wins
+    cand = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._bh") == F.col("b._bh"))
+            & (
+                (~F.col("a._new") & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")))
+                | (F.col("a._new") & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            ),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    dups = (
+        minhash_jaccard_estimate(sigs.select(id_col, "signature"), cand, id_col)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(dups, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

@@ -606,3 +606,35 @@ def test_robots_stray_rules_and_column_collisions(spark):
     out = robots_filter(urls, rules_to_df(spark, stray), agent="a").collect()[0]
     assert out["allowed"] is False and out["matched_pattern"] == "/y"
     assert out["directive"] == "keep-me" and out["pattern"] == "frontier-pat"
+
+
+def test_minhash_dedup_incremental_history_wins(spark):
+    """Incremental keep rule: a batch doc duplicating the corpus is
+    dropped regardless of id order (history wins even when the corpus
+    copy has the LARGER id); within the batch the earlier id wins;
+    unique batch docs survive; corpus rows are never returned."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        minhash_dedup_incremental,
+    )
+
+    t_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    t_b = "completely different content about distributed query engines and shuffles"
+    corpus = spark.createDataFrame([(10, t_a)], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [
+            (2, t_a),   # dup of corpus doc 10 — 2 < 10, still dropped
+            (20, t_b),  # unique -> kept
+            (21, t_b),  # dup of batch doc 20 -> dropped (20 < 21)
+            (22, t_a),  # dup of corpus -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    kept = {r["doc_id"] for r in minhash_dedup_incremental(new, corpus).collect()}
+    assert kept == {20}
+    # empty batch and disjoint batch edge cases
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert minhash_dedup_incremental(empty, corpus).count() == 0
+    disjoint = spark.createDataFrame([(30, t_b)], "doc_id long, text string")
+    assert {
+        r["doc_id"] for r in minhash_dedup_incremental(disjoint, corpus).collect()
+    } == {30}

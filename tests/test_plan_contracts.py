@@ -81,6 +81,10 @@ CONTRACTS = {
     # re-materialized), query-side distinct, scored agg + the
     # per-query rank window; all joins broadcast at contract scale
     "bm25_search_docs": (10, True, True),
+    # incremental dedup: signature agg + tag joins + asymmetric band
+    # join + estimate joins + the anti-join; doc-keyed joins go SMJ
+    # (uniform key, corpus-sized both sides — the right plan)
+    "dedup_incremental_docs": (9, False, True),
 }
 
 
