@@ -1131,6 +1131,30 @@ def bm25_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(docs, q, k=10)
 
 
+def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-frontier PageRank (operators/graph.pagerank): 5 power
+    iterations at damping 0.85 over the deterministic 3-out link
+    graph derived from the portable md5 hash family
+    (operators/graph.synthetic_link_graph — the documents table has
+    no hyperlink column, so the graph is closed-form like the
+    multimodal fixtures; production swaps in the real (src, href)
+    frame from the WARC/scrape stack). Ranks are fixed-point BIGINT
+    mass (units of 1e-12), every update an integer division — the
+    result is bit-exact regardless of aggregation order, which is
+    what lets the DuckDB twin unroll the same five iterations and
+    match hash-exact with zero float-rounding discipline needed."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        pagerank,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, n_links=3)
+    return pagerank(docs.select(F.col("doc_id").alias("id")), edges, n_iter=5).select(
+        F.col("id").alias("doc_id"), "out_deg", "rank_scaled"
+    )
+
+
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
     sold to ASIA customers, the fraction supplied by NATION_1, per
@@ -4120,6 +4144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_dedup_agreement": multimodal_dedup_agreement,
         "bm25_search_docs": bm25_search_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
+        "link_graph_pagerank": link_graph_pagerank,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7229,6 +7254,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE est_jaccard >= 0.8 AND id_a % 4 = 0 AND id_b % 4 <> 0
           )
     """
+    # PageRank twin: the Spark side is fixed-point BIGINT throughout
+    # (operators/graph.pagerank), so the five unrolled iterations here
+    # are plain integer arithmetic — bit-exact by construction, no
+    # float-rounding discipline involved
+    _pr_iter = """
+        , c{i} AS (
+            SELECT e.dst AS id,
+                   CAST(sum(r.r // r.out_deg) AS BIGINT) AS contrib
+            FROM edges e JOIN r{p} r ON r.id = e.src AND r.out_deg > 0
+            GROUP BY e.dst
+        ), d{i} AS (
+            SELECT CAST(coalesce(sum(CASE WHEN out_deg = 0 THEN r END), 0)
+                        AS BIGINT) AS dang
+            FROM r{p}
+        ), r{i} AS (
+            SELECT b.id, b.out_deg,
+                   CAST(((15 * 1000000000000) // (100 * (SELECT n FROM nn)))
+                   + ((85 * (coalesce(c.contrib, 0)
+                             + ((SELECT dang FROM d{i})
+                                // (SELECT n FROM nn)))) // 100)
+                   AS BIGINT) AS r
+            FROM r0 b LEFT JOIN c{i} c ON c.id = b.id
+        )"""
+    out["link_graph_pagerank"] = (
+        """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS (SELECT src, dst FROM links WHERE src <> dst),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        base AS (
+            SELECT doc_id AS id, coalesce(deg.out_deg, 0) AS out_deg
+            FROM documents LEFT JOIN deg ON deg.src = doc_id
+        ),
+        r0 AS (
+            SELECT id, out_deg,
+                   1000000000000 // (SELECT n FROM nn) AS r
+            FROM base
+        )"""
+        + "".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
+    """
+    )
     # BM25 twin: identical tf/df/dl count tables, exact integer-sum
     # avgdl division, Lucene idf, same association order, round
     # before the rank window

@@ -1,0 +1,95 @@
+"""Fixed-point PageRank: hand-model equality, mass conservation,
+partitioning-independence (the bit-exactness claim), dangling mass."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.operators.graph import (
+    SCALE,
+    pagerank,
+    synthetic_link_graph,
+)
+
+
+def _model_pagerank(node_ids, edges, n_iter=5, damping_pct=85, scale=SCALE):
+    """Driver-side integer model: the exact arithmetic the operator
+    must reproduce distributed."""
+    out_deg = {i: 0 for i in node_ids}
+    for s, _ in edges:
+        out_deg[s] += 1
+    n = len(node_ids)
+    r = {i: scale // n for i in node_ids}
+    for _ in range(n_iter):
+        contrib = {i: 0 for i in node_ids}
+        for s, d in edges:
+            contrib[d] += r[s] // out_deg[s]
+        dang = sum(r[i] for i in node_ids if out_deg[i] == 0)
+        r = {
+            i: ((100 - damping_pct) * scale) // (100 * n)
+            + (damping_pct * (contrib[i] + dang // n)) // 100
+            for i in node_ids
+        }
+    return out_deg, r
+
+
+def _run(spark, node_ids, edges, **kw):
+    nodes = spark.createDataFrame([(i,) for i in node_ids], "id: long")
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    return {
+        row.id: (row.out_deg, row.rank_scaled)
+        for row in pagerank(nodes, e, **kw).collect()
+    }
+
+
+def test_matches_integer_model_with_dangling_node(spark):
+    # 0→1→2→0 cycle, 3 links into the cycle but has NO out-edges
+    # (dangling), 4 isolated entirely
+    nodes = [0, 1, 2, 3, 4]
+    edges = [(0, 1), (1, 2), (2, 0), (3, 0), (3, 2)]
+    got = _run(spark, nodes, edges)
+    deg, r = _model_pagerank(nodes, edges)
+    assert got == {i: (deg[i], r[i]) for i in nodes}
+    # the dangling/isolated nodes hold strictly less mass than the
+    # cycle members they feed
+    assert got[4][1] < got[0][1]
+
+
+def test_mass_conserved_within_floor_loss(spark):
+    nodes = list(range(40))
+    edges = [(i, (i * 7 + 3) % 40) for i in range(40) if i != (i * 7 + 3) % 40]
+    got = _run(spark, nodes, edges)
+    total = sum(v[1] for v in got.values())
+    # every integer division loses < 1 unit per participating row per
+    # iteration: bound by iterations * (|E| + 3 * |V| + 1)
+    loss_bound = 5 * (len(edges) + 3 * len(nodes) + 1) + len(nodes)
+    assert SCALE - loss_bound <= total <= SCALE
+
+
+def test_bit_exact_across_partitioning(spark):
+    """The fixed-point claim: identical output under a hostile
+    repartition (different aggregation order)."""
+    docs = spark.range(0, 97).select(F.col("id").alias("doc_id"))
+    edges = synthetic_link_graph(docs, n_links=3)
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    a = {r.id: r.rank_scaled for r in pagerank(nodes, edges).collect()}
+    b = {
+        r.id: r.rank_scaled
+        for r in pagerank(
+            nodes.repartition(13), edges.repartition(7, "dst")
+        ).collect()
+    }
+    assert a == b
+
+
+def test_synthetic_link_graph_shape(spark):
+    docs = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    e = synthetic_link_graph(docs, n_links=3).collect()
+    assert all(0 <= r.dst < 50 and r.src != r.dst for r in e)
+    # ≤ 3 out-links per doc, collapsed multi-edges allowed to reduce
+    per_src = {}
+    for r in e:
+        per_src[r.src] = per_src.get(r.src, 0) + 1
+    assert max(per_src.values()) <= 3
+    assert len({(r.src, r.dst) for r in e}) == len(e)

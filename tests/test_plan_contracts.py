@@ -166,7 +166,7 @@ def test_no_driver_actions_while_building_plans(spark):
     # legitimately run distributed materialization jobs at build time —
     # the data never lands on the driver, which is what this audit
     # guards. Everything else must stay zero-job.
-    checkpoint_builders = {"semdedup_embeddings"}
+    checkpoint_builders = {"semdedup_embeddings", "link_graph_pagerank"}
     group = "plan-build-audit"
     qs = entry_mod.queries()
     offenders: dict[str, list] = {}
