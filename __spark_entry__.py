@@ -1155,6 +1155,27 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kimball SCD Type-2 dimension build (operators/scd.scd2_history):
+    each order is an observation of its customer's then-current
+    status; consecutive runs of equal status compress to validity
+    intervals (valid_from, valid_to, version, is_current) under the
+    total (o_orderdate, o_orderkey) in-key order. One hash exchange on
+    o_custkey serves all three window passes. The DuckDB twin is the
+    same lag-filter-lead-row_number chain with IS DISTINCT FROM run
+    compression."""
+    from data_pipeline_childcare_spark.operators.scd import scd2_history
+
+    orders = _t(spark, sf_dir, "orders")
+    return scd2_history(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key_col="o_custkey",
+        attr_cols=["o_orderstatus"],
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    )
+
+
 def nation_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q8 shape — market share: of all ECONOMY-type part revenue
     sold to ASIA customers, the fraction supplied by NATION_1, per
@@ -4145,6 +4166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "link_graph_pagerank": link_graph_pagerank,
+        "customer_status_scd2": customer_status_scd2,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7302,6 +7324,26 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
     """
     )
+    # SCD2 twin: same lag run-compression (IS DISTINCT FROM = Spark's
+    # eqNullSafe negation) and the same total in-key order
+    out["customer_status_scd2"] = """
+        WITH obs AS (
+            SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+                   lag(o_orderstatus) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders
+        ), changes AS (
+            SELECT * FROM obs WHERE prev IS DISTINCT FROM o_orderstatus
+        )
+        SELECT o_custkey, o_orderstatus,
+               o_orderdate AS valid_from,
+               lead(o_orderdate) OVER w AS valid_to,
+               CAST(row_number() OVER w AS INT) AS version,
+               (lead(o_orderdate) OVER w) IS NULL AS is_current
+        FROM changes
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """
     # BM25 twin: identical tf/df/dl count tables, exact integer-sum
     # avgdl division, Lucene idf, same association order, round
     # before the rank window

@@ -85,6 +85,10 @@ CONTRACTS = {
     # join + estimate joins + the anti-join; doc-keyed joins go SMJ
     # (uniform key, corpus-sized both sides — the right plan)
     "dedup_incremental_docs": (9, False, True),
+    # SCD2: ONE custkey exchange serves all three window passes (the
+    # lead + row_number fuse into a single Window node over the sort
+    # the lag pass already established)
+    "customer_status_scd2": (1, True, True),
 }
 
 
