@@ -1155,6 +1155,26 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity bucketing
+    (operators/tfidf.perplexity_buckets over bigram_logprob_scores,
+    Wenzek et al. 2020): per source domain, rank docs by interpolated
+    bigram avg log-prob and ntile(3) them — head = cleanest third.
+    Docs with fewer than two tokens have no LM score and emit no row
+    (mirroring the scorer). The DuckDB twin nests the bigram-LM twin
+    and replays the identical (score DESC, doc_id) ntile window."""
+    from data_pipeline_childcare_spark.operators.tfidf import (
+        bigram_logprob_scores,
+        perplexity_buckets,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = bigram_logprob_scores(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    )
+    return perplexity_buckets(scored)
+
+
 def customer_status_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kimball SCD Type-2 dimension build (operators/scd.scd2_history):
     each order is an observation of its customer's then-current
@@ -4167,6 +4187,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": dedup_incremental_docs,
         "link_graph_pagerank": link_graph_pagerank,
         "customer_status_scd2": customer_status_scd2,
+        "doc_perplexity_buckets": doc_perplexity_buckets,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7259,6 +7280,27 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_bigrams,
                round(round(sum(l), 6) / count(*), 6) AS avg_logprob
         FROM lp GROUP BY doc_id
+    """
+    # CCNet bucketing twin: nests the bigram-LM twin verbatim, joins
+    # the source domain back and replays the identical
+    # (avg_logprob DESC, doc_id) ntile(3) window per source
+    out["doc_perplexity_buckets"] = f"""
+        WITH lm AS ({out['doc_bigram_logprob']}),
+        j AS (
+            SELECT lm.doc_id, lm.n_bigrams, lm.avg_logprob, d.source
+            FROM lm JOIN documents d USING (doc_id)
+        ), b AS (
+            SELECT doc_id, n_bigrams, avg_logprob, source,
+                   CAST(ntile(3) OVER (
+                       PARTITION BY source
+                       ORDER BY avg_logprob DESC, doc_id) AS INT) AS bucket
+            FROM j
+        )
+        SELECT doc_id, n_bigrams, avg_logprob, source, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 3 THEN 'tail'
+                    ELSE 'middle' END AS bucket_name
+        FROM b
     """
     # incremental-dedup twin: the portable-minhash pair chain over the
     # full corpus + the incremental keep rule (drop a new id that is

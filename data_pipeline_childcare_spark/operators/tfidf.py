@@ -548,3 +548,34 @@ def bm25_topk(
         .filter(F.col("rank") <= k)
         .select(qid_col, id_col, "rank", "score")
     )
+
+
+def perplexity_buckets(
+    scored: DataFrame,
+    group_col: str = "source",
+    score_col: str = "avg_logprob",
+    id_col: str = "doc_id",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing (Wenzek et al. 2020):
+    within each domain (``group_col``), rank documents by LM score
+    (higher avg log-prob = lower perplexity = cleaner text) and split
+    into ``n_buckets`` equal-depth buckets with ``ntile``. CCNet keeps
+    head+middle as training data and drops (or down-weights) the
+    tail; emitting the bucket as a column leaves that policy to the
+    caller.
+
+    Per-domain ntile is ONE window over a (group)-keyed exchange —
+    the domain key is the natural partition (CCNet buckets per
+    language/snapshot) and domain cardinality bounds skew. The
+    (score DESC, id) order is total, so bucket boundaries are
+    deterministic under any physical partitioning.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.desc(score_col), id_col)
+    bucket = F.ntile(n_buckets).over(w)
+    name = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return scored.withColumn("bucket", bucket).withColumn("bucket_name", name)

@@ -580,3 +580,35 @@ def test_bm25_topk_max_df_drops_stopword_postings(spark):
         by_q.setdefault(r["query_id"], []).append(r["doc_id"])
     assert 1 not in by_q          # 'common' is in all 6 docs -> dropped
     assert by_q[2] == [0]         # 'rare' only in doc 0
+
+
+def test_perplexity_buckets_equal_depth_and_order(spark):
+    """ntile(3) per domain: equal-depth buckets (sizes differ by ≤1),
+    head holds the HIGHEST avg_logprob (lowest perplexity), and the
+    bucketing is deterministic under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.tfidf import perplexity_buckets
+
+    rows = [
+        (i, "web" if i < 7 else "books", float(-i))  # score strictly ranks by id
+        for i in range(12)
+    ]
+    scored = spark.createDataFrame(rows, "doc_id: long, source: string, avg_logprob: double")
+    out = perplexity_buckets(scored).collect()
+    by_doc = {r.doc_id: (r.bucket, r.bucket_name) for r in out}
+    # web: 7 docs → buckets of 3/2/2 in score order (doc 0 best)
+    assert [by_doc[i] for i in range(7)] == [
+        (1, "head"), (1, "head"), (1, "head"),
+        (2, "middle"), (2, "middle"),
+        (3, "tail"), (3, "tail"),
+    ]
+    # books: 5 docs → 2/2/1
+    assert [by_doc[i] for i in range(7, 12)] == [
+        (1, "head"), (1, "head"), (2, "middle"), (2, "middle"), (3, "tail"),
+    ]
+    again = {
+        r.doc_id: (r.bucket, r.bucket_name)
+        for r in perplexity_buckets(scored.repartition(5)).collect()
+    }
+    assert again == by_doc
