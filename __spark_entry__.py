@@ -1155,6 +1155,37 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou et al. 2011;
+    operators/similarity.pq_adc_topk) — the third ANN scale path next
+    to LSH and IVF: 4 sub-blocks × 8 L2 codebook centroids trained
+    with canonical k-means (shared md5 seed rows, pre-rounded means),
+    corpus encoded to (block, code), queries score via a broadcast
+    LUT of partial dot products, then the IVFADC-style exact re-rank
+    over the ADC top-100 shortlist (the cheap pass touches 8-byte
+    codes; full vectors are read for |Q|·100 rows only). FULLY
+    oracled: the DuckDB twin unrolls all four per-block Lloyd chains,
+    the final assignment, the LUT-sum shortlist and the exact-cosine
+    re-rank, hash-exact."""
+    from data_pipeline_childcare_spark.operators.similarity import pq_adc_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return pq_adc_topk(
+        emb, q, k=5, dim=64, n_sub=4, n_codes=8, iterations=2, rerank_shortlist=100
+    ).select(
+        "query_id",
+        "vec_id",
+        "adc_score",
+        "cosine_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def doc_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity bucketing
     (operators/tfidf.perplexity_buckets over bigram_logprob_scores,
@@ -4188,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_pagerank": link_graph_pagerank,
         "customer_status_scd2": customer_status_scd2,
         "doc_perplexity_buckets": doc_perplexity_buckets,
+        "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7301,6 +7333,118 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket = 3 THEN 'tail'
                     ELSE 'middle' END AS bucket_name
         FROM b
+    """
+    # PQ-ADC twin: four per-block canonical-kmeans chains (shared md5
+    # seed rows, L2 assignment via the dot-product decomposition —
+    # identical association order to the Spark fold — pre-rounded
+    # centroid means), final per-block assignment, LUT of partial
+    # dots, summed and ranked exactly like the operator
+    def _pq_l2(sv: str, cent: str) -> str:
+        return (
+            f"(list_dot_product({sv}, {sv})"
+            f" - 2*list_dot_product({sv}, {cent})"
+            f" + list_dot_product({cent}, {cent}))"
+        )
+
+    def _pq_assign(name: str, eb: str, cb: str) -> str:
+        return f"""{name} AS (
+            SELECT vec_id, sv, code FROM (
+                SELECT e.vec_id, e.sv, c.code,
+                       row_number() OVER (PARTITION BY e.vec_id
+                           ORDER BY {_pq_l2('e.sv', 'c.centroid')} ASC,
+                                    c.code) AS rn
+                FROM {eb} e CROSS JOIN {cb} c
+            ) WHERE rn = 1
+        )"""
+
+    def _pq_means(name: str, assigned: str, sub: int) -> str:
+        return f"""{name} AS (
+            SELECT code, list(m ORDER BY pos) AS centroid FROM (
+                SELECT a.code, r.i AS pos,
+                       round(round(sum(a.sv[r.i]), 6) / count(*), 6) AS m
+                FROM {assigned} a CROSS JOIN range(1, {sub + 1}) r(i)
+                GROUP BY a.code, r.i
+            ) GROUP BY code
+        )"""
+
+    _pq_sub = 16
+    _pq_blocks = []
+    for _b in range(1, 5):
+        _lo, _hi = (_b - 1) * _pq_sub + 1, _b * _pq_sub
+        _pq_blocks.append(
+            f"""eb{_b} AS (
+                SELECT vec_id, cv[{_lo}:{_hi}] AS sv FROM pemb
+            ), cb{_b}0 AS (
+                SELECT code, cv[{_lo}:{_hi}] AS centroid FROM pseeds
+            ), {_pq_assign(f'pa{_b}1', f'eb{_b}', f'cb{_b}0')},
+               {_pq_means(f'cb{_b}1', f'pa{_b}1', _pq_sub)},
+               {_pq_assign(f'pa{_b}2', f'eb{_b}', f'cb{_b}1')},
+               {_pq_means(f'cb{_b}2', f'pa{_b}2', _pq_sub)},
+               {_pq_assign(f'paf{_b}', f'eb{_b}', f'cb{_b}2')}"""
+        )
+    _pq_union_codes = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS block, code FROM paf{b}" for b in range(1, 5)
+    )
+    _pq_union_books = " UNION ALL ".join(
+        f"SELECT {b} AS block, code, centroid FROM cb{b}2" for b in range(1, 5)
+    )
+    _pq_union_qb = " UNION ALL ".join(
+        f"SELECT vec_id AS query_id, {b} AS block,"
+        f" cv[{(b - 1) * _pq_sub + 1}:{b * _pq_sub}] AS qv"
+        f" FROM pemb WHERE vec_id < 3"
+        for b in range(1, 5)
+    )
+    out["pq_adc_topk_embeddings"] = f"""
+        WITH pemb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), pseeds AS (
+            SELECT row_number() OVER (ORDER BY h) AS code, cv FROM (
+                SELECT vec_id, cv,
+                       CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM pemb ORDER BY h LIMIT 8
+            )
+        ), {', '.join(_pq_blocks)},
+        pcodes AS ({_pq_union_codes}),
+        pbooks AS ({_pq_union_books}),
+        pqb AS ({_pq_union_qb}),
+        plut AS (
+            SELECT q.query_id, bk.block, bk.code,
+                   round(list_dot_product(q.qv, bk.centroid), 6) AS pd
+            FROM pqb q JOIN pbooks bk USING (block)
+        ), pscored AS (
+            SELECT l.query_id, c.vec_id, round(sum(l.pd), 6) AS adc_score
+            FROM pcodes c
+            JOIN plut l ON l.block = c.block AND l.code = c.code
+            WHERE l.query_id <> c.vec_id
+            GROUP BY l.query_id, c.vec_id
+        ), pshort AS (
+            SELECT query_id, vec_id, adc_score FROM (
+                SELECT query_id, vec_id, adc_score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_score DESC, vec_id) AS rank
+                FROM pscored
+            ) WHERE rank <= 100
+        ), prerank AS (
+            SELECT s.query_id, s.vec_id, s.adc_score,
+                   round(
+                       list_dot_product(c.cv, q.cv) /
+                       (sqrt(list_dot_product(c.cv, c.cv)) *
+                        sqrt(list_dot_product(q.cv, q.cv))), 6
+                   ) AS cosine_sim
+            FROM pshort s
+            JOIN pemb c ON c.vec_id = s.vec_id
+            JOIN pemb q ON q.vec_id = s.query_id
+        )
+        SELECT query_id, vec_id, adc_score, cosine_sim,
+               CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id, adc_score, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id) AS rank
+            FROM prerank
+        ) WHERE rank <= 5
     """
     # incremental-dedup twin: the portable-minhash pair chain over the
     # full corpus + the incremental keep rule (drop a new id that is

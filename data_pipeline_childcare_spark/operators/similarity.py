@@ -726,3 +726,208 @@ def semdedup(
             "dup_of",
         )
     )
+
+
+def _l2sq(a: Column, b: Column) -> Column:
+    """Squared L2 via the dot-product decomposition
+    ``a·a − 2·a·b + b·b`` — three sequential folds, the SAME
+    association order a SQL engine's list_dot_product uses, so
+    assignment argmins are bit-identical across engines (a naive
+    zip_with-subtract-square fold would be too, but the decomposition
+    lets the oracle reuse list_dot_product verbatim)."""
+    return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
+
+
+def pq_codebooks(
+    corpus: DataFrame,
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Product-quantization codebooks (Jégou et al. 2011, "Product
+    quantization for nearest neighbor search"): split the vector into
+    ``n_sub`` contiguous sub-blocks and train an independent
+    ``n_codes``-centroid L2 quantizer per block with canonical
+    k-means (md5 seed order shared across blocks, pre-rounded
+    centroid means — the kmeans_lite discipline, so a SQL oracle
+    walks the identical trajectory).
+
+    Returns (block, code, centroid) with block in 1..n_sub. The whole
+    training is ``n_sub × (iterations + 1)`` corpus scans of width
+    ``dim / n_sub`` — at 100 TB one samples the training corpus
+    first; the codebook frame itself is n_sub·n_codes rows (broadcast
+    everywhere downstream)."""
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    sub = dim // n_sub
+    seed_hash = F.expr(
+        f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
+    )
+    seeds = (
+        corpus.withColumn("_r", seed_hash)
+        .orderBy("_r")
+        .limit(n_codes)
+        .select(
+            F.row_number()
+            .over(Window.partitionBy(F.lit(0)).orderBy("_r"))
+            .alias("code"),
+            F.col(vec_col).cast("array<double>").alias("_seed"),
+        )
+    )
+    books = []
+    for b in range(1, n_sub + 1):
+        lo = (b - 1) * sub + 1
+        sv = F.slice(F.col(vec_col).cast("array<double>"), lo, sub)
+        block_corpus = corpus.select(F.col(id_col), sv.alias("_sv"))
+        cents = seeds.select("code", F.slice("_seed", lo, sub).alias("centroid"))
+        for _ in range(iterations):
+            scored = block_corpus.crossJoin(F.broadcast(cents)).withColumn(
+                "_d", _l2sq(F.col("_sv"), F.col("centroid"))
+            )
+            w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.col("code"))
+            assigned = (
+                scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .select(id_col, "_sv", "code")
+            )
+            per_pos = assigned.select(
+                "code", F.posexplode("_sv").alias("pos", "v")
+            ).groupBy("code", "pos").agg(
+                F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
+            )
+            cents = per_pos.groupBy("code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            if checkpoint:
+                # lazy: cut the unrolled lineage without running a job
+                # at plan-build time (kmeans_lite discipline)
+                cents = cents.localCheckpoint(eager=False)
+        books.append(cents.select(F.lit(b).alias("block"), "code", "centroid"))
+    out = books[0]
+    for other in books[1:]:
+        out = out.unionByName(other)
+    return out
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    dim: int = 64,
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as ``n_sub`` codes: per block, the L2-nearest
+    codebook centroid (ties → smallest code). One explode to
+    (id, block, sub-vector), one broadcast join on block, one
+    (id, block)-keyed argmin window. Returns (id, block, code) —
+    dim/n_sub/8 bytes per vector per block, the compression PQ
+    exists for."""
+    sub = dim // n_sub
+    blocks = F.array(
+        *[
+            F.slice(F.col(vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
+            for b in range(1, n_sub + 1)
+        ]
+    )
+    exploded = corpus.select(
+        F.col(id_col), F.posexplode(blocks).alias("_b0", "_sv")
+    ).select(F.col(id_col), (F.col("_b0") + 1).alias("block"), "_sv")
+    scored = exploded.join(F.broadcast(codebooks), "block").withColumn(
+        "_d", _l2sq(F.col("_sv"), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col, "block").orderBy(F.asc("_d"), F.col("code"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "block", "code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    rerank_shortlist: int | None = None,
+) -> DataFrame:
+    """PQ asymmetric-distance top-k: queries score against CODES, not
+    vectors — per query, a lookup table of ``n_sub × n_codes`` partial
+    dot products against the codebooks, then each corpus vector's
+    approximate score is the sum of its blocks' LUT entries.
+
+    The scale shape this buys at 100 TB: the scored pass touches only
+    the (id, block, code) frame — 8 bytes a block instead of the full
+    vector — and the LUT join is broadcast (|Q|·n_sub·n_codes rows).
+    The codes frame is built once per index build, not per query
+    batch. Returns (query_id, vec_id, adc_score, rank); adc_score
+    approximates the raw dot product (NOT normalized cosine — PQ
+    ranking semantics)."""
+    books = pq_codebooks(
+        corpus, dim, n_sub, n_codes, iterations, id_col, vec_col
+    )
+    codes = pq_encode(corpus, books, dim, n_sub, id_col, vec_col)
+    sub = dim // n_sub
+    qblocks_arr = F.array(
+        *[
+            F.slice(F.col(query_vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
+            for b in range(1, n_sub + 1)
+        ]
+    )
+    qblocks = queries.select(
+        F.col(query_id_col), F.posexplode(qblocks_arr).alias("_b0", "_qv")
+    ).select(F.col(query_id_col), (F.col("_b0") + 1).alias("block"), "_qv")
+    lut = qblocks.join(F.broadcast(books), "block").select(
+        query_id_col,
+        "block",
+        "code",
+        F.round(_dot(F.col("_qv"), F.col("centroid")), 6).alias("_pd"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["block", "code"])
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .groupBy(query_id_col, id_col)
+        .agg(F.round(F.sum("_pd"), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_shortlist is None:
+        return ranked.filter(F.col("rank") <= k)
+    # IVFADC-style exact re-rank: the ADC pass only SHORTLISTS
+    # (top ``rerank_shortlist`` codes-reconstructed candidates); the
+    # true vectors are fetched for that shortlist alone and re-scored
+    # with exact cosine. At 100 TB this is the standard two-stage
+    # read: the cheap pass touches 8-byte codes, the expensive
+    # full-vector read touches |Q|·shortlist rows.
+    shortlist = ranked.filter(F.col("rank") <= rerank_shortlist).select(
+        query_id_col, id_col, "adc_score"
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    cand = (
+        shortlist.join(corpus.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")), id_col)
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            "adc_score",
+            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)

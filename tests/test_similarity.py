@@ -268,3 +268,57 @@ def test_semdedup_crafted_clusters(spark):
     assert got[10]["kept"] is True and got[11]["kept"] is True
     # kept set is exactly the dedup survivors
     assert sorted(v for v, r in got.items() if r["kept"]) == [1, 10, 11]
+
+
+def test_pq_codebooks_and_encode_shapes(spark):
+    from data_pipeline_childcare_spark.operators.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    emb = _emb(spark)
+    books = pq_codebooks(emb, dim=64, n_sub=4, n_codes=8, iterations=2)
+    rows = books.collect()
+    assert {r["block"] for r in rows} == {1, 2, 3, 4}
+    assert all(len(r["centroid"]) == 16 for r in rows)
+    assert all(1 <= r["code"] <= 8 for r in rows)
+    codes = pq_encode(emb, books, dim=64, n_sub=4)
+    n = emb.count()
+    # exactly one code per (vector, block)
+    assert codes.count() == 4 * n
+    assert codes.select("vec_id").distinct().count() == n
+
+
+def test_pq_adc_recall_and_score_approximation(spark):
+    """ADC ranks by an 8-codes-per-block reconstruction — recall
+    against the exact top-k must be far above chance, and each ADC
+    score must approximate the true dot product to within the
+    per-block quantization error."""
+    import numpy as np
+
+    from data_pipeline_childcare_spark.operators.similarity import pq_adc_topk
+
+    emb = _emb(spark)
+    q = _queries(emb, 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    rows = pq_adc_topk(
+        emb, q, k=10, dim=64, n_sub=4, n_codes=8, iterations=2, rerank_shortlist=100
+    ).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    # near-random test vectors are PQ's worst case (quantization noise
+    # ~ the signal itself); the reranked shortlist still has to beat
+    # the ~2% chance rate by an order of magnitude
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+
+    # reranked scores are EXACT cosines over the shortlist
+    mat = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for r in rows:
+        a, b = mat[r["query_id"]], mat[r["vec_id"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine_sim"] - true_cos) < 1e-5
+        true_dot = float(a @ b)
+        assert abs(r["adc_score"] - true_dot) < 0.5 * abs(true_dot) + 2.0
