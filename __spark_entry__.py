@@ -1155,6 +1155,46 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key for 2-D data skipping
+    (io.zorder_value — the Delta/Iceberg OPTIMIZE ZORDER layout pass
+    in vanilla Spark, see io.write_zordered): user_id and
+    day-of-epoch are min-max bucketed with EXACT integer arithmetic
+    (one-row broadcast bounds, integer div — no float scaling) and
+    bit-interleaved; cells = z div 64 summarize the locality the
+    layout buys. The DuckDB twin replays the identical shifts, masks
+    and integer divisions. File-level pruning effectiveness is
+    measured in tests/test_zorder.py with real parquet zone maps."""
+    from data_pipeline_childcare_spark.io import zorder_value
+
+    ev = _t(spark, sf_dir, "events")
+    day = F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).cast("bigint")
+    stats = ev.select(
+        F.col("user_id"), day.alias("_day")
+    ).agg(
+        F.min("user_id").alias("_mn_x"),
+        F.max("user_id").alias("_mx_x"),
+        F.min("_day").alias("_mn_y"),
+        F.max("_day").alias("_mx_y"),
+    )
+    z = zorder_value(F.col("_bx"), F.col("_by"), bits=8)
+    return (
+        ev.select(F.col("event_id"), F.col("user_id"), day.alias("_day"))
+        .join(F.broadcast(stats))
+        .withColumn("_bx", F.expr("((user_id - _mn_x) * 256) div (_mx_x - _mn_x + 1)"))
+        .withColumn("_by", F.expr("((_day - _mn_y) * 256) div (_mx_y - _mn_y + 1)"))
+        .withColumn("_z", z)
+        .groupBy(F.expr("_z div 64").alias("z_cell"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("user_id").alias("min_user"),
+            F.max("user_id").alias("max_user"),
+            F.min("_day").alias("min_day"),
+            F.max("_day").alias("max_day"),
+        )
+    )
+
+
 def pq_adc_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-k (Jégou et al. 2011;
     operators/similarity.pq_adc_topk) — the third ANN scale path next
@@ -4220,6 +4260,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "customer_status_scd2": customer_status_scd2,
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
+        "events_zorder_cells": events_zorder_cells,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7333,6 +7374,38 @@ def oracle_sql() -> dict[str, str]:
                     WHEN bucket = 3 THEN 'tail'
                     ELSE 'middle' END AS bucket_name
         FROM b
+    """
+    # Z-order twin: identical integer min-max bucketing and the same
+    # shift/mask interleave — BIGINT ops end to end, bit-exact
+    _z_interleave = " + ".join(
+        f"(((bx >> {b}) & 1) * {1 << (2 * b)})"
+        f" + (((by >> {b}) & 1) * {1 << (2 * b + 1)})"
+        for b in range(8)
+    )
+    out["events_zorder_cells"] = f"""
+        WITH ed AS (
+            SELECT event_id, user_id,
+                   date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+            FROM events
+        ), st AS (
+            SELECT min(user_id) AS mn_x, max(user_id) AS mx_x,
+                   min(d) AS mn_y, max(d) AS mx_y
+            FROM ed
+        ), bz AS (
+            SELECT event_id, user_id, d,
+                   ((user_id - mn_x) * 256) // (mx_x - mn_x + 1) AS bx,
+                   ((d - mn_y) * 256) // (mx_y - mn_y + 1) AS by
+            FROM ed CROSS JOIN st
+        ), zz AS (
+            SELECT event_id, user_id, d,
+                   CAST({_z_interleave} AS BIGINT) AS z
+            FROM bz
+        )
+        SELECT z // 64 AS z_cell,
+               count(*) AS n_events,
+               min(user_id) AS min_user, max(user_id) AS max_user,
+               min(d) AS min_day, max(d) AS max_day
+        FROM zz GROUP BY z // 64
     """
     # PQ-ADC twin: four per-block canonical-kmeans chains (shared md5
     # seed rows, L2 assignment via the dot-product decomposition —

@@ -197,3 +197,76 @@ def write_bucketed(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def zorder_value(x: Column, y: Column, bits: int = 8) -> Column:
+    """Morton (Z-order) interleave of two ``bits``-wide non-negative
+    integer bucket ids — pure JVM bit expressions, engine-portable
+    (the oracle replays the same shifts/masks).
+
+    Sorting by the interleaved value gives files locality in BOTH
+    dimensions at once, so file-level min/max zone maps prune
+    two-dimensional range predicates — the property linear sort keys
+    lack (sorting by x alone leaves y spread across every file)."""
+    terms = []
+    for b in range(bits):
+        terms.append(
+            (F.shiftright(x, b).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * b))
+        )
+        terms.append(
+            (F.shiftright(y, b).bitwiseAND(F.lit(1))) * F.lit(1 << (2 * b + 1))
+        )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    bits: int = 8,
+    n_files: int = 32,
+    mode: str = "overwrite",
+) -> None:
+    """Z-order-clustered parquet sink: bucket both integral dimensions
+    by exact min-max scaling, interleave to a Morton key, range-
+    partition + sort by it, write ``n_files``-ish files. Readers with
+    2-D range predicates then skip most files on parquet zone maps
+    (see tests/test_zorder.py for the measured file-overlap win).
+
+    At 100 TB this is the Delta/Iceberg OPTIMIZE ZORDER layout pass
+    expressed in vanilla Spark: one agg for the bounds, one range
+    exchange keyed by the Morton value, one in-partition sort."""
+    stats = df.agg(
+        F.min(x_col).alias("_mn_x"),
+        F.max(x_col).alias("_mx_x"),
+        F.min(y_col).alias("_mn_y"),
+        F.max(y_col).alias("_mx_y"),
+    )
+    with_z = (
+        df.join(F.broadcast(stats))
+        .withColumn(
+            "_bx",
+            F.expr(
+                f"(( {x_col} - _mn_x) * {1 << bits}) div (_mx_x - _mn_x + 1)"
+            ),
+        )
+        .withColumn(
+            "_by",
+            F.expr(
+                f"(( {y_col} - _mn_y) * {1 << bits}) div (_mx_y - _mn_y + 1)"
+            ),
+        )
+        .withColumn("_z", zorder_value(F.col("_bx"), F.col("_by"), bits))
+        .drop("_mn_x", "_mx_x", "_mn_y", "_mx_y", "_bx", "_by")
+    )
+    (
+        with_z.repartitionByRange(n_files, "_z")
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
