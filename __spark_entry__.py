@@ -1155,6 +1155,32 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness-aware crawl scheduling composed over PageRank
+    (operators/graph.frontier_schedule ∘ pagerank): the frontier is
+    the document set hosted on 7 synthetic hosts (doc_id % 7 — the
+    same host family the URL-canonicalization query uses); priority
+    is the fixed-point PageRank mass; each host emits at most 4 URLs
+    per wave under the (rank DESC, doc_id) total order. All-integer
+    output. The DuckDB twin nests the unrolled PageRank twin and
+    replays the identical per-host window arithmetic."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        frontier_schedule,
+        pagerank,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, n_links=3)
+    ranked = pagerank(docs.select(F.col("doc_id").alias("id")), edges, n_iter=5)
+    frontier = ranked.withColumn(
+        "host", F.concat(F.lit("site"), (F.col("id") % 7).cast("string"))
+    )
+    return frontier_schedule(frontier, per_host_cap=4).select(
+        F.col("id").alias("doc_id"), "host", "rank_scaled", "wave", "slot"
+    )
+
+
 def events_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key for 2-D data skipping
     (io.zorder_value — the Delta/Iceberg OPTIMIZE ZORDER layout pass
@@ -4261,6 +4287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
         "events_zorder_cells": events_zorder_cells,
+        "crawl_frontier_schedule": crawl_frontier_schedule,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7583,6 +7610,27 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
     """
     )
+    # frontier-schedule twin: nests the PageRank twin, same synthetic
+    # host family and the identical per-host window arithmetic
+    out["crawl_frontier_schedule"] = f"""
+        WITH pr AS ({out['link_graph_pagerank']}),
+        f AS (
+            SELECT doc_id,
+                   'site' || CAST(doc_id % 7 AS VARCHAR) AS host,
+                   rank_scaled
+            FROM pr
+        ), s AS (
+            SELECT doc_id, host, rank_scaled,
+                   row_number() OVER (
+                       PARTITION BY host
+                       ORDER BY rank_scaled DESC, doc_id) AS rn
+            FROM f
+        )
+        SELECT doc_id, host, rank_scaled,
+               CAST((rn - 1) // 4 AS BIGINT) AS wave,
+               CAST((rn - 1) % 4 + 1 AS INT) AS slot
+        FROM s
+    """
     # SCD2 twin: same lag run-compression (IS DISTINCT FROM = Spark's
     # eqNullSafe negation) and the same total in-key order
     out["customer_status_scd2"] = """

@@ -36,7 +36,7 @@ Design — fixed-point INTEGER arithmetic, not floats:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SCALE = 10**12
@@ -148,4 +148,37 @@ def synthetic_link_graph(
         .select("src", (F.expr(h) % F.col("_n")).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
+    )
+
+
+def frontier_schedule(
+    frontier: DataFrame,
+    host_col: str = "host",
+    priority_col: str = "rank_scaled",
+    id_col: str = "id",
+    per_host_cap: int = 4,
+) -> DataFrame:
+    """Politeness-aware crawl-wave assignment: order each host's URLs
+    by priority (PageRank mass, recency score — any total order with
+    the id tiebreak) and emit ``wave`` numbers such that no host has
+    more than ``per_host_cap`` URLs per wave — the standard frontier
+    discipline (a crawler fetches wave w everywhere before wave w+1,
+    bounding per-host request rate while global throughput stays
+    proportional to host count).
+
+    One (host)-keyed window; host skew is the thing to watch at
+    100 TB (one giant host ⇒ one giant partition) — mitigated
+    upstream by sharding mega-hosts on a path prefix before
+    scheduling. Returns the frontier plus (wave, slot): slot ∈
+    [1, per_host_cap] is the position within the host's wave.
+    """
+    w = Window.partitionBy(host_col).orderBy(
+        F.desc(priority_col), F.col(id_col)
+    )
+    rn = F.row_number().over(w)
+    return (
+        frontier.withColumn("_rn", rn)
+        .withColumn("wave", F.expr(f"cast((_rn - 1) div {per_host_cap} as bigint)"))
+        .withColumn("slot", F.expr(f"cast((_rn - 1) % {per_host_cap} + 1 as int)"))
+        .drop("_rn")
     )

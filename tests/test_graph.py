@@ -93,3 +93,26 @@ def test_synthetic_link_graph_shape(spark):
         per_src[r.src] = per_src.get(r.src, 0) + 1
     assert max(per_src.values()) <= 3
     assert len({(r.src, r.dst) for r in e}) == len(e)
+
+
+def test_frontier_schedule_cap_and_priority(spark):
+    from data_pipeline_childcare_spark.operators.graph import frontier_schedule
+
+    rows = [(i, f"h{i % 3}", 1000 - i) for i in range(20)]
+    f = spark.createDataFrame(rows, "id: long, host: string, rank_scaled: long")
+    out = frontier_schedule(f, per_host_cap=4).collect()
+    by_host_wave = {}
+    for r in out:
+        by_host_wave.setdefault((r.host, r.wave), []).append(r)
+    # politeness: never more than 4 per host per wave; slots 1..4
+    for rows_ in by_host_wave.values():
+        assert len(rows_) <= 4
+        assert sorted(r.slot for r in rows_) == list(range(1, len(rows_) + 1))
+    # priority: within a host, a later wave never holds a higher
+    # priority than an earlier wave's minimum
+    for h in {"h0", "h1", "h2"}:
+        host_rows = sorted(
+            (r for r in out if r.host == h), key=lambda r: (r.wave, r.slot)
+        )
+        ranks = [r.rank_scaled for r in host_rows]
+        assert ranks == sorted(ranks, reverse=True)
