@@ -1155,6 +1155,42 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_UG_ARGS = dict(vocab_size=48, n_rounds=2, max_piece_len=4, max_word_len=8)
+
+
+def unigram_lm_vocab_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer training (operators/unigram_lm, Kudo 2018
+    hard-EM shape): substring-count seed → integer micro-log costs →
+    Viterbi re-segmentation → usage recount → prune, two rounds.
+    Costs are BIGINT micro-logs so the whole DP is integer-exact; the
+    DuckDB twin unrolls the identical trajectory (forward DP and
+    backtrace as chained MATERIALIZED CTEs) and hash-matches the
+    final inventory."""
+    from data_pipeline_childcare_spark.operators.unigram_lm import learn_unigram_lm
+
+    return learn_unigram_lm(_t(spark, sf_dir, "documents"), **_UG_ARGS)
+
+
+def unigram_fertility_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained-inventory application: per-doc Viterbi piece/word/unk
+    counts under the learned unigram costs (train → apply composed in
+    one plan; words over the length cap count one UNK, mirroring
+    training exclusion)."""
+    from data_pipeline_childcare_spark.operators.unigram_lm import (
+        learn_unigram_lm,
+        unigram_segment_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = learn_unigram_lm(docs, **_UG_ARGS)
+    return unigram_segment_counts(
+        docs,
+        vocab,
+        max_piece_len=_UG_ARGS["max_piece_len"],
+        max_word_len=_UG_ARGS["max_word_len"],
+    )
+
+
 def crawl_frontier_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Politeness-aware crawl scheduling composed over PageRank
     (operators/graph.frontier_schedule ∘ pagerank): the frontier is
@@ -4288,6 +4324,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
         "events_zorder_cells": events_zorder_cells,
         "crawl_frontier_schedule": crawl_frontier_schedule,
+        "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
+        "unigram_fertility_docs": unigram_fertility_docs,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7292,6 +7330,145 @@ def oracle_sql() -> dict[str, str]:
         ), inv0 AS MATERIALIZED (
             SELECT piece FROM chars UNION SELECT piece FROM minv0
         ), """ + ", ".join(_wp_round_ctes(r) for r in range(1, _WPR + 1))
+    # unigram-LM twin: substring-count seed, add-one-smoothed INTEGER
+    # micro-log costs (floor(x·1e6 + 0.5) pins half-up in every
+    # engine), Viterbi forward DP + backtrace unrolled as chained
+    # MATERIALIZED CTEs (the DP is all-BIGINT — the fixed-point
+    # PageRank discipline — so no float ties exist), usage recount,
+    # alphabet-preserving prune, two rounds
+    _UGV, _UGR, _UGP, _UGW = (
+        _UG_ARGS["vocab_size"], _UG_ARGS["n_rounds"],
+        _UG_ARGS["max_piece_len"], _UG_ARGS["max_word_len"],
+    )
+    _UG_BIG = 1 << 50
+
+    def _ug_cost_cte(rnd: int) -> str:
+        return f"""ucw{rnd} AS MATERIALIZED (
+            SELECT i.piece, CAST(coalesce(c.c, 0) AS BIGINT) AS wc
+            FROM uinv{rnd} i LEFT JOIN ucnt{rnd} c USING (piece)
+        ), ucst{rnd} AS MATERIALIZED (
+            SELECT piece, wc,
+                   CAST(floor((log10(t.total + t.v) - log10(wc + 1))
+                              * 1000000 + 0.5) AS BIGINT) AS cost
+            FROM ucw{rnd} CROSS JOIN (
+                SELECT CAST(sum(wc) AS BIGINT) AS total,
+                       count(*) AS v
+                FROM ucw{rnd}
+            ) t
+        )"""
+
+    def _ug_inv_cte(rnd: int) -> str:
+        return f"""uinv{rnd} AS MATERIALIZED (
+            SELECT piece FROM ualph
+            UNION ALL
+            SELECT piece FROM (
+                SELECT piece, row_number() OVER (ORDER BY c DESC, piece) AS rn
+                FROM ucnt{rnd} WHERE len(piece) >= 2)
+            WHERE rn <= {_UGV} - (SELECT n FROM unch)
+        )"""
+
+    def _ug_viterbi_ctes(rnd: int, cst: str) -> str:
+        ctes = [
+            f"uv{rnd}_0 AS MATERIALIZED (SELECT w, freq,"
+            f" CAST(0 AS BIGINT) AS c0 FROM uwords)"
+        ]
+        for i in range(1, _UGW + 1):
+            joins, cands = [], []
+            for plen in range(1, min(_UGP, i) + 1):
+                al = f"l{plen}"
+                joins.append(
+                    f"LEFT JOIN {cst} {al}"
+                    f" ON {al}.piece = substr(v.w, {i - plen + 1}, {plen})"
+                )
+                cands.append(
+                    f"coalesce((v.c{i - plen} + {al}.cost) * 8"
+                    f" + {_UGP - plen}, {_UG_BIG})"
+                )
+            best = cands[0] if len(cands) == 1 else f"least({', '.join(cands)})"
+            ctes.append(f"""uv{rnd}_{i} AS MATERIALIZED (
+                SELECT *, m{i} // 8 AS c{i},
+                       CAST({_UGP} - (m{i} % 8) AS INT) AS bp{i}
+                FROM (
+                    SELECT v.*, {best} AS m{i}
+                    FROM uv{rnd}_{i - 1} v {' '.join(joins)})
+            )""")
+        ctes.append(
+            f"uvb{rnd}_0 AS MATERIALIZED (SELECT *, len(w) AS p0"
+            f" FROM uv{rnd}_{_UGW})"
+        )
+        for j in range(1, _UGW + 1):
+            sel = "CASE p%d %s END" % (
+                j - 1,
+                " ".join(f"WHEN {i} THEN bp{i}" for i in range(1, _UGW + 1)),
+            )
+            ctes.append(f"""uvb{rnd}_{j} AS MATERIALIZED (
+                SELECT *, CASE WHEN p{j - 1} > 0
+                               THEN substr(w, p{j - 1} - sel{j} + 1, sel{j})
+                          END AS q{j},
+                       greatest(p{j - 1} - coalesce(sel{j}, 0), 0) AS p{j}
+                FROM (SELECT *, {sel} AS sel{j} FROM uvb{rnd}_{j - 1})
+            )""")
+        return ", ".join(ctes)
+
+    def _ug_round_ctes(rnd: int) -> str:
+        usage = " UNION ALL ".join(
+            f"SELECT q{j} AS piece, freq FROM uvb{rnd}_{_UGW}"
+            f" WHERE q{j} IS NOT NULL"
+            for j in range(1, _UGW + 1)
+        )
+        return f"""{_ug_viterbi_ctes(rnd, f"ucst{rnd - 1}")},
+        ucnt{rnd} AS MATERIALIZED (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+            FROM ({usage}) GROUP BY piece
+        ), {_ug_inv_cte(rnd)}, {_ug_cost_cte(rnd)}"""
+
+    _ug_subs = " UNION ALL ".join(
+        f"SELECT freq, substr(w, i, {L}) AS piece FROM uwords,"
+        f" unnest(range(1, len(w) - {L} + 2)) AS t(i)"
+        for L in range(1, _UGP + 1)
+    )
+    _ug_base = f"""uwords AS MATERIALIZED (
+            SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+                SELECT unnest({tokens}) AS w FROM documents
+            ) WHERE w <> '' AND len(w) <= {_UGW} GROUP BY w
+        ), ucnt0 AS MATERIALIZED (
+            SELECT piece, CAST(sum(freq) AS BIGINT) AS c
+            FROM ({_ug_subs}) GROUP BY piece
+        ), ualph AS MATERIALIZED (
+            SELECT piece FROM ucnt0 WHERE len(piece) = 1
+        ), unch AS MATERIALIZED (SELECT count(*) AS n FROM ualph),
+        {_ug_inv_cte(0)}, {_ug_cost_cte(0)},
+        """ + ", ".join(_ug_round_ctes(r) for r in range(1, _UGR + 1))
+    out["unigram_lm_vocab_docs"] = f"""
+        WITH {_ug_base}
+        SELECT piece, CAST(len(piece) AS INT) AS piece_len,
+               wc AS weighted_count, cost AS cost_micro,
+               CAST(row_number() OVER (ORDER BY wc DESC, piece) AS INT)
+                   AS rank,
+               len(piece) = 1 AS is_char
+        FROM ucst{_UGR}
+    """
+    _ug_np = " + ".join(
+        f"(CASE WHEN q{j} IS NOT NULL THEN 1 ELSE 0 END)"
+        for j in range(1, _UGW + 1)
+    )
+    out["unigram_fertility_docs"] = f"""
+        WITH {_ug_base},
+        {_ug_viterbi_ctes(_UGR + 1, f"ucst{_UGR}")},
+        uperw AS MATERIALIZED (
+            SELECT w, CAST({_ug_np} AS BIGINT) AS np FROM uvb{_UGR + 1}_{_UGW}
+        ), utok AS (
+            SELECT doc_id, w FROM (
+                SELECT doc_id, unnest({tokens}) AS w FROM documents
+            ) WHERE w <> ''
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(coalesce(np, 1)) AS BIGINT) AS n_pieces,
+               CAST(sum(CASE WHEN np IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unk
+        FROM utok LEFT JOIN uperw USING (w) GROUP BY doc_id
+    """
     out["wordpiece_vocab_docs"] = f"""
         WITH {_wp_base}
         SELECT piece, CAST(len(piece) AS INT) AS piece_len,
