@@ -1155,6 +1155,29 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation audit
+    (plans/governance.purge_customers): subjects = every 97th
+    customer key; erasure semi-joins follow customer → orders →
+    lineitem (FK chain — line items carry no custkey) and customer →
+    events. All membership tests broadcast the erasure-batch-sized
+    subject/frontier sets; the audit is one row per table
+    (n_purged, n_kept). The DuckDB twin replays the same chain with
+    IN/NOT IN subqueries."""
+    from data_pipeline_childcare_spark.plans.governance import purge_customers
+
+    cust = _t(spark, sf_dir, "customer")
+    subjects = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    out = purge_customers(
+        cust,
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"),
+        _t(spark, sf_dir, "events"),
+        subjects,
+    )
+    return out["audit"]
+
+
 _UG_ARGS = dict(vocab_size=48, n_rounds=2, max_piece_len=4, max_word_len=8)
 
 
@@ -4326,6 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_schedule": crawl_frontier_schedule,
         "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
         "unigram_fertility_docs": unigram_fertility_docs,
+        "gdpr_purge_audit": gdpr_purge_audit,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7330,6 +7354,26 @@ def oracle_sql() -> dict[str, str]:
         ), inv0 AS MATERIALIZED (
             SELECT piece FROM chars UNION SELECT piece FROM minv0
         ), """ + ", ".join(_wp_round_ctes(r) for r in range(1, _WPR + 1))
+    # GDPR purge twin: IN/NOT IN replay of the erasure chain
+    out["gdpr_purge_audit"] = """
+        WITH subj AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),
+        pord AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT k FROM subj))
+        SELECT 'customer' AS "table",
+               (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT k FROM subj)) AS n_purged,
+               (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT k FROM subj)) AS n_kept
+        UNION ALL
+        SELECT 'orders',
+               (SELECT count(*) FROM orders WHERE o_custkey IN (SELECT k FROM subj)),
+               (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT k FROM subj))
+        UNION ALL
+        SELECT 'lineitem',
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IN (SELECT o_orderkey FROM pord)),
+               (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM pord))
+        UNION ALL
+        SELECT 'events',
+               (SELECT count(*) FROM events WHERE user_id IN (SELECT k FROM subj)),
+               (SELECT count(*) FROM events WHERE user_id NOT IN (SELECT k FROM subj))
+    """
     # unigram-LM twin: substring-count seed, add-one-smoothed INTEGER
     # micro-log costs (floor(x·1e6 + 0.5) pins half-up in every
     # engine), Viterbi forward DP + backtrace unrolled as chained

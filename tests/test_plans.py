@@ -401,3 +401,48 @@ def test_curate_corpus_null_text_gets_audit_row(spark):
     assert got[2]["kept"] is False and got[2]["quality_ok"] is False
     # NULL-text docs exact-dup each other (sentinel fingerprint)
     assert got[3]["exact_dup_of"] == 2
+
+
+def test_purge_customers_propagation_and_partition(spark):
+    """Erasure closure: kept ∪ purged partitions every table exactly;
+    lineitem erasure follows the FK chain (no custkey on the row);
+    kept frames contain no subject data."""
+    from pyspark.sql import functions as F
+
+    import data_pipeline_childcare_spark as eng
+    from data_pipeline_childcare_spark.plans.governance import purge_customers
+
+    sf = "/root/testdata/sf0.001"
+    cust = eng.load_table(spark, "customer", sf)
+    orders = eng.load_table(spark, "orders", sf)
+    li = eng.load_table(spark, "lineitem", sf)
+    ev = eng.load_table(spark, "events", sf)
+    subjects = cust.filter(F.col("c_custkey") % 10 == 0).select("c_custkey")
+    out = purge_customers(cust, orders, li, ev, subjects)
+    audit = {r["table"]: (r["n_purged"], r["n_kept"]) for r in out["audit"].collect()}
+    totals = {
+        "customer": cust.count(),
+        "orders": orders.count(),
+        "lineitem": li.count(),
+        "events": ev.count(),
+    }
+    for t, (p, k) in audit.items():
+        assert p + k == totals[t], t
+        assert p > 0, t  # the subject set touches every table
+    # closure: no kept order belongs to a subject, no kept lineitem
+    # belongs to a purged order
+    subj_keys = {r.c_custkey for r in subjects.collect()}
+    assert not [
+        r for r in out["kept_orders"].collect() if r.o_custkey in subj_keys
+    ]
+    purged_orders = {
+        r.o_orderkey
+        for r in orders.join(
+            subjects.withColumnRenamed("c_custkey", "k"),
+            orders.o_custkey == F.col("k"),
+            "left_semi",
+        ).collect()
+    }
+    assert not [
+        r for r in out["kept_lineitem"].collect() if r.l_orderkey in purged_orders
+    ]
