@@ -1155,6 +1155,64 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+dense retrieval with RRF fusion — the standard
+    RAG search stack in one plan: the fixed 10-query set (the BM25
+    query family) retrieves top-10 via Okapi BM25 through the
+    inverted index AND top-10 by brute cosine over the embeddings
+    (query vectors = the query docs' own embeddings, self excluded),
+    then per-query reciprocal-rank fusion (k=60) re-ranks the union.
+    Each (query, doc) has at most TWO 1/(60+rank) contributions, so
+    the fused sum is order-independent in IEEE arithmetic — no
+    rounding discipline needed beyond the output round. The DuckDB
+    twin nests the BM25 twin, replays the brute cosine ranking and
+    the identical fusion."""
+    from data_pipeline_childcare_spark.functions.text import tokenize
+    from data_pipeline_childcare_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+    from data_pipeline_childcare_spark.operators.tfidf import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qsel = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500)
+    q = docs.filter(qsel).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 3)).alias("qtext"),
+    )
+    lex = bm25_topk(docs, q, k=10).select(
+        "query_id", F.col("doc_id").alias("item"), "rank"
+    )
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = cosine_topk_bruteforce(emb, qv, k=10).select(
+        "query_id", F.col("vec_id").alias("item"), "rank"
+    )
+    fused = (
+        lex.unionByName(sem)
+        .groupBy("query_id", "item")
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(60) + F.col("rank"))), 6).alias("rrf_score"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.col("item"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            F.col("item").alias("doc_id"),
+            "rrf_score",
+            "n_lists",
+            "fused_rank",
+        )
+    )
+
+
 def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation audit
     (plans/governance.purge_customers): subjects = every 97th
@@ -4350,6 +4408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
         "unigram_fertility_docs": unigram_fertility_docs,
         "gdpr_purge_audit": gdpr_purge_audit,
+        "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7911,6 +7970,49 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY score DESC, doc_id
             ) AS rank FROM scored
         ) WHERE rank <= 10
+    """
+    # hybrid-retrieval twin: nests the BM25 twin, brute-cosine ranks
+    # the same 10 query vectors (self excluded, round-before-rank),
+    # then the identical per-query RRF fusion — ≤ 2 contributions per
+    # (query, doc), so the float sum is order-independent
+    out["hybrid_retrieval_docs"] = f"""
+        WITH lex AS ({out['bm25_search_docs']}),
+        hemb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), hq AS (
+            SELECT vec_id AS query_id, cv AS qv FROM hemb
+            WHERE vec_id % 50 = 0 AND vec_id < 500
+        ), sem AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT q.query_id, c.vec_id,
+                       row_number() OVER (
+                           PARTITION BY q.query_id
+                           ORDER BY round(
+                               list_dot_product(c.cv, q.qv) /
+                               (sqrt(list_dot_product(c.cv, c.cv)) *
+                                sqrt(list_dot_product(q.qv, q.qv))), 6
+                           ) DESC, c.vec_id) AS rank
+                FROM hemb c CROSS JOIN hq q
+                WHERE q.query_id <> c.vec_id
+            ) WHERE rank <= 10
+        ), unioned AS (
+            SELECT query_id, doc_id AS item, rank FROM lex
+            UNION ALL
+            SELECT query_id, vec_id AS item, rank FROM sem
+        ), fused AS (
+            SELECT query_id, item,
+                   round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+                   CAST(count(*) AS INT) AS n_lists
+            FROM unioned GROUP BY query_id, item
+        )
+        SELECT query_id, item AS doc_id, rrf_score, n_lists,
+               CAST(fused_rank AS INT) AS fused_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_score DESC, item) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= 10
     """
     # stupid-backoff twin: same 70% md5 split (salt 'lm'), per-order
     # count tables over the train subset only (each order filtered to
