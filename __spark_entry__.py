@@ -1155,6 +1155,66 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-test-style expectation audit (operators/expectations): six
+    contract checks — key uniqueness (customer, events), FK not-null,
+    two referential-integrity anti-joins (orders→customer,
+    lineitem→orders), and a value-range scan — each ONE aggregate or
+    one anti-join + aggregate; the audit is one row per check. The
+    DuckDB twin replays each predicate as scalar subqueries."""
+    from data_pipeline_childcare_spark.operators.expectations import (
+        expect_in_range,
+        expect_not_null,
+        expect_ref_integrity,
+        expect_unique,
+        expectations_audit,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    return expectations_audit(
+        expect_unique(cust, "customer", "c_custkey"),
+        expect_unique(ev, "events", "event_id"),
+        expect_not_null(orders, "orders", "o_custkey"),
+        expect_ref_integrity(orders, "orders", "o_custkey", cust, "c_custkey"),
+        expect_ref_integrity(li, "lineitem", "l_orderkey", orders, "o_orderkey"),
+        expect_in_range(ev, "events", "value", 0.0, 250.0),
+    )
+
+
+def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed generation (operators/cdc.snapshot_diff): the
+    'next-day' snapshot is simulated deterministically from orders —
+    every 13th key deleted, every 7th surviving key's status flipped
+    to 'X', every 11th key re-inserted shifted by 1e9 — then one
+    full-outer key join + null-safe struct compare emits the
+    delta-sized insert/update/delete feed. The DuckDB twin builds the
+    identical snapshot and replays the compare."""
+    from data_pipeline_childcare_spark.operators.cdc import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = orders.filter(F.col("o_orderkey") % 13 != 0)
+    updated = base.withColumn(
+        "o_orderstatus",
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X")).otherwise(
+            F.col("o_orderstatus")
+        ),
+    )
+    inserts = orders.filter(F.col("o_orderkey") % 11 == 0).select(
+        (F.col("o_orderkey") + F.lit(1_000_000_000)).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        F.col("o_totalprice"),
+    )
+    new = updated.unionByName(inserts)
+    return snapshot_diff(
+        orders, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"]
+    )
+
+
 def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hybrid lexical+dense retrieval with RRF fusion — the standard
     RAG search stack in one plan: the fixed 10-query set (the BM25
@@ -4409,6 +4469,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_fertility_docs": unigram_fertility_docs,
         "gdpr_purge_audit": gdpr_purge_audit,
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
+        "data_quality_audit": data_quality_audit,
+        "orders_snapshot_diff": orders_snapshot_diff,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7413,6 +7475,70 @@ def oracle_sql() -> dict[str, str]:
         ), inv0 AS MATERIALIZED (
             SELECT piece FROM chars UNION SELECT piece FROM minv0
         ), """ + ", ".join(_wp_round_ctes(r) for r in range(1, _WPR + 1))
+    # expectations twin: each check as scalar subqueries
+    out["data_quality_audit"] = """
+        SELECT 'unique' AS "check", 'customer' AS "table", 'c_custkey' AS "column",
+               (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) AS n_violations,
+               (SELECT count(*) - count(DISTINCT c_custkey) FROM customer) = 0 AS passed
+        UNION ALL
+        SELECT 'unique', 'events', 'event_id',
+               (SELECT count(*) - count(DISTINCT event_id) FROM events),
+               (SELECT count(*) - count(DISTINCT event_id) FROM events) = 0
+        UNION ALL
+        SELECT 'not_null', 'orders', 'o_custkey',
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT count(*) FROM orders WHERE o_custkey IS NULL) = 0
+        UNION ALL
+        SELECT 'ref_integrity', 'orders', 'o_custkey',
+               (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)),
+               (SELECT count(*) FROM orders WHERE o_custkey IS NOT NULL
+                  AND o_custkey NOT IN (SELECT c_custkey FROM customer)) = 0
+        UNION ALL
+        SELECT 'ref_integrity', 'lineitem', 'l_orderkey',
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)),
+               (SELECT count(*) FROM lineitem WHERE l_orderkey IS NOT NULL
+                  AND l_orderkey NOT IN (SELECT o_orderkey FROM orders)) = 0
+        UNION ALL
+        SELECT 'in_range', 'events', 'value',
+               (SELECT count(*) FROM events
+                 WHERE value IS NOT NULL AND (value < 0.0 OR value > 250.0)),
+               (SELECT count(*) FROM events
+                 WHERE value IS NOT NULL AND (value < 0.0 OR value > 250.0)) = 0
+    """
+    # snapshot-diff twin: identical simulated next-day snapshot, full
+    # outer key join, null-safe compare, unchanged rows dropped
+    out["orders_snapshot_diff"] = """
+        WITH old AS (
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        ), upd AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 7 = 0 THEN 'X'
+                        ELSE o_orderstatus END AS o_orderstatus,
+                   o_totalprice
+            FROM old WHERE o_orderkey % 13 <> 0
+        ), ins AS (
+            SELECT o_orderkey + 1000000000 AS o_orderkey,
+                   'N' AS o_orderstatus, o_totalprice
+            FROM old WHERE o_orderkey % 11 = 0
+        ), neww AS (
+            SELECT * FROM upd UNION ALL SELECT * FROM ins
+        ), j AS (
+            SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                   CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+                        WHEN n.o_orderkey IS NULL THEN 'delete'
+                        WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                          OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                        THEN 'update' END AS change_type,
+                   o.o_orderstatus AS old_o_orderstatus,
+                   n.o_orderstatus AS new_o_orderstatus,
+                   o.o_totalprice AS old_o_totalprice,
+                   n.o_totalprice AS new_o_totalprice
+            FROM old o FULL OUTER JOIN neww n USING (o_orderkey)
+        )
+        SELECT * FROM j WHERE change_type IS NOT NULL
+    """
     # GDPR purge twin: IN/NOT IN replay of the erasure chain
     out["gdpr_purge_audit"] = """
         WITH subj AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 97 = 0),

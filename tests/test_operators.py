@@ -638,3 +638,60 @@ def test_minhash_dedup_incremental_history_wins(spark):
     assert {
         r["doc_id"] for r in minhash_dedup_incremental(disjoint, corpus).collect()
     } == {30}
+
+
+def test_expectations_detect_crafted_violations(spark):
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.expectations import (
+        expect_in_range,
+        expect_not_null,
+        expect_ref_integrity,
+        expect_unique,
+        expectations_audit,
+    )
+
+    child = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, None), (3, 99)], "id: long, fk: long"
+    )
+    parent = spark.createDataFrame([(10,), (11,)], "pk: long")
+    audit = {
+        (r["check"], r["table"], r["column"]): (r["n_violations"], r["passed"])
+        for r in expectations_audit(
+            expect_unique(child, "child", "id"),
+            expect_not_null(child, "child", "fk"),
+            expect_ref_integrity(child, "child", "fk", parent, "pk"),
+            expect_in_range(child, "child", "id", 1, 2),
+        ).collect()
+    }
+    assert audit[("unique", "child", "id")] == (1, False)      # one dup row
+    assert audit[("not_null", "child", "fk")] == (1, False)    # the None fk
+    # null FK is NOT an orphan; 99 is
+    assert audit[("ref_integrity", "child", "fk")] == (1, False)
+    assert audit[("in_range", "child", "id")] == (1, False)    # id=3
+
+
+def test_snapshot_diff_classifies_and_drops_unchanged(spark):
+    from data_pipeline_childcare_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0), (4, None, 4.0)],
+        "k: long, s: string, v: double",
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 1.0),      # unchanged → dropped
+         (2, "B", 2.0),      # update (value)
+         (4, None, 9.0),     # update with a NULL field (null-safe compare)
+         (5, "e", 5.0)],     # insert; k=3 deleted
+        "k: long, s: string, v: double",
+    )
+    got = {
+        r.k: (r.change_type, r.old_s, r.new_s)
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert got == {
+        2: ("update", "b", "B"),
+        3: ("delete", "c", None),
+        4: ("update", None, None),
+        5: ("insert", None, "e"),
+    }
