@@ -1155,6 +1155,58 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream==batch certified SCD2 maintenance
+    (streaming/scd2.streaming_scd2_to_path): the orders observation
+    log drained by a REAL availableNow foreachBatch run that
+    recomputes touched keys only and splices them into the versioned
+    history store; the returned frame is the stored history read
+    back. The oracle is the plain batch SCD2 SQL (same as
+    customer_status_scd2) — a green row proves the incremental
+    maintenance computes the batch answer. Out-of-order multi-batch
+    arrival is exercised in tests/test_streaming.py."""
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.scd2 import (
+        read_scd2_history,
+        streaming_scd2_to_path,
+    )
+
+    _t(spark, sf_dir, "orders")
+    path = os.path.join(sf_dir, "orders.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    obs = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["o_orderdate"].dataType, LongType):
+        obs = obs.withColumn(
+            "o_orderdate",
+            F.expr(
+                "timestampadd(MICROSECOND, o_orderdate div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    obs = obs.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey")
+    tmp = tempfile.mkdtemp(prefix="scd2_stream_")
+    q = streaming_scd2_to_path(
+        obs,
+        os.path.join(tmp, "state"),
+        os.path.join(tmp, "ckpt"),
+        "o_custkey",
+        ["o_orderstatus"],
+        "o_orderdate",
+        "o_orderkey",
+    )
+    q.awaitTermination(300)
+    hist_schema = customer_status_scd2(spark, sf_dir).schema
+    return read_scd2_history(spark, os.path.join(tmp, "state"), hist_schema)
+
+
 def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dbt-test-style expectation audit (operators/expectations): six
     contract checks — key uniqueness (customer, events), FK not-null,
@@ -4471,6 +4523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "data_quality_audit": data_quality_audit,
         "orders_snapshot_diff": orders_snapshot_diff,
+        "streaming_scd2_orders": streaming_scd2_orders,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -8057,6 +8110,9 @@ def oracle_sql() -> dict[str, str]:
         FROM changes
         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
     """
+    # streaming SCD2: the oracle IS the batch SCD2 twin — equality
+    # certifies the incremental maintenance
+    out["streaming_scd2_orders"] = out["customer_status_scd2"]
     # BM25 twin: identical tf/df/dl count tables, exact integer-sum
     # avgdl division, Lucene idf, same association order, round
     # before the rank window

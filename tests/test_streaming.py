@@ -335,3 +335,58 @@ def test_streaming_bloom_words_match_batch(spark, tmp_path):
         map(tuple, spark.sql("SELECT _word, _bits FROM bloom_out").collect())
     )
     assert streamed == batch
+
+
+def test_streaming_scd2_matches_batch_history(spark, tmp_path):
+    """foreachBatch-maintained SCD2 equals the one-shot batch build —
+    including a LATER batch carrying an out-of-order backfill dated
+    BEFORE intervals the first batch already closed (the case
+    interval-patching implementations get wrong)."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.scd import scd2_history
+    from data_pipeline_childcare_spark.streaming.scd2 import (
+        read_scd2_history,
+        streaming_scd2_to_path,
+    )
+
+    def d(day):
+        return datetime.datetime(2024, 1, day)
+
+    schema = "k long, status string, ts timestamp, seq long"
+    b1 = [(1, "O", d(1), 1), (1, "F", d(5), 2), (2, "P", d(2), 3)]
+    # backfill: k1 was 'P' on day 3 — splits the [1,5) 'O' interval
+    b2 = [(1, "P", d(3), 4), (3, "O", d(1), 5)]
+    src = tmp_path / "obs_src"
+    src.mkdir()
+    spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+        str(src / "f1.parquet")
+    )
+    stream = (
+        spark.readStream.schema(spark.createDataFrame([], schema).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*/")
+    )
+    target = str(tmp_path / "scd2")
+    args = (target, str(tmp_path / "scd2_ckpt"), "k", ["status"], "ts", "seq")
+    q = streaming_scd2_to_path(stream, *args)
+    q.awaitTermination(120)
+    spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+        str(src / "f2.parquet")
+    )
+    q2 = streaming_scd2_to_path(stream, *args)
+    q2.awaitTermination(120)
+
+    all_obs = spark.createDataFrame(b1 + b2, schema)
+    expect = sorted(
+        map(tuple, scd2_history(all_obs, "k", ["status"], "ts", "seq").collect())
+    )
+    hist_schema = scd2_history(all_obs, "k", ["status"], "ts", "seq").schema
+    got = sorted(
+        map(tuple, read_scd2_history(spark, target, hist_schema).collect())
+    )
+    assert got == expect
+    # the backfill genuinely split the interval: k1 has 3 versions
+    assert sum(1 for r in got if r[0] == 1) == 3
