@@ -89,6 +89,15 @@ CONTRACTS = {
     # lead + row_number fuse into a single Window node over the sort
     # the lag pass already established)
     "customer_status_scd2": (1, True, True),
+    # z-order cells: one-row broadcast bounds + pure bit math + one
+    # cell-keyed aggregate
+    "events_zorder_cells": (1, True, True),
+    # snapshot diff: the full-outer key join IS a keyed SMJ at fact
+    # scale (uniform key, both sides corpus-sized — the right plan)
+    "orders_snapshot_diff": (2, False, True),
+    # expectation audit: six single-aggregate checks, the two
+    # ref-integrity anti-joins broadcast their parent key sets
+    "data_quality_audit": (4, True, True),
 }
 
 
