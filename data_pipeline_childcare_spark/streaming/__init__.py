@@ -33,3 +33,7 @@ from data_pipeline_childcare_spark.streaming.merge import (
     read_merged,
     streaming_merge_to_path,
 )
+from data_pipeline_childcare_spark.streaming.scd2 import (
+    read_scd2_history,
+    streaming_scd2_to_path,
+)
