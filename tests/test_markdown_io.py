@@ -102,3 +102,52 @@ def test_csv_roundtrip_newlines_empties_nulls(spark, tmp_path):
     write_table(df, path, fmt="csv")
     back = read_table_format(spark, path, fmt="csv", schema=df.schema)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_upload_images_then_rewrite_closes_s15(spark):
+    """The full S15 closure: extract refs → upload (injected
+    deterministic transport, one failing batch) → rewrite. Failed
+    uploads leave their refs untouched; successes rewrite to the
+    served URL."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.functions.markdown import (
+        rewrite_image_refs,
+    )
+    from data_pipeline_childcare_spark.sources.uploads import upload_images
+
+    def make_transport():
+        # defined inside the test body: cloudpickle ships it by value
+        import hashlib
+
+        def tp(endpoint, batch):
+            out = []
+            for fn, blob in batch:
+                if fn == "bad.png":
+                    raise RuntimeError("server 500")
+                out.append(
+                    f"https://img.example/{hashlib.md5(blob).hexdigest()[:8]}/{fn}"
+                )
+            return out
+
+        return tp
+
+    images = spark.createDataFrame(
+        [("a.png", b"aaa"), ("b.jpg", b"bbb"), ("bad.png", b"xxx")],
+        "filename string, content binary",
+    )
+    up = upload_images(images, transport=make_transport(), batch_size=1)
+    rows = {r.filename: r for r in up.collect()}
+    assert rows["a.png"].served_url.startswith("https://img.example/")
+    assert rows["a.png"].n_bytes == 3 and rows["a.png"].error is None
+    assert rows["bad.png"].served_url is None
+    assert "server 500" in rows["bad.png"].error
+
+    docs = spark.createDataFrame(
+        [(1, "see ![x](local/a.png) and ![y](local/bad.png)")],
+        "doc_id long, text string",
+    )
+    ok = up.filter(F.col("served_url").isNotNull())
+    out = rewrite_image_refs(docs, ok).collect()[0]["text"]
+    assert "img.example" in out and "local/a.png" not in out
+    assert "local/bad.png" in out  # failed upload: ref untouched
