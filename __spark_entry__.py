@@ -1155,6 +1155,43 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tokenizer_comparison_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-family bake-off over the corpus: BPE (merge table),
+    WordPiece (greedy inventory) and unigram-LM (Viterbi) each
+    trained in-engine and applied, reduced to one row per family —
+    (tokenizer, total_words, total_pieces, fertility_micro) with
+    fertility as EXACT scaled-integer division (pieces·1e6 div
+    words), so the comparison is engine-portable with zero float
+    discipline. The report a tokenizer-selection run actually reads.
+    The DuckDB twin nests the three family twins and reduces them
+    identically."""
+    from pyspark.sql import DataFrame as _DF
+
+    def summarize(name: str, df: _DF, pieces_col: str) -> _DF:
+        return df.agg(
+            F.sum("n_words").alias("_w"), F.sum(pieces_col).alias("_p")
+        ).select(
+            F.lit(name).alias("tokenizer"),
+            F.col("_w").alias("total_words"),
+            F.col("_p").alias("total_pieces"),
+            F.expr("(_p * 1000000) div _w").alias("fertility_micro"),
+        )
+
+    return (
+        summarize("bpe", bpe_doc_segment_counts(spark, sf_dir), "n_symbols")
+        .unionByName(
+            summarize(
+                "wordpiece", wordpiece_fertility_docs(spark, sf_dir), "n_pieces"
+            )
+        )
+        .unionByName(
+            summarize(
+                "unigram", unigram_fertility_docs(spark, sf_dir), "n_pieces"
+            )
+        )
+    )
+
+
 def streaming_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream==batch certified SCD2 maintenance
     (streaming/scd2.streaming_scd2_to_path): the orders observation
@@ -4524,6 +4561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_audit": data_quality_audit,
         "orders_snapshot_diff": orders_snapshot_diff,
         "streaming_scd2_orders": streaming_scd2_orders,
+        "tokenizer_comparison_docs": tokenizer_comparison_docs,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7777,6 +7815,23 @@ def oracle_sql() -> dict[str, str]:
                    AS n_unk
         FROM tok LEFT JOIN perw USING (w) GROUP BY doc_id
     """
+    # tokenizer bake-off twin: the three family twins nested and
+    # reduced with the exact scaled-integer fertility
+    def _tok_cmp_leg(name: str, sql: str, pieces_col: str) -> str:
+        return f"""SELECT '{name}' AS tokenizer,
+               CAST(sum(n_words) AS BIGINT) AS total_words,
+               CAST(sum({pieces_col}) AS BIGINT) AS total_pieces,
+               (CAST(sum({pieces_col}) AS BIGINT) * 1000000)
+                   // CAST(sum(n_words) AS BIGINT) AS fertility_micro
+        FROM ({sql})"""
+
+    out["tokenizer_comparison_docs"] = (
+        _tok_cmp_leg("bpe", out["bpe_doc_segment_counts"], "n_symbols")
+        + " UNION ALL "
+        + _tok_cmp_leg("wordpiece", out["wordpiece_fertility_docs"], "n_pieces")
+        + " UNION ALL "
+        + _tok_cmp_leg("unigram", out["unigram_fertility_docs"], "n_pieces")
+    )
     _clf_vals = ", ".join(
         f"('{t}', {round(w, 6)})" for t, w in sorted(_CLF_WEIGHTS.items())
     )
