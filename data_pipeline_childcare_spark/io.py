@@ -270,3 +270,23 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value_n(cols: list[Column], bits: int = 8) -> Column:
+    """N-dimensional Morton interleave: bit b of column d lands at
+    position ``b·N + d``. Generalizes :func:`zorder_value` (which is
+    the N=2 case with x=d0, y=d1) for layouts clustered on three or
+    more range-predicate dimensions; beyond ~4 dimensions the bits
+    per dimension (and the pruning power) drop fast — prefer
+    partitioning on the extra dimensions instead."""
+    n = len(cols)
+    terms = []
+    for b in range(bits):
+        for d, c in enumerate(cols):
+            terms.append(
+                (F.shiftright(c, b).bitwiseAND(F.lit(1))) * F.lit(1 << (b * n + d))
+            )
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out

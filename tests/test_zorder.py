@@ -93,3 +93,16 @@ def test_zordered_layout_prunes_2d_ranges(spark, tmp_path):
     b = spark.read.parquet(lpath).filter(pred).count()
     c = ev.filter(pred).count()
     assert a == b == c
+
+
+def test_zorder_value_n_matches_2d_and_extends_3d(spark):
+    from data_pipeline_childcare_spark.io import zorder_value_n
+
+    rows = spark.range(1).select(
+        zorder_value_n([F.lit(0b1010), F.lit(0b0110)], bits=4).alias("z2"),
+        zorder_value(F.lit(0b1010), F.lit(0b0110), bits=4).alias("z2ref"),
+        zorder_value_n([F.lit(1), F.lit(1), F.lit(1)], bits=2).alias("z3"),
+    ).collect()
+    assert rows[0].z2 == rows[0].z2ref  # N=2 degenerates to the pair form
+    # three dims, value 1 each: bit 0 of dims 0,1,2 → positions 0,1,2
+    assert rows[0].z3 == 0b111
