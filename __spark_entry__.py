@@ -1770,6 +1770,23 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
+def ngram_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard
+    (operators/dedup.ngram_jaccard_pairs_prefix, the PPJoin candidate
+    principle): indexes only each set's rarest
+    |s|−⌈t·|s|⌉+1 shingles, then verifies candidates exactly from the
+    full shingle arrays. The oracle is the SAME SQL as the exhaustive
+    inverted-index query — a green row proves the prefix filter is
+    lossless at this threshold, on top of the analytic completeness
+    argument in the docstring."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        ngram_jaccard_pairs_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2)
+
+
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-5 for query vectors vec_id < 3."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
@@ -4562,6 +4579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_snapshot_diff": orders_snapshot_diff,
         "streaming_scd2_orders": streaming_scd2_orders,
         "tokenizer_comparison_docs": tokenizer_comparison_docs,
+        "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -8076,6 +8094,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE est_jaccard >= 0.8 AND id_a % 4 = 0 AND id_b % 4 <> 0
           )
     """
+    # prefix-filtered jaccard: the oracle IS the exhaustive
+    # inverted-index twin — equality certifies the filter lossless
+    out["ngram_jaccard_prefix_docs"] = out["ngram_jaccard_docs"]
     # PageRank twin: the Spark side is fixed-point BIGINT throughout
     # (operators/graph.pagerank), so the five unrolled iterations here
     # are plain integer arithmetic — bit-exact by construction, no

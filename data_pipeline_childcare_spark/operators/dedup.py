@@ -994,3 +994,86 @@ def shared_span_pairs(
         )
         .filter(F.col("longest_span_tokens") >= min_span_tokens)
     )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Prefix-filtered exact Jaccard (the PPJoin candidate principle,
+    Xiao et al. 2008) — IDENTICAL output to
+    :func:`ngram_jaccard_pairs` at the same threshold, but the
+    candidate self-join indexes only each set's PREFIX: its
+    ``|s| − ⌈t·|s|⌉ + 1`` rarest shingles under the global
+    (document-frequency ASC, shingle ASC) canonical order.
+
+    Completeness: if two sets share NO element inside both prefixes,
+    every common element lies past both prefix boundaries, so
+    ``|A∩B| ≤ min(⌈t·|a|⌉, ⌈t·|b|⌉) − 1 < t·max(|a|,|b|) ≤
+    t·|A∪B| + t·|A∩B| − t·|A∩B|`` — i.e. J < t. The prefix join is
+    therefore lossless for J ≥ t while shrinking the index by the
+    factor the threshold buys (t = 0.8 indexes ~20% of postings, and
+    rare-first ordering makes the surviving postings the LOW-fanout
+    ones — the double win that makes this the set-similarity join to
+    run at 100 TB).
+
+    Verification computes the exact intersection per candidate pair
+    from the docs' full shingle ARRAYS (two id-keyed joins riding the
+    candidate frame — candidate volume is prefix-bounded by
+    construction, so the wide arrays never shuffle at corpus scale).
+    """
+    spread = spread_partitions(df, id_col)
+    base = spread.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_sh")
+    )
+    shingled = base.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("set_size"),
+        F.explode("_sh").alias("_s"),
+    ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    dfreq = shingled.groupBy("shingle").agg(F.count("*").alias("_df"))
+    ranked = shingled.join(dfreq, "shingle")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
+    prefix_len = F.col("set_size") - F.ceil(F.col("set_size") * F.lit(threshold)) + 1
+    prefix = (
+        ranked.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= prefix_len)
+        .select(id_col, "shingle")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+    sb = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("common"),
+            F.size("_sh_a").cast("long").alias("size_a"),
+            F.size("_sh_b").cast("long").alias("size_b"),
+        )
+    )
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= threshold)

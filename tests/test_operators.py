@@ -695,3 +695,33 @@ def test_snapshot_diff_classifies_and_drops_unchanged(spark):
         4: ("update", None, None),
         5: ("insert", None, "e"),
     }
+
+
+def test_prefix_jaccard_lossless_and_smaller_index(spark):
+    """Prefix filtering returns EXACTLY the exhaustive pairs at the
+    same threshold (completeness), while indexing strictly fewer
+    postings — on boilerplate-heavy docs the common shingles are
+    high-df and fall PAST the rare-first prefix."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(24):
+        base = [words[(i + j) % 8] for j in range(6)]
+        if i % 3 == 0:
+            base = base[:5] + ["common", "suffix", "tail"]  # shared boilerplate
+        rows.append((i, " ".join(base * 2)))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for t in (0.3, 0.6, 0.8):
+        exact = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=t).collect())
+        )
+        pref = sorted(
+            map(tuple, ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect())
+        )
+        assert pref == exact, f"threshold {t}"
