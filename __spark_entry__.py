@@ -1770,6 +1770,31 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
 
 
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS IVFADC, operators/similarity.ivfpq_topk): coarse
+    canonical k-means cells + PQ codes of the RESIDUALS, queries
+    probe 4/8 cells and score dot(q, c_cell) + Σ LUT[block, code],
+    then the standard exact re-rank over the ADC top-100 shortlist.
+    FULLY oracled: the twin nests the canonical coarse chain, the
+    element-exact residual subtraction, four per-block residual
+    Lloyd chains, the LUT-sum scoring and the re-rank — hash-exact."""
+    from data_pipeline_childcare_spark.operators.similarity import ivfpq_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return ivfpq_topk(emb, q, k=5, rerank_shortlist=100).select(
+        "query_id",
+        "vec_id",
+        "adc_score",
+        "cosine_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def ngram_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard
     (operators/dedup.ngram_jaccard_pairs_prefix, the PPJoin candidate
@@ -4580,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2_orders": streaming_scd2_orders,
         "tokenizer_comparison_docs": tokenizer_comparison_docs,
         "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
+        "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -8076,6 +8102,113 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id
                        ORDER BY cosine_sim DESC, vec_id) AS rank
             FROM prerank
+        ) WHERE rank <= 5
+    """
+    # IVF-PQ twin: canonical coarse chain (the shared kmeans CTEs) +
+    # element-exact residuals + four per-block residual Lloyd chains
+    # (the PQ helpers) + probe/coarse/LUT scoring + exact re-rank
+    _rpq_blocks = []
+    for _b in range(1, 5):
+        _lo, _hi = (_b - 1) * _pq_sub + 1, _b * _pq_sub
+        _rpq_blocks.append(
+            f"""reb{_b} AS (
+                SELECT vec_id, rv[{_lo}:{_hi}] AS sv FROM rres
+            ), rcb{_b}0 AS (
+                SELECT code, rv[{_lo}:{_hi}] AS centroid FROM rseeds
+            ), {_pq_assign(f'rpa{_b}1', f'reb{_b}', f'rcb{_b}0')},
+               {_pq_means(f'rcb{_b}1', f'rpa{_b}1', _pq_sub)},
+               {_pq_assign(f'rpa{_b}2', f'reb{_b}', f'rcb{_b}1')},
+               {_pq_means(f'rcb{_b}2', f'rpa{_b}2', _pq_sub)},
+               {_pq_assign(f'rpaf{_b}', f'reb{_b}', f'rcb{_b}2')}"""
+        )
+    _rpq_codes = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS block, code FROM rpaf{b}" for b in range(1, 5)
+    )
+    _rpq_books = " UNION ALL ".join(
+        f"SELECT {b} AS block, code, centroid FROM rcb{b}2" for b in range(1, 5)
+    )
+    _rpq_qb = " UNION ALL ".join(
+        f"SELECT query_id, {b} AS block,"
+        f" qv[{(b - 1) * _pq_sub + 1}:{b * _pq_sub}] AS bqv FROM vq"
+        for b in range(1, 5)
+    )
+    out["ivfpq_topk_embeddings"] = f"""
+        WITH {_IVF_KMEANS_CTES},
+        rres AS (
+            SELECT a.vec_id, a.cell,
+                   list_transform(range(1, 65),
+                                  i -> a.cv[i] - c.centroid[i]) AS rv
+            FROM afinal a JOIN c2 c USING (cell)
+        ), rseeds AS (
+            SELECT row_number() OVER (ORDER BY h) AS code, rv FROM (
+                SELECT vec_id, rv,
+                       CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM rres ORDER BY h LIMIT 8
+            )
+        ), {', '.join(_rpq_blocks)},
+        rcodes AS ({_rpq_codes}),
+        rbooks AS ({_rpq_books}),
+        vq AS (
+            SELECT vec_id AS query_id, cv AS qv FROM emb WHERE vec_id < 3
+        ), vprobes AS (
+            SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell,
+                       row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY {_ivf_cos.format(v='q.qv', c='c.centroid')} DESC, c.cell) AS rn
+                FROM vq q CROSS JOIN c2 c
+            ) WHERE rn <= 4
+        ), vcoarse AS (
+            SELECT p.query_id, p.cell,
+                   round(list_dot_product(p.qv, c.centroid), 6) AS coarse
+            FROM vprobes p JOIN c2 c USING (cell)
+        ), vqb AS ({_rpq_qb}),
+        vlut AS (
+            SELECT q.query_id, bk.block, bk.code,
+                   round(list_dot_product(q.bqv, bk.centroid), 6) AS pd
+            FROM vqb q JOIN rbooks bk USING (block)
+        ), vcand AS (
+            SELECT p.query_id, a.vec_id, p.cell
+            FROM afinal a JOIN vprobes p USING (cell)
+            WHERE p.query_id <> a.vec_id
+        ), vs1 AS (
+            SELECT c.query_id, c.vec_id, c.cell, round(sum(l.pd), 6) AS s1
+            FROM vcand c
+            JOIN rcodes rc USING (vec_id)
+            JOIN vlut l ON l.query_id = c.query_id
+                       AND l.block = rc.block AND l.code = rc.code
+            GROUP BY c.query_id, c.vec_id, c.cell
+        ), vscored AS (
+            SELECT s.query_id, s.vec_id,
+                   round(co.coarse + s.s1, 6) AS adc_score
+            FROM vs1 s JOIN vcoarse co
+              ON co.query_id = s.query_id AND co.cell = s.cell
+        ), vshort AS (
+            SELECT query_id, vec_id, adc_score FROM (
+                SELECT query_id, vec_id, adc_score,
+                       row_number() OVER (
+                           PARTITION BY query_id
+                           ORDER BY adc_score DESC, vec_id) AS rank
+                FROM vscored
+            ) WHERE rank <= 100
+        ), vrer AS (
+            SELECT s.query_id, s.vec_id, s.adc_score,
+                   round(
+                       list_dot_product(c.cv, q.cv) /
+                       (sqrt(list_dot_product(c.cv, c.cv)) *
+                        sqrt(list_dot_product(q.cv, q.cv))), 6
+                   ) AS cosine_sim
+            FROM vshort s
+            JOIN emb c ON c.vec_id = s.vec_id
+            JOIN emb q ON q.vec_id = s.query_id
+        )
+        SELECT query_id, vec_id, adc_score, cosine_sim,
+               CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id, adc_score, cosine_sim,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, vec_id) AS rank
+            FROM vrer
         ) WHERE rank <= 5
     """
     # incremental-dedup twin: the portable-minhash pair chain over the

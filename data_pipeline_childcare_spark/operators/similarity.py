@@ -931,3 +931,135 @@ def pq_adc_topk(
     )
     wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    coarse_iterations: int = 2,
+    dim: int = 64,
+    n_sub: int = 4,
+    n_codes: int = 8,
+    pq_iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+    rerank_shortlist: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the FAISS IVFADC index (Jégou et
+    al. 2011 §IV) as DataFrame ops: the coarse quantizer (canonical
+    k-means, the IVF path) partitions the corpus into cells; each
+    vector stores only its cell id plus the PQ codes of its RESIDUAL
+    (v − cell centroid); a query probes its ``n_probe`` nearest cells
+    and scores candidates as ``dot(q, c_cell) + Σ_b LUT[b, code_b]``
+    with the LUT built once per query against the residual codebooks.
+
+    Why residuals: within a cell the residual magnitudes are small
+    and centered, so the same 8-codes-per-block budget quantizes them
+    far more finely than raw vectors — the reason IVFADC beats flat
+    PQ at equal bits. Storage per vector: one cell id + n_sub codes.
+
+    Scale shape: everything the PQ/IVF paths already have — the
+    probed-candidate set is |corpus|·n_probe/n_cells, the scored pass
+    touches codes only, the LUT (|Q|·n_sub·n_codes) and the coarse
+    term (|Q|·n_probe) broadcast. Fully oracled: coarse trajectory =
+    the canonical-kmeans chain, residual subtraction is exact
+    element-wise double math, and the per-block chains reuse the PQ
+    discipline, so the DuckDB twin hash-matches.
+    """
+    cents = kmeans_lite(
+        corpus, n_cells, coarse_iterations, id_col, vec_col
+    )
+    indexed = _assign_cells(corpus, cents, id_col, vec_col)
+    resid = indexed.join(F.broadcast(cents), "cell").select(
+        id_col,
+        "cell",
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("centroid"),
+            lambda x, y: x - y,
+        ).alias("_res"),
+    )
+    books = pq_codebooks(resid, dim, n_sub, n_codes, pq_iterations, id_col, "_res")
+    codes = pq_encode(resid, books, dim, n_sub, id_col, "_res")
+
+    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+        "_sim", cosine(F.col(query_vec_col).cast("array<double>"), F.col("centroid"))
+    )
+    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("cell"))
+    probes = (
+        q_scored.withColumn("_rn", F.row_number().over(wq))
+        .filter(F.col("_rn") <= n_probe)
+        .select(
+            query_id_col,
+            "cell",
+            F.round(
+                _dot(F.col(query_vec_col).cast("array<double>"), F.col("centroid")), 6
+            ).alias("_coarse"),
+        )
+    )
+    sub = dim // n_sub
+    qblocks_arr = F.array(
+        *[
+            F.slice(F.col(query_vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
+            for b in range(1, n_sub + 1)
+        ]
+    )
+    qblocks = queries.select(
+        F.col(query_id_col), F.posexplode(qblocks_arr).alias("_b0", "_qv")
+    ).select(F.col(query_id_col), (F.col("_b0") + 1).alias("block"), "_qv")
+    lut = qblocks.join(F.broadcast(books), "block").select(
+        query_id_col,
+        "block",
+        "code",
+        F.round(_dot(F.col("_qv"), F.col("centroid")), 6).alias("_pd"),
+    )
+    cand = (
+        indexed.select(id_col, "cell")
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col(query_id_col) != F.col(id_col))
+    )
+    s1 = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), [query_id_col, "block", "code"])
+        .groupBy(query_id_col, id_col, "_coarse")
+        .agg(F.round(F.sum("_pd"), 6).alias("_s1"))
+    )
+    scored = s1.select(
+        query_id_col,
+        id_col,
+        F.round(F.col("_coarse") + F.col("_s1"), 6).alias("adc_score"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_shortlist is None:
+        return ranked.filter(F.col("rank") <= k)
+    # IVFADC's standard second stage: exact re-rank of the ADC
+    # shortlist — full vectors are read for |Q|·shortlist rows only
+    shortlist = ranked.filter(F.col("rank") <= rerank_shortlist).select(
+        query_id_col, id_col, "adc_score"
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    cand2 = (
+        shortlist.join(
+            corpus.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            "adc_score",
+            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return cand2.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)

@@ -322,3 +322,28 @@ def test_pq_adc_recall_and_score_approximation(spark):
         assert abs(r["cosine_sim"] - true_cos) < 1e-5
         true_dot = float(a @ b)
         assert abs(r["adc_score"] - true_dot) < 0.5 * abs(true_dot) + 2.0
+
+
+def test_ivfpq_reranked_recall_and_exact_scores(spark):
+    """IVFADC with the exact second stage: recall bounded above by the
+    IVF probe ceiling, well above chance below it; reranked scores
+    are exact cosines."""
+    import numpy as np
+
+    from data_pipeline_childcare_spark.operators.similarity import ivfpq_topk
+
+    emb = _emb(spark)
+    q = _queries(emb, 3)
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk_bruteforce(emb, q, k=10).collect()
+    }
+    rows = ivfpq_topk(emb, q, k=10, rerank_shortlist=100).collect()
+    approx = {(r["query_id"], r["vec_id"]) for r in rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall}"
+    mat = {r["vec_id"]: np.array(r["embedding"]) for r in emb.collect()}
+    for r in rows:
+        a, b = mat[r["query_id"]], mat[r["vec_id"]]
+        true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(r["cosine_sim"] - true_cos) < 1e-5
