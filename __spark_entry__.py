@@ -1362,6 +1362,31 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002) — the
+    privacy gate a release pipeline runs before publishing: group by
+    the quasi-identifier tuple (nation, market segment), count each
+    equivalence class, flag classes below k=5 (their rows are
+    re-identifiable) and attach the sensitive-attribute distinct
+    count per class (the l-diversity signal: a class where every
+    member shares one account-balance bucket leaks the attribute even
+    at k). ONE grouped aggregate — the audit is class-count-sized.
+    The DuckDB twin replays the same grouping."""
+    cust = _t(spark, sf_dir, "customer")
+    k = 5
+    return (
+        cust.withColumn(
+            "balance_bucket", F.expr("cast(floor(c_acctbal / 1000) as bigint)")
+        )
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct("balance_bucket").alias("l_diversity"),
+        )
+        .withColumn("at_risk", F.col("class_size") < k)
+    )
+
+
 def gdpr_purge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Right-to-be-forgotten propagation audit
     (plans/governance.purge_customers): subjects = every 97th
@@ -4606,6 +4631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenizer_comparison_docs": tokenizer_comparison_docs,
         "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+        "k_anonymity_audit": k_anonymity_audit,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -7673,6 +7699,16 @@ def oracle_sql() -> dict[str, str]:
             FROM old o FULL OUTER JOIN neww n USING (o_orderkey)
         )
         SELECT * FROM j WHERE change_type IS NOT NULL
+    """
+    # k-anonymity twin: same quasi-identifier grouping
+    out["k_anonymity_audit"] = """
+        SELECT c_nationkey, c_mktsegment,
+               count(*) AS class_size,
+               count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+                   AS l_diversity,
+               count(*) < 5 AS at_risk
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
     """
     # GDPR purge twin: IN/NOT IN replay of the erasure chain
     out["gdpr_purge_audit"] = """
