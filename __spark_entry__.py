@@ -1362,6 +1362,24 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (operators/graph.triangle_counts) over the deterministic link
+    graph — the community-structure signal a crawl-graph audit reads
+    next to PageRank. Wedge join + closing join, each triangle
+    materialized once; coefficient is EXACT fixed-point
+    (2·T·1e6 div d(d−1)) so the twin matches bit-for-bit."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        synthetic_link_graph,
+        triangle_counts,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return triangle_counts(synthetic_link_graph(docs, n_links=3)).select(
+        F.col("id").alias("doc_id"), "degree", "n_triangles", "clustering_micro"
+    )
+
+
 def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity audit over quasi-identifiers (Sweeney 2002) — the
     privacy gate a release pipeline runs before publishing: group by
@@ -4632,6 +4650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "k_anonymity_audit": k_anonymity_audit,
+        "link_graph_triangles": link_graph_triangles,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -8314,6 +8333,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
     """
     )
+    # triangle twin: same symmetrize → orient → wedge → close chain,
+    # same exact fixed-point coefficient
+    out["link_graph_triangles"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS (SELECT src, dst FROM links WHERE src <> dst),
+        und AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT src AS a, dst AS b FROM edges
+                UNION ALL SELECT dst AS a, src AS b FROM edges
+            ) WHERE a <> b
+        ), oriented AS (SELECT a, b FROM und WHERE a < b),
+        wedges AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM oriented e1 JOIN oriented e2 ON e1.b = e2.a
+        ), tris AS (
+            SELECT w.x, w.y, w.z
+            FROM wedges w JOIN oriented c ON c.a = w.x AND c.b = w.z
+        ), per_node AS (
+            SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+                SELECT x AS id FROM tris
+                UNION ALL SELECT y FROM tris
+                UNION ALL SELECT z FROM tris
+            ) GROUP BY id
+        ), deg AS (
+            SELECT a AS id, CAST(count(*) AS BIGINT) AS degree
+            FROM und GROUP BY a
+        )
+        SELECT d.id AS doc_id, d.degree,
+               coalesce(p.n_triangles, 0) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN CAST((2 * coalesce(p.n_triangles, 0) * 1000000)
+                              // (d.degree * (d.degree - 1)) AS BIGINT)
+                    ELSE 0 END AS clustering_micro
+        FROM deg d LEFT JOIN per_node p USING (id)
+    """
     # frontier-schedule twin: nests the PageRank twin, same synthetic
     # host family and the identical per-host window arithmetic
     out["crawl_frontier_schedule"] = f"""

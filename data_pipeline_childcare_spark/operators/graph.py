@@ -182,3 +182,68 @@ def frontier_schedule(
         .withColumn("slot", F.expr(f"cast((_rn - 1) % {per_host_cap} + 1 as int)"))
         .drop("_rn")
     )
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected graph (edges may arrive directed; they are
+    symmetrized). The standard two-join formulation: orient every
+    edge low→high, join wedges (a<b<c via a−b, b−c), close them
+    against the oriented edge set — each triangle is materialized
+    exactly once, then credited to all three corners.
+
+    Scale shape: two keyed equi-joins on vertex ids + one explode +
+    one count aggregate — never an all-pairs stage; the classic skew
+    caveat (a celebrity vertex makes wedge volume d² on its key)
+    is bounded upstream by degree-capping hubs, the same guard the
+    dedup candidate caps use. The coefficient is EXACT fixed-point:
+    ``(2·T·1e6) div (d·(d−1))`` — no float anywhere (the PageRank
+    discipline), so the oracle matches bit-for-bit.
+
+    Returns (id, degree, n_triangles, clustering_micro).
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b"))
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    oriented = und.filter(F.col("a") < F.col("b"))
+    w1 = oriented.alias("e1")
+    w2 = oriented.alias("e2")
+    wedges = w1.join(w2, F.col("e1.b") == F.col("e2.a")).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    closing = oriented.select(
+        F.col("a").alias("x"), F.col("b").alias("z")
+    )
+    tris = wedges.join(closing, ["x", "z"])
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    return (
+        deg.join(per_node, "id", "left")
+        .select(
+            "id",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0)).alias("n_triangles"),
+        )
+        .withColumn(
+            "clustering_micro",
+            F.when(
+                F.col("degree") >= 2,
+                F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )

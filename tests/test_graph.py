@@ -116,3 +116,19 @@ def test_frontier_schedule_cap_and_priority(spark):
         )
         ranks = [r.rank_scaled for r in host_rows]
         assert ranks == sorted(ranks, reverse=True)
+
+
+def test_triangle_counts_hand_graph(spark):
+    from data_pipeline_childcare_spark.operators.graph import triangle_counts
+
+    # K3 (0,1,2) + pendant 3 on node 0 + isolated edge (4,5);
+    # directed duplicates must not double-count
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (0, 3), (4, 5)]
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+    got = {r.id: (r.degree, r.n_triangles, r.clustering_micro)
+           for r in triangle_counts(e).collect()}
+    assert got[1] == (2, 1, 1_000_000)   # both neighbors adjacent
+    assert got[2] == (2, 1, 1_000_000)
+    assert got[0] == (3, 1, 333_333)     # 2*1*1e6 div 6
+    assert got[3] == (1, 0, 0)           # degree < 2
+    assert got[4] == (1, 0, 0) and got[5] == (1, 0, 0)
