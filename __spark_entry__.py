@@ -1362,6 +1362,24 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point HITS hubs/authorities (operators/graph.hits,
+    Kleinberg 1999) over the deterministic link graph — the
+    directional complement to PageRank in the crawl-audit family.
+    L1-normalized integer mass (scale 1e6), five iterations; the
+    DuckDB twin unrolls the identical alternating updates."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        hits,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, n_links=3)
+    return hits(docs.select(F.col("doc_id").alias("id")), edges, n_iter=5).select(
+        F.col("id").alias("doc_id"), "hub_scaled", "auth_scaled"
+    )
+
+
 def link_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient
     (operators/graph.triangle_counts) over the deterministic link
@@ -4651,6 +4669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
+        "link_graph_hits": link_graph_hits,
         "doc_classifier_scores": doc_classifier_scores,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
@@ -8331,6 +8350,56 @@ def oracle_sql() -> dict[str, str]:
         + "".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
         + """
         SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
+    """
+    )
+    # HITS twin: unrolled alternating auth/hub updates with the same
+    # integer L1 normalization — all-BIGINT, bit-exact
+    _hits_iter = """
+        , ha{i} AS MATERIALIZED (
+            SELECT e.dst AS id, CAST(sum(s.hub) AS BIGINT) AS a
+            FROM edges e JOIN hs{p} s ON s.id = e.src GROUP BY e.dst
+        ), hsa{i} AS MATERIALIZED (
+            SELECT s.id, s.hub, CAST(coalesce(a.a, 0) AS BIGINT) AS auth
+            FROM hs{p} s LEFT JOIN ha{i} a USING (id)
+        ), hsan{i} AS MATERIALIZED (
+            SELECT id, hub,
+                   CAST((auth * 1000000)
+                        // (SELECT CAST(sum(auth) AS BIGINT) FROM hsa{i})
+                        AS BIGINT) AS auth
+            FROM hsa{i}
+        ), hh{i} AS MATERIALIZED (
+            SELECT e.src AS id, CAST(sum(s.auth) AS BIGINT) AS h
+            FROM edges e JOIN hsan{i} s ON s.id = e.dst GROUP BY e.src
+        ), hsh{i} AS MATERIALIZED (
+            SELECT s.id, CAST(coalesce(h.h, 0) AS BIGINT) AS hub, s.auth
+            FROM hsan{i} s LEFT JOIN hh{i} h USING (id)
+        ), hs{i} AS MATERIALIZED (
+            SELECT id,
+                   CAST((hub * 1000000)
+                        // (SELECT CAST(sum(hub) AS BIGINT) FROM hsh{i})
+                        AS BIGINT) AS hub,
+                   auth
+            FROM hsh{i}
+        )"""
+    out["link_graph_hits"] = (
+        """
+        WITH nn AS MATERIALIZED (SELECT count(*) AS n FROM documents),
+        links AS MATERIALIZED (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS MATERIALIZED (SELECT src, dst FROM links WHERE src <> dst),
+        hs0 AS MATERIALIZED (
+            SELECT doc_id AS id,
+                   1000000 // (SELECT n FROM nn) AS hub,
+                   1000000 // (SELECT n FROM nn) AS auth
+            FROM documents
+        )"""
+        + "".join(_hits_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT id AS doc_id, hub AS hub_scaled, auth AS auth_scaled FROM hs5
     """
     )
     # triangle twin: same symmetrize → orient → wedge → close chain,

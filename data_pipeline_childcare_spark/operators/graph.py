@@ -247,3 +247,83 @@ def triangle_counts(
             ).otherwise(F.lit(0).cast("long")),
         )
     )
+
+
+HITS_SCALE = 10**6
+
+
+def hits(
+    nodes: DataFrame,
+    edges: DataFrame,
+    n_iter: int = 5,
+    scale: int = HITS_SCALE,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-point HITS (Kleinberg 1999): authorities = mass flowing
+    IN along edges from hub scores, hubs = mass flowing OUT from
+    authority scores, each L1-normalized to ``scale`` per iteration —
+    the directional complement to :func:`pagerank` (a crawl audit
+    reads hubs = index/directory pages, authorities = content pages).
+
+    Same integer discipline as pagerank: updates are keyed sums of
+    BIGINT mass with a one-row normalization broadcast and integer
+    ``div`` — bit-exact under any partitioning and engine. (Classic
+    HITS normalizes by the L2 norm; L1 keeps the arithmetic integral
+    and yields the same ranking order.) Per iteration: two keyed
+    joins + two map-side-combinable sums + two one-row broadcasts.
+
+    The default scale is 1e6 (not pagerank's 1e12): the
+    normalization multiplies a pre-norm mass (≤ scale·max_degree) by
+    ``scale`` before the div, so scale² · degree must stay inside
+    BIGINT — 1e6 leaves headroom to degree ~1e6 at N ~1e9 nodes.
+
+    Returns (id, hub_scaled, auth_scaled).
+    """
+    nodes = nodes.select(F.col(id_col).alias("id"))
+    edges = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint()
+        edges = edges.localCheckpoint()
+    nn = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    state = nodes.join(F.broadcast(nn), how="cross").select(
+        "id",
+        F.expr(f"{scale} div _n").alias("hub"),
+        F.expr(f"{scale} div _n").alias("auth"),
+    )
+    if checkpoint:
+        state = state.localCheckpoint()
+
+    def _norm(df: DataFrame, col: str) -> DataFrame:
+        tot = df.agg(F.sum(col).alias("_t"))
+        return df.join(F.broadcast(tot), how="cross").select(
+            *[c for c in df.columns if c != col],
+            F.expr(f"({col} * cast({scale} as bigint)) div _t").alias(col),
+        )
+
+    for _ in range(n_iter):
+        auth_in = (
+            edges.join(state.select("id", "hub"), edges.src == F.col("id"))
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("_a"))
+        )
+        state = state.join(auth_in, state.id == auth_in.dst, "left").select(
+            "id", "hub", F.coalesce(F.col("_a"), F.lit(0)).cast("long").alias("auth")
+        )
+        state = _norm(state, "auth")
+        hub_out = (
+            edges.join(state.select("id", "auth"), edges.dst == F.col("id"))
+            .groupBy("src")
+            .agg(F.sum("auth").alias("_h"))
+        )
+        state = state.join(hub_out, state.id == hub_out.src, "left").select(
+            "id", F.coalesce(F.col("_h"), F.lit(0)).cast("long").alias("hub"), "auth"
+        )
+        state = _norm(state, "hub")
+        if checkpoint:
+            state = state.localCheckpoint()
+    return state.select("id", F.col("hub").alias("hub_scaled"), F.col("auth").alias("auth_scaled"))

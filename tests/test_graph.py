@@ -132,3 +132,23 @@ def test_triangle_counts_hand_graph(spark):
     assert got[0] == (3, 1, 333_333)     # 2*1*1e6 div 6
     assert got[3] == (1, 0, 0)           # degree < 2
     assert got[4] == (1, 0, 0) and got[5] == (1, 0, 0)
+
+
+def test_hits_hand_graph_hub_vs_authority(spark):
+    """Directed star: node 0 links to 1,2,3 (pure hub); 1,2,3 link
+    nowhere — pure authorities. Hub mass concentrates on 0, authority
+    mass splits over 1..3; fixed-point output is partition-invariant."""
+    from data_pipeline_childcare_spark.operators.graph import hits
+
+    nodes = spark.createDataFrame([(i,) for i in range(4)], "id: long")
+    edges = spark.createDataFrame([(0, 1), (0, 2), (0, 3)], "src: long, dst: long")
+    got = {r.id: (r.hub_scaled, r.auth_scaled) for r in hits(nodes, edges).collect()}
+    assert got[0][0] == 1_000_000 and got[0][1] == 0  # all hub mass
+    for i in (1, 2, 3):
+        assert got[i][0] == 0
+        assert abs(got[i][1] - 333_333) <= 1
+    again = {
+        r.id: (r.hub_scaled, r.auth_scaled)
+        for r in hits(nodes.repartition(3), edges.repartition(2)).collect()
+    }
+    assert again == got
