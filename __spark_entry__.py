@@ -4566,6 +4566,90 @@ def lang_fertility_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dirty_customer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dirty registry derived from customer × nation:
+    every entity appears as a clean CRM row plus a token-reordered
+    upper-cased billing variant, and every third entity also as a
+    token-dropping legacy row. The perturbations are pure column
+    expressions, so the DuckDB twin rebuilds the identical registry."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    base = cust.join(
+        nation, cust["c_nationkey"] == nation["n_nationkey"]
+    ).select(
+        "c_custkey",
+        "n_name",
+        "c_mktsegment",
+        "c_acctbal",
+        F.col("c_custkey").cast("string").alias("_key_tok"),
+    )
+    clean = base.select(
+        (F.col("c_custkey") * 10).alias("rec_id"),
+        F.concat_ws(" ", "n_name", "c_mktsegment", "_key_tok").alias("rec_name"),
+        F.col("c_acctbal").alias("rec_balance"),
+        F.lit("crm").alias("rec_source"),
+    )
+    billing = base.select(
+        (F.col("c_custkey") * 10 + 1).alias("rec_id"),
+        F.upper(
+            F.concat_ws(" ", "c_mktsegment", "n_name", "_key_tok")
+        ).alias("rec_name"),
+        F.col("c_acctbal").alias("rec_balance"),
+        F.lit("billing").alias("rec_source"),
+    )
+    legacy = base.filter(F.col("c_custkey") % 3 == 0).select(
+        (F.col("c_custkey") * 10 + 2).alias("rec_id"),
+        F.concat_ws(" ", "n_name", "_key_tok").alias("rec_name"),
+        F.floor("c_acctbal").cast("double").alias("rec_balance"),
+        F.lit("legacy").alias("rec_source"),
+    )
+    return clean.unionByName(billing).unionByName(legacy)
+
+
+def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution over a dirty customer registry
+    (operators/er.py): multi-pass blocking (token-set fingerprint +
+    discriminative single tokens, hot-block capped at 50) → candidate
+    pairs within blocks only → integer-exact token Jaccard → match at
+    ≥3/5 via cross-multiplication → connected components → one
+    cluster id per record. Non-discriminative tokens (nation,
+    segment) form oversized blocks the cap rejects; the custkey digit
+    token carries recall, so the pipeline re-unites each entity's
+    variants without any all-pairs stage. Reference parity: the
+    collect-unique merge in 生成行业调研报告.py generalized to fuzzy
+    identity (SURVEY §2.7)."""
+    from data_pipeline_childcare_spark.operators.er import resolve_entities
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    return resolve_entities(
+        reg, "rec_id", "rec_name", threshold_num=3, threshold_den=5, max_block=50
+    ).select(F.col("id").alias("rec_id"), "cluster_id")
+
+
+def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship on top of entity resolution: per resolved cluster
+    keep the most complete name (longest, ties → lexicographically
+    smallest), the max balance across source systems, and the record
+    count — the canonical golden-record merge step after linkage."""
+    from data_pipeline_childcare_spark.operators.er import resolve_entities
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    clusters = resolve_entities(
+        reg, "rec_id", "rec_name", threshold_num=3, threshold_den=5, max_block=50
+    )
+    joined = reg.join(
+        clusters.select(F.col("id").alias("rec_id"), "cluster_id"), "rec_id"
+    )
+    return joined.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("n_records"),
+        F.expr(
+            "min_by(rec_name, struct(-length(rec_name), rec_name))"
+        ).alias("golden_name"),
+        F.max("rec_balance").alias("balance_max"),
+        F.countDistinct("rec_source").cast("long").alias("n_sources"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -4756,6 +4840,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ship_delay_priority_counts": ship_delay_priority_counts,
         "supplier_variety_by_part": supplier_variety_by_part,
         "bulk_suppliers_for_parts": bulk_suppliers_for_parts,
+        "entity_resolution_customers": entity_resolution_customers,
+        "er_golden_records": er_golden_records,
     }
 
 
@@ -9146,5 +9232,123 @@ def oracle_sql() -> dict[str, str]:
                round(n_tok / total, 6) AS token_share,
                round((1.0 / ns) / (n_tok / total), 6) AS mix_weight
         FROM per, tot
+    """
+    # ER twin: identical registry perturbations, blocking passes,
+    # hot-block cap, integer cross-multiplied Jaccard threshold, and
+    # the recursive min-label reachability CC used by the minhash
+    # clusters twin.
+    _er_ctes = """
+        reg AS (
+            SELECT c_custkey * 10 AS rec_id,
+                   concat_ws(' ', n_name, c_mktsegment,
+                             CAST(c_custkey AS VARCHAR)) AS rec_name,
+                   c_acctbal AS rec_balance, 'crm' AS rec_source
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT c_custkey * 10 + 1,
+                   upper(concat_ws(' ', c_mktsegment, n_name,
+                                   CAST(c_custkey AS VARCHAR))),
+                   c_acctbal, 'billing'
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT c_custkey * 10 + 2,
+                   concat_ws(' ', n_name, CAST(c_custkey AS VARCHAR)),
+                   CAST(floor(c_acctbal) AS DOUBLE), 'legacy'
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 3 = 0
+        ), toks AS (
+            SELECT rec_id,
+                   list_distinct(string_split(trim(regexp_replace(
+                       regexp_replace(lower(rec_name),
+                                      '[^a-z0-9一-鿿]+', ' ', 'g'),
+                       '\\s+', ' ', 'g')), ' ')) AS tl
+            FROM reg
+        ), sorted_toks AS (
+            SELECT rec_id, list_sort(tl) AS ls FROM toks
+        ), blocks AS (
+            SELECT DISTINCT rec_id, block_key FROM (
+                SELECT rec_id, 'tok:' || t AS block_key
+                FROM (SELECT rec_id, unnest(tl) AS t FROM toks)
+                UNION ALL
+                SELECT rec_id,
+                       'del:' || md5(array_to_string(ls, ' ')) AS block_key
+                FROM sorted_toks
+                UNION ALL
+                SELECT rec_id, 'del:' || h AS block_key
+                FROM (
+                    SELECT rec_id,
+                           unnest(list_transform(
+                               range(1, len(ls) + 1),
+                               i -> md5(array_to_string(
+                                   list_concat(ls[1:i-1], ls[i+1:len(ls)]),
+                                   ' '))
+                           )) AS h
+                    FROM sorted_toks
+                )
+            )
+        ), keep AS (
+            SELECT block_key FROM blocks
+            GROUP BY block_key HAVING count(*) <= 50
+        ), cand AS (
+            SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+            FROM blocks a
+            JOIN keep k ON k.block_key = a.block_key
+            JOIN blocks b ON b.block_key = a.block_key
+            WHERE a.rec_id < b.rec_id
+        ), inv AS (
+            SELECT rec_id, unnest(tl) AS t FROM toks
+        ), sizes AS (
+            SELECT rec_id, count(*) AS sz FROM inv GROUP BY rec_id
+        ), inter AS (
+            SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM cand p
+            JOIN inv a ON a.rec_id = p.id_a
+            JOIN inv b ON b.rec_id = p.id_b AND b.t = a.t
+            GROUP BY p.id_a, p.id_b
+        ), matched AS (
+            SELECT i.id_a, i.id_b
+            FROM inter i
+            JOIN sizes sa ON sa.rec_id = i.id_a
+            JOIN sizes sb ON sb.rec_id = i.id_b
+            WHERE i.inter * 5 >= 3 * (sa.sz + sb.sz - i.inter)
+        ), edges AS (
+            SELECT id_a AS src, id_b AS dst FROM matched
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM matched
+        ), reach AS (
+            SELECT rec_id AS id, rec_id AS lbl FROM reg
+            UNION
+            SELECT e.dst AS id, r.lbl AS lbl
+            FROM reach r JOIN edges e ON e.src = r.id
+        ), comp AS (
+            SELECT id AS rec_id, min(lbl) AS cluster_id
+            FROM reach GROUP BY id
+        )
+    """
+    out["entity_resolution_customers"] = f"""
+        WITH RECURSIVE {_er_ctes}
+        SELECT rec_id, cluster_id FROM comp
+    """
+    out["er_golden_records"] = f"""
+        WITH RECURSIVE {_er_ctes}, gold AS (
+            SELECT r.rec_id, r.rec_name, r.rec_balance, r.rec_source,
+                   c.cluster_id
+            FROM reg r JOIN comp c ON c.rec_id = r.rec_id
+        ), named AS (
+            SELECT cluster_id, rec_name,
+                   row_number() OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY length(rec_name) DESC, rec_name ASC
+                   ) AS rn
+            FROM gold
+        )
+        SELECT g.cluster_id,
+               CAST(count(*) AS BIGINT) AS n_records,
+               min(n.rec_name) AS golden_name,
+               max(g.rec_balance) AS balance_max,
+               CAST(count(DISTINCT g.rec_source) AS BIGINT) AS n_sources
+        FROM gold g
+        JOIN named n ON n.cluster_id = g.cluster_id AND n.rn = 1
+        GROUP BY g.cluster_id
     """
     return out

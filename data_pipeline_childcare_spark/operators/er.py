@@ -1,0 +1,211 @@
+"""Entity resolution / record linkage over structured registries.
+
+The classic dirty-registry problem: one real-world entity appears as
+several records (case drift, token reorder, dropped tokens). The
+resolution pipeline here is the standard blocking formulation, kept
+fully declarative so Catalyst drives every stage:
+
+  normalize → multi-pass blocking → within-block candidate pairs
+  (hot-block capped) → integer-exact token-Jaccard similarity →
+  threshold by cross-multiplication (no float compare) → connected
+  components → survivorship (golden record per cluster).
+
+Scale design: candidate generation is never all-pairs — records meet
+only inside a shared block, and blocks larger than ``max_block`` are
+dropped (the standard hot-block guard; an oversized block means the
+key is non-discriminative, e.g. a stop-token, and contributes
+quadratic garbage pairs). Multiple blocking passes (exact token-set
+fingerprint + discriminative single tokens) are unioned for recall,
+then pair-distinct'd. Similarity is exact integer arithmetic:
+``jaccard >= num/den`` is evaluated as ``inter * den >= num * union``
+so Spark and any SQL oracle agree bit-for-bit.
+
+Reference parity: the reference merges per-source records of one
+entity before report generation (生成行业调研报告.py collect-unique
+loop; SURVEY §2.7 distinct-union family) — this operator is the
+scalable generalization to fuzzy record identity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from data_pipeline_childcare_spark.operators.components import connected_components
+
+__all__ = [
+    "normalize_name",
+    "blocking_keys",
+    "candidate_pairs",
+    "token_jaccard_pairs",
+    "resolve_entities",
+    "golden_records",
+]
+
+
+def normalize_name(col: Column | str) -> Column:
+    """Canonical form for fuzzy name comparison: lower-case, strip
+    punctuation to spaces, collapse runs, trim. Pure JVM expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^a-z0-9一-鿿]+", " ")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def _tokens(name_norm: Column) -> Column:
+    return F.array_distinct(F.split(name_norm, " "))
+
+
+def blocking_keys(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """(id, block_key) pairs from three complementary passes:
+
+    - ``tok:`` each individual token — recall for records that drop
+      or add tokens; non-discriminative tokens produce huge blocks
+      that the hot-block cap in :func:`candidate_pairs` rejects.
+    - ``del:`` deletion-neighborhood fingerprints — md5 of the sorted
+      token set AND of each leave-one-out subset. A record whose
+      token set is a one-token subset of another's collides with that
+      record's deletion fingerprint even when every shared token is
+      individually non-discriminative (hot-block-dropped); this is
+      the standard deletion-blocking recall pass, and it subsumes the
+      plain full-set fingerprint (reorder/case drift).
+    """
+    toks = _tokens(normalize_name(name_col))
+    base = df.select(
+        F.col(id_col).alias("id"), F.array_sort(toks).alias("toks")
+    )
+    tok = base.select(
+        "id", F.explode("toks").alias("t")
+    ).select("id", F.concat(F.lit("tok:"), F.col("t")).alias("block_key"))
+    dels = base.select(
+        "id",
+        F.explode(
+            F.concat(
+                F.array(F.md5(F.array_join("toks", " "))),
+                F.expr(
+                    "transform(sequence(0, size(toks) - 1), i ->"
+                    " md5(array_join(concat(slice(toks, 1, i),"
+                    " slice(toks, i + 2, size(toks))), ' ')))"
+                ),
+            )
+        ).alias("h"),
+    ).select("id", F.concat(F.lit("del:"), F.col("h")).alias("block_key"))
+    return tok.unionByName(dels).distinct()
+
+
+def candidate_pairs(blocks: DataFrame, max_block: int = 50) -> DataFrame:
+    """Within-block id pairs (id_a < id_b), distinct across passes.
+
+    Blocks with more than ``max_block`` members are dropped before the
+    self-join — the hot-block scale guard. The self-join shuffles on
+    block_key only; output is distinct pairs.
+    """
+    sized = blocks.join(
+        blocks.groupBy("block_key")
+        .agg(F.count("*").alias("_bsz"))
+        .filter(F.col("_bsz") <= max_block)
+        .select("block_key"),
+        "block_key",
+    )
+    a = sized.select("block_key", F.col("id").alias("id_a"))
+    b = sized.select("block_key", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "block_key")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    name_col: str,
+) -> DataFrame:
+    """Exact token-set Jaccard per candidate pair, as integers:
+    returns (id_a, id_b, inter, uni) with uni = |A| + |B| - inter.
+
+    The intersection rides a token-equality join restricted to the
+    candidate pairs (pairs × avg-token-count rows, never corpus²);
+    set sizes join back from a keyed aggregate.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_tokens(normalize_name(name_col))).alias("t"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    inter = (
+        pairs.join(toks.select(F.col("id").alias("id_a"), "t"), "id_a")
+        .join(toks.select(F.col("id").alias("id_b"), "t"), ["id_b", "t"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("_szb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "inter",
+            (F.col("_sza") + F.col("_szb") - F.col("inter")).alias("uni"),
+        )
+    )
+
+
+def resolve_entities(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    max_block: int = 50,
+    max_iter: int = 6,
+) -> DataFrame:
+    """Full ER: returns (id, cluster_id) for EVERY input record;
+    cluster_id = min record id of the matched component (records that
+    match nothing form singleton clusters of themselves)."""
+    pairs = candidate_pairs(blocking_keys(df, id_col, name_col), max_block)
+    sims = token_jaccard_pairs(df, pairs, id_col, name_col)
+    matched = sims.filter(
+        F.col("inter") * F.lit(threshold_den)
+        >= F.lit(threshold_num) * F.col("uni")
+    ).select("id_a", "id_b")
+    comp = connected_components(matched, max_iter=max_iter)
+    return (
+        df.select(F.col(id_col).alias("id"))
+        .join(comp, "id", "left")
+        .select(
+            "id", F.coalesce("component", F.col("id")).alias("cluster_id")
+        )
+    )
+
+
+def golden_records(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    fields: list[str],
+) -> DataFrame:
+    """Survivorship: one canonical row per cluster. Per field, keep
+    the value of the longest string representation (most complete),
+    ties broken by smallest value — deterministic across engines.
+    Returns (cluster_id, n_records, <fields...>)."""
+    joined = df.join(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col
+    )
+    agg_exprs = [F.count("*").alias("n_records")]
+    for f in fields:
+        # pack (length, value) so max() picks longest-then-
+        # lexicographically-largest; invert value order by a second
+        # pass: longest wins, ties -> min value via struct trick
+        agg_exprs.append(
+            F.expr(
+                f"min_by({f}, struct(-length(cast({f} as string)), {f}))"
+            ).alias(f)
+        )
+    return joined.groupBy("cluster_id").agg(*agg_exprs)
