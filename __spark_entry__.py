@@ -2754,7 +2754,15 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the formula and takes all-pairs hamming at oracle scale — any
     decode, hashing or blocking defect breaks the hash match. The
     blocked join must equal all-pairs exactly (pigeonhole
-    completeness for hamming ≤ 3)."""
+    completeness for hamming ≤ 3) up to the mirrored per-item cap.
+
+    Scale guards (both mirrored in the twin): synthesis/decode runs
+    at full parallelism (the table is already spread_partitions'd;
+    no coalesce — a fixed tiny partition count would serialize the
+    Python stage behind a few cores as the corpus grows), and
+    ``cap_per_id=10`` bounds per-image candidate volume on
+    duplicate-saturated corpora (rank by (hamming, other id), same
+    row_number discipline as dedup_method_agreement's text cap)."""
     import pandas as pd  # noqa: PLC0415
 
     from data_pipeline_childcare_spark.operators.imagehash import (
@@ -2763,7 +2771,7 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_pipeline_childcare_spark.sources.imagecodec import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2796,7 +2804,9 @@ def image_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     imgs = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
     hashed = image_perceptual_hashes(imgs, id_cols=("doc_id",))
-    return hamming_near_dup_pairs(hashed, id_col="doc_id", sig_col="ahash", max_hamming=3)
+    return hamming_near_dup_pairs(
+        hashed, id_col="doc_id", sig_col="ahash", max_hamming=3, cap_per_id=10
+    )
 
 
 def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2816,7 +2826,15 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrelated slope family), with the per-frame SLOPE varying so
     frames within a video differ. The DuckDB twin derives the frame
     bits closed-form (lossless DIB round-trip + integer aHash rule)
-    and takes all-pairs aligned-frame hamming at oracle scale."""
+    and takes all-pairs aligned-frame hamming at oracle scale.
+
+    Scale guards (mirrored in the twin): full-parallelism synthesis/
+    decode (no coalesce); the frame position is a BLOCK key of the
+    band join (cross-position candidates are never materialized, not
+    post-filtered); ``cap_per_id=10`` bounds per-frame candidate
+    volume on duplicate-saturated corpora — capped at the frame
+    level, BEFORE the ≥3-of-4 video rollup, so the rollup input is
+    linear in corpus size."""
     import pandas as pd  # noqa: PLC0415
 
     from data_pipeline_childcare_spark.operators.imagehash import (
@@ -2826,7 +2844,7 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from data_pipeline_childcare_spark.sources.imagecodec import encode_avi_dib
     from data_pipeline_childcare_spark.sources.multimodal import sample_frames
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2862,14 +2880,24 @@ def video_keyframe_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_extract("path", r"vid_(\d+)\.avi", 1).cast("long") * 16
             + F.col("frame_idx")
         ).alias("fkey"),
+        F.col("frame_idx").alias("fpos"),
         F.col("frame").alias("content"),
         "path",
     )
-    hashed = image_perceptual_hashes(keyed, id_cols=("fkey",))
-    pairs = hamming_near_dup_pairs(hashed, id_col="fkey", sig_col="ahash", max_hamming=3)
-    aligned = pairs.filter(
-        (F.col("id_a") % 16) == (F.col("id_b") % 16)
-    ).select(
+    hashed = image_perceptual_hashes(keyed, id_cols=("fkey", "fpos"))
+    # fpos as a band-join block key: only same-position frames ever
+    # become candidates; cap_per_id ranks by (hamming, other fkey),
+    # which within a fixed position is (hamming, other video) — the
+    # DuckDB twin replays the identical windows on its fham CTE
+    pairs = hamming_near_dup_pairs(
+        hashed,
+        id_col="fkey",
+        sig_col="ahash",
+        max_hamming=3,
+        block_cols=("fpos",),
+        cap_per_id=10,
+    )
+    aligned = pairs.select(
         F.shiftright(F.col("id_a"), 4).alias("video_a"),
         F.shiftright(F.col("id_b"), 4).alias("video_b"),
         "hamming",
@@ -2898,7 +2926,11 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-group slope so fingerprint collisions across groups stay
     bounded. The DuckDB twin derives window energies closed-form from
     the generator (PCM16 round-trips losslessly) and takes all-pairs
-    hamming at oracle scale."""
+    hamming at oracle scale.
+
+    Scale guards (mirrored in the twin): full-parallelism synthesis/
+    decode (no coalesce) + ``cap_per_id=10`` per-item candidate
+    bound, same discipline as image_ahash_near_dup."""
     import pandas as pd  # noqa: PLC0415
     import struct  # noqa: PLC0415
 
@@ -2910,7 +2942,7 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_wav_pcm16,
     )
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -2935,7 +2967,9 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wavs = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
     fps = audio_fingerprints(wavs, id_cols=("doc_id",))
-    return hamming_near_dup_pairs(fps, id_col="doc_id", sig_col="afp", max_hamming=3)
+    return hamming_near_dup_pairs(
+        fps, id_col="doc_id", sig_col="afp", max_hamming=3, cap_per_id=10
+    )
 
 
 def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2954,7 +2988,13 @@ def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle discipline: DuckDB cannot run zlib, but byte equality of a
     DETERMINISTIC encoder is pixel equality AND filter equality —
     both closed-form (same group, both p < 4, doc_id ≡ mod 3); the
-    perceptual chain reuses the closed-form bit derivation."""
+    perceptual chain reuses the closed-form bit derivation.
+
+    Scale guards (mirrored in the twin): full-parallelism synthesis
+    (no coalesce); the perceptual side carries ``cap_per_id=10`` —
+    the exact side needs no cap (equi-join on the fingerprint groups
+    by hash, never materializing cross-bucket candidates; its pair
+    output is the true duplicate count, which the audit is FOR)."""
     import pandas as pd  # noqa: PLC0415
 
     from data_pipeline_childcare_spark.operators.imagehash import (
@@ -2963,7 +3003,7 @@ def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from data_pipeline_childcare_spark.sources.imagecodec import encode_png
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id").coalesce(8)
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
 
     def gen(batches):
         for pdf in batches:
@@ -3005,6 +3045,7 @@ def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="doc_id",
         sig_col="ahash",
         max_hamming=3,
+        cap_per_id=10,
     ).select("id_a", "id_b")
     joined = exact.withColumn("_e", F.lit(1)).join(
         perc.withColumn("_p", F.lit(1)), ["id_a", "id_b"], "full_outer"
@@ -8757,17 +8798,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN bits bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
             GROUP BY ba.doc_id, bb.doc_id
         )"""
+    # per-item candidate cap twin: identical two-row_number discipline
+    # as the Spark side's cap_per_id (rank by (hamming, other id) on
+    # each pair side; pair keys are unique so the order is total)
+    _ham_capped = """hamf AS (
+            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        ), capped AS (
+            SELECT id_a, id_b, hamming FROM (
+                SELECT id_a, id_b, hamming,
+                       row_number() OVER (PARTITION BY id_a
+                                          ORDER BY hamming, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                                          ORDER BY hamming, id_a) AS rb
+                FROM hamf)
+            WHERE ra <= 10 AND rb <= 10
+        )"""
     out["image_ahash_near_dup"] = f"""
-        WITH {_ahash_ctes}
-        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        WITH {_ahash_ctes}, {_ham_capped}
+        SELECT id_a, id_b, hamming FROM capped
     """
     # multimodal agreement twin: byte equality of a deterministic
     # encoder IS pixel equality + filter equality — same group, both
     # unperturbed (p < 4), doc_id ≡ mod 3 (the filter cycle); the
     # perceptual side reuses the closed-form bit chain
     out["multimodal_dedup_agreement"] = f"""
-        WITH {_ahash_ctes}, perc AS (
-            SELECT id_a, id_b FROM ham WHERE hamming <= 3
+        WITH {_ahash_ctes}, {_ham_capped}, perc AS (
+            SELECT id_a, id_b FROM capped
         ), exact AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b
             FROM ids a JOIN ids b
@@ -8832,17 +8888,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN bits bb ON bb.b = ba.b AND bb.f = ba.f
                         AND ba.doc_id < bb.doc_id
             GROUP BY ba.doc_id, bb.doc_id, ba.f
+        ), fhamf AS (
+            SELECT va, vb, f, hamming FROM fham WHERE hamming <= 3
+        ), capped AS (
+            -- frame-level cap twin: Spark partitions by fkey =
+            -- video*16 + f, i.e. (video, position); within a fixed
+            -- position, ordering by the other fkey IS ordering by
+            -- the other video id
+            SELECT va, vb, hamming FROM (
+                SELECT va, vb, f, hamming,
+                       row_number() OVER (PARTITION BY va, f
+                                          ORDER BY hamming, vb) AS ra,
+                       row_number() OVER (PARTITION BY vb, f
+                                          ORDER BY hamming, va) AS rb
+                FROM fhamf)
+            WHERE ra <= 10 AND rb <= 10
         )
         SELECT va AS video_a, vb AS video_b,
                CAST(count(*) AS BIGINT) AS n_frame_matches,
                max(hamming) AS max_hamming
-        FROM fham WHERE hamming <= 3
+        FROM capped
         GROUP BY va, vb HAVING count(*) >= 3
     """
     # audio twin: window energies derived closed-form from the PCM
     # generator (integer s², 8 samples per window), delta-sign bits,
     # all-pairs hamming at oracle scale
-    out["audio_fingerprint_near_dup"] = """
+    out["audio_fingerprint_near_dup"] = f"""
         WITH ids AS (
             SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
             FROM documents
@@ -8873,8 +8944,8 @@ def oracle_sql() -> dict[str, str]:
             FROM bits ba
             JOIN bits bb ON bb.b = ba.b AND ba.doc_id < bb.doc_id
             GROUP BY ba.doc_id, bb.doc_id
-        )
-        SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+        ), {_ham_capped}
+        SELECT id_a, id_b, hamming FROM capped
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE

@@ -174,6 +174,8 @@ def hamming_near_dup_pairs(
     id_col: str = "path",
     sig_col: str = "ahash",
     max_hamming: int = 3,
+    block_cols: Sequence[str] = (),
+    cap_per_id: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs under a 64-bit signature →
     (id_a, id_b, hamming), id_a < id_b, hamming ≤ ``max_hamming``.
@@ -185,12 +187,43 @@ def hamming_near_dup_pairs(
     buckets (same recall argument as the simhash operator, which
     owns the text-side variant of this join). Raising ``max_hamming``
     past 3 would need more/narrower bands; this function refuses
-    rather than silently losing recall."""
+    rather than silently losing recall.
+
+    ``block_cols``: extra equality keys added to the band join —
+    pairs must ALSO agree on these columns. Use for structural
+    alignment constraints (e.g. a video frame position), which then
+    prune inside the join instead of via a post-filter: candidates
+    that could never qualify are never materialized.
+
+    ``cap_per_id``: per-item candidate-volume guard, the multimodal
+    edition of ``operators.dedup.cap_pairs_per_doc``. A verbatim-copy
+    cluster of size c emits C(c,2) ≈ c²/2 pairs — the true answer,
+    but at 100 TB a duplicate-saturated corpus would shuffle O(dups²)
+    rows through every downstream consumer. With the cap each item
+    keeps only its ``cap_per_id`` NEAREST neighbors per pair side
+    (rank by (hamming, other id) — deterministic, SQL-mirrorable with
+    two row_number windows), so downstream pair volume is linear in
+    corpus size regardless of cluster structure. None = uncapped
+    (exact pair set)."""
     if max_hamming > 3:
         raise ValueError("4x16-bit blocking is only complete for max_hamming <= 3")
-    banded = df.select(
+    blocks = [c for c in block_cols if c]
+    # Persist the (id, sig) projection: the self-join's broadcast side
+    # carries no exchange on the probe path, so WITHOUT a cache the
+    # ENTIRE upstream — typically a decode/fingerprint Python chain
+    # orders of magnitude costlier than this join — executes once per
+    # side (measured: 6 MapInPandas nodes in the video plan, the full
+    # synthesize→sample→decode chain duplicated). The cached relation
+    # is narrow (id + one long + block keys; ~tens of bytes/row —
+    # MEMORY_AND_DISK spills gracefully at billions of rows), while
+    # the decode it avoids re-running is the dominant cost at any
+    # scale. Persist-and-leave: unpersisting before return would mark
+    # the cache dead prior to execution (see SCALING.md).
+    sigs = df.select(F.col(id_col), F.col(sig_col), *[F.col(c) for c in blocks]).persist()
+    banded = sigs.select(
         F.col(id_col),
         F.col(sig_col),
+        *[F.col(c) for c in blocks],
         F.posexplode(
             F.array(
                 *[
@@ -201,13 +234,15 @@ def hamming_near_dup_pairs(
         ).alias("_band", "_bv"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._bv") == F.col("b._bv"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
+    cond = (
+        (F.col("a._band") == F.col("b._band"))
+        & (F.col("a._bv") == F.col("b._bv"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    )
+    for c in blocks:
+        cond = cond & (F.col(f"a.{c}") == F.col(f"b.{c}"))
+    pairs = (
+        a.join(b, cond)
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
@@ -216,3 +251,12 @@ def hamming_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if cap_per_id is not None:
+        from data_pipeline_childcare_spark.operators.dedup import (  # noqa: PLC0415
+            cap_pairs_per_doc,
+        )
+
+        pairs = cap_pairs_per_doc(
+            pairs, cap_per_id, order_by=[F.asc("hamming")]
+        )
+    return pairs

@@ -66,17 +66,18 @@ CONTRACTS = {
     "doc_trigram_backoff": (7, True, True),
     # perceptual hash: two mapInPandas passes, the band self-join
     # (broadcast at contract scale, sort-merge at corpus scale — both
-    # acceptable) and the pair distinct
-    "image_ahash_near_dup": (2, False, True),
-    # video: the frame-pair distinct + the video rollup agg on top of
-    # the band self-join (broadcast at contract scale)
-    "video_keyframe_dedup": (3, False, True),
+    # acceptable), the pair distinct + the two cap_per_id row_number
+    # windows (id_a- and id_b-keyed exchanges over the capped pairs)
+    "image_ahash_near_dup": (4, False, True),
+    # video: the frame-pair distinct + cap windows + the video rollup
+    # agg on top of the band self-join (broadcast at contract scale)
+    "video_keyframe_dedup": (5, False, True),
     # audio: same shape as the image variant (band self-join + pair
-    # distinct)
-    "audio_fingerprint_near_dup": (2, False, True),
-    # agreement audit: md5 equi-join + band join + the full-outer
-    # pair align (an SMJ on the pair key is the right plan there)
-    "multimodal_dedup_agreement": (4, False, True),
+    # distinct + cap windows)
+    "audio_fingerprint_near_dup": (4, False, True),
+    # agreement audit: md5 equi-join + band join + cap windows + the
+    # full-outer pair align (an SMJ on the pair key is right there)
+    "multimodal_dedup_agreement": (6, False, True),
     # BM25: tf/dl/df aggregates (tf subtree referenced by dl and df ->
     # re-materialized), query-side distinct, scored agg + the
     # per-query rank window; all joins broadcast at contract scale
