@@ -191,18 +191,29 @@ def triangle_counts(
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected graph (edges may arrive directed; they are
-    symmetrized). The standard two-join formulation: orient every
-    edge low→high, join wedges (a<b<c via a−b, b−c), close them
+    symmetrized). Compact-forward formulation: orient every edge from
+    its lower-DEGREE endpoint to its higher-degree endpoint
+    (lexicographic (degree, id) — a total acyclic order), build
+    wedges as ordered out-neighbor pairs at a pivot, close them
     against the oriented edge set — each triangle is materialized
     exactly once, then credited to all three corners.
 
-    Scale shape: two keyed equi-joins on vertex ids + one explode +
-    one count aggregate — never an all-pairs stage; the classic skew
-    caveat (a celebrity vertex makes wedge volume d² on its key)
-    is bounded upstream by degree-capping hubs, the same guard the
-    dedup candidate caps use. The coefficient is EXACT fixed-point:
-    ``(2·T·1e6) div (d·(d−1))`` — no float anywhere (the PageRank
-    discipline), so the oracle matches bit-for-bit.
+    Why degree order and not id order: under id order a celebrity
+    vertex contributes indeg·outdeg ≈ d² wedges on its own key — the
+    classic power-law blowup. Under degree order a pivot's
+    out-degree is bounded by O(√m) (every out-neighbor has degree ≥
+    the pivot's), so total wedge volume is O(m^1.5) — bounded by the
+    graph's arboricity, not by its hottest hub — and the pivot's key
+    is never hotter than √m on the wedge join. Output is
+    orientation-invariant (same triangles, same corners), so the
+    DuckDB oracle needs no mirroring.
+
+    Scale shape: two vertex-keyed degree joins + the pivot-keyed
+    wedge join + the (y,z)-keyed closing join + one explode + one
+    count aggregate — never an all-pairs stage. The coefficient is
+    EXACT fixed-point: ``(2·T·1e6) div (d·(d−1))`` — no float
+    anywhere (the PageRank discipline), so the oracle matches
+    bit-for-bit.
 
     Returns (id, degree, n_triangles, clustering_micro).
     """
@@ -214,23 +225,39 @@ def triangle_counts(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    oriented = und.filter(F.col("a") < F.col("b"))
+    deg = und.groupBy(F.col("a").alias("id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    keyed = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("_da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("_db")), "b")
+        .select(
+            "a",
+            "b",
+            F.struct(F.col("_da").alias("d"), F.col("a").alias("v")).alias("ka"),
+            F.struct(F.col("_db").alias("d"), F.col("b").alias("v")).alias("kb"),
+        )
+    )
+    # keep each undirected edge once, directed low-key -> high-key
+    oriented = keyed.filter(F.col("ka") < F.col("kb")).select("a", "b", "kb")
     w1 = oriented.alias("e1")
     w2 = oriented.alias("e2")
-    wedges = w1.join(w2, F.col("e1.b") == F.col("e2.a")).select(
+    # ordered out-neighbor pairs at pivot a; the closing edge between
+    # y and z (if present) is oriented y->z because k(y) < k(z)
+    wedges = w1.join(
+        w2,
+        (F.col("e1.a") == F.col("e2.a")) & (F.col("e1.kb") < F.col("e2.kb")),
+    ).select(
         F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
     )
     closing = oriented.select(
-        F.col("a").alias("x"), F.col("b").alias("z")
+        F.col("a").alias("y"), F.col("b").alias("z")
     )
-    tris = wedges.join(closing, ["x", "z"])
+    tris = wedges.join(closing, ["y", "z"])
     per_node = (
         tris.select(F.explode(F.array("x", "y", "z")).alias("id"))
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-    deg = und.groupBy(F.col("a").alias("id")).agg(
-        F.count(F.lit(1)).alias("degree")
     )
     return (
         deg.join(per_node, "id", "left")

@@ -134,6 +134,67 @@ def test_triangle_counts_hand_graph(spark):
     assert got[4] == (1, 0, 0) and got[5] == (1, 0, 0)
 
 
+def test_triangle_counts_skewed_hub(spark):
+    """Celebrity-vertex fixture (round-6 verdict #2): one hub wired to
+    every other vertex (degree ~N) over a ring of triangles, checked
+    against a brute-force model AND against the wedge-volume bound —
+    under degree orientation the hub is every edge's HIGH endpoint,
+    so it pivots no wedges at all; under the old id orientation a
+    low-id hub pivoted C(d,2) ≈ d²/2."""
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.graph import triangle_counts
+
+    n = 60
+    # hub 0 — low id, the worst case for id-orientation — plus a ring
+    # among 1..n-1 so non-hub vertices carry degree 4 (2 ring + hub
+    # spoke + a chord), and ring+spoke triangles exist
+    edges = [(0, i) for i in range(1, n)]
+    ring = [(i, i % (n - 1) + 1) for i in range(1, n)]
+    edges += ring
+    e = spark.createDataFrame(edges, "src: long, dst: long")
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, set()).add(d)
+        adj.setdefault(d, set()).add(s)
+    model_tris = {v: 0 for v in adj}
+    for v in adj:
+        for x, y in combinations(sorted(adj[v]), 2):
+            if y in adj[x]:
+                model_tris[v] += 1
+    got = {r.id: (r.degree, r.n_triangles) for r in triangle_counts(e).collect()}
+    assert got == {
+        v: (len(adj[v]), model_tris[v]) for v in adj
+    }
+
+    # the orientation bound, asserted on the plan's actual wedge set:
+    # rebuild the oriented edges exactly as the operator does and
+    # check the hub (the unique max-degree vertex) has out-degree 0 —
+    # its d² wedge blowup is structurally impossible
+    und = (
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+        .unionByName(e.select(F.col("dst").alias("a"), F.col("src").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = und.groupBy(F.col("a").alias("id")).agg(F.count(F.lit(1)).alias("degree"))
+    keyed = (
+        und.join(deg.select(F.col("id").alias("a"), F.col("degree").alias("_da")), "a")
+        .join(deg.select(F.col("id").alias("b"), F.col("degree").alias("_db")), "b")
+    )
+    out_deg_hub = (
+        keyed.filter(
+            (F.struct(F.col("_da").alias("d"), F.col("a").alias("v"))
+             < F.struct(F.col("_db").alias("d"), F.col("b").alias("v")))
+            & (F.col("a") == 0)
+        ).count()
+    )
+    assert out_deg_hub == 0
+
+
 def test_hits_hand_graph_hub_vs_authority(spark):
     """Directed star: node 0 links to 1,2,3 (pure hub); 1,2,3 link
     nowhere — pure authorities. Hub mass concentrates on 0, authority
