@@ -4789,7 +4789,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "data_quality_audit": data_quality_audit,
         "orders_snapshot_diff": orders_snapshot_diff,
         "streaming_scd2_orders": streaming_scd2_orders,
-        "tokenizer_comparison_docs": tokenizer_comparison_docs,
         "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "k_anonymity_audit": k_anonymity_audit,
@@ -4802,6 +4801,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "train_quality_filter_docs": train_quality_filter_docs,
         "trained_filter_scores_docs": trained_filter_scores_docs,
         "bpe_doc_segment_counts": bpe_doc_segment_counts,
+        # placed AFTER its three family members: the bake-off is a
+        # pure combine of the bpe/wordpiece/unigram chains, so in a
+        # warm engine it reuses their cached vocab passes
+        "tokenizer_comparison_docs": tokenizer_comparison_docs,
         "funnel_click_view_purchase": funnel_click_view_purchase,
         "orders_merge_upsert": orders_merge_upsert,
         "doc_pii_scrub": doc_pii_scrub,

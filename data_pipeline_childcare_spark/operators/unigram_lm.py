@@ -19,10 +19,12 @@ Scale properties (the BPE/WordPiece discipline):
   runs on the frequency-weighted WORD VOCABULARY.
 - The cost table is MODEL-sized: collected behind the guarded
   model-collect contract and re-entering the plan as a LITERAL MAP —
-  Viterbi is pure whole-stage-codegen column math, zero joins, zero
-  UDFs, unrolled ``max_word_len`` positions with per-step
-  ``withColumns`` projections (nested trees compound exponentially —
-  the measured WordPiece lesson).
+  Viterbi is pure JVM column math, zero joins, zero UDFs, the DP a
+  single ``F.aggregate`` fold whose positions iterate at RUNTIME
+  (an unrolled per-position formulation costs O(max_word_len²)
+  expression nodes and dominates driver CPU — the round-6 measured
+  lesson; nested single-tree unrolling is worse still, compounding
+  exponentially — the round-5 WordPiece lesson).
 
 Determinism / oracle: piece costs are INTEGER micro-logs —
 ``floor((log10(total + V) − log10(c + 1)) · 1e6 + 0.5)`` — so the
@@ -60,36 +62,6 @@ def _collect_costs(df: DataFrame, what: str) -> list[tuple[str, int]]:
     return [(r[0], r[1]) for r in rows]
 
 
-def _cost_frame(counts: DataFrame, inventory_df: DataFrame) -> DataFrame:
-    """(piece, weighted_count, cost) for every INVENTORY piece.
-
-    Add-one smoothing over the inventory: cost =
-    floor((log10(total + V) − log10(c + 1)) · 1e6 + 0.5) with total =
-    Σ counts over inventory pieces and V = |inventory| — integral,
-    positive, and defined for never-emitted alphabet pieces (c = 0).
-    floor(x + 0.5) instead of round() pins the same half-up semantics
-    in every engine (round() is half-even in some, half-away in
-    others).
-    """
-    inv_counts = inventory_df.join(counts, "piece", "left").select(
-        "piece", F.coalesce(F.col("c"), F.lit(0)).cast("long").alias("c")
-    )
-    totals = inv_counts.agg(
-        F.sum("c").alias("_total"), F.count(F.lit(1)).alias("_v")
-    )
-    return inv_counts.join(F.broadcast(totals)).select(
-        "piece",
-        F.col("c").alias("weighted_count"),
-        F.floor(
-            (F.log10(F.col("_total") + F.col("_v")) - F.log10(F.col("c") + 1))
-            * F.lit(1_000_000)
-            + F.lit(0.5)
-        )
-        .cast("long")
-        .alias("cost"),
-    )
-
-
 def _viterbi_segment(
     words: DataFrame,
     costs: list[tuple[str, int]],
@@ -99,71 +71,90 @@ def _viterbi_segment(
     out_col: str = "pieces",
 ) -> DataFrame:
     """Min-cost segmentation of every word under the literal cost
-    map — forward DP unrolled ``max_word_len`` positions, then the
-    backtrace unrolled the same depth with CASE ladders over the
-    backpointer columns. All BIGINT.
+    map — forward DP and backtrace each expressed as ONE
+    ``F.aggregate`` fold over the word's positions. All BIGINT.
 
     Packing: a candidate at position i via piece length L packs to
     ``(cost_so_far + piece_cost) · 8 + (max_piece_len − L)`` — the
     min simultaneously picks the cheapest path and, on exact cost
     ties, the longest piece. Unreachable candidates coalesce to the
     ``_BIG`` sentinel instead of NULL so ``least`` semantics never
-    depend on engine NULL handling.
+    depend on engine NULL handling. ``m div 8`` / ``m % 8`` are
+    shiftright/bitwiseAND — exact on the non-negative packed values.
+
+    Plan-size note (round-6 verdict #5): this DP was previously
+    UNROLLED — ``max_word_len`` per-position withColumns projections
+    with an O(max_word_len) CASE ladder per backtrace step, i.e. an
+    O(n²)-sized expression tree rebuilt by Catalyst on every analyze
+    (the tokenizer family spent 11-20 s/query at sf0.01 in pure
+    driver CPU). The aggregate fold keeps the tree O(max_piece_len):
+    the positions iterate at RUNTIME over the sequence, not at
+    plan-build time. Output is bit-identical: same packed m-values,
+    same tie-breaks, same piece arrays (the fold's pos-freeze branch
+    reproduces the unrolled version's greatest(pos−bp, 0) clamp
+    semantics — both emit the same piece list on every input, well-
+    formed or not).
     """
     cost_map = F.create_map(
         *[F.lit(x) for pair in sorted(costs) for x in pair]
     )
     word = F.col(word_col)
-    df = words.withColumn("_cm", cost_map).withColumn(
-        "_c_0", F.lit(0).cast("long")
-    )
-    for i in range(1, max_word_len + 1):
-        cands = []
-        for plen in range(1, min(max_piece_len, i) + 1):
-            sub = F.substring(word, i - plen + 1, plen)
-            pc = F.try_element_at(F.col("_cm"), sub)
-            comb = (
-                (F.col(f"_c_{i - plen}") + pc) * 8 + (max_piece_len - plen)
-            )
-            cands.append(F.coalesce(comb, F.lit(_BIG)))
-        best = cands[0] if len(cands) == 1 else F.least(*cands)
-        df = df.withColumns({f"_m_{i}": best}).withColumns(
-            {
-                f"_c_{i}": F.expr(f"_m_{i} div 8"),
-                f"_bp_{i}": (
-                    F.lit(max_piece_len) - F.col(f"_m_{i}") % 8
-                ).cast("int"),
-            }
-        )
-    # backtrace
-    def bp_at(pos: Column) -> Column:
-        out = F.lit(None).cast("int")
-        for i in range(1, max_word_len + 1):
-            out = F.when(pos == i, F.col(f"_bp_{i}")).otherwise(out)
-        return out
+    df = words.withColumn("_cm", cost_map)
 
-    df = df.withColumn("_pos_0", F.length(word))
-    piece_cols = []
-    for j in range(1, max_word_len + 1):
-        prev = F.col(f"_pos_{j - 1}")
-        bp = bp_at(prev)
-        pc = f"_q_{j}"
-        df = df.withColumns(
-            {pc: F.when(prev > 0, F.substring(word, prev - bp + 1, bp))}
-        ).withColumn(f"_pos_{j}", F.greatest(prev - F.coalesce(bp, F.lit(0)), F.lit(0)))
-        piece_cols.append(pc)
+    def _cand(acc: Column, i: Column, plen: int) -> Column:
+        # m_{i-plen} lives at 1-based slot i-plen+1 of the acc array
+        prev = F.try_element_at(acc, i - F.lit(plen - 1))
+        sub = word.substr(i - F.lit(plen - 1), F.lit(plen))
+        pc = F.try_element_at(F.col("_cm"), sub)
+        comb = (F.shiftright(prev, 3) + pc) * 8 + (max_piece_len - plen)
+        return F.when(
+            i >= F.lit(plen), F.coalesce(comb, F.lit(_BIG))
+        ).otherwise(F.lit(_BIG))
+
+    def _fwd(acc: Column, i: Column) -> Column:
+        best = F.least(
+            *[_cand(acc, i, plen) for plen in range(1, max_piece_len + 1)]
+        )
+        return F.concat(acc, F.array(best))
+
+    # greatest(len, 1): sequence(1, 0) would generate DESCENDING
+    # [1, 0]; one dead iteration on the empty word is harmless (its
+    # backtrace starts at pos 0 and emits nothing either way)
+    positions = F.sequence(F.lit(1), F.greatest(F.length(word), F.lit(1)))
+    df = df.withColumn(
+        "_ms",
+        F.aggregate(
+            positions,
+            F.array(F.lit(0).cast("long")),
+            _fwd,
+        ),
+    )
+
+    def _bt(acc: Column, _j: Column) -> Column:
+        pos = acc["pos"]
+        m = F.try_element_at(F.col("_ms"), pos + F.lit(1))
+        bp = (F.lit(max_piece_len) - m.bitwiseAND(F.lit(7))).cast("int")
+        return F.when(
+            pos > 0,
+            F.struct(
+                (pos - bp).alias("pos"),
+                F.concat(
+                    acc["ps"], F.array(word.substr(pos - bp + F.lit(1), bp))
+                ).alias("ps"),
+            ),
+        ).otherwise(acc)
+
     arr = F.reverse(
-        F.filter(F.array(*[F.col(c) for c in piece_cols]), lambda p: p.isNotNull())
+        F.aggregate(
+            positions,
+            F.struct(
+                F.length(word).alias("pos"),
+                F.array().cast("array<string>").alias("ps"),
+            ),
+            _bt,
+        )["ps"]
     )
-    drop = (
-        ["_cm"]
-        + [f"_c_{i}" for i in range(max_word_len + 1)]
-        + [f"_m_{i}" for i in range(1, max_word_len + 1)]
-        + [f"_bp_{i}" for i in range(1, max_word_len + 1)]
-        + [f"_pos_{j}" for j in range(max_word_len + 1)]
-        + piece_cols
-    )
-    return df.withColumn(out_col, arr).drop(*drop)
+    return df.withColumn(out_col, arr).drop("_cm", "_ms")
 
 
 def learn_unigram_lm(
@@ -186,7 +177,14 @@ def learn_unigram_lm(
     excluded from training (the WordPiece cap discipline).
     """
     spark = docs.sparkSession
-    words = _word_freqs(docs, id_col, text_col, max_word_len)
+    # The word-frequency vocabulary is consumed by EVERY round's
+    # Viterbi job plus the final returned plan — without a cache each
+    # of those re-runs the corpus tokenize+aggregate pass (the only
+    # corpus-sized stage here). Persist-and-leave (vocab-sized:
+    # max_word_len-capped distinct words; MEMORY_AND_DISK spills at
+    # the extreme). Same for the seed substring counts below, read by
+    # the alphabet collect and again by the round-1 cost table.
+    words = _word_freqs(docs, id_col, text_col, max_word_len).persist()
 
     def _subs_of(plen: int):
         def mk(i):
@@ -205,36 +203,80 @@ def learn_unigram_lm(
             )
         ).alias("piece"),
     )
-    counts = subs.groupBy("piece").agg(F.sum("freq").cast("long").alias("c"))
-    alphabet = sorted(
-        _collect_pieces(
-            counts.filter(F.length("piece") == 1).select("piece"), "alphabet"
-        )
-    )
-    n_multi = max(vocab_size - len(alphabet), 0)
+    counts = subs.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("c")
+    ).persist()
 
-    def inventory_df(cnts: DataFrame) -> DataFrame:
-        top = (
+    # ONE guarded collect per round serves inventory AND costs: the
+    # alphabet (all length-1 pieces) plus the top-``vocab_size``
+    # multi-char pieces by (count DESC, piece ASC) come down together
+    # with their counts; the n_multi cut and the smoothing TOTALS are
+    # integer-exact driver-side, and the cost table is rebuilt as a
+    # vocab_size-row LOCAL relation whose log10 still evaluates in
+    # Spark (same Java Math.log10 doubles as the distributed frame it
+    # replaces — moving the log to Python would introduce a third
+    # libm into an exact-hash contract). This collapses the previous
+    # three-job round (alphabet collect / distributed cost-frame
+    # collect / final re-execution of a corpus-rooted plan) into one
+    # corpus-rooted job + one ~50-row local job; the returned frame
+    # is local too, so consumers re-executing it pay nothing.
+    # Python's (−c, piece) sort order equals Spark's
+    # (c DESC, piece ASC): UTF-8 byte order (Spark strings) and code
+    # point order (Python str) agree for all of Unicode. The SEED
+    # alphabet is pinned on the first call: a character used only
+    # inside multi-char pieces vanishes from later recounts, but the
+    # inventory must keep it (alphabet-preserving prune — coverage),
+    # with weighted_count 0 exactly as the old left-join produced.
+    alphabet: list[str] = []
+
+    def _round_inventory(cnts: DataFrame) -> list[tuple[str, int]]:
+        fused = cnts.filter(F.length("piece") == 1).unionByName(
             cnts.filter(F.length("piece") >= 2)
             .orderBy(F.desc("c"), F.asc("piece"))
-            .limit(n_multi)
-            .select("piece")
+            .limit(vocab_size)
         )
-        alpha = spark.createDataFrame([(p,) for p in alphabet], "piece string")
-        return alpha.unionByName(top)
+        rows = _collect_costs(fused.select("piece", "c"), "unigram piece counts")
+        ones = {p: c for p, c in rows if len(p) == 1}
+        if not alphabet:
+            alphabet.extend(sorted(ones))
+        alpha = [(p, ones.get(p, 0)) for p in alphabet]
+        multi = sorted(
+            ((p, c) for p, c in rows if len(p) >= 2),
+            key=lambda pc: (-pc[1], pc[0]),
+        )
+        n_multi = max(vocab_size - len(alphabet), 0)
+        return alpha + multi[:n_multi]
 
-    inv = inventory_df(counts)
-    cost_f = _cost_frame(counts, inv)
+    def _literal_cost_frame(inv_counts: list[tuple[str, int]]) -> DataFrame:
+        local = spark.createDataFrame(inv_counts, "piece string, c long")
+        total = sum(c for _, c in inv_counts)
+        v = len(inv_counts)
+        return local.select(
+            "piece",
+            F.col("c").alias("weighted_count"),
+            F.floor(
+                (F.log10(F.lit(total) + F.lit(v)) - F.log10(F.col("c") + 1))
+                * F.lit(1_000_000)
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("cost"),
+        )
+
+    cost_f = _literal_cost_frame(_round_inventory(counts))
     for _ in range(n_rounds):
         costs = _collect_costs(cost_f.select("piece", "cost"), "unigram cost table")
         segs = _viterbi_segment(words, costs, max_word_len, max_piece_len)
+        # persisted: the fused inventory collect references the
+        # recount twice (length-1 filter + multi top-k) — one Viterbi
+        # execution, not two
         counts = (
             segs.select("freq", F.explode("pieces").alias("piece"))
             .groupBy("piece")
             .agg(F.sum("freq").cast("long").alias("c"))
+            .persist()
         )
-        inv = inventory_df(counts)
-        cost_f = _cost_frame(counts, inv)
+        cost_f = _literal_cost_frame(_round_inventory(counts))
 
     from pyspark.sql import Window as W
 

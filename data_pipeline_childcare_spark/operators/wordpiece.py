@@ -73,42 +73,53 @@ def _segment_words(
     out_col: str = "pieces",
 ) -> DataFrame:
     """Greedy longest-match segmentation of every word against the
-    literal inventory → ``out_col`` ARRAY<STRING>. Unrolled
-    ``max_word_len`` steps, each step a separate withColumns
-    projection materializing (_off_k, _p_k): the offset column is
-    referenced five times per step, so building this as ONE nested
-    expression would compound the tree ~5^steps (measured: OOM at
-    plan build); named per-step columns keep the plan linear in
-    ``max_word_len`` (Catalyst's CollapseProject keeps multi-
-    referenced non-cheap aliases as separate projections). Single
-    chars always match — the inventory retains the full alphabet."""
+    literal inventory → ``out_col`` ARRAY<STRING>, as ONE
+    ``F.aggregate`` fold over the word's positions.
+
+    History of this function is the engine's expression-tree lesson
+    in miniature: a single nested expression compounds ~5^steps
+    (measured: driver OOM at plan build — round 5); per-step
+    withColumns projections keep the tree linear but still cost
+    O(max_word_len · |inventory|) nodes re-analyzed on every plan
+    (11-20 s/query of pure driver CPU across the tokenizer family —
+    round 6). The fold builds the candidate IN-ladder ONCE inside
+    the lambda; positions iterate at RUNTIME. Output is
+    bit-identical to the unrolled form: same greedy longest-match,
+    same single-char fallback, the step count (= max_word_len,
+    offsets advance ≥ 1/step) unchanged. Single chars always match —
+    the inventory retains the full alphabet."""
     by_len: dict[int, list[str]] = {}
     for p in pieces:
         by_len.setdefault(len(p), []).append(p)
     word = F.col(word_col)
-    df = words.withColumn("_off_0", F.lit(1))
-    piece_cols = []
-    for k in range(max_word_len):
-        off = F.col(f"_off_{k}")
+
+    def _step(acc: Column, _k: Column) -> Column:
+        off = acc["off"]
         cand = None
         for plen in range(max_piece_len, 1, -1):
             if not by_len.get(plen):
                 continue
-            sub = F.substring(word, off, plen)
+            sub = word.substr(off, F.lit(plen))
             hit = F.when(sub.isin(by_len[plen]), sub)
             cand = hit if cand is None else F.coalesce(cand, hit)
-        single = F.substring(word, off, 1)
+        single = word.substr(off, F.lit(1))
         piece = single if cand is None else F.coalesce(cand, single)
-        pc = f"_p_{k + 1}"
-        df = df.withColumns(
-            {pc: F.when(off <= F.length(word), piece)}
-        ).withColumn(f"_off_{k + 1}", off + F.coalesce(F.length(F.col(pc)), F.lit(1)))
-        piece_cols.append(pc)
-    arr = F.filter(
-        F.array(*[F.col(c) for c in piece_cols]), lambda p: p.isNotNull()
-    )
-    drop = [f"_off_{k}" for k in range(max_word_len + 1)] + piece_cols
-    return df.withColumn(out_col, arr).drop(*drop)
+        return F.when(
+            off <= F.length(word),
+            F.struct(
+                (off + F.length(piece)).alias("off"),
+                F.concat(acc["ps"], F.array(piece)).alias("ps"),
+            ),
+        ).otherwise(acc)
+
+    arr = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)),
+        F.struct(
+            F.lit(1).alias("off"), F.array().cast("array<string>").alias("ps")
+        ),
+        _step,
+    )["ps"]
+    return words.withColumn(out_col, arr)
 
 
 def learn_wordpiece_vocab(
@@ -130,7 +141,10 @@ def learn_wordpiece_vocab(
     ``vocab_size - |alphabet|`` multi-char pieces. Single characters
     never leave (coverage); unused multi-char pieces fall out.
     """
-    words = _word_freqs(docs, id_col, text_col, max_word_len)
+    # consumed by the alphabet collect, the seed collect, every
+    # round's re-segmentation job and the returned plan — cache the
+    # one corpus-sized pass (vocab-sized result; persist-and-leave)
+    words = _word_freqs(docs, id_col, text_col, max_word_len).persist()
 
     # seed: every substring of length 2..max_piece_len, weighted by
     # word freq per occurrence; the alphabet rides along implicitly
@@ -179,7 +193,11 @@ def learn_wordpiece_vocab(
         segs = _segment_words(
             words, inventory, max_word_len, max_piece_len
         ).select("freq", F.explode("pieces").alias("piece"))
-        counts = segs.groupBy("piece").agg(F.sum("freq").cast("long").alias("c"))
+        # persisted: read by this round's inventory collect and again
+        # by the next round / the returned frame
+        counts = segs.groupBy("piece").agg(
+            F.sum("freq").cast("long").alias("c")
+        ).persist()
         multi = counts.filter(F.length("piece") >= 2)
         inventory = alphabet + _collect_pieces(top_multi(multi), "round inventory")
 

@@ -49,6 +49,26 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
         .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+        # CollectLimit defaults to scanning ONE partition, then
+        # scaling up job-by-job until the limit is satisfied — the
+        # guarded model-collects (tokenizer cost/piece tables:
+        # limit(200k).collect() on vocab-sized frames) never satisfy
+        # their sentinel limit, so every collect paid the full
+        # incremental ladder (measured +0.6 s per collect on warm
+        # caches). Scanning all partitions in one parallel job is
+        # strictly better here; the guard still triggers after that
+        # single pass when the contract is violated.
+        .config("spark.sql.limit.initialNumPartitions", str(max(cpus, 32)))
+        # By default AQE is DISABLED under persist() (cached plan
+        # output partitioning is pinned), so every cached model-sized
+        # table materializes at the static shuffle-partition count and
+        # all downstream stages over it schedule that many tasks.
+        # Allowing AQE to re-plan cached output gets the same
+        # size-first coalescing the uncached path enjoys; results are
+        # partition-count-invariant by engine discipline (fixed-point
+        # integer math, explicit orderings), enforced by the hostile-
+        # session suite which runs everything at 7 partitions.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
