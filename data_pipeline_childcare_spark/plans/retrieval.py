@@ -317,6 +317,41 @@ def cross_encoder_rerank_scorer(
     return scorer
 
 
+def chained_rerank_scorer(
+    *factories: Callable[[], Callable[[DataFrame], DataFrame]],
+) -> Callable[[DataFrame], DataFrame]:
+    """First-working-scorer degradation chain — the production wiring
+    of the reference's rerank stage (retrieve.py:229-232: hosted
+    cross-encoder, and on ANY failure keep going with what you have):
+
+        xpilot_retrieval(..., rerank_scorer=chained_rerank_scorer(
+            lambda: cross_encoder_rerank_scorer(q),   # hosted/model
+            lambda: bm25_rerank_scorer(q),            # local default
+        ))
+
+    Each factory is constructed AND applied inside the chain's try:
+    cross_encoder_rerank_scorer loads its model eagerly at
+    construction, so a missing dependency or unloadable weights falls
+    through to the next factory here instead of surfacing at plan
+    execution. If every factory fails, the last error propagates —
+    into xpilot_retrieval's own try, whose fallback is RRF order, so
+    the full chain is model → BM25 → RRF, failures logged nowhere but
+    degraded everywhere, exactly the reference's behavior."""
+    if not factories:
+        raise ValueError("chained_rerank_scorer needs at least one factory")
+
+    def scorer(capped: DataFrame) -> DataFrame:
+        last_err: Exception | None = None
+        for make in factories:
+            try:
+                return make()(capped)
+            except Exception as e:  # noqa: BLE001 — degrade to next tier
+                last_err = e
+        raise last_err  # type: ignore[misc]
+
+    return scorer
+
+
 def xpilot_retrieval(
     retrieved: DataFrame,
     tasks: DataFrame,

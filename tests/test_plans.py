@@ -235,6 +235,84 @@ def test_cross_encoder_scorer_missing_dep_falls_back(spark):
     assert sorted(map(str, plain)) == sorted(map(str, degraded))
 
 
+def test_chained_rerank_model_failure_degrades_to_bm25(spark):
+    """The production chain (round-6 verdict #7): cross-encoder first,
+    BM25 on failure, RRF only if both die — reference
+    retrieve.py:229-232. A raising model loader (stands in for a
+    missing dependency / unloadable weights) must hand the capped
+    frame to bm25_rerank_scorer UNCHANGED: chain output ==
+    direct-BM25 output, bit for bit."""
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        bm25_rerank_scorer,
+        chained_rerank_scorer,
+        cross_encoder_rerank_scorer,
+        xpilot_retrieval,
+    )
+
+    def broken_loader():
+        raise ImportError("sentence-transformers unavailable")
+
+    retrieved = spark.createDataFrame(_XPILOT_ROWS, _XPILOT_SCHEMA)
+    tasks = spark.createDataFrame([("t1", "q1")], "task_id string, query_id string")
+    chain = chained_rerank_scorer(
+        lambda: cross_encoder_rerank_scorer("beta summary", model_loader=broken_loader),
+        lambda: bm25_rerank_scorer("beta summary"),
+    )
+    chained = xpilot_retrieval(retrieved, tasks, rerank_scorer=chain, top_k=3).collect()
+    direct = xpilot_retrieval(
+        retrieved, tasks, rerank_scorer=bm25_rerank_scorer("beta summary"), top_k=3
+    ).collect()
+    assert sorted(map(str, chained)) == sorted(map(str, direct))
+
+    # and when every tier dies, the last error reaches xpilot's own
+    # try → RRF order (the final rung of the reference's ladder)
+    all_dead = chained_rerank_scorer(
+        lambda: cross_encoder_rerank_scorer("beta summary", model_loader=broken_loader),
+    )
+    rrf_only = xpilot_retrieval(retrieved, tasks, rerank_scorer=all_dead, top_k=3).collect()
+    plain = xpilot_retrieval(retrieved, tasks, top_k=3).collect()
+    assert sorted(map(str, rrf_only)) == sorted(map(str, plain))
+
+
+def test_cross_encoder_scorer_batched_partitions(spark):
+    """Arrow-batched scoring across multiple partitions: 300 capped
+    candidates repartitioned 4 ways must each come back with the
+    model's per-row score — per-executor model caching and batch
+    boundaries cannot drop, duplicate, or misalign rows. The fake is
+    defined inside the test body so cloudpickle ships it by value."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.plans.retrieval import (
+        cross_encoder_rerank_scorer,
+    )
+
+    def fake_loader():
+        class _M:
+            def predict(self, pairs):
+                # deterministic per-row signature: content length +
+                # shared-token count with the query
+                out = []
+                for q, c in pairs:
+                    qs = set(q.lower().split())
+                    cs = set((c or "").lower().split())
+                    out.append(float(len(c or "") + 10_000 * len(qs & cs)))
+                return out
+
+        return _M()
+
+    rows = [(f"c{i}", 1.0 / (i + 1), f"content block {i} " + "beta " * (i % 3)) for i in range(300)]
+    capped = spark.createDataFrame(
+        rows, "chunk_id string, rrf_score double, content string"
+    ).repartition(4)
+    scorer = cross_encoder_rerank_scorer("beta summary", model_loader=fake_loader)
+    got = {r["chunk_id"]: r["rerank_score"] for r in scorer(capped).collect()}
+    assert len(got) == 300
+    for i in range(300):
+        content = f"content block {i} " + "beta " * (i % 3)
+        expect = float(len(content) + 10_000 * (1 if i % 3 else 0))
+        assert got[f"c{i}"] == expect, (i, got[f"c{i}"], expect)
+
+
 def test_cross_encoder_scorer_real_model(spark):
     """Env-gated: the REAL sentence-transformers cross-encoder through
     the same hook — model download/load happens once; skipped wherever
