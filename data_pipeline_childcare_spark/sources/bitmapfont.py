@@ -259,3 +259,200 @@ def ocr_bitmap_text(
     if not candidates:
         return ""
     return min(candidates)[1]
+
+
+# --- anti-aliased tier (round-6 verdict #8) ---------------------------------
+
+
+def _otsu_threshold(gray: bytes) -> int:
+    """Otsu's between-class-variance threshold over the grayscale
+    histogram — integer arithmetic throughout, so the split is
+    deterministic across platforms."""
+    hist = [0] * 256
+    for v in gray:
+        hist[v] += 1
+    total = len(gray)
+    sum_all = sum(i * hist[i] for i in range(256))
+    sum_b = 0
+    w_b = 0
+    best_t, best_var = 128, -1
+    for t in range(256):
+        w_b += hist[t]
+        if w_b == 0:
+            continue
+        w_f = total - w_b
+        if w_f == 0:
+            break
+        sum_b += t * hist[t]
+        # between-class variance numerator, kept integral:
+        # w_b*w_f*(mu_b-mu_f)^2 == (sum_b*w_f - (sum_all-sum_b)*w_b)^2 / (w_b*w_f)
+        diff = sum_b * w_f - (sum_all - sum_b) * w_b
+        var = diff * diff // (w_b * w_f)
+        if var > best_var:
+            best_var, best_t = var, t
+    return best_t
+
+
+def _area_mean(
+    gray: bytes, w: int, x0: float, x1: float, y0: float, y1: float
+) -> float:
+    """Mean gray over an axis-aligned fractional box (area-weighted
+    partial pixels) — the box filter that makes fractional glyph
+    grids resolution-independent."""
+    import math
+
+    acc = 0.0
+    area = 0.0
+    for py in range(int(math.floor(y0)), int(math.ceil(y1))):
+        wy = min(y1, py + 1) - max(y0, py)
+        if wy <= 0:
+            continue
+        for px in range(int(math.floor(x0)), int(math.ceil(x1))):
+            wx = min(x1, px + 1) - max(x0, px)
+            if wx <= 0:
+                continue
+            acc += gray[py * w + px] * wx * wy
+            area += wx * wy
+    return acc / area if area else 255.0
+
+
+_FONT_GRIDS: dict[str, list[float]] | None = None
+
+
+def _font_grids() -> dict[str, list[float]]:
+    """Zero-mean 5×7 ink grids per glyph (ink = 1, blank = 0, then
+    centered) for normalized correlation."""
+    global _FONT_GRIDS
+    if _FONT_GRIDS is None:
+        out = {}
+        for ch, rows in FONT_5X7.items():
+            g = [
+                1.0 if rows[y] & (1 << (GLYPH_W - 1 - x)) else 0.0
+                for y in range(GLYPH_H)
+                for x in range(GLYPH_W)
+            ]
+            m = sum(g) / len(g)
+            out[ch] = [v - m for v in g]
+        _FONT_GRIDS = out
+    return _FONT_GRIDS
+
+
+def ocr_antialiased_text(
+    data: bytes, min_corr: float = 0.72, min_glyphs: int = 3
+) -> str:
+    """Read fixed-pitch 5×7-font text from an ANTI-ALIASED or
+    rescaled rendering — the tier between the strict binary grid
+    matcher (ocr_bitmap_text: exact integer scales only) and real
+    photographic OCR (pytesseract where installed).
+
+    How it differs from the binary matcher: the ink band is located
+    with an OTSU threshold (so brightness/contrast shifts don't move
+    the crop), the glyph pitch is FRACTIONAL (band_h/7·6 — no integer
+    scale assumption), each slot is box-filtered to a 5×7 grayscale
+    grid, and glyphs are chosen by normalized cross-correlation
+    against the font instead of Hamming distance — gray edge pixels
+    contribute proportionally instead of flipping bits.
+
+    Still conservative: every slot must correlate ≥ ``min_corr`` with
+    some glyph (blank slots are whitespace), at least ``min_glyphs``
+    glyphs must match, and failures return "" — photographs of
+    natural scenes don't grid-align and die at the correlation gate.
+    Scope stays honest: this reads RENDERED text (screenshots,
+    rescaled exports) in the vendored font family; arbitrary-typeface
+    photographic OCR remains pytesseract's job
+    (多数据源获取数据.py:1029-1050)."""
+    import math
+
+    from data_pipeline_childcare_spark.sources.imagecodec import decode_image_stdlib
+
+    try:
+        decoded = decode_image_stdlib(bytes(data))
+    except Exception:  # noqa: BLE001
+        return ""
+    if decoded is None:
+        return ""
+    w, h, mode, pix = decoded
+    if mode == "L":
+        gray = pix
+    else:
+        step = len(pix) // (w * h) if w * h else 0
+        if step not in (3, 4):
+            return ""
+        gray = bytes(
+            (pix[i] * 299 + pix[i + 1] * 587 + pix[i + 2] * 114) // 1000
+            for i in range(0, w * h * step, step)
+        )
+    t = _otsu_threshold(gray)
+    ys = [y for y in range(h) if any(gray[y * w + x] <= t for x in range(w))]
+    if not ys:
+        return ""
+    y0, y1 = min(ys), max(ys) + 1
+    xs = [x for x in range(w) if any(gray[y * w + x] <= t for y in range(y0, y1))]
+    if not xs:
+        return ""
+    x0, x1 = min(xs), max(xs) + 1
+    band_h = float(y1 - y0)
+    cell0 = band_h / GLYPH_H  # nominal pixels per glyph cell
+    grids = _font_grids()
+
+    def read(cell: float, phase: float) -> tuple[float, str] | None:
+        """Decode one (cell, phase) alignment → (mean correlation,
+        text), or None when any slot falls under the gate."""
+        pitch = cell * PITCH
+        start = x0 + phase
+        n_slots = max(1, round((x1 - start + cell * 0.5) / pitch))
+        chars: list[str] = []
+        glyphs = 0
+        corr_sum = 0.0
+        for k in range(n_slots):
+            gx0 = start + k * pitch
+            g = [
+                1.0
+                - _area_mean(
+                    gray,
+                    w,
+                    max(min(gx0 + cx * cell, w - 1e-6), 0.0),
+                    max(min(gx0 + (cx + 1) * cell, float(w)), 1e-6),
+                    y0 + cy * cell,
+                    min(y0 + (cy + 1) * cell, float(h)),
+                )
+                / 255.0
+                for cy in range(GLYPH_H)
+                for cx in range(GLYPH_W)
+            ]
+            if max(g) < 0.25:  # blank slot → space
+                chars.append(" ")
+                continue
+            m = sum(g) / len(g)
+            gc = [v - m for v in g]
+            denom_g = math.sqrt(sum(v * v for v in gc))
+            best, best_c = "?", -1.0
+            if denom_g > 1e-9:
+                for ch, tmpl in grids.items():
+                    denom_t = math.sqrt(sum(v * v for v in tmpl))
+                    c = sum(a * b for a, b in zip(gc, tmpl)) / (denom_g * denom_t)
+                    if c > best_c:
+                        best, best_c = ch, c
+            if best_c < min_corr:
+                return None
+            chars.append(best)
+            glyphs += 1
+            corr_sum += best_c
+        if glyphs < min_glyphs:
+            return None
+        return corr_sum / glyphs, "".join(chars).strip()
+
+    # The integer-rounded ink bbox makes the nominal cell a few
+    # percent off, and that error ACCUMULATES across slots (half a
+    # cell by the third glyph at 3%) — so jointly search a small
+    # (cell, phase) grid and keep the alignment with the highest mean
+    # correlation. Natural images don't grid-align under ANY of these
+    # alignments and die at the per-slot gate.
+    best: tuple[float, str] | None = None
+    for ci in range(-4, 5):
+        cell = cell0 * (1.0 + 0.02 * ci)
+        for pi in range(-6, 7):
+            got = read(cell, cell * pi / 6.0)
+            if got is not None and (best is None or got > best):
+                best = got
+    return best[1] if best else ""

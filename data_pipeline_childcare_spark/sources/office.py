@@ -322,10 +322,13 @@ def sniff_image_dims(data: bytes) -> tuple[str, int, int] | None:
 def parse_image_bytes(data: bytes) -> str:
     """Image info + OCR, tiered (ref :1029-1050): PIL dims where PIL
     exists, else the stdlib header sniff; pytesseract OCR where the
-    full stack exists, else the vendored dot-matrix bitmap-font
-    matcher (sources/bitmapfont.py) — conservative, so only
-    machine-rendered dot-matrix text produces an OCR section on the
-    library-free tier; photos stay dims-only."""
+    full stack exists, else the vendored bitmap-font matchers
+    (sources/bitmapfont.py): the strict binary grid decoder first,
+    then the anti-aliased correlation tier (Otsu threshold +
+    fractional pitch + normalized cross-correlation — reads rescaled/
+    smoothed renderings of the vendored font). Both are conservative,
+    so only machine-rendered text produces an OCR section on the
+    library-free tier; photographs stay dims-only."""
     parts: list[str] = []
     ocr_text = ""
     try:
@@ -355,10 +358,11 @@ def parse_image_bytes(data: bytes) -> str:
     if not (ocr_text and ocr_text.strip()):
         try:
             from data_pipeline_childcare_spark.sources.bitmapfont import (  # noqa: PLC0415
+                ocr_antialiased_text,
                 ocr_bitmap_text,
             )
 
-            ocr_text = ocr_bitmap_text(data)
+            ocr_text = ocr_bitmap_text(data) or ocr_antialiased_text(data)
         except Exception:  # noqa: BLE001 — undecodable image
             pass
     if ocr_text and ocr_text.strip():

@@ -364,6 +364,59 @@ def test_bitmapfont_roundtrip_and_conservative_gate():
     assert ocr_bitmap_text(b"not an image at all") == ""
 
 
+def test_antialiased_ocr_golden_rendered_sample():
+    """ALWAYS-RUN golden test for the anti-aliased OCR tier (round-6
+    verdict #8): render dot-matrix text, box-filter it down to a
+    NON-INTEGER scale (0.55-0.75×) so every glyph edge is genuine
+    gray, shift brightness — the strict binary matcher refuses such
+    images — and require the correlation tier to read the text back.
+    Natural noise and smooth gradients must still return ''."""
+    import random
+
+    from data_pipeline_childcare_spark.sources.bitmapfont import (
+        _area_mean,
+        ocr_antialiased_text,
+        ocr_bitmap_text,
+        render_text_gray,
+    )
+    from data_pipeline_childcare_spark.sources.imagecodec import encode_png
+
+    def shrink(w, h, gray, factor, bright):
+        nw, nh = int(w * factor), int(h * factor)
+        out = bytearray()
+        for ny in range(nh):
+            for nx in range(nw):
+                v = _area_mean(
+                    gray, w, nx / factor, (nx + 1) / factor,
+                    ny / factor, (ny + 1) / factor,
+                )
+                out.append(max(0, min(255, int(v) + bright)))
+        return nw, nh, bytes(out)
+
+    for text, factor, bright in [
+        ("HELLO WORLD", 0.6, -30),
+        ("SPARK 4.1", 0.75, 25),
+        ("REG-2024 NO:17", 0.55, 0),
+    ]:
+        w, h, g = render_text_gray(text, scale=3, margin=5)
+        nw, nh, ng = shrink(w, h, g, factor, bright)
+        png = encode_png(nw, nh, ng, mode="L")
+        # the strict integer-grid tier cannot read it...
+        assert ocr_bitmap_text(png) == ""
+        # ...the anti-aliased tier can, and the parse dispatcher
+        # (office.parse_image_bytes) reaches it through the tiering
+        assert ocr_antialiased_text(png) == text
+        out = parse_image_bytes(png)
+        assert text in out and "OCR 识别文本" in out
+
+    rnd = random.Random(7)
+    noise = bytes(rnd.randrange(256) for _ in range(64 * 64))
+    assert ocr_antialiased_text(encode_png(64, 64, noise, mode="L")) == ""
+    grad = bytes((x * 255) // 63 for _y in range(64) for x in range(64))
+    assert ocr_antialiased_text(encode_png(64, 64, grad, mode="L")) == ""
+    assert ocr_antialiased_text(b"not an image") == ""
+
+
 @pytest.mark.skipif(
     not _ocr_stack_available(),
     reason="S14 pytesseract OCR tier needs PIL + pytesseract + the tesseract "
