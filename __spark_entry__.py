@@ -4118,6 +4118,47 @@ def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def ranking_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-evaluation metrics (operators/raneval — the trec_eval
+    reduction done Spark-side): a deterministic 8-query run built
+    from orders (query = o_custkey % 8, items ranked by
+    (o_totalprice DESC, o_orderkey)) scored against graded gold
+    (every 3rd orderkey, gain 1 + o_orderkey % 2) at k=10 →
+    per-query recall/precision/MRR/nDCG in integer micros. DCG terms
+    are floored to micros BEFORE summation (floor(gain·1e6/log2(r+1)
+    + 0.5)), so the whole metric set is BIGINT-exact and the DuckDB
+    twin replays it bit-for-bit."""
+    from data_pipeline_childcare_spark.operators.raneval import ranking_eval
+    from data_pipeline_childcare_spark.operators.rrf import rank_lists
+
+    orders = _t(spark, sf_dir, "orders")
+    run = rank_lists(
+        orders.select(
+            (F.col("o_custkey") % 8).alias("query_id"),
+            F.col("o_orderkey").alias("item_id"),
+            F.col("o_totalprice").alias("score"),
+        ),
+        "query_id",
+        "score",
+        "item_id",
+    )
+    gold = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        (F.col("o_custkey") % 8).alias("query_id"),
+        F.col("o_orderkey").alias("item_id"),
+        (F.lit(1) + F.col("o_orderkey") % 2).alias("gain"),
+    )
+    return ranking_eval(run, gold, k=10)
+
+
+def ranking_eval_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus roll-up of ranking_eval_orders: one row of integer-micro
+    means (floor-mean convention) — the headline number a retrieval
+    A/B actually reads."""
+    from data_pipeline_childcare_spark.operators.raneval import ranking_eval_summary
+
+    return ranking_eval_summary(ranking_eval_orders(spark, sf_dir))
+
+
 def scrape_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-scrape lifecycle (SURVEY §3.2, reference
     多数据源获取数据.py:1716-1819) END-TO-END: binary content →
@@ -4786,6 +4827,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_fertility_docs": unigram_fertility_docs,
         "gdpr_purge_audit": gdpr_purge_audit,
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
+        "ranking_eval_orders": ranking_eval_orders,
+        "ranking_eval_orders_summary": ranking_eval_orders_summary,
         "data_quality_audit": data_quality_audit,
         "orders_snapshot_diff": orders_snapshot_diff,
         "streaming_scd2_orders": streaming_scd2_orders,
@@ -8661,6 +8704,73 @@ def oracle_sql() -> dict[str, str]:
     # the same 10 query vectors (self excluded, round-before-rank),
     # then the identical per-query RRF fusion — ≤ 2 contributions per
     # (query, doc), so the float sum is order-independent
+    # ranking-eval twins: identical run/gold construction, DCG terms
+    # floored to micros BEFORE the BIGINT sums (CAST back from
+    # DuckDB's HUGEINT), integer // for every ratio
+    _raneval_ctes = """run AS (
+            SELECT o_custkey % 8 AS query, o_orderkey AS item,
+                   row_number() OVER (PARTITION BY o_custkey % 8
+                                      ORDER BY o_totalprice DESC, o_orderkey)
+                       AS rnk
+            FROM orders
+        ), gold AS (
+            SELECT o_custkey % 8 AS query, o_orderkey AS item,
+                   1 + o_orderkey % 2 AS gain
+            FROM orders WHERE o_orderkey % 3 = 0
+        ), capped AS (
+            SELECT query, item, rnk FROM run WHERE rnk <= 10
+        ), ideal AS (
+            SELECT query,
+                   CAST(sum(CAST(floor(gain * 1000000.0 / log2(ir + 1.0) + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS idcg
+            FROM (SELECT query, gain,
+                         row_number() OVER (PARTITION BY query
+                                            ORDER BY gain DESC, item) AS ir
+                  FROM gold)
+            WHERE ir <= 10 GROUP BY query
+        ), ng AS (
+            SELECT query, CAST(count(*) AS BIGINT) AS n_gold FROM gold GROUP BY query
+        ), nr AS (
+            SELECT query, CAST(count(*) AS BIGINT) AS n_retrieved
+            FROM capped GROUP BY query
+        ), hit AS (
+            SELECT c.query,
+                   CAST(count(*) AS BIGINT) AS hits,
+                   min(c.rnk) AS first_rank,
+                   CAST(sum(CAST(floor(g.gain * 1000000.0 / log2(c.rnk + 1.0) + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS dcg
+            FROM capped c JOIN gold g ON g.query = c.query AND g.item = c.item
+            GROUP BY c.query
+        ), per_query AS (
+            SELECT ng.query AS query_id,
+                   ng.n_gold,
+                   COALESCE(nr.n_retrieved, 0) AS n_retrieved,
+                   COALESCE(hit.hits, 0) AS hits,
+                   COALESCE(hit.hits, 0) * 1000000 // ng.n_gold AS recall_micro,
+                   COALESCE(hit.hits, 0) * 1000000 // 10 AS precision_micro,
+                   COALESCE(1000000 // hit.first_rank, 0) AS rr_micro,
+                   COALESCE(hit.dcg * 1000000 // ideal.idcg, 0) AS ndcg_micro
+            FROM ng
+            JOIN ideal ON ideal.query = ng.query
+            LEFT JOIN nr ON nr.query = ng.query
+            LEFT JOIN hit ON hit.query = ng.query
+        )"""
+    out["ranking_eval_orders"] = f"""
+        WITH {_raneval_ctes}
+        SELECT query_id, n_gold, n_retrieved, hits, recall_micro,
+               precision_micro, rr_micro, ndcg_micro
+        FROM per_query
+    """
+    out["ranking_eval_orders_summary"] = f"""
+        WITH {_raneval_ctes}
+        SELECT CAST(count(*) AS BIGINT) AS n_queries,
+               CAST(sum(recall_micro) // count(*) AS BIGINT) AS mean_recall_micro,
+               CAST(sum(precision_micro) // count(*) AS BIGINT)
+                   AS mean_precision_micro,
+               CAST(sum(rr_micro) // count(*) AS BIGINT) AS mrr_micro,
+               CAST(sum(ndcg_micro) // count(*) AS BIGINT) AS mean_ndcg_micro
+        FROM per_query
+    """
     out["hybrid_retrieval_docs"] = f"""
         WITH lex AS ({out['bm25_search_docs']}),
         hemb AS (

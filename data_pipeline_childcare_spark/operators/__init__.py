@@ -8,6 +8,10 @@ aggregations).
 """
 
 from data_pipeline_childcare_spark.operators.rrf import rrf_fuse
+from data_pipeline_childcare_spark.operators.raneval import (
+    ranking_eval,
+    ranking_eval_summary,
+)
 from data_pipeline_childcare_spark.operators.topk import (
     top_k_per_group,
     top_k_sequential_dedup,
