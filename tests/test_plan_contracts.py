@@ -99,6 +99,11 @@ CONTRACTS = {
     # expectation audit: six single-aggregate checks, the two
     # ref-integrity anti-joins broadcast their parent key sets
     "data_quality_audit": (4, True, True),
+    # ranking eval: the run window + ideal-DCG window + the capped
+    # run × gold join (SMJ on (query, item) is the right corpus-scale
+    # plan) + three query-keyed aggregates joined back broadcast
+    "ranking_eval_orders": (5, False, True),
+    "ranking_eval_orders_summary": (4, False, True),
 }
 
 
