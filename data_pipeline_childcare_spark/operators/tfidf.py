@@ -277,40 +277,62 @@ def bigram_logprob_scores(
     low even when its individual tokens are common — the signal the
     unigram proxy (:func:`unigram_logprob_scores`) cannot see.
 
-    Shapes: one bigram explode + three keyed aggregates (bigram,
-    context, unigram — all map-side combined) + three keyed joins
-    back + one per-doc aggregate; the corpus total is a one-row
-    broadcast. Hot stopword contexts are the skew to watch at 100 TB
+    Shapes (round-7 single-pass form): ONE (token, next-token)
+    explode feeds ONE corpus-keyed aggregate — the distinct-bigram
+    count table — and the context counts, unigram counts and corpus
+    total all DERIVE from that table (sums over distinct-bigram rows,
+    vocab²-bounded ≪ corpus positions), sharing its exchange via
+    ReusedExchange instead of re-tokenizing the corpus per aggregate
+    (the previous three-aggregate form scanned and tokenized the
+    corpus once per count family — 4 corpus passes; this is 2: the
+    count pass and the per-doc scoring pass). Joins back are keyed on
+    (prev, w)/(w); the corpus total is a one-row broadcast. Hot
+    stopword contexts are the skew to watch at 100 TB
     (``operators/skew`` salting applies). Documents with fewer than
     two tokens have no bigram positions and emit no row, mirroring
-    the unigram scorer's empty-doc behavior.
+    the unigram scorer's empty-doc behavior (their tokens still count
+    toward the unigram/total masses, as before — the pair explode
+    emits a null-next row per final token).
 
     λ = 0.75 keeps the mixture arithmetic exact in binary floating
     point; the per-doc log sum is pre-rounded before the division so
     the average is canonical under any partition order.
     """
-    from data_pipeline_childcare_spark.functions.text import token_count, word_ngrams
+    spread = spread_partitions(docs, id_col)
+    toks_arr = spread.select(F.col(id_col), tokenize(F.col(text_col)).alias("_ts"))
 
-    spread = spread_partitions(docs, id_col).filter(
-        token_count(F.col(text_col)) >= 2
+    def pair_at(t, i):
+        return F.struct(
+            t.alias("_t"), F.try_element_at(F.col("_ts"), i + F.lit(2)).alias("_next")
+        )
+
+    ex = toks_arr.select(
+        F.col(id_col), F.explode(F.transform(F.col("_ts"), pair_at)).alias("_pr")
+    ).select(F.col(id_col), F.col("_pr._t").alias("_t"), F.col("_pr._next").alias("_next"))
+    # the ONE corpus-keyed aggregate; every other count is a sum over
+    # its (distinct-bigram-sized) output. Persist-and-leave: four
+    # consumers (bigram/context/unigram/total) would otherwise each
+    # re-run the corpus tokenize+explode (measured: 5 parquet scans
+    # in the unpersisted plan — AQE does not surface cross-consumer
+    # exchange reuse here), and the cached relation is vocab²-bounded,
+    # far below corpus size.
+    cnt = ex.groupBy("_t", "_next").agg(F.count("*").alias("_c")).persist()
+    bg_freq = cnt.filter(F.col("_next").isNotNull()).select(
+        F.col("_t").alias("_prev"), F.col("_next").alias("_w"), F.col("_c").alias("_cpw")
     )
-    bigr = spread.select(
-        F.col(id_col), F.explode(word_ngrams(F.col(text_col), 2)).alias("_bg")
-    ).select(
-        F.col(id_col),
-        "_bg",
-        F.split(F.col("_bg"), " ").getItem(0).alias("_prev"),
-        F.split(F.col("_bg"), " ").getItem(1).alias("_w"),
+    ctx_freq = (
+        cnt.filter(F.col("_next").isNotNull())
+        .groupBy("_t")
+        .agg(F.sum("_c").alias("_cp"))
+        .select(F.col("_t").alias("_prev"), "_cp")
     )
-    bg_freq = bigr.groupBy("_bg").agg(F.count("*").alias("_cpw"))
-    ctx_freq = bigr.groupBy("_prev").agg(F.count("*").alias("_cp"))
-    toks = spread_partitions(docs, id_col).select(
-        F.explode(tokenize(F.col(text_col))).alias("_t")
+    uni = cnt.groupBy("_t").agg(F.sum("_c").alias("_cw"))
+    total = cnt.agg(F.sum("_c").alias("_n"))
+    bigr = ex.filter(F.col("_next").isNotNull()).select(
+        F.col(id_col), F.col("_t").alias("_prev"), F.col("_next").alias("_w")
     )
-    uni = toks.groupBy("_t").agg(F.count("*").alias("_cw"))
-    total = uni.agg(F.sum("_cw").alias("_n"))
     lp = (
-        bigr.join(bg_freq, "_bg")
+        bigr.join(bg_freq, ["_prev", "_w"])
         .join(ctx_freq, "_prev")
         .join(uni, bigr["_w"] == uni["_t"])
         .join(F.broadcast(total))

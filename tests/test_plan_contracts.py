@@ -48,7 +48,12 @@ CONTRACTS = {
     # both sides); semdedup's 24 exchanges are the unrolled canonical
     # kmeans lineage (see PLANS.md); warc/archive are single
     # mapInPandas passes with ZERO shuffles
-    "doc_bigram_logprob": (5, True, True),
+    # single-pass form: ONE corpus-keyed (token, next) aggregate,
+    # persisted; context/unigram/total derive from the cached table.
+    # The string count includes the cached subplan redisplayed under
+    # each of the four InMemoryTableScans — execution runs the corpus
+    # explode exactly twice (count pass + scoring pass)
+    "doc_bigram_logprob": (7, True, True),
     "doc_classifier_scores": (2, False, True),
     "url_canonical_dedup_docs": (1, True, True),
     "robots_filter_docs": (2, True, True),
