@@ -4118,6 +4118,33 @@ def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def snapshot_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot drift report (operators/drift) between two
+    deterministic versions of orders: B drops every 10th order,
+    nulls o_custkey on the %7 lattice (null-rate drift), re-types
+    o_totalprice to string (type change), drops o_orderpriority
+    (removed) and adds priority_flag (added). One wide aggregate per
+    side, all verdicts integer-exact (micro rates, cross-multiplied
+    relative thresholds); the DuckDB twin replays the per-column
+    stats as a UNION ALL and the identical status CASE."""
+    from data_pipeline_childcare_spark.operators.drift import snapshot_drift_report
+
+    orders = _t(spark, sf_dir, "orders")
+    a = orders.select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    b = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_custkey") % 7 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("o_custkey"),
+        "o_orderstatus",
+        F.col("o_totalprice").cast("string").alias("o_totalprice"),
+        F.col("o_orderpriority").startswith("1").alias("priority_flag"),
+    )
+    return snapshot_drift_report(a, b)
+
+
 def ranking_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-evaluation metrics (operators/raneval — the trec_eval
     reduction done Spark-side): a deterministic 8-query run built
@@ -4829,6 +4856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "ranking_eval_orders": ranking_eval_orders,
         "ranking_eval_orders_summary": ranking_eval_orders_summary,
+        "snapshot_drift_orders": snapshot_drift_orders,
         "data_quality_audit": data_quality_audit,
         "orders_snapshot_diff": orders_snapshot_diff,
         "streaming_scd2_orders": streaming_scd2_orders,
@@ -8704,6 +8732,91 @@ def oracle_sql() -> dict[str, str]:
     # the same 10 query vectors (self excluded, round-before-rank),
     # then the identical per-query RRF fusion — ≤ 2 contributions per
     # (query, doc), so the float sum is order-independent
+    # snapshot-drift twin: snapshot B rebuilt in SQL, per-column stats
+    # as a UNION ALL (one block per (side, column)), the full-outer
+    # profile join and the identical status CASE with integer micro
+    # rates and cross-multiplied relative thresholds
+    _drift_cols_a = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority",
+    ]
+    _drift_cols_b = [
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "priority_flag",
+    ]
+    _drift_types_a = {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "double", "o_orderpriority": "string",
+    }
+    _drift_types_b = {
+        "o_orderkey": "bigint", "o_custkey": "bigint", "o_orderstatus": "string",
+        "o_totalprice": "string", "priority_flag": "boolean",
+    }
+
+    def _drift_stats_block(side: str, col: str) -> str:
+        return f"""
+            SELECT '{col}' AS column_name,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_nulls,
+                   CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct
+            FROM snap_{side}"""
+
+    _drift_type_case = lambda m, alias: (  # noqa: E731
+        "CASE column_name "
+        + " ".join(f"WHEN '{c}' THEN '{t}'" for c, t in m.items())
+        + f" END AS {alias}"
+    )
+    out["snapshot_drift_orders"] = f"""
+        WITH snap_a AS (
+            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                   o_orderpriority
+            FROM orders
+        ), snap_b AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_custkey % 7 = 0 THEN NULL ELSE o_custkey END
+                       AS o_custkey,
+                   o_orderstatus,
+                   CAST(o_totalprice AS VARCHAR) AS o_totalprice,
+                   o_orderpriority LIKE '1%' AS priority_flag
+            FROM orders WHERE o_orderkey % 10 <> 0
+        ), stats_a AS ({' UNION ALL '.join(_drift_stats_block('a', c) for c in _drift_cols_a)}
+        ), stats_b AS ({' UNION ALL '.join(_drift_stats_block('b', c) for c in _drift_cols_b)}
+        ), prof AS (
+            SELECT COALESCE(a.column_name, b.column_name) AS column_name,
+                   a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+                   a.n_nulls AS n_nulls_a, b.n_nulls AS n_nulls_b,
+                   CASE WHEN a.n_rows > 0 THEN a.n_nulls * 1000000 // a.n_rows
+                        WHEN a.n_rows IS NULL THEN NULL ELSE 0 END
+                       AS null_rate_micro_a,
+                   CASE WHEN b.n_rows > 0 THEN b.n_nulls * 1000000 // b.n_rows
+                        WHEN b.n_rows IS NULL THEN NULL ELSE 0 END
+                       AS null_rate_micro_b,
+                   a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b
+            FROM stats_a a FULL OUTER JOIN stats_b b USING (column_name)
+        ), typed AS (
+            SELECT *,
+                   {_drift_type_case(_drift_types_a, 'type_a')},
+                   {_drift_type_case(_drift_types_b, 'type_b')},
+                   CAST(COALESCE(null_rate_micro_b, 0)
+                        - COALESCE(null_rate_micro_a, 0) AS BIGINT)
+                       AS null_rate_delta_micro
+            FROM prof
+        )
+        SELECT column_name,
+               CASE WHEN type_a IS NULL THEN 'added'
+                    WHEN type_b IS NULL THEN 'removed'
+                    WHEN type_a <> type_b THEN 'type_changed'
+                    WHEN abs(null_rate_delta_micro) > 10000
+                         OR (n_distinct_a IS NOT NULL AND n_distinct_b IS NOT NULL
+                             AND n_distinct_a > 0
+                             AND abs(n_distinct_b - n_distinct_a) * 1000000
+                                 > 200000 * n_distinct_a)
+                        THEN 'drift'
+                    ELSE 'ok' END AS status,
+               type_a, type_b, n_rows_a, n_rows_b, n_nulls_a, n_nulls_b,
+               null_rate_micro_a, null_rate_micro_b, null_rate_delta_micro,
+               n_distinct_a, n_distinct_b
+        FROM typed
+    """
     # ranking-eval twins: identical run/gold construction, DCG terms
     # floored to micros BEFORE the BIGINT sums (CAST back from
     # DuckDB's HUGEINT), integer // for every ratio
