@@ -4118,6 +4118,38 @@ def xpilot_retrieval_reranked_docs(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def validated_image_refs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13 end-to-end — HEAD-validated dead-ref removal
+    (functions/markdown.validate_image_refs; reference
+    多数据源获取数据.py:570-598): synthesize per-doc markdown with a
+    live ref, a non-http ref (scheme guard → invalid without IO) and
+    a dead ref; the checker is a DETERMINISTIC stand-in for the real
+    HEAD prober (valid iff the basename starts with 'a' — the real
+    prober, head_image_checker, runs under the loopback suite over
+    real sockets), so the DuckDB twin can emit the post-removal
+    markdown closed-form. The full distinct→check-once→join-back→
+    per-doc fold pipeline is what's under test; any drift in ref
+    extraction, scheme gating, verdict joins or tag removal breaks
+    the hash."""
+    from data_pipeline_childcare_spark.functions.markdown import validate_image_refs
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(F.col("doc_id") < 200)
+    d = F.col("doc_id").cast("string")
+    md = F.concat(
+        F.lit("Intro "), d,
+        F.lit(" ![fig](http://img.example/a"), d,
+        F.lit(".png) mid ![bad](ftp://files/"), d,
+        F.lit(") tail ![dead](http://img.example/c"), d,
+        F.lit(".png) end"),
+    )
+    base = docs.select("doc_id", md.alias("text"))
+
+    def checker(urls):
+        return ["/a" in u for u in urls]
+
+    return validate_image_refs(base, checker)
+
+
 def snapshot_drift_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot drift report (operators/drift) between two
     deterministic versions of orders: B drops every 10th order,
@@ -4857,6 +4889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ranking_eval_orders": ranking_eval_orders,
         "ranking_eval_orders_summary": ranking_eval_orders_summary,
         "snapshot_drift_orders": snapshot_drift_orders,
+        "validated_image_refs_docs": validated_image_refs_docs,
         "data_quality_audit": data_quality_audit,
         "orders_snapshot_diff": orders_snapshot_diff,
         "streaming_scd2_orders": streaming_scd2_orders,
@@ -8732,6 +8765,17 @@ def oracle_sql() -> dict[str, str]:
     # the same 10 query vectors (self excluded, round-before-rank),
     # then the identical per-query RRF fusion — ≤ 2 contributions per
     # (query, doc), so the float sum is order-independent
+    # P13 twin: the checker rule is deterministic and the markdown is
+    # constructed in-query, so the post-removal text is closed-form —
+    # the kept tag survives verbatim, the non-http and dead tags
+    # vanish leaving their flanking spaces
+    out["validated_image_refs_docs"] = """
+        SELECT doc_id,
+               'Intro ' || CAST(doc_id AS VARCHAR)
+               || ' ![fig](http://img.example/a' || CAST(doc_id AS VARCHAR)
+               || '.png) mid  tail  end' AS text
+        FROM documents WHERE doc_id < 200
+    """
     # snapshot-drift twin: snapshot B rebuilt in SQL, per-column stats
     # as a UNION ALL (one block per (side, column)), the full-outer
     # profile join and the identical status CASE with integer micro

@@ -94,6 +94,29 @@ class _Loopback:
             def do_POST(self):
                 self._serve("POST")
 
+            def do_HEAD(self):
+                # same scripted flow, body suppressed per RFC
+                n = int(self.headers.get("Content-Length") or 0)
+                body = self.rfile.read(n) if n else b""
+                parsed = urlparse(self.path)
+                outer.requests.append(
+                    _Recorded(
+                        "HEAD",
+                        parsed.path,
+                        parse_qs(parsed.query),
+                        {k.lower(): v for k, v in self.headers.items()},
+                        body,
+                    )
+                )
+                if outer.script:
+                    status, ctype, payload = outer.script.pop(0)
+                else:
+                    status, ctype, payload = 599, "text/plain", "script exhausted"
+                self.send_response(status)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(payload.encode("utf-8"))))
+                self.end_headers()
+
             def log_message(self, *args):  # silence stderr
                 pass
 
@@ -439,3 +462,30 @@ def test_loopback_tuoyu_api_error_envelope_raises_without_retry(loopback):
     with pytest.raises(RuntimeError, match="无效密钥"):
         src.fetch_page(1, 2, "成都")
     assert len(srv.requests) == 1  # deterministic answer: no retry
+
+
+def test_loopback_head_image_checker(loopback):
+    """P13's real prober over real sockets: HEAD only (no body read),
+    image/* content-type required, error statuses and transport
+    failures invalid (reference 多数据源获取数据.py:570-598)."""
+    from data_pipeline_childcare_spark.functions.markdown import head_image_checker
+
+    srv = loopback(
+        [
+            (200, "image/png", ""),
+            (200, "text/html; charset=utf-8", ""),
+            (404, "image/png", ""),
+        ]
+    )
+    check = head_image_checker(timeout_s=5)
+    got = check(
+        [
+            f"{srv.url}/img/ok.png",
+            f"{srv.url}/page.html",
+            f"{srv.url}/gone.png",
+            "http://127.0.0.1:1/unreachable.png",  # refused port → invalid
+        ]
+    )
+    assert got == [True, False, False, False]
+    assert [r.method for r in srv.requests] == ["HEAD", "HEAD", "HEAD"]
+    assert srv.requests[0].path == "/img/ok.png"

@@ -151,3 +151,50 @@ def test_upload_images_then_rewrite_closes_s15(spark):
     out = rewrite_image_refs(docs, ok).collect()[0]["text"]
     assert "img.example" in out and "local/a.png" not in out
     assert "local/bad.png" in out  # failed upload: ref untouched
+
+
+def test_validate_image_refs_p13_semantics(spark):
+    """P13 (validate_image_refs): scheme guard, checker verdicts,
+    beyond-cap default-VALID, one check per distinct URL, and
+    prefix-safe tag removal — reference 多数据源获取数据.py:570-598."""
+    from data_pipeline_childcare_spark.functions.markdown import validate_image_refs
+
+    rows = [
+        # dead ref removed; live kept; non-http removed; a longer URL
+        # sharing the dead one's prefix must survive the removal
+        (1, "a ![x](http://h/dead.png) b ![y](http://h/dead.png2) "
+            "c ![z](ftp://h/f) d ![k](http://h/live.png) e"),
+        (2, "no refs at all"),
+        # the same dead URL in a second doc: still one distinct check
+        (3, "again ![x](http://h/dead.png) done"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    n_checked = spark.sparkContext.accumulator(0)
+
+    def checker(urls):
+        n_checked.add(len(urls))
+        return ["dead.png" != u.rsplit("/", 1)[-1] for u in urls]
+
+    got = {r["doc_id"]: r["text"] for r in validate_image_refs(df, checker).collect()}
+    assert got[1] == "a  b ![y](http://h/dead.png2) c  d ![k](http://h/live.png) e"
+    assert got[2] == "no refs at all"
+    assert got[3] == "again  done"
+    # executors probed each distinct http URL exactly once (3 distinct
+    # across the corpus — the shared dead URL was NOT re-checked)
+    assert n_checked.value == 3
+
+
+def test_validate_image_refs_beyond_cap_default_valid(spark):
+    from data_pipeline_childcare_spark.functions.markdown import validate_image_refs
+
+    # 4 distinct refs, cap=2: only the first two (reading order) are
+    # checked; the checker fails everything, so refs 3 and 4 survive
+    # on the reference's beyond-cap default
+    text = " ".join(f"![i](http://h/u{i}.png)" for i in range(4))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+
+    def reject_all(urls):
+        return [False for _ in urls]
+
+    out = validate_image_refs(df, reject_all, cap=2).collect()[0]["text"]
+    assert out == "  ![i](http://h/u2.png) ![i](http://h/u3.png)"
