@@ -478,3 +478,97 @@ class TestSpanDedupProperties:
         for i in rows1:
             assert rows2[i]["text"] == rows1[i]["text"]
             assert rows2[i]["n_kept"] == rows2[i]["n_paragraphs"]
+
+
+class TestRankingEvalInvariants:
+    @settings(max_examples=12, deadline=None)
+    @given(
+        data=st.lists(
+            st.tuples(
+                st.integers(0, 3),          # query
+                st.integers(0, 25),         # item
+                st.booleans(),              # in gold?
+                st.integers(1, 3),          # gain if gold
+            ),
+            min_size=1,
+            max_size=60,
+        ),
+        k=st.integers(1, 8),
+    )
+    def test_ranking_eval_bounds_and_perfect_run(self, spark, data, k):
+        """All micro metrics live in [0, 1e6]; a run that ranks the
+        gold PERFECTLY (by gain desc) scores nDCG == recall-capped
+        ideal == 1e6 when everything fits under k."""
+        from pyspark.sql import functions as F
+
+        from data_pipeline_childcare_spark.operators.raneval import ranking_eval
+
+        seen = set()
+        run_rows, gold_rows = [], []
+        for q, item, in_gold, gain in data:
+            if (q, item) in seen:
+                continue
+            seen.add((q, item))
+            if in_gold:
+                gold_rows.append((f"q{q}", f"d{item}", gain))
+        if not gold_rows:
+            gold_rows = [("q0", "d0", 1)]
+        # perfect run: per query, gold ranked by (gain desc, item)
+        from collections import defaultdict
+
+        by_q = defaultdict(list)
+        for q, d, g in gold_rows:
+            by_q[q].append((d, g))
+        for q, items in by_q.items():
+            for rank, (d, _g) in enumerate(
+                sorted(items, key=lambda dg: (-dg[1], dg[0])), start=1
+            ):
+                run_rows.append((q, d, rank))
+        run = spark.createDataFrame(run_rows, "query_id string, item_id string, rank int")
+        gold = spark.createDataFrame(gold_rows, "query_id string, item_id string, gain int")
+        out = ranking_eval(run, gold, k=k).collect()
+        assert {r["query_id"] for r in out} == set(by_q)
+        for r in out:
+            for f in ("recall_micro", "precision_micro", "rr_micro", "ndcg_micro"):
+                assert 0 <= r[f] <= 1_000_000, (f, r)
+            # perfect ordering: first relevant at rank 1, ideal DCG met
+            assert r["rr_micro"] == 1_000_000
+            assert r["ndcg_micro"] == 1_000_000
+            n_gold = r["n_gold"]
+            assert r["hits"] == min(n_gold, k)
+            assert r["recall_micro"] == min(n_gold, k) * 1_000_000 // n_gold
+
+
+class TestDriftInvariants:
+    @settings(max_examples=10, deadline=None)
+    @given(
+        null_every=st.integers(2, 6),
+        drop_every=st.integers(2, 6),
+        n=st.integers(20, 80),
+    )
+    def test_drift_null_rates_match_model(self, spark, null_every, drop_every, n):
+        from data_pipeline_childcare_spark.operators.drift import snapshot_drift_report
+
+        a_rows = [(i, f"v{i}") for i in range(n)]
+        b_rows = [
+            (i, None if i % null_every == 0 else f"v{i}")
+            for i in range(n)
+            if i % drop_every != 0
+        ]
+        a = spark.createDataFrame(a_rows, "id long, val string")
+        b = spark.createDataFrame(b_rows, "id long, val string")
+        got = {r["column_name"]: r.asDict() for r in snapshot_drift_report(a, b).collect()}
+        nb = len(b_rows)
+        nulls_b = sum(1 for _, v in b_rows if v is None)
+        assert got["val"]["n_rows_b"] == nb
+        assert got["val"]["n_nulls_b"] == nulls_b
+        assert got["val"]["null_rate_micro_b"] == (
+            nulls_b * 1_000_000 // nb if nb else 0
+        )
+        expect_status = (
+            "drift"
+            if nulls_b * 1_000_000 // max(nb, 1) > 10_000
+            or abs((nb - nulls_b) - n) * 1_000_000 > 200_000 * n
+            else "ok"
+        )
+        assert got["val"]["status"] == expect_status, got["val"]
