@@ -290,3 +290,91 @@ def zorder_value_n(cols: list[Column], bits: int = 8) -> Column:
     for t in terms[1:]:
         out = out + t
     return out
+
+
+def parquet_file_inventory(spark: SparkSession, path: str) -> list[tuple[str, int]]:
+    """(file_path, bytes) for every data file under ``path`` — the
+    planning input for :func:`compact_parquet_dir`. Goes through the
+    Hadoop FileSystem API (so HDFS/S3A/local all answer) and touches
+    ONLY metadata; no data is read."""
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    out: list[tuple[str, int]] = []
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().getName()
+        if name.startswith("_") or name.startswith("."):
+            continue
+        out.append((st.getPath().toString(), int(st.getLen())))
+    return sorted(out)
+
+
+def compact_parquet_dir(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Small-files compaction — the OPTIMIZE/maintenance pass every
+    long-running ingest needs: streaming sinks, per-key sinks and
+    incremental merges all accrete files far below the scan-efficient
+    size, and at 100 TB a million 1 MB files costs more in task
+    scheduling and footer reads than the data itself.
+
+    Plan: the file inventory (metadata only) sizes the output —
+    ``n_out = ceil(total_bytes / target_file_bytes)`` — then ONE job
+    reads the directory and writes ``n_out`` files via
+    ``repartition`` (a round-robin exchange: outputs land uniformly
+    at ~target size regardless of input skew). The rewrite goes to a
+    sibling temp dir first and swaps in with two FS renames, so a
+    reader sees either the old file set or the new one, never a
+    partial mix; the old files are removed after the swap. Rows —
+    not their order — are preserved: parquet directories are
+    unordered by contract (same as every OPTIMIZE implementation).
+
+    Returns {files_before, files_after, bytes_before, bytes_after,
+    compacted} — ``compacted`` False means the directory was already
+    within policy (fewer than ``min_files_to_compact`` data files or
+    every file already ≥ half the target) and NOTHING was touched.
+    """
+    import math  # noqa: PLC0415
+
+    inv = parquet_file_inventory(spark, path)
+    total = sum(sz for _, sz in inv)
+    if len(inv) < min_files_to_compact or all(
+        sz >= target_file_bytes // 2 for _, sz in inv
+    ):
+        return {
+            "files_before": len(inv),
+            "files_after": len(inv),
+            "bytes_before": total,
+            "bytes_after": total,
+            "compacted": False,
+        }
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    jvm = spark.sparkContext._jvm
+    jsc = spark.sparkContext._jsc
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
+    bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
+        tmp.toString()
+    )
+    if not fs.rename(hpath, bak):
+        raise IOError(f"compact swap failed: could not move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(bak, hpath)  # roll back — the directory is whole again
+        raise IOError(f"compact swap failed: could not move new files into {path}")
+    fs.delete(bak, True)
+    after = parquet_file_inventory(spark, path)
+    return {
+        "files_before": len(inv),
+        "files_after": len(after),
+        "bytes_before": total,
+        "bytes_after": sum(sz for _, sz in after),
+        "compacted": True,
+    }

@@ -106,3 +106,47 @@ def test_zorder_value_n_matches_2d_and_extends_3d(spark):
     assert rows[0].z2 == rows[0].z2ref  # N=2 degenerates to the pair form
     # three dims, value 1 each: bit 0 of dims 0,1,2 → positions 0,1,2
     assert rows[0].z3 == 0b111
+
+
+def test_compact_parquet_dir_small_files(spark, tmp_path):
+    """Compaction: 40 one-row files → a handful of right-sized files,
+    rows exactly preserved, second pass a policy no-op."""
+    from data_pipeline_childcare_spark.io import (
+        compact_parquet_dir,
+        parquet_file_inventory,
+    )
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"v{i}" * 10) for i in range(40)], "id long, val string"
+    )
+    # many tiny files (the streaming-sink shape; AQE may coalesce a
+    # few of the 40 requested partitions — still far too many files)
+    df.repartition(40).write.parquet(path)
+    before = parquet_file_inventory(spark, path)
+    assert len(before) >= 20
+    total = sum(sz for _, sz in before)
+
+    stats = compact_parquet_dir(spark, path, target_file_bytes=total // 3 + 1)
+    assert stats["compacted"] is True
+    assert stats["files_before"] == len(before)
+    assert 1 <= stats["files_after"] <= 4
+    # content identical (parquet dirs are unordered by contract)
+    got = sorted(
+        (r["id"], r["val"]) for r in spark.read.parquet(path).collect()
+    )
+    assert got == [(i, f"v{i}" * 10) for i in range(40)]
+    # no leftover temp/backup dirs
+    import os
+
+    assert not os.path.exists(path + "__compact_tmp")
+    assert not os.path.exists(path + "__compact_old")
+
+    # already within policy (every file ≥ half this tiny target) →
+    # untouched no-op; note the FIRST call's byte total shrank a lot
+    # (tiny-file footer overhead vanished), so re-checking against the
+    # original target could legitimately re-compact — policy is
+    # evaluated against current sizes, as it should be
+    again = compact_parquet_dir(spark, path, target_file_bytes=2)
+    assert again["compacted"] is False
+    assert again["files_after"] == stats["files_after"]
