@@ -28,7 +28,12 @@ pigeonhole blocking — split the 64-bit signature into 4×16-bit
 sub-bands; any pair within hamming distance ≤ 3 must agree exactly
 on at least one sub-band, so a self-equi-join on (band, band_value)
 finds every such pair while touching only colliding buckets. The
-hamming filter runs before the distinct.
+hamming filter runs before the distinct. On duplicate-saturated
+corpora the pair OUTPUT itself goes quadratic (a verbatim cluster of
+c copies is C(c,2) pairs) — ``cap_per_id`` bounds each item to its
+nearest ``cap`` neighbors per side, making downstream volume linear;
+``block_cols`` adds structural equality keys (e.g. a video frame
+position) into the join so impossible candidates never materialize.
 
 Decode tiers mirror ``sources/multimodal._decode_image``: the real
 stdlib codec first (PNG/GIF/JPEG/BMP/PPM/VP8L); undecodable blobs
