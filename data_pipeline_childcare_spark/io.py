@@ -378,3 +378,79 @@ def compact_parquet_dir(
         "bytes_after": sum(sz for _, sz in after),
         "compacted": True,
     }
+
+
+def rowgroup_stats(
+    spark: SparkSession,
+    path: str,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Distributed parquet ROW-GROUP statistics profile — the
+    zone-map inspection a layout pass (:func:`write_zordered`,
+    :func:`compact_parquet_dir`) is judged by:
+
+        (file, row_group, column, n_rows, null_count,
+         min_value, max_value, compressed_bytes)
+
+    min/max land as strings (parquet stats are per-type; stringifying
+    keeps one schema over mixed columns — numeric consumers cast
+    back). The file LIST comes from the metadata-only inventory; the
+    footers are read in parallel on executors via pyarrow in an
+    Arrow-batched stage — no data pages are touched, so profiling a
+    100 TB table costs one footer read per file. Clustering quality
+    falls out directly: tight per-group [min, max] spans on the sort/
+    z-order key mean scans prune; spans covering the whole domain
+    mean the layout is doing nothing.
+    """
+    import pandas as pd  # noqa: PLC0415
+
+    files = [p for p, _ in parquet_file_inventory(spark, path)]
+    fdf = spark.createDataFrame([(f,) for f in files], "file string").repartition(
+        min(len(files), spark.sparkContext.defaultParallelism) or 1
+    )
+    want = columns
+
+    def read_footers(batches):
+        import pyarrow.parquet as pq  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {
+                "file": [], "row_group": [], "column": [], "n_rows": [],
+                "null_count": [], "min_value": [], "max_value": [],
+                "compressed_bytes": [],
+            }
+            for fpath in pdf["file"]:
+                local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
+                md = pq.ParquetFile(local).metadata
+                for g in range(md.num_row_groups):
+                    rg = md.row_group(g)
+                    for c in range(rg.num_columns):
+                        col = rg.column(c)
+                        name = col.path_in_schema
+                        if want and name not in want:
+                            continue
+                        st = col.statistics
+                        out["file"].append(fpath)
+                        out["row_group"].append(g)
+                        out["column"].append(name)
+                        out["n_rows"].append(rg.num_rows)
+                        out["null_count"].append(
+                            st.null_count if st is not None else None
+                        )
+                        out["min_value"].append(
+                            str(st.min) if st is not None and st.has_min_max else None
+                        )
+                        out["max_value"].append(
+                            str(st.max) if st is not None and st.has_min_max else None
+                        )
+                        out["compressed_bytes"].append(col.total_compressed_size)
+            yield pd.DataFrame(out)
+
+    return fdf.mapInPandas(
+        read_footers,
+        schema=(
+            "file string, row_group int, column string, n_rows long, "
+            "null_count long, min_value string, max_value string, "
+            "compressed_bytes long"
+        ),
+    )

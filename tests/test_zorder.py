@@ -150,3 +150,30 @@ def test_compact_parquet_dir_small_files(spark, tmp_path):
     again = compact_parquet_dir(spark, path, target_file_bytes=2)
     assert again["compacted"] is False
     assert again["files_after"] == stats["files_after"]
+
+
+def test_rowgroup_stats_reads_zone_maps(spark, tmp_path):
+    """The footer profiler agrees with the data and shows the layout
+    difference: sorted-by-id files carry disjoint [min,max] id spans,
+    shuffled files overlap."""
+    from data_pipeline_childcare_spark.io import rowgroup_stats
+
+    sorted_path = str(tmp_path / "sorted")
+    shuffled_path = str(tmp_path / "shuffled")
+    df = spark.range(0, 4000).withColumn("v", (F.col("id") * 7) % 100)
+    df.repartitionByRange(4, "id").write.parquet(sorted_path)
+    df.repartition(4).write.parquet(shuffled_path)
+
+    st = rowgroup_stats(spark, sorted_path, columns=["id"]).collect()
+    assert sum(r["n_rows"] for r in st) == 4000
+    assert all(r["null_count"] == 0 for r in st)
+    spans = sorted((int(r["min_value"]), int(r["max_value"])) for r in st)
+    # range-partitioned: spans are disjoint and ordered
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+    assert spans[0][0] == 0 and spans[-1][1] == 3999
+
+    sh = rowgroup_stats(spark, shuffled_path, columns=["id"]).collect()
+    sh_spans = [(int(r["min_value"]), int(r["max_value"])) for r in sh]
+    # round-robin: every span covers ~the whole domain (no pruning)
+    assert all(hi - lo > 3000 for lo, hi in sh_spans)
