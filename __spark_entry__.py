@@ -4218,6 +4218,50 @@ def ranking_eval_orders_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranking_eval_summary(ranking_eval_orders(spark, sf_dir))
 
 
+def _quality_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scored-classifier frame for the evaluation family: predictor =
+    the heuristic quality score (whose stopword component is
+    English-weighted), ground truth = the corpus's labeled language.
+    Measures the en-bias every English-tuned quality filter carries on
+    multilingual data — a non-degenerate two-class problem with real
+    score overlap, and the calibration a data-quality team reads
+    before applying the gate corpus-wide."""
+    from data_pipeline_childcare_spark.functions.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        quality_score("text", _QUALITY_STOPWORDS).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+
+
+def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-classifier evaluation (operators/claseval.py — the
+    measurement half of the quality-filter loop, companion to the
+    ranking_eval family): quality score vs labeled language → one row
+    of confusion counts at threshold 0.78 (inside the score mass, so all
+    four cells populate) + accuracy/precision/recall/
+    F1, ROC-AUC (Mann-Whitney with average-rank ties), and Brier
+    score, all integer micros. Scale shape: ONE groupBy(score_u)
+    corpus aggregate; the AUC rank window runs over the ≤1e6-row
+    distinct-score table, never a global row sort; O(n²)-sized rank
+    sums accumulate in DECIMAL(38,0)."""
+    from data_pipeline_childcare_spark.operators.claseval import binary_eval_summary
+
+    return binary_eval_summary(_quality_scored(spark, sf_dir), threshold=0.78)
+
+
+def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability (calibration) table for the same scored classifier:
+    10 equal-width score bins → (bin, n, n_pos, mean_score_u,
+    frac_pos_u) in floor-division micros. A calibrated filter has
+    mean_score ≈ frac_pos per bin — the plot a data-quality team reads
+    before picking the gate threshold. Same single-aggregate shape."""
+    from data_pipeline_childcare_spark.operators.claseval import calibration_bins
+
+    return calibration_bins(_quality_scored(spark, sf_dir), n_bins=10)
+
+
 def scrape_pipeline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-scrape lifecycle (SURVEY §3.2, reference
     多数据源获取数据.py:1716-1819) END-TO-END: binary content →
@@ -4887,6 +4931,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gdpr_purge_audit": gdpr_purge_audit,
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "ranking_eval_orders": ranking_eval_orders,
+        "classifier_eval_docs": classifier_eval_docs,
+        "classifier_calibration_docs": classifier_calibration_docs,
         "ranking_eval_orders_summary": ranking_eval_orders_summary,
         "snapshot_drift_orders": snapshot_drift_orders,
         "validated_image_refs_docs": validated_image_refs_docs,
@@ -7183,6 +7229,79 @@ def oracle_sql() -> dict[str, str]:
         FROM q
         JOIN r ON r.doc_id = q.doc_id
         JOIN tk ON tk.doc_id = q.doc_id
+    """
+    # Shared CTE prefix for the classifier-eval family: quality score
+    # vs labeled language → integer-micro scores → ONE distinct-score
+    # group table (the same single-aggregate shape the Spark operator
+    # uses).
+    _claseval_prefix = f"""
+        WITH q AS ({out['doc_quality_scores']}),
+        s AS (
+            SELECT CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS score_u,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        grp AS (
+            SELECT score_u, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS n_pos
+            FROM s GROUP BY score_u
+        )"""
+    out["classifier_eval_docs"] = f"""
+        {_claseval_prefix},
+        rk AS (
+            SELECT score_u, n, n_pos,
+                   CAST(coalesce(sum(n) OVER (
+                       ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS cum_before
+            FROM grp
+        ),
+        agg AS (
+            SELECT CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                   CAST(sum(n - n_pos) AS BIGINT) AS n_neg,
+                   CAST(sum(CASE WHEN score_u >= 780000 THEN n_pos ELSE 0 END) AS BIGINT) AS tp,
+                   CAST(sum(CASE WHEN score_u >= 780000 THEN n - n_pos ELSE 0 END) AS BIGINT) AS fp,
+                   CAST(sum(CASE WHEN score_u < 780000 THEN n - n_pos ELSE 0 END) AS BIGINT) AS tn,
+                   CAST(sum(CASE WHEN score_u < 780000 THEN n_pos ELSE 0 END) AS BIGINT) AS fn,
+                   -- O(n^2)-sized rank sums in HUGEINT (Spark side:
+                   -- DECIMAL(38,0)) -- exact past 1e15 rows
+                   sum(CAST(n_pos AS HUGEINT) * (2 * cum_before + n + 1)) AS s2,
+                   sum(CAST(n_pos AS HUGEINT) * (score_u - 1000000) * (score_u - 1000000)
+                       + CAST(n - n_pos AS HUGEINT) * score_u * score_u) AS brier_num
+            FROM rk
+        )
+        SELECT n, n_pos, n_neg, tp, fp, tn, fn,
+               CAST((tp + tn) * 1000000 // n AS BIGINT) AS accuracy_u,
+               CAST(CASE WHEN tp + fp > 0
+                    THEN tp * 1000000 // (tp + fp) END AS BIGINT) AS precision_u,
+               CAST(CASE WHEN n_pos > 0
+                    THEN tp * 1000000 // n_pos END AS BIGINT) AS recall_u,
+               CAST(CASE WHEN 2*tp + fp + fn > 0
+                    THEN 2 * tp * 1000000 // (2*tp + fp + fn) END AS BIGINT) AS f1_u,
+               CAST(CASE WHEN n_pos > 0 AND n_neg > 0
+                    THEN (s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
+                         // (CAST(2 AS HUGEINT) * n_pos * n_neg) END AS BIGINT) AS auc_u,
+               CAST(brier_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS brier_u
+        FROM agg
+    """
+    out["classifier_calibration_docs"] = f"""
+        {_claseval_prefix},
+        b AS (
+            SELECT CAST(least(score_u * 10 // 1000000, 9) AS BIGINT) AS bin,
+                   n, n_pos, score_u
+            FROM grp
+        ),
+        agg AS (
+            SELECT bin, CAST(sum(n) AS BIGINT) AS n,
+                   CAST(sum(n_pos) AS BIGINT) AS n_pos,
+                   sum(CAST(score_u AS HUGEINT) * n) AS score_sum
+            FROM b GROUP BY bin
+        )
+        SELECT bin, n, n_pos,
+               CAST(score_sum // CAST(n AS HUGEINT) AS BIGINT) AS mean_score_u,
+               CAST(n_pos * 1000000 // n AS BIGINT) AS frac_pos_u
+        FROM agg ORDER BY bin
     """
     def _xpilot_ctes(content_expr: str) -> str:
         return f"""retrieved AS (

@@ -12,6 +12,10 @@ from data_pipeline_childcare_spark.operators.raneval import (
     ranking_eval,
     ranking_eval_summary,
 )
+from data_pipeline_childcare_spark.operators.claseval import (
+    binary_eval_summary,
+    calibration_bins,
+)
 from data_pipeline_childcare_spark.operators.topk import (
     top_k_per_group,
     top_k_sequential_dedup,
@@ -65,6 +69,10 @@ from data_pipeline_childcare_spark.operators.components import (
 
 __all__ = [
     "rrf_fuse",
+    "ranking_eval",
+    "ranking_eval_summary",
+    "binary_eval_summary",
+    "calibration_bins",
     "top_k_per_group",
     "top_k_sequential_dedup",
     "top_k_with_global_dedup",

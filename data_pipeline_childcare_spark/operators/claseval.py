@@ -1,0 +1,177 @@
+"""Binary-classifier evaluation metrics — the measurement half of the
+quality-filter loop. The engine trains and applies corpus filters
+(`operators/classifier.py`, `doc_quality_gate`; reference retrieve.py
+tunes rerank quality by hand) but until now nothing measured them.
+Companion to `operators/raneval.py` (ranking metrics): this module
+evaluates *pointwise* binary classifiers — confusion counts,
+accuracy/precision/recall/F1, ROC-AUC, Brier score, and a reliability
+(calibration) table.
+
+Scale design
+------------
+Every metric reduces through ONE ``groupBy(score_u)`` aggregate over
+the scored corpus. Scores are integer micros, so the group table has
+≤ 1e6+1 rows regardless of corpus size; the ordered window ROC-AUC
+needs (cumulative counts below each score) runs over that small table
+— never a global sort of the row set. The 100 TB plan is: map-side
+partial aggregate → one exchange on ``score_u`` → tiny-table windows
+and a final single-row reduce. No UDFs anywhere.
+
+Determinism (the fixed-point discipline)
+----------------------------------------
+All ratios are integer micros via BIGINT floor division (``x div y``,
+the same convention as `raneval.py` / `pagerank`), bit-exact across
+engines and partitionings. ROC-AUC is the Mann-Whitney U statistic
+with average ranks for ties, kept integral by working with
+``min_rank + max_rank`` (twice the average rank):
+
+    AUC = (S2 - n1*(n1+1)) / (2*n1*n0)
+    S2  = sum over positives of (min_rank + max_rank)
+
+``S2`` and the Brier numerator are O(n²)- and O(n·1e12)-sized, so both
+accumulate in DECIMAL(38,0) (Spark decimal sums are exact; the DuckDB
+twins sum into HUGEINT) — overflow-free past 1e15 rows — and only the
+final ``div`` (quotient ≤ 1e6) lands back in BIGINT.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+
+
+def _score_groups(
+    scored: DataFrame, label_col: str, score_col: str
+) -> DataFrame:
+    """ONE corpus aggregate: per distinct score-micro value, the row
+    count and positive count. Everything downstream is sized by the
+    number of distinct scores (≤ 1e6+1), not the corpus."""
+    y = F.when(F.col(label_col).cast("boolean"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        scored.select(
+            F.floor(F.col(score_col) * MICRO + F.lit(0.5))
+            .cast("long")
+            .alias("score_u"),
+            y.alias("y"),
+        )
+        .groupBy("score_u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+    )
+
+
+def binary_eval_summary(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """One-row corpus summary of a scored binary classifier.
+
+    Columns: n, n_pos, n_neg, tp, fp, tn, fn (BIGINT counts at the
+    threshold — predicted positive iff ``score_u >= threshold_u``),
+    then accuracy_u / precision_u / recall_u / f1_u / auc_u / brier_u
+    as integer micros (precision/F1 null when nothing is predicted
+    positive, AUC null when a class is empty).
+
+    F1 comes from counts as ``2·tp div (2·tp + fp + fn)`` — one exact
+    division, not a composition of two already-floored ratios.
+    """
+    thr_u = int(round(threshold * MICRO))
+    groups = _score_groups(scored, label_col, score_col)
+
+    # Cumulative count strictly below each score: ordered window over
+    # the distinct-score table (partitionBy(lit(0)) — WindowExec
+    # hygiene; the frame is group-table-sized by construction).
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy("score_u")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rk = groups.select(
+        "*",
+        F.coalesce(F.sum("n").over(w), F.lit(0)).cast("long").alias("cum_before"),
+    )
+    pred_pos = F.col("score_u") >= F.lit(thr_u)
+    big = "decimal(38,0)"
+    agg = rk.agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum(F.col("n") - F.col("n_pos")).cast("long").alias("n_neg"),
+        F.sum(F.when(pred_pos, F.col("n_pos")).otherwise(F.lit(0)))
+        .cast("long").alias("tp"),
+        F.sum(F.when(pred_pos, F.col("n") - F.col("n_pos")).otherwise(F.lit(0)))
+        .cast("long").alias("fp"),
+        F.sum(F.when(~pred_pos, F.col("n") - F.col("n_pos")).otherwise(F.lit(0)))
+        .cast("long").alias("tn"),
+        F.sum(F.when(~pred_pos, F.col("n_pos")).otherwise(F.lit(0)))
+        .cast("long").alias("fn"),
+        # S2 = Σ_positives (min_rank + max_rank), exact in decimal.
+        F.sum(
+            (F.col("n_pos") * (2 * F.col("cum_before") + F.col("n") + 1)).cast(big)
+        ).cast(big).alias("s2"),
+        # Brier numerator: rows sharing a score share the term.
+        F.sum(
+            (
+                F.col("n_pos")
+                * (F.col("score_u") - MICRO) * (F.col("score_u") - MICRO)
+                + (F.col("n") - F.col("n_pos")) * F.col("score_u") * F.col("score_u")
+            ).cast(big)
+        ).cast(big).alias("brier_num"),
+    )
+    return agg.select(
+        "n", "n_pos", "n_neg", "tp", "fp", "tn", "fn",
+        F.expr(f"(tp + tn) * {MICRO} div n").alias("accuracy_u"),
+        F.expr(
+            f"CASE WHEN tp + fp > 0 THEN tp * {MICRO} div (tp + fp) END"
+        ).alias("precision_u"),
+        F.expr(
+            f"CASE WHEN n_pos > 0 THEN tp * {MICRO} div n_pos END"
+        ).alias("recall_u"),
+        F.expr(
+            f"CASE WHEN 2*tp + fp + fn > 0 THEN 2 * tp * {MICRO} div (2*tp + fp + fn) END"
+        ).alias("f1_u"),
+        F.expr(
+            f"CASE WHEN n_pos > 0 AND n_neg > 0 THEN "
+            f"(s2 - cast(n_pos as {big}) * (n_pos + 1)) * {MICRO} "
+            f"div (cast(2 as {big}) * n_pos * n_neg) END"
+        ).cast("long").alias("auc_u"),
+        # brier = brier_num / (n · MICRO²) → micros: div by n·MICRO.
+        F.expr(f"brier_num div (cast(n as {big}) * {MICRO})")
+        .cast("long").alias("brier_u"),
+    )
+
+
+def calibration_bins(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability table: equal-width score bins → (bin, n, n_pos,
+    mean_score_u, frac_pos_u). A calibrated classifier has
+    ``mean_score_u ≈ frac_pos_u`` per bin. Same single-aggregate
+    scale shape as the summary; a score of exactly 1.0 folds into the
+    top bin. Means are floor-division micros (the repo's floor-mean
+    convention)."""
+    groups = _score_groups(scored, label_col, score_col)
+    bin_col = F.least(
+        F.expr(f"score_u * {n_bins} div {MICRO}"),
+        F.lit(n_bins - 1).cast("long"),
+    ).alias("bin")
+    agg = groups.groupBy(bin_col).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.sum("n_pos").cast("long").alias("n_pos"),
+        F.sum((F.col("score_u") * F.col("n")).cast("decimal(38,0)"))
+        .cast("decimal(38,0)").alias("score_sum"),
+    )
+    return agg.select(
+        "bin", "n", "n_pos",
+        F.expr("score_sum div cast(n as decimal(38,0))")
+        .cast("long").alias("mean_score_u"),
+        F.expr(f"n_pos * {MICRO} div n").alias("frac_pos_u"),
+    ).orderBy("bin")

@@ -1,0 +1,101 @@
+"""Unit tests for operators/claseval.py — hand-computed confusion /
+AUC / Brier / calibration values, including the tie-handling cases
+that distinguish Mann-Whitney-with-average-ranks from naive pair
+counting."""
+
+import pytest
+
+from data_pipeline_childcare_spark.operators.claseval import (
+    binary_eval_summary,
+    calibration_bins,
+)
+
+
+def _scored(spark, rows):
+    return spark.createDataFrame(rows, "score double, label boolean")
+
+
+def test_perfect_separation(spark):
+    df = _scored(
+        spark, [(0.9, True), (0.8, True), (0.2, False), (0.1, False)]
+    )
+    r = binary_eval_summary(df).collect()[0]
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (2, 0, 2, 0)
+    assert r["accuracy_u"] == 1_000_000
+    assert r["precision_u"] == 1_000_000
+    assert r["recall_u"] == 1_000_000
+    assert r["f1_u"] == 1_000_000
+    assert r["auc_u"] == 1_000_000
+
+
+def test_reversed_scores(spark):
+    df = _scored(
+        spark, [(0.1, True), (0.2, True), (0.8, False), (0.9, False)]
+    )
+    r = binary_eval_summary(df).collect()[0]
+    assert r["auc_u"] == 0
+    assert r["recall_u"] == 0
+    # both negatives score above threshold → tp=0, fp=2 → precision 0
+    assert r["precision_u"] == 0
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (0, 2, 0, 2)
+
+
+def test_all_tied_scores_auc_half(spark):
+    df = _scored(spark, [(0.5, True), (0.5, False), (0.5, True), (0.5, False)])
+    r = binary_eval_summary(df).collect()[0]
+    assert r["auc_u"] == 500_000
+
+
+def test_hand_computed_mixed_case(spark):
+    # pos {0.8, 0.4}, neg {0.6, 0.4, 0.2}
+    # asc ranks: 0.2→1, 0.4→{2,3} (avg 2.5), 0.6→4, 0.8→5
+    # S_pos = 2.5 + 5 = 7.5, U = 7.5 - 3 = 4.5, AUC = 4.5/6 = 0.75
+    df = _scored(
+        spark,
+        [(0.8, True), (0.4, True), (0.6, False), (0.4, False), (0.2, False)],
+    )
+    r = binary_eval_summary(df).collect()[0]
+    assert (r["n"], r["n_pos"], r["n_neg"]) == (5, 2, 3)
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (1, 1, 2, 1)
+    assert r["accuracy_u"] == 600_000
+    assert r["precision_u"] == 500_000
+    assert r["recall_u"] == 500_000
+    assert r["f1_u"] == 500_000
+    assert r["auc_u"] == 750_000
+    # Brier = (0.04 + 0.36 + 0.36 + 0.16 + 0.04) / 5 = 0.192
+    assert r["brier_u"] == 192_000
+
+
+def test_single_class_auc_null(spark):
+    df = _scored(spark, [(0.9, True), (0.1, True)])
+    r = binary_eval_summary(df).collect()[0]
+    assert r["auc_u"] is None
+    assert r["recall_u"] == 500_000  # one above threshold
+
+
+def test_calibration_bins(spark):
+    df = _scored(
+        spark,
+        [(0.8, True), (0.4, True), (0.6, False), (0.4, False), (0.2, False)],
+    )
+    rows = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(rows) == {2, 4, 6, 8}
+    b4 = rows[4]
+    assert (b4["n"], b4["n_pos"]) == (2, 1)
+    assert b4["mean_score_u"] == 400_000
+    assert b4["frac_pos_u"] == 500_000
+    assert rows[8]["frac_pos_u"] == 1_000_000
+
+
+def test_calibration_top_bin_inclusive(spark):
+    df = _scored(spark, [(1.0, True), (0.0, False)])
+    rows = {r["bin"]: r for r in calibration_bins(df).collect()}
+    assert set(rows) == {0, 9}
+    assert rows[9]["mean_score_u"] == 1_000_000
+
+
+def test_threshold_is_inclusive(spark):
+    # score exactly at threshold counts as predicted-positive
+    df = _scored(spark, [(0.5, True), (0.49, False)])
+    r = binary_eval_summary(df, threshold=0.5).collect()[0]
+    assert (r["tp"], r["tn"]) == (1, 1)

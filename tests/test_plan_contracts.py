@@ -109,6 +109,12 @@ CONTRACTS = {
     # plan) + three query-keyed aggregates joined back broadcast
     "ranking_eval_orders": (5, False, True),
     "ranking_eval_orders_summary": (4, False, True),
+    # classifier-eval family: ONE score_u group aggregate over pure
+    # column math (+ the bin re-group for calibration); the AUC rank
+    # window runs on the distinct-score table after a SinglePartition
+    # exchange — by design, that table is ≤1e6 rows
+    "classifier_eval_docs": (1, True, True),
+    "classifier_calibration_docs": (2, True, True),
 }
 
 
