@@ -572,3 +572,66 @@ class TestDriftInvariants:
             else "ok"
         )
         assert got["val"]["status"] == expect_status, got["val"]
+
+
+class TestClasevalModel:
+    @staticmethod
+    def _py_eval(rows, thr):
+        """Independent integer-micro model of claseval.binary_eval_summary."""
+        import math
+        from collections import Counter
+
+        MICRO = 1_000_000
+        su = [(math.floor(s * MICRO + 0.5), 1 if l else 0) for s, l in rows]
+        n = len(su)
+        n1 = sum(y for _, y in su)
+        n0 = n - n1
+        thr_u = round(thr * MICRO)
+        tp = sum(1 for u, y in su if u >= thr_u and y)
+        fp = sum(1 for u, y in su if u >= thr_u and not y)
+        tn = sum(1 for u, y in su if u < thr_u and not y)
+        fn = sum(1 for u, y in su if u < thr_u and y)
+        cnt = Counter(u for u, _ in su)
+        cum, rk = 0, {}
+        for u in sorted(cnt):
+            rk[u] = 2 * cum + cnt[u] + 1  # min_rank + max_rank
+            cum += cnt[u]
+        s2 = sum(rk[u] for u, y in su if y)
+        auc = (
+            (s2 - n1 * (n1 + 1)) * MICRO // (2 * n1 * n0) if n1 and n0 else None
+        )
+        brier = sum((u - y * MICRO) ** 2 for u, y in su) // (n * MICRO)
+        return {
+            "n": n, "n_pos": n1, "n_neg": n0,
+            "tp": tp, "fp": fp, "tn": tn, "fn": fn,
+            "accuracy_u": (tp + tn) * MICRO // n,
+            "precision_u": tp * MICRO // (tp + fp) if tp + fp else None,
+            "recall_u": tp * MICRO // n1 if n1 else None,
+            "f1_u": 2 * tp * MICRO // (2 * tp + fp + fn) if 2 * tp + fp + fn else None,
+            "auc_u": auc,
+            "brier_u": brier,
+        }
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                # a coarse score grid manufactures the tie groups the
+                # average-rank AUC path must handle
+                st.sampled_from([0.0, 0.1, 0.25, 0.5, 0.5, 0.75, 0.9, 1.0]),
+                st.booleans(),
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        thr=st.sampled_from([0.25, 0.5, 0.75]),
+    )
+    def test_binary_eval_matches_python_model(self, spark, rows, thr):
+        from data_pipeline_childcare_spark.operators.claseval import (
+            binary_eval_summary,
+        )
+
+        df = spark.createDataFrame(rows, "score double, label boolean")
+        got = binary_eval_summary(df, threshold=thr).collect()[0].asDict()
+        want = self._py_eval(rows, thr)
+        assert got == want, (got, want)
