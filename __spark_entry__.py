@@ -4251,6 +4251,19 @@ def classifier_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return binary_eval_summary(_quality_scored(spark, sf_dir), threshold=0.78)
 
 
+def classifier_pr_curve_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-characteristic sweep (operators/claseval.pr_curve):
+    one row per distinct score treated as the inclusive threshold →
+    (threshold_u, tp, fp, fn, precision_u, recall_u, f1_u) — every
+    possible gate threshold evaluated in ONE descending cumulative
+    window over the distinct-score table (≤1e6 rows at any corpus
+    size), no per-threshold re-scan. The argmax-F1 row is the
+    threshold a quality-filter deployment actually picks."""
+    from data_pipeline_childcare_spark.operators.claseval import pr_curve
+
+    return pr_curve(_quality_scored(spark, sf_dir))
+
+
 def classifier_calibration_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability (calibration) table for the same scored classifier:
     10 equal-width score bins → (bin, n, n_pos, mean_score_u,
@@ -4932,6 +4945,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "ranking_eval_orders": ranking_eval_orders,
         "classifier_eval_docs": classifier_eval_docs,
+        "classifier_pr_curve_docs": classifier_pr_curve_docs,
         "classifier_calibration_docs": classifier_calibration_docs,
         "ranking_eval_orders_summary": ranking_eval_orders_summary,
         "snapshot_drift_orders": snapshot_drift_orders,
@@ -7284,6 +7298,30 @@ def oracle_sql() -> dict[str, str]:
                          // (CAST(2 AS HUGEINT) * n_pos * n_neg) END AS BIGINT) AS auc_u,
                CAST(brier_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS brier_u
         FROM agg
+    """
+    out["classifier_pr_curve_docs"] = f"""
+        {_claseval_prefix},
+        cum AS (
+            SELECT score_u AS threshold_u,
+                   CAST(sum(n_pos) OVER (
+                       ORDER BY score_u DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS tp,
+                   CAST(sum(n - n_pos) OVER (
+                       ORDER BY score_u DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS fp
+            FROM grp
+        ),
+        tot AS (SELECT CAST(sum(n_pos) AS BIGINT) AS n1 FROM grp)
+        SELECT threshold_u, tp, fp,
+               CAST(n1 - tp AS BIGINT) AS fn,
+               CAST(tp * 1000000 // (tp + fp) AS BIGINT) AS precision_u,
+               CAST(CASE WHEN n1 > 0 THEN tp * 1000000 // n1 END AS BIGINT) AS recall_u,
+               CAST(CASE WHEN 2*tp + fp + (n1 - tp) > 0
+                    THEN 2 * tp * 1000000 // (2*tp + fp + (n1 - tp)) END AS BIGINT) AS f1_u
+        FROM cum CROSS JOIN tot
+        ORDER BY threshold_u
     """
     out["classifier_calibration_docs"] = f"""
         {_claseval_prefix},

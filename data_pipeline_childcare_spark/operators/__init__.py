@@ -15,6 +15,7 @@ from data_pipeline_childcare_spark.operators.raneval import (
 from data_pipeline_childcare_spark.operators.claseval import (
     binary_eval_summary,
     calibration_bins,
+    pr_curve,
 )
 from data_pipeline_childcare_spark.operators.topk import (
     top_k_per_group,
@@ -73,6 +74,7 @@ __all__ = [
     "ranking_eval_summary",
     "binary_eval_summary",
     "calibration_bins",
+    "pr_curve",
     "top_k_per_group",
     "top_k_sequential_dedup",
     "top_k_with_global_dedup",

@@ -146,6 +146,52 @@ def binary_eval_summary(
     )
 
 
+def pr_curve(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Operating-characteristic sweep: one row per DISTINCT score
+    value, treating that score as the inclusive decision threshold →
+    (threshold_u, tp, fp, fn, precision_u, recall_u, f1_u). The
+    precision-recall curve a team reads to pick the gate threshold
+    (argmax f1_u, or the knee at a recall floor).
+
+    Same scale shape as the rest of the module: the corpus reduces
+    through ONE groupBy(score_u) aggregate; the threshold sweep is a
+    descending cumulative window over the ≤1e6-row distinct-score
+    table, so every possible threshold is evaluated in one pass —
+    no per-threshold re-scan, no parameter grid.
+    """
+    groups = _score_groups(scored, label_col, score_col)
+    # Inclusive-threshold cumulative counts: tp(t) = positives with
+    # score_u >= t, fp(t) likewise for negatives.
+    w = (
+        Window.partitionBy(F.lit(0))
+        .orderBy(F.desc("score_u"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = groups.select(
+        F.col("score_u").alias("threshold_u"),
+        F.sum("n_pos").over(w).cast("long").alias("tp"),
+        F.sum(F.col("n") - F.col("n_pos")).over(w).cast("long").alias("fp"),
+    )
+    total_pos = groups.agg(F.sum("n_pos").cast("long").alias("_n1"))
+    cum = cum.crossJoin(F.broadcast(total_pos))
+    return cum.select(
+        "threshold_u", "tp", "fp",
+        (F.col("_n1") - F.col("tp")).cast("long").alias("fn"),
+        F.expr(f"tp * {MICRO} div (tp + fp)").alias("precision_u"),
+        F.expr(
+            f"CASE WHEN _n1 > 0 THEN tp * {MICRO} div _n1 END"
+        ).alias("recall_u"),
+        F.expr(
+            f"CASE WHEN 2*tp + fp + (_n1 - tp) > 0 THEN "
+            f"2 * tp * {MICRO} div (2*tp + fp + (_n1 - tp)) END"
+        ).alias("f1_u"),
+    ).orderBy("threshold_u")
+
+
 def calibration_bins(
     scored: DataFrame,
     label_col: str = "label",

@@ -99,3 +99,42 @@ def test_threshold_is_inclusive(spark):
     df = _scored(spark, [(0.5, True), (0.49, False)])
     r = binary_eval_summary(df, threshold=0.5).collect()[0]
     assert (r["tp"], r["tn"]) == (1, 1)
+
+
+def test_pr_curve_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.claseval import pr_curve
+
+    df = _scored(
+        spark,
+        [(0.8, True), (0.4, True), (0.6, False), (0.4, False), (0.2, False)],
+    )
+    rows = {r["threshold_u"]: r for r in pr_curve(df).collect()}
+    assert set(rows) == {200_000, 400_000, 600_000, 800_000}
+    r8 = rows[800_000]
+    assert (r8["tp"], r8["fp"], r8["fn"]) == (1, 0, 1)
+    assert (r8["precision_u"], r8["recall_u"], r8["f1_u"]) == (
+        1_000_000, 500_000, 666_666,
+    )
+    r4 = rows[400_000]
+    assert (r4["tp"], r4["fp"], r4["fn"]) == (2, 2, 0)
+    assert (r4["precision_u"], r4["recall_u"], r4["f1_u"]) == (
+        500_000, 1_000_000, 666_666,
+    )
+    r2 = rows[200_000]
+    assert (r2["precision_u"], r2["recall_u"], r2["f1_u"]) == (
+        400_000, 1_000_000, 571_428,
+    )
+
+
+def test_pr_curve_recall_monotone_in_threshold(spark):
+    from data_pipeline_childcare_spark.operators.claseval import pr_curve
+
+    df = _scored(
+        spark,
+        [(s / 20.0, (s * 7) % 3 == 0) for s in range(20)],
+    )
+    rows = pr_curve(df).collect()  # ordered by threshold asc
+    recalls = [r["recall_u"] for r in rows]
+    assert recalls == sorted(recalls, reverse=True)
+    tps = [r["tp"] for r in rows]
+    assert tps == sorted(tps, reverse=True)

@@ -115,6 +115,10 @@ CONTRACTS = {
     # exchange — by design, that table is ≤1e6 rows
     "classifier_eval_docs": (1, True, True),
     "classifier_calibration_docs": (2, True, True),
+    # pr-curve: the score_u aggregate feeds both the cumulative sweep
+    # and the one-row total (2 aggregates over the same subtree); the
+    # total joins back as a broadcast nested loop (1-row build side)
+    "classifier_pr_curve_docs": (2, True, True),
 }
 
 
