@@ -176,6 +176,24 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew pre-flight (operators/skew.key_skew_profile):
+    one row describing the user_id key distribution — exact p50/p90/
+    p99 multiplicities, hottest-1/hottest-10 row shares, Gini, and the
+    max/mean reducer-overload factor — the report that decides salting
+    vs broadcast vs AQE skew-join BEFORE a 100 TB shuffle launches.
+    Scale shape: per-key counts (one map-side-combinable exchange) →
+    count-of-counts rollup (tiny) → ordered windows over the DISTINCT-
+    MULTIPLICITY table (thousands of rows at any corpus size — no
+    global key sort anywhere). All ratios BIGINT/DECIMAL floor-division
+    micros; the grouped Gini stays integral via
+    2·Σ(i·x_i) = Σ c·k·(2·keys_before + k + 1)."""
+    from data_pipeline_childcare_spark.operators.skew import key_skew_profile
+
+    events = _t(spark, sf_dir, "events")
+    return key_skew_profile(events, ["user_id"], top_n=10)
+
+
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gap-based sessionization (30-min gap) rolled up to session rows."""
     ev = _t(spark, sf_dir, "events")
@@ -4866,6 +4884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top3_orders_per_customer": top3_orders_per_customer,
         "events_running_total": events_running_total,
         "sessionize_events": sessionize_events,
+        "events_key_skew_profile": events_key_skew_profile,
         "asof_clicks_purchases": asof_clicks_purchases,
         "rrf_suppliers": rrf_suppliers,
         "topk_global_dedup_events": topk_global_dedup_events,
@@ -7297,6 +7316,43 @@ def oracle_sql() -> dict[str, str]:
                     THEN (s2 - CAST(n_pos AS HUGEINT) * (n_pos + 1)) * 1000000
                          // (CAST(2 AS HUGEINT) * n_pos * n_neg) END AS BIGINT) AS auc_u,
                CAST(brier_num // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS brier_u
+        FROM agg
+    """
+    out["events_key_skew_profile"] = """
+        WITH counts AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id
+        ),
+        cc AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM counts GROUP BY c),
+        en AS (
+            SELECT c, k,
+                   CAST(coalesce(sum(k) OVER (
+                       ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS kb,
+                   CAST(coalesce(sum(k) OVER (
+                       ORDER BY c DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ), 0) AS BIGINT) AS kbd,
+                   CAST(sum(k) OVER () AS BIGINT) AS tk
+            FROM cc
+        ),
+        agg AS (
+            SELECT sum(CAST(c AS HUGEINT) * k) AS rows_,
+                   CAST(sum(k) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_count,
+                   CAST(min(CASE WHEN (kb + k) * 100 >= 50 * tk THEN c END) AS BIGINT) AS p50_count,
+                   CAST(min(CASE WHEN (kb + k) * 100 >= 90 * tk THEN c END) AS BIGINT) AS p90_count,
+                   CAST(min(CASE WHEN (kb + k) * 100 >= 99 * tk THEN c END) AS BIGINT) AS p99_count,
+                   sum(CAST(c AS HUGEINT) * k * (2 * kb + k + 1)) AS s2,
+                   sum(CAST(c AS HUGEINT) * least(k, greatest(0, 10 - kbd))) AS topn
+            FROM en
+        )
+        SELECT CAST(rows_ AS BIGINT) AS n_rows, n_keys, max_count,
+               p50_count, p90_count, p99_count,
+               CAST(CAST(max_count AS HUGEINT) * 1000000 // rows_ AS BIGINT) AS top1_share_u,
+               CAST(topn * 1000000 // rows_ AS BIGINT) AS topn_share_u,
+               CAST((s2 - CAST(n_keys + 1 AS HUGEINT) * rows_) * 1000000
+                    // (CAST(n_keys AS HUGEINT) * rows_) AS BIGINT) AS gini_u,
+               CAST(CAST(max_count AS HUGEINT) * n_keys * 1000000 // rows_ AS BIGINT) AS hot_key_factor_u
         FROM agg
     """
     out["classifier_pr_curve_docs"] = f"""

@@ -75,3 +75,95 @@ def df_capped_index(
     freq = index.groupBy(key_col).agg(F.count("*").alias("_df"))
     keep = freq.filter(F.col("_df") <= max_df).select(key_col)
     return index.join(keep, key_col, "left_semi")
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+) -> DataFrame:
+    """Shuffle-key skew pre-flight: ONE row describing how a prospective
+    groupBy/join key is distributed — the report that decides salting
+    (`salted_sum`), broadcast, or AQE skew-join BEFORE a 100 TB shuffle
+    is launched.
+
+    Columns: n_rows, n_keys, max_count, p50_count / p90_count /
+    p99_count (exact percentiles of per-key multiplicity),
+    top1_share_u / topn_share_u (fraction of all rows owned by the
+    hottest 1 / ``top_n`` keys, integer micros), gini_u (Gini
+    coefficient of the key-count distribution, micros),
+    hot_key_factor_u (max_count / mean_count, micros — the reducer
+    overload ratio salting must spread).
+
+    Scale design: per-key counts (one exchange, map-side combinable) →
+    count-of-counts rollup (second, tiny exchange): the profile table
+    is sized by DISTINCT MULTIPLICITY VALUES, not keys — Zipf-ish data
+    at any scale yields thousands of rows, so the ordered windows that
+    produce exact percentiles, the grouped-data Gini and the top-N
+    share are effectively free, and no global sort of the key set ever
+    happens. All ratios are BIGINT/DECIMAL(38,0) floor-division micros
+    (bit-exact across engines and partitionings); the grouped Gini uses
+    2·Σ(i·x_i) = Σ c·k·(2·keys_before + k + 1) to stay integral.
+    """
+    big = "decimal(38,0)"
+    counts = df.groupBy(*[F.col(c) for c in key_cols]).agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cc = counts.groupBy("c").agg(F.count(F.lit(1)).cast("long").alias("k"))
+
+    from pyspark.sql import Window
+
+    asc_before = (
+        Window.partitionBy(F.lit(0)).orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    desc_before = (
+        Window.partitionBy(F.lit(0)).orderBy(F.desc("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    whole = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    en = cc.select(
+        "c", "k",
+        F.coalesce(F.sum("k").over(asc_before), F.lit(0)).cast("long").alias("kb"),
+        F.coalesce(F.sum("k").over(desc_before), F.lit(0)).cast("long").alias("kbd"),
+        F.sum("k").over(whole).cast("long").alias("tk"),
+    )
+
+    def _pct(p: int) -> F.Column:
+        # smallest multiplicity c whose cumulative key count reaches p%
+        return F.min(
+            F.when((F.col("kb") + F.col("k")) * 100 >= F.lit(p) * F.col("tk"), F.col("c"))
+        ).cast("long").alias(f"p{p}_count")
+
+    take = F.least(
+        F.col("k"), F.greatest(F.lit(0).cast("long"), F.lit(top_n) - F.col("kbd"))
+    )
+    agg = en.agg(
+        F.sum(F.col("c").cast(big) * F.col("k")).cast(big).alias("_rows"),
+        F.sum("k").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_count"),
+        _pct(50), _pct(90), _pct(99),
+        # 2*sum(i * x_i) over keys sorted by count asc, grouped form
+        F.sum(
+            (F.col("c").cast(big) * F.col("k") * (2 * F.col("kb") + F.col("k") + 1))
+        ).cast(big).alias("_s2"),
+        F.sum(F.col("c").cast(big) * take).cast(big).alias("_topn"),
+    )
+    return agg.select(
+        F.col("_rows").cast("long").alias("n_rows"),
+        "n_keys", "max_count", "p50_count", "p90_count", "p99_count",
+        F.expr("cast(max_count as decimal(38,0)) * 1000000 div _rows")
+        .cast("long").alias("top1_share_u"),
+        F.expr("_topn * 1000000 div _rows").cast("long").alias("topn_share_u"),
+        # grouped-data Gini: (2S - (n+1)R) / (nR), single floor division
+        F.expr(
+            "(_s2 - cast(n_keys + 1 as decimal(38,0)) * _rows) * 1000000 "
+            "div (cast(n_keys as decimal(38,0)) * _rows)"
+        ).cast("long").alias("gini_u"),
+        # max/mean = max * n_keys / n_rows
+        F.expr(
+            "cast(max_count as decimal(38,0)) * n_keys * 1000000 div _rows"
+        ).cast("long").alias("hot_key_factor_u"),
+    )

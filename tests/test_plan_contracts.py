@@ -119,6 +119,11 @@ CONTRACTS = {
     # and the one-row total (2 aggregates over the same subtree); the
     # total joins back as a broadcast nested loop (1-row build side)
     "classifier_pr_curve_docs": (2, True, True),
+    # skew pre-flight: per-key counts (user_id exchange) + the tiny
+    # count-of-counts rollup; windows run on the distinct-multiplicity
+    # table after a SinglePartition exchange (thousands of rows at any
+    # corpus size — by design)
+    "events_key_skew_profile": (2, True, True),
 }
 
 
