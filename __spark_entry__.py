@@ -176,6 +176,26 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast evaluation (operators/regeval.py — the regression leg
+    of the measurement family): the persistence baseline (each event's
+    value predicted by the user's PREVIOUS value — lag-1 over
+    (user_id; ts, event_id), the zero-parameter forecast every model
+    must beat) scored as ONE corpus aggregate → n, MAE, signed bias,
+    wMAPE, MSE, R² in integer micros. Signed ratios divide as
+    sign·(|num| div den) because Spark div truncates while DuckDB //
+    floors — the twins agree exactly on negative R²/bias."""
+    from data_pipeline_childcare_spark.operators.regeval import regression_eval
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tp = events.select(
+        F.col("value").alias("truth"),
+        F.lag("value").over(w).alias("pred"),
+    ).filter(F.col("pred").isNotNull())
+    return regression_eval(tp)
+
+
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew pre-flight (operators/skew.key_skew_profile):
     one row describing the user_id key distribution — exact p50/p90/
@@ -4885,6 +4905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_running_total": events_running_total,
         "sessionize_events": sessionize_events,
         "events_key_skew_profile": events_key_skew_profile,
+        "forecast_eval_events": forecast_eval_events,
         "asof_clicks_purchases": asof_clicks_purchases,
         "rrf_suppliers": rrf_suppliers,
         "topk_global_dedup_events": topk_global_dedup_events,
@@ -7353,6 +7374,49 @@ def oracle_sql() -> dict[str, str]:
                CAST((s2 - CAST(n_keys + 1 AS HUGEINT) * rows_) * 1000000
                     // (CAST(n_keys AS HUGEINT) * rows_) AS BIGINT) AS gini_u,
                CAST(CAST(max_count AS HUGEINT) * n_keys * 1000000 // rows_ AS BIGINT) AS hot_key_factor_u
+        FROM agg
+    """
+    out["forecast_eval_events"] = """
+        WITH tp AS (
+            SELECT value AS truth,
+                   lag(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS pred
+            FROM events
+        ),
+        s AS (
+            SELECT CAST(floor(truth * 1000000 + 0.5) AS BIGINT) AS y,
+                   CAST(floor(pred * 1000000 + 0.5) AS BIGINT) AS p
+            FROM tp WHERE pred IS NOT NULL
+        ),
+        agg AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(p - y AS HUGEINT)) AS s_err,
+                   sum(abs(CAST(p - y AS HUGEINT))) AS s_abs,
+                   sum(CAST(p - y AS HUGEINT) * CAST(p - y AS HUGEINT)) AS s_sq,
+                   sum(CAST(y AS HUGEINT)) AS s_y,
+                   sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS s_y2,
+                   sum(abs(CAST(y AS HUGEINT))) AS s_ay
+            FROM s
+        )
+        SELECT n,
+               CAST(s_abs // n AS BIGINT) AS mae_u,
+               CASE WHEN s_err >= 0 THEN CAST(s_err // n AS BIGINT)
+                    ELSE -CAST((-s_err) // n AS BIGINT) END AS bias_u,
+               CASE WHEN s_ay > 0
+                    THEN CAST(s_abs * 1000000 // s_ay AS BIGINT) END AS wmape_u,
+               CAST(s_sq // (CAST(n AS HUGEINT) * 1000000) AS BIGINT) AS mse_u,
+               CASE WHEN (CAST(n AS HUGEINT) * s_y2 - s_y * s_y) > 0 THEN
+                   CASE WHEN ((CAST(n AS HUGEINT) * s_y2 - s_y * s_y)
+                              - CAST(n AS HUGEINT) * s_sq) >= 0
+                        THEN CAST(((CAST(n AS HUGEINT) * s_y2 - s_y * s_y)
+                                   - CAST(n AS HUGEINT) * s_sq) * 1000000
+                                  // (CAST(n AS HUGEINT) * s_y2 - s_y * s_y) AS BIGINT)
+                        ELSE -CAST((CAST(n AS HUGEINT) * s_sq
+                                    - (CAST(n AS HUGEINT) * s_y2 - s_y * s_y)) * 1000000
+                                   // (CAST(n AS HUGEINT) * s_y2 - s_y * s_y) AS BIGINT)
+                   END
+               END AS r2_u
         FROM agg
     """
     out["classifier_pr_curve_docs"] = f"""

@@ -17,6 +17,7 @@ from data_pipeline_childcare_spark.operators.claseval import (
     calibration_bins,
     pr_curve,
 )
+from data_pipeline_childcare_spark.operators.regeval import regression_eval
 from data_pipeline_childcare_spark.operators.topk import (
     top_k_per_group,
     top_k_sequential_dedup,
@@ -75,6 +76,7 @@ __all__ = [
     "binary_eval_summary",
     "calibration_bins",
     "pr_curve",
+    "regression_eval",
     "top_k_per_group",
     "top_k_sequential_dedup",
     "top_k_with_global_dedup",

@@ -1,0 +1,87 @@
+"""Regression / forecast evaluation — the third leg of the
+measurement family (`raneval` scores rankings, `claseval` scores
+binary classifiers, this scores numeric predictions): MAE, signed
+bias, wMAPE, MSE and R² over a (truth, prediction) frame.
+
+Scale design: ONE corpus aggregate — every metric derives from the
+five sums (n, Σerr, Σ|err|, Σerr², Σy, Σy², Σ|y|), so the plan is a
+single map-side-combinable reduce regardless of corpus size. No
+windows, no joins, no UDFs.
+
+Determinism (the fixed-point discipline): truth/prediction quantize
+to integer micros (floor(x·1e6 + 0.5)) up front; sums accumulate in
+DECIMAL(38,0) (HUGEINT in the DuckDB twins) so squared-error sums
+never overflow; every ratio is an integer-micro floor division.
+Signed quantities (bias, R² when negative) divide as
+``sign · (|num|·scale div den)`` — EXPLICIT sign handling, because
+Spark's ``div`` truncates toward zero while DuckDB's ``//`` floors
+toward −∞, and the two disagree on negative operands.
+
+wMAPE = Σ|err| / Σ|truth| (the weighted MAPE a forecasting team
+actually tracks — per-row MAPE is undefined at truth 0 and
+over-weights small actuals). R² = 1 − n·SSE / (n·Σy² − (Σy)²),
+exact in integers; negative when the predictor underperforms the
+mean, null when truth is constant (zero variance).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MICRO = 1_000_000
+_BIG = "decimal(38,0)"
+
+
+def _signed_div_u(num: str, den: str) -> str:
+    """SQL snippet: sign(num) * (|num| * MICRO div den), BIGINT-exact
+    and identical across engines (truncation-vs-floor safe)."""
+    return (
+        f"CASE WHEN {num} >= 0 THEN cast(({num}) * {MICRO} div ({den}) as bigint) "
+        f"ELSE -cast((-({num})) * {MICRO} div ({den}) as bigint) END"
+    )
+
+
+def regression_eval(
+    truth_pred: DataFrame,
+    truth_col: str = "truth",
+    pred_col: str = "pred",
+) -> DataFrame:
+    """One-row evaluation of a numeric predictor →
+    (n, mae_u, bias_u, wmape_u, mse_u, r2_u), all integer micros.
+
+    mse_u is the mean of squared micro-errors re-scaled to micros
+    (floor(Σerr_u² / (n·1e6))) — the Brier convention; r2_u is
+    1e6·R², negative when worse than predicting the mean, null for
+    constant truth; wmape_u is null when Σ|truth| = 0.
+    """
+    y = F.floor(F.col(truth_col) * MICRO + F.lit(0.5)).cast("long")
+    p = F.floor(F.col(pred_col) * MICRO + F.lit(0.5)).cast("long")
+    err = (p - y).cast(_BIG)
+    agg = truth_pred.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(err).cast(_BIG).alias("s_err"),
+        F.sum(F.abs(err)).cast(_BIG).alias("s_abs"),
+        F.sum(err * err).cast(_BIG).alias("s_sq"),
+        F.sum(y.cast(_BIG)).cast(_BIG).alias("s_y"),
+        F.sum(y.cast(_BIG) * y.cast(_BIG)).cast(_BIG).alias("s_y2"),
+        F.sum(F.abs(y.cast(_BIG))).cast(_BIG).alias("s_ay"),
+    )
+    sst = f"(cast(n as {_BIG}) * s_y2 - s_y * s_y)"  # n²·Var(y), ≥ 0
+    return agg.select(
+        "n",
+        F.expr(f"cast(s_abs div cast(n as {_BIG}) as bigint)").alias("mae_u"),
+        F.expr(
+            f"CASE WHEN s_err >= 0 THEN cast(s_err div cast(n as {_BIG}) as bigint) "
+            f"ELSE -cast((-s_err) div cast(n as {_BIG}) as bigint) END"
+        ).alias("bias_u"),
+        F.expr(
+            f"CASE WHEN s_ay > 0 THEN cast(s_abs * {MICRO} div s_ay as bigint) END"
+        ).alias("wmape_u"),
+        F.expr(f"cast(s_sq div (cast(n as {_BIG}) * {MICRO}) as bigint)")
+        .alias("mse_u"),
+        F.expr(
+            f"CASE WHEN {sst} > 0 THEN "
+            f"{_signed_div_u(f'({sst} - cast(n as {_BIG}) * s_sq)', sst)} END"
+        ).alias("r2_u"),
+    )

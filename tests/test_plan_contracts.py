@@ -124,6 +124,9 @@ CONTRACTS = {
     # table after a SinglePartition exchange (thousands of rows at any
     # corpus size — by design)
     "events_key_skew_profile": (2, True, True),
+    # forecast eval: the user_id lag window exchange + one single-row
+    # reduce — the five-sum aggregate serves every metric
+    "forecast_eval_events": (1, True, True),
 }
 
 
