@@ -176,6 +176,30 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hypertable_incremental_refresh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance certified against full recompute:
+    the corpus splits into an already-materialized base (event_id % 10
+    < 8) and a new batch (the rest); each side aggregates to hourly
+    partials INDEPENDENTLY, merge_rollup_partials combines them
+    (count/sum add, min/min, max/max — cost |touched buckets|, no raw
+    rescan), and the day level derives from the merged hourly frame.
+    The oracle aggregates the raw table directly at the day level —
+    hash equality proves the incremental path IS the full recompute,
+    the property a 100 TB nightly refresh depends on."""
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        bucket_partials,
+        finalize_rollup,
+        merge_rollup_partials,
+        rollup_partials,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    base = bucket_partials(ev.filter(F.col("event_id") % 10 < 8), "1 hour")
+    delta = bucket_partials(ev.filter(F.col("event_id") % 10 >= 8), "1 hour")
+    merged = merge_rollup_partials(base, delta)
+    return finalize_rollup(rollup_partials(merged, "1 day"))
+
+
 def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast evaluation (operators/regeval.py — the regression leg
     of the measurement family): the persistence baseline (each event's
@@ -4906,6 +4930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_events": sessionize_events,
         "events_key_skew_profile": events_key_skew_profile,
         "forecast_eval_events": forecast_eval_events,
+        "hypertable_incremental_refresh_events": hypertable_incremental_refresh_events,
         "asof_clicks_purchases": asof_clicks_purchases,
         "rrf_suppliers": rrf_suppliers,
         "topk_global_dedup_events": topk_global_dedup_events,
@@ -7419,6 +7444,7 @@ def oracle_sql() -> dict[str, str]:
                END AS r2_u
         FROM agg
     """
+    out["hypertable_incremental_refresh_events"] = out["hypertable_rollup_events"]
     out["classifier_pr_curve_docs"] = f"""
         {_claseval_prefix},
         cum AS (

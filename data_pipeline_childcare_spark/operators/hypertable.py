@@ -156,6 +156,33 @@ def hypertable_rollup(
     return levels
 
 
+def merge_rollup_partials(
+    base: DataFrame,
+    delta: DataFrame,
+    group_cols: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Incremental view maintenance for the continuous-aggregate
+    ladder: combine an already-materialized partial frame with a new
+    batch's partials keyed by (bucket, groups) — count/sum add,
+    min/min, max/max. The refresh cost is |touched buckets|, never a
+    raw-table rescan: at 100 TB the nightly batch re-aggregates only
+    its own partials and this merge touches the handful of buckets the
+    batch overlaps. union + re-aggregate keeps the merge map-side
+    combinable (identical partial-aggregation semantics to the ladder
+    itself, so finalize_rollup's rounding discipline applies
+    unchanged)."""
+    return (
+        base.unionByName(delta)
+        .groupBy("bucket", *group_cols)
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value").alias("sum_value"),
+            F.min("min_value").alias("min_value"),
+            F.max("max_value").alias("max_value"),
+        )
+    )
+
+
 def finalize_rollup(level: DataFrame, ndigits: int = 4) -> DataFrame:
     """Read-time finalization: derived avg + rounded doubles (stable
     across partial-aggregation orders).

@@ -217,3 +217,38 @@ def test_streaming_gapfilled_rollup_matches_batch(spark, tmp_path, events):
         )
     )
     assert got == want
+
+
+def test_merge_rollup_partials_equals_full(spark):
+    """IVM merge over an arbitrary two-way split reproduces the
+    single-pass partials exactly (count/sum add, min/min, max/max)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.operators.hypertable import (
+        bucket_partials,
+        merge_rollup_partials,
+    )
+
+    rows = [
+        (i, f"2024-03-0{1 + i % 3} 0{i % 6}:1{i % 5}:00", "t" + str(i % 2), float(i % 7) - 2.0)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, event_type string, value double"
+    ).select("event_id", F.to_timestamp("ts_s").alias("ts"), "event_type", "value")
+    full = bucket_partials(df, "1 hour")
+    merged = merge_rollup_partials(
+        bucket_partials(df.filter(F.col("event_id") % 3 != 0), "1 hour"),
+        bucket_partials(df.filter(F.col("event_id") % 3 == 0), "1 hour"),
+    )
+    key = ["bucket", "event_type"]
+    a = {tuple(r[k] for k in key): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+         for r in full.collect()}
+    b = {tuple(r[k] for k in key): (r["n_events"], r["sum_value"], r["min_value"], r["max_value"])
+         for r in merged.collect()}
+    assert set(a) == set(b)
+    for k in a:
+        na, sa, mina, maxa = a[k]
+        nb, sb, minb, maxb = b[k]
+        assert (na, mina, maxa) == (nb, minb, maxb), k
+        assert abs(sa - sb) < 1e-9, k

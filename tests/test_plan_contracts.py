@@ -127,6 +127,10 @@ CONTRACTS = {
     # forecast eval: the user_id lag window exchange + one single-row
     # reduce — the five-sum aggregate serves every metric
     "forecast_eval_events": (1, True, True),
+    # IVM refresh: base-partials agg + delta-partials agg + the
+    # merge/day re-aggregate (bucket keys line up, so the day level
+    # reuses the merge partitioning)
+    "hypertable_incremental_refresh_events": (3, True, True),
 }
 
 
