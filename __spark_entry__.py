@@ -176,6 +176,22 @@ def events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_advisor_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured join pre-flight (operators/skew.join_strategy_advisor):
+    profile BOTH sides of the orders ⋈ lineitem key (exact key stats
+    via the count-of-counts rollup — no global key sort) and emit the
+    audited strategy decision: broadcast when a side is
+    dimension-sized, salted skew join (with the computed salt factor)
+    when a celebrity key exceeds the hot threshold, sort-merge
+    otherwise. The decision a planner makes from stats, made explicit
+    and hash-checked."""
+    from data_pipeline_childcare_spark.operators.skew import join_strategy_advisor
+
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k"))
+    lineitem = _t(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))
+    return join_strategy_advisor(orders, lineitem, ["k"])
+
+
 def hypertable_incremental_refresh_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance certified against full recompute:
     the corpus splits into an already-materialized base (event_id % 10
@@ -4931,6 +4947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_key_skew_profile": events_key_skew_profile,
         "forecast_eval_events": forecast_eval_events,
         "hypertable_incremental_refresh_events": hypertable_incremental_refresh_events,
+        "join_advisor_orders_lineitem": join_advisor_orders_lineitem,
         "asof_clicks_purchases": asof_clicks_purchases,
         "rrf_suppliers": rrf_suppliers,
         "topk_global_dedup_events": topk_global_dedup_events,
@@ -7445,6 +7462,64 @@ def oracle_sql() -> dict[str, str]:
         FROM agg
     """
     out["hypertable_incremental_refresh_events"] = out["hypertable_rollup_events"]
+    out["join_advisor_orders_lineitem"] = """
+        WITH
+        l_counts AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY o_orderkey),
+        l_cc AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM l_counts GROUP BY c),
+        l_en AS (
+            SELECT c, k,
+                   CAST(coalesce(sum(k) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS kb
+            FROM l_cc
+        ),
+        l_p AS (
+            SELECT CAST(sum(CAST(c AS HUGEINT) * k) AS BIGINT) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_count,
+                   CAST(CAST(max(c) AS HUGEINT) * sum(k) * 1000000
+                        // sum(CAST(c AS HUGEINT) * k) AS BIGINT) AS hot_key_factor_u,
+                   CAST((sum(CAST(c AS HUGEINT) * k * (2 * kb + k + 1))
+                         - CAST(sum(k) + 1 AS HUGEINT) * sum(CAST(c AS HUGEINT) * k)) * 1000000
+                        // (CAST(sum(k) AS HUGEINT) * sum(CAST(c AS HUGEINT) * k)) AS BIGINT) AS gini_u
+            FROM l_en
+        ),
+        r_counts AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY l_orderkey),
+        r_cc AS (SELECT c, CAST(count(*) AS BIGINT) AS k FROM r_counts GROUP BY c),
+        r_en AS (
+            SELECT c, k,
+                   CAST(coalesce(sum(k) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS kb
+            FROM r_cc
+        ),
+        r_p AS (
+            SELECT CAST(sum(CAST(c AS HUGEINT) * k) AS BIGINT) AS n_rows,
+                   CAST(sum(k) AS BIGINT) AS n_keys,
+                   CAST(max(c) AS BIGINT) AS max_count,
+                   CAST(CAST(max(c) AS HUGEINT) * sum(k) * 1000000
+                        // sum(CAST(c AS HUGEINT) * k) AS BIGINT) AS hot_key_factor_u,
+                   CAST((sum(CAST(c AS HUGEINT) * k * (2 * kb + k + 1))
+                         - CAST(sum(k) + 1 AS HUGEINT) * sum(CAST(c AS HUGEINT) * k)) * 1000000
+                        // (CAST(sum(k) AS HUGEINT) * sum(CAST(c AS HUGEINT) * k)) AS BIGINT) AS gini_u
+            FROM r_en
+        )
+        SELECT l_p.n_rows AS left_n_rows, l_p.n_keys AS left_n_keys,
+               l_p.max_count AS left_max_count,
+               l_p.hot_key_factor_u AS left_hot_key_factor_u,
+               l_p.gini_u AS left_gini_u,
+               r_p.n_rows AS right_n_rows, r_p.n_keys AS right_n_keys,
+               r_p.max_count AS right_max_count,
+               r_p.hot_key_factor_u AS right_hot_key_factor_u,
+               r_p.gini_u AS right_gini_u,
+               CASE WHEN l_p.n_rows <= 1000000 THEN 'broadcast_left'
+                    WHEN r_p.n_rows <= 1000000 THEN 'broadcast_right'
+                    WHEN greatest(l_p.hot_key_factor_u, r_p.hot_key_factor_u) >= 16000000
+                        THEN 'salted_skew_join'
+                    ELSE 'sort_merge_join' END AS recommendation,
+               CASE WHEN l_p.n_rows > 1000000 AND r_p.n_rows > 1000000
+                         AND greatest(l_p.hot_key_factor_u, r_p.hot_key_factor_u) >= 16000000
+                    THEN least(CAST((greatest(l_p.hot_key_factor_u, r_p.hot_key_factor_u) + 999999)
+                               // 1000000 AS BIGINT), 64)
+                    ELSE CAST(1 AS BIGINT) END AS salt_factor
+        FROM l_p CROSS JOIN r_p
+    """
     out["classifier_pr_curve_docs"] = f"""
         {_claseval_prefix},
         cum AS (

@@ -167,3 +167,61 @@ def key_skew_profile(
             "cast(max_count as decimal(38,0)) * n_keys * 1000000 div _rows"
         ).cast("long").alias("hot_key_factor_u"),
     )
+
+
+def join_strategy_advisor(
+    left: DataFrame,
+    right: DataFrame,
+    key_cols: list[str],
+    broadcast_row_limit: int = 1_000_000,
+    skew_factor_u: int = 16_000_000,
+    top_n: int = 10,
+) -> DataFrame:
+    """Measured join pre-flight: profile BOTH sides' key distributions
+    (`key_skew_profile`) and emit one row with the numbers plus a
+    deterministic strategy recommendation — the decision a 100 TB
+    join planner makes from statistics, made explicit and auditable:
+
+    - ``broadcast_left`` / ``broadcast_right`` when a side fits the
+      row budget (dimension-sized build side beats any shuffle);
+    - ``salted_skew_join`` when both sides are big and either side's
+      hottest key exceeds ``skew_factor_u`` (micros, max/mean) — the
+      salt factor to spread it is reported as ``salt_factor`` =
+      ceil(hot/1e6) capped at 64 (pair with `broadcast_salted_join` /
+      AQE skew handling);
+    - ``sort_merge_join`` otherwise — uniform keys at scale.
+
+    Output: one row, columns prefixed left_/right_ from the profile
+    (n_rows, n_keys, max_count, hot_key_factor_u, gini_u) +
+    recommendation string + salt_factor. Cost: the two profile
+    aggregates — cheap enough to run before every planned big join,
+    and the row is loggable next to the job for the post-mortem."""
+    lp = key_skew_profile(left, key_cols, top_n=top_n).select(
+        *[F.col(c).alias(f"left_{c}")
+          for c in ("n_rows", "n_keys", "max_count", "hot_key_factor_u", "gini_u")]
+    )
+    rp = key_skew_profile(right, key_cols, top_n=top_n).select(
+        *[F.col(c).alias(f"right_{c}")
+          for c in ("n_rows", "n_keys", "max_count", "hot_key_factor_u", "gini_u")]
+    )
+    both = lp.crossJoin(F.broadcast(rp)).withColumn(
+        "_hot",
+        F.greatest(F.col("left_hot_key_factor_u"), F.col("right_hot_key_factor_u")),
+    )
+    rec = (
+        F.when(F.col("left_n_rows") <= broadcast_row_limit, F.lit("broadcast_left"))
+        .when(F.col("right_n_rows") <= broadcast_row_limit, F.lit("broadcast_right"))
+        .when(F.col("_hot") >= skew_factor_u, F.lit("salted_skew_join"))
+        .otherwise(F.lit("sort_merge_join"))
+    )
+    out = both.select("*", rec.alias("recommendation")).withColumn(
+        "salt_factor",
+        F.when(
+            F.col("recommendation") == "salted_skew_join",
+            F.least(
+                F.expr("cast((_hot + 999999) div 1000000 as bigint)"),
+                F.lit(64).cast("long"),
+            ),
+        ).otherwise(F.lit(1).cast("long")),
+    )
+    return out.drop("_hot")

@@ -41,3 +41,40 @@ def test_single_key(spark):
     assert r["gini_u"] == 0
     assert r["top1_share_u"] == 1_000_000
     assert r["hot_key_factor_u"] == 1_000_000
+
+
+def test_join_advisor_broadcast_small_side(spark):
+    from data_pipeline_childcare_spark.operators.skew import join_strategy_advisor
+
+    left = spark.createDataFrame([(i % 100,) for i in range(2000)], "k long")
+    right = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    r = join_strategy_advisor(left, right, ["k"], broadcast_row_limit=100).collect()[0]
+    assert r["recommendation"] == "broadcast_right"
+    assert r["salt_factor"] == 1
+    assert (r["left_n_rows"], r["right_n_rows"]) == (2000, 50)
+
+
+def test_join_advisor_salts_hot_key(spark):
+    from data_pipeline_childcare_spark.operators.skew import join_strategy_advisor
+
+    # one celebrity key owning ~95% of rows on the left
+    left = spark.createDataFrame(
+        [(0,)] * 950 + [(i,) for i in range(1, 51)], "k long"
+    )
+    right = spark.createDataFrame([(i % 50,) for i in range(1000)], "k long")
+    r = join_strategy_advisor(
+        left, right, ["k"], broadcast_row_limit=10, skew_factor_u=16_000_000
+    ).collect()[0]
+    assert r["recommendation"] == "salted_skew_join"
+    # hot = 950 / (1000/51) = 48.45 → ceil = 49 salts
+    assert r["salt_factor"] == 49
+
+
+def test_join_advisor_uniform_goes_smj(spark):
+    from data_pipeline_childcare_spark.operators.skew import join_strategy_advisor
+
+    left = spark.createDataFrame([(i % 500,) for i in range(1000)], "k long")
+    right = spark.createDataFrame([(i % 500,) for i in range(1500)], "k long")
+    r = join_strategy_advisor(left, right, ["k"], broadcast_row_limit=100).collect()[0]
+    assert r["recommendation"] == "sort_merge_join"
+    assert r["salt_factor"] == 1
