@@ -1961,6 +1961,35 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the hourly event-value series at
+    lags 1..12 (operators/timeseries.acf) — the seasonality
+    diagnostic a monitoring pipeline runs before picking a forecast
+    window. Per-bucket milli averages aggregate map-side over any
+    corpus size; the lag join runs on the calendar-bounded series
+    frame; all ratios are DECIMAL(38,0)/HUGEINT fixed-point, so the
+    twin hash-matches bit-exactly."""
+    from data_pipeline_childcare_spark.operators.timeseries import acf
+
+    ev = _t(spark, sf_dir, "events")
+    return acf(ev, "ts", "value", "1 hour", max_lag=12)
+
+
+def events_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM change-point scan over the hourly event-value
+    series (operators/timeseries.cusum_changepoint, Page 1954):
+    cumulative deviations from the series mean peak where the level
+    shifts; one row out with the argmax bucket, peak magnitude and
+    the milli means either side. Integer milli / DECIMAL(38,0)
+    throughout — bit-exact across engines."""
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return cusum_changepoint(ev, "ts", "value", "1 hour")
+
+
 def ngram_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered exact Jaccard
     (operators/dedup.ngram_jaccard_pairs_prefix, the PPJoin candidate
@@ -5065,6 +5094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_prefix_docs": ngram_jaccard_prefix_docs,
         "ivfpq_topk_embeddings": ivfpq_topk_embeddings,
         "sq8_topk_embeddings": sq8_topk_embeddings,
+        "events_acf_hourly": events_acf_hourly,
+        "events_cusum_changepoint": events_cusum_changepoint,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
         "link_graph_hits": link_graph_hits,
@@ -8987,6 +9018,89 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cosine_sim DESC, vec_id) AS rank
             FROM rr
         ) WHERE rank <= 5
+    """
+    # ACF / CUSUM twins: the shared milli series (per-bucket sign-safe
+    # floor average, contiguous re-index), HUGEINT products/sums
+    # mirroring Spark's DECIMAL(38,0), explicit-sign floor divisions
+    _ts_milli_series = """
+        ser0 AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS HUGEINT) AS s
+            FROM events GROUP BY 1
+        ),
+        ser AS (
+            SELECT bucket,
+                   CASE WHEN s >= 0 THEN CAST(s // CAST(n AS HUGEINT) AS BIGINT)
+                        ELSE -CAST((-s) // CAST(n AS HUGEINT) AS BIGINT) END AS y_m,
+                   CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS t
+            FROM ser0
+        ),
+        st AS (
+            SELECT CASE WHEN sum(CAST(y_m AS HUGEINT)) >= 0
+                        THEN CAST(sum(CAST(y_m AS HUGEINT)) // CAST(count(*) AS HUGEINT) AS BIGINT)
+                        ELSE -CAST((-sum(CAST(y_m AS HUGEINT))) // CAST(count(*) AS HUGEINT) AS BIGINT)
+                   END AS ybar
+            FROM ser
+        )"""
+    out["events_acf_hourly"] = f"""
+        WITH {_ts_milli_series},
+        d AS (
+            SELECT t, CAST(y_m - ybar AS HUGEINT) AS d
+            FROM ser CROSS JOIN st
+        ),
+        den AS (SELECT sum(d * d) AS den FROM d),
+        lags AS (SELECT unnest(range(1, 13)) AS lag),
+        num AS (
+            SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+                   sum(a.d * b.d) AS num
+            FROM lags l
+            JOIN d a ON TRUE
+            JOIN d b ON a.t = b.t + l.lag
+            GROUP BY l.lag
+        )
+        SELECT CAST(lag AS INT) AS lag, n_pairs,
+               CASE WHEN den > 0 THEN
+                   CASE WHEN num >= 0 THEN CAST(num * 1000000 // den AS BIGINT)
+                        ELSE -CAST((-num) * 1000000 // den AS BIGINT) END
+               END AS acf_u
+        FROM num CROSS JOIN den
+        ORDER BY lag
+    """
+    out["events_cusum_changepoint"] = f"""
+        WITH {_ts_milli_series},
+        cum AS (
+            SELECT bucket, t, y_m,
+                   sum(CAST(y_m - ybar AS HUGEINT))
+                       OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS c
+            FROM ser CROSS JOIN st
+        ),
+        peak AS (
+            SELECT bucket AS change_bucket, t AS tstar, CAST(c AS BIGINT) AS cm
+            FROM cum ORDER BY abs(c) DESC, t LIMIT 1
+        ),
+        nb AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets FROM ser),
+        sides AS (
+            SELECT CASE WHEN cum.t <= peak.tstar THEN 1 ELSE 2 END AS side,
+                   sum(CAST(y_m AS HUGEINT)) AS ss,
+                   CAST(count(*) AS HUGEINT) AS sn
+            FROM cum CROSS JOIN peak GROUP BY 1
+        ),
+        sm AS (
+            SELECT max(CASE WHEN side = 1 THEN
+                       CASE WHEN ss >= 0 THEN CAST(ss // sn AS BIGINT)
+                            ELSE -CAST((-ss) // sn AS BIGINT) END END) AS mean_before_m,
+                   max(CASE WHEN side = 2 THEN
+                       CASE WHEN ss >= 0 THEN CAST(ss // sn AS BIGINT)
+                            ELSE -CAST((-ss) // sn AS BIGINT) END END) AS mean_after_m
+            FROM sides
+        )
+        SELECT nb.n_buckets, peak.change_bucket,
+               abs(peak.cm) AS cusum_max_abs_m,
+               sm.mean_before_m, sm.mean_after_m,
+               sm.mean_after_m - sm.mean_before_m AS shift_m
+        FROM nb CROSS JOIN peak CROSS JOIN sm
     """
     # incremental-dedup twin: the portable-minhash pair chain over the
     # full corpus + the incremental keep rule (drop a new id that is

@@ -200,3 +200,192 @@ def counter_agg_sql(
                CAST(sum(reset) AS BIGINT) AS n_resets
         FROM stepped GROUP BY {groups}, bucket
     """
+
+
+def _sgn_div(num: str, den: str, scale: int = 1) -> str:
+    """SQL snippet: ``sign(num) · (|num|·scale div den)`` in
+    DECIMAL(38,0), cast to BIGINT — the explicit-sign integer
+    division (Spark ``div`` truncates toward zero, DuckDB ``//``
+    floors; they agree only through this form)."""
+    mul = f" * {scale}" if scale != 1 else ""
+    return (
+        f"CASE WHEN {num} >= 0 THEN cast(({num}){mul} div ({den}) as bigint) "
+        f"ELSE -cast((-({num})){mul} div ({den}) as bigint) END"
+    )
+
+
+def _milli_series(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    width: str,
+) -> DataFrame:
+    """The shared fixed-point series both diagnostics run on:
+    bucket the rows with ``time_bucket``, average the value per
+    bucket in integer millis (sign-safe floor division), and
+    re-index observed buckets contiguously (t = 1..N by bucket
+    order) so lag arithmetic is gap-free.
+
+    Scale shape: the per-bucket aggregate is map-side combinable over
+    any corpus size; everything after runs on the SERIES frame, whose
+    length is time-range/width — bounded by the calendar, not the
+    corpus (720 rows for a month of hours), the hypertable-rollup
+    scale argument. The single-partition row_number window is over
+    that provably small frame (documented, same class as the score_u
+    windows)."""
+    v_m = F.floor(F.col(value_col) * 1000 + F.lit(0.5)).cast("long")
+    per = (
+        df.select(time_bucket(width, F.col(ts_col)).alias("bucket"), v_m.alias("_v"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.sum(F.col("_v").cast("decimal(38,0)")).alias("_s"),
+        )
+        .select(
+            "bucket",
+            F.expr(_sgn_div("_s", "cast(_n as decimal(38,0))")).alias("y_m"),
+        )
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("bucket")
+    return per.select("bucket", "y_m", F.row_number().over(w).alias("t"))
+
+
+def acf(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "1 hour",
+    max_lag: int = 12,
+) -> DataFrame:
+    """Sample autocorrelation of the bucketed series at lags
+    1..max_lag → (lag, n_pairs, acf_u), integer micros.
+
+    The series is the per-bucket milli average; the mean is the
+    floor milli mean; ``acf(ℓ) = Σ_t d_t·d_{t−ℓ} / Σ_t d_t²`` with
+    deviations, products and sums all in DECIMAL(38,0) (HUGEINT in
+    the twin) — overflow-free and bit-exact across engines, the
+    fixed-point discipline. Denominator is the full-series energy
+    (the standard biased ACF estimator, lag-independent — what
+    statsmodels ``acf`` computes).
+
+    Lag pairing is a broadcast self-equi-join of the series frame on
+    ``t = t′ + ℓ`` after an explode of the lag list — series-sized
+    both sides, so the join is trivially broadcastable at any corpus
+    scale. Null acf_u when the series is constant (zero energy)."""
+    ser = _milli_series(df, ts_col, value_col, width)
+    stats = ser.agg(
+        F.sum(F.col("y_m").cast("decimal(38,0)")).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).select(
+        F.expr(_sgn_div("_s", "cast(_n as decimal(38,0))")).alias("_ybar"), "_n"
+    )
+    dser = ser.crossJoin(F.broadcast(stats)).select(
+        "t", (F.col("y_m") - F.col("_ybar")).cast("decimal(38,0)").alias("d")
+    )
+    den = dser.agg(F.sum(F.col("d") * F.col("d")).alias("_den"))
+    lags = dser.sparkSession.range(1, max_lag + 1).select(
+        F.col("id").cast("int").alias("lag")
+    )
+    pairs = (
+        lags.crossJoin(dser.withColumnRenamed("d", "_d1"))
+        .join(
+            F.broadcast(
+                dser.select(F.col("t").alias("_t2"), F.col("d").alias("_d2"))
+            ),
+            on=F.col("t") == F.col("_t2") + F.col("lag"),
+        )
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.col("_d1") * F.col("_d2")).alias("_num"),
+        )
+    )
+    return (
+        pairs.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(
+                f"CASE WHEN _den > 0 THEN {_sgn_div('_num', '_den', 1_000_000)} END"
+            ).alias("acf_u"),
+        )
+        .orderBy("lag")
+    )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "1 hour",
+) -> DataFrame:
+    """CUSUM change-point scan (Page 1954 / the offline CUSUM test):
+    cumulative sums of deviations from the series mean peak exactly
+    where the level shifts. One row out:
+    (n_buckets, change_bucket, cusum_max_abs_m, mean_before_m,
+    mean_after_m, shift_m) — the argmax-|CUSUM| bucket (earliest on
+    ties), the peak magnitude, and the milli means either side of it.
+
+    All arithmetic is integer milli / DECIMAL(38,0): deviations from
+    the floor milli mean, a bucket-ordered cumulative sum over the
+    series-sized frame (single-partition window, bounded by the
+    calendar — documented), sign-safe floor divisions for the two
+    side means. Bit-exact across engines by construction."""
+    ser = _milli_series(df, ts_col, value_col, width)
+    stats = ser.agg(
+        F.sum(F.col("y_m").cast("decimal(38,0)")).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("_n"),
+    ).select(
+        F.expr(_sgn_div("_s", "cast(_n as decimal(38,0))")).alias("_ybar"), "_n"
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("t")
+    cum = (
+        ser.crossJoin(F.broadcast(stats))
+        .select(
+            "bucket",
+            "t",
+            "y_m",
+            "_n",
+            F.sum((F.col("y_m") - F.col("_ybar")).cast("decimal(38,0)"))
+            .over(w)
+            .alias("c"),
+        )
+    )
+    peak = cum.orderBy(F.abs(F.col("c")).desc(), F.col("t")).limit(1).select(
+        F.col("bucket").alias("change_bucket"),
+        F.col("t").alias("_tstar"),
+        F.col("c").cast("long").alias("cusum_max_abs_m_signed"),
+        F.col("_n").alias("n_buckets"),
+    )
+    sides = (
+        cum.crossJoin(F.broadcast(peak))
+        .withColumn("_side", F.when(F.col("t") <= F.col("_tstar"), 1).otherwise(2))
+        .groupBy("n_buckets", "change_bucket", "cusum_max_abs_m_signed", "_side")
+        .agg(
+            F.sum(F.col("y_m").cast("decimal(38,0)")).alias("_ss"),
+            F.count(F.lit(1)).cast("long").alias("_sn"),
+        )
+        .groupBy("n_buckets", "change_bucket", "cusum_max_abs_m_signed")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_side") == 1,
+                    F.expr(_sgn_div("_ss", "cast(_sn as decimal(38,0))")),
+                )
+            ).alias("mean_before_m"),
+            F.max(
+                F.when(
+                    F.col("_side") == 2,
+                    F.expr(_sgn_div("_ss", "cast(_sn as decimal(38,0))")),
+                )
+            ).alias("mean_after_m"),
+        )
+    )
+    return sides.select(
+        "n_buckets",
+        "change_bucket",
+        F.abs(F.col("cusum_max_abs_m_signed")).alias("cusum_max_abs_m"),
+        "mean_before_m",
+        "mean_after_m",
+        (F.col("mean_after_m") - F.col("mean_before_m")).alias("shift_m"),
+    )

@@ -76,3 +76,87 @@ def test_counter_delta_lands_in_later_bucket(spark):
     }
     assert rows[dt.datetime(2024, 1, 1, 0)] == 0.0
     assert rows[dt.datetime(2024, 1, 1, 1)] == pytest.approx(60.0)
+
+
+# ---------------------------------------------------------------- acf / cusum
+
+
+def _series_df(spark, vals, start="2024-01-01 00:00:00"):
+    """One event per hour with the given values."""
+    rows = [
+        (f"2024-01-01 {h:02d}:00:07", float(v)) for h, v in enumerate(vals)
+    ]
+    return spark.createDataFrame(rows, "ts string, value double").selectExpr(
+        "cast(ts as timestamp) as ts", "value"
+    )
+
+
+def test_acf_alternating_series(spark):
+    from data_pipeline_childcare_spark.operators.timeseries import acf
+
+    # y = [0, 2, 0, 2, ...]: mean 1, d = ±1000 milli
+    df = _series_df(spark, [0, 2] * 6)  # 12 buckets
+    rows = {r["lag"]: r for r in acf(df, max_lag=3).collect()}
+    # lag 1: all products -1e6, 11 pairs; den = 12e6 -> -11/12
+    assert rows[1]["n_pairs"] == 11
+    assert rows[1]["acf_u"] == -(11 * 1_000_000 * 1_000_000 // (12 * 1_000_000))
+    # lag 2: 10 pairs, all +1 -> 10/12
+    assert rows[2]["acf_u"] == 10 * 1_000_000 // 12
+    assert rows[3]["n_pairs"] == 9
+
+
+def test_acf_constant_series_null(spark):
+    from data_pipeline_childcare_spark.operators.timeseries import acf
+
+    df = _series_df(spark, [5.0] * 8)
+    rows = acf(df, max_lag=2).collect()
+    assert all(r["acf_u"] is None for r in rows)
+
+
+def test_acf_multiple_events_per_bucket_average(spark):
+    from data_pipeline_childcare_spark.operators.timeseries import acf
+
+    # two events in bucket 0 average to 1.0 -> same series as [1, 3]
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:10:00", 0.0),
+            ("2024-01-01 00:50:00", 2.0),
+            ("2024-01-01 01:30:00", 3.0),
+        ],
+        "ts string, value double",
+    ).selectExpr("cast(ts as timestamp) as ts", "value")
+    r = acf(df, max_lag=1).collect()[0]
+    assert r["n_pairs"] == 1
+    # series [1000, 3000], mean 2000, d = [-1000, 1000]; the biased
+    # estimator divides by the FULL energy 2e6 -> -0.5 (statsmodels)
+    assert r["acf_u"] == -500_000
+
+
+def test_cusum_step_series(spark):
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    # level shift after hour 5: 6 hours at 1.0 then 6 at 9.0
+    df = _series_df(spark, [1.0] * 6 + [9.0] * 6)
+    r = cusum_changepoint(df).collect()[0]
+    assert r["n_buckets"] == 12
+    assert r["change_bucket"].hour == 5  # peak |CUSUM| at the last low bucket
+    assert r["mean_before_m"] == 1000
+    assert r["mean_after_m"] == 9000
+    assert r["shift_m"] == 8000
+    # mean = 5000 -> each low bucket contributes -4000
+    assert r["cusum_max_abs_m"] == 6 * 4000
+
+
+def test_cusum_tie_earliest_bucket(spark):
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        cusum_changepoint,
+    )
+
+    # symmetric V: |CUSUM| peaks equal at both slopes -> earliest wins
+    df = _series_df(spark, [0.0, 4.0, 4.0, 0.0])
+    r = cusum_changepoint(df).collect()[0]
+    # mean 2000; c = [-2000, 0, 2000, 0] -> |c| ties at t=1 and t=3
+    assert r["change_bucket"].hour == 0
+    assert r["cusum_max_abs_m"] == 2000
