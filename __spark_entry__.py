@@ -1961,6 +1961,34 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP histogram release (operators/dp.dp_noisy_counts,
+    Ghosh-Roughgarden-Sundararajan two-sided geometric): exact keyed
+    counts + seeded inverse-CDF noise baked into the plan as a CASE
+    chain over the portable md5 draw, then the suppression
+    threshold. Seeded release = reproducible and twin-checkable; a
+    production run swaps the salt per release epoch."""
+    from data_pipeline_childcare_spark.operators.dp import dp_noisy_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_counts(
+        ev, ["event_type"], epsilon=1.0, suppress_below=10
+    )
+
+
+def dp_event_value_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ε-DP clipped-sum release (operators/dp.dp_noisy_sum):
+    per-row values round-and-clip to [0, 10] (contribution bounding
+    — the sum's sensitivity is the clip bound), the keyed sums take
+    two-sided-geometric noise at parameter ε/clip. High-budget demo
+    parameters keep the baked CASE chain short; the operator takes
+    any (ε, clip)."""
+    from data_pipeline_childcare_spark.operators.dp import dp_noisy_sum
+
+    ev = _t(spark, sf_dir, "events")
+    return dp_noisy_sum(ev, ["event_type"], "value", clip=10, epsilon=10.0)
+
+
 def events_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample autocorrelation of the hourly event-value series at
     lags 1..12 (operators/timeseries.acf) — the seasonality
@@ -5096,6 +5124,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sq8_topk_embeddings": sq8_topk_embeddings,
         "events_acf_hourly": events_acf_hourly,
         "events_cusum_changepoint": events_cusum_changepoint,
+        "dp_event_type_counts": dp_event_type_counts,
+        "dp_event_value_sums": dp_event_value_sums,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
         "link_graph_hits": link_graph_hits,
@@ -9018,6 +9048,49 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cosine_sim DESC, vec_id) AS rank
             FROM rr
         ) WHERE rank <= 5
+    """
+    # DP twins: the noise CASE chain is generated by the SAME Python
+    # function that bakes it into the Spark plan; only the md5-draw
+    # spelling differs (DuckDB hex-prefix cast vs Spark conv())
+    from data_pipeline_childcare_spark.operators.dp import (
+        noise_case_sql as _dp_case,
+        uniform_draw_duckdb as _dp_draw,
+    )
+
+    _dpc_z = _dp_case(
+        _dp_draw("concat_ws('|#|', CAST(event_type AS VARCHAR))", "dp-release-1"),
+        1.0,
+    )
+    out["dp_event_type_counts"] = f"""
+        WITH agg AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(c + {_dpc_z} AS BIGINT) AS noisy_count,
+               CAST(1000000 AS BIGINT) AS epsilon_u
+        FROM agg
+        WHERE c + {_dpc_z} >= 10
+    """
+    _dps_z = _dp_case(
+        _dp_draw(
+            "concat_ws('|#|', CAST(event_type AS VARCHAR))", "dp-release-1:sum"
+        ),
+        10.0 / 10,
+    )
+    out["dp_event_value_sums"] = f"""
+        WITH agg AS (
+            SELECT event_type,
+                   CAST(sum(least(CAST(10 AS BIGINT),
+                                  greatest(CAST(0 AS BIGINT),
+                                           CAST(floor(value + 0.5) AS BIGINT)))) AS BIGINT) AS s
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(s + {_dps_z} AS BIGINT) AS noisy_sum,
+               CAST(10 AS BIGINT) AS clip_bound,
+               CAST(10000000 AS BIGINT) AS epsilon_u
+        FROM agg
     """
     # ACF / CUSUM twins: the shared milli series (per-bucket sign-safe
     # floor average, contiguous re-index), HUGEINT products/sums
