@@ -1961,6 +1961,20 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (operators/similarity.kcenter_select,
+    Gonzalez farthest-point 2-approximation): md5-canonical seed,
+    then 5 farthest-point picks with a running min-distance fold —
+    the diverse-subset selector a curation pipeline uses for
+    annotation budgets. k corpus passes, only 1-row pick frames
+    checkpoint. The twin unrolls the greedy as materialized CTE
+    steps over the SAME l2 decomposition — hash-exact."""
+    from data_pipeline_childcare_spark.operators.similarity import kcenter_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return kcenter_select(emb, k=6)
+
+
 def dp_event_type_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ε-DP histogram release (operators/dp.dp_noisy_counts,
     Ghosh-Roughgarden-Sundararajan two-sided geometric): exact keyed
@@ -5125,6 +5139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_acf_hourly": events_acf_hourly,
         "events_cusum_changepoint": events_cusum_changepoint,
         "dp_event_type_counts": dp_event_type_counts,
+        "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "dp_event_value_sums": dp_event_value_sums,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
@@ -9049,6 +9064,11 @@ def oracle_sql() -> dict[str, str]:
             FROM rr
         ) WHERE rank <= 5
     """
+    from data_pipeline_childcare_spark.operators.similarity import (
+        kcenter_sql as _kcenter_sql,
+    )
+
+    out["kcenter_coreset_embeddings"] = _kcenter_sql(k=6)
     # DP twins: the noise CASE chain is generated by the SAME Python
     # function that bakes it into the Spark plan; only the md5-draw
     # spelling differs (DuckDB hex-prefix cast vs Spark conv())

@@ -1222,3 +1222,134 @@ def sq8_topk(
     )
     wr = Window.partitionBy(query_id_col).orderBy(F.desc("cosine_sim"), F.col(id_col))
     return cand.withColumn("rank", F.row_number().over(wr)).filter(F.col("rank") <= k)
+
+
+def kcenter_select(
+    corpus: DataFrame,
+    k: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Greedy k-center selection (Gonzalez 1985 farthest-point
+    traversal — the 2-approximation for the k-center objective, and
+    the standard coreset / diverse-subset picker for training-data
+    curation): seed with the canonical md5-min vector, then k−1
+    times pick the point FARTHEST from the selected set (squared L2
+    via the ``_l2sq`` decomposition, ties → smallest id) and fold it
+    in with a running ``least(dmin, d²(·, new))`` update.
+
+    Returns (round, vec_id, sel_dist_sq): the selection order and
+    each pick's distance-to-set at selection time (null for the
+    seed) — sel_dist_sq is non-increasing, and the last value bounds
+    the coverage radius within 2× of optimal.
+
+    Scale shape: k corpus passes (inherent to the greedy), each a
+    map-only broadcast of ONE new center + a global top-1
+    (takeOrdered — no full sort). Only the 1-row pick frames are
+    localCheckpoint'ed (lazily), so lineage stays linear in k and
+    nothing corpus-sized is ever materialized. Exactness: the
+    distance decomposition shares the oracle's list_dot_product
+    association order, so argmax comparisons are bit-identical —
+    the kmeans_lite discipline."""
+    pts = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    seed_hash = F.expr(
+        f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
+    )
+    seed = (
+        pts.withColumn("_h", seed_hash)
+        .orderBy("_h", id_col)
+        .limit(1)
+        .select(id_col, "_v")
+    )
+    if checkpoint:
+        seed = seed.localCheckpoint(eager=False)
+    state = pts.crossJoin(
+        F.broadcast(seed.select(F.col("_v").alias("_c")))
+    ).select(
+        F.col(id_col), F.col("_v"), _l2sq(F.col("_v"), F.col("_c")).alias("_dmin")
+    )
+    picks = [
+        seed.select(
+            F.lit(1).alias("round"),
+            F.col(id_col),
+            F.lit(None).cast("double").alias("sel_dist_sq"),
+        )
+    ]
+    for r in range(2, k + 1):
+        pick = state.orderBy(F.desc("_dmin"), F.col(id_col)).limit(1)
+        if checkpoint:
+            pick = pick.localCheckpoint(eager=False)
+        picks.append(
+            pick.select(
+                F.lit(r).alias("round"),
+                F.col(id_col),
+                F.round(F.col("_dmin"), 6).alias("sel_dist_sq"),
+            )
+        )
+        state = state.crossJoin(
+            F.broadcast(pick.select(F.col("_v").alias("_c")))
+        ).select(
+            F.col(id_col),
+            F.col("_v"),
+            F.least(F.col("_dmin"), _l2sq(F.col("_v"), F.col("_c"))).alias("_dmin"),
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def kcenter_sql(k: int = 6, table: str = "embeddings") -> str:
+    """DuckDB twin of :func:`kcenter_select`: the greedy unrolled as
+    k MATERIALIZED CTE steps (materialization is load-bearing —
+    DuckDB inlines plain CTEs and the step chain goes exponential),
+    each picking the farthest point then folding it into the running
+    min-distance. Distance uses the same list_dot_product
+    decomposition, so every comparison matches Spark bit-for-bit."""
+
+    def l2(v: str, c: str) -> str:
+        return (
+            f"(list_dot_product({v}, {v}) - 2.0 * list_dot_product({v}, {c})"
+            f" + list_dot_product({c}, {c}))"
+        )
+
+    ctes = [
+        f"""pts AS MATERIALIZED (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM {table}
+        )""",
+        f"""c1 AS MATERIALIZED (
+            SELECT vec_id, v FROM (
+                SELECT vec_id, v,
+                       CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+                FROM pts ORDER BY h, vec_id LIMIT 1
+            )
+        )""",
+        f"""s1 AS MATERIALIZED (
+            SELECT p.vec_id, p.v, {l2('p.v', 'c.v')} AS dmin
+            FROM pts p CROSS JOIN c1 c
+        )""",
+    ]
+    for r in range(2, k + 1):
+        ctes.append(
+            f"""c{r} AS MATERIALIZED (
+            SELECT vec_id, v, dmin FROM s{r - 1}
+            ORDER BY dmin DESC, vec_id LIMIT 1
+        )"""
+        )
+        if r < k:
+            ctes.append(
+                f"""s{r} AS MATERIALIZED (
+            SELECT s.vec_id, s.v, least(s.dmin, {l2('s.v', 'c.v')}) AS dmin
+            FROM s{r - 1} s CROSS JOIN c{r} c
+        )"""
+            )
+    selects = [
+        "SELECT 1 AS round, vec_id, CAST(NULL AS DOUBLE) AS sel_dist_sq FROM c1"
+    ] + [
+        f"SELECT {r} AS round, vec_id, round(dmin, 6) AS sel_dist_sq FROM c{r}"
+        for r in range(2, k + 1)
+    ]
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)

@@ -347,3 +347,43 @@ def test_ivfpq_reranked_recall_and_exact_scores(spark):
         a, b = mat[r["query_id"]], mat[r["vec_id"]]
         true_cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
         assert abs(r["cosine_sim"] - true_cos) < 1e-5
+
+
+# ------------------------------------------------------------------ k-center
+
+
+def test_kcenter_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.similarity import kcenter_select
+
+    # 1-d line: clusters at 0, 100, 50 — farthest-point hops ends first
+    rows = [
+        (1, [0.0]), (2, [1.0]),
+        (3, [100.0]), (4, [99.0]),
+        (5, [50.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["round"]: r for r in kcenter_select(df, k=3).collect()}
+    assert len(out) == 3
+    seed_id = out[1]["vec_id"]
+    assert out[1]["sel_dist_sq"] is None
+    # pick 2 is the farthest point from the seed; pick 3 is the middle
+    if seed_id in (1, 2):
+        assert out[2]["vec_id"] == 3  # 100 is farther than 99 from 0/1
+    elif seed_id in (3, 4):
+        assert out[2]["vec_id"] == 1
+    else:
+        assert out[2]["vec_id"] in (3, 1)  # 50 -> ties broken by id: 2500 vs 2500... id 1 wins
+    if seed_id != 5:
+        assert out[3]["vec_id"] == 5
+
+
+def test_kcenter_sel_dist_non_increasing_and_distinct(spark):
+    from data_pipeline_childcare_spark.operators.similarity import kcenter_select
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = sorted(kcenter_select(emb, k=5).collect(), key=lambda r: r["round"])
+    ids = [r["vec_id"] for r in rows]
+    assert len(set(ids)) == 5
+    dists = [r["sel_dist_sq"] for r in rows[1:]]
+    assert all(a >= b for a, b in zip(dists, dists[1:]))
+    assert all(d > 0 for d in dists)
