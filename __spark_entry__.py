@@ -1961,6 +1961,18 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-index phrase search (operators/tfidf.phrase_search,
+    IIR §2.4): exact consecutive-token match of "table scan" via one
+    postings pass + per-term-filtered equi-joins on (doc, adjusted
+    position). The lexical-exact complement to the BM25/hybrid
+    retrieval family."""
+    from data_pipeline_childcare_spark.operators.tfidf import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, "table scan")
+
+
 def kcenter_coreset_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (operators/similarity.kcenter_select,
     Gonzalez farthest-point 2-approximation): md5-canonical seed,
@@ -5140,6 +5152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_cusum_changepoint": events_cusum_changepoint,
         "dp_event_type_counts": dp_event_type_counts,
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
+        "phrase_search_docs": phrase_search_docs,
         "dp_event_value_sums": dp_event_value_sums,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
@@ -9069,6 +9082,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["kcenter_coreset_embeddings"] = _kcenter_sql(k=6)
+    from data_pipeline_childcare_spark.operators.tfidf import (
+        phrase_search_sql as _phrase_sql,
+    )
+
+    out["phrase_search_docs"] = _phrase_sql("table scan")
     # DP twins: the noise CASE chain is generated by the SAME Python
     # function that bakes it into the Spark plan; only the md5-draw
     # spelling differs (DuckDB hex-prefix cast vs Spark conv())

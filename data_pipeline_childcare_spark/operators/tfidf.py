@@ -601,3 +601,75 @@ def perplexity_buckets(
         .otherwise(F.lit("middle"))
     )
     return scored.withColumn("bucket", bucket).withColumn("bucket_name", name)
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Positional-index phrase search (the classic IR positional
+    intersection — Manning/Raghavan/Schütze IIR §2.4): exact
+    consecutive-token match of ``phrase`` → (doc_id, n_matches,
+    first_pos), 1-indexed positions, one row per matching document.
+
+    Plan shape: ONE posexplode pass builds the positional postings;
+    the filter to the phrase's own terms happens before any join, so
+    at 100 TB each join input is a single term's postings list (the
+    selectivity a real positional index gets from its dictionary),
+    and the n−1 joins are equi-joins on (doc, adjusted position) —
+    co-partitioned after the first shuffle, no theta joins, no UDFs.
+    Tokenization is the engine-wide whitespace tokenizer."""
+    from ..functions.text import tokenize
+
+    terms = [t for t in phrase.lower().split() if t]
+    if not terms:
+        raise ValueError("phrase must contain at least one token")
+    postings = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("_p0", "_tok"),
+    ).select(id_col, (F.col("_p0") + 1).alias("pos"), "_tok")
+    cur = postings.filter(F.col("_tok") == terms[0]).select(id_col, "pos")
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("_tok") == t).select(
+            F.col(id_col).alias("_id2"), (F.col("pos") - i).alias("_pm")
+        )
+        cur = cur.join(
+            nxt,
+            on=(F.col("pos") == F.col("_pm")) & (F.col(id_col) == F.col("_id2")),
+        ).select(id_col, "pos")
+    return (
+        cur.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+            F.min("pos").cast("long").alias("first_pos"),
+        )
+    )
+
+
+def phrase_search_sql(phrase: str, table: str = "documents") -> str:
+    """DuckDB twin of :func:`phrase_search`: same tokenizer spelling,
+    same 1-indexed positional intersection."""
+    terms = [t for t in phrase.lower().split() if t]
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    joins = "".join(
+        f"""
+            JOIN p t{i} ON t{i}.doc_id = t0.doc_id
+                       AND t{i}.tok = '{t}'
+                       AND t{i}.pos = t0.pos + {i}"""
+        for i, t in enumerate(terms[1:], start=1)
+    )
+    return f"""
+        WITH p AS (
+            SELECT doc_id, unnest({toks}) AS tok,
+                   unnest(range(1, len({toks}) + 1)) AS pos
+            FROM {table}
+        )
+        SELECT t0.doc_id,
+               CAST(count(*) AS BIGINT) AS n_matches,
+               CAST(min(t0.pos) AS BIGINT) AS first_pos
+        FROM p t0{joins}
+        WHERE t0.tok = '{terms[0]}'
+        GROUP BY t0.doc_id
+    """

@@ -725,3 +725,46 @@ def test_prefix_jaccard_lossless_and_smaller_index(spark):
             map(tuple, ngram_jaccard_pairs_prefix(docs, n=3, threshold=t).collect())
         )
         assert pref == exact, f"threshold {t}"
+
+
+# ------------------------------------------------------------- phrase search
+
+
+def test_phrase_search_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.tfidf import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox the quick dog"),
+            (2, "quick the brown"),
+            (3, "THE  Quick\tstart"),
+            (4, "nothing here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in phrase_search(docs, "the quick").collect()}
+    assert set(rows) == {1, 3}
+    assert rows[1]["n_matches"] == 2 and rows[1]["first_pos"] == 1
+    assert rows[3]["n_matches"] == 1  # case/whitespace normalized
+
+
+def test_phrase_search_overlapping_and_single_term(spark):
+    from data_pipeline_childcare_spark.operators.tfidf import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a a a a"), (2, "b a b")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in phrase_search(docs, "a a").collect()}
+    assert rows[1]["n_matches"] == 3  # overlapping occurrences all count
+    single = {r["doc_id"]: r["n_matches"] for r in phrase_search(docs, "a").collect()}
+    assert single == {1: 4, 2: 1}
+
+
+def test_phrase_search_empty_phrase_raises(spark):
+    import pytest
+
+    from data_pipeline_childcare_spark.operators.tfidf import phrase_search
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        phrase_search(docs, "   ")
