@@ -1961,6 +1961,46 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (operators/funnel.funnel, Mixpanel semantics):
+    a user converts to step k at the first step-k event STRICTLY
+    AFTER their step-(k-1) conversion time. One user-keyed shuffle +
+    co-partitioned joins; conversions are integer-micro floor
+    divisions on the |steps|-row result frame."""
+    from data_pipeline_childcare_spark.operators.funnel import funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel(ev, ["signup", "click", "purchase"])
+
+
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (operators/funnel.cohort_retention):
+    cohort = epoch-week of the user's first event; cells count users
+    active week_offset weeks later; offset-0 rows pin the cohort
+    sizes. Epoch-week integer math — timezone-free, engine-portable."""
+    from data_pipeline_childcare_spark.operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events")
+    return cohort_retention(ev)
+
+
+def ks_click_vs_purchase_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test between click and purchase
+    event-value distributions (operators/drift.ks_statistic): the
+    max EDF gap as |cumA*nB - cumB*nA| in pure integers over the
+    milli-quantized distinct-value frame. Nonparametric drift
+    detection without binning choices — complements the PSI-style
+    profile drift in snapshot_drift_report."""
+    from data_pipeline_childcare_spark.operators.drift import ks_statistic
+
+    ev = _t(spark, sf_dir, "events")
+    return ks_statistic(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        "value",
+    )
+
+
 def phrase_search_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional-index phrase search (operators/tfidf.phrase_search,
     IIR §2.4): exact consecutive-token match of "table scan" via one
@@ -5153,6 +5193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_event_type_counts": dp_event_type_counts,
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "phrase_search_docs": phrase_search_docs,
+        "funnel_signup_click_purchase": funnel_signup_click_purchase,
+        "cohort_retention_events": cohort_retention_events,
+        "ks_click_vs_purchase_value": ks_click_vs_purchase_value,
         "dp_event_value_sums": dp_event_value_sums,
         "k_anonymity_audit": k_anonymity_audit,
         "link_graph_triangles": link_graph_triangles,
@@ -9087,6 +9130,104 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["phrase_search_docs"] = _phrase_sql("table scan")
+    out["funnel_signup_click_purchase"] = """
+        WITH
+        s1 AS (
+            SELECT user_id, min(ts) AS t
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        ),
+        counts AS (
+            SELECT 1 AS step, 'signup' AS step_name, CAST(count(*) AS BIGINT) AS n_users FROM s1
+            UNION ALL
+            SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL
+            SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        ),
+        en AS (
+            SELECT step, step_name, n_users,
+                   max(CASE WHEN step = 1 THEN n_users END) OVER () AS top,
+                   lag(n_users) OVER (ORDER BY step) AS prev
+            FROM counts
+        )
+        SELECT step, step_name, n_users,
+               CASE WHEN prev IS NOT NULL AND prev > 0
+                    THEN CAST(n_users * 1000000 // prev AS BIGINT) END AS conv_from_prev_u,
+               CASE WHEN top > 0
+                    THEN CAST(n_users * 1000000 // top AS BIGINT) END AS conv_from_top_u
+        FROM en ORDER BY step
+    """
+    out["cohort_retention_events"] = """
+        WITH
+        wk AS (
+            SELECT DISTINCT user_id AS u,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) // 7 AS BIGINT) AS w
+            FROM events
+        ),
+        first AS (SELECT u, min(w) AS cohort_week FROM wk GROUP BY u),
+        cells AS (
+            SELECT f.cohort_week, wk.w - f.cohort_week AS week_offset,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM wk JOIN first f ON wk.u = f.u
+            GROUP BY 1, 2
+        ),
+        en AS (
+            SELECT cohort_week, week_offset, n_users,
+                   max(CASE WHEN week_offset = 0 THEN n_users END)
+                       OVER (PARTITION BY cohort_week) AS cohort_size
+            FROM cells
+        )
+        SELECT cohort_week, week_offset, n_users, cohort_size,
+               CAST(n_users * 1000000 // cohort_size AS BIGINT) AS retention_u
+        FROM en
+    """
+    out["ks_click_vs_purchase_value"] = """
+        WITH
+        a AS (
+            SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_m,
+                   CAST(count(*) AS BIGINT) AS ca
+            FROM events WHERE event_type = 'click' GROUP BY 1
+        ),
+        b AS (
+            SELECT CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v_m,
+                   CAST(count(*) AS BIGINT) AS cb
+            FROM events WHERE event_type = 'purchase' GROUP BY 1
+        ),
+        m AS (
+            SELECT coalesce(a.v_m, b.v_m) AS v_m,
+                   coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+            FROM a FULL OUTER JOIN b ON a.v_m = b.v_m
+        ),
+        cum AS (
+            SELECT v_m,
+                   sum(CAST(ca AS HUGEINT)) OVER (ORDER BY v_m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+                   sum(CAST(cb AS HUGEINT)) OVER (ORDER BY v_m
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b,
+                   sum(CAST(ca AS HUGEINT)) OVER () AS n_a,
+                   sum(CAST(cb AS HUGEINT)) OVER () AS n_b
+            FROM m
+        ),
+        g AS (
+            SELECT v_m, n_a, n_b, abs(cum_a * n_b - cum_b * n_a) AS gap
+            FROM cum
+        )
+        SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               CAST(gap * 1000000 // (n_a * n_b) AS BIGINT) AS ks_u,
+               v_m AS ks_at_value_m
+        FROM g ORDER BY gap DESC, v_m LIMIT 1
+    """
     # DP twins: the noise CASE chain is generated by the SAME Python
     # function that bakes it into the Spark plan; only the md5-draw
     # spelling differs (DuckDB hex-prefix cast vs Spark conv())

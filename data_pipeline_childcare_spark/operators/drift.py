@@ -25,7 +25,7 @@ lossy casts visible).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_pipeline_childcare_spark.operators.profile import profile_columns
@@ -106,4 +106,65 @@ def snapshot_drift_report(
         delta.alias("null_rate_delta_micro"),
         "n_distinct_a",
         "n_distinct_b",
+    )
+
+
+def ks_statistic(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str = "value",
+    quant: int = 1000,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic → one row
+    (n_a, n_b, ks_u, ks_at_value_m): the max absolute gap between
+    the two empirical CDFs, the nonparametric distribution-drift
+    test that needs no binning choices (unlike PSI).
+
+    Exactness: values quantize to integer ``quant``-ths up front
+    (milli by default — the supremum over the quantized EDF equals
+    the true one unless a crossing hides inside one quantum);
+    the gap is computed as ``|cumA·n_b − cumB·n_a|`` — pure
+    DECIMAL(38,0)/HUGEINT integers, no per-row division — and only
+    the final statistic divides, floor-micro. Argmax ties break to
+    the smallest value.
+
+    Scale shape: per-side counts collapse by quantized value
+    (map-side combinable), so the cumulative window runs over the
+    DISTINCT-value frame — bounded by the value range × quant, not
+    the corpus (the series-frame argument; 490k rows for a 0..490
+    range at milli). One single-partition window over that bounded
+    frame, documented."""
+    a = df_a.select(
+        F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long").alias("v_m")
+    ).groupBy("v_m").agg(F.count(F.lit(1)).cast("long").alias("ca"))
+    b = df_b.select(
+        F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long").alias("v_m")
+    ).groupBy("v_m").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    merged = a.join(b, on="v_m", how="full").select(
+        "v_m",
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("v_m")
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = merged.select(
+        "v_m",
+        F.sum(F.col("ca").cast("decimal(38,0)")).over(w).alias("cum_a"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).over(w).alias("cum_b"),
+        F.sum(F.col("ca").cast("decimal(38,0)")).over(w_all).alias("n_a"),
+        F.sum(F.col("cb").cast("decimal(38,0)")).over(w_all).alias("n_b"),
+    ).withColumn(
+        "gap", F.abs(F.col("cum_a") * F.col("n_b") - F.col("cum_b") * F.col("n_a"))
+    )
+    return (
+        cum.orderBy(F.desc("gap"), F.col("v_m"))
+        .limit(1)
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.expr("cast(gap * 1000000 div (n_a * n_b) as bigint)").alias("ks_u"),
+            F.col("v_m").alias("ks_at_value_m"),
+        )
     )

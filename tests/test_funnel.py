@@ -1,0 +1,101 @@
+"""Funnel and cohort retention: hand-computed conversions, the
+strictly-after ordering rule, cohort-size pinning; KS hand cases."""
+
+import pytest
+
+from data_pipeline_childcare_spark.operators.drift import ks_statistic
+from data_pipeline_childcare_spark.operators.funnel import cohort_retention, funnel
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).selectExpr("user_id", "cast(ts as timestamp) as ts", "event_type")
+
+
+def test_funnel_strictly_after_ordering(spark):
+    df = _ev(
+        spark,
+        [
+            # u1 full ordered funnel
+            (1, "2024-01-01 00:00:00", "signup"),
+            (1, "2024-01-01 01:00:00", "click"),
+            (1, "2024-01-01 02:00:00", "purchase"),
+            # u2: click BEFORE signup -> stops at step 1
+            (2, "2024-01-01 01:00:00", "click"),
+            (2, "2024-01-01 02:00:00", "signup"),
+            # u3: signup+click, purchase SIMULTANEOUS with click -> not strictly after
+            (3, "2024-01-01 00:00:00", "signup"),
+            (3, "2024-01-01 01:00:00", "click"),
+            (3, "2024-01-01 01:00:00", "purchase"),
+            # u4 never signs up
+            (4, "2024-01-01 00:00:00", "click"),
+        ],
+    )
+    rows = {r["step"]: r for r in funnel(df, ["signup", "click", "purchase"]).collect()}
+    assert (rows[1]["n_users"], rows[2]["n_users"], rows[3]["n_users"]) == (3, 2, 1)
+    assert rows[1]["conv_from_prev_u"] is None
+    assert rows[1]["conv_from_top_u"] == 1_000_000
+    assert rows[2]["conv_from_prev_u"] == 2 * 1_000_000 // 3
+    assert rows[3]["conv_from_prev_u"] == 500_000
+    assert rows[3]["conv_from_top_u"] == 1_000_000 // 3
+    assert [rows[s]["step_name"] for s in (1, 2, 3)] == ["signup", "click", "purchase"]
+
+
+def test_funnel_requires_two_steps(spark):
+    df = _ev(spark, [(1, "2024-01-01 00:00:00", "signup")])
+    with pytest.raises(ValueError):
+        funnel(df, ["signup"])
+
+
+def test_cohort_retention_hand_case(spark):
+    df = _ev(
+        spark,
+        [
+            # cohort week of 2024-01-01 (epoch week 2817): u1, u2
+            (1, "2024-01-01 00:00:00", "x"),
+            (2, "2024-01-02 00:00:00", "x"),
+            # u1 returns 1 week later (x2 events, counted once)
+            (1, "2024-01-08 00:00:00", "x"),
+            (1, "2024-01-09 00:00:00", "x"),
+            # u3 first appears a week later -> its own cohort
+            (3, "2024-01-10 00:00:00", "x"),
+        ],
+    )
+    rows = {
+        (r["cohort_week"], r["week_offset"]): r
+        for r in cohort_retention(df).collect()
+    }
+    weeks = sorted({cw for cw, _ in rows})
+    c0, c1 = weeks[0], weeks[1]
+    assert c1 == c0 + 1
+    assert rows[(c0, 0)]["n_users"] == 2
+    assert rows[(c0, 0)]["cohort_size"] == 2
+    assert rows[(c0, 0)]["retention_u"] == 1_000_000
+    assert rows[(c0, 1)]["n_users"] == 1
+    assert rows[(c0, 1)]["retention_u"] == 500_000
+    assert rows[(c1, 0)]["n_users"] == 1
+
+
+def _vals(spark, vals):
+    return spark.createDataFrame([(float(v),) for v in vals], "value double")
+
+
+def test_ks_identical_distributions_zero(spark):
+    a = _vals(spark, [1, 2, 3, 4])
+    r = ks_statistic(a, _vals(spark, [1, 2, 3, 4])).collect()[0]
+    assert r["ks_u"] == 0
+
+
+def test_ks_disjoint_distributions_one(spark):
+    r = ks_statistic(_vals(spark, [1, 2]), _vals(spark, [10, 20])).collect()[0]
+    assert r["ks_u"] == 1_000_000
+    assert r["ks_at_value_m"] == 2000  # gap saturates at A's max
+
+
+def test_ks_hand_value(spark):
+    # A = {1,2,3,4}, B = {3,4,5,6}: max gap at v=2 -> |2/4 - 0/4| = 0.5
+    r = ks_statistic(_vals(spark, [1, 2, 3, 4]), _vals(spark, [3, 4, 5, 6])).collect()[0]
+    assert r["ks_u"] == 500_000
+    assert r["ks_at_value_m"] == 2000
+    assert (r["n_a"], r["n_b"]) == (4, 4)
