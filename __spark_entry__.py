@@ -1961,6 +1961,26 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality pre-flight certified against the real join
+    (operators/skew.join_cardinality_estimate): the histogram product
+    sum c_A(k)*c_B(k) over matching keys, computed on distinct-key
+    count frames, must equal the actual orders x lineitem inner-join
+    row count — the certified version of what a cost-based optimizer
+    estimates. Complements join_advisor_orders_lineitem."""
+    from data_pipeline_childcare_spark.operators.skew import (
+        join_cardinality_estimate,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), "o_custkey"
+    )
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"), "l_quantity"
+    )
+    return join_cardinality_estimate(orders, lineitem, ["k"])
+
+
 def funnel_signup_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (operators/funnel.funnel, Mixpanel semantics):
     a user converts to step k at the first step-k event STRICTLY
@@ -5193,6 +5213,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_event_type_counts": dp_event_type_counts,
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "phrase_search_docs": phrase_search_docs,
+        "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
         "funnel_signup_click_purchase": funnel_signup_click_purchase,
         "cohort_retention_events": cohort_retention_events,
         "ks_click_vs_purchase_value": ks_click_vs_purchase_value,
@@ -9130,6 +9151,31 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["phrase_search_docs"] = _phrase_sql("table scan")
+    out["join_cardinality_orders_lineitem"] = """
+        WITH
+        ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),
+        cb AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1),
+        pred AS (
+            SELECT CAST(count(*) AS BIGINT) AS matching_keys,
+                   CAST(sum(CAST(ca.c AS HUGEINT) * cb.c) AS BIGINT) AS predicted_rows
+            FROM ca JOIN cb USING (k)
+        ),
+        sides AS (
+            SELECT (SELECT CAST(sum(c) AS BIGINT) FROM ca) AS left_rows,
+                   (SELECT CAST(sum(c) AS BIGINT) FROM cb) AS right_rows,
+                   (SELECT CAST(count(*) AS BIGINT) FROM ca) AS left_keys,
+                   (SELECT CAST(count(*) AS BIGINT) FROM cb) AS right_keys
+        ),
+        act AS (
+            SELECT CAST(count(*) AS BIGINT) AS actual_rows
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        )
+        SELECT left_rows, right_rows, left_keys, right_keys,
+               coalesce(matching_keys, 0) AS matching_keys,
+               coalesce(predicted_rows, 0) AS predicted_rows,
+               actual_rows
+        FROM sides CROSS JOIN pred CROSS JOIN act
+    """
     out["funnel_signup_click_purchase"] = """
         WITH
         s1 AS (

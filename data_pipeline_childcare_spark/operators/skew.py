@@ -225,3 +225,61 @@ def join_strategy_advisor(
         ).otherwise(F.lit(1).cast("long")),
     )
     return out.drop("_hot")
+
+
+def join_cardinality_estimate(
+    left: DataFrame,
+    right: DataFrame,
+    keys: list[str],
+    certify: bool = True,
+) -> DataFrame:
+    """Exact inner-join cardinality prediction WITHOUT running the
+    join: |A ⋈ B| = Σ_k c_A(k)·c_B(k) over matching keys — the
+    histogram product a cost-based optimizer estimates from sampled
+    stats, computed exactly from both sides' key-count frames. The
+    count-frame join touches one row per DISTINCT key (vs one per
+    output row for the real join), which is why a planner can afford
+    it as a pre-flight: at 100 TB it is two map-side-combinable
+    aggregates plus a distinct-key-sized equi-join.
+
+    One row out: (left_rows, right_rows, left_keys, right_keys,
+    matching_keys, predicted_rows[, actual_rows]). ``certify=True``
+    (test/gate mode) also RUNS the join and counts it — the green
+    oracle row is the proof the formula is the join size. Products
+    and sums accumulate in DECIMAL(38,0)/HUGEINT."""
+    ca = left.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("_ca"))
+    cb = right.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("_cb"))
+    both = ca.join(cb, on=keys)
+    pred = both.agg(
+        F.count(F.lit(1)).cast("long").alias("matching_keys"),
+        F.sum(F.col("_ca").cast("decimal(38,0)") * F.col("_cb").cast("decimal(38,0)"))
+        .cast("long")
+        .alias("predicted_rows"),
+    )
+    sides = (
+        ca.agg(
+            F.sum("_ca").cast("long").alias("left_rows"),
+            F.count(F.lit(1)).cast("long").alias("left_keys"),
+        )
+        .crossJoin(
+            cb.agg(
+                F.sum("_cb").cast("long").alias("right_rows"),
+                F.count(F.lit(1)).cast("long").alias("right_keys"),
+            )
+        )
+        .crossJoin(pred)
+    )
+    out = sides.select(
+        "left_rows",
+        "right_rows",
+        "left_keys",
+        "right_keys",
+        F.coalesce("matching_keys", F.lit(0)).alias("matching_keys"),
+        F.coalesce("predicted_rows", F.lit(0)).alias("predicted_rows"),
+    )
+    if not certify:
+        return out
+    actual = left.join(right, on=keys).agg(
+        F.count(F.lit(1)).cast("long").alias("actual_rows")
+    )
+    return out.crossJoin(actual)

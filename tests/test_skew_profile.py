@@ -78,3 +78,34 @@ def test_join_advisor_uniform_goes_smj(spark):
     r = join_strategy_advisor(left, right, ["k"], broadcast_row_limit=100).collect()[0]
     assert r["recommendation"] == "sort_merge_join"
     assert r["salt_factor"] == 1
+
+
+def test_join_cardinality_exact_prediction(spark):
+    from data_pipeline_childcare_spark.operators.skew import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.createDataFrame(
+        [("a",)] * 3 + [("b",)] * 2 + [("only_left",)], "k string"
+    )
+    right = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] + [("only_right",)] * 5, "k string"
+    )
+    r = join_cardinality_estimate(left, right, ["k"]).collect()[0]
+    assert r["left_rows"] == 6 and r["right_rows"] == 10
+    assert r["left_keys"] == 3 and r["right_keys"] == 3
+    assert r["matching_keys"] == 2
+    assert r["predicted_rows"] == 3 * 4 + 2 * 1
+    assert r["actual_rows"] == r["predicted_rows"]
+
+
+def test_join_cardinality_no_overlap(spark):
+    from data_pipeline_childcare_spark.operators.skew import (
+        join_cardinality_estimate,
+    )
+
+    left = spark.createDataFrame([("a",)], "k string")
+    right = spark.createDataFrame([("b",)], "k string")
+    r = join_cardinality_estimate(left, right, ["k"], certify=False).collect()[0]
+    assert r["matching_keys"] == 0 and r["predicted_rows"] == 0
+    assert "actual_rows" not in r.asDict()
