@@ -1961,6 +1961,21 @@ def sq8_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The n-gram half of the Gopher repetition filter
+    (operators/cleaning.gopher_repetition_signals, Rae et al. 2021
+    Table A1): per-doc top-{2,3,4}-gram char fractions and
+    duplicated-{5,10}-gram char fractions as integer micros, plus
+    the OR'd threshold flag. Completes the repetition suite next to
+    doc_repetition_stats' line metrics."""
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        gopher_repetition_signals,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return gopher_repetition_signals(docs, flag_min_tokens=15)
+
+
 def join_cardinality_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-cardinality pre-flight certified against the real join
     (operators/skew.join_cardinality_estimate): the histogram product
@@ -5213,6 +5228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dp_event_type_counts": dp_event_type_counts,
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "phrase_search_docs": phrase_search_docs,
+        "gopher_repetition_docs": gopher_repetition_docs,
         "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
         "funnel_signup_click_purchase": funnel_signup_click_purchase,
         "cohort_retention_events": cohort_retention_events,
@@ -9151,6 +9167,11 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["phrase_search_docs"] = _phrase_sql("table scan")
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        gopher_repetition_sql as _gopher_sql,
+    )
+
+    out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
     out["join_cardinality_orders_lineitem"] = """
         WITH
         ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),

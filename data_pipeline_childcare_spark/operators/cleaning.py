@@ -241,3 +241,210 @@ def corpus_line_dedup(
             F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
         )
     )
+
+
+def gopher_repetition_signals(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    top_thresholds_u: dict[int, int] | None = None,
+    dup_thresholds_u: dict[int, int] | None = None,
+    flag_min_tokens: int = 0,
+) -> DataFrame:
+    """The n-gram half of the Gopher repetition filter (Rae et al.
+    2021 Table A1; :func:`repetition_stats` covers the line half):
+
+    - ``top{n}_char_frac_u`` (n = 2, 3, 4): fraction of characters
+      inside occurrences of the doc's MOST FREQUENT word n-gram —
+      ``count · chars(ngram) / total_token_chars``, the boilerplate
+      detector ("click here to click here to ...").
+    - ``dup{n}_char_frac_u`` (n = 5, 10): fraction of characters
+      inside n-grams that occur MORE THAN ONCE — the occurrence-mass
+      convention (each occurrence's characters count; overlapping
+      spans are not unioned), the standard reimplementation
+      (datatrove/NeMo-Curator) of the paper's span metric.
+
+    Char base is total token characters (separators excluded), so
+    the metrics are whitespace-normalization-invariant. Metrics are
+    NULL when the doc has fewer than n tokens (the paper only
+    applies each filter above a minimum length — a 3-token doc is
+    its own top-4-gram and would always flag). ``gopher_flagged``
+    ORs the strict-> threshold tests over non-null metrics
+    (defaults: top 0.20/0.18/0.16, dup 0.15/0.10 — Table A1).
+
+    All fractions are integer micros with DECIMAL(38,0) products —
+    exact, engine-portable. Scale shape: one explode + one
+    (doc, ngram) hash aggregate + one doc-keyed reduce PER n — all
+    map-side combinable, co-partitioned joins on doc id, no data
+    ever leaves the doc's partition after the first shuffle."""
+    from data_pipeline_childcare_spark.functions.text import tokenize, word_ngrams
+    from data_pipeline_childcare_spark.io import spread_partitions
+
+    top_thr = top_thresholds_u or {2: 200_000, 3: 180_000, 4: 160_000}
+    dup_thr = dup_thresholds_u or {5: 150_000, 10: 100_000}
+    spread = spread_partitions(docs, id_col)
+    toks = tokenize(F.col(text_col))
+    base = spread.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length(F.concat_ws("", toks)).cast("long").alias("total_chars"),
+    )
+
+    def _per_gram(n: int) -> DataFrame:
+        grams = spread.select(
+            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
+        )
+        return grams.groupBy(id_col, "_g").agg(
+            F.count(F.lit(1)).cast("long").alias("_c"),
+            (F.length(F.first("_g")) - F.lit(n - 1)).cast("long").alias("_chars"),
+        )
+
+    out = base
+    for n in top_ns:
+        per = _per_gram(n)
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("_c"), F.desc("_chars"), F.asc("_g")
+        )
+        top = (
+            per.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                F.col(id_col).alias("_id"),
+                (
+                    F.col("_c").cast("decimal(38,0)")
+                    * F.col("_chars").cast("decimal(38,0)")
+                ).alias("_mass"),
+            )
+        )
+        out = out.join(top, on=F.col(id_col) == F.col("_id"), how="left").drop("_id")
+        out = out.withColumn(
+            f"top{n}_char_frac_u",
+            F.expr(
+                f"CASE WHEN n_tokens >= {n} AND total_chars > 0 "
+                f"THEN cast(_mass * 1000000 div cast(total_chars as decimal(38,0)) as bigint) END"
+            ),
+        ).drop("_mass")
+    for n in dup_ns:
+        per = _per_gram(n)
+        dup = per.groupBy(id_col).agg(
+            F.sum(
+                F.when(
+                    F.col("_c") > 1,
+                    F.col("_c").cast("decimal(38,0)")
+                    * F.col("_chars").cast("decimal(38,0)"),
+                ).otherwise(F.lit(0).cast("decimal(38,0)"))
+            ).alias("_dmass")
+        ).select(F.col(id_col).alias("_id"), "_dmass")
+        out = out.join(dup, on=F.col(id_col) == F.col("_id"), how="left").drop("_id")
+        out = out.withColumn(
+            f"dup{n}_char_frac_u",
+            F.expr(
+                f"CASE WHEN n_tokens >= {n} AND total_chars > 0 "
+                f"THEN cast(_dmass * 1000000 div cast(total_chars as decimal(38,0)) as bigint) END"
+            ),
+        ).drop("_dmass")
+    flag = F.lit(False)
+    for n in top_ns:
+        flag = flag | (F.col(f"top{n}_char_frac_u") > top_thr[n])
+    for n in dup_ns:
+        flag = flag | (F.col(f"dup{n}_char_frac_u") > dup_thr[n])
+    # Gopher applies the repetition tests only above a minimum doc
+    # length — on a 6-token doc a UNIQUE top bigram is already ~40%
+    # of the characters, so unguarded thresholds flag every short doc
+    flag = F.coalesce(flag, F.lit(False)) & (
+        F.col("n_tokens") >= F.lit(flag_min_tokens)
+    )
+    return out.withColumn("gopher_flagged", flag)
+
+
+def gopher_repetition_sql(
+    tokens_sql: str,
+    table: str = "documents",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+    top_thresholds_u: dict[int, int] | None = None,
+    dup_thresholds_u: dict[int, int] | None = None,
+    flag_min_tokens: int = 0,
+) -> str:
+    """DuckDB twin of :func:`gopher_repetition_signals`, generated by
+    the same parameterization: per-n n-gram CTEs (the inclusive-slice
+    spelling), HUGEINT masses, identical null guards and tie-breaks."""
+    top_thr = top_thresholds_u or {2: 200_000, 3: 180_000, 4: 160_000}
+    dup_thr = dup_thresholds_u or {5: 150_000, 10: 100_000}
+    ctes = [
+        f"toks AS (SELECT doc_id, {tokens_sql} AS t FROM {table})",
+        """base AS (
+            SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                   CAST(length(array_to_string(t, '')) AS BIGINT) AS total_chars
+            FROM toks
+        )""",
+    ]
+    sel, joins = [], []
+    for n in sorted(set(top_ns) | set(dup_ns)):
+        ctes.append(
+            f"""g{n} AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       generate_series(1, greatest(len(t) - {n - 1}, 1)),
+                       i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g
+            FROM toks
+        )"""
+        )
+        ctes.append(
+            f"""p{n} AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c,
+                   CAST(length(g) - {n - 1} AS BIGINT) AS ch
+            FROM g{n} GROUP BY doc_id, g
+        )"""
+        )
+    for n in top_ns:
+        ctes.append(
+            f"""t{n} AS (
+            SELECT doc_id, CAST(c AS HUGEINT) * ch AS mass FROM (
+                SELECT doc_id, c, ch, g,
+                       row_number() OVER (PARTITION BY doc_id
+                           ORDER BY c DESC, ch DESC, g ASC) AS rn
+                FROM p{n}
+            ) WHERE rn = 1
+        )"""
+        )
+        joins.append(f"LEFT JOIN t{n} ON b.doc_id = t{n}.doc_id")
+        sel.append(
+            f"""CASE WHEN b.n_tokens >= {n} AND b.total_chars > 0
+                THEN CAST(t{n}.mass * 1000000 // b.total_chars AS BIGINT)
+                END AS top{n}_char_frac_u"""
+        )
+    for n in dup_ns:
+        ctes.append(
+            f"""d{n} AS (
+            SELECT doc_id,
+                   sum(CASE WHEN c > 1 THEN CAST(c AS HUGEINT) * ch
+                       ELSE CAST(0 AS HUGEINT) END) AS dmass
+            FROM p{n} GROUP BY doc_id
+        )"""
+        )
+        joins.append(f"LEFT JOIN d{n} ON b.doc_id = d{n}.doc_id")
+        sel.append(
+            f"""CASE WHEN b.n_tokens >= {n} AND b.total_chars > 0
+                THEN CAST(d{n}.dmass * 1000000 // b.total_chars AS BIGINT)
+                END AS dup{n}_char_frac_u"""
+        )
+    flags = [
+        f"top{n}_char_frac_u > {top_thr[n]}" for n in top_ns
+    ] + [f"dup{n}_char_frac_u > {dup_thr[n]}" for n in dup_ns]
+    inner = (
+        "SELECT b.doc_id, b.n_tokens, b.total_chars,\n"
+        + ",\n".join(sel)
+        + "\nFROM base b "
+        + " ".join(joins)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f", res AS ({inner})\n"
+        + "SELECT *, (coalesce("
+        + " OR ".join(flags)
+        + f", FALSE) AND n_tokens >= {flag_min_tokens}) AS gopher_flagged FROM res"
+    )

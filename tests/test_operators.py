@@ -768,3 +768,76 @@ def test_phrase_search_empty_phrase_raises(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError):
         phrase_search(docs, "   ")
+
+
+# ------------------------------------------------------- gopher repetition
+
+
+def test_gopher_top_ngram_fraction(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        gopher_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # "ab cd" x3: top bigram "ab cd" count 3 (overlaps "cd ab" x2)
+            (1, "ab cd ab cd ab cd"),
+            (2, "one two three four five six"),  # all ngrams unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_signals(docs).collect()}
+    r1 = rows[1]
+    assert r1["n_tokens"] == 6 and r1["total_chars"] == 12
+    # top bigram "ab cd": 3 occurrences x 4 chars = 12 of 12 chars
+    assert r1["top2_char_frac_u"] == 1_000_000
+    assert r1["gopher_flagged"] is True
+    r2 = rows[2]
+    # unique bigrams: top has count 1 -> mass = chars of one bigram;
+    # on a 6-token doc that single bigram is ~41% of chars, which is
+    # why Gopher gates the thresholds behind a minimum doc length
+    assert r2["top2_char_frac_u"] == 9 * 1_000_000 // 22  # "three four"
+    assert r2["dup5_char_frac_u"] == 0
+    assert r2["gopher_flagged"] is True
+
+
+def test_gopher_flag_min_tokens_guard(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        gopher_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four five six")], "doc_id long, text string"
+    )
+    r = gopher_repetition_signals(docs, flag_min_tokens=10).collect()[0]
+    assert r["top2_char_frac_u"] > 200_000  # over threshold...
+    assert r["gopher_flagged"] is False  # ...but below the length gate
+
+
+def test_gopher_short_doc_null_guard(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        gopher_repetition_signals,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in gopher_repetition_signals(docs).collect()}
+    assert rows[1]["top2_char_frac_u"] is not None
+    assert rows[1]["top3_char_frac_u"] is None  # 2 tokens < 3
+    assert rows[1]["dup5_char_frac_u"] is None
+    assert rows[2]["top2_char_frac_u"] is None
+    assert rows[2]["gopher_flagged"] is False
+
+
+def test_gopher_dup_ngram_mass(spark):
+    from data_pipeline_childcare_spark.operators.cleaning import (
+        gopher_repetition_signals,
+    )
+
+    # "a b c d e" repeated 3x: every 5-gram window repeats
+    text = " ".join(["a b c d e"] * 3)
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = gopher_repetition_signals(docs).collect()[0]
+    assert r["dup5_char_frac_u"] is not None and r["dup5_char_frac_u"] > 500_000
+    assert r["gopher_flagged"] is True
