@@ -4250,6 +4250,59 @@ def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(qname)
 
 
+def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third stream==batch contract row: gap-merged SESSION windows
+    (streaming/windows.streaming_sessions, F.session_window state
+    merged under a watermark) maintained by a real availableNow run —
+    the third stateful-operator family (merging session state, after
+    tumbling windows and bucket partials) certified inside the
+    contract surface. The oracle is the classic gaps-and-islands SQL:
+    a session breaks only when the gap is STRICTLY more than 30
+    minutes — exactly-gap-apart events MERGE (touching session
+    windows coalesce; pinned by the boundary test) — and session_end
+    is last-event + gap (Spark session_window semantics)."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.windows import streaming_sessions
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    sess = streaming_sessions(ev, gap="30 minutes")
+    qname = "streaming_sessions_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        sess.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -5273,6 +5326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hypertable_rollup_events": hypertable_rollup_events,
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
         "streaming_windowed_event_counts": streaming_windowed_event_counts,
+        "streaming_sessionize_events": streaming_sessionize_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
@@ -6819,6 +6873,26 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 4) AS total_value
             FROM events
             GROUP BY 1, 2, 3
+        """,
+        "streaming_sessionize_events": """
+            WITH m AS (
+                SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM m
+            )
+            SELECT user_id,
+                   min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM s GROUP BY user_id, sid
         """,
         "streaming_windowed_event_counts": """
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,

@@ -390,3 +390,31 @@ def test_streaming_scd2_matches_batch_history(spark, tmp_path):
     assert got == expect
     # the backfill genuinely split the interval: k1 has 3 versions
     assert sum(1 for r in got if r[0] == 1) == 3
+
+
+def test_session_window_gap_boundary_semantics(spark):
+    """Exactly-gap-apart events MERGE (touching session windows
+    coalesce — measured Spark behavior); one microsecond OVER the
+    gap breaks. Pins the strictly-greater break rule the
+    streaming_sessionize_events oracle encodes."""
+    from data_pipeline_childcare_spark.streaming.windows import streaming_sessions
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00"),
+            (1, "2024-01-01 00:30:00.000001"),  # just over the gap -> breaks
+            (2, "2024-01-01 00:00:00"),
+            (2, "2024-01-01 00:30:00"),  # exactly 30 min -> merges
+        ],
+        "user_id long, ts string",
+    ).selectExpr("user_id", "cast(ts as timestamp) as ts")
+    rows = streaming_sessions(df, gap="30 minutes", streaming=False).collect()
+    per_user = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r)
+    assert len(per_user[1]) == 2
+    assert len(per_user[2]) == 1
+    assert per_user[2][0]["n_events"] == 2
+    # session_end = last event + gap
+    merged = per_user[2][0]
+    assert (merged["session_end"] - merged["session_start"]).total_seconds() == 3600
