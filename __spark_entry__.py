@@ -236,6 +236,40 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD outlier audit per event type
+    (operators/robust.robust_outliers, Hampel identifier): exact
+    integer order statistics over the quantized count frame (the
+    skew-profile discipline — bounded by value range, not corpus),
+    |x - med| > 5*MAD as a pure integer compare."""
+    from data_pipeline_childcare_spark.operators.robust import robust_outliers
+
+    ev = _t(spark, sf_dir, "events")
+    return robust_outliers(ev, "event_type", "value", k=5)
+
+
+def conformal_interval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split conformal prediction interval for the persistence
+    forecaster (operators/robust.conformal_interval, Vovk /
+    Angelopoulos-Bates): calibration users (user_id % 5 = 0) give the
+    ceil((n+1)(1-alpha))-th smallest |error| as the distribution-free
+    half-width at alpha = 0.1; the row reports the EMPIRICAL test
+    coverage beside the 1-alpha guarantee. Exact integer rank over
+    the quantized nonconformity counts."""
+    from data_pipeline_childcare_spark.operators.robust import conformal_interval
+
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tp = events.select(
+        "user_id",
+        F.col("value").alias("truth"),
+        F.lag("value").over(w).alias("pred"),
+    ).filter(F.col("pred").isNotNull())
+    calib = tp.filter(F.col("user_id") % 5 == 0)
+    test = tp.filter(F.col("user_id") % 5 != 0)
+    return conformal_interval(calib, test, alpha_u=100_000)
+
+
 def events_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shuffle-key skew pre-flight (operators/skew.key_skew_profile):
     one row describing the user_id key distribution — exact p50/p90/
@@ -5282,6 +5316,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcenter_coreset_embeddings": kcenter_coreset_embeddings,
         "phrase_search_docs": phrase_search_docs,
         "gopher_repetition_docs": gopher_repetition_docs,
+        "robust_outliers_events": robust_outliers_events,
+        "conformal_interval_events": conformal_interval_events,
         "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
         "funnel_signup_click_purchase": funnel_signup_click_purchase,
         "cohort_retention_events": cohort_retention_events,
@@ -9246,6 +9282,97 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["robust_outliers_events"] = """
+        WITH
+        vals AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+            FROM events
+        ),
+        counts AS (
+            SELECT g, v, CAST(count(*) AS BIGINT) AS c
+            FROM vals GROUP BY g, v
+        ),
+        medc AS (
+            SELECT g, v, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM counts
+        ),
+        med AS (
+            SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median_m
+            FROM medc GROUP BY g
+        ),
+        devc0 AS (
+            SELECT c.g, abs(c.v - m.median_m) AS d, sum(c.c) AS c
+            FROM counts c JOIN med m ON c.g = m.g GROUP BY c.g, 2
+        ),
+        madc AS (
+            SELECT g, d, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY d
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM devc0
+        ),
+        mad AS (
+            SELECT g, min(CASE WHEN cum >= (n + 1) // 2 THEN d END) AS mad_m
+            FROM madc GROUP BY g
+        )
+        SELECT c.g AS event_type,
+               CAST(sum(c.c) AS BIGINT) AS n,
+               m.median_m, a.mad_m,
+               CAST(sum(CASE WHEN abs(c.v - m.median_m) > 5 * a.mad_m
+                        THEN c.c ELSE 0 END) AS BIGINT) AS n_outliers,
+               CAST(sum(CASE WHEN abs(c.v - m.median_m) > 5 * a.mad_m
+                        THEN c.c ELSE 0 END) * 1000000
+                    // sum(c.c) AS BIGINT) AS outlier_frac_u
+        FROM counts c
+        JOIN med m ON c.g = m.g
+        JOIN mad a ON c.g = a.g
+        GROUP BY c.g, m.median_m, a.mad_m
+    """
+    out["conformal_interval_events"] = """
+        WITH
+        p AS (
+            SELECT user_id, value AS truth,
+                   lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS pred
+            FROM events
+        ),
+        tp AS (SELECT * FROM p WHERE pred IS NOT NULL),
+        nc AS (
+            SELECT CAST(floor(abs(pred - truth) * 1000 + 0.5) AS BIGINT) AS e
+            FROM tp WHERE user_id % 5 = 0
+        ),
+        counts AS (SELECT e, CAST(count(*) AS BIGINT) AS c FROM nc GROUP BY e),
+        cum AS (
+            SELECT e, c,
+                   sum(c) OVER (ORDER BY e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER () AS n
+            FROM counts
+        ),
+        qh AS (
+            SELECT CAST(max(n) AS BIGINT) AS n_calib,
+                   min(CASE WHEN cum >= n + 1 - ((n + 1) * 100000) // 1000000
+                       THEN e END) AS qhat_m
+            FROM cum
+        ),
+        te AS (
+            SELECT CAST(floor(abs(pred - truth) * 1000 + 0.5) AS BIGINT) AS e
+            FROM tp WHERE user_id % 5 <> 0
+        )
+        SELECT qh.n_calib,
+               CAST(count(*) AS BIGINT) AS n_test,
+               CAST(100000 AS BIGINT) AS alpha_u,
+               qh.qhat_m,
+               CAST(sum(CASE WHEN te.e <= qh.qhat_m THEN 1 ELSE 0 END)
+                    * 1000000 // count(*) AS BIGINT) AS coverage_u,
+               CAST(900000 AS BIGINT) AS guarantee_u
+        FROM te CROSS JOIN qh
+        GROUP BY qh.n_calib, qh.qhat_m
+    """
     out["join_cardinality_orders_lineitem"] = """
         WITH
         ca AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS c FROM orders GROUP BY 1),

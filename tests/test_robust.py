@@ -1,0 +1,60 @@
+"""Median/MAD outliers and split conformal: hand-computed order
+statistics, degenerate MAD, the conformal rank rule and coverage."""
+
+from data_pipeline_childcare_spark.operators.robust import (
+    conformal_interval,
+    robust_outliers,
+)
+
+
+def test_median_mad_hand_case(spark):
+    # values 1..7 plus an outlier 100: median 4.5->lower 4, deviations
+    # from 4000m: [3000,2000,1000,0,1000,2000,3000,96000] -> MAD 2000
+    vals = [1, 2, 3, 4, 5, 6, 7, 100]
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in vals], "event_type string, value double"
+    )
+    r = robust_outliers(df, k=5).collect()[0]
+    assert r["n"] == 8
+    assert r["median_m"] == 4000  # lower median of 8 values: 4th smallest
+    assert r["mad_m"] == 2000
+    # only 100 deviates > 5*2000 = 10000 milli
+    assert r["n_outliers"] == 1
+    assert r["outlier_frac_u"] == 1_000_000 // 8
+
+
+def test_mad_zero_degenerate(spark):
+    # over half identical -> MAD 0 -> any deviation flags
+    df = spark.createDataFrame(
+        [("a", 5.0)] * 6 + [("a", 5.001)], "event_type string, value double"
+    )
+    r = robust_outliers(df, k=5).collect()[0]
+    assert r["mad_m"] == 0
+    assert r["n_outliers"] == 1
+
+
+def test_conformal_rank_and_coverage(spark):
+    # calibration |errors| (milli): 1000..9000, n=9 ->
+    # rank = 10 - floor(10*0.1) = 9 -> qhat = 9000
+    calib = spark.createDataFrame(
+        [(float(i), 0.0) for i in range(1, 10)], "truth double, pred double"
+    )
+    test = spark.createDataFrame(
+        [(5.0, 0.0), (12.0, 0.0)], "truth double, pred double"
+    )
+    r = conformal_interval(calib, test, alpha_u=100_000).collect()[0]
+    assert r["n_calib"] == 9 and r["n_test"] == 2
+    assert r["qhat_m"] == 9000
+    assert r["coverage_u"] == 500_000  # |5| covered, |12| not
+    assert r["guarantee_u"] == 900_000
+
+
+def test_conformal_infinite_interval_null(spark):
+    # n=2, alpha=0.1: rank = 3 - floor(3*0.1) = 3 > n -> null qhat
+    calib = spark.createDataFrame(
+        [(1.0, 0.0), (2.0, 0.0)], "truth double, pred double"
+    )
+    test = spark.createDataFrame([(1.0, 0.0)], "truth double, pred double")
+    r = conformal_interval(calib, test, alpha_u=100_000).collect()[0]
+    assert r["qhat_m"] is None
+    assert r["coverage_u"] == 0  # e <= null is never true
