@@ -236,6 +236,31 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def interarrival_dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival regularity per event type
+    (operators/funnel.interarrival_dispersion): same-user consecutive
+    gaps in seconds -> mean, population variance and the index of
+    dispersion CV^2 in integer micros (DECIMAL(38,0) sums) — the
+    burstiness diagnostic for rate-limit and anomaly policies."""
+    from data_pipeline_childcare_spark.operators.funnel import (
+        interarrival_dispersion,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return interarrival_dispersion(ev)
+
+
+def association_rules_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over per-user event-type baskets
+    (operators/funnel.association_rules, the A-Priori k=2 tier):
+    support/confidence/lift as exact integer ratios; the pair join is
+    bounded by per-basket item-TYPE count, never event multiplicity."""
+    from data_pipeline_childcare_spark.operators.funnel import association_rules
+
+    ev = _t(spark, sf_dir, "events")
+    return association_rules(ev)
+
+
 def robust_outliers_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Median/MAD outlier audit per event type
     (operators/robust.robust_outliers, Hampel identifier): exact
@@ -5317,6 +5342,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phrase_search_docs": phrase_search_docs,
         "gopher_repetition_docs": gopher_repetition_docs,
         "robust_outliers_events": robust_outliers_events,
+        "interarrival_dispersion_events": interarrival_dispersion_events,
+        "association_rules_events": association_rules_events,
         "conformal_interval_events": conformal_interval_events,
         "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
         "funnel_signup_click_purchase": funnel_signup_click_purchase,
@@ -9282,6 +9309,51 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["interarrival_dispersion_events"] = """
+        WITH
+        gaps AS (
+            SELECT event_type AS g,
+                   CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                        ts) AS BIGINT) // 1000000 AS d
+            FROM events
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_gaps,
+                   sum(CAST(d AS HUGEINT)) AS s,
+                   sum(CAST(d AS HUGEINT) * d) AS s2
+            FROM gaps WHERE d IS NOT NULL GROUP BY g
+        )
+        SELECT g AS event_type, n_gaps,
+               CAST(s * 1000000 // CAST(n_gaps AS HUGEINT) AS BIGINT) AS mean_gap_s_u,
+               CAST((CAST(n_gaps AS HUGEINT) * s2 - s * s) * 1000000
+                    // (CAST(n_gaps AS HUGEINT) * n_gaps) AS BIGINT) AS var_gap_s2_u,
+               CASE WHEN s > 0 THEN
+                   CAST((CAST(n_gaps AS HUGEINT) * s2 - s * s) * 1000000
+                        // (s * s) AS BIGINT) END AS dispersion_u
+        FROM agg
+    """
+    out["association_rules_events"] = """
+        WITH
+        bi AS (SELECT DISTINCT user_id AS b, event_type AS i FROM events),
+        nb AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_baskets FROM events),
+        ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ni FROM bi GROUP BY i),
+        pairs AS (
+            SELECT x.i, y.i AS j, CAST(count(*) AS BIGINT) AS n_both
+            FROM bi x JOIN bi y ON x.b = y.b AND x.i <> y.i
+            GROUP BY x.i, y.i
+        )
+        SELECT p.i AS antecedent, p.j AS consequent,
+               p.n_both, a.ni AS n_ante, nb.n_baskets,
+               CAST(p.n_both * 1000000 // nb.n_baskets AS BIGINT) AS support_u,
+               CAST(p.n_both * 1000000 // a.ni AS BIGINT) AS confidence_u,
+               CAST(CAST(p.n_both AS HUGEINT) * nb.n_baskets * 1000000
+                    // (CAST(a.ni AS HUGEINT) * c.ni) AS BIGINT) AS lift_u
+        FROM pairs p
+        JOIN ic a ON p.i = a.i
+        JOIN ic c ON p.j = c.i
+        CROSS JOIN nb
+    """
     out["robust_outliers_events"] = """
         WITH
         vals AS (

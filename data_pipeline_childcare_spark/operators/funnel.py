@@ -137,3 +137,126 @@ def cohort_retention(
             f"cast(n_users * {MICRO} div _size as bigint)"
         ).alias("retention_u"),
     )
+
+
+def interarrival_dispersion(
+    events: DataFrame,
+    group_col: str = "event_type",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Per-group inter-arrival regularity →
+    (group, n_gaps, mean_gap_s_u, var_gap_s2_u, dispersion_u):
+    consecutive same-user gaps in seconds, their mean and population
+    variance, and the index of dispersion Var/mean² (CV² — 1e6 for a
+    Poisson-like process, higher = bursty, lower = regular; the
+    integer-exact stand-in for the Goh-Barabási burstiness score,
+    which needs a square root).
+
+    One (user)-keyed window for the lag, then ONE corpus aggregate
+    per group: n, Σd, Σd² in DECIMAL(38,0); mean = Σd div n micro,
+    variance = (n·Σd² − (Σd)²) div n² (population), dispersion =
+    var·1e6 div mean² — all floor-division micros, engine-exact."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    # whole elapsed seconds via the MICROSECOND diff floored: Spark's
+    # timestampdiff(SECOND) counts complete units while SQL engines'
+    # date_diff('second') counts boundary CROSSINGS — they disagree on
+    # fractional-second timestamps; the microsecond diff is exact in
+    # both and the floor division is shared
+    gaps = events.select(
+        F.col(group_col).alias("_g"),
+        F.timestamp_diff(
+            "MICROSECOND", F.lag(ts_col).over(w), F.col(ts_col)
+        ).alias("_dus"),
+    ).filter(F.col("_dus").isNotNull()).select(
+        "_g", F.expr("_dus div 1000000").alias("_d")
+    )
+    agg = gaps.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("_d").cast("decimal(38,0)")).alias("_s"),
+        F.sum(
+            F.col("_d").cast("decimal(38,0)") * F.col("_d").cast("decimal(38,0)")
+        ).alias("_s2"),
+    )
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n_gaps",
+        F.expr(
+            "cast(_s * 1000000 div cast(n_gaps as decimal(38,0)) as bigint)"
+        ).alias("mean_gap_s_u"),
+        F.expr(
+            "cast((cast(n_gaps as decimal(38,0)) * _s2 - _s * _s) * 1000000 "
+            "div (cast(n_gaps as decimal(38,0)) * cast(n_gaps as decimal(38,0))) as bigint)"
+        ).alias("var_gap_s2_u"),
+        F.expr(
+            "CASE WHEN _s > 0 THEN "
+            "cast((cast(n_gaps as decimal(38,0)) * _s2 - _s * _s) * 1000000 "
+            "div (_s * _s) as bigint) END"
+        ).alias("dispersion_u"),
+    )
+
+
+def association_rules(
+    events: DataFrame,
+    basket_col: str = "user_id",
+    item_col: str = "event_type",
+    min_support_u: int = 0,
+) -> DataFrame:
+    """Pairwise association rules over per-basket item SETS
+    (market-basket analysis, the A-Priori k=2 tier) →
+    (antecedent, consequent, n_both, n_ante, n_baskets, support_u,
+    confidence_u, lift_u): support = P(A∧B), confidence = P(B|A),
+    lift = P(A∧B)/(P(A)P(B)) — lift > 1e6 means positive
+    association. Ordered pairs (both directions) so confidence is
+    per-rule.
+
+    Scale shape: distinct (basket, item) collapses multiplicity
+    first (map-side combinable), the pair join is keyed by basket
+    and bounded by per-basket ITEM-TYPE count (tiny — the item
+    vocabulary), never by event multiplicity; counts then aggregate
+    by pair. Lift simplifies to one exact integer ratio —
+    (n_both/N)/((n_a/N)(n_b/N)) = n_both·N/(n_a·n_b) — computed in
+    DECIMAL(38,0)."""
+    bi = events.select(
+        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
+    ).distinct()
+    n_baskets = events.select(F.col(basket_col).alias("_b")).distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    )
+    item_counts = bi.groupBy("_i").agg(
+        F.count(F.lit(1)).cast("long").alias("_ni")
+    )
+    pairs = (
+        bi.join(
+            bi.select(F.col("_b"), F.col("_i").alias("_j")), on="_b"
+        )
+        .filter(F.col("_i") != F.col("_j"))
+        .groupBy("_i", "_j")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    )
+    out = (
+        pairs.join(F.broadcast(item_counts), on="_i")
+        .withColumnRenamed("_ni", "n_ante")
+        .join(
+            F.broadcast(item_counts.select(F.col("_i").alias("_j"), F.col("_ni").alias("n_cons"))),
+            on="_j",
+        )
+        .crossJoin(F.broadcast(n_baskets))
+    )
+    res = out.select(
+        F.col("_i").alias("antecedent"),
+        F.col("_j").alias("consequent"),
+        "n_both",
+        "n_ante",
+        "n_baskets",
+        F.expr("cast(n_both * 1000000 div n_baskets as bigint)").alias("support_u"),
+        F.expr("cast(n_both * 1000000 div n_ante as bigint)").alias("confidence_u"),
+        F.expr(
+            "cast(cast(n_both as decimal(38,0)) * n_baskets * 1000000 "
+            "div (cast(n_ante as decimal(38,0)) * n_cons) as bigint)"
+        ).alias("lift_u"),
+    )
+    if min_support_u > 0:
+        res = res.filter(F.col("support_u") >= min_support_u)
+    return res

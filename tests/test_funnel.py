@@ -99,3 +99,53 @@ def test_ks_hand_value(spark):
     assert r["ks_u"] == 500_000
     assert r["ks_at_value_m"] == 2000
     assert (r["n_a"], r["n_b"]) == (4, 4)
+
+
+def test_interarrival_dispersion_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import (
+        interarrival_dispersion,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # user 1, type a: gaps 10s, 20s
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:00:10", "a"),
+            (3, 1, "2024-01-01 00:00:30", "a"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts", "event_type")
+    r = interarrival_dispersion(df).collect()[0]
+    assert r["n_gaps"] == 2
+    assert r["mean_gap_s_u"] == 15_000_000
+    # population var of [10,20] = 25 -> 25e6; dispersion = 25/225
+    assert r["var_gap_s2_u"] == 25_000_000
+    assert r["dispersion_u"] == 25 * 1_000_000 // 225
+
+
+def test_association_rules_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import association_rules
+
+    df = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "b"),  # duplicate collapses
+            (2, "a"), (2, "b"),
+            (3, "a"),
+            (4, "c"),
+        ],
+        "user_id long, event_type string",
+    )
+    rows = {
+        (r["antecedent"], r["consequent"]): r
+        for r in association_rules(df).collect()
+    }
+    ab = rows[("a", "b")]
+    assert ab["n_both"] == 2 and ab["n_ante"] == 3 and ab["n_baskets"] == 4
+    assert ab["support_u"] == 500_000
+    assert ab["confidence_u"] == 2 * 1_000_000 // 3
+    # lift = (2*4)/(3*2) = 4/3
+    assert ab["lift_u"] == 8 * 1_000_000 // 6
+    ba = rows[("b", "a")]
+    assert ba["confidence_u"] == 1_000_000  # b always with a
+    assert ba["lift_u"] == ab["lift_u"]  # lift is symmetric
+    assert ("a", "c") not in rows  # never co-occur -> no pair row
