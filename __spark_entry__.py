@@ -236,6 +236,33 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment (operators/dedup.
+    ngram_containment_pairs, Broder): C(A->B) = |A∩B|/|A| — the
+    excerpt/quote detector Jaccard structurally misses (a snippet
+    fully inside a page has containment 1.0 but Jaccard ~ |A|/|B|).
+    Same inverted-index shape as the Jaccard family; integer-micro
+    fractions, filtered on the larger direction."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_containment_pairs(docs, n=3, threshold_u=500_000)
+
+
+def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (operators/funnel.event_transitions): consecutive
+    (prev -> next) counts under the total (ts, event_id) order and
+    the row-normalized P(next|prev) in integer micros — the
+    journey-map / next-event-model estimate."""
+    from data_pipeline_childcare_spark.operators.funnel import event_transitions
+
+    ev = _t(spark, sf_dir, "events")
+    return event_transitions(ev)
+
+
 def interarrival_dispersion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-arrival regularity per event type
     (operators/funnel.interarrival_dispersion): same-user consecutive
@@ -5343,6 +5370,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_repetition_docs": gopher_repetition_docs,
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
+        "ngram_containment_docs": ngram_containment_docs,
+        "event_transitions_events": event_transitions_events,
         "association_rules_events": association_rules_events,
         "conformal_interval_events": conformal_interval_events,
         "join_cardinality_orders_lineitem": join_cardinality_orders_lineitem,
@@ -9309,6 +9338,57 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["ngram_containment_docs"] = f"""
+        WITH toks AS (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   list_distinct(
+                       list_transform(
+                           range(1, greatest(len(t) - 3, 0) + 2),
+                           i -> array_to_string(t[i:i+2], ' ')
+                       )
+                   ) AS shingles
+            FROM toks
+        ), inv AS (
+            SELECT doc_id, unnest(shingles) AS shingle FROM grams
+        ), sizes AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
+            FROM inv GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS common
+            FROM inv a JOIN inv b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT id_a, id_b, common,
+               sa.set_size AS size_a, sb.set_size AS size_b,
+               CAST(common * 1000000 // sa.set_size AS BIGINT) AS containment_a_u,
+               CAST(common * 1000000 // sb.set_size AS BIGINT) AS containment_b_u
+        FROM common
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE greatest(common * 1000000 // sa.set_size,
+                       common * 1000000 // sb.set_size) >= 500000
+    """
+    out["event_transitions_events"] = """
+        WITH p AS (
+            SELECT lag(event_type) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS from_type,
+                   event_type AS to_type
+            FROM events
+        ),
+        counts AS (
+            SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+            FROM p WHERE from_type IS NOT NULL
+            GROUP BY from_type, to_type
+        )
+        SELECT from_type, to_type, n,
+               CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+               CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_u
+        FROM counts
+    """
     out["interarrival_dispersion_events"] = """
         WITH
         gaps AS (

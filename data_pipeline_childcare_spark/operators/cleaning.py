@@ -275,15 +275,21 @@ def gopher_repetition_signals(
     (defaults: top 0.20/0.18/0.16, dup 0.15/0.10 — Table A1).
 
     All fractions are integer micros with DECIMAL(38,0) products —
-    exact, engine-portable. Scale shape: one explode + one
-    (doc, ngram) hash aggregate + one doc-keyed reduce PER n — all
-    map-side combinable, co-partitioned joins on doc id, no data
-    ever leaves the doc's partition after the first shuffle."""
+    exact, engine-portable. Scale shape (round-7 single-pass form):
+    ONE corpus scan projects every n's gram array n-TAGGED into one
+    flattened explode (tokenize is evaluated once per row — the
+    shifted-slice arrays all reference it at top level, where codegen
+    CSE collapses them), ONE (doc, n, gram) hash aggregate, one
+    (doc, n)-keyed window + one doc-keyed conditional-aggregation
+    pivot. The previous per-n form ran 5 separate scan→explode→agg
+    chains and measured 3.14× at 10×; this is the same math in one
+    pass."""
     from data_pipeline_childcare_spark.functions.text import tokenize, word_ngrams
     from data_pipeline_childcare_spark.io import spread_partitions
 
     top_thr = top_thresholds_u or {2: 200_000, 3: 180_000, 4: 160_000}
     dup_thr = dup_thresholds_u or {5: 150_000, 10: 100_000}
+    all_ns = sorted(set(top_ns) | set(dup_ns))
     spread = spread_partitions(docs, id_col)
     toks = tokenize(F.col(text_col))
     base = spread.select(
@@ -292,59 +298,63 @@ def gopher_repetition_signals(
         F.length(F.concat_ws("", toks)).cast("long").alias("total_chars"),
     )
 
-    def _per_gram(n: int) -> DataFrame:
-        grams = spread.select(
-            F.col(id_col), F.explode(word_ngrams(F.col(text_col), n)).alias("_g")
-        )
-        return grams.groupBy(id_col, "_g").agg(
-            F.count(F.lit(1)).cast("long").alias("_c"),
-            (F.length(F.first("_g")) - F.lit(n - 1)).cast("long").alias("_chars"),
+    def _tagged(n: int):
+        return F.transform(
+            word_ngrams(F.col(text_col), n),
+            lambda g: F.struct(F.lit(n).alias("n"), g.alias("g")),
         )
 
-    out = base
+    allgrams = spread.select(
+        F.col(id_col),
+        F.explode(F.flatten(F.array(*[_tagged(n) for n in all_ns]))).alias("_x"),
+    ).select(id_col, F.col("_x.n").alias("_n"), F.col("_x.g").alias("_g"))
+    per = allgrams.groupBy(id_col, "_n", "_g").agg(
+        F.count(F.lit(1)).cast("long").alias("_c"),
+        (F.length(F.first("_g")) - (F.col("_n") - 1)).cast("long").alias("_chars"),
+    )
+    w = Window.partitionBy(id_col, "_n").orderBy(
+        F.desc("_c"), F.desc("_chars"), F.asc("_g")
+    )
+    mass = F.col("_c").cast("decimal(38,0)") * F.col("_chars").cast("decimal(38,0)")
+    stats = (
+        per.withColumn("_rn", F.row_number().over(w))
+        .groupBy(id_col, "_n")
+        .agg(
+            F.max(F.when(F.col("_rn") == 1, mass)).alias("_top_mass"),
+            F.sum(
+                F.when(F.col("_c") > 1, mass).otherwise(
+                    F.lit(0).cast("decimal(38,0)")
+                )
+            ).alias("_dup_mass"),
+        )
+    )
+    pivoted = stats.groupBy(id_col).agg(
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_top_mass"))).alias(f"_tm{n}")
+            for n in top_ns
+        ],
+        *[
+            F.max(F.when(F.col("_n") == n, F.col("_dup_mass"))).alias(f"_dm{n}")
+            for n in dup_ns
+        ],
+    )
+    out = base.join(pivoted, on=id_col, how="left")
     for n in top_ns:
-        per = _per_gram(n)
-        w = Window.partitionBy(id_col).orderBy(
-            F.desc("_c"), F.desc("_chars"), F.asc("_g")
-        )
-        top = (
-            per.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(
-                F.col(id_col).alias("_id"),
-                (
-                    F.col("_c").cast("decimal(38,0)")
-                    * F.col("_chars").cast("decimal(38,0)")
-                ).alias("_mass"),
-            )
-        )
-        out = out.join(top, on=F.col(id_col) == F.col("_id"), how="left").drop("_id")
         out = out.withColumn(
             f"top{n}_char_frac_u",
             F.expr(
                 f"CASE WHEN n_tokens >= {n} AND total_chars > 0 "
-                f"THEN cast(_mass * 1000000 div cast(total_chars as decimal(38,0)) as bigint) END"
+                f"THEN cast(_tm{n} * 1000000 div cast(total_chars as decimal(38,0)) as bigint) END"
             ),
-        ).drop("_mass")
+        ).drop(f"_tm{n}")
     for n in dup_ns:
-        per = _per_gram(n)
-        dup = per.groupBy(id_col).agg(
-            F.sum(
-                F.when(
-                    F.col("_c") > 1,
-                    F.col("_c").cast("decimal(38,0)")
-                    * F.col("_chars").cast("decimal(38,0)"),
-                ).otherwise(F.lit(0).cast("decimal(38,0)"))
-            ).alias("_dmass")
-        ).select(F.col(id_col).alias("_id"), "_dmass")
-        out = out.join(dup, on=F.col(id_col) == F.col("_id"), how="left").drop("_id")
         out = out.withColumn(
             f"dup{n}_char_frac_u",
             F.expr(
                 f"CASE WHEN n_tokens >= {n} AND total_chars > 0 "
-                f"THEN cast(_dmass * 1000000 div cast(total_chars as decimal(38,0)) as bigint) END"
+                f"THEN cast(_dm{n} * 1000000 div cast(total_chars as decimal(38,0)) as bigint) END"
             ),
-        ).drop("_dmass")
+        ).drop(f"_dm{n}")
     flag = F.lit(False)
     for n in top_ns:
         flag = flag | (F.col(f"top{n}_char_frac_u") > top_thr[n])

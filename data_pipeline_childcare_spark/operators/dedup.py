@@ -1077,3 +1077,74 @@ def ngram_jaccard_pairs_prefix(
             F.col("common") / (F.col("size_a") + F.col("size_b") - F.col("common")), 6
         ).alias("jaccard"),
     ).filter(F.col("jaccard") >= threshold)
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold_u: int = 500_000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC shingle containment — the excerpt/quote detector
+    Jaccard structurally misses: a 50-shingle snippet fully inside a
+    5000-shingle page has C(snippet→page) = 1.0 but Jaccard ≈ 0.01.
+    ``C(A→B) = |A∩B| / |A|`` (Broder's containment, the other half of
+    the resemblance/containment pair).
+
+    Same inverted-index shape as :func:`ngram_jaccard_pairs` (distinct
+    shingles → hashed self-join → per-pair intersection counts with
+    set sizes riding along; optional ``max_df`` hot-shingle cap with
+    the identical lower-bound contract). Emits one row per candidate
+    pair with BOTH directions — (id_a, id_b, common, size_a, size_b,
+    containment_a_u, containment_b_u) — filtered on the LARGER
+    direction ≥ ``threshold_u``; fractions are integer micros (the
+    fixed-point discipline), so the gate is engine-exact."""
+    spread = spread_partitions(df, id_col)
+    base = spread.select(
+        F.col(id_col), F.array_distinct(word_ngrams(F.col(text_col), n)).alias("_sh")
+    )
+    shingled = base.select(
+        F.col(id_col),
+        F.size("_sh").cast("long").alias("set_size"),
+        F.explode("_sh").alias("_s"),
+    ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(hot, "shingle", "left_anti")
+    a, b = shingled.alias("a"), shingled.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .agg(
+            F.count("*").cast("long").alias("common"),
+            F.first("a.set_size").alias("size_a"),
+            F.first("b.set_size").alias("size_b"),
+        )
+    )
+    scored = common.select(
+        "id_a",
+        "id_b",
+        "common",
+        "size_a",
+        "size_b",
+        F.expr("cast(common * 1000000 div size_a as bigint)").alias(
+            "containment_a_u"
+        ),
+        F.expr("cast(common * 1000000 div size_b as bigint)").alias(
+            "containment_b_u"
+        ),
+    )
+    return scored.filter(
+        F.greatest("containment_a_u", "containment_b_u") >= threshold_u
+    )

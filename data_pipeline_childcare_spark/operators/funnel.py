@@ -260,3 +260,42 @@ def association_rules(
     if min_support_u > 0:
         res = res.filter(F.col("support_u") >= min_support_u)
     return res
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition estimates over per-user event
+    sequences → (from_type, to_type, n, row_total, p_u): counts of
+    consecutive (prev → next) pairs under the total (ts, tiebreak)
+    order, and the row-normalized transition probability
+    ``P(next | prev) = n·1e6 div row_total`` — the empirical Markov
+    chain a next-event model or a journey-map dashboard starts from.
+
+    One (user)-keyed window for the lag, one keyed aggregate, one
+    from_type-keyed window for row totals (state-vocabulary-sized).
+    Integer micros — engine-exact."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = events.select(
+        F.lag(type_col).over(w).alias("from_type"),
+        F.col(type_col).alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_row = Window.partitionBy("from_type").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return counts.withColumn(
+        "row_total", F.sum("n").over(w_row).cast("long")
+    ).select(
+        "from_type",
+        "to_type",
+        "n",
+        "row_total",
+        F.expr(f"cast(n * {MICRO} div row_total as bigint)").alias("p_u"),
+    )

@@ -841,3 +841,48 @@ def test_gopher_dup_ngram_mass(spark):
     r = gopher_repetition_signals(docs).collect()[0]
     assert r["dup5_char_frac_u"] is not None and r["dup5_char_frac_u"] > 500_000
     assert r["gopher_flagged"] is True
+
+
+# ---------------------------------------------------------------- containment
+
+
+def test_containment_excerpt_detection(spark):
+    from data_pipeline_childcare_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    snippet = "alpha beta gamma delta epsilon"
+    page = snippet + " " + " ".join(f"tok{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, snippet), (2, page), (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    rows = {(r["id_a"], r["id_b"]): r for r in ngram_containment_pairs(docs, n=3).collect()}
+    r = rows[(1, 2)]
+    # all 3 trigram shingles of the snippet appear in the page
+    assert r["containment_a_u"] == 1_000_000
+    assert r["containment_b_u"] < 200_000  # Jaccard-style symmetry would miss it
+    assert (1, 3) not in rows and (2, 3) not in rows
+
+
+def test_event_transitions_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import event_transitions
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:01:00", "b"),
+            (3, 1, "2024-01-01 00:02:00", "a"),
+            (4, 2, "2024-01-01 00:00:00", "a"),
+            (5, 2, "2024-01-01 00:01:00", "b"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts", "event_type")
+    rows = {(r["from_type"], r["to_type"]): r for r in event_transitions(df).collect()}
+    assert rows[("a", "b")]["n"] == 2
+    assert rows[("b", "a")]["n"] == 1
+    assert rows[("a", "b")]["row_total"] == 2  # from 'a': both transitions to b
+    assert rows[("a", "b")]["p_u"] == 1_000_000
+    assert rows[("b", "a")]["p_u"] == 1_000_000
+    # no cross-user transition (user 2's 'b' has no successor)
+    assert ("b", "b") not in rows
