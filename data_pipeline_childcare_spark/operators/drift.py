@@ -168,3 +168,67 @@ def ks_statistic(
             F.col("v_m").alias("ks_at_value_m"),
         )
     )
+
+
+def vocab_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    text_col: str = "text",
+    min_df: int = 2,
+) -> DataFrame:
+    """Vocabulary drift between two text corpora → one row
+    (n_vocab_a, n_vocab_b, n_shared, n_only_a, n_only_b,
+    vocab_jaccard_u): the distribution-shift signal for TEXT columns,
+    where the numeric drift report (null rates, distinct counts)
+    says nothing — a new crawl snapshot whose vocabulary Jaccard
+    fell is talking about different things.
+
+    A term is in a side's vocabulary when its DOCUMENT frequency ≥
+    ``min_df`` (per-doc distinct tokens first, so one spammy doc
+    can't mint vocabulary). Shape: per side one explode + two keyed
+    aggregates (map-side combinable), one full-outer join on the
+    term, one scalar reduce — all exact integers."""
+    def vocab(df: DataFrame, name: str) -> DataFrame:
+        from data_pipeline_childcare_spark.functions.text import tokenize
+
+        toks = df.select(
+            F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("_t")
+        )
+        return (
+            toks.groupBy("_t")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") >= min_df)
+            .select(F.col("_t"), F.lit(1).alias(name))
+        )
+
+    va, vb = vocab(df_a, "_ina"), vocab(df_b, "_inb")
+    merged = va.join(vb, on="_t", how="full")
+    return merged.agg(
+        F.sum(F.coalesce("_ina", F.lit(0))).cast("long").alias("n_vocab_a"),
+        F.sum(F.coalesce("_inb", F.lit(0))).cast("long").alias("n_vocab_b"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_shared"),
+        F.sum(
+            F.when(F.col("_ina").isNotNull() & F.col("_inb").isNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_a"),
+        F.sum(
+            F.when(F.col("_ina").isNull() & F.col("_inb").isNotNull(), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_only_b"),
+    ).select(
+        "n_vocab_a",
+        "n_vocab_b",
+        "n_shared",
+        "n_only_a",
+        "n_only_b",
+        F.expr(
+            "CASE WHEN n_vocab_a + n_vocab_b - n_shared > 0 THEN "
+            "cast(n_shared * 1000000 div (n_vocab_a + n_vocab_b - n_shared) as bigint) END"
+        ).alias("vocab_jaccard_u"),
+    )

@@ -209,3 +209,50 @@ def golden_records(
             ).alias(f)
         )
     return joined.groupBy("cluster_id").agg(*agg_exprs)
+
+
+def fuzzy_matches(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_col: str,
+    max_distance: int = 2,
+    max_block: int = 200,
+) -> DataFrame:
+    """Edit-distance fuzzy matching within blocks →
+    (id_a, id_b, text_a, text_b, distance): canonical (id_a < id_b)
+    pairs whose strings differ by ≤ ``max_distance`` Levenshtein
+    edits — the typo/variant detector that complements
+    :func:`token_jaccard_pairs` (token-set overlap misses
+    single-character edits inside a token; edit distance catches
+    them).
+
+    Scale shape: the self-join is an equi-join on ``block_col`` (the
+    caller's blocking rule — last name token, phonetic key, sorted
+    prefix …) with the same hot-block cap discipline as
+    :func:`candidate_pairs` — blocks larger than ``max_block`` are
+    dropped loudly rather than joined quadratically (a block that
+    size means the blocking rule, not the join, needs fixing).
+    Levenshtein is a deterministic integer in every engine — no
+    rounding discipline needed."""
+    sized = df.join(
+        df.groupBy(block_col).agg(F.count(F.lit(1)).alias("_bs")),
+        on=block_col,
+    ).filter(F.col("_bs") <= max_block)
+    a = sized.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_a"),
+        F.col(text_col).alias("text_a"),
+    )
+    b = sized.select(
+        F.col(block_col).alias("_blk"),
+        F.col(id_col).alias("id_b"),
+        F.col(text_col).alias("text_b"),
+    )
+    return (
+        a.join(b, on="_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", F.levenshtein("text_a", "text_b").cast("long"))
+        .filter(F.col("distance") <= max_distance)
+        .select("id_a", "id_b", "text_a", "text_b", "distance")
+    )

@@ -58,3 +58,30 @@ def test_snapshot_drift_identical_snapshots_all_ok(spark):
     got = snapshot_drift_report(a, a).collect()
     assert {r["status"] for r in got} == {"ok"}
     assert all(r["null_rate_delta_micro"] == 0 for r in got)
+
+
+def test_vocab_drift_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.drift import vocab_drift
+
+    a = spark.createDataFrame(
+        [("alpha beta",), ("alpha gamma",), ("beta gamma",)], "text string"
+    )
+    b = spark.createDataFrame(
+        [("alpha delta",), ("alpha delta",), ("beta beta",)], "text string"
+    )
+    # vocab A (df>=2): alpha(2), beta(2), gamma(2); vocab B: alpha(2),
+    # delta(2) — beta appears in ONE doc of B twice (per-doc distinct!)
+    r = vocab_drift(a, b, min_df=2).collect()[0]
+    assert r["n_vocab_a"] == 3 and r["n_vocab_b"] == 2
+    assert r["n_shared"] == 1  # alpha
+    assert r["n_only_a"] == 2 and r["n_only_b"] == 1
+    assert r["vocab_jaccard_u"] == 1_000_000 // 4
+
+
+def test_vocab_drift_identical_corpora(spark):
+    from data_pipeline_childcare_spark.operators.drift import vocab_drift
+
+    a = spark.createDataFrame([("x y",), ("x y",)], "text string")
+    r = vocab_drift(a, a, min_df=2).collect()[0]
+    assert r["vocab_jaccard_u"] == 1_000_000
+    assert r["n_only_a"] == r["n_only_b"] == 0

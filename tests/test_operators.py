@@ -886,3 +886,40 @@ def test_event_transitions_hand_case(spark):
     assert rows[("b", "a")]["p_u"] == 1_000_000
     # no cross-user transition (user 2's 'b' has no successor)
     assert ("b", "b") not in rows
+
+
+def test_fuzzy_matches_blocking_and_distance(spark):
+    from data_pipeline_childcare_spark.operators.er import fuzzy_matches
+
+    df = spark.createDataFrame(
+        [
+            (1, "red widget", "widget"),
+            (2, "red widgit", "widgit"),   # typo but DIFFERENT block -> unseen
+            (3, "rad widget", "widget"),   # 1 edit, same block
+            (4, "blue bolt", "bolt"),
+            (5, "red widget", "widget"),   # exact dup, distance 0
+        ],
+        "id long, name string, blk string",
+    )
+    rows = {
+        (r["id_a"], r["id_b"]): r["distance"]
+        for r in fuzzy_matches(df, "id", "name", "blk", max_distance=2).collect()
+    }
+    assert rows[(1, 3)] == 1
+    assert rows[(1, 5)] == 0
+    assert rows[(3, 5)] == 1
+    assert (1, 2) not in rows  # blocking miss, documented recall tradeoff
+    assert all(b != 4 and a != 4 for a, b in rows)
+
+
+def test_fuzzy_matches_hot_block_cap(spark):
+    from data_pipeline_childcare_spark.operators.er import fuzzy_matches
+
+    rows = [(i, f"name{i}", "hot") for i in range(10)] + [
+        (100, "abc", "cold"),
+        (101, "abd", "cold"),
+    ]
+    df = spark.createDataFrame(rows, "id long, name string, blk string")
+    out = fuzzy_matches(df, "id", "name", "blk", max_distance=3, max_block=5).collect()
+    # the 10-member hot block is dropped; only the cold pair survives
+    assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
