@@ -236,6 +236,45 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance fuzzy matching over part names
+    (operators/er.fuzzy_matches): blocked on (last name token, first
+    letter) — composite keys keep blocks small under the hot-block
+    cap (noun-only blocks hit 261 members and were all dropped) —
+    pairs
+    within Levenshtein <= 2 — the typo/variant detector token-set
+    Jaccard misses. Levenshtein is a deterministic integer in every
+    engine."""
+    from data_pipeline_childcare_spark.operators.er import fuzzy_matches
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.concat_ws(
+            "|",
+            F.element_at(F.split(F.col("p_name"), " "), -1),
+            F.substring("p_name", 1, 1),
+        ).alias("blk"),
+    )
+    return fuzzy_matches(part, "p_partkey", "p_name", "blk", max_distance=2)
+
+
+def vocab_drift_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between two document snapshots
+    (operators/drift.vocab_drift): sources src0-src9 vs src10-src19
+    as the A/B corpora; per-doc distinct tokens, document frequency
+    >= 2 mints vocabulary, one full-outer term join -> shared / only
+    counts and the vocabulary Jaccard in micros. The text-column
+    drift signal the numeric snapshot report cannot see."""
+    from data_pipeline_childcare_spark.operators.drift import vocab_drift
+
+    docs = _t(spark, sf_dir, "documents")
+    side = F.regexp_extract(F.col("source"), r"src(\d+)", 1).cast("int")
+    return vocab_drift(
+        docs.filter(side < 10), docs.filter(side >= 10), min_df=2
+    )
+
+
 def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric shingle containment (operators/dedup.
     ngram_containment_pairs, Broder): C(A->B) = |A∩B|/|A| — the
@@ -5371,6 +5410,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "fuzzy_part_name_matches": fuzzy_part_name_matches,
+        "vocab_drift_docs": vocab_drift_docs,
         "event_transitions_events": event_transitions_events,
         "association_rules_events": association_rules_events,
         "conformal_interval_events": conformal_interval_events,
@@ -9338,6 +9379,60 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["fuzzy_part_name_matches"] = """
+        WITH p AS (
+            SELECT p_partkey, p_name,
+                   concat_ws('|', string_split(p_name, ' ')[-1],
+                             substring(p_name, 1, 1)) AS blk
+            FROM part
+        ),
+        sized AS (
+            SELECT p.* FROM p
+            JOIN (SELECT blk, count(*) AS bs FROM p GROUP BY blk) s USING (blk)
+            WHERE s.bs <= 200
+        )
+        SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+               a.p_name AS text_a, b.p_name AS text_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS distance
+        FROM sized a JOIN sized b ON a.blk = b.blk
+            AND a.p_partkey < b.p_partkey
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """
+    out["vocab_drift_docs"] = f"""
+        WITH
+        sides AS (
+            SELECT CAST(regexp_extract(source, 'src(\\d+)', 1) AS INT) AS sd,
+                   {tokens} AS t
+            FROM documents
+        ),
+        ta AS (
+            SELECT tok, count(*) AS df FROM (
+                SELECT unnest(list_distinct(t)) AS tok FROM sides WHERE sd < 10
+            ) GROUP BY tok HAVING count(*) >= 2
+        ),
+        tb AS (
+            SELECT tok, count(*) AS df FROM (
+                SELECT unnest(list_distinct(t)) AS tok FROM sides WHERE sd >= 10
+            ) GROUP BY tok HAVING count(*) >= 2
+        ),
+        m AS (
+            SELECT ta.tok AS a, tb.tok AS b
+            FROM ta FULL OUTER JOIN tb ON ta.tok = tb.tok
+        ),
+        agg AS (
+            SELECT CAST(count(a) AS BIGINT) AS n_vocab_a,
+                   CAST(count(b) AS BIGINT) AS n_vocab_b,
+                   CAST(sum(CASE WHEN a IS NOT NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   CAST(sum(CASE WHEN a IS NOT NULL AND b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a,
+                   CAST(sum(CASE WHEN a IS NULL AND b IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b
+            FROM m
+        )
+        SELECT n_vocab_a, n_vocab_b, n_shared, n_only_a, n_only_b,
+               CASE WHEN n_vocab_a + n_vocab_b - n_shared > 0 THEN
+                   CAST(n_shared * 1000000 // (n_vocab_a + n_vocab_b - n_shared) AS BIGINT)
+               END AS vocab_jaccard_u
+        FROM agg
+    """
     out["ngram_containment_docs"] = f"""
         WITH toks AS (
             SELECT doc_id, {tokens} AS t FROM documents
