@@ -280,14 +280,25 @@ def ngram_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ngram_containment_pairs, Broder): C(A->B) = |A∩B|/|A| — the
     excerpt/quote detector Jaccard structurally misses (a snippet
     fully inside a page has containment 1.0 but Jaccard ~ |A|/|B|).
-    Same inverted-index shape as the Jaccard family; integer-micro
-    fractions, filtered on the larger direction."""
+    Same inverted-index shape as the Jaccard family. BOTH
+    duplicate-saturation guards threaded and oracle-mirrored: the
+    max_df=64 hot-shingle cap (fractions become lower bounds — the
+    safe direction) and cap_pairs_per_doc top-20-per-side (uncapped,
+    the 10x near-dup-cluster corpus measured 18.7x)."""
     from data_pipeline_childcare_spark.operators.dedup import (
+        cap_pairs_per_doc,
         ngram_containment_pairs,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_containment_pairs(docs, n=3, threshold_u=500_000)
+    pairs = ngram_containment_pairs(
+        docs, n=3, threshold_u=500_000, max_df=64
+    )
+    return cap_pairs_per_doc(
+        pairs,
+        cap=20,
+        order_by=[F.desc(F.greatest("containment_a_u", "containment_b_u"))],
+    )
 
 
 def event_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -9450,22 +9461,39 @@ def oracle_sql() -> dict[str, str]:
         ), sizes AS (
             SELECT doc_id, CAST(count(*) AS BIGINT) AS set_size
             FROM inv GROUP BY doc_id
+        ), hot AS (
+            SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > 64
+        ), invc AS (
+            SELECT inv.* FROM inv ANTI JOIN hot USING (shingle)
         ), common AS (
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(count(*) AS BIGINT) AS common
-            FROM inv a JOIN inv b
+            FROM invc a JOIN invc b
               ON a.shingle = b.shingle AND a.doc_id < b.doc_id
             GROUP BY a.doc_id, b.doc_id
+        ), scored AS (
+            SELECT id_a, id_b, common,
+                   sa.set_size AS size_a, sb.set_size AS size_b,
+                   CAST(common * 1000000 // sa.set_size AS BIGINT) AS containment_a_u,
+                   CAST(common * 1000000 // sb.set_size AS BIGINT) AS containment_b_u
+            FROM common
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE greatest(common * 1000000 // sa.set_size,
+                           common * 1000000 // sb.set_size) >= 500000
         )
-        SELECT id_a, id_b, common,
-               sa.set_size AS size_a, sb.set_size AS size_b,
-               CAST(common * 1000000 // sa.set_size AS BIGINT) AS containment_a_u,
-               CAST(common * 1000000 // sb.set_size AS BIGINT) AS containment_b_u
-        FROM common
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE greatest(common * 1000000 // sa.set_size,
-                       common * 1000000 // sb.set_size) >= 500000
+        SELECT id_a, id_b, common, size_a, size_b,
+               containment_a_u, containment_b_u
+        FROM (
+            SELECT *,
+                   row_number() OVER (PARTITION BY id_a
+                       ORDER BY greatest(containment_a_u, containment_b_u) DESC,
+                                id_b) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                       ORDER BY greatest(containment_a_u, containment_b_u) DESC,
+                                id_a) AS rb
+            FROM scored
+        ) WHERE ra <= 20 AND rb <= 20
     """
     out["event_transitions_events"] = """
         WITH p AS (
