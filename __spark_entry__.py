@@ -236,6 +236,33 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def orders_point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time SCD2 lookup (operators/scd.scd2_point_in_time):
+    every order reads the customer-status version in effect at its
+    order date from the SCD2 history — the as-of formulation (one
+    union + one per-key window), NOT the quadratic BETWEEN theta
+    join; same-instant version flips resolve to the last version by
+    the (ts, side, version) total order. The twin replays the union
+    window chain with last_value IGNORE NULLS."""
+    from data_pipeline_childcare_spark.operators.scd import (
+        scd2_history,
+        scd2_point_in_time,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    hist = scd2_history(
+        orders.select("o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey"),
+        key_col="o_custkey",
+        attr_cols=["o_orderstatus"],
+        ts_col="o_orderdate",
+        tiebreak_col="o_orderkey",
+    ).withColumnRenamed("o_orderstatus", "status")
+    facts = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+    return scd2_point_in_time(
+        facts, hist, "o_custkey", "o_orderdate", ["status"]
+    )
+
+
 def fuzzy_part_name_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance fuzzy matching over part names
     (operators/er.fuzzy_matches): blocked on (last name token, first
@@ -5421,6 +5448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "orders_point_in_time_status": orders_point_in_time_status,
         "fuzzy_part_name_matches": fuzzy_part_name_matches,
         "vocab_drift_docs": vocab_drift_docs,
         "event_transitions_events": event_transitions_events,
@@ -9390,6 +9418,51 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["orders_point_in_time_status"] = """
+        WITH obs AS (
+            SELECT o_custkey, o_orderstatus AS status, o_orderdate, o_orderkey,
+                   lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS prev
+            FROM orders
+        ),
+        changes AS (
+            SELECT o_custkey, status, o_orderdate, o_orderkey
+            FROM obs WHERE prev IS DISTINCT FROM status
+        ),
+        hist AS (
+            SELECT o_custkey, status,
+                   CAST(o_orderdate AS TIMESTAMP) AS valid_from,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey) AS INT) AS version
+            FROM changes
+        ),
+        u AS (
+            SELECT o_custkey,
+                   CAST(o_orderdate AS TIMESTAMP) AS ts, 1 AS side,
+                   CAST(NULL AS INT) AS ver,
+                   o_orderkey, o_orderdate,
+                   CAST(NULL AS VARCHAR) AS h_status,
+                   CAST(NULL AS INT) AS h_version
+            FROM orders
+            UNION ALL
+            SELECT o_custkey, valid_from AS ts, 0 AS side, version AS ver,
+                   CAST(NULL AS BIGINT), CAST(NULL AS DATE),
+                   status, version
+            FROM hist
+        ),
+        filled AS (
+            SELECT *,
+                   last_value(h_status IGNORE NULLS) OVER (
+                       PARTITION BY o_custkey ORDER BY ts, side, ver
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS status_asof,
+                   last_value(h_version IGNORE NULLS) OVER (
+                       PARTITION BY o_custkey ORDER BY ts, side, ver
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version_asof
+            FROM u
+        )
+        SELECT o_orderkey, o_custkey, o_orderdate, status_asof, version_asof
+        FROM filled WHERE side = 1
+    """
     out["fuzzy_part_name_matches"] = """
         WITH p AS (
             SELECT p_partkey, p_name,

@@ -55,3 +55,77 @@ def scd2_history(
         .withColumn("is_current", F.col("valid_to").isNull())
         .select(key_col, *attr_cols, "valid_from", "valid_to", "version", "is_current")
     )
+
+
+def scd2_point_in_time(
+    facts: DataFrame,
+    history: DataFrame,
+    key_col: str,
+    fact_ts_col: str,
+    attr_cols: Sequence[str],
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Point-in-time enrichment against an SCD2 history — the lookup
+    every fact table needs ("which dimension version was in effect
+    when this row happened"), WITHOUT the naive
+    ``ts BETWEEN valid_from AND valid_to`` theta join (quadratic
+    blowup per key at scale). Because SCD2 intervals are contiguous
+    per key, interval containment equals "latest valid_from ≤ fact
+    ts" — the as-of formulation: one union, one per-key window, one
+    last(ignorenulls) fill per payload column.
+
+    Tie rules (all deterministic): a version starting exactly at the
+    fact's timestamp IS visible (``<=``, the [valid_from, valid_to)
+    convention — history rows sort before fact rows at the same
+    instant); zero-length intervals from same-instant flips are
+    shadowed by ordering same-instant history rows by ``version``
+    ascending, so the fill reads the LAST version effective at that
+    instant — exactly what a BETWEEN join against the compressed
+    history returns. Facts before the first version get nulls.
+
+    This is the asof_join shape specialized for SCD2; it exists
+    separately because asof_join's (_ts, _side) window order is not
+    total when a key has several versions at one instant."""
+    ver_t = history.schema["version"].dataType
+    f_tag = facts.select(
+        F.col(key_col),
+        F.col(fact_ts_col).cast("timestamp").alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(ver_t).alias("_ver"),
+        F.struct(*[F.col(c) for c in facts.columns]).alias("_fact_row"),
+        *[
+            F.lit(None).cast(history.schema[c].dataType).alias(f"_h_{c}")
+            for c in attr_cols
+        ],
+        F.lit(None).cast(ver_t).alias("_h_version"),
+    )
+    h_tag = history.select(
+        F.col(key_col),
+        F.col("valid_from").cast("timestamp").alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col("version").alias("_ver"),
+        F.lit(None).cast(f_tag.schema["_fact_row"].dataType).alias("_fact_row"),
+        *[F.col(c).alias(f"_h_{c}") for c in attr_cols],
+        F.col("version").alias("_h_version"),
+    )
+    unioned = f_tag.unionByName(h_tag)
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("_ts"), F.col("_side"), F.col("_ver"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_h_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            for c in attr_cols
+        ],
+        F.last(F.col("_h_version"), ignorenulls=True).over(w).alias(
+            f"version{suffix}"
+        ),
+    )
+    return filled.filter(F.col("_side") == 1).select(
+        "_fact_row.*",
+        *[f"{c}{suffix}" for c in attr_cols],
+        f"version{suffix}",
+    )
