@@ -236,6 +236,19 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration audit (operators/skew.
+    pareto_concentration): how many customers own 50/80/90% of order
+    revenue — the Lorenz/Pareto question, computed with the TWO-LEVEL
+    distributed cumulative sum (coarse value buckets + bounded bucket
+    window + within-bucket windows; no corpus-sized single-partition
+    window). Integer micros / DECIMAL(38,0) throughout."""
+    from data_pipeline_childcare_spark.operators.skew import pareto_concentration
+
+    orders = _t(spark, sf_dir, "orders")
+    return pareto_concentration(orders, ["o_custkey"], "o_totalprice")
+
+
 def orders_point_in_time_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time SCD2 lookup (operators/scd.scd2_point_in_time):
     every order reads the customer-status version in effect at its
@@ -5448,6 +5461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "pareto_revenue_customers": pareto_revenue_customers,
         "orders_point_in_time_status": orders_point_in_time_status,
         "fuzzy_part_name_matches": fuzzy_part_name_matches,
         "vocab_drift_docs": vocab_drift_docs,
@@ -9418,6 +9432,34 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["pareto_revenue_customers"] = """
+        WITH per AS (
+            SELECT o_custkey,
+                   CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS v
+            FROM orders GROUP BY o_custkey
+        ),
+        tot AS (
+            SELECT sum(CAST(v AS HUGEINT)) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   max(v) AS maxv
+            FROM per
+        ),
+        cum AS (
+            SELECT v,
+                   sum(CAST(v AS HUGEINT)) OVER (ORDER BY v DESC, o_custkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       - CAST(v AS HUGEINT) AS bef
+            FROM per
+        )
+        SELECT tot.n_keys,
+               CAST(tot.total AS BIGINT) AS total_u,
+               CAST(CAST(tot.maxv AS HUGEINT) * 1000000 // tot.total AS BIGINT) AS top1_share_u,
+               CAST(sum(CASE WHEN bef * 1000000 < 500000 * tot.total THEN 1 ELSE 0 END) AS BIGINT) AS n_for_50,
+               CAST(sum(CASE WHEN bef * 1000000 < 800000 * tot.total THEN 1 ELSE 0 END) AS BIGINT) AS n_for_80,
+               CAST(sum(CASE WHEN bef * 1000000 < 900000 * tot.total THEN 1 ELSE 0 END) AS BIGINT) AS n_for_90
+        FROM cum CROSS JOIN tot
+        GROUP BY tot.n_keys, tot.total, tot.maxv
+    """
     out["orders_point_in_time_status"] = """
         WITH obs AS (
             SELECT o_custkey, o_orderstatus AS status, o_orderdate, o_orderkey,

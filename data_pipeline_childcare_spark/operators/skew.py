@@ -15,7 +15,7 @@ helpers cover the remaining cases a 100 TB pipeline hits:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -283,3 +283,87 @@ def join_cardinality_estimate(
         F.count(F.lit(1)).cast("long").alias("actual_rows")
     )
     return out.crossJoin(actual)
+
+
+def pareto_concentration(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    thresholds_u: tuple[int, ...] = (500_000, 800_000, 900_000),
+    bucket_shift: int = 20,
+) -> DataFrame:
+    """Revenue/volume concentration audit (the Lorenz/Pareto
+    question: how many keys own X% of the total?) → one row
+    (n_keys, total_u, top1_share_u, n_for_50 / n_for_80 / n_for_90).
+
+    The cumulative sum over keys-sorted-by-value-DESC is computed
+    TWO-LEVEL — per-key totals hash into coarse value buckets
+    (``value_u div 2^bucket_shift``), bucket partials take one
+    ordered window over the VALUE-RANGE-BOUNDED bucket frame, and
+    each key adds only a within-bucket window — so no corpus-sized
+    single-partition window exists anywhere (the distributed-cumsum
+    pattern; a plain ``Window.orderBy(value)`` here would funnel
+    every key through one task at 1e9 keys).
+
+    n_for_t counts keys whose BEFORE-cumulative is still short of
+    the threshold (``cum_before·1e6 < t_u·total``) — exactly the
+    minimal top-key count whose running share reaches t. All math is
+    integer micros / DECIMAL(38,0); ties order by (value DESC,
+    keys ASC), total and deterministic."""
+    v_u = F.floor(F.col(value_col) * 1_000_000 + F.lit(0.5)).cast("long")
+    per = df.groupBy(*key_cols).agg(
+        F.sum(v_u.cast("decimal(38,0)")).cast("long").alias("_v")
+    )
+    per = per.withColumn("_bkt", F.expr("_v div " + str(1 << bucket_shift)))
+    bparts = per.groupBy("_bkt").agg(
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_bsum")
+    )
+    wb = Window.partitionBy(F.lit(0)).orderBy(F.desc("_bkt"))
+    boff = bparts.withColumn(
+        "_off",
+        F.coalesce(
+            F.sum("_bsum").over(
+                wb.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        ),
+    ).select("_bkt", "_off")
+    wk = Window.partitionBy("_bkt").orderBy(
+        F.desc("_v"), *[F.asc(c) for c in key_cols]
+    )
+    cum = (
+        per.join(boff, on="_bkt")
+        .withColumn(
+            "_within",
+            F.sum(F.col("_v").cast("decimal(38,0)")).over(
+                wk.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .withColumn("_cum", F.col("_off") + F.col("_within"))
+        .withColumn("_before", F.col("_cum") - F.col("_v"))
+    )
+    total = per.agg(
+        F.sum(F.col("_v").cast("decimal(38,0)")).alias("_total"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("_v").alias("_maxv"),
+    )
+    agg = cum.crossJoin(F.broadcast(total)).agg(
+        F.first("n_keys").alias("n_keys"),
+        F.first("_total").cast("long").alias("total_u"),
+        F.expr(
+            "cast(first(_maxv) * 1000000 div first(_total) as bigint)"
+        ).alias("top1_share_u"),
+        *[
+            F.sum(
+                F.when(
+                    F.col("_before") * F.lit(1_000_000)
+                    < F.lit(t) * F.col("_total"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias(f"n_for_{t // 10_000}")
+            for t in thresholds_u
+        ],
+    )
+    return agg

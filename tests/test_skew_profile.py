@@ -109,3 +109,48 @@ def test_join_cardinality_no_overlap(spark):
     r = join_cardinality_estimate(left, right, ["k"], certify=False).collect()[0]
     assert r["matching_keys"] == 0 and r["predicted_rows"] == 0
     assert "actual_rows" not in r.asDict()
+
+
+def test_pareto_concentration_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.skew import pareto_concentration
+
+    # revenues: 50, 30, 10, 10 (total 100)
+    rows = [("a", 50.0), ("b", 30.0), ("c", 10.0), ("d", 10.0)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = pareto_concentration(df, ["k"], "value").collect()[0]
+    assert r["n_keys"] == 4
+    assert r["total_u"] == 100_000_000
+    assert r["top1_share_u"] == 500_000
+    assert r["n_for_50"] == 1   # 'a' alone reaches 50%
+    assert r["n_for_80"] == 2   # a+b = 80%
+    assert r["n_for_90"] == 3   # a+b+c = 90%
+
+
+def test_pareto_two_level_matches_single_window(spark):
+    """The bucketed two-level cumsum must equal the naive global
+    order on data spanning many buckets (values up to 2^25 micro)."""
+    import random
+
+    from data_pipeline_childcare_spark.operators.skew import pareto_concentration
+
+    rng = random.Random(7)
+    rows = [(f"k{i}", rng.uniform(0.5, 40.0)) for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, value double")
+    r = pareto_concentration(df, ["k"], "value").collect()[0]
+    # python model
+    vals = sorted(
+        (int(v * 1_000_000 + 0.5) for _, v in rows), reverse=True
+    )
+    total = sum(vals)
+    def n_for(t_u):
+        cum = 0; n = 0
+        for v in vals:
+            if cum * 1_000_000 < t_u * total:
+                n += 1; cum += v
+            else:
+                break
+        return n
+    assert r["n_for_50"] == n_for(500_000)
+    assert r["n_for_80"] == n_for(800_000)
+    assert r["n_for_90"] == n_for(900_000)
+    assert r["total_u"] == total
