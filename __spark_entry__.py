@@ -236,6 +236,22 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time windows — 1-hour windows every 30
+    minutes, each event in exactly 2 windows
+    (streaming/windows.windowed_event_counts with slide): the
+    overlapping-window family member beside tumbling and session
+    windows. The twin materializes both candidate starts per event."""
+    from data_pipeline_childcare_spark.streaming.windows import (
+        windowed_event_counts,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(
+        ev, "1 hour", slide="30 minutes", streaming=False
+    )
+
+
 def pareto_revenue_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue concentration audit (operators/skew.
     pareto_concentration): how many customers own 50/80/90% of order
@@ -5461,6 +5477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "hopping_window_event_counts": hopping_window_event_counts,
         "pareto_revenue_customers": pareto_revenue_customers,
         "orders_point_in_time_status": orders_point_in_time_status,
         "fuzzy_part_name_matches": fuzzy_part_name_matches,
@@ -9432,6 +9449,21 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["hopping_window_event_counts"] = """
+        WITH c AS (
+            SELECT ts, event_type, value,
+                   unnest([time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE,
+                           time_bucket(INTERVAL 30 MINUTE, ts)]) AS window_start
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type,
+               count(*) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM c
+        GROUP BY 1, 2, 3
+    """
     out["pareto_revenue_customers"] = """
         WITH per AS (
             SELECT o_custkey,
