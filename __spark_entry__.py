@@ -236,6 +236,19 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def gini_stump_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depth-1 CART stump trained in-engine
+    (operators/claseval.gini_stump): the quality-score threshold
+    minimizing weighted child Gini for separating English docs —
+    the TRAINING half next to binary_eval_summary's given-threshold
+    scoring. Gini is rational, so the argmin is exact
+    DECIMAL(38,0)/HUGEINT integer math over the distinct-score
+    frame; ties break to the smallest threshold."""
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump
+
+    return gini_stump(_quality_scored(spark, sf_dir))
+
+
 def hopping_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hopping (sliding) event-time windows — 1-hour windows every 30
     minutes, each event in exactly 2 windows
@@ -5477,6 +5490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "gini_stump_docs": gini_stump_docs,
         "hopping_window_event_counts": hopping_window_event_counts,
         "pareto_revenue_customers": pareto_revenue_customers,
         "orders_point_in_time_status": orders_point_in_time_status,
@@ -9449,6 +9463,47 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    out["gini_stump_docs"] = f"""
+        {_claseval_prefix},
+        cum AS (
+            SELECT score_u,
+                   CAST(coalesce(sum(n) OVER (ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS tl,
+                   CAST(coalesce(sum(n_pos) OVER (ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS pl,
+                   CAST(sum(n) OVER () AS HUGEINT) AS t,
+                   CAST(sum(n_pos) OVER () AS HUGEINT) AS p
+            FROM grp
+        ),
+        cand AS (
+            SELECT score_u, tl, pl, t, p,
+                   tl - pl AS nl, t - tl AS tr,
+                   p - pl AS pr, (t - tl) - (p - pl) AS nr
+            FROM cum WHERE tl > 0
+        ),
+        scoredc AS (
+            SELECT *,
+                   CAST(((tl * tl - pl * pl - nl * nl) * tr
+                         + (tr * tr - pr * pr - nr * nr) * tl) * 1000000
+                        // (tl * tr * t) AS BIGINT) AS child_gini_u
+            FROM cand
+        ),
+        best AS (
+            SELECT * FROM scoredc ORDER BY child_gini_u, score_u LIMIT 1
+        )
+        SELECT CAST(t AS BIGINT) AS n,
+               CAST(p AS BIGINT) AS n_pos,
+               CAST((t * t - p * p - (t - p) * (t - p)) * 1000000 // (t * t) AS BIGINT) AS parent_gini_u,
+               score_u AS best_threshold_u,
+               CAST(tl AS BIGINT) AS left_n,
+               CAST(pl AS BIGINT) AS left_pos,
+               CAST(tr AS BIGINT) AS right_n,
+               CAST(pr AS BIGINT) AS right_pos,
+               child_gini_u,
+               CAST((t * t - p * p - (t - p) * (t - p)) * 1000000 // (t * t) AS BIGINT)
+                   - child_gini_u AS gain_u
+        FROM best
+    """
     out["hopping_window_event_counts"] = """
         WITH c AS (
             SELECT ts, event_type, value,

@@ -221,3 +221,87 @@ def calibration_bins(
         .cast("long").alias("mean_score_u"),
         F.expr(f"n_pos * {MICRO} div n").alias("frac_pos_u"),
     ).orderBy("bin")
+
+
+def gini_stump(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+) -> DataFrame:
+    """Train a depth-1 CART stump in-engine, exactly: pick the score
+    threshold minimizing weighted child Gini impurity → one row
+    (n, n_pos, parent_gini_u, best_threshold_u, left_n, left_pos,
+    right_n, right_pos, child_gini_u, gain_u). The training half of
+    the measurement family (``binary_eval_summary`` scores a GIVEN
+    threshold; this FINDS the optimal one by impurity).
+
+    Why Gini and not entropy: Gini is RATIONAL — the weighted child
+    impurity is
+    ``[(tL²−pL²−nL²)·tR + (tR²−pR²−nR²)·tL] / (tL·tR·T)`` — so the
+    argmin is exact integer arithmetic in DECIMAL(38,0)/HUGEINT
+    micros (entropy's logs would need cross-engine float discipline).
+    Candidate thresholds are every distinct score (left = score <
+    t, right = score ≥ t; empty-left candidates skipped); ties in
+    impurity break to the smallest threshold.
+
+    Scale shape: the claseval discipline — ONE groupBy(score_u)
+    corpus aggregate, then all candidate evaluation on the
+    distinct-score frame (≤ 1e6+1 rows) with one ordered window."""
+    groups = _score_groups(scored, label_col, score_col)
+    w = Window.partitionBy(F.lit(0)).orderBy("score_u")
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    big = "decimal(38,0)"
+    cum = groups.select(
+        "score_u",
+        F.coalesce(
+            F.sum(F.col("n").cast(big)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(big),
+        ).alias("tl"),
+        F.coalesce(
+            F.sum(F.col("n_pos").cast(big)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(big),
+        ).alias("pl"),
+        F.sum(F.col("n").cast(big)).over(w_all).alias("t"),
+        F.sum(F.col("n_pos").cast(big)).over(w_all).alias("p"),
+    )
+    cand = (
+        cum.filter(F.col("tl") > 0)
+        .withColumn("nl", F.col("tl") - F.col("pl"))
+        .withColumn("tr", F.col("t") - F.col("tl"))
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .withColumn("nr", F.col("tr") - F.col("pr"))
+        .withColumn(
+            "child_gini_u",
+            F.expr(
+                "cast(((tl * tl - pl * pl - nl * nl) * tr"
+                " + (tr * tr - pr * pr - nr * nr) * tl) * 1000000"
+                " div (tl * tr * t) as bigint)"
+            ),
+        )
+    )
+    best = cand.orderBy(F.asc("child_gini_u"), F.asc("score_u")).limit(1)
+    return best.select(
+        F.col("t").cast("long").alias("n"),
+        F.col("p").cast("long").alias("n_pos"),
+        F.expr(
+            "cast((t * t - p * p - (t - p) * (t - p)) * 1000000 div (t * t) as bigint)"
+        ).alias("parent_gini_u"),
+        F.col("score_u").alias("best_threshold_u"),
+        F.col("tl").cast("long").alias("left_n"),
+        F.col("pl").cast("long").alias("left_pos"),
+        F.col("tr").cast("long").alias("right_n"),
+        F.col("pr").cast("long").alias("right_pos"),
+        "child_gini_u",
+        (
+            F.expr(
+                "cast((t * t - p * p - (t - p) * (t - p)) * 1000000 div (t * t) as bigint)"
+            )
+            - F.col("child_gini_u")
+        ).alias("gain_u"),
+    )

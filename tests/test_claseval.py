@@ -138,3 +138,41 @@ def test_pr_curve_recall_monotone_in_threshold(spark):
     assert recalls == sorted(recalls, reverse=True)
     tps = [r["tp"] for r in rows]
     assert tps == sorted(tps, reverse=True)
+
+
+def test_gini_stump_perfect_split(spark):
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump
+
+    rows = [(0.1, 0)] * 5 + [(0.9, 1)] * 5
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = gini_stump(df).collect()[0]
+    assert r["best_threshold_u"] == 900_000  # left = score < 0.9
+    assert r["child_gini_u"] == 0
+    assert r["parent_gini_u"] == 500_000  # balanced parent
+    assert r["gain_u"] == 500_000
+    assert (r["left_n"], r["left_pos"], r["right_n"], r["right_pos"]) == (5, 0, 5, 5)
+
+
+def test_gini_stump_hand_impurity(spark):
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump
+
+    # scores 0.1(n=4: 1 pos), 0.5(n=4: 3 pos): best split at 0.5
+    rows = [(0.1, 1)] + [(0.1, 0)] * 3 + [(0.5, 1)] * 3 + [(0.5, 0)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = gini_stump(df).collect()[0]
+    assert r["best_threshold_u"] == 500_000
+    # left gini = 2*1/4*3/4 = 0.375; right same; weighted = 0.375
+    assert r["child_gini_u"] == 375_000
+    assert r["parent_gini_u"] == 500_000
+    assert r["gain_u"] == 125_000
+
+
+def test_gini_stump_tie_breaks_to_smallest_threshold(spark):
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump
+
+    # constant labels: every split has gini 0 -> smallest threshold wins
+    rows = [(0.1, 1), (0.2, 1), (0.3, 1)]
+    df = spark.createDataFrame(rows, "score double, label int")
+    r = gini_stump(df).collect()[0]
+    assert r["best_threshold_u"] == 200_000  # smallest with non-empty left
+    assert r["child_gini_u"] == 0 and r["gain_u"] == 0
