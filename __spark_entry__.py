@@ -236,6 +236,21 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% CI for the mean event value
+    (operators/robust.poisson_bootstrap_mean, Chamandy et al. 2012 —
+    the bootstrap that distributes: per-(row, replica) Poisson(1)
+    weights from the seeded md5 inverse-CDF draw, 40 replicas, one
+    combinable aggregate, order statistics on the 40-row frame).
+    Seeded = twin-checkable and rerun-reproducible."""
+    from data_pipeline_childcare_spark.operators.robust import (
+        poisson_bootstrap_mean,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_mean(ev, "event_id", "value", n_replicas=40)
+
+
 def gini_stump_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Depth-1 CART stump trained in-engine
     (operators/claseval.gini_stump): the quality-score threshold
@@ -5490,6 +5505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
         "gini_stump_docs": gini_stump_docs,
         "hopping_window_event_counts": hopping_window_event_counts,
         "pareto_revenue_customers": pareto_revenue_customers,
@@ -9463,6 +9479,65 @@ def oracle_sql() -> dict[str, str]:
     )
 
     out["gopher_repetition_docs"] = _gopher_sql(tokens, flag_min_tokens=15)
+    from data_pipeline_childcare_spark.operators.robust import (
+        _poisson_case as _pb_case,
+    )
+    from data_pipeline_childcare_spark.operators.dp import (
+        uniform_draw_duckdb as _pb_draw,
+    )
+
+    _pb_w = _pb_case(
+        _pb_draw(
+            "concat(CAST(event_id AS VARCHAR), ':', CAST(b AS VARCHAR))",
+            "boot-1",
+        )
+    )
+    out["bootstrap_mean_ci_events"] = f"""
+        WITH rep AS (
+            SELECT event_id,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS v,
+                   unnest(range(0, 40)) AS b
+            FROM events
+        ),
+        wd AS (SELECT b, v, {_pb_w} AS w FROM rep),
+        means AS (
+            SELECT b,
+                   CASE WHEN sum(CAST(w AS HUGEINT)) > 0 THEN
+                       CASE WHEN sum(CAST(w AS HUGEINT) * v) >= 0
+                            THEN CAST(sum(CAST(w AS HUGEINT) * v)
+                                      // sum(CAST(w AS HUGEINT)) AS BIGINT)
+                            ELSE -CAST((-sum(CAST(w AS HUGEINT) * v))
+                                      // sum(CAST(w AS HUGEINT)) AS BIGINT) END
+                   END AS m
+            FROM wd GROUP BY b
+        ),
+        mm AS (SELECT m, b FROM means WHERE m IS NOT NULL),
+        ranked AS (
+            SELECT m, row_number() OVER (ORDER BY m, b) AS r,
+                   count(*) OVER () AS nb
+            FROM mm
+        ),
+        ci AS (
+            SELECT max(CASE WHEN r = 2 THEN m END) AS ci_lo_u,
+                   max(CASE WHEN r = nb - 1 THEN m END) AS ci_hi_u,
+                   CAST(max(nb) AS BIGINT) AS n_replicas
+            FROM ranked
+        ),
+        pt AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CASE WHEN count(*) > 0 THEN
+                       CASE WHEN sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT)) >= 0
+                            THEN CAST(sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT))
+                                      // CAST(count(*) AS HUGEINT) AS BIGINT)
+                            ELSE -CAST((-sum(CAST(CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS HUGEINT)))
+                                      // CAST(count(*) AS HUGEINT) AS BIGINT) END
+                   END AS mean_u
+            FROM events
+        )
+        SELECT pt.n, pt.mean_u, ci.ci_lo_u, ci.ci_hi_u, ci.n_replicas,
+               CAST(50000 AS BIGINT) AS alpha_u
+        FROM pt CROSS JOIN ci
+    """
     out["gini_stump_docs"] = f"""
         {_claseval_prefix},
         cum AS (

@@ -187,3 +187,119 @@ def conformal_interval(
         ),
         F.lit(MICRO - alpha_u).cast("long").alias("guarantee_u"),
     )
+
+
+def poisson_table(lam: float = 1.0, bound: int = 10) -> list[tuple[int, int]]:
+    """Quantized inverse CDF of Poisson(lam): [(cum_threshold_u, k)],
+    tail folded into the last row — the same baked-CASE sampling
+    scheme as operators/dp (one shared Python function generates both
+    engines' plans, so the seeded draw is bit-identical)."""
+    import math
+
+    masses, cum, out = [], 0.0, []
+    for k in range(bound + 1):
+        masses.append(math.exp(-lam) * lam**k / math.factorial(k))
+    for k, m in enumerate(masses):
+        cum += m
+        out.append((min(MICRO, math.floor(cum * MICRO + 0.5)), k))
+    out[-1] = (MICRO, bound)
+    return out
+
+
+def _poisson_case(u_expr: str, lam: float = 1.0) -> str:
+    t = poisson_table(lam)
+    branches = "\n".join(f"WHEN {u_expr} < {thr} THEN {k}" for thr, k in t[:-1])
+    return f"(CASE {branches} ELSE {t[-1][1]} END)"
+
+
+def poisson_bootstrap_mean(
+    df: DataFrame,
+    id_col: str,
+    value_col: str,
+    n_replicas: int = 40,
+    salt: str = "boot-1",
+    alpha_u: int = 50_000,
+) -> DataFrame:
+    """Percentile-bootstrap confidence interval for the mean via the
+    POISSON bootstrap (Chamandy et al. 2012, "Estimating uncertainty
+    for massive data streams" — the bootstrap that works distributed:
+    resampling-with-replacement weights are independent Poisson(1)
+    draws per (row, replica), so no replica ever needs a global
+    sample). One row out: (n, mean_u, ci_lo_u, ci_hi_u, n_replicas,
+    alpha_u).
+
+    Determinism: weights come from the baked inverse-CDF CASE over
+    the portable md5 draw of (salt, row id, replica) — the seeded
+    discipline shared with operators/dp; re-runs and the SQL twin
+    reproduce the interval bit-exactly (swap the salt per analysis
+    epoch for fresh randomness). CI rule: replica means sorted
+    ascending, lo rank = floor(B·α/2)+1, hi rank = B − floor(B·α/2).
+
+    Scale shape: one explode ×B (map-only), one combinable aggregate
+    to B rows, order statistics on the B-row frame. All integer
+    micros; replica means are sign-safe floor divisions."""
+    from data_pipeline_childcare_spark.operators.dp import uniform_draw_sql
+
+    u = uniform_draw_sql(
+        f"concat(cast(`{id_col}` as string), ':', cast(_b as string))", salt
+    )
+    wexpr = _poisson_case(u)
+    v_u = F.floor(F.col(value_col) * MICRO + F.lit(0.5)).cast("long")
+    rep = df.select(
+        F.col(id_col),
+        v_u.alias("_v"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_replicas - 1))).alias("_b"),
+    ).withColumn("_w", F.expr(wexpr))
+    means = (
+        rep.groupBy("_b")
+        .agg(
+            F.sum(F.col("_w").cast("decimal(38,0)") * F.col("_v")).alias("_num"),
+            F.sum(F.col("_w").cast("decimal(38,0)")).alias("_den"),
+        )
+        .select(
+            "_b",
+            F.expr(
+                "CASE WHEN _den > 0 THEN "
+                "CASE WHEN _num >= 0 THEN cast(_num div _den as bigint) "
+                "ELSE -cast((-_num) div _den as bigint) END END"
+            ).alias("_mean"),
+        )
+        .filter(F.col("_mean").isNotNull())
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy(F.asc("_mean"), F.asc("_b"))
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    lo = (n_replicas * (alpha_u // 2)) // MICRO + 1
+    hi_from_end = (n_replicas * (alpha_u // 2)) // MICRO
+    ranked = means.select(
+        "_mean",
+        F.row_number().over(w_ord).alias("_r"),
+        F.count(F.lit(1)).over(w_all).alias("_nb"),
+    )
+    ci = ranked.agg(
+        F.max(F.when(F.col("_r") == lo, F.col("_mean"))).alias("ci_lo_u"),
+        F.max(
+            F.when(F.col("_r") == F.col("_nb") - hi_from_end, F.col("_mean"))
+        ).alias("ci_hi_u"),
+        F.first("_nb").cast("long").alias("n_replicas"),
+    )
+    point = df.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(v_u.cast("decimal(38,0)")).alias("_s"),
+    ).select(
+        "n",
+        F.expr(
+            "CASE WHEN n > 0 THEN "
+            "CASE WHEN _s >= 0 THEN cast(_s div cast(n as decimal(38,0)) as bigint) "
+            "ELSE -cast((-_s) div cast(n as decimal(38,0)) as bigint) END END"
+        ).alias("mean_u"),
+    )
+    return point.crossJoin(F.broadcast(ci)).select(
+        "n",
+        "mean_u",
+        "ci_lo_u",
+        "ci_hi_u",
+        "n_replicas",
+        F.lit(alpha_u).cast("long").alias("alpha_u"),
+    )

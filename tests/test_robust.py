@@ -58,3 +58,42 @@ def test_conformal_infinite_interval_null(spark):
     r = conformal_interval(calib, test, alpha_u=100_000).collect()[0]
     assert r["qhat_m"] is None
     assert r["coverage_u"] == 0  # e <= null is never true
+
+
+def test_poisson_table_invariants():
+    from data_pipeline_childcare_spark.operators.robust import poisson_table
+
+    t = poisson_table()
+    thrs = [x for x, _ in t]
+    assert thrs == sorted(thrs) and t[-1][0] == 1_000_000
+    assert [k for _, k in t] == list(range(len(t)))
+    # mode mass at k=0 and k=1 roughly equal (lambda=1)
+    assert abs(thrs[0] - (thrs[1] - thrs[0])) <= 1
+
+
+def test_poisson_bootstrap_ci_brackets_mean(spark):
+    from data_pipeline_childcare_spark.operators.robust import (
+        poisson_bootstrap_mean,
+    )
+
+    rows = [(i, 10.0 + (i % 7)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    r = poisson_bootstrap_mean(df, "id", "value", n_replicas=40).collect()[0]
+    assert r["n"] == 500 and r["n_replicas"] == 40
+    assert r["ci_lo_u"] <= r["mean_u"] <= r["ci_hi_u"]
+    # CI of a 500-row mean should be tight around 13 (values 10..16)
+    assert 12_000_000 < r["ci_lo_u"] < r["ci_hi_u"] < 14_000_000
+
+
+def test_poisson_bootstrap_deterministic(spark):
+    from data_pipeline_childcare_spark.operators.robust import (
+        poisson_bootstrap_mean,
+    )
+
+    rows = [(i, float(i)) for i in range(50)]
+    df = spark.createDataFrame(rows, "id long, value double")
+    a = poisson_bootstrap_mean(df, "id", "value").collect()[0]
+    b = poisson_bootstrap_mean(df, "id", "value").collect()[0]
+    assert a == b  # seeded draw: bit-identical re-runs
+    c = poisson_bootstrap_mean(df, "id", "value", salt="other").collect()[0]
+    assert (c["ci_lo_u"], c["ci_hi_u"]) != (a["ci_lo_u"], a["ci_hi_u"])
