@@ -236,6 +236,41 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def chi2_type_by_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test: event_type x epoch-day
+    weekday (operators/claseval.chi_square_independence) — is event
+    mix weekday-dependent? Statistic in the all-integer
+    (O*N - r*c)^2/(N*r*c) form, per-cell floor micros; weekday =
+    epoch-day mod 7 (pure integer, engine-portable — both engines'
+    dayofweek() conventions differ)."""
+    from data_pipeline_childcare_spark.operators.claseval import (
+        chi_square_independence,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dow",
+        F.expr("datediff(to_date(ts), date '1970-01-01') % 7").cast("int"),
+    )
+    return chi_square_independence(ev, "event_type", "dow")
+
+
+def loo_priority_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding of order priority against order
+    value (operators/funnel.loo_target_encoding): each order's
+    priority encoded as the mean o_totalprice of the OTHER orders in
+    that priority — the leakage-safe mean encoding. One
+    vocabulary-sized aggregate broadcast back; null for singleton
+    categories."""
+    from data_pipeline_childcare_spark.operators.funnel import (
+        loo_target_encoding,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    return loo_target_encoding(
+        orders, "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+
+
 def bootstrap_mean_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Poisson-bootstrap 95% CI for the mean event value
     (operators/robust.poisson_bootstrap_mean, Chamandy et al. 2012 —
@@ -5505,6 +5540,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "chi2_type_by_dow_events": chi2_type_by_dow_events,
+        "loo_priority_encoding_orders": loo_priority_encoding_orders,
         "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
         "gini_stump_docs": gini_stump_docs,
         "hopping_window_event_counts": hopping_window_event_counts,
@@ -9492,6 +9529,57 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["chi2_type_by_dow_events"] = """
+        WITH e AS (
+            SELECT event_type AS r,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS INT) AS c
+            FROM events
+        ),
+        cells AS (SELECT r, c, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY r, c),
+        rt AS (SELECT r, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+        ct AS (SELECT c, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+        tot AS (
+            SELECT CAST(sum(o) AS BIGINT) AS n,
+                   CAST(count(DISTINCT r) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT c) AS BIGINT) AS n_cols
+            FROM cells
+        ),
+        fl AS (
+            SELECT CAST(coalesce(cells.o, 0) AS HUGEINT) AS o,
+                   CAST(rt.rt AS HUGEINT) AS rt,
+                   CAST(ct.ct AS HUGEINT) AS ct,
+                   CAST(tot.n AS HUGEINT) AS nn,
+                   tot.n, tot.n_rows, tot.n_cols
+            FROM rt CROSS JOIN ct
+            LEFT JOIN cells ON cells.r = rt.r AND cells.c = ct.c
+            CROSS JOIN tot
+        )
+        SELECT n, n_rows, n_cols,
+               CAST((n_rows - 1) * (n_cols - 1) AS BIGINT) AS dof,
+               CAST(sum(CAST((o * nn - rt * ct) * (o * nn - rt * ct) * 1000000
+                             // (nn * rt * ct) AS BIGINT)) AS BIGINT) AS chi2_u
+        FROM fl
+        GROUP BY n, n_rows, n_cols
+    """
+    out["loo_priority_encoding_orders"] = """
+        WITH t AS (
+            SELECT o_orderkey, o_orderpriority AS cat,
+                   CAST(floor(o_totalprice * 1000000 + 0.5) AS BIGINT) AS y
+            FROM orders
+        ),
+        st AS (
+            SELECT cat, sum(CAST(y AS HUGEINT)) AS s,
+                   CAST(count(*) AS BIGINT) AS n_category
+            FROM t GROUP BY cat
+        )
+        SELECT t.o_orderkey, t.cat AS o_orderpriority, st.n_category,
+               CASE WHEN st.n_category > 1 THEN
+                   CASE WHEN st.s - t.y >= 0 THEN
+                       CAST((st.s - t.y) // CAST(st.n_category - 1 AS HUGEINT) AS BIGINT)
+                   ELSE -CAST((-(st.s - t.y)) // CAST(st.n_category - 1 AS HUGEINT) AS BIGINT) END
+               END AS loo_enc_u
+        FROM t JOIN st ON t.cat = st.cat
+    """
     out["bootstrap_mean_ci_events"] = f"""
         WITH rep AS (
             SELECT event_id,

@@ -305,3 +305,64 @@ def gini_stump(
             - F.col("child_gini_u")
         ).alias("gain_u"),
     )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+) -> DataFrame:
+    """Pearson χ² test of independence over a contingency table →
+    one row (n, n_rows, n_cols, dof, chi2_u): the A/B-test /
+    feature-association workhorse. The statistic is computed in the
+    all-integer form ``Σ (O·N − r·c)² / (N·r·c)`` — per-cell
+    floor-micro terms summed (deterministic and engine-identical;
+    the per-cell floor is the documented quantization). No p-value
+    column by design: the χ² CDF needs transcendental math — compare
+    chi2_u against the critical value for ``dof`` client-side.
+
+    Shape: one (row, col) keyed aggregate (map-side combinable), two
+    marginal re-aggregations of the CELL frame (category-vocabulary
+    sized), broadcast joins back. DECIMAL(38,0) products — bounds:
+    exact while O·N ≲ 1e16 (documented)."""
+    cells = df.groupBy(
+        F.col(row_col).alias("_r"), F.col(col_col).alias("_c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("_o"))
+    rows = cells.groupBy("_r").agg(F.sum("_o").cast("long").alias("_rt"))
+    cols = cells.groupBy("_c").agg(F.sum("_o").cast("long").alias("_ct"))
+    tot = cells.agg(
+        F.sum("_o").cast("long").alias("_n"),
+        F.count_distinct("_r").cast("long").alias("n_rows"),
+        F.count_distinct("_c").cast("long").alias("n_cols"),
+    )
+    big = "decimal(38,0)"
+    full = (
+        rows.crossJoin(cols)
+        .join(cells, on=["_r", "_c"], how="left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_n",
+            "n_rows",
+            "n_cols",
+            F.coalesce("_o", F.lit(0)).cast(big).alias("o"),
+            F.col("_rt").cast(big).alias("rt"),
+            F.col("_ct").cast(big).alias("ct"),
+            F.col("_n").cast(big).alias("nn"),
+        )
+        .withColumn(
+            "_term",
+            F.expr(
+                "cast((o * nn - rt * ct) * (o * nn - rt * ct) * 1000000"
+                " div (nn * rt * ct) as bigint)"
+            ),
+        )
+    )
+    return full.groupBy("_n", "n_rows", "n_cols").agg(
+        F.sum("_term").cast("long").alias("chi2_u")
+    ).select(
+        F.col("_n").alias("n"),
+        "n_rows",
+        "n_cols",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
+        "chi2_u",
+    )

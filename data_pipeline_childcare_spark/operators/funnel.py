@@ -299,3 +299,42 @@ def event_transitions(
         "row_total",
         F.expr(f"cast(n * {MICRO} div row_total as bigint)").alias("p_u"),
     )
+
+
+def loo_target_encoding(
+    df: DataFrame,
+    id_col: str,
+    category_col: str,
+    target_col: str,
+) -> DataFrame:
+    """Leave-one-out target (mean) encoding →
+    (id, category, n_category, loo_enc_u): each row's category
+    encoded as the mean target of the OTHER rows in its category —
+    ``(S_c − y_i) / (n_c − 1)`` — the leakage-safe form of mean
+    encoding (plain mean encoding leaks each row's own label into
+    its feature; LOO is the standard fix). Null when the row is its
+    category's only member (no peers — the honest answer).
+
+    Shape: one category-keyed aggregate (vocabulary-sized result)
+    broadcast back over the corpus — map-only after the one
+    aggregate. Integer micros, sign-safe floor division."""
+    y = F.floor(F.col(target_col) * MICRO + F.lit(0.5)).cast("long")
+    tagged = df.select(
+        F.col(id_col), F.col(category_col).alias("_cat"), y.alias("_y")
+    )
+    stats = tagged.groupBy("_cat").agg(
+        F.sum(F.col("_y").cast("decimal(38,0)")).alias("_s"),
+        F.count(F.lit(1)).cast("long").alias("n_category"),
+    )
+    return tagged.join(F.broadcast(stats), on="_cat").select(
+        id_col,
+        F.col("_cat").alias(category_col),
+        "n_category",
+        F.expr(
+            "CASE WHEN n_category > 1 THEN "
+            "CASE WHEN _s - _y >= 0 THEN "
+            "cast((_s - _y) div cast(n_category - 1 as decimal(38,0)) as bigint) "
+            "ELSE -cast((-(_s - _y)) div cast(n_category - 1 as decimal(38,0)) as bigint) END "
+            "END"
+        ).alias("loo_enc_u"),
+    )

@@ -176,3 +176,31 @@ def test_gini_stump_tie_breaks_to_smallest_threshold(spark):
     r = gini_stump(df).collect()[0]
     assert r["best_threshold_u"] == 200_000  # smallest with non-empty left
     assert r["child_gini_u"] == 0 and r["gain_u"] == 0
+
+
+def test_chi_square_independent_table_zero(spark):
+    from data_pipeline_childcare_spark.operators.claseval import (
+        chi_square_independence,
+    )
+
+    # perfectly independent 2x2: every cell = r*c/N exactly
+    rows = (
+        [("a", "x")] * 4 + [("a", "y")] * 4 + [("b", "x")] * 4 + [("b", "y")] * 4
+    )
+    df = spark.createDataFrame(rows, "r string, c string")
+    r = chi_square_independence(df, "r", "c").collect()[0]
+    assert r["chi2_u"] == 0
+    assert r["dof"] == 1 and r["n"] == 16
+
+
+def test_chi_square_hand_value(spark):
+    from data_pipeline_childcare_spark.operators.claseval import (
+        chi_square_independence,
+    )
+
+    # 2x2: [[10, 0], [0, 10]] -> chi2 = N = 20 (perfect association)
+    rows = [("a", "x")] * 10 + [("b", "y")] * 10
+    df = spark.createDataFrame(rows, "r string, c string")
+    r = chi_square_independence(df, "r", "c").collect()[0]
+    assert r["chi2_u"] == 20_000_000
+    assert r["dof"] == 1

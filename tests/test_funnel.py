@@ -149,3 +149,18 @@ def test_association_rules_hand_case(spark):
     assert ba["confidence_u"] == 1_000_000  # b always with a
     assert ba["lift_u"] == ab["lift_u"]  # lift is symmetric
     assert ("a", "c") not in rows  # never co-occur -> no pair row
+
+
+def test_loo_target_encoding_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import loo_target_encoding
+
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "a", 30.0), (4, "b", 5.0)],
+        "id long, cat string, y double",
+    )
+    rows = {r["id"]: r for r in loo_target_encoding(df, "id", "cat", "y").collect()}
+    assert rows[1]["loo_enc_u"] == 25_000_000  # mean(20, 30)
+    assert rows[2]["loo_enc_u"] == 20_000_000  # mean(10, 30)
+    assert rows[3]["loo_enc_u"] == 15_000_000
+    assert rows[4]["loo_enc_u"] is None  # singleton category
+    assert rows[4]["n_category"] == 1
