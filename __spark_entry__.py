@@ -236,6 +236,17 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def winsorize_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization audit (operators/robust.winsorize_audit):
+    exact p1/p99 clip bounds from the quantized count frame + the
+    mass a winsorizing cleaner would touch — the tail-clipping view
+    beside robust_outliers' median/MAD center view."""
+    from data_pipeline_childcare_spark.operators.robust import winsorize_audit
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize_audit(ev, "event_type", "value")
+
+
 def chi2_type_by_dow_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson chi-square independence test: event_type x epoch-day
     weekday (operators/claseval.chi_square_independence) — is event
@@ -5540,6 +5551,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "winsorize_audit_events": winsorize_audit_events,
         "chi2_type_by_dow_events": chi2_type_by_dow_events,
         "loo_priority_encoding_orders": loo_priority_encoding_orders,
         "bootstrap_mean_ci_events": bootstrap_mean_ci_events,
@@ -9529,6 +9541,41 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["winsorize_audit_events"] = """
+        WITH vals AS (
+            SELECT event_type AS g,
+                   CAST(floor(value * 1000 + 0.5) AS BIGINT) AS v
+            FROM events
+        ),
+        counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM vals GROUP BY g, v),
+        cum AS (
+            SELECT g, v, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM counts
+        ),
+        lo AS (
+            SELECT g, min(CASE WHEN cm >= greatest(1, (n * 10000 + 999999) // 1000000)
+                          THEN v END) AS p_lo_m
+            FROM cum GROUP BY g
+        ),
+        hi AS (
+            SELECT g, min(CASE WHEN cm >= greatest(1, (n * 990000 + 999999) // 1000000)
+                          THEN v END) AS p_hi_m
+            FROM cum GROUP BY g
+        )
+        SELECT c.g AS event_type,
+               CAST(sum(c.c) AS BIGINT) AS n,
+               lo.p_lo_m, hi.p_hi_m,
+               CAST(sum(CASE WHEN c.v < lo.p_lo_m THEN c.c ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+               CAST(sum(CASE WHEN c.v > hi.p_hi_m THEN c.c ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+               CAST((sum(CASE WHEN c.v < lo.p_lo_m THEN c.c ELSE 0 END)
+                     + sum(CASE WHEN c.v > hi.p_hi_m THEN c.c ELSE 0 END)) * 1000000
+                    // sum(c.c) AS BIGINT) AS clipped_frac_u
+        FROM counts c JOIN lo ON c.g = lo.g JOIN hi ON c.g = hi.g
+        GROUP BY c.g, lo.p_lo_m, hi.p_hi_m
+    """
     out["chi2_type_by_dow_events"] = """
         WITH e AS (
             SELECT event_type AS r,

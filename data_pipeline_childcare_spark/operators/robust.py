@@ -303,3 +303,82 @@ def poisson_bootstrap_mean(
         "n_replicas",
         F.lit(alpha_u).cast("long").alias("alpha_u"),
     )
+
+
+def _group_quantile(
+    counts: DataFrame, group_col: str, v_col: str, c_col: str, q_u: int, out: str
+) -> DataFrame:
+    """Exact lower quantile per group from a (group, value, count)
+    frame: the smallest value whose cumulative count reaches
+    ``ceil(q·n)`` (rank = (q_u·n + 1e6 − 1) div 1e6, floored at 1)."""
+    w = Window.partitionBy(group_col).orderBy(v_col)
+    cum = counts.withColumn("_cum", F.sum(c_col).over(w)).withColumn(
+        "_n",
+        F.sum(c_col).over(
+            Window.partitionBy(group_col).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    rank = F.greatest(
+        F.lit(1).cast("long"),
+        F.expr(f"(_n * {q_u} + {MICRO} - 1) div {MICRO}"),
+    )
+    return cum.groupBy(group_col).agg(
+        F.min(F.when(F.col("_cum") >= rank, F.col(v_col))).alias(out)
+    )
+
+
+def winsorize_audit(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo_u: int = 10_000,
+    hi_u: int = 990_000,
+    quant: int = 1000,
+) -> DataFrame:
+    """Per-group winsorization audit → (group, n, p_lo_m, p_hi_m,
+    n_clipped_lo, n_clipped_hi, clipped_frac_u): the exact per-group
+    clip bounds (lower-quantile order statistics at ``lo_u``/``hi_u``
+    micros — p1/p99 by default) and how much mass a winsorizing
+    cleaner would touch. Same quantized-count-frame discipline as
+    :func:`robust_outliers` (median/MAD is the robust-center view;
+    this is the tail-clipping view a feature pipeline applies).
+
+    The clip itself is one more map-only expression against the
+    broadcast bounds — returned as an audit rather than a mutated
+    corpus so the oracle row is group-sized."""
+    vals = df.select(
+        F.col(group_col).alias("_g"),
+        F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long").alias("_v"),
+    )
+    counts = vals.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    lo = _group_quantile(counts, "_g", "_v", "_c", lo_u, "p_lo_m")
+    hi = _group_quantile(counts, "_g", "_v", "_c", hi_u, "p_hi_m")
+    return (
+        counts.join(lo, on="_g")
+        .join(hi, on="_g")
+        .groupBy("_g", "p_lo_m", "p_hi_m")
+        .agg(
+            F.sum("_c").cast("long").alias("n"),
+            F.sum(F.when(F.col("_v") < F.col("p_lo_m"), F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_lo"),
+            F.sum(F.when(F.col("_v") > F.col("p_hi_m"), F.col("_c")).otherwise(0))
+            .cast("long")
+            .alias("n_clipped_hi"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n",
+            "p_lo_m",
+            "p_hi_m",
+            "n_clipped_lo",
+            "n_clipped_hi",
+            F.expr(
+                f"cast((n_clipped_lo + n_clipped_hi) * {MICRO} div n as bigint)"
+            ).alias("clipped_frac_u"),
+        )
+    )

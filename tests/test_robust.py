@@ -97,3 +97,25 @@ def test_poisson_bootstrap_deterministic(spark):
     assert a == b  # seeded draw: bit-identical re-runs
     c = poisson_bootstrap_mean(df, "id", "value", salt="other").collect()[0]
     assert (c["ci_lo_u"], c["ci_hi_u"]) != (a["ci_lo_u"], a["ci_hi_u"])
+
+
+def test_winsorize_audit_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.robust import winsorize_audit
+
+    # 100 values 1..100: p10 rank = ceil(0.1*100)=10 -> value 10;
+    # p90 rank = 90 -> value 90; clipped: 9 below + 10 above
+    rows = [("a", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = winsorize_audit(df, lo_u=100_000, hi_u=900_000).collect()[0]
+    assert r["p_lo_m"] == 10_000 and r["p_hi_m"] == 90_000
+    assert r["n_clipped_lo"] == 9 and r["n_clipped_hi"] == 10
+    assert r["clipped_frac_u"] == 190_000
+
+
+def test_winsorize_single_value_group(spark):
+    from data_pipeline_childcare_spark.operators.robust import winsorize_audit
+
+    df = spark.createDataFrame([("a", 7.0)] * 3, "event_type string, value double")
+    r = winsorize_audit(df).collect()[0]
+    assert r["p_lo_m"] == r["p_hi_m"] == 7000
+    assert r["n_clipped_lo"] == r["n_clipped_hi"] == 0
