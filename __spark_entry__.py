@@ -236,6 +236,18 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation (operators/funnel.rfm_segments):
+    exact tertile scores for recency/frequency/monetary from
+    key-count-bounded count frames broadcast back — NO corpus-sized
+    ntile window (the usual recipe's scale bug); boundary keys take
+    the lower bucket, recency buckets invert (lower = better)."""
+    from data_pipeline_childcare_spark.operators.funnel import rfm_segments
+
+    orders = _t(spark, sf_dir, "orders")
+    return rfm_segments(orders)
+
+
 def winsorize_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type winsorization audit (operators/robust.winsorize_audit):
     exact p1/p99 clip bounds from the quantized count frame + the
@@ -5551,6 +5563,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "rfm_segments_customers": rfm_segments_customers,
         "winsorize_audit_events": winsorize_audit_events,
         "chi2_type_by_dow_events": chi2_type_by_dow_events,
         "loo_priority_encoding_orders": loo_priority_encoding_orders,
@@ -9541,6 +9554,69 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["rfm_segments_customers"] = """
+        WITH per0 AS (
+            SELECT o_custkey,
+                   max(o_orderdate) AS last_d,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS HUGEINT)) AS BIGINT) AS monetary_u
+            FROM orders GROUP BY o_custkey
+        ),
+        g AS (SELECT max(o_orderdate) AS gmax FROM orders),
+        per AS (
+            SELECT o_custkey,
+                   CAST(date_diff('day', last_d, g.gmax) AS BIGINT) AS recency_days,
+                   frequency, monetary_u
+            FROM per0 CROSS JOIN g
+        ),
+        rt AS (
+            SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                   min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS t2
+            FROM (
+                SELECT v, sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(c) OVER () AS n
+                FROM (SELECT recency_days AS v, CAST(count(*) AS BIGINT) AS c
+                      FROM per GROUP BY 1)
+            )
+        ),
+        ft AS (
+            SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                   min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS t2
+            FROM (
+                SELECT v, sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(c) OVER () AS n
+                FROM (SELECT frequency AS v, CAST(count(*) AS BIGINT) AS c
+                      FROM per GROUP BY 1)
+            )
+        ),
+        mt AS (
+            SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                   min(CASE WHEN cum * 3 >= n * 2 THEN v END) AS t2
+            FROM (
+                SELECT v, sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                       sum(c) OVER () AS n
+                FROM (SELECT monetary_u AS v, CAST(count(*) AS BIGINT) AS c
+                      FROM per GROUP BY 1)
+            )
+        ),
+        scored AS (
+            SELECT per.o_custkey, per.recency_days, per.frequency, per.monetary_u,
+                   CAST(CASE WHEN per.recency_days <= rt.t1 THEN 3
+                             WHEN per.recency_days <= rt.t2 THEN 2
+                             ELSE 1 END AS INT) AS r_score,
+                   CAST(CASE WHEN per.frequency <= ft.t1 THEN 1
+                             WHEN per.frequency <= ft.t2 THEN 2
+                             ELSE 3 END AS INT) AS f_score,
+                   CAST(CASE WHEN per.monetary_u <= mt.t1 THEN 1
+                             WHEN per.monetary_u <= mt.t2 THEN 2
+                             ELSE 3 END AS INT) AS m_score
+            FROM per CROSS JOIN rt CROSS JOIN ft CROSS JOIN mt
+        )
+        SELECT *, concat(r_score, f_score, m_score) AS segment FROM scored
+    """
     out["winsorize_audit_events"] = """
         WITH vals AS (
             SELECT event_type AS g,

@@ -338,3 +338,98 @@ def loo_target_encoding(
             "END"
         ).alias("loo_enc_u"),
     )
+
+
+def rfm_segments(
+    orders: DataFrame,
+    key_col: str = "o_custkey",
+    ts_col: str = "o_orderdate",
+    amount_col: str = "o_totalprice",
+) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary — the classic
+    customer-value grid) → one row per key: (key, recency_days,
+    frequency, monetary_u, r_score, f_score, m_score, segment).
+
+    Scores are exact TERTILES (1..3, 3 = best): thresholds are the
+    ceil(n/3) and ceil(2n/3) order statistics of each dimension's
+    per-key value, computed on the quantized count frame (key-count
+    bounded) and broadcast back — the per-key scoring pass is
+    map-only, NO corpus-sized ntile window (the usual RFM recipe's
+    ntile(3) funnels every key through one task). Recency is days
+    since the key's last event relative to the corpus max date
+    (lower = better, so its buckets invert). Boundary keys (value ==
+    threshold) take the lower bucket — pinned, engine-identical."""
+    last = orders.groupBy(key_col).agg(
+        F.max(F.col(ts_col)).alias("_last"),
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        F.sum(
+            F.floor(F.col(amount_col) * MICRO + F.lit(0.5)).cast("decimal(38,0)")
+        )
+        .cast("long")
+        .alias("monetary_u"),
+    )
+    gmax = orders.agg(F.max(F.col(ts_col)).alias("_gmax"))
+    per = last.crossJoin(F.broadcast(gmax)).select(
+        key_col,
+        F.datediff(F.col("_gmax"), F.col("_last")).cast("long").alias(
+            "recency_days"
+        ),
+        "frequency",
+        "monetary_u",
+    )
+
+    def thresholds(col: str):
+        counts = per.groupBy(F.col(col).alias("_v")).agg(
+            F.count(F.lit(1)).cast("long").alias("_c")
+        )
+        w = Window.partitionBy(F.lit(0)).orderBy("_v")
+        w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cum = counts.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+            "_n", F.sum("_c").over(w_all)
+        )
+        return cum.agg(
+            F.min(
+                F.when(F.col("_cum") * 3 >= F.col("_n"), F.col("_v"))
+            ).alias(f"{col}_t1"),
+            F.min(
+                F.when(F.col("_cum") * 3 >= F.col("_n") * 2, F.col("_v"))
+            ).alias(f"{col}_t2"),
+        )
+
+    thr = (
+        thresholds("recency_days")
+        .crossJoin(thresholds("frequency"))
+        .crossJoin(thresholds("monetary_u"))
+    )
+
+    def up_score(col: str) -> Column:  # higher = better
+        return (
+            F.when(F.col(col) <= F.col(f"{col}_t1"), F.lit(1))
+            .when(F.col(col) <= F.col(f"{col}_t2"), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("int")
+        )
+
+    r_score = (
+        F.when(F.col("recency_days") <= F.col("recency_days_t1"), F.lit(3))
+        .when(F.col("recency_days") <= F.col("recency_days_t2"), F.lit(2))
+        .otherwise(F.lit(1))
+        .cast("int")
+    )
+    scored = per.crossJoin(F.broadcast(thr)).select(
+        key_col,
+        "recency_days",
+        "frequency",
+        "monetary_u",
+        r_score.alias("r_score"),
+        up_score("frequency").alias("f_score"),
+        up_score("monetary_u").alias("m_score"),
+    )
+    return scored.withColumn(
+        "segment",
+        F.concat_ws(
+            "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+        ),
+    )

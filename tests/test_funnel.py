@@ -164,3 +164,23 @@ def test_loo_target_encoding_hand_case(spark):
     assert rows[3]["loo_enc_u"] == 15_000_000
     assert rows[4]["loo_enc_u"] is None  # singleton category
     assert rows[4]["n_category"] == 1
+
+
+def test_rfm_segments_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import rfm_segments
+
+    rows = [
+        # 3 customers: clear tertiles on all three axes
+        (1, "2024-01-10", 100.0),                       # recent, 1 order, small
+        (2, "2024-01-05", 500.0), (2, "2024-01-06", 500.0),   # mid
+        (3, "2024-01-01", 900.0), (3, "2024-01-02", 900.0), (3, "2024-01-03", 900.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "o_custkey long, o_orderdate string, o_totalprice double"
+    ).selectExpr("o_custkey", "cast(o_orderdate as date) as o_orderdate", "o_totalprice")
+    out = {r["o_custkey"]: r for r in rfm_segments(df).collect()}
+    # recency: c1=0d (best), c2=4d, c3=7d; freq 1/2/3; monetary 100/1000/2700
+    assert out[1]["r_score"] == 3 and out[1]["f_score"] == 1 and out[1]["m_score"] == 1
+    assert out[2]["r_score"] == 2 and out[2]["f_score"] == 2 and out[2]["m_score"] == 2
+    assert out[3]["r_score"] == 1 and out[3]["f_score"] == 3 and out[3]["m_score"] == 3
+    assert out[1]["segment"] == "311" and out[3]["segment"] == "133"
