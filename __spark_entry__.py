@@ -236,6 +236,18 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def funnel_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-latency percentiles per funnel hop
+    (operators/funnel.funnel_latency): among converters, exact
+    p50/p90/max seconds for signup->click and click->purchase —
+    order statistics on the converted-user-bounded quantized
+    duration frame; the "how fast" beside funnel's "how many"."""
+    from data_pipeline_childcare_spark.operators.funnel import funnel_latency
+
+    ev = _t(spark, sf_dir, "events")
+    return funnel_latency(ev, ["signup", "click", "purchase"])
+
+
 def rfm_segments_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM customer segmentation (operators/funnel.rfm_segments):
     exact tertile scores for recency/frequency/monetary from
@@ -5563,6 +5575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "funnel_latency_events": funnel_latency_events,
         "rfm_segments_customers": rfm_segments_customers,
         "winsorize_audit_events": winsorize_audit_events,
         "chi2_type_by_dow_events": chi2_type_by_dow_events,
@@ -9554,6 +9567,64 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["funnel_latency_events"] = """
+        WITH
+        s1 AS (
+            SELECT user_id, min(ts) AS t
+            FROM events WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = 'click' AND e.ts > s1.t
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t
+            FROM events e JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = 'purchase' AND e.ts > s2.t
+            GROUP BY e.user_id
+        ),
+        hops AS (
+            SELECT 2 AS step,
+                   CAST(date_diff('microsecond', s1.t, s2.t) AS BIGINT) // 1000000 AS d
+            FROM s2 JOIN s1 ON s2.user_id = s1.user_id
+            UNION ALL
+            SELECT 3,
+                   CAST(date_diff('microsecond', s2.t, s3.t) AS BIGINT) // 1000000
+            FROM s3 JOIN s2 ON s3.user_id = s2.user_id
+        ),
+        counts AS (
+            SELECT step, d AS v, CAST(count(*) AS BIGINT) AS c
+            FROM hops GROUP BY step, d
+        ),
+        cum AS (
+            SELECT step, v, c,
+                   sum(c) OVER (PARTITION BY step ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY step) AS n
+            FROM counts
+        ),
+        p50 AS (
+            SELECT step, min(CASE WHEN cm >= greatest(1, (n * 500000 + 999999) // 1000000)
+                             THEN v END) AS p50_s
+            FROM cum GROUP BY step
+        ),
+        p90 AS (
+            SELECT step, min(CASE WHEN cm >= greatest(1, (n * 900000 + 999999) // 1000000)
+                             THEN v END) AS p90_s
+            FROM cum GROUP BY step
+        ),
+        tops AS (
+            SELECT step, CAST(sum(c) AS BIGINT) AS n_converted, max(v) AS max_s
+            FROM counts GROUP BY step
+        )
+        SELECT t.step,
+               CASE t.step WHEN 2 THEN 'signup' ELSE 'click' END AS from_name,
+               CASE t.step WHEN 2 THEN 'click' ELSE 'purchase' END AS to_name,
+               t.n_converted, p50.p50_s, p90.p90_s, t.max_s
+        FROM tops t JOIN p50 ON t.step = p50.step JOIN p90 ON t.step = p90.step
+    """
     out["rfm_segments_customers"] = """
         WITH per0 AS (
             SELECT o_custkey,

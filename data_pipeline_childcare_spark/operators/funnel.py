@@ -433,3 +433,80 @@ def rfm_segments(
             "", F.col("r_score"), F.col("f_score"), F.col("m_score")
         ),
     )
+
+
+def funnel_latency(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Conversion-latency distribution per adjacent funnel step →
+    (step, from_name, to_name, n_converted, p50_s, p90_s, max_s):
+    among users who reached step k, how long the k−1 → k hop took
+    (seconds, microsecond-diff floored — the engine-portable whole-
+    second rule). Percentiles are exact order statistics over the
+    per-step quantized duration count frame (converted-user bounded)
+    — the :mod:`robust` discipline, no corpus-sized sort.
+
+    Same conversion semantics as :func:`funnel` (strictly-after
+    first occurrence); this is the "how fast", that is the "how
+    many"."""
+    from data_pipeline_childcare_spark.operators.robust import _group_quantile
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias("_t"))
+    )
+    hops = []
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = events.filter(F.col(type_col) == s).select(
+            F.col(user_col).alias("_u2"), F.col(ts_col).alias("_ts2")
+        )
+        prev = cur
+        cur = (
+            cur.join(nxt, on=F.col(user_col) == F.col("_u2"))
+            .filter(F.col("_ts2") > F.col("_t"))
+            .groupBy(user_col)
+            .agg(F.min("_ts2").alias("_t"))
+        )
+        hop = cur.join(
+            prev.select(F.col(user_col).alias("_up"), F.col("_t").alias("_tp")),
+            on=F.col(user_col) == F.col("_up"),
+        ).select(
+            F.lit(i).alias("step"),
+            F.expr("timestampdiff(MICROSECOND, _tp, _t) div 1000000").alias(
+                "_d"
+            ),
+        )
+        hops.append(hop)
+    allhops = hops[0]
+    for h in hops[1:]:
+        allhops = allhops.unionByName(h)
+    counts = allhops.groupBy("step", F.col("_d").alias("_v")).agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    p50 = _group_quantile(counts, "step", "_v", "_c", 500_000, "p50_s")
+    p90 = _group_quantile(counts, "step", "_v", "_c", 900_000, "p90_s")
+    tops = counts.groupBy("step").agg(
+        F.sum("_c").cast("long").alias("n_converted"),
+        F.max("_v").alias("max_s"),
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        tops.join(p50, on="step")
+        .join(p90, on="step")
+        .select(
+            "step",
+            F.element_at(names, F.col("step") - 1).alias("from_name"),
+            F.element_at(names, F.col("step")).alias("to_name"),
+            "n_converted",
+            "p50_s",
+            "p90_s",
+            "max_s",
+        )
+    )

@@ -184,3 +184,24 @@ def test_rfm_segments_hand_case(spark):
     assert out[2]["r_score"] == 2 and out[2]["f_score"] == 2 and out[2]["m_score"] == 2
     assert out[3]["r_score"] == 1 and out[3]["f_score"] == 3 and out[3]["m_score"] == 3
     assert out[1]["segment"] == "311" and out[3]["segment"] == "133"
+
+
+def test_funnel_latency_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import funnel_latency
+
+    df = _ev(
+        spark,
+        [
+            (1, "2024-01-01 00:00:00", "a"),
+            (1, "2024-01-01 00:00:10", "b"),  # 10s hop
+            (2, "2024-01-01 00:00:00", "a"),
+            (2, "2024-01-01 00:01:40", "b"),  # 100s hop
+            (3, "2024-01-01 00:00:00", "a"),  # never converts
+        ],
+    )
+    r = funnel_latency(df, ["a", "b"]).collect()[0]
+    assert (r["step"], r["from_name"], r["to_name"]) == (2, "a", "b")
+    assert r["n_converted"] == 2
+    assert r["p50_s"] == 10  # ceil(0.5*2)=1st smallest
+    assert r["p90_s"] == 100
+    assert r["max_s"] == 100
