@@ -236,6 +236,35 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def link_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed reciprocity of the link graph
+    (operators/graph.reciprocity): fraction of edges whose reverse
+    exists — the link-farm health signal, one reversed-key semi-join
+    + reduce, exact micro ratio."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        reciprocity,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return reciprocity(synthetic_link_graph(docs, n_links=3))
+
+
+def link_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core nucleus of the link graph (operators/graph.kcore,
+    Seidman 1983, k=4): fixed-round bulk peeling (6 rounds, unit-test
+    certified converged on this graph — peeling is monotone, so
+    round-stable == exact); survivors with their in-core degree. The
+    twin unrolls the same 6 peel rounds as MATERIALIZED CTEs."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        kcore,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return kcore(synthetic_link_graph(docs, n_links=3), k=4, rounds=6)
+
+
 def funnel_latency_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conversion-latency percentiles per funnel hop
     (operators/funnel.funnel_latency): among converters, exact
@@ -5575,6 +5604,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "link_graph_reciprocity": link_graph_reciprocity,
+        "link_graph_kcore": link_graph_kcore,
         "funnel_latency_events": funnel_latency_events,
         "rfm_segments_customers": rfm_segments_customers,
         "winsorize_audit_events": winsorize_audit_events,
@@ -9567,6 +9598,98 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["link_graph_reciprocity"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS (SELECT src, dst FROM links WHERE src <> dst),
+        e AS (SELECT DISTINCT src, dst FROM edges),
+        r AS (
+            SELECT count(*) AS n_reciprocal FROM e
+            WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.src = e.dst AND e2.dst = e.src)
+        ),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        SELECT t.n_edges, CAST(r.n_reciprocal AS BIGINT) AS n_reciprocal,
+               CASE WHEN t.n_edges > 0 THEN
+                   CAST(r.n_reciprocal * 1000000 // t.n_edges AS BIGINT) END AS reciprocity_u
+        FROM t CROSS JOIN r
+    """
+    out["link_graph_kcore"] = """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS (SELECT src, dst FROM links WHERE src <> dst),
+        sym AS MATERIALIZED (
+            SELECT DISTINCT src, dst FROM (
+                SELECT src, dst FROM edges
+                UNION ALL
+                SELECT dst AS src, src AS dst FROM edges
+            ) WHERE src <> dst
+        ),
+        a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM sym),
+        a1 AS MATERIALIZED (
+            SELECT d.id FROM (
+                SELECT e.src AS id, count(*) AS d
+                FROM sym e
+                JOIN a0 x ON e.dst = x.id
+                JOIN a0 y ON e.src = y.id
+                GROUP BY e.src
+            ) d WHERE d.d >= 4
+        ),a2 AS MATERIALIZED (
+            SELECT d.id FROM (
+                SELECT e.src AS id, count(*) AS d
+                FROM sym e
+                JOIN a1 x ON e.dst = x.id
+                JOIN a1 y ON e.src = y.id
+                GROUP BY e.src
+            ) d WHERE d.d >= 4
+        ),a3 AS MATERIALIZED (
+            SELECT d.id FROM (
+                SELECT e.src AS id, count(*) AS d
+                FROM sym e
+                JOIN a2 x ON e.dst = x.id
+                JOIN a2 y ON e.src = y.id
+                GROUP BY e.src
+            ) d WHERE d.d >= 4
+        ),a4 AS MATERIALIZED (
+            SELECT d.id FROM (
+                SELECT e.src AS id, count(*) AS d
+                FROM sym e
+                JOIN a3 x ON e.dst = x.id
+                JOIN a3 y ON e.src = y.id
+                GROUP BY e.src
+            ) d WHERE d.d >= 4
+        ),a5 AS MATERIALIZED (
+            SELECT d.id FROM (
+                SELECT e.src AS id, count(*) AS d
+                FROM sym e
+                JOIN a4 x ON e.dst = x.id
+                JOIN a4 y ON e.src = y.id
+                GROUP BY e.src
+            ) d WHERE d.d >= 4
+        ),a6 AS MATERIALIZED (
+            SELECT d.id FROM (
+                SELECT e.src AS id, count(*) AS d
+                FROM sym e
+                JOIN a5 x ON e.dst = x.id
+                JOIN a5 y ON e.src = y.id
+                GROUP BY e.src
+            ) d WHERE d.d >= 4
+        )
+        SELECT e.src AS id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM sym e
+        JOIN a6 x ON e.dst = x.id
+        JOIN a6 y ON e.src = y.id
+        GROUP BY e.src
+    """
     out["funnel_latency_events"] = """
         WITH
         s1 AS (

@@ -354,3 +354,76 @@ def hits(
         if checkpoint:
             state = state.localCheckpoint()
     return state.select("id", F.col("hub").alias("hub_scaled"), F.col("auth").alias("auth_scaled"))
+
+
+def reciprocity(edges: DataFrame) -> DataFrame:
+    """Directed-graph reciprocity → one row
+    (n_edges, n_reciprocal, reciprocity_u): the fraction of directed
+    edges whose reverse edge also exists — the classic crawl-graph
+    health signal (link farms reciprocate; organic webs mostly
+    don't). One distinct pass + one self-equi-join on the reversed
+    key + one reduce; exact integer micro ratio."""
+    e = edges.select("src", "dst").distinct()
+    rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = e.join(rev, on=["src", "dst"], how="left_semi")
+    a = e.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    b = recip.agg(F.count(F.lit(1)).cast("long").alias("n_reciprocal"))
+    return a.crossJoin(b).select(
+        "n_edges",
+        "n_reciprocal",
+        F.expr(
+            "CASE WHEN n_edges > 0 THEN "
+            "cast(n_reciprocal * 1000000 div n_edges as bigint) END"
+        ).alias("reciprocity_u"),
+    )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 4,
+    rounds: int = 6,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """k-core decomposition by fixed-round peeling (Seidman 1983 /
+    the Batagelj-Zaveršnik bulk variant): symmetrize, then each round
+    drops every node whose degree WITHIN the surviving subgraph is
+    < k — the maximal subgraph where everyone keeps ≥ k neighbors,
+    the standard crawl-graph "dense nucleus" extractor. Returns
+    (id, core_degree) for survivors.
+
+    Fixed-round contract (the engine's loop discipline — plans can't
+    branch on data): ``rounds`` bounds the peel DEPTH, and peeling is
+    monotone, so if round r equals round r−1 the result IS the exact
+    k-core; the unit test certifies convergence on the test graph and
+    the docstring records the contract. Per round: two semi-joins +
+    one keyed degree aggregate; survivor frames localCheckpoint
+    lazily (the pagerank discipline) so lineage stays linear in
+    rounds."""
+    sym = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    alive = sym.select(F.col("src").alias("id")).distinct()
+    if checkpoint:
+        alive = alive.localCheckpoint(eager=False)
+    for _ in range(rounds):
+        deg = (
+            sym.join(alive.select(F.col("id").alias("src")), on="src", how="left_semi")
+            .join(alive.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).cast("long").alias("_d"))
+        )
+        alive = deg.filter(F.col("_d") >= k).select(F.col("src").alias("id"))
+        if checkpoint:
+            alive = alive.localCheckpoint(eager=False)
+    final_deg = (
+        sym.join(alive.select(F.col("id").alias("src")), on="src", how="left_semi")
+        .join(alive.select(F.col("id").alias("dst")), on="dst", how="left_semi")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+    return final_deg.select(F.col("src").alias("id"), "core_degree")

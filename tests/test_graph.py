@@ -213,3 +213,61 @@ def test_hits_hand_graph_hub_vs_authority(spark):
         for r in hits(nodes.repartition(3), edges.repartition(2)).collect()
     }
     assert again == got
+
+
+def test_reciprocity_hand_graph(spark):
+    from data_pipeline_childcare_spark.operators.graph import reciprocity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 3), (3, 4), (4, 3), (5, 1)],
+        "src long, dst long",
+    )
+    r = reciprocity(edges).collect()[0]
+    assert r["n_edges"] == 6
+    assert r["n_reciprocal"] == 4  # 1<->2 and 3<->4
+    assert r["reciprocity_u"] == 4 * 1_000_000 // 6
+
+
+def test_kcore_hand_graph_and_convergence(spark):
+    from data_pipeline_childcare_spark.operators.graph import kcore
+
+    # K4 core {1,2,3,4} + a chain 4-5-6 that peels away at k=3;
+    # node 5 starts with degree 2, 6 with 1 -> both peel (5 only
+    # after 6... actually 5 has neighbors 4 and 6 -> deg 2 < 3 peels
+    # round 1 with 6; 4 keeps 3 in-core neighbors)
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(4, 5), (5, 6)], "src long, dst long"
+    )
+    rows = {r["id"]: r["core_degree"] for r in kcore(edges, k=3, rounds=4).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert all(d == 3 for d in rows.values())
+    # convergence certification: one fewer round gives the same set
+    rows3 = {r["id"] for r in kcore(edges, k=3, rounds=3).collect()}
+    assert rows3 == set(rows)
+
+
+def test_kcore_deep_peel_chain(spark):
+    from data_pipeline_childcare_spark.operators.graph import kcore
+
+    # path graph 1-2-3-...-8 at k=2: peels one end per round from
+    # both sides; empty 2-core. rounds=6 suffices for n=8
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "src long, dst long"
+    )
+    assert kcore(edges, k=2, rounds=6).count() == 0
+
+
+def test_kcore_link_graph_converged(spark):
+    """Certifies the registered query's fixed-round contract: 6
+    rounds == 5 rounds on the synthetic link graph at k=4."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        kcore,
+        synthetic_link_graph,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    g = synthetic_link_graph(docs, n_links=3)
+    a = {r["id"] for r in kcore(g, k=4, rounds=5).collect()}
+    b = {r["id"] for r in kcore(g, k=4, rounds=6).collect()}
+    assert a == b and len(b) > 0
