@@ -236,6 +236,18 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def journey_trigrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user journey trigrams (operators/funnel.journey_ngrams):
+    consecutive event-type 3-grams per user under the total
+    (ts, event_id) order, counted corpus-wide with distinct-user
+    support — the journey-mining primitive. Rank order
+    (occurrences DESC, users DESC, path ASC) is total."""
+    from data_pipeline_childcare_spark.operators.funnel import journey_ngrams
+
+    ev = _t(spark, sf_dir, "events")
+    return journey_ngrams(ev, n=3, top_k=20)
+
+
 def link_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directed reciprocity of the link graph
     (operators/graph.reciprocity): fraction of edges whose reverse
@@ -5604,6 +5616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "journey_trigrams_events": journey_trigrams_events,
         "link_graph_reciprocity": link_graph_reciprocity,
         "link_graph_kcore": link_graph_kcore,
         "funnel_latency_events": funnel_latency_events,
@@ -9598,6 +9611,32 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["journey_trigrams_events"] = """
+        WITH p AS (
+            SELECT user_id,
+                   event_type AS a,
+                   lead(event_type, 1) OVER w AS b,
+                   lead(event_type, 2) OVER w AS c
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        paths AS (
+            SELECT user_id, concat_ws('>', a, b, c) AS path
+            FROM p WHERE c IS NOT NULL
+        ),
+        counts AS (
+            SELECT path,
+                   CAST(count(*) AS BIGINT) AS n_occurrences,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM paths GROUP BY path
+        )
+        SELECT path, n_users, n_occurrences, CAST(rank AS INT) AS rank
+        FROM (
+            SELECT *, row_number() OVER (ORDER BY n_occurrences DESC,
+                                         n_users DESC, path) AS rank
+            FROM counts
+        ) WHERE rank <= 20
+    """
     out["link_graph_reciprocity"] = """
         WITH nn AS (SELECT count(*) AS n FROM documents),
         links AS (

@@ -510,3 +510,44 @@ def funnel_latency(
             "max_s",
         )
     )
+
+
+def journey_ngrams(
+    events: DataFrame,
+    n: int = 3,
+    top_k: int = 20,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Top-k most frequent user journey n-grams → (path, n_users,
+    n_occurrences, rank): consecutive event-type n-grams per user
+    under the total (ts, tiebreak) order — the journey-mining
+    primitive behind "what do users do right before purchasing".
+
+    One user-keyed window builds the n−1 lookaheads, one keyed
+    aggregate counts occurrences and distinct users per path, one
+    top-k. Ordering for rank: occurrences DESC, users DESC, path ASC
+    — total and engine-identical."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    cols = [F.col(type_col)] + [
+        F.lead(type_col, i).over(w) for i in range(1, n)
+    ]
+    paths = events.select(
+        F.col(user_col).alias("_u"),
+        F.concat_ws(">", *cols).alias("path"),
+        cols[-1].isNotNull().alias("_full"),
+    ).filter(F.col("_full"))
+    counts = paths.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+        F.count_distinct("_u").cast("long").alias("n_users"),
+    )
+    wr = Window.partitionBy(F.lit(0)).orderBy(
+        F.desc("n_occurrences"), F.desc("n_users"), F.asc("path")
+    )
+    return (
+        counts.withColumn("rank", F.row_number().over(wr).cast("int"))
+        .filter(F.col("rank") <= top_k)
+        .select("path", "n_users", "n_occurrences", "rank")
+    )

@@ -205,3 +205,26 @@ def test_funnel_latency_hand_case(spark):
     assert r["p50_s"] == 10  # ceil(0.5*2)=1st smallest
     assert r["p90_s"] == 100
     assert r["max_s"] == 100
+
+
+def test_journey_ngrams_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.funnel import journey_ngrams
+
+    df = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:01:00", "b"),
+            (3, 1, "2024-01-01 00:02:00", "c"),
+            (4, 1, "2024-01-01 00:03:00", "a"),
+            (5, 2, "2024-01-01 00:00:00", "a"),
+            (6, 2, "2024-01-01 00:01:00", "b"),
+            (7, 2, "2024-01-01 00:02:00", "c"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts", "event_type")
+    rows = {r["path"]: r for r in journey_ngrams(df, n=3, top_k=10).collect()}
+    assert rows["a>b>c"]["n_occurrences"] == 2
+    assert rows["a>b>c"]["n_users"] == 2
+    assert rows["a>b>c"]["rank"] == 1
+    assert rows["b>c>a"]["n_occurrences"] == 1  # user 1 only
+    assert len(rows) == 2  # no cross-user paths, no partial windows
