@@ -236,6 +236,21 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the hourly series
+    (operators/timeseries.seasonal_decompose, statsmodels method,
+    period 24): even-period centered MA trend (endpoint-halved,
+    integer-exact), phase-mean seasonal re-centered to ~0, residual —
+    completing the series-diagnostics family with ACF and CUSUM.
+    Calendar-bounded frame, DECIMAL(38,0)/HUGEINT fixed point."""
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    return seasonal_decompose(ev, "ts", "value", "1 hour", period=24)
+
+
 def journey_trigrams_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 user journey trigrams (operators/funnel.journey_ngrams):
     consecutive event-type 3-grams per user under the total
@@ -5616,6 +5631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "seasonal_decompose_events": seasonal_decompose_events,
         "journey_trigrams_events": journey_trigrams_events,
         "link_graph_reciprocity": link_graph_reciprocity,
         "link_graph_kcore": link_graph_kcore,
@@ -9611,6 +9627,66 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["seasonal_decompose_events"] = f"""
+        WITH ser0 AS (
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS HUGEINT) AS s
+            FROM events GROUP BY 1
+        ),
+        ser AS (
+            SELECT bucket,
+                   CASE WHEN s >= 0 THEN CAST(s // CAST(n AS HUGEINT) AS BIGINT)
+                        ELSE -CAST((-s) // CAST(n AS HUGEINT) AS BIGINT) END AS y_m,
+                   CAST(row_number() OVER (ORDER BY bucket) AS BIGINT) AS t
+            FROM ser0
+        ),
+        win AS (
+            SELECT bucket, t, y_m,
+                   sum(CAST(y_m AS HUGEINT)) OVER (ORDER BY t
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS ws,
+                   count(*) OVER (ORDER BY t
+                       ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING) AS wc,
+                   lag(y_m, 12) OVER (ORDER BY t) AS ylo,
+                   lead(y_m, 12) OVER (ORDER BY t) AS yhi
+            FROM ser
+        ),
+        based AS (
+            SELECT bucket, t, y_m,
+                   CASE WHEN wc = 25 THEN
+                       CASE WHEN (ws * 2 - ylo - yhi) >= 0
+                            THEN CAST((ws * 2 - ylo - yhi) // 48 AS BIGINT)
+                            ELSE -CAST((-(ws * 2 - ylo - yhi)) // 48 AS BIGINT) END
+                   END AS trend_m,
+                   (t - 1) % 24 AS phase
+            FROM win
+        ),
+        ph AS (
+            SELECT phase,
+                   CASE WHEN sum(CAST(y_m - trend_m AS HUGEINT)) >= 0
+                        THEN CAST(sum(CAST(y_m - trend_m AS HUGEINT))
+                                  // CAST(count(*) AS HUGEINT) AS BIGINT)
+                        ELSE -CAST((-sum(CAST(y_m - trend_m AS HUGEINT)))
+                                  // CAST(count(*) AS HUGEINT) AS BIGINT) END AS s_raw
+            FROM based WHERE trend_m IS NOT NULL GROUP BY phase
+        ),
+        ctr AS (
+            SELECT CASE WHEN sum(CAST(s_raw AS HUGEINT)) >= 0
+                        THEN CAST(sum(CAST(s_raw AS HUGEINT))
+                                  // CAST(count(*) AS HUGEINT) AS BIGINT)
+                        ELSE -CAST((-sum(CAST(s_raw AS HUGEINT)))
+                                  // CAST(count(*) AS HUGEINT) AS BIGINT) END AS adj
+            FROM ph
+        ),
+        seas AS (
+            SELECT phase, s_raw - ctr.adj AS seasonal_m FROM ph CROSS JOIN ctr
+        )
+        SELECT b.bucket, CAST(b.t AS INT) AS t, b.y_m, b.trend_m,
+               seas.seasonal_m,
+               CASE WHEN b.trend_m IS NOT NULL
+                    THEN b.y_m - b.trend_m - seas.seasonal_m END AS residual_m
+        FROM based b LEFT JOIN seas ON b.phase = seas.phase
+    """
     out["journey_trigrams_events"] = """
         WITH p AS (
             SELECT user_id,

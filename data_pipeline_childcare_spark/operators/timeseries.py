@@ -389,3 +389,102 @@ def cusum_changepoint(
         "mean_after_m",
         (F.col("mean_after_m") - F.col("mean_before_m")).alias("shift_m"),
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    width: str = "1 hour",
+    period: int = 24,
+) -> DataFrame:
+    """Classical additive seasonal decomposition (the moving-average
+    method of statsmodels ``seasonal_decompose``) over the bucketed
+    milli series → one row per bucket:
+    (bucket, t, y_m, trend_m, seasonal_m, residual_m).
+
+    - trend: centered moving average of length period+1 with the two
+      half-weight endpoints folded as a ±period/2 window sum of
+      2·period with the ends halved — implemented integer-exact as
+      ``(sum(±half window) · 2 − y[t−half] − y[t+half]) div (2·period)``
+      (the standard even-period centered MA); null where the window
+      is incomplete.
+    - seasonal: per phase (t mod period) floor-mean of detrended
+      values, re-centered so the period sums to ~0 (floor-mean of
+      the phase means subtracted).
+    - residual: y − trend − seasonal where trend exists.
+
+    All arithmetic integer milli / DECIMAL(38,0) with sign-safe floor
+    divisions; everything after the per-bucket aggregate runs on the
+    calendar-bounded series frame (the ACF/CUSUM discipline)."""
+    if period % 2:
+        raise ValueError("period must be even for the centered MA")
+    half = period // 2
+    ser = _milli_series(df, ts_col, value_col, width)
+    w = Window.partitionBy(F.lit(0)).orderBy("t")
+    win_sum = F.sum(F.col("y_m").cast("decimal(38,0)")).over(
+        w.rowsBetween(-half, half)
+    )
+    win_cnt = F.count(F.lit(1)).over(w.rowsBetween(-half, half))
+    y_lo = F.lag("y_m", half).over(w)
+    y_hi = F.lead("y_m", half).over(w)
+    trend_num = (
+        win_sum * F.lit(2)
+        - F.col("_ylo").cast("decimal(38,0)")
+        - F.col("_yhi").cast("decimal(38,0)")
+    )
+    based = (
+        ser.withColumn("_ws", win_sum)
+        .withColumn("_wc", win_cnt)
+        .withColumn("_ylo", y_lo)
+        .withColumn("_yhi", y_hi)
+        .withColumn(
+            "trend_m",
+            F.when(
+                F.col("_wc") == period + 1,
+                F.expr(
+                    f"CASE WHEN (_ws * 2 - cast(_ylo as decimal(38,0)) - cast(_yhi as decimal(38,0))) >= 0 "
+                    f"THEN cast((_ws * 2 - cast(_ylo as decimal(38,0)) - cast(_yhi as decimal(38,0))) div {2 * period} as bigint) "
+                    f"ELSE -cast(-(_ws * 2 - cast(_ylo as decimal(38,0)) - cast(_yhi as decimal(38,0))) div {2 * period} as bigint) END"
+                ),
+            ),
+        )
+        .withColumn("_det", F.col("y_m") - F.col("trend_m"))
+        .withColumn("_phase", F.expr(f"(t - 1) % {period}"))
+    )
+    phase = based.filter(F.col("_det").isNotNull()).groupBy("_phase").agg(
+        F.sum(F.col("_det").cast("decimal(38,0)")).alias("_ps"),
+        F.count(F.lit(1)).cast("long").alias("_pn"),
+    ).select(
+        "_phase",
+        F.expr(
+            "CASE WHEN _ps >= 0 THEN cast(_ps div cast(_pn as decimal(38,0)) as bigint) "
+            "ELSE -cast((-_ps) div cast(_pn as decimal(38,0)) as bigint) END"
+        ).alias("_s_raw"),
+    )
+    center = phase.agg(
+        F.sum(F.col("_s_raw").cast("decimal(38,0)")).alias("_cs"),
+        F.count(F.lit(1)).cast("long").alias("_cn"),
+    ).select(
+        F.expr(
+            "CASE WHEN _cs >= 0 THEN cast(_cs div cast(_cn as decimal(38,0)) as bigint) "
+            "ELSE -cast((-_cs) div cast(_cn as decimal(38,0)) as bigint) END"
+        ).alias("_adj")
+    )
+    seas = phase.crossJoin(F.broadcast(center)).select(
+        "_phase", (F.col("_s_raw") - F.col("_adj")).alias("seasonal_m")
+    )
+    return (
+        based.join(F.broadcast(seas), on="_phase", how="left")
+        .select(
+            "bucket",
+            "t",
+            "y_m",
+            "trend_m",
+            "seasonal_m",
+            F.when(
+                F.col("trend_m").isNotNull(),
+                F.col("y_m") - F.col("trend_m") - F.col("seasonal_m"),
+            ).alias("residual_m"),
+        )
+    )

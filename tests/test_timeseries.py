@@ -160,3 +160,40 @@ def test_cusum_tie_earliest_bucket(spark):
     # mean 2000; c = [-2000, 0, 2000, 0] -> |c| ties at t=1 and t=3
     assert r["change_bucket"].hour == 0
     assert r["cusum_max_abs_m"] == 2000
+
+
+def test_seasonal_decompose_pure_seasonal(spark):
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    # pure period-4 seasonal pattern, 5 cycles, no trend: amplitude
+    # recovers exactly; trend flat at the mean; residual 0
+    pattern = [10.0, 20.0, 30.0, 40.0]
+    df = _series_df(spark, pattern * 5)  # 20 hourly buckets
+    rows = {
+        r["t"]: r
+        for r in seasonal_decompose(df, width="1 hour", period=4).collect()
+    }
+    assert len(rows) == 20
+    full = [r for r in rows.values() if r["trend_m"] is not None]
+    # centered MA of a pure periodic series is the constant mean 25000
+    assert all(r["trend_m"] == 25_000 for r in full)
+    # seasonal offsets: -15000, -5000, 5000, 15000 by phase
+    seas = {(r["t"] - 1) % 4: r["seasonal_m"] for r in full}
+    assert seas == {0: -15_000, 1: -5_000, 2: 5_000, 3: 15_000}
+    assert all(r["residual_m"] == 0 for r in full)
+    # incomplete windows at both ends are null (period/2 each side)
+    assert rows[1]["trend_m"] is None and rows[20]["trend_m"] is None
+
+
+def test_seasonal_decompose_odd_period_raises(spark):
+    import pytest
+
+    from data_pipeline_childcare_spark.operators.timeseries import (
+        seasonal_decompose,
+    )
+
+    df = _series_df(spark, [1.0] * 8)
+    with pytest.raises(ValueError):
+        seasonal_decompose(df, period=3)
