@@ -236,6 +236,63 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def events_pivot_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tab via PIVOT: event counts as a weekday x type matrix
+    (epoch-day mod 7 weekday, explicit pivot values so the schema is
+    static — the dynamic-pivot two-pass is a driver roundtrip the
+    engine avoids). Spark's groupBy().pivot() relational surface."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "dow",
+        F.expr("datediff(to_date(ts), date '1970-01-01') % 7").cast("int"),
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("dow")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)).cast("long"))
+    )
+    return out.select(
+        "dow", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}") for t in types]
+    )
+
+
+def revenue_wow_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue report: weekly order revenue (epoch
+    weeks, integer micros) with previous-week delta and growth in
+    micros — the lag window runs on the calendar-bounded week frame.
+    Sign-safe floor division for negative growth (Spark div truncates,
+    DuckDB // floors — the explicit-sign form)."""
+    orders = _t(spark, sf_dir, "orders")
+    wk = orders.groupBy(
+        F.expr(
+            "cast(datediff(o_orderdate, date '1970-01-01') div 7 as bigint)"
+        ).alias("week")
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast(
+                "decimal(38,0)"
+            )
+        )
+        .cast("long")
+        .alias("revenue_u"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    w = Window.partitionBy(F.lit(0)).orderBy("week")
+    en = wk.withColumn("_prev", F.lag("revenue_u").over(w))
+    return en.select(
+        "week",
+        "n_orders",
+        "revenue_u",
+        (F.col("revenue_u") - F.col("_prev")).alias("delta_u"),
+        F.expr(
+            "CASE WHEN _prev > 0 THEN "
+            "CASE WHEN revenue_u - _prev >= 0 "
+            "THEN cast((revenue_u - _prev) * 1000000 div _prev as bigint) "
+            "ELSE -cast((_prev - revenue_u) * 1000000 div _prev as bigint) END END"
+        ).alias("growth_u"),
+    )
+
+
 def seasonal_decompose_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Classical additive seasonal decomposition of the hourly series
     (operators/timeseries.seasonal_decompose, statsmodels method,
@@ -5631,6 +5688,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "events_pivot_type_by_dow": events_pivot_type_by_dow,
+        "revenue_wow_orders": revenue_wow_orders,
         "seasonal_decompose_events": seasonal_decompose_events,
         "journey_trigrams_events": journey_trigrams_events,
         "link_graph_reciprocity": link_graph_reciprocity,
@@ -9627,6 +9686,36 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["events_pivot_type_by_dow"] = """
+        SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS INT) AS dow,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+        FROM events GROUP BY 1
+    """
+    out["revenue_wow_orders"] = """
+        WITH wk AS (
+            SELECT CAST(date_diff('day', DATE '1970-01-01', o_orderdate) // 7 AS BIGINT) AS week,
+                   CAST(sum(CAST(floor(o_totalprice * 1000000 + 0.5) AS HUGEINT)) AS BIGINT) AS revenue_u,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1
+        ),
+        en AS (
+            SELECT week, n_orders, revenue_u,
+                   lag(revenue_u) OVER (ORDER BY week) AS prev
+            FROM wk
+        )
+        SELECT week, n_orders, revenue_u,
+               revenue_u - prev AS delta_u,
+               CASE WHEN prev > 0 THEN
+                   CASE WHEN revenue_u - prev >= 0
+                        THEN CAST((revenue_u - prev) * 1000000 // prev AS BIGINT)
+                        ELSE -CAST((prev - revenue_u) * 1000000 // prev AS BIGINT) END
+               END AS growth_u
+        FROM en
+    """
     out["seasonal_decompose_events"] = f"""
         WITH ser0 AS (
             SELECT time_bucket(INTERVAL 1 HOUR, ts) AS bucket,
