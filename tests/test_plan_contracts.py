@@ -131,6 +131,67 @@ CONTRACTS = {
     # merge/day re-aggregate (bucket keys line up, so the day level
     # reuses the merge partitioning)
     "hypertable_incremental_refresh_events": (3, True, True),
+    # round-7 second-wave additions — budgets measured and pinned
+    # SQ8: stats posexplode agg + the (query, id) rank window + the
+    # rerank join-back; queries broadcast, no SMJ anywhere
+    "sq8_topk_embeddings": (3, True, True),
+    # ACF: bucket agg + the lag-pair join branches re-aggregate the
+    # series subtree (series-sized — cheap); CUSUM: bucket agg +
+    # peak/sides aggregates
+    "events_acf_hourly": (6, True, True),
+    "events_cusum_changepoint": (3, True, True),
+    # DP: ONE keyed aggregate; the noise CASE is pure column math
+    "dp_event_type_counts": (1, True, True),
+    # phrase search: postings filtered per term BEFORE the join; the
+    # position joins broadcast at contract scale
+    "phrase_search_docs": (1, True, True),
+    # funnel: one user exchange per step frame + the step-count agg
+    "funnel_signup_click_purchase": (4, True, True),
+    "cohort_retention_events": (4, True, True),
+    # KS: two quantized count aggs; the full-outer value join is a
+    # keyed SMJ — the right plan for two corpus-sized sides
+    "ks_click_vs_purchase_value": (2, False, True),
+    # gopher single-pass: ONE tagged explode + ONE (doc, n, gram)
+    # agg + the (doc, n) window + the doc pivot agg
+    "gopher_repetition_docs": (3, True, True),
+    # median/MAD: two count-frame passes (counts re-aggregated per
+    # median/MAD/flag branch — distinct-value-sized, cheap)
+    "robust_outliers_events": (9, True, True),
+    "conformal_interval_events": (3, True, True),
+    "winsorize_audit_events": (6, True, True),
+    # association rules: basket-item distinct + pair agg + marginals
+    # (distinct subtree re-aggregated per marginal — vocabulary-sized)
+    "association_rules_events": (8, True, True),
+    "event_transitions_events": (3, True, True),
+    "interarrival_dispersion_events": (2, True, True),
+    # point-in-time: ONE key exchange serves the union window; the
+    # history subtree adds its own lag window exchange
+    "orders_point_in_time_status": (2, True, True),
+    # pareto: per-key agg + bucket partials + within-bucket windows +
+    # the certify-total reduce
+    "pareto_revenue_customers": (5, True, True),
+    # hopping windows: Spark implements slide via Expand — inherent
+    "hopping_window_event_counts": (1, True, False),
+    # stump: ONE score_u aggregate, candidates on the distinct-score
+    # frame
+    "gini_stump_docs": (1, True, True),
+    # chi2: cell agg + marginal re-aggs; two count_distincts in one
+    # agg lower to Expand — inherent to the dense-grid form
+    "chi2_type_by_dow_events": (8, True, False),
+    "loo_priority_encoding_orders": (1, True, True),
+    # RFM: per-key agg + three threshold count frames (each
+    # re-aggregates the per-key subtree — key-count-sized)
+    "rfm_segments_customers": (7, True, True),
+    # funnel latency: each hop's survivor frame re-references the
+    # previous step subtree once in the union (O(steps) duplicated
+    # user-keyed aggs — bounded, documented; was 18 before the
+    # carry-the-previous-time-through-the-agg form)
+    "funnel_latency_events": (12, True, True),
+    "journey_trigrams_events": (3, True, True),
+    "link_graph_reciprocity": (3, True, True),
+    "seasonal_decompose_events": (3, True, True),
+    "events_pivot_type_by_dow": (2, True, True),
+    "revenue_wow_orders": (1, True, True),
 }
 
 
