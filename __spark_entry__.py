@@ -236,6 +236,45 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def ann_recall_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall certification IN-ENGINE: every approximate top-k
+    family (LSH, IVF, PQ-ADC, IVF-PQ, SQ8) scored against the brute
+    -force exact top-5 on the same queries -> (method, n_exact,
+    n_hits, recall_u). The measure-don't-guess audit that ties the
+    quantization quartet together — a retrieval team reads THIS row
+    before picking an index. The twin nests all six method oracles
+    and replays the overlap joins."""
+    exact = cosine_topk_embeddings(spark, sf_dir).select("query_id", "vec_id")
+    methods = [
+        ("ivf", ivf_cosine_topk_embeddings),
+        ("ivfpq", ivfpq_topk_embeddings),
+        ("lsh", lsh_cosine_topk_embeddings),
+        ("pq_adc", pq_adc_topk_embeddings),
+        ("sq8", sq8_topk_embeddings),
+    ]
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    per = []
+    for name, fn in methods:
+        approx = fn(spark, sf_dir).select("query_id", "vec_id")
+        hits = approx.join(exact, on=["query_id", "vec_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        per.append(
+            n_exact.crossJoin(hits).select(
+                F.lit(name).alias("method"),
+                "n_exact",
+                "n_hits",
+                F.expr("cast(n_hits * 1000000 div n_exact as bigint)").alias(
+                    "recall_u"
+                ),
+            )
+        )
+    out_df = per[0]
+    for p in per[1:]:
+        out_df = out_df.unionByName(p)
+    return out_df
+
+
 def events_pivot_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-tab via PIVOT: event counts as a weekday x type matrix
     (epoch-day mod 7 weekday, explicit pivot values so the schema is
@@ -5688,6 +5727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "ann_recall_audit_embeddings": ann_recall_audit_embeddings,
         "events_pivot_type_by_dow": events_pivot_type_by_dow,
         "revenue_wow_orders": revenue_wow_orders,
         "seasonal_decompose_events": seasonal_decompose_events,
@@ -9686,6 +9726,37 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    _ann_methods = [
+        ("ivf", "ivf_cosine_topk_embeddings"),
+        ("ivfpq", "ivfpq_topk_embeddings"),
+        ("lsh", "lsh_cosine_topk_embeddings"),
+        ("pq_adc", "pq_adc_topk_embeddings"),
+        ("sq8", "sq8_topk_embeddings"),
+    ]
+    _ann_ctes = ",\n        ".join(
+        f"""m_{m} AS MATERIALIZED (
+            SELECT query_id, vec_id FROM ({out[q]})
+        ),
+        h_{m} AS MATERIALIZED (
+            SELECT CAST(count(*) AS BIGINT) AS n_hits
+            FROM m_{m} JOIN ex USING (query_id, vec_id)
+        )"""
+        for m, q in _ann_methods
+    )
+    _ann_parts = "\n        UNION ALL ".join(
+        f"""SELECT '{m}' AS method, ne.n_exact, h_{m}.n_hits,
+               CAST(h_{m}.n_hits * 1000000 // ne.n_exact AS BIGINT) AS recall_u
+        FROM h_{m} CROSS JOIN ne"""
+        for m, _ in _ann_methods
+    )
+    out["ann_recall_audit_embeddings"] = f"""
+        WITH ex AS MATERIALIZED (
+            SELECT query_id, vec_id FROM ({out['cosine_topk_embeddings']})
+        ),
+        ne AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM ex),
+        {_ann_ctes}
+        {_ann_parts}
+    """
     out["events_pivot_type_by_dow"] = """
         SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS INT) AS dow,
                CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
