@@ -236,6 +236,62 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source curation scorecard — the dashboard row a data-ops
+    team reads per ingest source: doc count, mean token count, mean
+    quality (integer micros over the oracled heuristic), English
+    fraction, and exact-duplicate rate (docs whose md5 fingerprint
+    appears more than once corpus-wide, attributed to their source).
+    One doc-level pass + one fingerprint aggregate + one source
+    rollup; every ratio floor-micro."""
+    from data_pipeline_childcare_spark.functions.text import (
+        doc_fingerprint,
+        quality_score,
+        tokenize,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokenize(F.col("text"))).cast("long").alias("_ntok"),
+        F.floor(
+            quality_score("text", _QUALITY_STOPWORDS) * 1_000_000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("_q_u"),
+        (F.col("lang") == "en").cast("int").alias("_en"),
+        doc_fingerprint(F.col("text")).alias("_fp"),
+    )
+    dup_fps = (
+        enriched.groupBy("_fp")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_fp")
+    )
+    flagged = enriched.join(
+        dup_fps.withColumn("_isdup", F.lit(1)), on="_fp", how="left"
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.expr("cast(sum(_ntok) * 1000000 div count(*) as bigint)").alias(
+                "mean_tokens_u"
+            ),
+            F.expr(
+                "cast(sum(cast(_q_u as decimal(38,0))) div cast(count(*) as decimal(38,0)) as bigint)"
+            ).alias("mean_quality_u"),
+            F.expr("cast(sum(_en) * 1000000 div count(*) as bigint)").alias(
+                "en_frac_u"
+            ),
+            F.expr(
+                "cast(sum(coalesce(_isdup, 0)) * 1000000 div count(*) as bigint)"
+            ).alias("dup_frac_u"),
+        )
+    )
+
+
 def ann_recall_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN recall certification IN-ENGINE: every approximate top-k
     family (LSH, IVF, PQ-ADC, IVF-PQ, SQ8) scored against the brute
@@ -5727,6 +5783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "source_quality_scorecard": source_quality_scorecard,
         "ann_recall_audit_embeddings": ann_recall_audit_embeddings,
         "events_pivot_type_by_dow": events_pivot_type_by_dow,
         "revenue_wow_orders": revenue_wow_orders,
@@ -9726,6 +9783,32 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["source_quality_scorecard"] = f"""
+        WITH q AS ({out['doc_quality_scores']}),
+        enr AS (
+            SELECT d.doc_id, d.source,
+                   len(list_filter(string_split_regex(lower(d.text), '\\s+'),
+                                   x -> x <> '')) AS ntok,
+                   CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS q_u,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS en,
+                   md5(d.text) AS fp
+            FROM documents d JOIN q ON q.doc_id = d.doc_id
+        ),
+        dups AS (
+            SELECT fp FROM enr GROUP BY fp HAVING count(*) > 1
+        ),
+        fl AS (
+            SELECT enr.*, CASE WHEN dups.fp IS NOT NULL THEN 1 ELSE 0 END AS isdup
+            FROM enr LEFT JOIN dups ON enr.fp = dups.fp
+        )
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) * 1000000 // count(*) AS BIGINT) AS mean_tokens_u,
+               CAST(sum(CAST(q_u AS HUGEINT)) // CAST(count(*) AS HUGEINT) AS BIGINT) AS mean_quality_u,
+               CAST(sum(en) * 1000000 // count(*) AS BIGINT) AS en_frac_u,
+               CAST(sum(isdup) * 1000000 // count(*) AS BIGINT) AS dup_frac_u
+        FROM fl GROUP BY source
+    """
     _ann_methods = [
         ("ivf", "ivf_cosine_topk_embeddings"),
         ("ivfpq", "ivfpq_topk_embeddings"),
