@@ -635,3 +635,84 @@ class TestClasevalModel:
         got = binary_eval_summary(df, threshold=thr).collect()[0].asDict()
         want = self._py_eval(rows, thr)
         assert got == want, (got, want)
+
+
+class TestRound7Invariants:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+                st.booleans(),
+            ),
+            min_size=2,
+            max_size=40,
+        )
+    )
+    def test_gini_stump_gain_nonnegative(self, spark, rows):
+        """Splitting can never increase weighted impurity: gain >= 0,
+        and child gini is bounded by the parent's."""
+        from data_pipeline_childcare_spark.operators.claseval import gini_stump
+
+        df = spark.createDataFrame(
+            [(float(s), bool(y)) for s, y in rows], "score double, label boolean"
+        )
+        r = gini_stump(df).collect()
+        if not r:  # all rows share one score -> no non-empty-left split
+            return
+        row = r[0]
+        assert row["gain_u"] >= 0
+        assert 0 <= row["child_gini_u"] <= row["parent_gini_u"] <= 500_000
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        a=st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=1, max_size=30),
+        b=st.lists(st.floats(min_value=-50, max_value=50, allow_nan=False), min_size=1, max_size=30),
+    )
+    def test_ks_bounds_and_identity(self, spark, a, b):
+        from data_pipeline_childcare_spark.operators.drift import ks_statistic
+
+        da = spark.createDataFrame([(float(v),) for v in a], "value double")
+        db = spark.createDataFrame([(float(v),) for v in b], "value double")
+        r = ks_statistic(da, db).collect()[0]
+        assert 0 <= r["ks_u"] <= 1_000_000
+        same = ks_statistic(da, da).collect()[0]
+        assert same["ks_u"] == 0
+
+    @settings(max_examples=10, deadline=None)
+    @given(
+        vals=st.lists(
+            st.floats(min_value=0.01, max_value=100, allow_nan=False),
+            min_size=1,
+            max_size=50,
+        )
+    )
+    def test_pareto_thresholds_monotone(self, spark, vals):
+        from data_pipeline_childcare_spark.operators.skew import (
+            pareto_concentration,
+        )
+
+        df = spark.createDataFrame(
+            [(f"k{i}", float(v)) for i, v in enumerate(vals)],
+            "k string, value double",
+        )
+        r = pareto_concentration(df, ["k"], "value").collect()[0]
+        assert 1 <= r["n_for_50"] <= r["n_for_80"] <= r["n_for_90"] <= r["n_keys"]
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=400),
+        alpha_u=st.integers(min_value=10_000, max_value=400_000),
+    )
+    def test_conformal_rank_matches_python_ceiling(self, n, alpha_u):
+        """The integer rank n+1-((n+1)·α div 1e6) IS ceil((n+1)(1-α))
+        for micro-quantized α — checked against the float ceiling."""
+        import math
+
+        rank = n + 1 - ((n + 1) * alpha_u) // 1_000_000
+        expected = math.ceil((n + 1) * (1 - alpha_u / 1_000_000))
+        # float ceiling can differ by at most the micro quantum; the
+        # integer form is the DEFINITION (alpha is exactly alpha_u/1e6)
+        exact = math.ceil((n + 1) - ((n + 1) * alpha_u) / 1_000_000)
+        assert rank == exact
+        assert abs(rank - expected) <= 1
