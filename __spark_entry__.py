@@ -236,6 +236,24 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def impute_group_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-median imputation audit (operators/robust.
+    impute_group_median): per event type, the exact observed-median
+    fill value and the missingness mass. The testdata has no natural
+    nulls, so missingness is the deterministic fixture rule
+    event_id % 7 = 0 (documented; production passes the real
+    nullable column)."""
+    from data_pipeline_childcare_spark.operators.robust import (
+        impute_group_median,
+    )
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "value_n",
+        F.when(F.col("event_id") % 7 != 0, F.col("value")),
+    )
+    return impute_group_median(ev, "event_type", "value_n")
+
+
 def source_quality_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source curation scorecard — the dashboard row a data-ops
     team reads per ingest source: doc count, mean token count, mean
@@ -5783,6 +5801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "impute_group_median_events": impute_group_median_events,
         "source_quality_scorecard": source_quality_scorecard,
         "ann_recall_audit_embeddings": ann_recall_audit_embeddings,
         "events_pivot_type_by_dow": events_pivot_type_by_dow,
@@ -9783,6 +9802,37 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["impute_group_median_events"] = """
+        WITH vals AS (
+            SELECT event_type AS g,
+                   CASE WHEN event_id % 7 <> 0
+                        THEN CAST(floor(value * 1000 + 0.5) AS BIGINT) END AS v
+            FROM events
+        ),
+        counts AS (
+            SELECT g, v, CAST(count(*) AS BIGINT) AS c
+            FROM vals WHERE v IS NOT NULL GROUP BY g, v
+        ),
+        cum AS (
+            SELECT g, v, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM counts
+        ),
+        med AS (
+            SELECT g, min(CASE WHEN cm >= (n + 1) // 2 THEN v END) AS fill_value_m
+            FROM cum GROUP BY g
+        ),
+        stats AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+            FROM vals GROUP BY g
+        )
+        SELECT s.g AS event_type, s.n, s.n_missing, med.fill_value_m,
+               CAST(s.n_missing * 1000000 // s.n AS BIGINT) AS missing_frac_u
+        FROM stats s LEFT JOIN med ON s.g = med.g
+    """
     out["source_quality_scorecard"] = f"""
         WITH q AS ({out['doc_quality_scores']}),
         enr AS (

@@ -382,3 +382,45 @@ def winsorize_audit(
             ).alias("clipped_frac_u"),
         )
     )
+
+
+def impute_group_median(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    quant: int = 1000,
+) -> DataFrame:
+    """Group-median imputation audit → (group, n, n_missing,
+    fill_value_m, missing_frac_u): the fill value a feature pipeline
+    substitutes for NULLs is the exact per-group lower median of the
+    OBSERVED values (quantized count frame — the robust_outliers
+    discipline), reported with the missingness mass. Null fill when
+    a group has no observed values (nothing to learn from — the
+    honest answer).
+
+    Returned as the group-sized audit; the imputed corpus itself is
+    one more broadcast-join + coalesce against these rows (map-only),
+    left to the caller so the oracle row stays small."""
+    vals = df.select(
+        F.col(group_col).alias("_g"),
+        F.floor(F.col(value_col) * quant + F.lit(0.5)).cast("long").alias("_v"),
+    )
+    counts = vals.filter(F.col("_v").isNotNull()).groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    med = _group_median(counts, "_g", "_v", "_c", "fill_value_m")
+    stats = vals.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_v").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing"),
+    )
+    return stats.join(med, on="_g", how="left").select(
+        F.col("_g").alias(group_col),
+        "n",
+        "n_missing",
+        "fill_value_m",
+        F.expr("cast(n_missing * 1000000 div n as bigint)").alias(
+            "missing_frac_u"
+        ),
+    )

@@ -119,3 +119,20 @@ def test_winsorize_single_value_group(spark):
     r = winsorize_audit(df).collect()[0]
     assert r["p_lo_m"] == r["p_hi_m"] == 7000
     assert r["n_clipped_lo"] == r["n_clipped_hi"] == 0
+
+
+def test_impute_group_median_hand_case(spark):
+    from data_pipeline_childcare_spark.operators.robust import (
+        impute_group_median,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), ("b", None)],
+        "g string, value double",
+    )
+    rows = {r["g"]: r for r in impute_group_median(df, "g", "value").collect()}
+    assert rows["a"]["fill_value_m"] == 2000  # median of observed {1,2,3}
+    assert rows["a"]["n_missing"] == 1 and rows["a"]["n"] == 4
+    assert rows["a"]["missing_frac_u"] == 250_000
+    assert rows["b"]["fill_value_m"] is None  # nothing observed
+    assert rows["b"]["missing_frac_u"] == 1_000_000
