@@ -236,6 +236,64 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent hierarchy rollup: nation revenue as a share
+    of its region, region as a share of the total — the multi-level
+    BI report, joined through customer -> nation -> region with the
+    dims broadcast; shares are integer-micro floor divisions on the
+    nation-count-sized rollup frame."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1_000_000 + F.lit(0.5)).cast(
+                    "decimal(38,0)"
+                )
+            )
+            .cast("long")
+            .alias("revenue_u")
+        )
+    )
+    w_r = Window.partitionBy("r_name").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    en = rev.withColumn(
+        "_rsum", F.sum(F.col("revenue_u").cast("decimal(38,0)")).over(w_r)
+    ).withColumn(
+        "_tsum", F.sum(F.col("revenue_u").cast("decimal(38,0)")).over(w_all)
+    )
+    return en.select(
+        "r_name",
+        "n_name",
+        "revenue_u",
+        F.expr(
+            "cast(cast(revenue_u as decimal(38,0)) * 1000000 div _rsum as bigint)"
+        ).alias("share_of_region_u"),
+        F.expr(
+            "cast(_rsum * 1000000 div _tsum as bigint)"
+        ).alias("region_share_of_total_u"),
+    )
+
+
 def impute_group_median_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-median imputation audit (operators/robust.
     impute_group_median): per event type, the exact observed-median
@@ -5801,6 +5859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "revenue_share_hierarchy": revenue_share_hierarchy,
         "impute_group_median_events": impute_group_median_events,
         "source_quality_scorecard": source_quality_scorecard,
         "ann_recall_audit_embeddings": ann_recall_audit_embeddings,
@@ -9802,6 +9861,27 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["revenue_share_hierarchy"] = """
+        WITH rev AS (
+            SELECT r.r_name, n.n_name,
+                   CAST(sum(CAST(floor(o.o_totalprice * 1000000 + 0.5) AS HUGEINT)) AS BIGINT) AS revenue_u
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        en AS (
+            SELECT *,
+                   sum(CAST(revenue_u AS HUGEINT)) OVER (PARTITION BY r_name) AS rsum,
+                   sum(CAST(revenue_u AS HUGEINT)) OVER () AS tsum
+            FROM rev
+        )
+        SELECT r_name, n_name, revenue_u,
+               CAST(CAST(revenue_u AS HUGEINT) * 1000000 // rsum AS BIGINT) AS share_of_region_u,
+               CAST(rsum * 1000000 // tsum AS BIGINT) AS region_share_of_total_u
+        FROM en
+    """
     out["impute_group_median_events"] = """
         WITH vals AS (
             SELECT event_type AS g,
