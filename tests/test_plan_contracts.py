@@ -192,6 +192,23 @@ CONTRACTS = {
     "seasonal_decompose_events": (3, True, True),
     "events_pivot_type_by_dow": (2, True, True),
     "revenue_wow_orders": (1, True, True),
+    # containment: inverted-index self-join + df-cap anti-join + the
+    # two cap_pairs_per_doc windows
+    "ngram_containment_docs": (5, True, True),
+    # fuzzy: block-size guard agg + the blocked self-join (broadcast
+    # at contract scale)
+    "fuzzy_part_name_matches": (2, True, True),
+    # vocab drift: two per-side term aggs; the full-outer term join
+    # is a keyed SMJ — right plan for two vocab-sized sides
+    "vocab_drift_docs": (2, False, True),
+    "source_quality_scorecard": (2, True, True),
+    "impute_group_median_events": (3, True, True),
+    "revenue_share_hierarchy": (2, True, True),
+    # k-core: the six peel rounds reuse ONE symmetrized-edge exchange
+    # pair + per-round degree aggregates collapse under AQE
+    "link_graph_kcore": (4, True, True),
+    # bootstrap: one replica-keyed aggregate; weights are column math
+    "bootstrap_mean_ci_events": (1, True, True),
 }
 
 
