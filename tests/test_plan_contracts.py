@@ -290,7 +290,11 @@ def test_no_driver_actions_while_building_plans(spark):
     # legitimately run distributed materialization jobs at build time —
     # the data never lands on the driver, which is what this audit
     # guards. Everything else must stay zero-job.
-    checkpoint_builders = {"semdedup_embeddings", "link_graph_pagerank"}
+    checkpoint_builders = {
+        "semdedup_embeddings",
+        "link_graph_pagerank",
+        "link_graph_kcore",  # per-round lazy localCheckpoints (pagerank discipline)
+    }
     group = "plan-build-audit"
     qs = entry_mod.queries()
     offenders: dict[str, list] = {}
