@@ -236,6 +236,39 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def supplier_hhi_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman supplier-concentration index per part
+    from lineitem quantities: HHI = sum of squared supplier shares —
+    the market-concentration / supply-risk audit (1e6 = single
+    supplier). Exact integers: HHI_u = sum(qty_s^2) * 1e6 div
+    (qty_total^2) in DECIMAL(38,0) — no per-share division, one
+    (part, supplier) aggregate + one part rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long"))
+        .cast("long")
+        .alias("_q")
+    )
+    return (
+        per.groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_suppliers"),
+            F.sum(F.col("_q").cast("decimal(38,0)")).alias("_t"),
+            F.sum(
+                F.col("_q").cast("decimal(38,0)") * F.col("_q").cast("decimal(38,0)")
+            ).alias("_sq"),
+        )
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            F.col("_t").cast("long").alias("total_qty"),
+            F.expr(
+                "CASE WHEN _t > 0 THEN cast(_sq * 1000000 div (_t * _t) as bigint) END"
+            ).alias("hhi_u"),
+        )
+    )
+
+
 def revenue_share_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percent-of-parent hierarchy rollup: nation revenue as a share
     of its region, region as a share of the total — the multi-level
@@ -5859,6 +5892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "supplier_hhi_parts": supplier_hhi_parts,
         "revenue_share_hierarchy": revenue_share_hierarchy,
         "impute_group_median_events": impute_group_median_events,
         "source_quality_scorecard": source_quality_scorecard,
@@ -9861,6 +9895,21 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["supplier_hhi_parts"] = """
+        WITH per AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS q
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        )
+        SELECT l_partkey,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(CAST(q AS HUGEINT)) AS BIGINT) AS total_qty,
+               CASE WHEN sum(CAST(q AS HUGEINT)) > 0 THEN
+                   CAST(sum(CAST(q AS HUGEINT) * q) * 1000000
+                        // (sum(CAST(q AS HUGEINT)) * sum(CAST(q AS HUGEINT))) AS BIGINT)
+               END AS hhi_u
+        FROM per GROUP BY l_partkey
+    """
     out["revenue_share_hierarchy"] = """
         WITH rev AS (
             SELECT r.r_name, n.n_name,
