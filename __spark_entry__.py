@@ -5866,8 +5866,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
         "events_zorder_cells": events_zorder_cells,
         "crawl_frontier_schedule": crawl_frontier_schedule,
-        "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
-        "unigram_fertility_docs": unigram_fertility_docs,
         "gdpr_purge_audit": gdpr_purge_audit,
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
         "ranking_eval_orders": ranking_eval_orders,
@@ -5927,6 +5925,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_triangles": link_graph_triangles,
         "link_graph_hits": link_graph_hits,
         "doc_classifier_scores": doc_classifier_scores,
+        "unigram_lm_vocab_docs": unigram_lm_vocab_docs,
+        "unigram_fertility_docs": unigram_fertility_docs,
         "bpe_learned_merges": bpe_learned_merges,
         "wordpiece_vocab_docs": wordpiece_vocab_docs,
         "wordpiece_fertility_docs": wordpiece_fertility_docs,
