@@ -236,6 +236,79 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def late_arrival_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival audit: per event type, how many events
+    arrived with an event-time EARLIER than the per-user running
+    maximum (arrival order = event_id, the ingest sequence) and the
+    worst lateness in whole seconds — the measurement that sizes
+    streaming watermarks. One user-keyed window + one keyed reduce;
+    microsecond-diff-floored seconds (the portable rule)."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    en = ev.withColumn("_prior_max", F.max("ts").over(w)).withColumn(
+        "_late_us",
+        F.when(
+            F.col("_prior_max") > F.col("ts"),
+            F.timestamp_diff("MICROSECOND", F.col("ts"), F.col("_prior_max")),
+        ),
+    )
+    return en.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("_late_us").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_out_of_order"),
+        F.expr(
+            "cast(sum(CASE WHEN _late_us IS NOT NULL THEN 1 ELSE 0 END) * 1000000 div count(*) as bigint)"
+        ).alias("ooo_frac_u"),
+        F.max(F.expr("_late_us div 1000000")).alias("max_lateness_s"),
+    )
+
+
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the
+    fraud-analytics classic: observed first-significant-digit
+    frequencies vs the Benford expectation log10(1+1/d) (constants
+    baked as micro literals — no transcendental math in-engine), with
+    per-digit absolute deviation. One aggregate over a substring
+    expression."""
+    orders = _t(spark, sf_dir, "orders")
+    import math
+
+    benford = {
+        d: math.floor(math.log10(1 + 1 / d) * 1_000_000 + 0.5) for d in range(1, 10)
+    }
+    bmap = F.create_map(
+        *[F.lit(x) for d in range(1, 10) for x in (str(d), benford[d])]
+    )
+    # first significant digit from the integer part (all totals are
+    # >= 1, so no fractional-leading-zero case; avoids number
+    # formatting, whose rounding conventions differ across engines)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    )
+    counts = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    en = counts.withColumn("_tot", F.sum("n").over(w_all))
+    return en.select(
+        "digit",
+        "n",
+        F.expr("cast(n * 1000000 div _tot as bigint)").alias("observed_u"),
+        F.element_at(bmap, F.col("digit")).cast("long").alias("benford_u"),
+        F.abs(
+            F.expr("cast(n * 1000000 div _tot as bigint)")
+            - F.element_at(bmap, F.col("digit")).cast("long")
+        ).alias("abs_dev_u"),
+    )
+
+
 def supplier_hhi_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Herfindahl-Hirschman supplier-concentration index per part
     from lineitem quantities: HHI = sum of squared supplier shares —
@@ -5890,6 +5963,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "late_arrival_audit_events": late_arrival_audit_events,
+        "benford_first_digit_orders": benford_first_digit_orders,
         "supplier_hhi_parts": supplier_hhi_parts,
         "revenue_share_hierarchy": revenue_share_hierarchy,
         "impute_group_median_events": impute_group_median_events,
@@ -9895,6 +9970,45 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["late_arrival_audit_events"] = """
+        WITH en AS (
+            SELECT event_type,
+                   CASE WHEN max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) > ts
+                        THEN CAST(date_diff('microsecond', ts,
+                             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS BIGINT)
+                   END AS late_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN late_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+               CAST(sum(CASE WHEN late_us IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+                    // count(*) AS BIGINT) AS ooo_frac_u,
+               max(late_us // 1000000) AS max_lateness_s
+        FROM en GROUP BY event_type
+    """
+    import math as _math
+
+    _benford_case = "CASE digit " + " ".join(
+        f"WHEN '{d}' THEN {_math.floor(_math.log10(1 + 1 / d) * 1_000_000 + 0.5)}"
+        for d in range(1, 10)
+    ) + " END"
+    out["benford_first_digit_orders"] = f"""
+        WITH c AS (
+            SELECT substring(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1) AS digit,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM orders GROUP BY 1
+        ),
+        en AS (SELECT *, sum(n) OVER () AS tot FROM c)
+        SELECT digit, n,
+               CAST(n * 1000000 // tot AS BIGINT) AS observed_u,
+               CAST({_benford_case} AS BIGINT) AS benford_u,
+               abs(CAST(n * 1000000 // tot AS BIGINT)
+                   - CAST({_benford_case} AS BIGINT)) AS abs_dev_u
+        FROM en
+    """
     out["supplier_hhi_parts"] = """
         WITH per AS (
             SELECT l_partkey, l_suppkey,
