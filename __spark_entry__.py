@@ -236,6 +236,18 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def value_trend_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS time trend of event value
+    (operators/regeval.group_trend): exact rational slope
+    (micro value per day) and R² — centered epoch-day x keeps the
+    squared cross terms inside DECIMAL(38,0). The drift-direction
+    readout beside the KS/CUSUM detectors."""
+    from data_pipeline_childcare_spark.operators.regeval import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    return group_trend(ev, "event_type", "ts", "value")
+
+
 def late_arrival_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-order arrival audit: per event type, how many events
     arrived with an event-time EARLIER than the per-user running
@@ -5963,6 +5975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "value_trend_by_type_events": value_trend_by_type_events,
         "late_arrival_audit_events": late_arrival_audit_events,
         "benford_first_digit_orders": benford_first_digit_orders,
         "supplier_hhi_parts": supplier_hhi_parts,
@@ -9970,6 +9983,35 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["value_trend_by_type_events"] = """
+        WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
+        base AS (
+            SELECT event_type AS g,
+                   CAST(date_diff('day', d0.d0, CAST(ts AS DATE)) AS BIGINT) AS x,
+                   CAST(floor(value * 1000000 + 0.5) AS BIGINT) AS y
+            FROM events CROSS JOIN d0
+        ),
+        agg AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(x AS HUGEINT)) AS sx,
+                   sum(CAST(y AS HUGEINT)) AS sy,
+                   sum(CAST(x AS HUGEINT) * x) AS sxx,
+                   sum(CAST(y AS HUGEINT) * y) AS syy,
+                   sum(CAST(x AS HUGEINT) * y) AS sxy
+            FROM base GROUP BY g
+        )
+        SELECT g AS event_type, n,
+               CASE WHEN (n * sxx - sx * sx) > 0 THEN
+                   CASE WHEN (n * sxy - sx * sy) >= 0
+                        THEN CAST((n * sxy - sx * sy) // (n * sxx - sx * sx) AS BIGINT)
+                        ELSE -CAST((-(n * sxy - sx * sy)) // (n * sxx - sx * sx) AS BIGINT) END
+               END AS slope_u_per_day,
+               CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+                   CAST((n * sxy - sx * sy) * (n * sxy - sx * sy) * 1000000
+                        // ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS BIGINT)
+               END AS r2_u
+        FROM agg
+    """
     out["late_arrival_audit_events"] = """
         WITH en AS (
             SELECT event_type,

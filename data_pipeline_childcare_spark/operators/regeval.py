@@ -85,3 +85,56 @@ def regression_eval(
             f"{_signed_div_u(f'({sst} - cast(n as {_BIG}) * s_sq)', sst)} END"
         ).alias("r2_u"),
     )
+
+
+def group_trend(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Per-group OLS time trend → (group, n, slope_u_per_day, r2_u):
+    the least-squares slope of value against time in integer micros
+    per day, plus R² — both RATIONAL, so computed exactly:
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)`` and
+    ``r² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)(nΣy² − (Σy)²))``.
+
+    x is epoch-days CENTERED on the corpus minimum date (shifting x
+    changes neither slope nor r², and keeps the squared cross terms
+    inside DECIMAL(38,0) — uncentered epoch days overflow at
+    (n·Σxy)²). One corpus aggregate per group; sign-safe floor
+    divisions; slope null for constant time, r² null when either
+    variance is zero."""
+    mind = df.agg(F.min(F.to_date(F.col(ts_col))).alias("_d0"))
+    big = "decimal(38,0)"
+    base = df.crossJoin(F.broadcast(mind)).select(
+        F.col(group_col).alias("_g"),
+        F.datediff(F.to_date(F.col(ts_col)), F.col("_d0"))
+        .cast("long")
+        .alias("_x"),
+        F.floor(F.col(value_col) * MICRO + F.lit(0.5)).cast("long").alias("_y"),
+    )
+    agg = base.groupBy("_g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("_x").cast(big)).alias("_sx"),
+        F.sum(F.col("_y").cast(big)).alias("_sy"),
+        F.sum(F.col("_x").cast(big) * F.col("_x").cast(big)).alias("_sxx"),
+        F.sum(F.col("_y").cast(big) * F.col("_y").cast(big)).alias("_syy"),
+        F.sum(F.col("_x").cast(big) * F.col("_y").cast(big)).alias("_sxy"),
+    )
+    num = "(cast(n as decimal(38,0)) * _sxy - _sx * _sy)"
+    denx = "(cast(n as decimal(38,0)) * _sxx - _sx * _sx)"
+    deny = "(cast(n as decimal(38,0)) * _syy - _sy * _sy)"
+    return agg.select(
+        F.col("_g").alias(group_col),
+        "n",
+        F.expr(
+            f"CASE WHEN {denx} > 0 THEN "
+            f"CASE WHEN {num} >= 0 THEN cast({num} div {denx} as bigint) "
+            f"ELSE -cast((-{num}) div {denx} as bigint) END END"
+        ).alias("slope_u_per_day"),
+        F.expr(
+            f"CASE WHEN {denx} > 0 AND {deny} > 0 THEN "
+            f"cast({num} * {num} * 1000000 div ({denx} * {deny}) as bigint) END"
+        ).alias("r2_u"),
+    )

@@ -42,3 +42,33 @@ def test_zero_truth_wmape_null(spark):
     assert r["wmape_u"] is None
     assert r["bias_u"] == 0
     assert r["mae_u"] == 1_000_000
+
+
+def test_group_trend_exact_line(spark):
+    from data_pipeline_childcare_spark.operators.regeval import group_trend
+
+    # y = 2.5 + 0.5x over days 0..4: slope 0.5/day, r2 = 1
+    rows = [("a", f"2024-01-0{d+1} 00:00:00", 2.5 + 0.5 * d) for d in range(5)]
+    df = spark.createDataFrame(rows, "g string, ts string, value double").selectExpr(
+        "g", "cast(ts as timestamp) as ts", "value"
+    )
+    r = group_trend(df, "g", "ts", "value").collect()[0]
+    assert r["slope_u_per_day"] == 500_000
+    assert r["r2_u"] == 1_000_000
+
+
+def test_group_trend_negative_and_flat(spark):
+    from data_pipeline_childcare_spark.operators.regeval import group_trend
+
+    rows = [("dn", f"2024-01-0{d+1} 00:00:00", 10.0 - 2.0 * d) for d in range(4)]
+    rows += [("flat", f"2024-01-0{d+1} 00:00:00", 7.0) for d in range(4)]
+    rows += [("one", "2024-01-01 00:00:00", 3.0)]
+    df = spark.createDataFrame(rows, "g string, ts string, value double").selectExpr(
+        "g", "cast(ts as timestamp) as ts", "value"
+    )
+    out = {r["g"]: r for r in group_trend(df, "g", "ts", "value").collect()}
+    assert out["dn"]["slope_u_per_day"] == -2_000_000
+    assert out["dn"]["r2_u"] == 1_000_000
+    assert out["flat"]["slope_u_per_day"] == 0
+    assert out["flat"]["r2_u"] is None  # zero y-variance
+    assert out["one"]["slope_u_per_day"] is None  # zero x-variance
