@@ -236,6 +236,28 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise signed-R2 correlation matrix over lineitem numerics
+    (operators/regeval.pairwise_signed_r2): quantity x price x
+    discount x tax in ONE wide aggregate — r2 is rational so the
+    matrix is exact; quants chosen per column (units / cents / milli
+    rates) to keep the squared cross terms inside DECIMAL(38,0)."""
+    from data_pipeline_childcare_spark.operators.regeval import (
+        pairwise_signed_r2,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pairwise_signed_r2(
+        li,
+        {
+            "l_quantity": 1,
+            "l_extendedprice": 100,
+            "l_discount": 1000,
+            "l_tax": 1000,
+        },
+    )
+
+
 def value_trend_by_type_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type OLS time trend of event value
     (operators/regeval.group_trend): exact rational slope
@@ -5975,6 +5997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "correlation_matrix_lineitem": correlation_matrix_lineitem,
         "value_trend_by_type_events": value_trend_by_type_events,
         "late_arrival_audit_events": late_arrival_audit_events,
         "benford_first_digit_orders": benford_first_digit_orders,
@@ -9983,6 +10006,56 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["correlation_matrix_lineitem"] = """
+        WITH agg AS (
+            SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_quantity,
+                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_quantity * 1 + 0.5) AS BIGINT)) AS ss_l_quantity,
+                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_extendedprice,
+                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS ss_l_extendedprice,
+                   sum(CAST(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_discount,
+                   sum(CAST(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS ss_l_discount,
+                   sum(CAST(CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_tax,
+                   sum(CAST(CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS ss_l_tax,
+                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sp_l_quantity_l_extendedprice,
+                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS sp_l_quantity_l_discount,
+                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS sp_l_quantity_l_tax,
+                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS sp_l_extendedprice_l_discount,
+                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS sp_l_extendedprice_l_tax,
+                   sum(CAST(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS sp_l_discount_l_tax
+            FROM lineitem
+        )
+        SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * ss_l_quantity - s_l_quantity * s_l_quantity) > 0 AND (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) > 0 THEN
+                   CASE WHEN (n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) >= 0 THEN CAST((n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * (n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice)) AS BIGINT) ELSE -CAST((n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * (n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice)) AS BIGINT) END
+               END AS signed_r2_u
+        FROM agg
+        UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * ss_l_quantity - s_l_quantity * s_l_quantity) > 0 AND (n * ss_l_discount - s_l_discount * s_l_discount) > 0 THEN
+                   CASE WHEN (n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) >= 0 THEN CAST((n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * (n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) ELSE -CAST((n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * (n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) END
+               END AS signed_r2_u
+        FROM agg
+        UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * ss_l_quantity - s_l_quantity * s_l_quantity) > 0 AND (n * ss_l_tax - s_l_tax * s_l_tax) > 0 THEN
+                   CASE WHEN (n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) >= 0 THEN CAST((n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * (n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) ELSE -CAST((n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * (n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) END
+               END AS signed_r2_u
+        FROM agg
+        UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) > 0 AND (n * ss_l_discount - s_l_discount * s_l_discount) > 0 THEN
+                   CASE WHEN (n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) >= 0 THEN CAST((n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * (n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) ELSE -CAST((n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * (n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) END
+               END AS signed_r2_u
+        FROM agg
+        UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) > 0 AND (n * ss_l_tax - s_l_tax * s_l_tax) > 0 THEN
+                   CASE WHEN (n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) >= 0 THEN CAST((n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * (n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) ELSE -CAST((n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * (n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) END
+               END AS signed_r2_u
+        FROM agg
+        UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n,
+               CASE WHEN (n * ss_l_discount - s_l_discount * s_l_discount) > 0 AND (n * ss_l_tax - s_l_tax * s_l_tax) > 0 THEN
+                   CASE WHEN (n * sp_l_discount_l_tax - s_l_discount * s_l_tax) >= 0 THEN CAST((n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * (n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * 1000000 // ((n * ss_l_discount - s_l_discount * s_l_discount) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) ELSE -CAST((n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * (n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * 1000000 // ((n * ss_l_discount - s_l_discount * s_l_discount) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) END
+               END AS signed_r2_u
+        FROM agg
+    """
     out["value_trend_by_type_events"] = """
         WITH d0 AS (SELECT min(CAST(ts AS DATE)) AS d0 FROM events),
         base AS (

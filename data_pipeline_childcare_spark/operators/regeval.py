@@ -138,3 +138,59 @@ def group_trend(
             f"cast({num} * {num} * 1000000 div ({denx} * {deny}) as bigint) END"
         ).alias("r2_u"),
     )
+
+
+def pairwise_signed_r2(
+    df: DataFrame,
+    cols: dict[str, int],
+) -> DataFrame:
+    """Pairwise correlation matrix as SIGNED R² →
+    (col_a, col_b, n, signed_r2_u): sign(cov)·r² in integer micros —
+    r itself needs a square root, but r² is rational, so the matrix
+    is exact DECIMAL(38,0) math (the group_trend identity applied
+    per pair). ``cols`` maps each column to its quantization factor;
+    pick quants so n·Σxy stays under ~1e19 (documented per call
+    site — e.g. cents for prices, milli for rates; micro everywhere
+    overflows the squared cross terms).
+
+    ONE wide corpus aggregate (all Σc, Σc², Σab in a single pass),
+    then the pair rows are a literal explode of the one-row result —
+    no second scan. Null when either variance is zero."""
+    names = list(cols)
+    q = {c: F.floor(F.col(c) * cols[c] + F.lit(0.5)).cast("long") for c in names}
+    big = "decimal(38,0)"
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for c in names:
+        aggs.append(F.sum(q[c].cast(big)).alias(f"s_{c}"))
+        aggs.append(F.sum(q[c].cast(big) * q[c].cast(big)).alias(f"ss_{c}"))
+    pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
+    for a, b in pairs:
+        aggs.append(F.sum(q[a].cast(big) * q[b].cast(big)).alias(f"sp_{a}_{b}"))
+    one = df.agg(*aggs)
+
+    def expr_for(a: str, b: str) -> str:
+        num = f"(cast(n as decimal(38,0)) * sp_{a}_{b} - s_{a} * s_{b})"
+        da = f"(cast(n as decimal(38,0)) * ss_{a} - s_{a} * s_{a})"
+        db = f"(cast(n as decimal(38,0)) * ss_{b} - s_{b} * s_{b})"
+        mag = f"cast({num} * {num} * 1000000 div ({da} * {db}) as bigint)"
+        return (
+            f"CASE WHEN {da} > 0 AND {db} > 0 THEN "
+            f"CASE WHEN {num} >= 0 THEN {mag} ELSE -{mag} END END"
+        )
+
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.expr(expr_for(a, b)).alias("signed_r2_u"),
+            )
+            for a, b in pairs
+        ]
+    )
+    return one.select("n", F.explode(rows).alias("_p")).select(
+        F.col("_p.col_a").alias("col_a"),
+        F.col("_p.col_b").alias("col_b"),
+        "n",
+        F.col("_p.signed_r2_u").alias("signed_r2_u"),
+    )

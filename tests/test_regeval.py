@@ -72,3 +72,26 @@ def test_group_trend_negative_and_flat(spark):
     assert out["flat"]["slope_u_per_day"] == 0
     assert out["flat"]["r2_u"] is None  # zero y-variance
     assert out["one"]["slope_u_per_day"] is None  # zero x-variance
+
+
+def test_pairwise_signed_r2_hand_cases(spark):
+    from data_pipeline_childcare_spark.operators.regeval import pairwise_signed_r2
+
+    rows = [(float(i), float(2 * i), float(10 - i)) for i in range(1, 6)]
+    df = spark.createDataFrame(rows, "a double, b double, c double")
+    out = {
+        (r["col_a"], r["col_b"]): r["signed_r2_u"]
+        for r in pairwise_signed_r2(df, {"a": 1, "b": 1, "c": 1}).collect()
+    }
+    assert out[("a", "b")] == 1_000_000   # perfect positive
+    assert out[("a", "c")] == -1_000_000  # perfect negative
+    assert out[("b", "c")] == -1_000_000
+
+
+def test_pairwise_signed_r2_zero_variance_null(spark):
+    from data_pipeline_childcare_spark.operators.regeval import pairwise_signed_r2
+
+    rows = [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0)]
+    df = spark.createDataFrame(rows, "a double, b double")
+    r = pairwise_signed_r2(df, {"a": 1, "b": 1}).collect()[0]
+    assert r["signed_r2_u"] is None
