@@ -247,13 +247,15 @@ def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     li = _t(spark, sf_dir, "lineitem")
+    # dollar / centi-rate quants: num = nΣdxdy must stay under ~1e19
+    # before squaring (the 10x bench overflowed DECIMAL(38,0) at cents)
     return pairwise_signed_r2(
         li,
         {
             "l_quantity": 1,
-            "l_extendedprice": 100,
-            "l_discount": 1000,
-            "l_tax": 1000,
+            "l_extendedprice": 1,
+            "l_discount": 100,
+            "l_tax": 100,
         },
     )
 
@@ -10007,52 +10009,67 @@ def oracle_sql() -> dict[str, str]:
         )
     )
     out["correlation_matrix_lineitem"] = """
-        WITH agg AS (
+        WITH m AS (
+            SELECT (CASE WHEN s0_l_quantity >= 0 THEN CAST(s0_l_quantity // n AS BIGINT) ELSE -CAST((-s0_l_quantity) // n AS BIGINT) END) AS m_l_quantity, (CASE WHEN s0_l_extendedprice >= 0 THEN CAST(s0_l_extendedprice // n AS BIGINT) ELSE -CAST((-s0_l_extendedprice) // n AS BIGINT) END) AS m_l_extendedprice, (CASE WHEN s0_l_discount >= 0 THEN CAST(s0_l_discount // n AS BIGINT) ELSE -CAST((-s0_l_discount) // n AS BIGINT) END) AS m_l_discount, (CASE WHEN s0_l_tax >= 0 THEN CAST(s0_l_tax // n AS BIGINT) ELSE -CAST((-s0_l_tax) // n AS BIGINT) END) AS m_l_tax
+            FROM (SELECT CAST(count(*) AS HUGEINT) AS n,
+                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT)) AS s0_l_quantity,
+                   sum(CAST(CAST(floor(l_extendedprice * 1 + 0.5) AS BIGINT) AS HUGEINT)) AS s0_l_extendedprice,
+                   sum(CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s0_l_discount,
+                   sum(CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s0_l_tax FROM lineitem)
+        ),
+        dev AS (
+            SELECT CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) - m.m_l_quantity AS d_l_quantity,
+                   CAST(CAST(floor(l_extendedprice * 1 + 0.5) AS BIGINT) AS HUGEINT) - m.m_l_extendedprice AS d_l_extendedprice,
+                   CAST(CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS HUGEINT) - m.m_l_discount AS d_l_discount,
+                   CAST(CAST(floor(l_tax * 100 + 0.5) AS BIGINT) AS HUGEINT) - m.m_l_tax AS d_l_tax
+            FROM lineitem CROSS JOIN m
+        ),
+        agg AS (
             SELECT CAST(count(*) AS HUGEINT) AS n,
-                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_quantity,
-                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_quantity * 1 + 0.5) AS BIGINT)) AS ss_l_quantity,
-                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_extendedprice,
-                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS ss_l_extendedprice,
-                   sum(CAST(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_discount,
-                   sum(CAST(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS ss_l_discount,
-                   sum(CAST(CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS HUGEINT)) AS s_l_tax,
-                   sum(CAST(CAST(floor(l_tax * 1000 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS ss_l_tax,
-                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sp_l_quantity_l_extendedprice,
-                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS sp_l_quantity_l_discount,
-                   sum(CAST(CAST(floor(l_quantity * 1 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS sp_l_quantity_l_tax,
-                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_discount * 1000 + 0.5) AS BIGINT)) AS sp_l_extendedprice_l_discount,
-                   sum(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS sp_l_extendedprice_l_tax,
-                   sum(CAST(CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS HUGEINT) * CAST(floor(l_tax * 1000 + 0.5) AS BIGINT)) AS sp_l_discount_l_tax
-            FROM lineitem
+                   sum(d_l_quantity) AS s_l_quantity,
+                   sum(d_l_quantity * d_l_quantity) AS ss_l_quantity,
+                   sum(d_l_extendedprice) AS s_l_extendedprice,
+                   sum(d_l_extendedprice * d_l_extendedprice) AS ss_l_extendedprice,
+                   sum(d_l_discount) AS s_l_discount,
+                   sum(d_l_discount * d_l_discount) AS ss_l_discount,
+                   sum(d_l_tax) AS s_l_tax,
+                   sum(d_l_tax * d_l_tax) AS ss_l_tax,
+                   sum(d_l_quantity * d_l_extendedprice) AS sp_l_quantity_l_extendedprice,
+                   sum(d_l_quantity * d_l_discount) AS sp_l_quantity_l_discount,
+                   sum(d_l_quantity * d_l_tax) AS sp_l_quantity_l_tax,
+                   sum(d_l_extendedprice * d_l_discount) AS sp_l_extendedprice_l_discount,
+                   sum(d_l_extendedprice * d_l_tax) AS sp_l_extendedprice_l_tax,
+                   sum(d_l_discount * d_l_tax) AS sp_l_discount_l_tax
+            FROM dev
         )
         SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, CAST(n AS BIGINT) AS n,
-               CASE WHEN (n * ss_l_quantity - s_l_quantity * s_l_quantity) > 0 AND (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) > 0 THEN
-                   CASE WHEN (n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) >= 0 THEN CAST((n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * (n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice)) AS BIGINT) ELSE -CAST((n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * (n * sp_l_quantity_l_extendedprice - s_l_quantity * s_l_extendedprice) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice)) AS BIGINT) END
+               CASE WHEN (ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)) > 0 AND (ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)) > 0 THEN
+                   CASE WHEN (sp_l_quantity_l_extendedprice - (CASE WHEN (s_l_quantity * s_l_extendedprice) >= 0 THEN (s_l_quantity * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)) >= 0 THEN CAST(((((sp_l_quantity_l_extendedprice - (CASE WHEN (s_l_quantity * s_l_extendedprice) >= 0 THEN (s_l_quantity * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_extendedprice))) // CAST(n AS HUGEINT)) END))) * ((sp_l_quantity_l_extendedprice - (CASE WHEN (s_l_quantity * s_l_extendedprice) >= 0 THEN (s_l_quantity * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END))) AS BIGINT) ELSE -CAST(((((sp_l_quantity_l_extendedprice - (CASE WHEN (s_l_quantity * s_l_extendedprice) >= 0 THEN (s_l_quantity * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_extendedprice))) // CAST(n AS HUGEINT)) END))) * ((sp_l_quantity_l_extendedprice - (CASE WHEN (s_l_quantity * s_l_extendedprice) >= 0 THEN (s_l_quantity * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END))) AS BIGINT) END
                END AS signed_r2_u
         FROM agg
         UNION ALL SELECT 'l_quantity' AS col_a, 'l_discount' AS col_b, CAST(n AS BIGINT) AS n,
-               CASE WHEN (n * ss_l_quantity - s_l_quantity * s_l_quantity) > 0 AND (n * ss_l_discount - s_l_discount * s_l_discount) > 0 THEN
-                   CASE WHEN (n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) >= 0 THEN CAST((n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * (n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) ELSE -CAST((n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * (n * sp_l_quantity_l_discount - s_l_quantity * s_l_discount) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) END
+               CASE WHEN (ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)) > 0 AND (ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END)) > 0 THEN
+                   CASE WHEN (sp_l_quantity_l_discount - (CASE WHEN (s_l_quantity * s_l_discount) >= 0 THEN (s_l_quantity * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_discount))) // CAST(n AS HUGEINT)) END)) >= 0 THEN CAST(((((sp_l_quantity_l_discount - (CASE WHEN (s_l_quantity * s_l_discount) >= 0 THEN (s_l_quantity * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_discount))) // CAST(n AS HUGEINT)) END))) * ((sp_l_quantity_l_discount - (CASE WHEN (s_l_quantity * s_l_discount) >= 0 THEN (s_l_quantity * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_discount))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END))) AS BIGINT) ELSE -CAST(((((sp_l_quantity_l_discount - (CASE WHEN (s_l_quantity * s_l_discount) >= 0 THEN (s_l_quantity * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_discount))) // CAST(n AS HUGEINT)) END))) * ((sp_l_quantity_l_discount - (CASE WHEN (s_l_quantity * s_l_discount) >= 0 THEN (s_l_quantity * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_discount))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END))) AS BIGINT) END
                END AS signed_r2_u
         FROM agg
         UNION ALL SELECT 'l_quantity' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n,
-               CASE WHEN (n * ss_l_quantity - s_l_quantity * s_l_quantity) > 0 AND (n * ss_l_tax - s_l_tax * s_l_tax) > 0 THEN
-                   CASE WHEN (n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) >= 0 THEN CAST((n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * (n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) ELSE -CAST((n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * (n * sp_l_quantity_l_tax - s_l_quantity * s_l_tax) * 1000000 // ((n * ss_l_quantity - s_l_quantity * s_l_quantity) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) END
+               CASE WHEN (ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)) > 0 AND (ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END)) > 0 THEN
+                   CASE WHEN (sp_l_quantity_l_tax - (CASE WHEN (s_l_quantity * s_l_tax) >= 0 THEN (s_l_quantity * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_tax))) // CAST(n AS HUGEINT)) END)) >= 0 THEN CAST(((((sp_l_quantity_l_tax - (CASE WHEN (s_l_quantity * s_l_tax) >= 0 THEN (s_l_quantity * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_tax))) // CAST(n AS HUGEINT)) END))) * ((sp_l_quantity_l_tax - (CASE WHEN (s_l_quantity * s_l_tax) >= 0 THEN (s_l_quantity * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_tax))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END))) AS BIGINT) ELSE -CAST(((((sp_l_quantity_l_tax - (CASE WHEN (s_l_quantity * s_l_tax) >= 0 THEN (s_l_quantity * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_tax))) // CAST(n AS HUGEINT)) END))) * ((sp_l_quantity_l_tax - (CASE WHEN (s_l_quantity * s_l_tax) >= 0 THEN (s_l_quantity * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_tax))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_quantity - (CASE WHEN (s_l_quantity * s_l_quantity) >= 0 THEN (s_l_quantity * s_l_quantity) // CAST(n AS HUGEINT) ELSE -((-((s_l_quantity * s_l_quantity))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END))) AS BIGINT) END
                END AS signed_r2_u
         FROM agg
         UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_discount' AS col_b, CAST(n AS BIGINT) AS n,
-               CASE WHEN (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) > 0 AND (n * ss_l_discount - s_l_discount * s_l_discount) > 0 THEN
-                   CASE WHEN (n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) >= 0 THEN CAST((n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * (n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) ELSE -CAST((n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * (n * sp_l_extendedprice_l_discount - s_l_extendedprice * s_l_discount) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_discount - s_l_discount * s_l_discount)) AS BIGINT) END
+               CASE WHEN (ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)) > 0 AND (ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END)) > 0 THEN
+                   CASE WHEN (sp_l_extendedprice_l_discount - (CASE WHEN (s_l_extendedprice * s_l_discount) >= 0 THEN (s_l_extendedprice * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_discount))) // CAST(n AS HUGEINT)) END)) >= 0 THEN CAST(((((sp_l_extendedprice_l_discount - (CASE WHEN (s_l_extendedprice * s_l_discount) >= 0 THEN (s_l_extendedprice * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_discount))) // CAST(n AS HUGEINT)) END))) * ((sp_l_extendedprice_l_discount - (CASE WHEN (s_l_extendedprice * s_l_discount) >= 0 THEN (s_l_extendedprice * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_discount))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END))) AS BIGINT) ELSE -CAST(((((sp_l_extendedprice_l_discount - (CASE WHEN (s_l_extendedprice * s_l_discount) >= 0 THEN (s_l_extendedprice * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_discount))) // CAST(n AS HUGEINT)) END))) * ((sp_l_extendedprice_l_discount - (CASE WHEN (s_l_extendedprice * s_l_discount) >= 0 THEN (s_l_extendedprice * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_discount))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END))) AS BIGINT) END
                END AS signed_r2_u
         FROM agg
         UNION ALL SELECT 'l_extendedprice' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n,
-               CASE WHEN (n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) > 0 AND (n * ss_l_tax - s_l_tax * s_l_tax) > 0 THEN
-                   CASE WHEN (n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) >= 0 THEN CAST((n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * (n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) ELSE -CAST((n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * (n * sp_l_extendedprice_l_tax - s_l_extendedprice * s_l_tax) * 1000000 // ((n * ss_l_extendedprice - s_l_extendedprice * s_l_extendedprice) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) END
+               CASE WHEN (ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)) > 0 AND (ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END)) > 0 THEN
+                   CASE WHEN (sp_l_extendedprice_l_tax - (CASE WHEN (s_l_extendedprice * s_l_tax) >= 0 THEN (s_l_extendedprice * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_tax))) // CAST(n AS HUGEINT)) END)) >= 0 THEN CAST(((((sp_l_extendedprice_l_tax - (CASE WHEN (s_l_extendedprice * s_l_tax) >= 0 THEN (s_l_extendedprice * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_tax))) // CAST(n AS HUGEINT)) END))) * ((sp_l_extendedprice_l_tax - (CASE WHEN (s_l_extendedprice * s_l_tax) >= 0 THEN (s_l_extendedprice * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_tax))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END))) AS BIGINT) ELSE -CAST(((((sp_l_extendedprice_l_tax - (CASE WHEN (s_l_extendedprice * s_l_tax) >= 0 THEN (s_l_extendedprice * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_tax))) // CAST(n AS HUGEINT)) END))) * ((sp_l_extendedprice_l_tax - (CASE WHEN (s_l_extendedprice * s_l_tax) >= 0 THEN (s_l_extendedprice * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_tax))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_extendedprice - (CASE WHEN (s_l_extendedprice * s_l_extendedprice) >= 0 THEN (s_l_extendedprice * s_l_extendedprice) // CAST(n AS HUGEINT) ELSE -((-((s_l_extendedprice * s_l_extendedprice))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END))) AS BIGINT) END
                END AS signed_r2_u
         FROM agg
         UNION ALL SELECT 'l_discount' AS col_a, 'l_tax' AS col_b, CAST(n AS BIGINT) AS n,
-               CASE WHEN (n * ss_l_discount - s_l_discount * s_l_discount) > 0 AND (n * ss_l_tax - s_l_tax * s_l_tax) > 0 THEN
-                   CASE WHEN (n * sp_l_discount_l_tax - s_l_discount * s_l_tax) >= 0 THEN CAST((n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * (n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * 1000000 // ((n * ss_l_discount - s_l_discount * s_l_discount) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) ELSE -CAST((n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * (n * sp_l_discount_l_tax - s_l_discount * s_l_tax) * 1000000 // ((n * ss_l_discount - s_l_discount * s_l_discount) * (n * ss_l_tax - s_l_tax * s_l_tax)) AS BIGINT) END
+               CASE WHEN (ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END)) > 0 AND (ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END)) > 0 THEN
+                   CASE WHEN (sp_l_discount_l_tax - (CASE WHEN (s_l_discount * s_l_tax) >= 0 THEN (s_l_discount * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_tax))) // CAST(n AS HUGEINT)) END)) >= 0 THEN CAST(((((sp_l_discount_l_tax - (CASE WHEN (s_l_discount * s_l_tax) >= 0 THEN (s_l_discount * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_tax))) // CAST(n AS HUGEINT)) END))) * ((sp_l_discount_l_tax - (CASE WHEN (s_l_discount * s_l_tax) >= 0 THEN (s_l_discount * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_tax))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END))) AS BIGINT) ELSE -CAST(((((sp_l_discount_l_tax - (CASE WHEN (s_l_discount * s_l_tax) >= 0 THEN (s_l_discount * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_tax))) // CAST(n AS HUGEINT)) END))) * ((sp_l_discount_l_tax - (CASE WHEN (s_l_discount * s_l_tax) >= 0 THEN (s_l_discount * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_tax))) // CAST(n AS HUGEINT)) END)))) // ((ss_l_discount - (CASE WHEN (s_l_discount * s_l_discount) >= 0 THEN (s_l_discount * s_l_discount) // CAST(n AS HUGEINT) ELSE -((-((s_l_discount * s_l_discount))) // CAST(n AS HUGEINT)) END)))) * 1000000 // ((ss_l_tax - (CASE WHEN (s_l_tax * s_l_tax) >= 0 THEN (s_l_tax * s_l_tax) // CAST(n AS HUGEINT) ELSE -((-((s_l_tax * s_l_tax))) // CAST(n AS HUGEINT)) END))) AS BIGINT) END
                END AS signed_r2_u
         FROM agg
     """

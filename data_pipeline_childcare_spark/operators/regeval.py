@@ -147,32 +147,62 @@ def pairwise_signed_r2(
     """Pairwise correlation matrix as SIGNED R² →
     (col_a, col_b, n, signed_r2_u): sign(cov)·r² in integer micros —
     r itself needs a square root, but r² is rational, so the matrix
-    is exact DECIMAL(38,0) math (the group_trend identity applied
-    per pair). ``cols`` maps each column to its quantization factor;
-    pick quants so n·Σxy stays under ~1e19 (documented per call
-    site — e.g. cents for prices, milli for rates; micro everywhere
-    overflows the squared cross terms).
+    is exact integer math. ``cols`` maps each column to its
+    quantization factor.
 
-    ONE wide corpus aggregate (all Σc, Σc², Σab in a single pass),
-    then the pair rows are a literal explode of the one-row result —
-    no second scan. Null when either variance is zero."""
+    Overflow discipline (the 10× scale bench caught the naive
+    ``(nΣxy−ΣxΣy)²`` form overflowing DECIMAL(38,0)): values CENTER
+    on their integer floor-means first (pass 1 — one tiny aggregate,
+    broadcast back), so the moment sums are deviation-sized; the
+    mean-rounding cross terms are corrected exactly
+    (``Σdxdy − (Σdx·Σdy div n)``); and the final ratio divides in
+    two steps (``((num² div da)·1e6) div db`` — Cauchy-Schwarz keeps
+    the intermediate ≤ db). Safe through ~1e9 rows at documented
+    quants. Two corpus passes total; pair rows are a literal explode
+    of the one-row wide aggregate. Null when either variance is
+    zero."""
     names = list(cols)
     q = {c: F.floor(F.col(c) * cols[c] + F.lit(0.5)).cast("long") for c in names}
     big = "decimal(38,0)"
+    means = df.agg(
+        F.count(F.lit(1)).cast("long").alias("_n"),
+        *[F.sum(q[c].cast(big)).alias(f"_s_{c}") for c in names],
+    ).select(
+        "_n",
+        *[
+            F.expr(
+                f"CASE WHEN _s_{c} >= 0 THEN cast(_s_{c} div cast(_n as decimal(38,0)) as bigint) "
+                f"ELSE -cast((-_s_{c}) div cast(_n as decimal(38,0)) as bigint) END"
+            ).alias(f"_m_{c}")
+            for c in names
+        ],
+    )
+    dev = df.crossJoin(F.broadcast(means))
+    d = {c: (q[c] - F.col(f"_m_{c}")).cast(big) for c in names}
     aggs = [F.count(F.lit(1)).cast("long").alias("n")]
     for c in names:
-        aggs.append(F.sum(q[c].cast(big)).alias(f"s_{c}"))
-        aggs.append(F.sum(q[c].cast(big) * q[c].cast(big)).alias(f"ss_{c}"))
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum(d[c] * d[c]).alias(f"ss_{c}"))
     pairs = [(a, b) for i, a in enumerate(names) for b in names[i + 1 :]]
     for a, b in pairs:
-        aggs.append(F.sum(q[a].cast(big) * q[b].cast(big)).alias(f"sp_{a}_{b}"))
-    one = df.agg(*aggs)
+        aggs.append(F.sum(d[a] * d[b]).alias(f"sp_{a}_{b}"))
+    one = dev.agg(*aggs)
+
+    def corr(num_s: str, den_s: str) -> str:
+        """sign-safe num − (x·y div n) correction"""
+        return (
+            f"({num_s} - (CASE WHEN {den_s} >= 0 "
+            f"THEN {den_s} div cast(n as decimal(38,0)) "
+            f"ELSE -((-({den_s})) div cast(n as decimal(38,0))) END))"
+        )
 
     def expr_for(a: str, b: str) -> str:
-        num = f"(cast(n as decimal(38,0)) * sp_{a}_{b} - s_{a} * s_{b})"
-        da = f"(cast(n as decimal(38,0)) * ss_{a} - s_{a} * s_{a})"
-        db = f"(cast(n as decimal(38,0)) * ss_{b} - s_{b} * s_{b})"
-        mag = f"cast({num} * {num} * 1000000 div ({da} * {db}) as bigint)"
+        num = corr(f"sp_{a}_{b}", f"(s_{a} * s_{b})")
+        da = corr(f"ss_{a}", f"(s_{a} * s_{a})")
+        db = corr(f"ss_{b}", f"(s_{b} * s_{b})")
+        mag = (
+            f"cast((((({num}) * ({num})) div ({da})) * 1000000) div ({db}) as bigint)"
+        )
         return (
             f"CASE WHEN {da} > 0 AND {db} > 0 THEN "
             f"CASE WHEN {num} >= 0 THEN {mag} ELSE -{mag} END END"
