@@ -236,6 +236,49 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship delay distribution per return flag: exact
+    p50/p90/p99 days (operators/robust._group_quantile over the
+    bounded delay count frame) through the corpus-sized
+    lineitem x orders key join — the fulfillment-SLA readout."""
+    from data_pipeline_childcare_spark.operators.robust import _group_quantile
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    delays = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.col("l_returnflag").alias("_g"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+        .cast("long")
+        .alias("_v"),
+    )
+    counts = delays.groupBy("_g", "_v").agg(
+        F.count(F.lit(1)).cast("long").alias("_c")
+    )
+    p50 = _group_quantile(counts, "_g", "_v", "_c", 500_000, "p50_days")
+    p90 = _group_quantile(counts, "_g", "_v", "_c", 900_000, "p90_days")
+    p99 = _group_quantile(counts, "_g", "_v", "_c", 990_000, "p99_days")
+    tot = counts.groupBy("_g").agg(
+        F.sum("_c").cast("long").alias("n"),
+        F.max("_v").alias("max_days"),
+    )
+    return (
+        tot.join(p50, on="_g")
+        .join(p90, on="_g")
+        .join(p99, on="_g")
+        .select(
+            F.col("_g").alias("l_returnflag"),
+            "n",
+            "p50_days",
+            "p90_days",
+            "p99_days",
+            "max_days",
+        )
+    )
+
+
 def correlation_matrix_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise signed-R2 correlation matrix over lineitem numerics
     (operators/regeval.pairwise_signed_r2): quantity x price x
@@ -5999,6 +6042,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "ship_delay_percentiles": ship_delay_percentiles,
         "correlation_matrix_lineitem": correlation_matrix_lineitem,
         "value_trend_by_type_events": value_trend_by_type_events,
         "late_arrival_audit_events": late_arrival_audit_events,
@@ -10008,6 +10052,34 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["ship_delay_percentiles"] = """
+        WITH delays AS (
+            SELECT l.l_returnflag AS g,
+                   CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS v
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ),
+        counts AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c FROM delays GROUP BY g, v),
+        cum AS (
+            SELECT g, v, c,
+                   sum(c) OVER (PARTITION BY g ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm,
+                   sum(c) OVER (PARTITION BY g) AS n
+            FROM counts
+        ),
+        q AS (
+            SELECT g,
+                   min(CASE WHEN cm >= greatest(1, (n * 500000 + 999999) // 1000000) THEN v END) AS p50_days,
+                   min(CASE WHEN cm >= greatest(1, (n * 900000 + 999999) // 1000000) THEN v END) AS p90_days,
+                   min(CASE WHEN cm >= greatest(1, (n * 990000 + 999999) // 1000000) THEN v END) AS p99_days
+            FROM cum GROUP BY g
+        ),
+        t AS (
+            SELECT g, CAST(sum(c) AS BIGINT) AS n, max(v) AS max_days
+            FROM counts GROUP BY g
+        )
+        SELECT t.g AS l_returnflag, t.n, q.p50_days, q.p90_days, q.p99_days, t.max_days
+        FROM t JOIN q ON t.g = q.g
+    """
     out["correlation_matrix_lineitem"] = """
         WITH m AS (
             SELECT (CASE WHEN s0_l_quantity >= 0 THEN CAST(s0_l_quantity // n AS BIGINT) ELSE -CAST((-s0_l_quantity) // n AS BIGINT) END) AS m_l_quantity, (CASE WHEN s0_l_extendedprice >= 0 THEN CAST(s0_l_extendedprice // n AS BIGINT) ELSE -CAST((-s0_l_extendedprice) // n AS BIGINT) END) AS m_l_extendedprice, (CASE WHEN s0_l_discount >= 0 THEN CAST(s0_l_discount // n AS BIGINT) ELSE -CAST((-s0_l_discount) // n AS BIGINT) END) AS m_l_discount, (CASE WHEN s0_l_tax >= 0 THEN CAST(s0_l_tax // n AS BIGINT) ELSE -CAST((-s0_l_tax) // n AS BIGINT) END) AS m_l_tax
