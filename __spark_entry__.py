@@ -236,6 +236,25 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def gini_stump_cv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated stump (operators/claseval.gini_stump_cv)
+    over the quality-vs-English problem: per fold, the threshold and
+    training-majority leaf labels learned on the OTHER folds and the
+    held-out accuracy — in-engine model SELECTION with the honest
+    generalization estimate, all from ONE (fold, score) aggregate
+    with training counts derived by subtraction."""
+    from data_pipeline_childcare_spark.functions.text import quality_score
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump_cv
+
+    docs = _t(spark, sf_dir, "documents")
+    frame = docs.select(
+        "doc_id",
+        quality_score("text", _QUALITY_STOPWORDS).alias("score"),
+        (F.col("lang") == "en").alias("label"),
+    )
+    return gini_stump_cv(frame, n_folds=5)
+
+
 def ship_delay_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-to-ship delay distribution per return flag: exact
     p50/p90/p99 days (operators/robust._group_quantile over the
@@ -6042,6 +6061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "gini_stump_cv_docs": gini_stump_cv_docs,
         "ship_delay_percentiles": ship_delay_percentiles,
         "correlation_matrix_lineitem": correlation_matrix_lineitem,
         "value_trend_by_type_events": value_trend_by_type_events,
@@ -10052,6 +10072,78 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["gini_stump_cv_docs"] = f"""
+        WITH q AS ({out['doc_quality_scores']}),
+        s AS (
+            SELECT CAST(d.doc_id % 5 AS INT) AS fold,
+                   CAST(floor(q.quality * 1000000 + 0.5) AS BIGINT) AS score_u,
+                   CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y
+            FROM q JOIN documents d ON d.doc_id = q.doc_id
+        ),
+        g AS (
+            SELECT fold, score_u, CAST(count(*) AS BIGINT) AS n_f,
+                   CAST(sum(y) AS BIGINT) AS p_f
+            FROM s GROUP BY fold, score_u
+        ),
+        tot AS (
+            SELECT score_u, CAST(sum(n_f) AS BIGINT) AS n_t,
+                   CAST(sum(p_f) AS BIGINT) AS p_t
+            FROM g GROUP BY score_u
+        ),
+        grid AS (
+            SELECT f.fold, t.score_u,
+                   CAST(t.n_t - coalesce(g.n_f, 0) AS HUGEINT) AS tn,
+                   CAST(t.p_t - coalesce(g.p_f, 0) AS HUGEINT) AS tp
+            FROM (SELECT CAST(unnest(range(0, 5)) AS INT) AS fold) f
+            CROSS JOIN tot t
+            LEFT JOIN g ON g.fold = f.fold AND g.score_u = t.score_u
+        ),
+        cum AS (
+            SELECT fold, score_u,
+                   CAST(coalesce(sum(tn) OVER (PARTITION BY fold ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS tl,
+                   CAST(coalesce(sum(tp) OVER (PARTITION BY fold ORDER BY score_u
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS HUGEINT) AS pl,
+                   CAST(sum(tn) OVER (PARTITION BY fold) AS HUGEINT) AS t,
+                   CAST(sum(tp) OVER (PARTITION BY fold) AS HUGEINT) AS p
+            FROM grid
+        ),
+        cand AS (
+            SELECT fold, score_u, tl, pl, t, p,
+                   tl - pl AS nl, t - tl AS tr, p - pl AS pr,
+                   (t - tl) - (p - pl) AS nr
+            FROM cum WHERE tl > 0 AND t - tl > 0
+        ),
+        scoredc AS (
+            SELECT *,
+                   CAST(((tl * tl - pl * pl - nl * nl) * tr
+                         + (tr * tr - pr * pr - nr * nr) * tl) * 1000000
+                        // (tl * tr * t) AS BIGINT) AS child_gini_u
+            FROM cand
+        ),
+        best AS (
+            SELECT fold, score_u AS threshold_u,
+                   CAST(CASE WHEN pl * 2 > tl THEN 1 ELSE 0 END AS INT) AS left_label,
+                   CAST(CASE WHEN pr * 2 > tr THEN 1 ELSE 0 END AS INT) AS right_label
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY fold
+                    ORDER BY child_gini_u, score_u) AS rn
+                FROM scoredc
+            ) WHERE rn = 1
+        ),
+        oof AS (
+            SELECT g.fold, b.threshold_u, b.left_label, b.right_label,
+                   CAST(sum(g.n_f) AS BIGINT) AS oof_n,
+                   CAST(sum(CASE WHEN (CASE WHEN g.score_u < b.threshold_u
+                                       THEN b.left_label ELSE b.right_label END) = 1
+                            THEN g.p_f ELSE g.n_f - g.p_f END) AS BIGINT) AS oof_correct
+            FROM g JOIN best b ON g.fold = b.fold
+            GROUP BY g.fold, b.threshold_u, b.left_label, b.right_label
+        )
+        SELECT fold, threshold_u, left_label, right_label, oof_n, oof_correct,
+               CAST(oof_correct * 1000000 // oof_n AS BIGINT) AS oof_acc_u
+        FROM oof
+    """
     out["ship_delay_percentiles"] = """
         WITH delays AS (
             SELECT l.l_returnflag AS g,

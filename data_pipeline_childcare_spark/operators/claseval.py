@@ -366,3 +366,141 @@ def chi_square_independence(
         ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).cast("long").alias("dof"),
         "chi2_u",
     )
+
+
+def gini_stump_cv(
+    scored: DataFrame,
+    label_col: str = "label",
+    score_col: str = "score",
+    id_col: str = "doc_id",
+    n_folds: int = 5,
+) -> DataFrame:
+    """K-fold cross-validated decision stump → one row per fold:
+    (fold, threshold_u, left_label, right_label, oof_n, oof_correct,
+    oof_acc_u) — in-engine MODEL SELECTION: each fold's stump trains
+    on the other k−1 folds (threshold = argmin weighted child Gini,
+    leaf labels = training majority per side, ties → negative) and
+    is scored on its held-out fold. The out-of-fold accuracies are
+    the honest generalization estimate a deployment reads.
+
+    Shape: ONE (fold, score_u) corpus aggregate; every fold's
+    TRAINING counts derive by subtraction (total-per-score minus the
+    fold's own counts — no per-fold rescan); candidate evaluation,
+    argmin and leaf orientation all run on the (folds ×
+    distinct-scores)-sized frame; the OOF join is fold-keyed. Exact
+    DECIMAL(38,0)/HUGEINT integers throughout (the gini_stump
+    discipline); folds are ``id mod n_folds`` — deterministic."""
+    y = F.when(F.col(label_col).cast("boolean"), F.lit(1)).otherwise(F.lit(0))
+    big = "decimal(38,0)"
+    g = (
+        scored.select(
+            (F.col(id_col) % n_folds).cast("int").alias("fold"),
+            F.floor(F.col(score_col) * MICRO + F.lit(0.5))
+            .cast("long")
+            .alias("score_u"),
+            y.alias("_y"),
+        )
+        .groupBy("fold", "score_u")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_f"),
+            F.sum("_y").cast("long").alias("p_f"),
+        )
+    )
+    tot = g.groupBy("score_u").agg(
+        F.sum("n_f").cast("long").alias("n_t"),
+        F.sum("p_f").cast("long").alias("p_t"),
+    )
+    folds = scored.sparkSession.range(n_folds).select(
+        F.col("id").cast("int").alias("fold")
+    )
+    # dense (fold, score) grid with TRAINING counts by subtraction
+    grid = (
+        folds.crossJoin(tot)
+        .join(g, on=["fold", "score_u"], how="left")
+        .select(
+            "fold",
+            "score_u",
+            (F.col("n_t") - F.coalesce("n_f", F.lit(0))).alias("tn"),
+            (F.col("p_t") - F.coalesce("p_f", F.lit(0))).alias("tp"),
+        )
+    )
+    w = Window.partitionBy("fold").orderBy("score_u")
+    w_all = Window.partitionBy("fold").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = grid.select(
+        "fold",
+        "score_u",
+        F.coalesce(
+            F.sum(F.col("tn").cast(big)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(big),
+        ).alias("tl"),
+        F.coalesce(
+            F.sum(F.col("tp").cast(big)).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0).cast(big),
+        ).alias("pl"),
+        F.sum(F.col("tn").cast(big)).over(w_all).alias("t"),
+        F.sum(F.col("tp").cast(big)).over(w_all).alias("p"),
+    )
+    cand = (
+        cum.filter((F.col("tl") > 0) & (F.col("t") - F.col("tl") > 0))
+        .withColumn("nl", F.col("tl") - F.col("pl"))
+        .withColumn("tr", F.col("t") - F.col("tl"))
+        .withColumn("pr", F.col("p") - F.col("pl"))
+        .withColumn("nr", F.col("tr") - F.col("pr"))
+        .withColumn(
+            "child_gini_u",
+            F.expr(
+                "cast(((tl * tl - pl * pl - nl * nl) * tr"
+                " + (tr * tr - pr * pr - nr * nr) * tl) * 1000000"
+                " div (tl * tr * t) as bigint)"
+            ),
+        )
+    )
+    wr = Window.partitionBy("fold").orderBy(F.asc("child_gini_u"), F.asc("score_u"))
+    best = (
+        cand.withColumn("_rn", F.row_number().over(wr))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "fold",
+            F.col("score_u").alias("threshold_u"),
+            # training-majority leaf labels; ties -> negative (0)
+            (F.col("pl") * 2 > F.col("tl")).cast("int").alias("left_label"),
+            (F.col("pr") * 2 > F.col("tr")).cast("int").alias("right_label"),
+        )
+    )
+    oof = (
+        g.join(F.broadcast(best), on="fold")
+        .withColumn(
+            "_pred",
+            F.when(
+                F.col("score_u") < F.col("threshold_u"), F.col("left_label")
+            ).otherwise(F.col("right_label")),
+        )
+        .groupBy("fold", "threshold_u", "left_label", "right_label")
+        .agg(
+            F.sum("n_f").cast("long").alias("oof_n"),
+            F.sum(
+                F.when(F.col("_pred") == 1, F.col("p_f")).otherwise(
+                    F.col("n_f") - F.col("p_f")
+                )
+            )
+            .cast("long")
+            .alias("oof_correct"),
+        )
+    )
+    return oof.select(
+        "fold",
+        "threshold_u",
+        "left_label",
+        "right_label",
+        "oof_n",
+        "oof_correct",
+        F.expr("cast(oof_correct * 1000000 div oof_n as bigint)").alias(
+            "oof_acc_u"
+        ),
+    )

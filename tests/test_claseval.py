@@ -204,3 +204,29 @@ def test_chi_square_hand_value(spark):
     r = chi_square_independence(df, "r", "c").collect()[0]
     assert r["chi2_u"] == 20_000_000
     assert r["dof"] == 1
+
+
+def test_gini_stump_cv_perfect_separation(spark):
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump_cv
+
+    # perfectly separable: every fold learns threshold 0.9, labels
+    # (0 left, 1 right), OOF accuracy 1.0
+    rows = [(i, 0.1, 0) for i in range(50)] + [(i + 50, 0.9, 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    out = gini_stump_cv(df, id_col="doc_id", n_folds=5).collect()
+    assert len(out) == 5
+    for r in out:
+        assert r["threshold_u"] == 900_000
+        assert (r["left_label"], r["right_label"]) == (0, 1)
+        assert r["oof_acc_u"] == 1_000_000
+        assert r["oof_n"] == 20
+
+
+def test_gini_stump_cv_counts_partition(spark):
+    from data_pipeline_childcare_spark.operators.claseval import gini_stump_cv
+
+    rows = [(i, (i % 10) / 10.0, i % 2) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, score double, label int")
+    out = gini_stump_cv(df, id_col="doc_id", n_folds=5).collect()
+    assert sum(r["oof_n"] for r in out) == 100  # folds partition the corpus
+    assert all(0 <= r["oof_acc_u"] <= 1_000_000 for r in out)
