@@ -236,6 +236,57 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def hopping_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hopping window (2-hour windows every hour):
+    the sliding-window COUNT DISTINCT — the stateful shape behind
+    "active users in the trailing window" dashboards. Exact distinct
+    per window (each event lands in window/slide windows via Spark's
+    Expand — inherent to sliding windows)."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(F.count_distinct("user_id").cast("long").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+        )
+    )
+
+
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-width histogram of event values (20 buckets over
+    the observed [min, max]): integer bucket math against broadcast
+    one-row bounds (the z-order bounds discipline) — the exact
+    companion to the mergeable quantile sketch. Max value clamps
+    into the last bucket."""
+    ev = _t(spark, sf_dir, "events")
+    v_m = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    bounds = ev.agg(
+        F.min(v_m).alias("_lo"), F.max(v_m).alias("_hi")
+    )
+    b = ev.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            "least(cast(19 as bigint), "
+            "CASE WHEN _hi > _lo THEN "
+            f"(({'cast(floor(value * 1000 + 0.5) as bigint)'} - _lo) * 20) div (_hi - _lo + 1) "
+            "ELSE 0 END)"
+        ).alias("bucket"),
+        F.col("_lo"),
+        F.col("_hi"),
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.first("_lo").alias("range_lo_m"),
+            F.first("_hi").alias("range_hi_m"),
+        )
+        .select("bucket", "n", "range_lo_m", "range_hi_m")
+    )
+
+
 def gini_stump_cv_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-fold cross-validated stump (operators/claseval.gini_stump_cv)
     over the quality-vs-English problem: per fold, the threshold and
@@ -6061,6 +6112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "hopping_distinct_users_events": hopping_distinct_users_events,
+        "value_histogram_events": value_histogram_events,
         "gini_stump_cv_docs": gini_stump_cv_docs,
         "ship_delay_percentiles": ship_delay_percentiles,
         "correlation_matrix_lineitem": correlation_matrix_lineitem,
@@ -10072,6 +10125,38 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["hopping_distinct_users_events"] = """
+        WITH c AS (
+            SELECT user_id,
+                   unnest([time_bucket(INTERVAL 1 HOUR, ts) - INTERVAL 1 HOUR,
+                           time_bucket(INTERVAL 1 HOUR, ts)]) AS window_start
+            FROM events
+        )
+        SELECT window_start,
+               window_start + INTERVAL 2 HOUR AS window_end,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM c GROUP BY 1, 2
+    """
+    out["value_histogram_events"] = """
+        WITH b AS (
+            SELECT CAST(min(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS lo,
+                   CAST(max(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT) AS hi
+            FROM events
+        ),
+        t AS (
+            SELECT least(CAST(19 AS BIGINT),
+                     CASE WHEN b.hi > b.lo THEN
+                         ((CAST(floor(value * 1000 + 0.5) AS BIGINT) - b.lo) * 20)
+                         // (b.hi - b.lo + 1)
+                     ELSE 0 END) AS bucket,
+                   b.lo, b.hi
+            FROM events CROSS JOIN b
+        )
+        SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+               CAST(min(lo) AS BIGINT) AS range_lo_m,
+               CAST(min(hi) AS BIGINT) AS range_hi_m
+        FROM t GROUP BY bucket
+    """
     out["gini_stump_cv_docs"] = f"""
         WITH q AS ({out['doc_quality_scores']}),
         s AS (
