@@ -236,6 +236,17 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def session_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-session ordered funnel (operators/funnel.session_funnel,
+    30-min gap sessions): signup -> click -> purchase must happen in
+    ONE sitting — the stricter conversion metric, counted in
+    sessions. The twin nests the gaps-and-islands sessionizer."""
+    from data_pipeline_childcare_spark.operators.funnel import session_funnel
+
+    ev = _t(spark, sf_dir, "events")
+    return session_funnel(ev, ["signup", "click", "purchase"])
+
+
 def hopping_distinct_users_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct users per hopping window (2-hour windows every hour):
     the sliding-window COUNT DISTINCT — the stateful shape behind
@@ -6112,6 +6123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "session_funnel_events": session_funnel_events,
         "hopping_distinct_users_events": hopping_distinct_users_events,
         "value_histogram_events": value_histogram_events,
         "gini_stump_cv_docs": gini_stump_cv_docs,
@@ -10125,6 +10137,56 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["session_funnel_events"] = """
+        WITH m AS (
+            SELECT user_id, ts, event_id, event_type,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR date_diff('microsecond', lag(ts) OVER w, ts)
+                                > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS brk
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id AS u, event_type AS ty, ts,
+                   sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+            FROM m
+        ),
+        s1 AS (
+            SELECT u, sid, min(ts) AS t FROM sess
+            WHERE ty = 'signup' GROUP BY u, sid
+        ),
+        s2 AS (
+            SELECT e.u, e.sid, min(e.ts) AS t
+            FROM sess e JOIN s1 ON e.u = s1.u AND e.sid = s1.sid
+            WHERE e.ty = 'click' AND e.ts > s1.t
+            GROUP BY e.u, e.sid
+        ),
+        s3 AS (
+            SELECT e.u, e.sid, min(e.ts) AS t
+            FROM sess e JOIN s2 ON e.u = s2.u AND e.sid = s2.sid
+            WHERE e.ty = 'purchase' AND e.ts > s2.t
+            GROUP BY e.u, e.sid
+        ),
+        counts AS (
+            SELECT 1 AS step, 'signup' AS step_name, CAST(count(*) AS BIGINT) AS n_sessions FROM s1
+            UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+            UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3
+        ),
+        en AS (
+            SELECT step, step_name, n_sessions,
+                   max(CASE WHEN step = 1 THEN n_sessions END) OVER () AS top,
+                   lag(n_sessions) OVER (ORDER BY step) AS prev
+            FROM counts
+        )
+        SELECT step, step_name, n_sessions,
+               CASE WHEN prev IS NOT NULL AND prev > 0
+                    THEN CAST(n_sessions * 1000000 // prev AS BIGINT) END AS conv_from_prev_u,
+               CASE WHEN top > 0
+                    THEN CAST(n_sessions * 1000000 // top AS BIGINT) END AS conv_from_top_u
+        FROM en ORDER BY step
+    """
     out["hopping_distinct_users_events"] = """
         WITH c AS (
             SELECT user_id,

@@ -554,3 +554,97 @@ def journey_ngrams(
         .filter(F.col("rank") <= top_k)
         .select("path", "n_users", "n_occurrences", "rank")
     )
+
+
+def session_funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """WITHIN-SESSION ordered funnel → one row per step:
+    (step, step_name, n_sessions, conv_from_prev_u, conv_from_top_u):
+    a session converts to step k only if step k's event happens
+    STRICTLY AFTER step k−1's conversion time INSIDE THE SAME
+    session (gap-based sessionization) — the stricter product metric
+    ("did it happen in one sitting") beside :func:`funnel`'s
+    user-lifetime version. Counting unit = sessions.
+
+    Same chain shape as funnel, keyed by (user, session) — one
+    sessionize window + one keyed shuffle, co-partitioned joins."""
+    from data_pipeline_childcare_spark.operators.sessions import sessionize
+
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least two steps")
+    sess = sessionize(
+        events, user_col, ts_col, gap_minutes, order_tiebreak=tiebreak_col
+    ).select(
+        F.col(user_col).alias("_u"),
+        F.col("session_id").alias("_sid"),
+        F.col(ts_col).alias("_ts"),
+        F.col(type_col).alias("_ty"),
+    )
+    cur = (
+        sess.filter(F.col("_ty") == steps[0])
+        .groupBy("_u", "_sid")
+        .agg(F.min("_ts").alias("_t"))
+    )
+    # per-step GLOBAL aggregates (a global agg yields a row even for
+    # an empty step frame, so fully-unconverted steps report 0
+    # instead of vanishing)
+    count_frames = [
+        cur.agg(F.count(F.lit(1)).cast("long").alias("n_sessions")).select(
+            F.lit(1).alias("step"), "n_sessions"
+        )
+    ]
+    for i, s in enumerate(steps[1:], start=2):
+        nxt = sess.filter(F.col("_ty") == s).select(
+            F.col("_u").alias("_u2"), F.col("_sid").alias("_sid2"),
+            F.col("_ts").alias("_ts2"),
+        )
+        cur = (
+            cur.join(
+                nxt,
+                on=(F.col("_u") == F.col("_u2"))
+                & (F.col("_sid") == F.col("_sid2")),
+            )
+            .filter(F.col("_ts2") > F.col("_t"))
+            .groupBy("_u", "_sid")
+            .agg(F.min("_ts2").alias("_t"))
+        )
+        count_frames.append(
+            cur.agg(F.count(F.lit(1)).cast("long").alias("n_sessions")).select(
+                F.lit(i).alias("step"), "n_sessions"
+            )
+        )
+    counts = count_frames[0]
+    for fr in count_frames[1:]:
+        counts = counts.unionByName(fr)
+    names = F.array(*[F.lit(s) for s in steps])
+    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    w_ord = Window.partitionBy(F.lit(0)).orderBy("step")
+    en = counts.withColumns(
+        {
+            "_top": F.max(F.when(F.col("step") == 1, F.col("n_sessions"))).over(
+                w_all
+            ),
+            "_prev": F.lag("n_sessions").over(w_ord),
+        }
+    )
+    return en.select(
+        "step",
+        F.element_at(names, F.col("step")).alias("step_name"),
+        "n_sessions",
+        F.expr(
+            "CASE WHEN _prev IS NOT NULL AND _prev > 0 "
+            f"THEN cast(n_sessions * {MICRO} div _prev as bigint) END"
+        ).alias("conv_from_prev_u"),
+        F.expr(
+            f"CASE WHEN _top > 0 THEN cast(n_sessions * {MICRO} div _top as bigint) END"
+        ).alias("conv_from_top_u"),
+    ).orderBy("step")

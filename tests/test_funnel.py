@@ -228,3 +228,37 @@ def test_journey_ngrams_hand_case(spark):
     assert rows["a>b>c"]["rank"] == 1
     assert rows["b>c>a"]["n_occurrences"] == 1  # user 1 only
     assert len(rows) == 2  # no cross-user paths, no partial windows
+
+
+def test_session_funnel_requires_same_session(spark):
+    from data_pipeline_childcare_spark.operators.funnel import session_funnel
+
+    df = spark.createDataFrame(
+        [
+            # u1: signup and click in ONE session (5 min apart)
+            (1, 1, "2024-01-01 00:00:00", "a"),
+            (2, 1, "2024-01-01 00:05:00", "b"),
+            # u2: signup, then click 2 HOURS later -> different session
+            (3, 2, "2024-01-01 00:00:00", "a"),
+            (4, 2, "2024-01-01 02:00:00", "b"),
+        ],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts", "event_type")
+    rows = {r["step"]: r for r in session_funnel(df, ["a", "b"]).collect()}
+    # sessions containing an 'a': u1-s1 and u2-s1 (u2's click opened a
+    # NEW session two hours later, which has no 'a')
+    assert rows[1]["n_sessions"] == 2
+    assert rows[2]["n_sessions"] == 1  # only u1 converts in-session
+    assert rows[2]["conv_from_top_u"] == 500_000
+
+
+def test_session_funnel_zero_step_rows_present(spark):
+    from data_pipeline_childcare_spark.operators.funnel import session_funnel
+
+    df = spark.createDataFrame(
+        [(1, 1, "2024-01-01 00:00:00", "a")],
+        "event_id long, user_id long, ts string, event_type string",
+    ).selectExpr("event_id", "user_id", "cast(ts as timestamp) as ts", "event_type")
+    rows = {r["step"]: r for r in session_funnel(df, ["a", "b", "c"]).collect()}
+    assert len(rows) == 3
+    assert rows[2]["n_sessions"] == 0 and rows[3]["n_sessions"] == 0
