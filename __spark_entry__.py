@@ -236,6 +236,62 @@ def forecast_eval_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return regression_eval(tp)
 
 
+def streaming_enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FOURTH stream==batch contract row: STREAM-STATIC join — the
+    event stream enriched against the static label dimension inside
+    a real availableNow run, then counted per label (the
+    dimension-enrichment shape every streaming pipeline ships;
+    stream-static joins need no watermark — the static side
+    broadcasts per micro-batch). Oracle is the plain batch decode +
+    count."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    dim = spark.createDataFrame(
+        [(k, v) for k, v in EVENT_TYPE_LABELS.items()],
+        "event_type string, event_label string",
+    )
+    joined = ev.join(dim, on="event_type", how="left")
+    counted = joined.groupBy("event_type", "event_label").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    qname = "streaming_enriched_counts_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        counted.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        "event_type",
+        "event_label",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
 def session_funnel_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-session ordered funnel (operators/funnel.session_funnel,
     30-min gap sessions): signup -> click -> purchase must happen in
@@ -6123,6 +6179,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robust_outliers_events": robust_outliers_events,
         "interarrival_dispersion_events": interarrival_dispersion_events,
         "ngram_containment_docs": ngram_containment_docs,
+        "streaming_enriched_event_counts": streaming_enriched_event_counts,
         "session_funnel_events": session_funnel_events,
         "hopping_distinct_users_events": hopping_distinct_users_events,
         "value_histogram_events": value_histogram_events,
@@ -10137,6 +10194,13 @@ def oracle_sql() -> dict[str, str]:
             "boot-1",
         )
     )
+    out["streaming_enriched_event_counts"] = """
+        SELECT event_type,
+               CASE event_type WHEN 'click' THEN '点击' WHEN 'view' THEN '浏览' WHEN 'purchase' THEN '购买' WHEN 'signup' THEN '注册' WHEN 'error' THEN '错误' END AS event_label,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 4) AS total_value
+        FROM events GROUP BY 1, 2
+    """
     out["session_funnel_events"] = """
         WITH m AS (
             SELECT user_id, ts, event_id, event_type,
