@@ -1311,11 +1311,16 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Carter–Wegman hash family (operators/dedup.py) makes the kept-doc
     set bit-identical in DuckDB — banding, candidate pairs, jaccard
     estimate and the drop-larger-id rule all hash-exact. The xxhash64
-    ``minhash_dedup`` stays the opt-in production knob."""
+    ``minhash_dedup`` stays the opt-in production knob. Runs with
+    cap_per_id=1 — the one-sided keep-first-dominator guard that is
+    SEMANTICALLY FREE for the anti-join consumer (each dropped doc
+    needs only ONE dominating pair to survive to the distinct), so
+    the oracle is unchanged while pair volume into the final shuffles
+    is ≤ |corpus| even on a verbatim-copy-cluster corpus."""
     from data_pipeline_childcare_spark.operators.dedup import minhash_dedup_portable
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_dedup_portable(docs, threshold=0.8).select("doc_id")
+    return minhash_dedup_portable(docs, threshold=0.8, cap_per_id=1).select("doc_id")
 
 
 def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2731,11 +2736,14 @@ def minhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash family both engines compute bit-identically — signatures,
     band buckets, candidate pairs and the k/64 Jaccard estimate are
     all hash-exact against the DuckDB oracle (the xxhash64 production
-    path above stays rows-only)."""
+    path above stays rows-only). Engages cap_per_id=20
+    (strongest-est_jaccard top-20-per-side windows, oracle-mirrored)
+    — the duplicate-saturation guard bounding downstream pair volume
+    to linear on verbatim-copy-cluster corpora."""
     from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
 
     docs = _t(spark, sf_dir, "documents")
-    return minhash_est_pairs_portable(docs, threshold=0.5)
+    return minhash_est_pairs_portable(docs, threshold=0.5, cap_per_id=20)
 
 
 def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2781,28 +2789,44 @@ def minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def simhash_portable_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL-oracle SimHash: bit votes from md5-derived hashes, 16-bit
     pigeonhole bands, hamming filter — every stage bit-exact against
-    the DuckDB oracle (the xxhash64 path below stays rows-only)."""
+    the DuckDB oracle (the xxhash64 path below stays rows-only).
+    Engages cap_per_id=20 (nearest-hamming top-20-per-side windows,
+    oracle-mirrored) — the duplicate-saturation guard."""
     from data_pipeline_childcare_spark.operators.dedup import simhash_pairs_portable
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs_portable(docs, max_hamming=3)
+    return simhash_pairs_portable(docs, max_hamming=3, cap_per_id=20)
 
 
 def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup candidate pairs on the portable hash family,
     FULLY oracled at the blocked-candidate semantics (4×16-bit
     pigeonhole bands, hamming ≤ 8). The xxhash64
-    ``simhash_near_dup_pairs`` stays the opt-in production knob."""
+    ``simhash_near_dup_pairs`` stays the opt-in production knob.
+    Engages cap_per_id=20 (nearest-hamming top-20-per-side windows,
+    oracle-mirrored) — the duplicate-saturation guard."""
     from data_pipeline_childcare_spark.operators.dedup import simhash_pairs_portable
 
     docs = _t(spark, sf_dir, "documents")
-    return simhash_pairs_portable(docs, max_hamming=8).select("id_a", "id_b", "hamming")
+    return simhash_pairs_portable(docs, max_hamming=8, cap_per_id=20).select(
+        "id_a", "id_b", "hamming"
+    )
 
 
 def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard pairs ≥ 0.2 via inverted shingle index."""
+    """Word-3-gram Jaccard pairs ≥ 0.2 via inverted shingle index,
+    with BOTH duplicate-saturation guards threaded and
+    oracle-mirrored (the ngram_containment_docs remediation lineage):
+    the max_df=64 hot-shingle df-cap (boilerplate trigrams leave the
+    index before the self-join; jaccard becomes the safe lower
+    bound) and cap_pairs_per_doc top-20-per-side (strongest-neighbor
+    windows — uncapped, the 10× near-dup-cluster corpus measured the
+    containment twin of this shape at 18.7×)."""
+    from data_pipeline_childcare_spark.operators.dedup import cap_pairs_per_doc
+
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
+    return cap_pairs_per_doc(pairs, cap=20, order_by=[F.desc("jaccard")])
 
 
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3023,13 +3047,19 @@ def ngram_jaccard_prefix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     full shingle arrays. The oracle is the SAME SQL as the exhaustive
     inverted-index query — a green row proves the prefix filter is
     lossless at this threshold, on top of the analytic completeness
-    argument in the docstring."""
+    argument in the docstring. Runs with the SAME two
+    duplicate-saturation guards as ngram_jaccard_docs (max_df=64
+    hot-shingle cap — prefixes built from the capped sets, lossless
+    per the operator docstring — and top-20-per-side
+    cap_pairs_per_doc), so the shared twin stays hash-exact."""
     from data_pipeline_childcare_spark.operators.dedup import (
+        cap_pairs_per_doc,
         ngram_jaccard_pairs_prefix,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2)
+    pairs = ngram_jaccard_pairs_prefix(docs, n=3, threshold=0.2, max_df=64)
+    return cap_pairs_per_doc(pairs, cap=20, order_by=[F.desc("jaccard")])
 
 
 def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7341,8 +7371,17 @@ def oracle_sql() -> dict[str, str]:
             FROM sz LEFT JOIN m ON sz.doc_id = m.doc_id
         """,
         "minhash_portable_pairs_docs": f"""
-            WITH {_minhash_ctes}
-            SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+            WITH {_minhash_ctes}, thr AS (
+                SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+            )
+            SELECT id_a, id_b, est_jaccard FROM (
+                SELECT id_a, id_b, est_jaccard,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY est_jaccard DESC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY est_jaccard DESC, id_a) AS rb
+                FROM thr
+            ) WHERE ra <= 20 AND rb <= 20
         """,
         "minhash_dedup_clusters": f"""
             WITH RECURSIVE {_minhash_ctes}, pairs AS (
@@ -7369,12 +7408,30 @@ def oracle_sql() -> dict[str, str]:
             FROM comp
         """,
         "simhash_portable_pairs_docs": f"""
-            WITH {_simhash_ctes}
-            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+            WITH {_simhash_ctes}, thr AS (
+                SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+            )
+            SELECT id_a, id_b, hamming FROM (
+                SELECT id_a, id_b, hamming,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY hamming ASC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY hamming ASC, id_a) AS rb
+                FROM thr
+            ) WHERE ra <= 20 AND rb <= 20
         """,
         "simhash_pairs_docs": f"""
-            WITH {_simhash_ctes}
-            SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+            WITH {_simhash_ctes}, thr AS (
+                SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 8
+            )
+            SELECT id_a, id_b, hamming FROM (
+                SELECT id_a, id_b, hamming,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY hamming ASC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY hamming ASC, id_a) AS rb
+                FROM thr
+            ) WHERE ra <= 20 AND rb <= 20
         """,
         "minhash_dedup_docs": f"""
             WITH {_minhash_ctes}
@@ -7398,19 +7455,35 @@ def oracle_sql() -> dict[str, str]:
             ), inv AS (
                 SELECT doc_id, unnest(shingles) AS shingle FROM grams
             ), sizes AS (
+                -- FULL set sizes (pre-cap): the capped jaccard keeps
+                -- exact denominators, mirroring the Spark operator
                 SELECT doc_id, count(*) AS set_size FROM inv GROUP BY doc_id
+            ), hot AS (
+                SELECT shingle FROM inv GROUP BY shingle HAVING count(*) > 64
+            ), invc AS (
+                SELECT inv.* FROM inv ANTI JOIN hot USING (shingle)
             ), common AS (
                 SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-                FROM inv a JOIN inv b
+                FROM invc a JOIN invc b
                   ON a.shingle = b.shingle AND a.doc_id < b.doc_id
                 GROUP BY a.doc_id, b.doc_id
+            ), scored AS (
+                SELECT id_a, id_b,
+                       round(common * 1.0
+                             / (sa.set_size + sb.set_size - common), 6) AS jaccard
+                FROM common
+                JOIN sizes sa ON sa.doc_id = id_a
+                JOIN sizes sb ON sb.doc_id = id_b
+                WHERE common * 1.0 / (sa.set_size + sb.set_size - common) >= 0.2
             )
-            SELECT id_a, id_b,
-                   round(common * 1.0 / (sa.set_size + sb.set_size - common), 6) AS jaccard
-            FROM common
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE common * 1.0 / (sa.set_size + sb.set_size - common) >= 0.2
+            SELECT id_a, id_b, jaccard FROM (
+                SELECT id_a, id_b, jaccard,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY jaccard DESC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY jaccard DESC, id_a) AS rb
+                FROM scored
+            ) WHERE ra <= 20 AND rb <= 20
         """,
         "cosine_topk_embeddings": """
             WITH q AS (
@@ -9195,7 +9268,15 @@ def oracle_sql() -> dict[str, str]:
     # identical strength ordering + id tiebreak) — then the same
     # tag → totals → pair-overlap join
     out["dedup_method_agreement"] = f"""
-        WITH mh0 AS ({out['minhash_portable_pairs_docs']}),
+        WITH mh0 AS (
+                -- UNCAPPED portable-minhash pairs (the Spark side of
+                -- this audit calls the operator uncapped and applies
+                -- its OWN cap of 8 below; nesting the standalone
+                -- twin's cap-20 would compose caps differently)
+                WITH {_minhash_ctes}
+                SELECT id_a, id_b, est_jaccard FROM est
+                WHERE est_jaccard >= 0.5
+             ),
              ng0 AS (
                 WITH toks AS (
                     SELECT doc_id, {tokens} AS t FROM documents
@@ -9235,7 +9316,10 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes sb ON sb.doc_id = id_b
                 WHERE common * 1.0 / (sa.set_size + sb.set_size - common) >= 0.2
              ),
-             sh0 AS ({out['simhash_portable_pairs_docs']}),
+             sh0 AS (
+                WITH {_simhash_ctes}
+                SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3
+             ),
         mh AS (
             SELECT id_a, id_b FROM (
                 SELECT id_a, id_b,

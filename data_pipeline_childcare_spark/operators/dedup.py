@@ -259,6 +259,7 @@ def minhash_est_pairs_portable(
     shingle_n: int = 3,
     bands: int = 16,
     threshold: float = 0.5,
+    cap_per_id: int | None = None,
 ) -> DataFrame:
     """Engine-portable MinHash pipeline → (id_a, id_b, est_jaccard).
 
@@ -286,6 +287,18 @@ def minhash_est_pairs_portable(
     ``minhash_dedup`` (xxhash64) stays the JVM production option.
     Same shuffle shape as the production path: one groupBy(doc),
     band-keyed self-join, candidate-only estimate join.
+
+    ``cap_per_id``: duplicate-saturation guard (the
+    :func:`cap_pairs_per_doc` discipline) — a verbatim-copy cluster
+    of c documents collides in EVERY band and emits C(c,2) ≈ c²/2
+    verified pairs; with the cap each doc keeps only its
+    ``cap_per_id`` STRONGEST neighbors per pair side (est_jaccard
+    DESC, other-id tiebreak — deterministic and SQL-mirrorable), so
+    downstream pair volume is linear in corpus size regardless of
+    cluster structure. None = exact banded pair set. PRODUCTION
+    REQUIREMENT at 100 TB on dup-heavy corpora: set this (or consume
+    via :func:`minhash_dedup_portable`, whose one-sided cap is
+    semantically free).
     """
     rows = num_hashes // bands
     sigs = _portable_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
@@ -302,7 +315,10 @@ def minhash_est_pairs_portable(
         .distinct()
     )
     est = minhash_jaccard_estimate(sigs, cand, id_col)
-    return est.filter(F.col("est_jaccard") >= threshold)
+    pairs = est.filter(F.col("est_jaccard") >= threshold)
+    if cap_per_id is not None:
+        pairs = cap_pairs_per_doc(pairs, cap_per_id, order_by=[F.desc("est_jaccard")])
+    return pairs
 
 
 def minhash_dedup_portable(
@@ -313,18 +329,37 @@ def minhash_dedup_portable(
     num_hashes: int = 64,
     shingle_n: int = 3,
     bands: int = 16,
+    cap_per_id: int | None = None,
 ) -> DataFrame:
     """``minhash_dedup`` semantics (drop the larger id of each
     near-dup pair) on the engine-portable hash family, so the kept-doc
     set itself is SQL-oracle-checkable. Same plan shape as the
-    xxhash64 production path."""
-    dups = (
-        minhash_est_pairs_portable(
-            df, id_col, text_col, num_hashes, shingle_n, bands, threshold
-        )
-        .select(F.col("id_b").alias(id_col))
-        .distinct()
+    xxhash64 production path.
+
+    ``cap_per_id``: one-sided duplicate-saturation guard that is
+    SEMANTICALLY FREE for this consumer — the anti-join only asks
+    "does id_b have ≥1 dominating near-dup?", so keeping each id_b's
+    top-``cap_per_id`` dominators (est_jaccard DESC, id_a tiebreak)
+    preserves the kept-doc set EXACTLY for any cap ≥ 1 while bounding
+    the pair rows that reach the distinct/anti-join shuffles to
+    cap·|corpus| even on a corpus that is one giant verbatim-copy
+    cluster (which otherwise emits C(c,2) ≈ c²/2 verified pairs).
+    ``tests/test_dedup.py`` asserts capped == uncapped output. The
+    oracle needs no mirroring for the same reason. Production
+    default at 100 TB: ``cap_per_id=1``."""
+    pairs = minhash_est_pairs_portable(
+        df, id_col, text_col, num_hashes, shingle_n, bands, threshold
     )
+    if cap_per_id is not None:
+        from pyspark.sql import Window as W
+
+        wb = W.partitionBy("id_b").orderBy(F.desc("est_jaccard"), F.asc("id_a"))
+        pairs = (
+            pairs.withColumn("_rb", F.row_number().over(wb))
+            .filter(F.col("_rb") <= cap_per_id)
+            .drop("_rb")
+        )
+    dups = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(dups, id_col, "left_anti")
 
 
@@ -435,12 +470,21 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     max_hamming: int = 3,
     shingle_n: int = 3,
+    cap_per_id: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance.
 
     Blocking: split the 64-bit signature into 4×16-bit sub-bands; with
     distance ≤ 3 at least one sub-band matches exactly (pigeonhole), so
     the join is on (band_index, band_value) — never all-pairs.
+
+    ``cap_per_id``: duplicate-saturation guard (see
+    :func:`cap_pairs_per_doc`) — keeps each doc's ``cap_per_id``
+    NEAREST neighbors per pair side (hamming ASC, other-id tiebreak),
+    bounding downstream pair volume to linear in corpus size on
+    verbatim-copy-cluster corpora (which otherwise emit C(c,2) pairs
+    in EVERY matching band). None = exact blocked pair set.
+    PRODUCTION REQUIREMENT at 100 TB on dup-heavy corpora.
     """
     # the banded self-join consumes sigs twice → persist (see
     # minhash_dedup note)
@@ -460,7 +504,7 @@ def simhash_near_dup_pairs(
     a, b = banded.alias("a"), banded.alias("b")
     # hamming filter BEFORE the distinct: candidates from hot bands are
     # cut to true near-dups before the dedup shuffle sees them
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -475,6 +519,9 @@ def simhash_near_dup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if cap_per_id is not None:
+        pairs = cap_pairs_per_doc(pairs, cap_per_id, order_by=[F.asc("hamming")])
+    return pairs
 
 
 def simhash_pairs_portable(
@@ -483,6 +530,7 @@ def simhash_pairs_portable(
     text_col: str = "text",
     shingle_n: int = 3,
     max_hamming: int = 3,
+    cap_per_id: int | None = None,
 ) -> DataFrame:
     """Engine-portable SimHash near-dup pairs → (id_a, id_b, hamming).
 
@@ -496,6 +544,11 @@ def simhash_pairs_portable(
     stays the JVM variant. Shuffle shape is unchanged: one
     groupBy(doc) vote aggregate, band-keyed self-join, hamming filter
     before the distinct.
+
+    ``cap_per_id``: same duplicate-saturation guard as
+    :func:`simhash_near_dup_pairs` (hamming ASC, other-id tiebreak,
+    two row_number windows — SQL-mirrorable). PRODUCTION REQUIREMENT
+    at 100 TB on dup-heavy corpora; None = exact blocked pair set.
     """
     shingled = spread_partitions(df, id_col).select(
         F.col(id_col), F.explode(word_ngrams(F.col(text_col), shingle_n)).alias("_s")
@@ -521,7 +574,7 @@ def simhash_pairs_portable(
         ).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -536,6 +589,9 @@ def simhash_pairs_portable(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    if cap_per_id is not None:
+        pairs = cap_pairs_per_doc(pairs, cap_per_id, order_by=[F.asc("hamming")])
+    return pairs
 
 
 # ---------------------------------------------------------------------------
@@ -1002,6 +1058,7 @@ def ngram_jaccard_pairs_prefix(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Prefix-filtered exact Jaccard (the PPJoin candidate principle,
     Xiao et al. 2008) — IDENTICAL output to
@@ -1024,6 +1081,18 @@ def ngram_jaccard_pairs_prefix(
     from the docs' full shingle ARRAYS (two id-keyed joins riding the
     candidate frame — candidate volume is prefix-bounded by
     construction, so the wide arrays never shuffle at corpus scale).
+
+    ``max_df``: the same hot-shingle duplicate-saturation guard as
+    :func:`ngram_jaccard_pairs`, with the SAME output semantics —
+    shingles in more than ``max_df`` documents leave the index before
+    prefix construction AND before the intersection count, while set
+    sizes stay the FULL (uncapped) sizes, so the reported jaccard is
+    the identical lower bound. The prefix filter stays lossless under
+    the cap: prefixes are built from the capped sets with lengths
+    derived from the CAPPED set sizes, which guarantees every pair
+    with common/(cs_a+cs_b−common) ≥ t is generated; the reported
+    jaccard uses the larger full-size denominator and is therefore
+    smaller, so its ≥ t survivors are a subset of the guaranteed set.
     """
     spread = spread_partitions(df, id_col)
     base = spread.select(
@@ -1034,12 +1103,29 @@ def ngram_jaccard_pairs_prefix(
         F.size("_sh").cast("long").alias("set_size"),
         F.explode("_sh").alias("_s"),
     ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    if max_df is not None:
+        hot = (
+            shingled.groupBy("shingle")
+            .agg(F.count("*").alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("shingle")
+        )
+        shingled = shingled.join(hot, "shingle", "left_anti")
     dfreq = shingled.groupBy("shingle").agg(F.count("*").alias("_df"))
     ranked = shingled.join(dfreq, "shingle")
     from pyspark.sql import Window as W
 
     w = W.partitionBy(id_col).orderBy(F.asc("_df"), F.asc("shingle"))
-    prefix_len = F.col("set_size") - F.ceil(F.col("set_size") * F.lit(threshold)) + 1
+    if max_df is not None:
+        # prefix length must come from the CAPPED set size (the set
+        # actually being indexed), not the full one — see docstring
+        ranked = ranked.withColumn(
+            "_cs", F.count("*").over(W.partitionBy(id_col))
+        )
+        size_for_prefix = F.col("_cs")
+    else:
+        size_for_prefix = F.col("set_size")
+    prefix_len = size_for_prefix - F.ceil(size_for_prefix * F.lit(threshold)) + 1
     prefix = (
         ranked.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= prefix_len)
@@ -1057,19 +1143,48 @@ def ngram_jaccard_pairs_prefix(
         )
         .distinct()
     )
-    sa = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
-    sb = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
-    verified = (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("common"),
-            F.size("_sh_a").cast("long").alias("size_a"),
-            F.size("_sh_b").cast("long").alias("size_b"),
+    if max_df is None:
+        sa = base.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a"))
+        sb = base.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b"))
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("common"),
+                F.size("_sh_a").cast("long").alias("size_a"),
+                F.size("_sh_b").cast("long").alias("size_b"),
+            )
         )
-    )
+    else:
+        # intersection over CAPPED shingle sets, denominators from the
+        # FULL sizes — exactly ngram_jaccard_pairs' capped semantics
+        side = shingled.groupBy(id_col).agg(
+            F.collect_list("shingle").alias("_shc"),
+            F.first("set_size").alias("_fs"),
+        )
+        sa = side.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_shc").alias("_sh_a"),
+            F.col("_fs").alias("_fs_a"),
+        )
+        sb = side.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_shc").alias("_sh_b"),
+            F.col("_fs").alias("_fs_b"),
+        )
+        verified = (
+            cand.join(sa, "id_a")
+            .join(sb, "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("_sh_a", "_sh_b")).cast("long").alias("common"),
+                F.col("_fs_a").alias("size_a"),
+                F.col("_fs_b").alias("size_b"),
+            )
+        )
     return verified.select(
         "id_a",
         "id_b",

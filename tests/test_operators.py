@@ -727,6 +727,93 @@ def test_prefix_jaccard_lossless_and_smaller_index(spark):
         assert pref == exact, f"threshold {t}"
 
 
+def test_prefix_jaccard_capped_matches_exhaustive_capped(spark):
+    """Under the max_df hot-shingle guard the prefix-filtered variant
+    must still return EXACTLY the exhaustive capped pairs: prefixes
+    come from the capped sets (capped-size prefix lengths), the
+    intersection counts drop hot shingles, denominators stay full —
+    the lossless argument in the operator docstring, exercised on a
+    corpus where the boilerplate trigrams actually exceed max_df."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_prefix,
+    )
+
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    rows = []
+    for i in range(24):
+        base = [words[(i + j) % 8] for j in range(6)]
+        # boilerplate on 2/3 of docs -> its trigrams have df ~ 16 > 4
+        if i % 3 != 0:
+            base = base[:5] + ["common", "suffix", "tail", "common", "suffix"]
+        rows.append((i, " ".join(base * 2)))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    for t in (0.2, 0.5):
+        exact = sorted(
+            map(tuple, ngram_jaccard_pairs(docs, n=3, threshold=t, max_df=4).collect())
+        )
+        pref = sorted(
+            map(
+                tuple,
+                ngram_jaccard_pairs_prefix(docs, n=3, threshold=t, max_df=4).collect(),
+            )
+        )
+        assert pref == exact, f"threshold {t}"
+        if t == 0.2:  # higher thresholds may legitimately empty out:
+            # the capped jaccard is a lower bound on the true one
+            assert exact, "guard corpus produced no pairs at t=0.2"
+
+
+def test_minhash_dedup_cap_per_id_semantically_free(spark):
+    """The one-sided keep-first-dominator cap must not change the
+    kept-doc set for ANY cap >= 1 — the anti-join consumer only asks
+    whether a doc has at least one dominating near-dup. Exercised on
+    a verbatim-copy cluster (the duplicate-saturated shape the cap
+    exists for) plus distinct singletons."""
+    from data_pipeline_childcare_spark.operators.dedup import minhash_dedup_portable
+
+    cluster = [(i, "the quick brown fox jumps over the lazy dog again and again") for i in range(8)]
+    singles = [(100 + i, f"unique document number {i} with entirely distinct words {i*7}") for i in range(4)]
+    docs = spark.createDataFrame(cluster + singles, "doc_id: long, text: string")
+    uncapped = {r["doc_id"] for r in minhash_dedup_portable(docs, threshold=0.8).collect()}
+    for cap in (1, 3):
+        capped = {
+            r["doc_id"]
+            for r in minhash_dedup_portable(docs, threshold=0.8, cap_per_id=cap).collect()
+        }
+        assert capped == uncapped, f"cap {cap}"
+    assert uncapped == {0, 100, 101, 102, 103}  # cluster keeps only doc 0
+
+
+def test_pair_cap_per_id_bounds_band_join_outputs(spark):
+    """cap_per_id on the simhash/minhash pair emitters: a c-copy
+    cluster emits C(c,2) pairs uncapped; with the cap every doc's
+    per-side degree is <= cap and the survivors are a subset of the
+    uncapped pairs with the strongest (nearest) neighbors kept."""
+    from collections import Counter
+
+    from data_pipeline_childcare_spark.operators.dedup import (
+        minhash_est_pairs_portable,
+        simhash_pairs_portable,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog once more") for i in range(10)],
+        "doc_id: long, text: string",
+    )
+    for fn, kw in (
+        (simhash_pairs_portable, {"max_hamming": 3}),
+        (minhash_est_pairs_portable, {"threshold": 0.5}),
+    ):
+        full = {(r["id_a"], r["id_b"]) for r in fn(docs, **kw).collect()}
+        assert len(full) == 45  # C(10,2): every band collides
+        capped = {(r["id_a"], r["id_b"]) for r in fn(docs, cap_per_id=2, **kw).collect()}
+        assert capped < full
+        deg_a = Counter(p[0] for p in capped)
+        deg_b = Counter(p[1] for p in capped)
+        assert max(deg_a.values()) <= 2 and max(deg_b.values()) <= 2
+
+
 # ------------------------------------------------------------- phrase search
 
 
