@@ -5229,6 +5229,47 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_late_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fifth stream==batch certified family: WATERMARK LATE-DATA
+    DROP accounting (streaming/windows.windowed_counts_with_late_drop)
+    — the one streaming behavior 100 TB operators page on. Two real
+    availableNow runs share one checkpoint: phase 1 ingests the
+    on-time history A (events ≤ Jan 26 with event_id % 7 != 0) and
+    persists watermark W1 = floor_ms(max ts in A) − 1h; phase 2
+    ingests B = the on-time tail (ts > Jan 26) PLUS deliberately late
+    replays (old events with event_id % 7 == 0), whose rows are
+    dropped exactly when their 1-hour window end ≤ W1 and aggregated
+    when their window is still open. The oracle is plain batch SQL
+    with the SAME two cutoff predicates (survive: window_end > W1;
+    emit: window_end ≤ W2) — hash-equality certifies the drop rule,
+    the open-window late aggregation, and the append-mode
+    finalization frontier in one row."""
+    import tempfile
+
+    from data_pipeline_childcare_spark.streaming.windows import (
+        windowed_counts_with_late_drop,
+    )
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", "ts", "value"
+    )
+    cut = F.expr("TIMESTAMP_NTZ '2024-01-26 00:00:00'")
+    a = ev.filter((F.col("ts") <= cut) & (F.col("event_id") % 7 != 0))
+    late = ev.filter((F.col("ts") <= cut) & (F.col("event_id") % 7 == 0))
+    b = ev.filter(F.col("ts") > cut).unionByName(late)
+    tmp = tempfile.mkdtemp(prefix="late_drop_stream_")
+    out = windowed_counts_with_late_drop(
+        spark, a, b, tmp, window_duration="1 hour", watermark_delay="1 hour"
+    )
+    return out.select(
+        "window_start",
+        "window_end",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "total_value",
+    )
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -6292,6 +6333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_hypertable_rollup_events": streaming_hypertable_rollup_events,
         "streaming_windowed_event_counts": streaming_windowed_event_counts,
         "streaming_sessionize_events": streaming_sessionize_events,
+        "streaming_late_drop_events": streaming_late_drop_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
@@ -7880,6 +7922,45 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 4) AS total_value
             FROM events
+            GROUP BY 1, 2, 3
+        """,
+        "streaming_late_drop_events": """
+            -- two-phase watermark replay: A = on-time history,
+            -- B = tail + late replays. Watermarks are ms-floored
+            -- (Spark EventTimeStats), delay 1h. Survive: window_end
+            -- > W1 (open windows aggregate late rows); emit:
+            -- window_end <= W2 (append-mode finalization frontier).
+            WITH a AS (
+                SELECT * FROM events
+                WHERE ts <= TIMESTAMP '2024-01-26 00:00:00'
+                  AND event_id % 7 <> 0
+            ), b AS (
+                SELECT * FROM events WHERE ts > TIMESTAMP '2024-01-26 00:00:00'
+                UNION ALL
+                SELECT * FROM events
+                WHERE ts <= TIMESTAMP '2024-01-26 00:00:00'
+                  AND event_id % 7 = 0
+            ), w1 AS (
+                SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us
+                FROM a
+            ), w2 AS (
+                SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us
+                FROM events
+            ), surv AS (
+                SELECT event_type, ts, value FROM a
+                UNION ALL
+                SELECT b.event_type, b.ts, b.value FROM b, w1
+                WHERE epoch_us(time_bucket(INTERVAL 1 HOUR, b.ts)
+                               + INTERVAL 1 HOUR) > w1.wm_us
+            )
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+                   time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS total_value
+            FROM surv, w2
+            WHERE epoch_us(time_bucket(INTERVAL 1 HOUR, ts)
+                           + INTERVAL 1 HOUR) <= w2.wm_us
             GROUP BY 1, 2, 3
         """,
         "streaming_sessionize_events": """

@@ -146,10 +146,17 @@ def validate_image_refs(
     batch of distinct URLs — :func:`head_image_checker` for the real
     network, any deterministic callable for hermetic tests/oracles
     (it is cloudpickled to executors: define test fakes inside the
-    test body)."""
+    test body).
+
+    Cardinality contract: output has EXACTLY one row per input row —
+    the per-doc re-fold groups on a synthetic row key minted before
+    the explode (monotonically_increasing_id), so two fully identical
+    input rows stay two output rows instead of collapsing into one
+    (grouping on the data columns would silently dedup)."""
     import pandas as pd  # noqa: PLC0415
 
     group_cols = list(docs.columns)
+    docs = docs.withColumn("_row_key", F.monotonically_increasing_id())
     refs = docs.select(
         "*",
         F.posexplode_outer(
@@ -183,10 +190,11 @@ def validate_image_refs(
     invalid = checked & F.col("_ref").isNotNull() & (
         (~is_http) | (F.col("_ok") == F.lit(False))
     )
-    folded = joined.groupBy(*group_cols).agg(
+    folded = joined.groupBy("_row_key").agg(
+        *[F.first(c).alias(c) for c in group_cols],
         F.sort_array(
             F.collect_list(F.when(invalid, F.col("_ref")))
-        ).alias("_dead")
+        ).alias("_dead"),
     )
     # one fold applies every removal; the pattern embeds the escaped
     # URL and requires the tag's URL to END there (whitespace+title or
@@ -205,4 +213,4 @@ def validate_image_refs(
             F.lit(""),
         ),
     )
-    return folded.withColumn(text_col, removed).drop("_dead")
+    return folded.withColumn(text_col, removed).drop("_dead", "_row_key")

@@ -329,9 +329,15 @@ def compact_parquet_dir(
     reads the directory and writes ``n_out`` files via
     ``repartition`` (a round-robin exchange: outputs land uniformly
     at ~target size regardless of input skew). The rewrite goes to a
-    sibling temp dir first and swaps in with two FS renames, so a
-    reader sees either the old file set or the new one, never a
-    partial mix; the old files are removed after the swap. Rows —
+    sibling temp dir first and swaps in with two FS renames — a
+    reader never sees a PARTIAL MIX of old and new files, but the
+    swap is NOT atomic for concurrent readers: between the two
+    renames the path briefly does not exist (a reader listing at
+    that instant errors and should retry), and a crash in the window
+    leaves the data whole under ``<path>__compact_old`` (recovered
+    automatically by the stale-swap sweep at the start of the next
+    compact call). Run compaction when no readers race the swap, or
+    front it with a catalog/manifest pointer swap. Rows —
     not their order — are preserved: parquet directories are
     unordered by contract (same as every OPTIMIZE implementation).
 
@@ -361,6 +367,22 @@ def compact_parquet_dir(
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
     bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
+    # Stale-swap sweep: a prior crash can strand __compact_old (data
+    # moved aside, new files never swapped in — recover it) or leave
+    # a half-written __compact_tmp (discard it; rename into a live
+    # destination would otherwise fail or NEST on HDFS semantics).
+    if fs.exists(bak):
+        if not fs.exists(hpath):
+            if not fs.rename(bak, hpath):
+                raise IOError(
+                    f"compact recovery failed: could not restore {bak} to {path}"
+                )
+        else:
+            # both exist: the prior run crashed after the second
+            # rename but before deleting the backup — old copy is dead
+            fs.delete(bak, True)
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
     spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
         tmp.toString()
     )
@@ -397,7 +419,12 @@ def rowgroup_stats(
     back). The file LIST comes from the metadata-only inventory; the
     footers are read in parallel on executors via pyarrow in an
     Arrow-batched stage — no data pages are touched, so profiling a
-    100 TB table costs one footer read per file. Clustering quality
+    100 TB table costs one footer read per file. Each executor
+    resolves a pyarrow filesystem FROM THE FILE URI
+    (``pyarrow.fs.FileSystem.from_uri`` — hdfs://, s3a:///s3://,
+    file:/ and bare local paths all open through the right FS), so
+    the profile works wherever the executors can reach the storage,
+    not only on a shared local filesystem. Clustering quality
     falls out directly: tight per-group [min, max] spans on the sort/
     z-order key mean scans prune; spans covering the whole domain
     mean the layout is doing nothing.
@@ -411,7 +438,29 @@ def rowgroup_stats(
     want = columns
 
     def read_footers(batches):
+        import pyarrow.fs as pafs  # noqa: PLC0415
         import pyarrow.parquet as pq  # noqa: PLC0415
+
+        def open_metadata(fpath):
+            # hdfs://... / s3://... / file:/... → the URI names the
+            # filesystem; s3a:// is Hadoop spelling for S3. Hadoop
+            # emits single-slash file:/x URIs pyarrow's parser
+            # rejects, so local URIs are normalized by hand; bare
+            # paths fall back to the local FS.
+            if fpath.startswith("file:"):
+                rel = fpath[len("file:"):]
+                while rel.startswith("//"):
+                    rel = rel[1:]
+                fs = pafs.LocalFileSystem()
+            else:
+                uri = fpath.replace("s3a://", "s3://", 1)
+                try:
+                    fs, rel = pafs.FileSystem.from_uri(uri)
+                except Exception:  # bare local path, no scheme
+                    fs, rel = pafs.LocalFileSystem(), fpath
+            with fs.open_input_file(rel) as f:
+                # FileMetaData is fully parsed at open; safe past close
+                return pq.ParquetFile(f).metadata
 
         for pdf in batches:
             out = {
@@ -420,8 +469,7 @@ def rowgroup_stats(
                 "compressed_bytes": [],
             }
             for fpath in pdf["file"]:
-                local = fpath[len("file:"):] if fpath.startswith("file:") else fpath
-                md = pq.ParquetFile(local).metadata
+                md = open_metadata(fpath)
                 for g in range(md.num_row_groups):
                     rg = md.row_group(g)
                     for c in range(rg.num_columns):

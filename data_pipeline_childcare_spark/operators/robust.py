@@ -233,7 +233,11 @@ def poisson_bootstrap_mean(
     discipline shared with operators/dp; re-runs and the SQL twin
     reproduce the interval bit-exactly (swap the salt per analysis
     epoch for fresh randomness). CI rule: replica means sorted
-    ascending, lo rank = floor(B·α/2)+1, hi rank = B − floor(B·α/2).
+    ascending, lo rank = floor(B'·α/2)+1, hi rank = B' − floor(B'·α/2),
+    where B' is the SURVIVING replica count (replicas whose Poisson
+    weights are all zero on a tiny corpus produce no mean and drop
+    out; both tail ranks use the same B' so the interval stays
+    symmetric — B' = B on any non-degenerate input).
 
     Scale shape: one explode ×B (map-only), one combinable aggregate
     to B rows, order statistics on the B-row frame. All integer
@@ -270,17 +274,24 @@ def poisson_bootstrap_mean(
     w_all = Window.partitionBy(F.lit(0)).rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
-    lo = (n_replicas * (alpha_u // 2)) // MICRO + 1
-    hi_from_end = (n_replicas * (alpha_u // 2)) // MICRO
     ranked = means.select(
         "_mean",
         F.row_number().over(w_ord).alias("_r"),
         F.count(F.lit(1)).over(w_all).alias("_nb"),
     )
+    # BOTH tail ranks derive from the SURVIVING replica count _nb
+    # (all-zero-weight replicas on a tiny corpus drop out of `means`):
+    # mixing a constant-B lower rank with a dynamic-_nb upper rank
+    # would skew the interval asymmetric exactly when replicas drop.
+    # _nb == n_replicas on any non-degenerate input, so the common
+    # case (and the SQL twin) is unchanged.
+    tail = F.expr(f"cast(_nb * {alpha_u // 2} div {MICRO} as bigint)")
     ci = ranked.agg(
-        F.max(F.when(F.col("_r") == lo, F.col("_mean"))).alias("ci_lo_u"),
         F.max(
-            F.when(F.col("_r") == F.col("_nb") - hi_from_end, F.col("_mean"))
+            F.when(F.col("_r") == tail + F.lit(1), F.col("_mean"))
+        ).alias("ci_lo_u"),
+        F.max(
+            F.when(F.col("_r") == F.col("_nb") - tail, F.col("_mean"))
         ).alias("ci_hi_u"),
         F.first("_nb").cast("long").alias("n_replicas"),
     )

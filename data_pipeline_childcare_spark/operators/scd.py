@@ -85,19 +85,30 @@ def scd2_point_in_time(
 
     This is the asof_join shape specialized for SCD2; it exists
     separately because asof_join's (_ts, _side) window order is not
-    total when a key has several versions at one instant."""
+    total when a key has several versions at one instant.
+
+    The fill is ONE last(ignorenulls) over a STRUCT of all attribute
+    columns plus version — never per-column: independent per-column
+    fills would backfill an attribute that is legitimately NULL in
+    the effective version from an OLDER version (a stale non-null
+    value, or a cross-version mix of attributes, while version_asof
+    reports the newer version). The struct is non-null exactly on
+    history rows, so every as-of field expands from the SAME history
+    row the window elected."""
+    from pyspark.sql.types import StructField, StructType
+
     ver_t = history.schema["version"].dataType
+    asof_type = StructType(
+        [StructField(c, history.schema[c].dataType) for c in attr_cols]
+        + [StructField("version", ver_t)]
+    )
     f_tag = facts.select(
         F.col(key_col),
         F.col(fact_ts_col).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_side"),
         F.lit(None).cast(ver_t).alias("_ver"),
         F.struct(*[F.col(c) for c in facts.columns]).alias("_fact_row"),
-        *[
-            F.lit(None).cast(history.schema[c].dataType).alias(f"_h_{c}")
-            for c in attr_cols
-        ],
-        F.lit(None).cast(ver_t).alias("_h_version"),
+        F.lit(None).cast(asof_type).alias("_h_row"),
     )
     h_tag = history.select(
         F.col(key_col),
@@ -105,8 +116,10 @@ def scd2_point_in_time(
         F.lit(0).alias("_side"),
         F.col("version").alias("_ver"),
         F.lit(None).cast(f_tag.schema["_fact_row"].dataType).alias("_fact_row"),
-        *[F.col(c).alias(f"_h_{c}") for c in attr_cols],
-        F.col("version").alias("_h_version"),
+        F.struct(
+            *[F.col(c).alias(c) for c in attr_cols],
+            F.col("version").alias("version"),
+        ).alias("_h_row"),
     )
     unioned = f_tag.unionByName(h_tag)
     w = (
@@ -114,18 +127,11 @@ def scd2_point_in_time(
         .orderBy(F.col("_ts"), F.col("_side"), F.col("_ver"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_h_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in attr_cols
-        ],
-        F.last(F.col("_h_version"), ignorenulls=True).over(w).alias(
-            f"version{suffix}"
-        ),
+    filled = unioned.withColumn(
+        "_asof_row", F.last(F.col("_h_row"), ignorenulls=True).over(w)
     )
     return filled.filter(F.col("_side") == 1).select(
         "_fact_row.*",
-        *[f"{c}{suffix}" for c in attr_cols],
-        f"version{suffix}",
+        *[F.col(f"_asof_row.{c}").alias(f"{c}{suffix}") for c in attr_cols],
+        F.col("_asof_row.version").alias(f"version{suffix}"),
     )

@@ -136,20 +136,32 @@ def embedding_cosine_dedup_lsh(
     candidates can't create false drops — LSH only affects which true
     pairs are SEEN (recall), not verification.
     """
+    # Candidate generation is NARROW: (id, table, bucket) only — the
+    # vectors must NOT ride the bucket self-join. A duplicate-
+    # saturated corpus (c identical vectors share every table's
+    # bucket) emits Σ|bucket|² candidate rows; with ~1 KB vector
+    # payloads that shuffle measured 100s of GB of sort spill at the
+    # 10× bench (out-of-disk), while the narrow form is 16 B/row.
+    # Pairs dedup on the narrow frame (one cosine per DISTINCT pair),
+    # then vectors join back BY ID — broadcastable when the corpus
+    # fits, an id-keyed linear shuffle join when it doesn't.
     tables = F.posexplode(
         F.array(*[lsh_bucket(vec_col, dim, n_planes, table=t) for t in range(n_tables)])
     ).alias("_table", "_bucket")
-    hashed = df.select(F.col(id_col), F.col(vec_col), tables)
-    a = hashed.select(
-        F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"), "_table", "_bucket"
-    )
-    b = hashed.select(
-        F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"), "_table", "_bucket"
-    )
-    dups = (
+    hashed = df.select(F.col(id_col), tables)
+    a = hashed.select(F.col(id_col).alias("_ia"), "_table", "_bucket")
+    b = hashed.select(F.col(id_col).alias("_ib"), "_table", "_bucket")
+    cand = (
         a.join(b, ["_table", "_bucket"])
         .filter(F.col("_ia") < F.col("_ib"))
-        .dropDuplicates(["_ia", "_ib"])
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    dups = (
+        cand.join(va, "_ia")
+        .join(vb, "_ib")
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()
@@ -292,12 +304,22 @@ def embedding_cosine_dedup_ivf(
         .filter(F.col("_rn") <= n_assign)
         .select(F.col(id_col), F.col(vec_col), "cell")
     )
-    a = assigned.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"), "cell")
-    b = assigned.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"), "cell")
-    dups = (
+    # Narrow candidates + verify-by-id-join — same remediation as the
+    # LSH variant (see its inline note): the cell self-join must not
+    # carry vector payloads through the pair-dedup shuffle.
+    a = assigned.select(F.col(id_col).alias("_ia"), "cell")
+    b = assigned.select(F.col(id_col).alias("_ib"), "cell")
+    cand = (
         a.join(b, ["cell"])
         .filter(F.col("_ia") < F.col("_ib"))
-        .dropDuplicates(["_ia", "_ib"])
+        .select("_ia", "_ib")
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    dups = (
+        cand.join(va, "_ia")
+        .join(vb, "_ib")
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()

@@ -45,6 +45,93 @@ def windowed_event_counts(
     )
 
 
+def windowed_counts_with_late_drop(
+    spark,
+    batch_a: DataFrame,
+    batch_b: DataFrame,
+    tmp_dir: str,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "1 hour",
+    name_prefix: str = "late_drop",
+) -> DataFrame:
+    """Watermark late-data DROP certification — the fifth certified
+    stream==batch family: two REAL availableNow runs against one
+    checkpoint, append output mode, so the watermark persisted by run
+    1 governs run 2's late-row filter exactly as it would across a
+    production restart.
+
+    Phase 1 ingests ``batch_a`` (the on-time history): its only data
+    micro-batch runs at watermark 0 (nothing dropped), then the
+    no-data batch advances the watermark to
+    W1 = floor_ms(max event time in A) − delay and EMITS every window
+    with end ≤ W1 (append mode finalization). Phase 2 ingests
+    ``batch_b`` with W1 restored from the checkpoint: rows whose
+    window end ≤ W1 are DROPPED (their state was already finalized
+    and evicted — the documented late-data rule: a window is
+    maintained only until the watermark passes its end), rows in
+    still-open windows aggregate even when their own timestamps lag
+    the watermark, and the closing no-data batch emits windows with
+    end ≤ W2 = floor_ms(global max event time) − delay.
+
+    The union of the two memory-sink tables is therefore, exactly:
+    every (window, key) aggregate over A ∪ {b ∈ B : window_end(b) >
+    W1} restricted to window_end ≤ W2 — one batch-SQL predicate pair,
+    which is what the DuckDB twin replays (watermarks are
+    millisecond-floored: Spark's EventTimeStats tracks max event time
+    in whole milliseconds). Emitted windows of the two phases are
+    disjoint (end ≤ W1 vs W1 < end ≤ W2), so the union never
+    double-counts.
+
+    Scale shape: identical to ``windowed_event_counts`` — state is
+    one row per open (window, event_type); the watermark bounds state
+    and late-row retention identically at any corpus size. The
+    two-phase file-arrival harness costs two extra file listings and
+    exists only to pin the drop semantics hermetically.
+    """
+    import os  # noqa: PLC0415
+    import shutil  # noqa: PLC0415
+
+    in_dir = os.path.join(tmp_dir, "in")
+    ckpt = os.path.join(tmp_dir, "ckpt")
+    os.makedirs(in_dir, exist_ok=True)
+
+    def land(df: DataFrame, fname: str) -> None:
+        stage = os.path.join(tmp_dir, f"stage_{fname}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = next(
+            p for p in os.listdir(stage) if p.endswith(".parquet") and p.startswith("part-")
+        )
+        shutil.move(os.path.join(stage, part), os.path.join(in_dir, fname))
+        shutil.rmtree(stage)
+
+    def run_phase(qname: str, schema) -> None:
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        ev = spark.readStream.schema(schema).parquet(in_dir)
+        counted = windowed_event_counts(
+            ev, window_duration, watermark_delay=watermark_delay
+        )
+        query = (
+            counted.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+
+    land(batch_a, "a.parquet")
+    schema = spark.read.parquet(in_dir).schema
+    run_phase(f"{name_prefix}_phase1", schema)
+    land(batch_b, "b.parquet")
+    run_phase(f"{name_prefix}_phase2", schema)
+    return spark.table(f"{name_prefix}_phase1").unionByName(
+        spark.table(f"{name_prefix}_phase2")
+    )
+
+
 def streaming_sessions(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -198,3 +198,26 @@ def test_validate_image_refs_beyond_cap_default_valid(spark):
 
     out = validate_image_refs(df, reject_all, cap=2).collect()[0]["text"]
     assert out == "  ![i](http://h/u2.png) ![i](http://h/u3.png)"
+
+
+def test_validate_image_refs_preserves_duplicate_rows(spark):
+    """Cardinality contract: the re-fold groups on a synthetic row
+    key, so two FULLY IDENTICAL input rows stay two output rows (a
+    groupBy over the data columns would silently collapse them)."""
+    from data_pipeline_childcare_spark.functions.markdown import validate_image_refs
+
+    rows = [
+        (1, "x ![a](http://h/dead.png) y"),
+        (1, "x ![a](http://h/dead.png) y"),  # verbatim duplicate row
+        (2, "plain"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def reject_all(urls):
+        return [False for _ in urls]
+
+    out = validate_image_refs(df, reject_all).collect()
+    assert len(out) == 3
+    texts = sorted(r["text"] for r in out if r["doc_id"] == 1)
+    assert texts == ["x  y", "x  y"]
+    assert set(r.asDict().keys()) == {"doc_id", "text"}  # no key leak

@@ -99,3 +99,42 @@ def test_scd2_point_in_time_tie_rules(spark):
     assert rows[11]["status_asof"] == "A" and rows[11]["version_asof"] == 1
     assert rows[12]["status_asof"] == "C"  # last same-instant version wins
     assert rows[13]["status_asof"] == "C"
+
+
+def test_scd2_point_in_time_null_attr_not_backfilled(spark):
+    """All as-of fields must come from the SAME elected version row:
+    a version whose attribute is legitimately NULL stays NULL — it
+    must NOT be backfilled from an older version's non-null value
+    (per-column last(ignorenulls) fills would mix versions)."""
+    from data_pipeline_childcare_spark.operators.scd import scd2_point_in_time
+
+    hist = spark.createDataFrame(
+        [
+            # v1: status=A tier=gold; v2: status=B tier=NULL (real state)
+            (1, "A", "gold", "2024-01-01 00:00:00", "2024-01-10 00:00:00", 1),
+            (1, "B", None, "2024-01-10 00:00:00", None, 2),
+        ],
+        "k long, status string, tier string, vf string, vt string, version long",
+    ).selectExpr(
+        "k",
+        "status",
+        "tier",
+        "cast(vf as timestamp) as valid_from",
+        "cast(vt as timestamp) as valid_to",
+        "version",
+    )
+    facts = spark.createDataFrame(
+        [(20, 1, "2024-01-05 00:00:00"), (21, 1, "2024-01-15 00:00:00")],
+        "fid long, k long, fts string",
+    ).selectExpr("fid", "k", "cast(fts as timestamp) as fts")
+    rows = {
+        r["fid"]: r
+        for r in scd2_point_in_time(
+            facts, hist, "k", "fts", ["status", "tier"]
+        ).collect()
+    }
+    assert rows[20]["status_asof"] == "A" and rows[20]["tier_asof"] == "gold"
+    assert rows[20]["version_asof"] == 1
+    # the v2 fact sees v2's NULL tier, not v1's "gold"
+    assert rows[21]["status_asof"] == "B" and rows[21]["tier_asof"] is None
+    assert rows[21]["version_asof"] == 2

@@ -418,3 +418,53 @@ def test_session_window_gap_boundary_semantics(spark):
     # session_end = last event + gap
     merged = per_user[2][0]
     assert (merged["session_end"] - merged["session_start"]).total_seconds() == 3600
+
+
+def test_late_drop_two_phase_watermark(spark, tmp_path):
+    """windowed_counts_with_late_drop: phase-2 rows in windows already
+    finalized by phase 1's persisted watermark are DROPPED; late rows
+    in still-open windows aggregate; emission stops at the final
+    watermark. Hand-built timeline (1h windows, 1h delay):
+
+      A: 10:05, 10:10, 12:30  -> W1 = 12:30 - 1h = 11:30
+         phase 1 emits [10,11) (end 11:00 <= 11:30); [12,13) stays open
+      B: 10:20 (late, window end 11:00 <= W1 -> DROPPED)
+         12:05 (late ts < W1? no: 12:05 > 11:30 irrelevant — window
+                [12,13) end 13:00 > W1 -> aggregates into open state)
+         14:45 (on-time) -> W2 = 14:45 - 1h = 13:45
+         phase 2 emits [12,13) (end 13:00 <= 13:45) with BOTH the
+         phase-1 12:30 row and the surviving 12:05 row; [14,15) is
+         never emitted (end 15:00 > W2)
+    """
+    from data_pipeline_childcare_spark.streaming.windows import (
+        windowed_counts_with_late_drop,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, event_type string, ts string, value double"
+        ).selectExpr(
+            "event_id", "event_type",
+            "cast(ts as timestamp_ntz) as ts", "value"
+        )
+
+    a = ev([
+        (1, "click", "2024-03-01 10:05:00", 1.0),
+        (2, "click", "2024-03-01 10:10:00", 2.0),
+        (3, "click", "2024-03-01 12:30:00", 4.0),
+    ])
+    b = ev([
+        (4, "click", "2024-03-01 10:20:00", 8.0),    # late, finalized window -> drop
+        (5, "click", "2024-03-01 12:05:00", 16.0),   # late-ish, open window -> keep
+        (6, "click", "2024-03-01 14:45:00", 32.0),   # on-time, beyond final frontier
+    ])
+    out = windowed_counts_with_late_drop(
+        spark, a, b, str(tmp_path / "ld"), "1 hour", "1 hour",
+        name_prefix="late_drop_test",
+    )
+    rows = {str(r["window_start"]): r for r in out.collect()}
+    assert set(rows) == {"2024-03-01 10:00:00", "2024-03-01 12:00:00"}
+    w10 = rows["2024-03-01 10:00:00"]
+    assert w10["n_events"] == 2 and w10["total_value"] == 3.0  # row 4 dropped
+    w12 = rows["2024-03-01 12:00:00"]
+    assert w12["n_events"] == 2 and w12["total_value"] == 20.0  # row 5 kept
