@@ -348,28 +348,18 @@ def compact_parquet_dir(
     """
     import math  # noqa: PLC0415
 
-    inv = parquet_file_inventory(spark, path)
-    total = sum(sz for _, sz in inv)
-    if len(inv) < min_files_to_compact or all(
-        sz >= target_file_bytes // 2 for _, sz in inv
-    ):
-        return {
-            "files_before": len(inv),
-            "files_after": len(inv),
-            "bytes_before": total,
-            "bytes_after": total,
-            "compacted": False,
-        }
-    n_out = max(1, math.ceil(total / target_file_bytes))
     jvm = spark.sparkContext._jvm
     jsc = spark.sparkContext._jsc
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(jsc.hadoopConfiguration())
     tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_tmp")
     bak = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + "__compact_old")
-    # Stale-swap sweep: a prior crash can strand __compact_old (data
-    # moved aside, new files never swapped in — recover it) or leave
-    # a half-written __compact_tmp (discard it; rename into a live
+    # Stale-swap sweep FIRST — before the inventory read: a prior
+    # crash can strand __compact_old with ``path`` itself missing
+    # (data moved aside, new files never swapped in); reading the
+    # inventory before recovering would throw FileNotFoundException
+    # and the promised automatic recovery would never run. The sweep
+    # also discards a half-written __compact_tmp (rename into a live
     # destination would otherwise fail or NEST on HDFS semantics).
     if fs.exists(bak):
         if not fs.exists(hpath):
@@ -383,6 +373,20 @@ def compact_parquet_dir(
             fs.delete(bak, True)
     if fs.exists(tmp):
         fs.delete(tmp, True)
+
+    inv = parquet_file_inventory(spark, path)
+    total = sum(sz for _, sz in inv)
+    if len(inv) < min_files_to_compact or all(
+        sz >= target_file_bytes // 2 for _, sz in inv
+    ):
+        return {
+            "files_before": len(inv),
+            "files_after": len(inv),
+            "bytes_before": total,
+            "bytes_after": total,
+            "compacted": False,
+        }
+    n_out = max(1, math.ceil(total / target_file_bytes))
     spark.read.parquet(path).repartition(n_out).write.mode("overwrite").parquet(
         tmp.toString()
     )

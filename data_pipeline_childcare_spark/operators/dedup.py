@@ -344,7 +344,7 @@ def minhash_dedup_portable(
     the pair rows that reach the distinct/anti-join shuffles to
     cap·|corpus| even on a corpus that is one giant verbatim-copy
     cluster (which otherwise emits C(c,2) ≈ c²/2 verified pairs).
-    ``tests/test_dedup.py`` asserts capped == uncapped output. The
+    ``tests/test_operators.py`` (test_minhash_dedup_cap_per_id_semantically_free) asserts capped == uncapped output. The
     oracle needs no mirroring for the same reason. Production
     default at 100 TB: ``cap_per_id=1``."""
     pairs = minhash_est_pairs_portable(

@@ -73,7 +73,7 @@ def windowed_counts_with_late_drop(
     the watermark, and the closing no-data batch emits windows with
     end ≤ W2 = floor_ms(global max event time) − delay.
 
-    The union of the two memory-sink tables is therefore, exactly:
+    The union of the two phase outputs is therefore, exactly:
     every (window, key) aggregate over A ∪ {b ∈ B : window_end(b) >
     W1} restricted to window_end ≤ W2 — one batch-SQL predicate pair,
     which is what the DuckDB twin replays (watermarks are
@@ -81,6 +81,17 @@ def windowed_counts_with_late_drop(
     in whole milliseconds). Emitted windows of the two phases are
     disjoint (end ≤ W1 vs W1 < end ≤ W2), so the union never
     double-counts.
+
+    Sink choice: both phases write through ONE parquet FILE SINK
+    (same output dir, same checkpoint) — the memory sink cannot
+    recover from a checkpoint in append mode (AnalysisException at
+    restart), but the file sink is fault-tolerant by design: phase 2
+    resumes from phase 1's offsets/state/watermark and appends its
+    finalized windows into the same `_spark_metadata` transaction
+    log (which, like the checkpoint, must be continuous from batch
+    0 — per-phase dirs would break its read path). The emitted
+    window sets are disjoint by the frontier argument above, so the
+    single dir IS the union the function returns.
 
     Scale shape: identical to ``windowed_event_counts`` — state is
     one row per open (window, event_type); the watermark bounds state
@@ -104,6 +115,8 @@ def windowed_counts_with_late_drop(
         shutil.move(os.path.join(stage, part), os.path.join(in_dir, fname))
         shutil.rmtree(stage)
 
+    out_dir = os.path.join(tmp_dir, "out")
+
     def run_phase(qname: str, schema) -> None:
         for q in spark.streams.active:
             if q.name == qname:
@@ -113,9 +126,10 @@ def windowed_counts_with_late_drop(
             ev, window_duration, watermark_delay=watermark_delay
         )
         query = (
-            counted.writeStream.format("memory")
+            counted.writeStream.format("parquet")
             .queryName(qname)
             .outputMode("append")
+            .option("path", out_dir)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
@@ -127,9 +141,16 @@ def windowed_counts_with_late_drop(
     run_phase(f"{name_prefix}_phase1", schema)
     land(batch_b, "b.parquet")
     run_phase(f"{name_prefix}_phase2", schema)
-    return spark.table(f"{name_prefix}_phase1").unionByName(
-        spark.table(f"{name_prefix}_phase2")
-    )
+
+    # explicit read schema: a run that finalizes zero windows leaves
+    # only `_spark_metadata` in the dir — schema inference would fail
+    out_schema = windowed_event_counts(
+        spark.read.schema(schema).parquet(in_dir),
+        window_duration,
+        watermark_delay=watermark_delay,
+        streaming=False,
+    ).schema
+    return spark.read.schema(out_schema).parquet(out_dir)
 
 
 def streaming_sessions(

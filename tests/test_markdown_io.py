@@ -220,4 +220,4 @@ def test_validate_image_refs_preserves_duplicate_rows(spark):
     assert len(out) == 3
     texts = sorted(r["text"] for r in out if r["doc_id"] == 1)
     assert texts == ["x  y", "x  y"]
-    assert set(r.asDict().keys()) == {"doc_id", "text"}  # no key leak
+    assert set(out[0].asDict().keys()) == {"doc_id", "text"}  # no key leak
