@@ -697,8 +697,15 @@ def ann_recall_audit_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_hits, recall_u). The measure-don't-guess audit that ties the
     quantization quartet together — a retrieval team reads THIS row
     before picking an index. The twin nests all six method oracles
-    and replays the overlap joins."""
-    exact = cosine_topk_embeddings(spark, sf_dir).select("query_id", "vec_id")
+    and replays the overlap joins.
+
+    The exact frame feeds one count + five overlap joins; without a
+    persist the brute-force top-k chain re-executes six times (each
+    broadcast probe side re-runs its upstream — no ReusedExchange).
+    |queries|·k rows, persisted and deliberately left cached."""
+    exact = (
+        cosine_topk_embeddings(spark, sf_dir).select("query_id", "vec_id").persist()
+    )
     methods = [
         ("ivf", ivf_cosine_topk_embeddings),
         ("ivfpq", ivfpq_topk_embeddings),

@@ -335,66 +335,82 @@ def kmeans_lite(
     vec_col: str = "embedding",
     checkpoint: bool = True,
 ) -> DataFrame:
-    """Few-iteration Lloyd's k-means as pure DataFrame ops — the IVF
-    coarse quantizer. Init: k seeds ordered by an md5-derived id hash
-    (engine-portable, so a SQL oracle reproduces the seed set and
-    order — xxhash64 would not be). Each iteration: assign via
-    broadcast centroid crossJoin + windowed argmin, recompute via
-    posexplode + CANONICAL means — round(round(sum,6)/n, 6), the
-    finalize_rollup discipline — so centroids are identical under any
-    partition summation order AND across engines; the last-ulp drift
-    of a raw avg() would otherwise flip boundary cell assignments
-    between runs. k and iterations are small; the corpus is scanned
-    `iterations + 1` times, never collected.
+    """Few-iteration Lloyd's k-means, MLlib-shaped: the CORPUS stays
+    distributed (assign via broadcast-centroid crossJoin + windowed
+    argmin, means via posexplode + CANONICAL rounding —
+    round(round(sum,6)/n, 6), the finalize_rollup discipline, so
+    centroids are identical under any partition summation order AND
+    across engines); the k-row CENTROID model lives on the DRIVER
+    between iterations, exactly as MLlib's KMeans holds its centers.
+    Init: k seeds ordered by an md5-derived id hash (engine-portable,
+    so a SQL oracle reproduces the seed set and order — xxhash64
+    would not be).
 
-    ``checkpoint`` (DEFAULT ON, matching operators/bpe.py's measured
-    fix) eagerly localCheckpoints the k-row centroid frame each
-    iteration, cutting the unrolled lineage so later iterations don't
-    re-derive earlier ones (total corpus passes drop from
-    O(iterations²) to O(iterations)) — un-checkpointed Lloyd
-    iterations re-derive all predecessors through lineage, the same
-    failure mode that made un-checkpointed BPE at k=20 never finish.
-    Centroid VALUES are identical either way (the checkpoint only cuts
-    lineage), so SQL-oracle parity is unaffected; pass
-    ``checkpoint=False`` only to inspect the pure unrolled plan.
+    Why driver-resident centroids: each iteration is ONE aggregate
+    job collecting k model-sized rows (guarded: k > 4096 fails
+    loudly) and the next iteration's centroids enter the plan as a
+    literal local relation — no unrolled lineage, no localCheckpoint
+    stage chains. The previous all-lazy formulation paid
+    ``n_callers × iterations`` checkpoint/window micro-stages of pure
+    scheduling latency (measured: the sf0.01 ann_recall_audit gate
+    row spent 13.5 of its 16 s in that fixed overhead). Centroid
+    VALUES are identical (the collect only moves the k rows, the math
+    is the same aggregates), so SQL-oracle parity is unaffected.
 
-    Returns (cell, centroid ARRAY<DOUBLE>).
+    NOTE plan-BUILD now runs the training jobs (the collect happens
+    while the caller constructs its DataFrame) — callers pinned in
+    tests/test_plan_contracts.py's zero-job build audit must sit in
+    its ``checkpoint_builders`` whitelist.
+
+    ``checkpoint`` is kept for signature compatibility (the driver
+    loop needs no lineage cut).
+
+    Returns (cell INT, centroid ARRAY<DOUBLE>).
     """
+    del checkpoint  # driver-resident loop has no lineage to cut
+    if k > 4096:
+        raise ValueError(
+            f"kmeans_lite k={k} exceeds the 4096 driver-model cap — "
+            "the centroid frame is model-sized by contract"
+        )
+    spark = corpus.sparkSession
     seed_hash = F.expr(
         f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
     )
-    centroids = (
+    seed_rows = (
         corpus.withColumn("_r", seed_hash)
         .orderBy("_r")
         .limit(k)
-        .select(
-            # global by design over the limit(k) seed rows; lit(0)
-            # partition silences the WindowExec single-partition warning
-            F.row_number().over(Window.partitionBy(F.lit(0)).orderBy("_r")).alias("cell"),
-            F.col(vec_col).cast("array<double>").alias("centroid"),
-        )
+        .select("_r", F.col(vec_col).cast("array<double>").alias("centroid"))
+        .collect()
     )
+    cents = [
+        (i + 1, list(r["centroid"]))
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: r["_r"]))
+    ]
+
+    def cent_df(pairs):
+        return spark.createDataFrame(
+            pairs, "cell int, centroid array<double>"
+        )
+
     for _ in range(iterations):
-        assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+        assigned = _assign_cells(corpus, cent_df(cents), id_col, vec_col)
         exploded = assigned.select(
             "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
         )
         per_pos = exploded.groupBy("cell", "pos").agg(
             F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
         )
-        centroids = per_pos.groupBy("cell").agg(
+        new_rows = per_pos.groupBy("cell").agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
             ).alias("centroid")
+        ).collect()
+        cents = sorted(
+            ((r["cell"], list(r["centroid"])) for r in new_rows), key=lambda t: t[0]
         )
-        if checkpoint:
-            # LAZY: cuts the unrolled lineage (the k-row frame becomes
-            # a LogicalRDD) without running a job at plan-BUILD time —
-            # building a plan must never execute (see
-            # test_no_driver_actions_while_building_plans); the RDD
-            # materializes once at the first action
-            centroids = centroids.localCheckpoint(eager=False)
-    return centroids
+    return cent_df(cents)
 
 
 def _assign_cells(
@@ -778,64 +794,91 @@ def pq_codebooks(
     centroid means — the kmeans_lite discipline, so a SQL oracle
     walks the identical trajectory).
 
-    Returns (block, code, centroid) with block in 1..n_sub. The whole
-    training is ``n_sub × (iterations + 1)`` corpus scans of width
-    ``dim / n_sub`` — at 100 TB one samples the training corpus
-    first; the codebook frame itself is n_sub·n_codes rows (broadcast
-    everywhere downstream)."""
+    Returns (block, code, centroid) with block in 1..n_sub.
+
+    All ``n_sub`` independent per-block quantizers train in ONE
+    Lloyd loop over the exploded (id, block, sub-vector) frame with
+    centroids keyed by (block, code) — the per-block math (assignment
+    argmin ordered by (_d, code) within each block, pre-rounded
+    means grouped by (block, code, pos)) is bit-identical to training
+    the blocks serially, so the DuckDB twin's four per-block chains
+    still hash-match. Like :func:`kmeans_lite`, the n_sub·n_codes-row
+    codebook MODEL lives on the driver between iterations (guarded
+    collect) while the corpus stays distributed: each iteration is
+    one aggregate job, and the previous all-lazy per-block loop's
+    ``n_sub × iterations`` checkpoint/window micro-stages of pure
+    scheduling latency disappear (pq_adc gate row measured 6.1→2 s
+    at sf0.01). At 100 TB one samples the training corpus first; the
+    codebook frame itself is n_sub·n_codes rows (broadcast everywhere
+    downstream)."""
+    del checkpoint  # driver-resident loop has no lineage to cut
     if dim % n_sub:
         raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    if n_sub * n_codes > 4096:
+        raise ValueError(
+            f"pq_codebooks n_sub*n_codes={n_sub * n_codes} exceeds the "
+            "4096 driver-model cap — the codebook is model-sized by contract"
+        )
     sub = dim // n_sub
+    spark = corpus.sparkSession
     seed_hash = F.expr(
         f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
     )
-    seeds = (
+    seed_rows = (
         corpus.withColumn("_r", seed_hash)
         .orderBy("_r")
         .limit(n_codes)
-        .select(
-            F.row_number()
-            .over(Window.partitionBy(F.lit(0)).orderBy("_r"))
-            .alias("code"),
-            F.col(vec_col).cast("array<double>").alias("_seed"),
-        )
+        .select("_r", F.col(vec_col).cast("array<double>").alias("_seed"))
+        .collect()
     )
-    books = []
-    for b in range(1, n_sub + 1):
-        lo = (b - 1) * sub + 1
-        sv = F.slice(F.col(vec_col).cast("array<double>"), lo, sub)
-        block_corpus = corpus.select(F.col(id_col), sv.alias("_sv"))
-        cents = seeds.select("code", F.slice("_seed", lo, sub).alias("centroid"))
-        for _ in range(iterations):
-            scored = block_corpus.crossJoin(F.broadcast(cents)).withColumn(
-                "_d", _l2sq(F.col("_sv"), F.col("centroid"))
+    cents = [
+        (b, i + 1, list(r["_seed"])[(b - 1) * sub : b * sub])
+        for i, r in enumerate(sorted(seed_rows, key=lambda r: r["_r"]))
+        for b in range(1, n_sub + 1)
+    ]
+
+    def cent_df(triples):
+        return spark.createDataFrame(
+            triples, "block int, code int, centroid array<double>"
+        )
+
+    bcorpus = corpus.select(
+        F.col(id_col),
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col(vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
+                    for b in range(1, n_sub + 1)
+                ]
             )
-            w = Window.partitionBy(id_col).orderBy(F.asc("_d"), F.col("code"))
-            assigned = (
-                scored.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .select(id_col, "_sv", "code")
-            )
-            per_pos = assigned.select(
-                "code", F.posexplode("_sv").alias("pos", "v")
-            ).groupBy("code", "pos").agg(
-                F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
-            )
-            cents = per_pos.groupBy("code").agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                    lambda s: s["m"],
-                ).alias("centroid")
-            )
-            if checkpoint:
-                # lazy: cut the unrolled lineage without running a job
-                # at plan-build time (kmeans_lite discipline)
-                cents = cents.localCheckpoint(eager=False)
-        books.append(cents.select(F.lit(b).alias("block"), "code", "centroid"))
-    out = books[0]
-    for other in books[1:]:
-        out = out.unionByName(other)
-    return out
+        ).alias("_b0", "_sv"),
+    ).select(F.col(id_col), (F.col("_b0") + 1).alias("block"), "_sv")
+    for _ in range(iterations):
+        scored = bcorpus.join(F.broadcast(cent_df(cents)), "block").withColumn(
+            "_d", _l2sq(F.col("_sv"), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col, "block").orderBy(F.asc("_d"), F.col("code"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(id_col, "block", "_sv", "code")
+        )
+        per_pos = assigned.select(
+            "block", "code", F.posexplode("_sv").alias("pos", "v")
+        ).groupBy("block", "code", "pos").agg(
+            F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
+        )
+        new_rows = per_pos.groupBy("block", "code").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("centroid")
+        ).collect()
+        cents = sorted(
+            ((r["block"], r["code"], list(r["centroid"])) for r in new_rows),
+            key=lambda t: (t[0], t[1]),
+        )
+    return cent_df(cents)
 
 
 def pq_encode(
@@ -996,7 +1039,12 @@ def ivfpq_topk(
     cents = kmeans_lite(
         corpus, n_cells, coarse_iterations, id_col, vec_col
     )
-    indexed = _assign_cells(corpus, cents, id_col, vec_col)
+    # the cell assignment IS the IVF index artifact — it feeds both
+    # the residual/codes build and the query-time candidate probe, and
+    # a broadcast probe side re-executes its upstream chain (no
+    # ReusedExchange), so materialize it once, exactly as a production
+    # IVF build stores its inverted lists; deliberately left cached
+    indexed = _assign_cells(corpus, cents, id_col, vec_col).persist()
     resid = indexed.join(F.broadcast(cents), "cell").select(
         id_col,
         "cell",

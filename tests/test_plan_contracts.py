@@ -45,9 +45,11 @@ CONTRACTS = {
     "hard_negatives_embeddings": (1, True, True),
     # round-5 additions. classifier tolerates one SMJ (the doc-keyed
     # join-back attaching zero-hit docs — uniform key, corpus-sized
-    # both sides); semdedup's 24 exchanges are the unrolled canonical
-    # kmeans lineage (see PLANS.md); warc/archive are single
-    # mapInPandas passes with ZERO shuffles
+    # both sides); semdedup's budget of 24 was pinned when kmeans_lite
+    # unrolled its lineage into the plan — the driver-resident
+    # centroid loop (round 9) leaves far fewer, the pin is an upper
+    # bound; warc/archive are single mapInPandas passes with ZERO
+    # shuffles
     # single-pass form: ONE corpus-keyed (token, next) aggregate,
     # persisted; context/unigram/total derive from the cached table.
     # The string count includes the cached subplan redisplayed under
