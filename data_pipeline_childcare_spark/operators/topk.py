@@ -55,12 +55,24 @@ def top_k_with_global_dedup(
     """
     prio = F.col(priority_col) if priority_col else F.col(task_col)
     # Stage 1: an item contested by several tasks goes to the
-    # highest-priority task.
-    w_claim = Window.partitionBy(item_col).orderBy(prio, F.desc(score_col))
+    # highest-priority task. The claim is a k=1 top — an ARGMIN
+    # aggregate, not a window: min(struct(prio, -score, payload))
+    # over the item group replaces sort + WindowGroupLimit with a
+    # map-side-combinable hash aggregate (same exchange on item, two
+    # fewer sorts; ordering identical — struct comparison is
+    # lexicographic and score negation is exact double math).
+    other = [c for c in candidates.columns if c != item_col]
+    win = F.min(
+        F.struct(
+            prio.alias("_p"),
+            (-F.col(score_col)).alias("_ns"),
+            *[F.col(c).alias(c) for c in other],
+        )
+    ).alias("_w")
     claimed = (
-        candidates.withColumn("_claim", F.row_number().over(w_claim))
-        .filter(F.col("_claim") == 1)
-        .drop("_claim")
+        candidates.groupBy(item_col)
+        .agg(win)
+        .select(item_col, *[F.col(f"_w.{c}").alias(c) for c in other])
     )
     # Stage 2: per-task top-k by score.
     return top_k_per_group(claimed, task_col, score_col, k, tie_col=item_col)
