@@ -4861,21 +4861,32 @@ def winnowing_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs sharing ≥3 window-min fingerprints — evidence of a common
     substring of length ≥ k+window-1 per shared print. Candidate
     generation is the fingerprint inverted index (equi-join), never
-    all-pairs; at corpus scale cap hot fingerprints with
-    operators/skew.df_capped_index exactly like the shingle index."""
-    from data_pipeline_childcare_spark.operators.dedup import winnowing_fingerprints
+    all-pairs, with BOTH duplicate-saturation guards engaged and
+    oracle-mirrored (the ngram_jaccard lineage): max_df=64 drops
+    boilerplate fingerprints shared by more docs than any provenance
+    question needs (uncapped, the sf0.1 corpus emitted 9.7 M pairs —
+    Σdf² on hot prints), and cap_pairs_per_doc(20) keeps each doc's
+    strongest-evidence pairs so downstream volume stays linear on
+    clone-saturated corpora."""
+    from data_pipeline_childcare_spark.operators.dedup import (
+        cap_pairs_per_doc,
+        winnowing_fingerprints,
+    )
+    from data_pipeline_childcare_spark.operators.skew import df_capped_index
 
     docs = _t(spark, sf_dir, "documents")
     fps = winnowing_fingerprints(docs, k=8, window=4, portable_hash=True)
+    fps = df_capped_index(fps, "fingerprint", max_df=64)
     a = fps.select(F.col("doc_id").alias("id_a"), "fingerprint")
     b = fps.select(F.col("doc_id").alias("id_b"), "fingerprint")
-    return (
+    pairs = (
         a.join(b, "fingerprint")
         .filter(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= 3)
     )
+    return cap_pairs_per_doc(pairs, 20, [F.desc("shared_fingerprints")])
 
 
 def events_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4956,12 +4967,16 @@ def split_leakage_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     train/val/test splits. A non-empty result means evaluation-set
     leakage; the fix is dedup-before-split or split-by-cluster. Both
     building blocks are independently oracled; this row proves the
-    COMPOSITION end-to-end (pairs → split join → mismatch filter)."""
+    COMPOSITION end-to-end (pairs → split join → mismatch filter).
+    Engages cap_per_id=20 (strongest-est_jaccard top-20-per-side,
+    oracle-mirrored) — the duplicate-saturation guard: the detector
+    keeps each doc's strongest leakage evidence while bounding pair
+    volume to linear on verbatim-copy-cluster corpora."""
     from data_pipeline_childcare_spark.operators.dedup import minhash_est_pairs_portable
     from data_pipeline_childcare_spark.operators.split import hash_split
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = minhash_est_pairs_portable(docs, threshold=0.5)
+    pairs = minhash_est_pairs_portable(docs, threshold=0.5, cap_per_id=20)
     split = hash_split(docs.select("doc_id")).select("doc_id", "split")
     a = split.select(F.col("doc_id").alias("id_a"), F.col("split").alias("split_a"))
     b = split.select(F.col("doc_id").alias("id_b"), F.col("split").alias("split_b"))
@@ -8567,13 +8582,24 @@ def oracle_sql() -> dict[str, str]:
     out["split_leakage_pairs_docs"] = f"""
         WITH {_minhash_ctes}, splits AS (
             SELECT doc_id, {_split_case} AS split FROM documents
+        ), thr AS (
+            SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+        ), capped AS (
+            SELECT id_a, id_b, est_jaccard FROM (
+                SELECT id_a, id_b, est_jaccard,
+                       row_number() OVER (PARTITION BY id_a
+                           ORDER BY est_jaccard DESC, id_b) AS ra,
+                       row_number() OVER (PARTITION BY id_b
+                           ORDER BY est_jaccard DESC, id_a) AS rb
+                FROM thr
+            ) WHERE ra <= 20 AND rb <= 20
         )
         SELECT e.id_a, e.id_b, sa.split AS split_a, sb.split AS split_b,
                e.est_jaccard
-        FROM est e
+        FROM capped e
         JOIN splits sa ON sa.doc_id = e.id_a
         JOIN splits sb ON sb.doc_id = e.id_b
-        WHERE e.est_jaccard >= 0.5 AND sa.split <> sb.split
+        WHERE sa.split <> sb.split
     """
     out["source_overlap_matrix"] = f"""
         WITH {_minhash_ctes}, prs AS (
@@ -8630,13 +8656,30 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 50
     """
     out["winnowing_pairs_docs"] = f"""
-        WITH wfp AS ({out['winnowing_fingerprints_docs']})
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               CAST(count(*) AS BIGINT) AS shared_fingerprints
-        FROM wfp a JOIN wfp b
-          ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING count(*) >= 3
+        WITH wfp AS ({out['winnowing_fingerprints_docs']}),
+        keepfp AS (
+            SELECT fingerprint FROM wfp
+            GROUP BY fingerprint HAVING count(*) <= 64
+        ),
+        wfpc AS (
+            SELECT w.* FROM wfp w JOIN keepfp USING (fingerprint)
+        ),
+        p AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(count(*) AS BIGINT) AS shared_fingerprints
+            FROM wfpc a JOIN wfpc b
+              ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+            HAVING count(*) >= 3
+        )
+        SELECT id_a, id_b, shared_fingerprints FROM (
+            SELECT id_a, id_b, shared_fingerprints,
+                   row_number() OVER (PARTITION BY id_a
+                       ORDER BY shared_fingerprints DESC, id_b) AS ra,
+                   row_number() OVER (PARTITION BY id_b
+                       ORDER BY shared_fingerprints DESC, id_a) AS rb
+            FROM p
+        ) WHERE ra <= 20 AND rb <= 20
     """
     out["doc_dsir_weights"] = f"""
         WITH pool AS (

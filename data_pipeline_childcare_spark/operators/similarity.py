@@ -77,6 +77,39 @@ def cosine_topk_bruteforce(
     )
 
 
+def _verbatim_reps(
+    df: DataFrame, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Collapse verbatim-duplicate vectors to their min-id
+    representative BEFORE near-dup candidate generation — the
+    standard 100 TB staging (exact dedup precedes ANN) and the cure
+    for duplicate saturation: c identical vectors share every
+    LSH/IVF bucket, so pair volume grows c² per clone group while
+    the distinct-vector problem is unchanged.
+
+    Returns (reps, dropped_ids). Result-preserving for every
+    dedup-by-dominator consumer with threshold ≤ 1: a non-rep is
+    ALWAYS dominated by its rep (identical vectors give rounded
+    cosine exactly 1.0, or NaN for degenerate zero/non-finite
+    vectors — and both Spark and DuckDB order NaN above every
+    number, so either way the pair passes ``≥ threshold`` with the
+    rep's smaller id), and any dominance witness u for a rep r
+    implies the rep-level witness rep(u) with id ≤ u's id — so
+    rep-level candidates decide the identical kept set and the SQL
+    twins replaying the uncollapsed formulation still hash-match.
+    The groupBy keys on the vector itself (Spark normalizes NaN and
+    signed zeros in grouping keys; vectors equal under that
+    normalization have exactly equal cosines, so the grouping is
+    dominance-safe)."""
+    grp = df.groupBy(vec_col).agg(F.min(id_col).alias("_rep_id"))
+    with_rep = df.join(grp, [vec_col])
+    reps = with_rep.filter(F.col(id_col) == F.col("_rep_id")).drop("_rep_id")
+    dropped = with_rep.filter(F.col(id_col) != F.col("_rep_id")).select(
+        F.col(id_col)
+    )
+    return reps, dropped
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -94,15 +127,23 @@ def embedding_cosine_dedup(
     generator for multi-table LSH buckets and keeps the identical
     verify-then-anti-join tail (recall-tested in test_similarity.py).
     The cosine is rounded BEFORE thresholding so float boundary rows
-    land on the same side in any engine.
+    land on the same side in any engine. Verbatim duplicates collapse
+    to their min-id representative first (see :func:`_verbatim_reps`
+    for the exactness argument) — the all-pairs enumeration then runs
+    on distinct vectors only, so clone-saturated corpora don't square
+    their clone counts through the theta join.
     """
-    a = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    if threshold > 1.0:
+        raise ValueError("cosine threshold > 1.0 breaks the verbatim-collapse dominance")
+    reps, nonreps = _verbatim_reps(df, id_col, vec_col)
+    a = reps.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    b = reps.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
     dups = (
         a.join(b, F.col("_ia") < F.col("_ib"))
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()
+        .unionByName(nonreps)
     )
     return df.join(dups, id_col, "left_anti")
 
@@ -145,10 +186,17 @@ def embedding_cosine_dedup_lsh(
     # Pairs dedup on the narrow frame (one cosine per DISTINCT pair),
     # then vectors join back BY ID — broadcastable when the corpus
     # fits, an id-keyed linear shuffle join when it doesn't.
+    # Verbatim duplicates collapse to their min-id rep BEFORE hashing
+    # (identical vectors share every table's bucket — a c-clone group
+    # would emit c² candidate rows per table; see _verbatim_reps for
+    # why the kept set is provably unchanged).
+    if threshold > 1.0:
+        raise ValueError("cosine threshold > 1.0 breaks the verbatim-collapse dominance")
+    reps, nonreps = _verbatim_reps(df, id_col, vec_col)
     tables = F.posexplode(
         F.array(*[lsh_bucket(vec_col, dim, n_planes, table=t) for t in range(n_tables)])
     ).alias("_table", "_bucket")
-    hashed = df.select(F.col(id_col), tables)
+    hashed = reps.select(F.col(id_col), tables)
     a = hashed.select(F.col(id_col).alias("_ia"), "_table", "_bucket")
     b = hashed.select(F.col(id_col).alias("_ib"), "_table", "_bucket")
     cand = (
@@ -157,14 +205,15 @@ def embedding_cosine_dedup_lsh(
         .select("_ia", "_ib")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    va = reps.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    vb = reps.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
     dups = (
         cand.join(va, "_ia")
         .join(vb, "_ib")
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()
+        .unionByName(nonreps)
     )
     return df.join(dups, id_col, "left_anti")
 
@@ -294,8 +343,17 @@ def embedding_cosine_dedup_ivf(
     the right trade when the corpus is clustered, which embedding
     corpora are.
     """
+    if threshold > 1.0:
+        raise ValueError("cosine threshold > 1.0 breaks the verbatim-collapse dominance")
+    # The quantizer trains on the FULL corpus (so the canonical
+    # trajectory the SQL twin replays is untouched), but assignment
+    # and candidate generation run on verbatim-collapsed reps only —
+    # identical vectors land in identical cells, so a c-clone group
+    # would emit c² candidate rows per shared cell while the kept set
+    # is provably unchanged (see _verbatim_reps).
     centroids = kmeans_lite(df, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col)
-    scored = df.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
+    reps, nonreps = _verbatim_reps(df, id_col, vec_col)
+    scored = reps.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
     )
     w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell"))
@@ -315,14 +373,15 @@ def embedding_cosine_dedup_ivf(
         .select("_ia", "_ib")
         .distinct()
     )
-    va = df.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
-    vb = df.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
+    va = reps.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
+    vb = reps.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
     dups = (
         cand.join(va, "_ia")
         .join(vb, "_ib")
         .filter(F.round(cosine(F.col("_va"), F.col("_vb")), ndigits) >= threshold)
         .select(F.col("_ib").alias(id_col))
         .distinct()
+        .unionByName(nonreps)
     )
     return df.join(dups, id_col, "left_anti")
 
