@@ -89,14 +89,22 @@ def _verbatim_reps(
 
     Returns (reps, dropped_ids). Result-preserving for every
     dedup-by-dominator consumer with threshold ≤ 1: a non-rep is
-    ALWAYS dominated by its rep (identical vectors give rounded
-    cosine exactly 1.0, or NaN for degenerate zero/non-finite
-    vectors — and both Spark and DuckDB order NaN above every
-    number, so either way the pair passes ``≥ threshold`` with the
-    rep's smaller id), and any dominance witness u for a rep r
-    implies the rep-level witness rep(u) with id ≤ u's id — so
-    rep-level candidates decide the identical kept set and the SQL
-    twins replaying the uncollapsed formulation still hash-match.
+    ALWAYS dominated by its rep (identical non-degenerate vectors
+    give rounded cosine exactly 1.0 ≥ threshold with the rep's
+    smaller id), and any dominance witness u for a rep r implies the
+    rep-level witness rep(u) with id ≤ u's id — so rep-level
+    candidates decide the identical kept set and the SQL twins
+    replaying the uncollapsed formulation still hash-match.
+    Degenerate (zero-norm) vectors: the session's ANSI mode throws
+    DIVIDE_BY_ZERO from the cosine's norm product whenever a
+    degenerate pair reaches the verify — which the rep-level verify
+    still does for any cross-group degenerate pair (pinned by
+    test_embedding_cosine_dedup_verbatim_collapse_saturation). The
+    one divergence is a corpus whose degenerate vectors are ALL
+    verbatim clones of each other: the uncollapsed verify would
+    throw on the clone pair, the collapsed form skips it and returns
+    the kept set DuckDB's NaN-ordering twin computes — divergence
+    only swaps an ANSI error for the oracle's answer.
     The groupBy keys on the vector itself (Spark normalizes NaN and
     signed zeros in grouping keys; vectors equal under that
     normalization have exactly equal cosines, so the grouping is

@@ -129,6 +129,58 @@ def test_embedding_cosine_dedup(spark):
     assert embedding_cosine_dedup(df, threshold=0.999999).count() == 5
 
 
+def test_embedding_cosine_dedup_verbatim_collapse_saturation(spark):
+    """The round-9 verbatim-collapse stage: clone-saturated corpora
+    give the SAME kept set as the uncollapsed formulation — every
+    non-rep clone is dropped (its rep dominates at rounded cosine
+    exactly 1.0), the rep itself lives or dies by the rep-level
+    pairs, and degenerate (zero) vectors follow the engines'
+    NaN-above-everything comparison: a zero vector drops every
+    LARGER-id vector it meets (cosine NaN ≥ t is true in Spark and
+    DuckDB alike), and identical zero clones collapse like any other
+    group."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup,
+        embedding_cosine_dedup_lsh,
+    )
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),     # verbatim clone of 1 → dropped
+        (3, [1.0, 0.0, 0.0]),     # verbatim clone of 1 → dropped
+        (4, [0.0, 1.0, 0.0]),     # orthogonal → kept at 0.9
+        (5, [0.0, 1.0, 0.0]),     # verbatim clone of 4 → dropped
+        (6, [-1.0, 0.0, 0.0]),    # anti-parallel → kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r["vec_id"] for r in embedding_cosine_dedup(df, threshold=0.9).collect()
+    )
+    assert kept == [1, 4, 6]
+    kept_lsh = sorted(
+        r["vec_id"]
+        for r in embedding_cosine_dedup_lsh(df, dim=3, threshold=0.9).collect()
+    )
+    # clones share every bucket, so the collapse path must drop them too
+    assert set(kept_lsh) <= {1, 4, 6} and {2, 3, 5}.isdisjoint(kept_lsh)
+
+    # zero vectors: under the session's ANSI mode the cosine's
+    # norm-product division throws DIVIDE_BY_ZERO — in the collapsed
+    # formulation exactly as in the uncollapsed one (the rep-level
+    # verify still evaluates the degenerate pair), so the collapse
+    # does not silently change degenerate-input behavior
+    import pytest
+    from pyspark.errors import ArithmeticException
+
+    zrows = [(7, [0.0, 0.0, 0.0]), (8, [0.0, 0.0, 0.0]), (9, [0.0, 1.0, 0.0])]
+    zdf = spark.createDataFrame(zrows, "vec_id long, embedding array<double>")
+    with pytest.raises(ArithmeticException):
+        embedding_cosine_dedup(zdf, threshold=0.9).collect()
+
+    with pytest.raises(ValueError):
+        embedding_cosine_dedup(df, threshold=1.5)
+
+
 def test_embedding_cosine_dedup_lsh_recall_and_no_false_drops(spark):
     from data_pipeline_childcare_spark.operators.similarity import (
         embedding_cosine_dedup,
