@@ -5292,6 +5292,69 @@ def streaming_late_drop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def streaming_stream_stream_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEVENTH stream==batch certified family: STREAM-STREAM
+    event-time INTERVAL JOIN
+    (streaming/dedup_join.stream_stream_click_purchase) — two REAL
+    file streams (clicks, purchases) joined on user inside
+    (click_ts, click_ts + 30 min] in one availableNow run. Both
+    sides carry watermarks and the join predicate carries the time
+    bound — exactly what lets Spark expire join state (the planner
+    rejects unbounded stream-stream joins); INNER matches emit as
+    they are found, so the availableNow pass yields precisely the
+    batch join's pairs and the oracle is the plain batch interval
+    join. Timestamps convert tz→ntz on the way out (lossless inverse
+    of the operator's session-zone cast — pinned hostile under
+    Asia/Shanghai, a no-DST zone)."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase,
+    )
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+
+    def side(event_type: str) -> DataFrame:
+        ev = (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        if isinstance(raw_schema["ts"].dataType, LongType):
+            ev = ev.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return ev.filter(F.col("event_type") == event_type)
+
+    joined = stream_stream_click_purchase(
+        side("click"), side("purchase"), horizon="30 minutes", watermark_delay="1 hour"
+    )
+    qname = "streaming_stream_stream_join_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -6356,6 +6419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_event_counts": streaming_windowed_event_counts,
         "streaming_sessionize_events": streaming_sessionize_events,
         "streaming_late_drop_events": streaming_late_drop_events,
+        "streaming_stream_stream_join_events": streaming_stream_stream_join_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
@@ -7984,6 +8048,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE epoch_us(time_bucket(INTERVAL 1 HOUR, ts)
                            + INTERVAL 1 HOUR) <= w2.wm_us
             GROUP BY 1, 2, 3
+        """,
+        "streaming_stream_stream_join_events": """
+            -- inner interval join emits matches immediately, so the
+            -- availableNow stream-stream run equals the batch join
+            SELECT c.user_id,
+                   c.ts AS click_ts,
+                   p.ts AS purchase_ts,
+                   p.value AS purchase_value
+            FROM events c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.ts > c.ts
+             AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         """,
         "streaming_sessionize_events": """
             WITH m AS (
