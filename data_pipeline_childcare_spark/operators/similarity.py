@@ -118,6 +118,28 @@ def _verbatim_reps(
     return reps, dropped
 
 
+# The collapse drops non-reps UNCONDITIONALLY on the argument that
+# round(cosine(v, v), ndigits) == 1.0 ≥ threshold. cosine(v, v) is
+# computed, not assumed: dot/(sqrt·sqrt) carries a few ulps of float
+# error (≤ ~1e-15 near 1.0), so the argument only holds while the
+# rounding tolerance 0.5·10^-ndigits dominates that error. 12 digits
+# (tolerance 5e-13) leaves >two orders of margin; beyond it the
+# self-cosine is not PROVABLY 1.0 and the collapse must be bypassed.
+_COLLAPSE_SAFE_NDIGITS = 12
+
+
+def _reps_for_dedup(
+    df: DataFrame, id_col: str, vec_col: str, ndigits: int
+) -> tuple[DataFrame, DataFrame]:
+    """Verbatim-collapse when the dominance argument holds at this
+    rounding precision; otherwise the identity split (every row its
+    own rep, nothing pre-dropped) so correctness never rests on an
+    unproven self-cosine rounding."""
+    if ndigits <= _COLLAPSE_SAFE_NDIGITS:
+        return _verbatim_reps(df, id_col, vec_col)
+    return df, df.select(F.col(id_col)).limit(0)
+
+
 def embedding_cosine_dedup(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -142,8 +164,11 @@ def embedding_cosine_dedup(
     their clone counts through the theta join.
     """
     if threshold > 1.0:
-        raise ValueError("cosine threshold > 1.0 breaks the verbatim-collapse dominance")
-    reps, nonreps = _verbatim_reps(df, id_col, vec_col)
+        # Rounded cosine never exceeds 1.0, so the duplicate set is
+        # provably empty — callers use >1.0 as "disable"; degrade to
+        # the no-op dedup instead of raising.
+        return df
+    reps, nonreps = _reps_for_dedup(df, id_col, vec_col, ndigits)
     a = reps.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
     b = reps.select(F.col(id_col).alias("_ib"), F.col(vec_col).alias("_vb"))
     dups = (
@@ -199,8 +224,11 @@ def embedding_cosine_dedup_lsh(
     # would emit c² candidate rows per table; see _verbatim_reps for
     # why the kept set is provably unchanged).
     if threshold > 1.0:
-        raise ValueError("cosine threshold > 1.0 breaks the verbatim-collapse dominance")
-    reps, nonreps = _verbatim_reps(df, id_col, vec_col)
+        # Rounded cosine never exceeds 1.0, so the duplicate set is
+        # provably empty — callers use >1.0 as "disable"; degrade to
+        # the no-op dedup instead of raising.
+        return df
+    reps, nonreps = _reps_for_dedup(df, id_col, vec_col, ndigits)
     tables = F.posexplode(
         F.array(*[lsh_bucket(vec_col, dim, n_planes, table=t) for t in range(n_tables)])
     ).alias("_table", "_bucket")
@@ -352,7 +380,8 @@ def embedding_cosine_dedup_ivf(
     corpora are.
     """
     if threshold > 1.0:
-        raise ValueError("cosine threshold > 1.0 breaks the verbatim-collapse dominance")
+        # Rounded cosine never exceeds 1.0 — no-op dedup, not an error.
+        return df
     # The quantizer trains on the FULL corpus (so the canonical
     # trajectory the SQL twin replays is untouched), but assignment
     # and candidate generation run on verbatim-collapsed reps only —
@@ -360,7 +389,7 @@ def embedding_cosine_dedup_ivf(
     # would emit c² candidate rows per shared cell while the kept set
     # is provably unchanged (see _verbatim_reps).
     centroids = kmeans_lite(df, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col)
-    reps, nonreps = _verbatim_reps(df, id_col, vec_col)
+    reps, nonreps = _reps_for_dedup(df, id_col, vec_col, ndigits)
     scored = reps.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
     )
@@ -440,6 +469,7 @@ def kmeans_lite(
             f"kmeans_lite k={k} exceeds the 4096 driver-model cap — "
             "the centroid frame is model-sized by contract"
         )
+    _warn_build_time_training("kmeans_lite")
     spark = corpus.sparkSession
     memo_key = _model_memo_key(corpus, "kmeans", k, iterations, id_col, vec_col)
     if memo_key is not None and memo_key in _MODEL_MEMO:
@@ -483,7 +513,7 @@ def kmeans_lite(
             ((r["cell"], list(r["centroid"])) for r in new_rows), key=lambda t: t[0]
         )
     if memo_key is not None:
-        _MODEL_MEMO[memo_key] = cents
+        _model_memo_put(memo_key, cents)
     return cent_df(cents)
 
 
@@ -861,6 +891,69 @@ def _model_memo_key(df: DataFrame, *params):
     return (app, h, tuple(df.columns), params)
 
 
+# Session-scoped persisted-frame cache for index artifacts (the
+# DataFrame sibling of _MODEL_MEMO): deliberately-left-cached frames
+# (IVF inverted lists, audit reference top-k) are keyed so a repeated
+# build for the SAME key returns the existing cached frame instead of
+# stacking a fresh persisted copy per invocation — the leak is bounded
+# by the session's distinct (plan, params) space instead of its call
+# count. Keys lead with applicationId; dead-session entries (JVM and
+# cache both gone) are dropped on insert.
+_INDEX_CACHE: dict = {}
+
+
+def persist_index(key, frame: DataFrame) -> DataFrame:
+    if key is None:  # non-JVM stub frame — keep the old behavior
+        return frame.persist()
+    if key in _INDEX_CACHE:
+        return _INDEX_CACHE[key]
+    for k in [k for k in _INDEX_CACHE if k[0] != key[0]]:
+        del _INDEX_CACHE[k]
+    f = frame.persist()
+    _INDEX_CACHE[key] = f
+    return f
+
+
+_BUILD_TIME_TRAINING_WARNED: set = set()
+
+
+def _warn_build_time_training(fn_name: str) -> None:
+    """Loud once-per-process log that a trainer is about to run Spark
+    jobs at plan-BUILD time — the documented inversion of the engine's
+    "building a plan must never execute" invariant. A new caller that
+    composes these lazily inherits build-time driver actions; the
+    zero-job audit (tests/test_plan_contracts.py) enforces which
+    registry entries may, and this log makes a violation visible at
+    runtime rather than only when that test runs."""
+    if fn_name in _BUILD_TIME_TRAINING_WARNED:
+        return
+    _BUILD_TIME_TRAINING_WARNED.add(fn_name)
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "%s trains at plan-build time: Spark jobs (seed + per-iteration "
+        "aggregate collects) run while the caller constructs its "
+        "DataFrame. Callers audited by the zero-job plan-build contract "
+        "must be whitelisted in tests/test_plan_contracts.py.",
+        fn_name,
+    )
+
+
+def _model_memo_put(key, value) -> None:
+    """Insert a trained model, evicting entries from DEAD sessions.
+
+    Keys lead with applicationId; a long-lived process that restarts
+    SparkSession (multi-session test runs) would otherwise accumulate
+    unreachable entries forever. Evicting on the app boundary keeps the
+    memo bounded by one session's distinct (plan, params) space, which
+    is what the session-scoped immutable-input contract covers."""
+    app = key[0]
+    stale = [k for k in _MODEL_MEMO if k[0] != app]
+    for k in stale:
+        del _MODEL_MEMO[k]
+    _MODEL_MEMO[key] = value
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 via the dot-product decomposition
     ``a·a − 2·a·b + b·b`` — three sequential folds, the SAME
@@ -921,6 +1014,7 @@ def pq_codebooks(
     # ivfpq residual frame carries the coarse-centroid local relation,
     # whose semantic hash is not stable across invocations) pass an
     # explicit memo_key derived from the RAW corpus + all params
+    _warn_build_time_training("pq_codebooks")
     if memo_key is None:
         memo_key = _model_memo_key(
             corpus, "pq", dim, n_sub, n_codes, iterations, id_col, vec_col
@@ -987,7 +1081,7 @@ def pq_codebooks(
             key=lambda t: (t[0], t[1]),
         )
     if memo_key is not None:
-        _MODEL_MEMO[memo_key] = cents
+        _model_memo_put(memo_key, cents)
     return cent_df(cents)
 
 
@@ -1153,8 +1247,16 @@ def ivfpq_topk(
     # the residual/codes build and the query-time candidate probe, and
     # a broadcast probe side re-executes its upstream chain (no
     # ReusedExchange), so materialize it once, exactly as a production
-    # IVF build stores its inverted lists; deliberately left cached
-    indexed = _assign_cells(corpus, cents, id_col, vec_col).persist()
+    # IVF build stores its inverted lists; cached through the keyed
+    # index cache (raw-corpus key — cents embeds collected literals,
+    # whose LocalRelation hashes are not invocation-stable) so
+    # repeated builds reuse ONE cached copy instead of stacking
+    indexed = persist_index(
+        _model_memo_key(
+            corpus, "ivfpq-index", n_cells, coarse_iterations, id_col, vec_col
+        ),
+        _assign_cells(corpus, cents, id_col, vec_col),
+    )
     resid = indexed.join(F.broadcast(cents), "cell").select(
         id_col,
         "cell",

@@ -17,6 +17,18 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _orderable(dt: T.DataType) -> bool:
+    """Whether a type admits binary comparison (MapType does not)."""
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    return True
 
 
 def top_k_per_group(
@@ -56,16 +68,42 @@ def top_k_with_global_dedup(
     prio = F.col(priority_col) if priority_col else F.col(task_col)
     # Stage 1: an item contested by several tasks goes to the
     # highest-priority task. The claim is a k=1 top — an ARGMIN
-    # aggregate, not a window: min(struct(prio, -score, payload))
-    # over the item group replaces sort + WindowGroupLimit with a
-    # map-side-combinable hash aggregate (same exchange on item, two
-    # fewer sorts; ordering identical — struct comparison is
-    # lexicographic and score negation is exact double math).
+    # aggregate, not a window: min(struct(prio, key, payload)) over
+    # the item group replaces sort + WindowGroupLimit with a map-side-
+    # combinable hash aggregate (same exchange on item, two fewer
+    # sorts). The key must reproduce the window's `desc(score)`
+    # ordering exactly, including the edges struct-min would otherwise
+    # invert: desc puts NaN FIRST (Spark orders NaN above every
+    # number) and NULL LAST (desc defaults to NULLS LAST), while a
+    # bare -score struct field sorts NULL first and -NaN(=NaN) last.
+    # A (class, -score) pair restores it: NaN→0, value→1, NULL→2.
     other = [c for c in candidates.columns if c != item_col]
+    score_dt = candidates.schema[score_col].dataType
+    floating = isinstance(score_dt, (T.FloatType, T.DoubleType))
+    if not isinstance(score_dt, T.NumericType) or not all(
+        _orderable(candidates.schema[c].dataType) for c in other
+    ):
+        # Struct comparison needs every field orderable and the key
+        # negation needs a numeric score; otherwise fall back to the
+        # original window claim (same ordering, one extra sort —
+        # correctness over plan shape).
+        w_claim = Window.partitionBy(item_col).orderBy(prio, F.desc(score_col))
+        claimed = (
+            candidates.withColumn("_claim", F.row_number().over(w_claim))
+            .filter(F.col("_claim") == 1)
+            .drop("_claim")
+        )
+        return top_k_per_group(claimed, task_col, score_col, k, tie_col=item_col)
+    score = F.col(score_col)
+    cls = F.when(score.isNull(), F.lit(2))
+    if floating:
+        cls = cls.when(F.isnan(score), F.lit(0))
+    cls = cls.otherwise(F.lit(1))
     win = F.min(
         F.struct(
             prio.alias("_p"),
-            (-F.col(score_col)).alias("_ns"),
+            cls.alias("_c"),
+            (-score).alias("_ns"),
             *[F.col(c).alias(c) for c in other],
         )
     ).alias("_w")

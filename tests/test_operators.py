@@ -64,6 +64,39 @@ def test_topk_global_dedup_first_task_wins(spark):
     assert rows == {("a", 1), ("a", 2), ("b", 3)}
 
 
+def test_topk_global_dedup_null_and_nan_scores_match_window_order(spark):
+    # Claim ordering is desc(score): NULLS LAST (a null-score candidate
+    # loses a contested item) and NaN FIRST (Spark sorts NaN above every
+    # number, so a NaN-score candidate wins). Pins the argmin key
+    # against the original row_number window semantics.
+    # prio orders before score, so contest items WITHIN one task to
+    # isolate the score ordering.
+    cand = spark.createDataFrame(
+        [("a", 1, None), ("a", 1, 1.0),
+         ("a", 2, float("nan")), ("a", 2, 99.0)],
+        "task_id string, item_id long, score double",
+    )
+    got = {(r["item_id"], r["score"]) for r in
+           top_k_with_global_dedup(cand, k=10).collect()}
+    import math
+    assert (1, 1.0) in got                      # null lost (NULLS LAST)
+    assert any(i == 2 and isinstance(s, float) and math.isnan(s)
+               for i, s in got)                 # NaN won (NaN-first under desc)
+    assert (2, 99.0) not in got
+
+
+def test_topk_global_dedup_map_payload_falls_back_to_window(spark):
+    # Map-typed payload columns are not orderable in a struct min;
+    # the operator must still work (window fallback path).
+    cand = spark.createDataFrame(
+        [("a", 1, 9.0, {"k": "v"}), ("b", 1, 99.0, {"k": "w"}), ("b", 3, 1.0, {})],
+        "task_id string, item_id long, score double, meta map<string,string>",
+    )
+    rows = {(r["task_id"], r["item_id"]) for r in
+            top_k_with_global_dedup(cand, k=2).collect()}
+    assert rows == {("a", 1), ("b", 3)}
+
+
 def test_topk_sequential_dedup_later_tasks_see_remainder(spark):
     from data_pipeline_childcare_spark.operators import top_k_sequential_dedup
 

@@ -177,8 +177,27 @@ def test_embedding_cosine_dedup_verbatim_collapse_saturation(spark):
     with pytest.raises(ArithmeticException):
         embedding_cosine_dedup(zdf, threshold=0.9).collect()
 
-    with pytest.raises(ValueError):
-        embedding_cosine_dedup(df, threshold=1.5)
+    # threshold > 1.0 means "disable": rounded cosine never exceeds
+    # 1.0, so the dedup degrades to a no-op instead of raising.
+    kept_all = {r["vec_id"] for r in embedding_cosine_dedup(df, threshold=1.5).collect()}
+    assert kept_all == {r["vec_id"] for r in df.collect()}
+
+    # ndigits beyond the provable self-cosine rounding bound bypasses
+    # the verbatim collapse — clones must then survive a threshold of
+    # exactly 1.0 unless the computed rounded cosine really reaches it.
+    clones = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0]), (2, [1.0, 2.0, 3.0])],
+        "vec_id long, embedding array<double>",
+    )
+    kept_hi = {r["vec_id"] for r in
+               embedding_cosine_dedup(clones, threshold=1.0, ndigits=17).collect()}
+    kept_lo = {r["vec_id"] for r in
+               embedding_cosine_dedup(clones, threshold=1.0, ndigits=6).collect()}
+    assert kept_lo == {1}
+    # at ndigits=17 the outcome follows the computed cosine (no
+    # unconditional clone drop); whichever way the float lands, row 1
+    # must survive and the result equals the uncollapsed formulation
+    assert 1 in kept_hi
 
 
 def test_embedding_cosine_dedup_lsh_recall_and_no_false_drops(spark):
