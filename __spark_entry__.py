@@ -5362,6 +5362,118 @@ def streaming_stream_stream_join_events(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIGHTH stream==batch certified family: STREAMING DEDUPLICATION
+    state (``dropDuplicatesWithinWatermark`` —
+    streaming/dedup_join.streaming_dedup) over a REAL availableNow
+    file-stream run. The dedup keys are the FULL projected row
+    (user_id, event_type, epoch day), so whichever duplicate arrives
+    first the emitted row is identical and the oracle is plain
+    SELECT DISTINCT — what certifies is the state machinery:
+    per-key state inserted on first sight, late twins suppressed,
+    state evicted once the watermark passes (bounded by keys per
+    horizon, not stream length). The single-file availableNow run
+    keeps every duplicate inside the watermark horizon, the regime
+    the operator contracts exactness for."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import streaming_dedup
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    if isinstance(raw_schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts",
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
+        )
+    keyed = ev.select(
+        "user_id",
+        "event_type",
+        F.expr("cast(datediff(to_date(ts), date '1970-01-01') as int)").alias(
+            "day"
+        ),
+        "ts",
+    )
+    deduped = streaming_dedup(
+        keyed, ["user_id", "event_type", "day"], watermark_delay="2 hours"
+    )
+    qname = "streaming_dedup_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        deduped.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    # the retained first-arrival ts is arrival-order-dependent; the
+    # certified surface is the key set, which is order-free
+    return spark.table(qname).select("user_id", "event_type", "day")
+
+
+def streaming_user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NINTH stream==batch certified family: CUSTOM STATEFUL operator
+    via ``applyInPandasWithState``
+    (streaming/stateful.running_user_stats_exact) — per-user explicit
+    state (count, Σ floor(value·1e6+0.5)) mutated per micro-batch,
+    Arrow-batched, the escape hatch for operator semantics Spark's
+    declarative surface lacks. Integer-micros accumulation makes the
+    state batch-split-invariant, so the final state equals the batch
+    aggregate no matter how availableNow chops the input; update-mode
+    emissions are cumulative and n_events strictly increases, so
+    max(struct(n, total)) per user reads the final state. Oracle =
+    the plain batch GROUP BY."""
+    import os
+
+    from data_pipeline_childcare_spark.streaming.stateful import (
+        running_user_stats_exact,
+    )
+
+    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ev = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    ).select("user_id", "value")
+    stats = running_user_stats_exact(ev)
+    qname = "streaming_user_stats_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        stats.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    final = F.max(F.struct(F.col("n_events"), F.col("total_value_u"))).alias("_s")
+    return (
+        spark.table(qname)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("_s.n_events").alias("n_events"),
+            F.col("_s.total_value_u").alias("total_value_u"),
+        )
+    )
+
+
 def gapfill_events_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     """6-hour buckets densified over the observed range: counts
     zero-filled, per-type avg carried forward (TimescaleDB
@@ -6427,6 +6539,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_events": streaming_sessionize_events,
         "streaming_late_drop_events": streaming_late_drop_events,
         "streaming_stream_stream_join_events": streaming_stream_stream_join_events,
+        "streaming_dedup_events": streaming_dedup_events,
+        "streaming_user_stats_events": streaming_user_stats_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
         "gapfill_events_6h": gapfill_events_6h,
         "embedding_cosine_dedup": embedding_cosine_dedup_q,
@@ -8069,6 +8183,26 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts > c.ts
              AND p.ts <= c.ts + INTERVAL 30 MINUTE
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "streaming_dedup_events": """
+            -- dropDuplicatesWithinWatermark keyed on the full
+            -- projected row == DISTINCT when every duplicate arrives
+            -- inside the watermark horizon (single-file availableNow)
+            SELECT DISTINCT
+                   user_id,
+                   event_type,
+                   CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS INTEGER) AS day
+            FROM events
+        """,
+        "streaming_user_stats_events": """
+            -- batch twin of the applyInPandasWithState accumulator:
+            -- integer-micros quantization BEFORE summation makes the
+            -- stream state and this GROUP BY bit-identical
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u
+            FROM events
+            GROUP BY user_id
         """,
         "streaming_sessionize_events": """
             WITH m AS (

@@ -76,3 +76,65 @@ def test_running_user_stats_state_across_batches(spark, tmp_path):
         final[r["user_id"]] = (r["n_events"], r["total_value"])
     assert final[1] == (2, 5.0)  # 2.0 + 3.0 across two batches
     assert final[2] == (1, 5.0)
+
+def test_running_user_stats_exact_multi_batch_equals_batch_aggregate(spark, tmp_path):
+    """Integer-micros state is batch-split-invariant: the final state
+    after a 2-batch availableNow run equals the one-shot batch GROUP
+    BY on the same rows — the property the registry certification
+    (streaming_user_stats_events) rests on. Values chosen so float
+    accumulation order WOULD differ (0.1/0.2-style doubles)."""
+    from pyspark.sql import functions as F
+
+    from data_pipeline_childcare_spark.streaming.stateful import (
+        running_user_stats_exact,
+    )
+
+    t0 = dt.datetime(2024, 1, 1, 10)
+    batch1 = spark.createDataFrame(
+        [(1, t0, 0.1), (1, t0, 0.2), (2, t0, 1.005)],
+        "user_id long, ts timestamp, value double",
+    )
+    batch2 = spark.createDataFrame(
+        [(1, t0, 0.3), (2, t0, -2.5)], "user_id long, ts timestamp, value double"
+    )
+    src = tmp_path / "ev"
+    batch1.write.parquet(str(src / "f1"))
+    batch2.write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        running_user_stats_exact(stream)
+        .writeStream.format("memory")
+        .queryName("user_stats_exact")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt_exact"))
+        .start()
+    )
+    q.awaitTermination(120)
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value_u"])
+        for r in spark.sql(
+            "SELECT user_id, max_by(n_events, n_events) AS n_events,"
+            " max_by(total_value_u, n_events) AS total_value_u"
+            " FROM user_stats_exact GROUP BY user_id"
+        ).collect()
+    }
+    expected = {
+        r["user_id"]: (r["n"], r["t"])
+        for r in batch1.unionByName(batch2)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.floor(F.col("value") * 1_000_000 + F.lit(0.5)).cast("long")
+            ).alias("t"),
+        )
+        .collect()
+    }
+    assert final == expected
+    assert final[1] == (3, 600000)       # 0.1+0.2+0.3 exact in micros
+    assert final[2] == (2, -1495000)     # 1.005 → 1005000, -2.5 → -2500000
