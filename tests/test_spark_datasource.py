@@ -1,0 +1,187 @@
+"""The tuoyu_registry Python DataSource: partition-parallel batch
+scan + offset-checkpointed streaming crawl (sources/spark_datasource).
+
+All hermetic via the ``fixture`` transport (page→envelope JSON file);
+the wire shape matches connectors.HttpTuoyuRegistrySource's replay
+and loopback suites (reference tuoyu_scraper.py:24-97).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _envelope(page: int, n_rows: int, total_page: int, total_record: int) -> dict:
+    return {
+        "code": "000000",
+        "responseData": {
+            "totalRecord": total_record,
+            "totalPage": total_page,
+            "dataList": [
+                {"机构名称": f"园{page}-{i}", "区域编号": f"{page}{i:02d}"}
+                for i in range(n_rows)
+            ],
+        },
+    }
+
+
+def _write_fixture(tmp_path, pages: dict) -> str:
+    p = tmp_path / "registry_fixture.json"
+    p.write_text(json.dumps(pages, ensure_ascii=False), encoding="utf-8")
+    return str(p)
+
+
+@pytest.fixture()
+def registered(spark):
+    from data_pipeline_childcare_spark.sources.spark_datasource import register
+
+    register(spark)
+    return spark
+
+
+def test_batch_scan_reads_all_pages_across_partitions(registered, tmp_path):
+    spark = registered
+    # 5 pages × 10 rows, last page short — chunked 2 pages/task so the
+    # scan provably spans multiple input partitions
+    pages = {str(p): _envelope(p, 2 if p == 5 else 10, 5, 42) for p in range(1, 6)}
+    fx = _write_fixture(tmp_path, pages)
+    df = (
+        spark.read.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("pages_per_task", 2)
+        .load()
+    )
+    rows = df.collect()
+    assert len(rows) == 42
+    assert {r["page"] for r in rows} == {1, 2, 3, 4, 5}
+    assert all(r["error"] is None for r in rows)
+    rec = json.loads(next(r["record"] for r in rows if r["page"] == 3))
+    assert rec["机构名称"].startswith("园3-")
+    # the page chunking is real partition parallelism, not one task
+    assert df.rdd.getNumPartitions() == 3  # ceil(5/2)
+
+
+def test_batch_scan_max_pages_and_dead_page_degrades_to_error_row(registered, tmp_path):
+    spark = registered
+    pages = {str(p): _envelope(p, 3, 4, 12) for p in (1, 2, 4)}  # page 3 missing
+    fx = _write_fixture(tmp_path, pages)
+    df = (
+        spark.read.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("max_retries", 2)
+        .load()
+    )
+    ok = df.filter(F.col("error").isNull())
+    bad = df.filter(F.col("error").isNotNull()).collect()
+    assert ok.count() == 9  # pages 1,2,4 × 3 rows
+    assert [r["page"] for r in bad] == [3]
+    assert "no page 3" in bad[0]["error"]
+
+    capped = (
+        spark.read.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("max_pages", 2)
+        .load()
+    )
+    assert capped.count() == 6 and capped.agg(F.max("page")).first()[0] == 2
+
+
+def test_batch_scan_consecutive_failures_abort_partition(registered, tmp_path):
+    spark = registered
+    # pages 2..6 all missing; with max_consecutive_errors=3 the single
+    # partition yields page-1 rows, 3 error rows, then the abort marker
+    pages = {"1": _envelope(1, 4, 6, 24)}
+    fx = _write_fixture(tmp_path, pages)
+    df = (
+        spark.read.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("max_retries", 1)
+        .option("max_consecutive_errors", 3)
+        .option("pages_per_task", 64)
+        .load()
+    )
+    rows = df.collect()
+    assert sum(1 for r in rows if r["error"] is None) == 4
+    errs = [r for r in rows if r["error"] is not None]
+    assert len(errs) == 4  # pages 2,3,4 + the abort marker
+    assert "aborted partition after 3 consecutive page failures" in errs[-1]["error"]
+
+
+def test_streaming_crawl_resumes_from_checkpoint(registered, tmp_path):
+    """The page counter is the offset: the checkpoint persists
+    progress, and a RESTARTED query continues from the committed page
+    instead of re-crawling — the property that makes a recurring
+    registry crawl incremental."""
+    spark = registered
+    pages = {str(p): _envelope(p, 2, 6, 12) for p in range(1, 7)}
+    fx = _write_fixture(tmp_path, pages)
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+
+    def run_once() -> None:
+        q = (
+            spark.readStream.format("tuoyu_registry")
+            .option("fixture", fx)
+            .option("pages_per_task", 1)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.schema("page int, record string, error string").parquet(
+        str(out)
+    )
+    got1 = {r["page"] for r in first.select("page").distinct().collect()}
+    assert got1 == {1, 2, 3, 4, 5, 6}
+    n1 = first.count()
+    assert n1 == 12 and first.filter("error is not null").count() == 0
+
+    # restart against the SAME checkpoint: offsets say page 7 is next,
+    # no new pages exist, so nothing is re-emitted
+    run_once()
+    again = spark.read.schema("page int, record string, error string").parquet(
+        str(out)
+    )
+    assert again.count() == n1
+
+
+def test_stream_equals_batch_on_the_same_fixture(registered, tmp_path):
+    """Certification shape: one availableNow streaming crawl lands
+    exactly the batch scan's records (page counter offsets lose and
+    duplicate nothing)."""
+    spark = registered
+    pages = {str(p): _envelope(p, 5, 4, 20) for p in range(1, 5)}
+    fx = _write_fixture(tmp_path, pages)
+    batch = {
+        (r["page"], r["record"])
+        for r in spark.read.format("tuoyu_registry").option("fixture", fx).load().collect()
+    }
+    out, ckpt = tmp_path / "sb_out", tmp_path / "sb_ckpt"
+    q = (
+        spark.readStream.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("pages_per_task", 2)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["page"], r["record"])
+        for r in spark.read.schema("page int, record string, error string")
+        .parquet(str(out))
+        .collect()
+    }
+    assert streamed == batch and len(batch) == 20
