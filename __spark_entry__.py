@@ -63,6 +63,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return per_session[key]
 
 
+def _stream_raw(spark: SparkSession, sf_dir: str, name: str):
+    """File-stream over one table, returning (stream_df, raw_schema).
+
+    ``<name>.parquet`` may be a single FILE (driver testdata) or a
+    DIRECTORY of part files (Spark-written scaled corpora). The file
+    stream source accepts a directory path directly but rejects a
+    bare file ("basePath must be a directory"), while the
+    pathGlobFilter form matches FILE names only — a directory named
+    events.parquet contains part-*.parquet and matches nothing, which
+    silently streams ZERO rows. Dispatch on which form the path is so
+    every streaming entry reads the same rows batch queries do at any
+    scale."""
+    import os
+
+    _t(spark, sf_dir, name)  # sets the nanos-parquet conf
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    raw_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(raw_schema)
+    if os.path.isdir(path):
+        return reader.parquet(path), raw_schema
+    return reader.option("pathGlobFilter", f"{name}.parquet").parquet(sf_dir), raw_schema
+
+
 # ---------------------------------------------------------------------------
 # Relational core (TPC-H-style; exercises scan/filter/join/agg/window/sort
 # — SURVEY.md §2.3 "ship them because Spark gives them for free")
@@ -248,14 +271,7 @@ def streaming_enriched_event_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
     from pyspark.sql.types import LongType
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev, raw_schema = _stream_raw(spark, sf_dir, "events")
     if isinstance(raw_schema["ts"].dataType, LongType):
         ev = ev.withColumn(
             "ts",
@@ -2205,14 +2221,7 @@ def streaming_scd2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         streaming_scd2_to_path,
     )
 
-    _t(spark, sf_dir, "orders")
-    path = os.path.join(sf_dir, "orders.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    obs = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "orders.parquet")
-        .parquet(sf_dir)
-    )
+    obs, raw_schema = _stream_raw(spark, sf_dir, "orders")
     if isinstance(raw_schema["o_orderdate"].dataType, LongType):
         obs = obs.withColumn(
             "o_orderdate",
@@ -5126,16 +5135,7 @@ def streaming_hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> Data
 
     from pyspark.sql.types import LongType
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    # the file stream source lists a DIRECTORY; glob-filter it down to
-    # the events file so sibling tables aren't ingested
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev, raw_schema = _stream_raw(spark, sf_dir, "events")
     if isinstance(raw_schema["ts"].dataType, LongType):
         # nanos-as-long environments: same conversion load_table does
         ev = ev.withColumn(
@@ -5174,14 +5174,7 @@ def streaming_windowed_event_counts(spark: SparkSession, sf_dir: str) -> DataFra
 
     from data_pipeline_childcare_spark.streaming.windows import windowed_event_counts
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev, raw_schema = _stream_raw(spark, sf_dir, "events")
     if isinstance(raw_schema["ts"].dataType, LongType):
         ev = ev.withColumn(
             "ts",
@@ -5222,14 +5215,7 @@ def streaming_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_childcare_spark.streaming.windows import streaming_sessions
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    path = os.path.join(sf_dir, "events.parquet")
-    raw_schema = spark.read.parquet(path).schema
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev, raw_schema = _stream_raw(spark, sf_dir, "events")
     if isinstance(raw_schema["ts"].dataType, LongType):
         ev = ev.withColumn(
             "ts",
@@ -5321,15 +5307,8 @@ def streaming_stream_stream_join_events(spark: SparkSession, sf_dir: str) -> Dat
         stream_stream_click_purchase,
     )
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-
     def side(event_type: str) -> DataFrame:
-        ev = (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+        ev, raw_schema = _stream_raw(spark, sf_dir, "events")
         if isinstance(raw_schema["ts"].dataType, LongType):
             ev = ev.withColumn(
                 "ts",
@@ -5381,13 +5360,7 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from data_pipeline_childcare_spark.streaming.dedup_join import streaming_dedup
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    ev, raw_schema = _stream_raw(spark, sf_dir, "events")
     if isinstance(raw_schema["ts"].dataType, LongType):
         ev = ev.withColumn(
             "ts",
@@ -5441,13 +5414,8 @@ def streaming_user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         running_user_stats_exact,
     )
 
-    _t(spark, sf_dir, "events")  # sets the nanos-parquet conf
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
-    ev = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    ).select("user_id", "value")
+    ev, _ = _stream_raw(spark, sf_dir, "events")
+    ev = ev.select("user_id", "value")
     stats = running_user_stats_exact(ev)
     qname = "streaming_user_stats_sink"
     for q in spark.streams.active:
