@@ -432,6 +432,21 @@ def _parse_wav_pcm(data: bytes) -> tuple[int, int, bytes]:
     )
 
 
+def _parse_audio(data: bytes) -> tuple[int, int, bytes]:
+    """Container dispatch → (rate, channels, pcm16): RIFF/WAVE via
+    :func:`_parse_wav_pcm` (PCM16 / IMA-ADPCM / G.711 tiers), FLAC via
+    the library-free ``flaccodec`` decoder (16- and 8-bit streams —
+    the speech-corpus norm). One contract for every audio consumer, so
+    features and fingerprints treat both containers identically."""
+    if data[:4] == b"fLaC":
+        from data_pipeline_childcare_spark.sources.flaccodec import (  # noqa: PLC0415
+            decode_flac,
+        )
+
+        return decode_flac(data)
+    return _parse_wav_pcm(data)
+
+
 def audio_features(
     df: DataFrame, path_col: str = "path", content_col: str = "content"
 ) -> DataFrame:
@@ -441,9 +456,10 @@ def audio_features(
     REAL tier: 16-bit PCM WAV parsed with stdlib struct, samples via
     numpy → duration, RMS and peak (normalized to [0,1]), and
     zero-crossing rate (per sample, the cheap pitch/noisiness
-    proxy) — deterministic in every environment. Compressed formats
-    (MP3/OGG/FLAC need codec libraries) fall to a marked digest stub
-    with the same schema.
+    proxy) — deterministic in every environment. FLAC decodes through the
+    library-free ``flaccodec`` tier; remaining compressed formats
+    (MP3/OGG need codec libraries) fall to a marked digest stub with
+    the same schema.
     """
     import numpy as np  # noqa: PLC0415
 
@@ -453,7 +469,7 @@ def audio_features(
             for path, data in zip(pdf[path_col], pdf[content_col]):
                 raw = bytes(data)
                 try:
-                    rate, channels, pcm = _parse_wav_pcm(raw)
+                    rate, channels, pcm = _parse_audio(raw)
                     x = np.frombuffer(
                         pcm[: len(pcm) - (len(pcm) % (2 * channels))], dtype="<i2"
                     ).astype(np.float64) / 32768.0
@@ -546,7 +562,7 @@ def audio_fingerprint_bytes(data: bytes, n_windows: int = 64) -> tuple[int, int,
     [w·n//W, (w+1)·n//W) — equal slices when W divides n.
     """
     try:
-        rate, channels, pcm = _parse_wav_pcm(data)
+        rate, channels, pcm = _parse_audio(data)
     except Exception:  # noqa: BLE001  (corrupt/unsupported: stub tier)
         digest = hashlib.sha256(data).digest()
         bits = [(digest[i // 8] >> (i % 8)) & 1 for i in range(63)]
