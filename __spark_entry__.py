@@ -4184,6 +4184,61 @@ def audio_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def audio_flac_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC decode certified IN the gate: the same closed-form PCM16
+    signal the WAV fingerprint row synthesizes is CONTAINERIZED AS
+    FLAC (sources/flaccodec.encode_flac_pcm16 — real frame headers,
+    CRC-8/CRC-16, verbatim subframes), decoded back by the library-
+    free FLAC decoder inside the real audio stack
+    (multimodal._parse_audio), and fingerprinted with the exact
+    integer window energies. The DuckDB twin derives the fingerprint
+    closed-form from the sample generator — container-independent
+    because the decode is lossless — so a green row proves the FLAC
+    frame parser, CRC checks, and subframe reconstruction return the
+    bit-exact samples. is_stub rides along: any decode failure flips
+    it and the digest fingerprint hash-mismatches loudly."""
+    import pandas as pd  # noqa: PLC0415
+    import struct  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.flaccodec import encode_flac_pcm16
+    from data_pipeline_childcare_spark.sources.multimodal import audio_fingerprints
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+
+    def gen(batches):
+        for pdf in batches:
+            ids, paths, blobs = [], [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                g, p = d // 8, d % 8
+                mult = (g % 89 + 14 + p) if p >= 6 else (g % 89 + 3)
+                quad = g % 13
+                samples = []
+                for i in range(512):
+                    s = ((g * 7 + i * mult + i * i * quad) % 4001) - 2000
+                    if 4 <= p < 6 and i == d % 512:
+                        s += 500
+                    samples.append(s)
+                ids.append(d)
+                paths.append(f"au_{d}.flac")
+                blobs.append(
+                    encode_flac_pcm16(
+                        8000, 1, struct.pack("<512h", *samples), blocksize=256
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "path": paths, "content": blobs})
+
+    flacs = docs.mapInPandas(gen, schema="doc_id long, path string, content binary")
+    fps = audio_fingerprints(flacs, id_cols=("doc_id",))
+    return fps.select(
+        "doc_id",
+        F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("afp").cast("long").alias("afp"),
+        F.col("is_stub").cast("boolean").alias("is_stub"),
+    )
+
+
 def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-byte vs perceptual image dedup, audited side by side —
     the multimodal edition of ``dedup_method_agreement``: the same
@@ -6389,6 +6444,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "image_ahash_near_dup": image_ahash_near_dup,
         "video_keyframe_dedup": video_keyframe_dedup,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
+        "audio_flac_fingerprint_docs": audio_flac_fingerprint_docs,
         "multimodal_dedup_agreement": multimodal_dedup_agreement,
         "bm25_search_docs": bm25_search_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -12836,6 +12892,41 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY ba.doc_id, bb.doc_id
         ), {_ham_capped}
         SELECT id_a, id_b, hamming FROM capped
+    """
+    # FLAC container parity: the identical closed-form signal, so the
+    # fingerprint (and thus the FLAC decode) must be bit-exact; the
+    # oracle is container-free math
+    out["audio_flac_fingerprint_docs"] = """
+        WITH ids AS (
+            SELECT doc_id, doc_id // 8 AS g, doc_id % 8 AS p
+            FROM documents
+        ), samp AS (
+            SELECT doc_id, CAST(i AS INT) AS i,
+                   CASE WHEN p >= 4 AND p < 6 AND i = doc_id % 512
+                        THEN ((g * 7 + i * (g % 89 + 3) + i * i * (g % 13))
+                              % 4001) - 2000 + 500
+                        WHEN p >= 6
+                        THEN ((g * 7 + i * (g % 89 + 14 + p) + i * i * (g % 13))
+                              % 4001) - 2000
+                        ELSE ((g * 7 + i * (g % 89 + 3) + i * i * (g % 13))
+                              % 4001) - 2000
+                   END AS s
+            FROM ids CROSS JOIN range(512) r(i)
+        ), en AS (
+            SELECT doc_id, i // 8 AS w, sum(s * s) AS e
+            FROM samp GROUP BY doc_id, i // 8
+        ), bits AS (
+            SELECT a.doc_id, CAST(a.w AS INT) AS b,
+                   CASE WHEN nx.e > a.e THEN 1 ELSE 0 END AS bit
+            FROM en a JOIN en nx
+              ON nx.doc_id = a.doc_id AND nx.w = a.w + 1
+        )
+        SELECT doc_id,
+               CAST(8000 AS INT) AS sample_rate,
+               CAST(512 AS BIGINT) AS n_samples,
+               CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS afp,
+               FALSE AS is_stub
+        FROM bits GROUP BY doc_id
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["decode_flac", "parse_streaminfo"]
+__all__ = ["decode_flac", "parse_streaminfo", "encode_flac_pcm16"]
 
 
 class _Bits:
@@ -360,3 +360,95 @@ def decode_flac(data: bytes) -> tuple[int, int, bytes]:
             struct.pack_into("<h", buf, k, out[c][t] << shift)
             k += 2
     return info["sample_rate"], n_ch, bytes(buf)
+
+
+class _BitWriter:
+    __slots__ = ("buf", "acc", "nbits")
+
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc = (self.acc << n) | (value & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.buf.append((self.acc >> self.nbits) & 0xFF)
+        self.acc &= (1 << self.nbits) - 1
+
+    def align(self) -> None:
+        if self.nbits:
+            self.write(0, 8 - self.nbits)
+
+
+def encode_flac_pcm16(rate: int, channels: int, pcm: bytes,
+                      blocksize: int = 4096) -> bytes:
+    """Fixture-grade FLAC writer (the audio sibling of
+    ``multimodal.encode_wav_pcm16``): interleaved little-endian PCM16
+    → a valid FLAC stream of VERBATIM subframes that
+    :func:`decode_flac` round-trips losslessly, so pipeline tests and
+    oracle queries can synthesize real FLAC with no media library.
+    Verbatim-only by design — compression is not the fixture's job;
+    correctness of the FRAME STRUCTURE (headers, CRCs, channel
+    layout) is."""
+    n_total = len(pcm) // (2 * channels)
+    samples = [
+        [struct.unpack_from("<h", pcm, 2 * (t * channels + c))[0] for t in range(n_total)]
+        for c in range(channels)
+    ]
+    w = _BitWriter()
+    # STREAMINFO (min/max blocksize, zero framesize bounds, zero MD5)
+    w.write(blocksize, 16)
+    w.write(blocksize, 16)
+    w.write(0, 24)
+    w.write(0, 24)
+    w.write(rate, 20)
+    w.write(channels - 1, 3)
+    w.write(16 - 1, 5)
+    w.write(n_total, 36)
+    body = bytes(w.buf) + b"\x00" * 16
+    out = bytearray(b"fLaC") + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+    frame_idx = 0
+    pos = 0
+    while pos < n_total:
+        n = min(blocksize, n_total - pos)
+        h = _BitWriter()
+        h.write(0x3FFE, 14)
+        h.write(0, 2)                       # reserved + fixed blocking
+        h.write(0x7, 4)                     # explicit 16-bit blocksize-1
+        h.write(0x0, 4)                     # rate from STREAMINFO
+        h.write(channels - 1, 4)            # independent channels
+        h.write(0x4, 3)                     # 16-bit samples
+        h.write(0, 1)
+        # UTF-8 coded frame number (fixture streams stay < 2^31 frames)
+        v = frame_idx
+        if v < 0x80:
+            h.write(v, 8)
+        else:
+            nb = 1
+            while v.bit_length() > 6 * nb + (6 - nb):
+                nb += 1
+            h.write(((0xFF << (7 - nb)) & 0xFF) | (v >> (6 * nb)), 8)
+            for i in range(nb - 1, -1, -1):
+                h.write(0x80 | ((v >> (6 * i)) & 0x3F), 8)
+        h.write(n - 1, 16)
+        h.align()
+        header = bytes(h.buf)
+        header += bytes([_crc8(header)])
+        f = _BitWriter()
+        for c in range(channels):
+            f.write(0, 1)
+            f.write(1, 6)                   # VERBATIM
+            f.write(0, 1)                   # no wasted bits
+            for t in range(pos, pos + n):
+                f.write(samples[c][t] & 0xFFFF, 16)
+        f.align()
+        frame = header + bytes(f.buf)
+        frame += _crc16(frame).to_bytes(2, "big")
+        out += frame
+        pos += n
+        frame_idx += 1
+    return bytes(out)
