@@ -35,7 +35,7 @@ from data_pipeline_childcare_spark.sources.imagecodec import (  # noqa: E402
 
 def fuzz_one(seed: int) -> str | None:
     rng = random.Random(seed)
-    kind = rng.choice(["png", "vp8l", "jpeg_base", "jpeg_prog"])
+    kind = rng.choice(["png", "vp8l", "jpeg_base", "jpeg_prog", "flac"])
     w = rng.randint(1, 24)
     h = rng.randint(1, 20)
 
@@ -68,7 +68,7 @@ def fuzz_one(seed: int) -> str | None:
         expect = bytes(v for p in rgba for v in p)
         if (dw, dh, mode, out) != (w, h, "RGBA", expect):
             return f"vp8l mismatch seed={seed} kwargs={kwargs}"
-    else:
+    elif kind in ("jpeg_base", "jpeg_prog"):
         w = max(1, (w // 8) * 8) if rng.random() < 0.5 else w
         pixels = bytes(px(i, 0) for i in range(w * h))
         if kind == "jpeg_base":
@@ -83,6 +83,38 @@ def fuzz_one(seed: int) -> str | None:
         err = max(abs(a - b) for a, b in zip(out, pixels))
         if err > 2:
             return f"{kind} error {err} seed={seed}"
+    if kind == "flac":
+        import math
+
+        from test_flaccodec import _pcm16, encode_flac
+        from data_pipeline_childcare_spark.sources.flaccodec import decode_flac
+
+        n_ch = rng.choice([1, 2])
+        n = rng.randrange(30, 1200)
+        amp = rng.randrange(50, 20000)
+        chans = [
+            [int(amp * math.sin(0.0007 * seed + 0.11 * rng.random() * i + c))
+             for i in range(n)]
+            for c in range(n_ch)
+        ]
+        sk = rng.choice(["verbatim", "fixed", "lpc"])
+        kw = {}
+        if sk == "fixed":
+            kw = {"order": rng.randrange(0, 5),
+                  "part_order": rng.choice([0, 1, 2]),
+                  "rice2": rng.random() < 0.5,
+                  "force_escape": rng.random() < 0.25}
+        if sk == "lpc":
+            kw = {"lpc_coefs": [rng.randrange(-60, 61) or 1
+                                for _ in range(rng.randrange(1, 6))],
+                  "lpc_shift": rng.randrange(0, 9)}
+        mode = "independent" if n_ch == 1 else rng.choice(
+            ["independent", "left_side", "right_side", "mid_side"])
+        blob = encode_flac(chans, blocksize=rng.choice([64, 100, 192, 256]),
+                           mode=mode, kind=sk, **kw)
+        _, _, pcm = decode_flac(blob)
+        if pcm != _pcm16(chans):
+            return f"flac mismatch seed={seed} kind={sk} mode={mode} kw={kw}"
     return None
 
 
