@@ -332,10 +332,14 @@ def _decode_frame(br: _Bits, info: dict) -> tuple[list[list[int]], int]:
 def decode_flac(data: bytes) -> tuple[int, int, bytes]:
     """Decode a FLAC stream → (sample_rate, channels, pcm16_bytes),
     the same contract as multimodal._parse_wav_pcm so audio_features
-    treats both containers identically. 8-bit streams scale to 16."""
+    treats both containers identically. Narrow streams scale UP to 16
+    bits (8/12-bit << shift); wide streams (20/24/32-bit studio
+    masters) scale DOWN by arithmetic right shift — the standard
+    lossy requantization, documented because the feature contract is
+    PCM16."""
     info = parse_streaminfo(data)
     bps = info["bits_per_sample"]
-    if bps not in (8, 16):
+    if bps not in (8, 12, 16, 20, 24, 32):
         raise ValueError(f"FLAC: unsupported bits_per_sample {bps}")
     n_ch = info["channels"]
     br = _Bits(data, info["frames_start"])
@@ -357,7 +361,9 @@ def decode_flac(data: bytes) -> tuple[int, int, bytes]:
     k = 0
     for t in range(got):
         for c in range(n_ch):
-            struct.pack_into("<h", buf, k, out[c][t] << shift)
+            v = out[c][t]
+            v = (v << shift) if shift >= 0 else (v >> -shift)
+            struct.pack_into("<h", buf, k, v)
             k += 2
     return info["sample_rate"], n_ch, bytes(buf)
 

@@ -270,7 +270,7 @@ def encode_flac(
             w.w(0xA, 4)
         else:
             raise AssertionError(mode)
-        w.w({8: 0x1, 16: 0x4}[bps], 3)
+        w.w({8: 0x1, 12: 0x2, 16: 0x4, 20: 0x5, 24: 0x6}[bps], 3)
         w.w(0, 1)
         _utf8_number(w, frame_idx)
         if n <= 256:
@@ -404,6 +404,14 @@ def test_8bit_scales_to_pcm16():
     blob = encode_flac(ch, bps=8, kind="verbatim", blocksize=150)
     _, _, pcm = decode_flac(blob)
     assert pcm == _pcm16([[v << 8 for v in ch[0]]])
+
+
+def test_24bit_downscales_to_pcm16():
+    rnd = random.Random(11)
+    ch = [[rnd.randrange(-(1 << 23), 1 << 23) for _ in range(300)]]
+    blob = encode_flac(ch, bps=24, kind="verbatim", blocksize=128)
+    _, _, pcm = decode_flac(blob)
+    assert pcm == _pcm16([[v >> 8 for v in ch[0]]])
 
 
 def test_explicit_rate_code():
