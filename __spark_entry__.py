@@ -4239,6 +4239,66 @@ def audio_flac_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def tuoyu_datasource_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 paginated scan certified THROUGH Spark's Python
+    DataSource API (sources/spark_datasource.py, format
+    ``tuoyu_registry``): a deterministic page→envelope fixture is
+    synthesized from the documents table's doc_ids (capped at 1000,
+    10 records/page, the reference's wire shape), read back with
+    ``spark.read.format("tuoyu_registry")`` — page-1 discovery at
+    planning time, the remaining pages fetched partition-parallel on
+    the executors — and the landed JSON records parsed relationally.
+    The DuckDB twin derives every field closed-form from the same
+    doc_ids, so a green row proves the DataSource's partition
+    planning, pagination, fixture transport and record landing are
+    exact. The registry connector itself (retry/backoff, real wire
+    paths) keeps its replay/loopback pytest tiers; what this row adds
+    is the Spark-integration layer inside the oracle gate."""
+    import json as _json  # noqa: PLC0415
+    import os  # noqa: PLC0415
+    import tempfile  # noqa: PLC0415
+
+    from data_pipeline_childcare_spark.sources.spark_datasource import register
+
+    docs = _t(spark, sf_dir, "documents")
+    ids = sorted(
+        r["doc_id"]
+        for r in docs.select("doc_id").filter(F.col("doc_id") < 1000).collect()
+    )
+    page_size = 10
+    n_pages = max(1, (len(ids) + page_size - 1) // page_size)
+    pages = {}
+    for p in range(1, n_pages + 1):
+        chunk = ids[(p - 1) * page_size : p * page_size]
+        pages[str(p)] = {
+            "code": "000000",
+            "responseData": {
+                "totalRecord": len(ids),
+                "totalPage": n_pages,
+                "dataList": [
+                    {"机构名称": f"园{d}", "区域编号": str(d % 97)} for d in chunk
+                ],
+            },
+        }
+    tmp = tempfile.mkdtemp(prefix="tuoyu_ds_fixture_")
+    fx = os.path.join(tmp, "pages.json")
+    with open(fx, "w", encoding="utf-8") as f:
+        _json.dump(pages, f, ensure_ascii=False)
+    register(spark)
+    scanned = (
+        spark.read.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("page_size", str(page_size))
+        .option("pages_per_task", "4")
+        .load()
+    )
+    return scanned.select(
+        F.col("page").cast("int").alias("page"),
+        F.get_json_object("record", "$.机构名称").alias("inst_name"),
+        F.get_json_object("record", "$.区域编号").alias("region_code"),
+    )
+
+
 def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-byte vs perceptual image dedup, audited side by side —
     the multimodal edition of ``dedup_method_agreement``: the same
@@ -6445,6 +6505,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "video_keyframe_dedup": video_keyframe_dedup,
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "audio_flac_fingerprint_docs": audio_flac_fingerprint_docs,
+        "tuoyu_datasource_scan_docs": tuoyu_datasource_scan_docs,
         "multimodal_dedup_agreement": multimodal_dedup_agreement,
         "bm25_search_docs": bm25_search_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -12927,6 +12988,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(bit * (CAST(1 AS BIGINT) << b)) AS BIGINT) AS afp,
                FALSE AS is_stub
         FROM bits GROUP BY doc_id
+    """
+    # the DataSource row: page/fields derive closed-form from doc_ids
+    out["tuoyu_datasource_scan_docs"] = """
+        WITH ids AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY doc_id) AS rn
+            FROM documents WHERE doc_id < 1000
+        )
+        SELECT CAST((rn - 1) // 10 + 1 AS INT) AS page,
+               '园' || CAST(doc_id AS VARCHAR) AS inst_name,
+               CAST(doc_id % 97 AS VARCHAR) AS region_code
+        FROM ids
     """
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE
