@@ -231,6 +231,116 @@ class TuoyuRegistryDataSource(DataSource):
         return TuoyuRegistryStreamReader(dict(self.options))
 
 
+# (register() is defined at module end, after both DataSource classes)
+
+
+# --------------------------------------------------------------------------
+# jsondump: the S21 JSON dump sink as a full DataSourceWriter — what it
+# adds over df.write.json is the explicit COMMIT PROTOCOL surface:
+# tasks stream to _temporary files and return commit messages; the
+# driver renames winners into place and writes a _SUCCESS manifest
+# (file list + row counts) only if EVERY task succeeded; abort deletes
+# the temporaries — so readers gated on _SUCCESS never observe a
+# partial or duplicated write, including under task retries (each
+# attempt writes a distinct temp file; only the attempt whose commit
+# message reaches the driver is renamed). Paths are local-FS here; a
+# cluster deployment keeps the same rename-on-commit discipline on a
+# shared filesystem or swaps renames for an object-store manifest.
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+
+
+class _JsonDumpCommit(WriterCommitMessage):
+    def __init__(self, temp_file: str, n_rows: int):
+        self.temp_file = temp_file
+        self.n_rows = n_rows
+
+
+class JsonDumpWriter(DataSourceWriter):
+    def __init__(self, options: dict, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsondump requires a path option")
+        self.overwrite = overwrite
+
+    def write(self, iterator) -> _JsonDumpCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        name = f"task-{ctx.partitionId()}-{ctx.taskAttemptId()}-{uuid.uuid4().hex[:8]}.jsonl"
+        tmp = os.path.join(tmp_dir, name)
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        row.asDict(recursive=True),
+                        ensure_ascii=False,
+                        sort_keys=True,
+                        default=str,
+                    )
+                )
+                f.write("\n")
+                n += 1
+        return _JsonDumpCommit(tmp, n)
+
+    def commit(self, messages) -> None:
+        import os
+        import shutil
+
+        if self.overwrite:
+            for fn in os.listdir(self.path):
+                if fn.startswith("part-") or fn == "_SUCCESS":
+                    os.remove(os.path.join(self.path, fn))
+        files, total = [], 0
+        for i, m in enumerate(messages):
+            if m is None or m.n_rows == 0:
+                if m is not None:
+                    os.remove(m.temp_file)
+                continue
+            final = f"part-{i:05d}.jsonl"
+            os.replace(m.temp_file, os.path.join(self.path, final))
+            files.append({"file": final, "rows": m.n_rows})
+            total += m.n_rows
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+        manifest = {"files": files, "total_rows": total}
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, ensure_ascii=False, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+        import shutil
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.temp_file)
+                except OSError:
+                    pass
+        shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
+
+
+class JsonDumpDataSource(DataSource):
+    """``df.write.format("jsondump").option("path", ...)`` — see the
+    commit-protocol note above. Options: ``path`` (required)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsondump"
+
+    def schema(self) -> str:  # writer-only source; never inferred
+        return SCHEMA
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonDumpWriter(dict(self.options), overwrite)
+
+
 def register(spark) -> None:
     """Idempotent format registration for the current session."""
     spark.dataSource.register(TuoyuRegistryDataSource)
+    spark.dataSource.register(JsonDumpDataSource)

@@ -185,3 +185,77 @@ def test_stream_equals_batch_on_the_same_fixture(registered, tmp_path):
         .collect()
     }
     assert streamed == batch and len(batch) == 20
+
+
+def test_jsondump_writer_commit_protocol(registered, tmp_path):
+    """Tasks stream to _temporary, commit renames winners into place
+    and writes a _SUCCESS manifest with per-file row counts; empty
+    partitions produce no part files."""
+    import os
+
+    spark = registered
+    out = tmp_path / "dump"
+    out.mkdir()
+    df = spark.createDataFrame(
+        [(1, "机构甲"), (2, "机构乙"), (3, "机构丙")], "id long, name string"
+    ).repartition(4)
+    df.write.format("jsondump").option("path", str(out)).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert "_SUCCESS" in names and "_temporary" not in names
+    manifest = json.loads((out / "_SUCCESS").read_text(encoding="utf-8"))
+    assert manifest["total_rows"] == 3
+    assert sum(f["rows"] for f in manifest["files"]) == 3
+    rows = []
+    for f in manifest["files"]:
+        for line in (out / f["file"]).read_text(encoding="utf-8").splitlines():
+            rows.append(json.loads(line))
+    assert sorted(r["id"] for r in rows) == [1, 2, 3]
+    assert {r["name"] for r in rows} == {"机构甲", "机构乙", "机构丙"}
+    # 4 partitions, 3 rows -> at most 3 non-empty part files
+    assert len(manifest["files"]) <= 3
+
+
+def test_jsondump_writer_overwrite_replaces_previous_commit(registered, tmp_path):
+    spark = registered
+    out = tmp_path / "dump_ow"
+    out.mkdir()
+    a = spark.createDataFrame([(1, "x")], "id long, v string")
+    b = spark.createDataFrame([(2, "y"), (3, "z")], "id long, v string")
+    a.write.format("jsondump").option("path", str(out)).mode("append").save()
+    b.write.format("jsondump").option("path", str(out)).mode("overwrite").save()
+    manifest = json.loads((out / "_SUCCESS").read_text(encoding="utf-8"))
+    assert manifest["total_rows"] == 2
+    seen = []
+    for f in manifest["files"]:
+        for line in (out / f["file"]).read_text(encoding="utf-8").splitlines():
+            seen.append(json.loads(line)["id"])
+    assert sorted(seen) == [2, 3]
+
+
+def test_jsondump_writer_abort_leaves_no_partial_output(registered, tmp_path):
+    """A failing task aborts the job: no _SUCCESS, no part files, the
+    _temporary dir swept — readers gated on the manifest never see a
+    partial write."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    spark = registered
+    out = tmp_path / "dump_fail"
+    out.mkdir()
+
+    @F.udf("long")
+    def boom(v):
+        if v == 2:
+            raise RuntimeError("poisoned row")
+        return v
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "id long").select(
+        boom("id").alias("id")
+    )
+    with pytest.raises(Exception):
+        df.write.format("jsondump").option("path", str(out)).mode("append").save()
+    names = os.listdir(out)
+    assert "_SUCCESS" not in names
+    assert not [n for n in names if n.startswith("part-")]
+    assert not os.path.exists(out / "_temporary") or not os.listdir(out / "_temporary")
