@@ -247,7 +247,11 @@ class TuoyuRegistryDataSource(DataSource):
 # cluster deployment keeps the same rename-on-commit discipline on a
 # shared filesystem or swaps renames for an object-store manifest.
 # --------------------------------------------------------------------------
-from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamWriter,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
 
 
 class _JsonDumpCommit(WriterCommitMessage):
@@ -325,6 +329,88 @@ class JsonDumpWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
 
 
+class JsonDumpStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor of the jsondump commit protocol: each
+    micro-batch commits ATOMICALLY under its batchId —
+    part-b<batch>-<task>.jsonl files plus a per-batch manifest
+    _batch-<id>.json written only when every task of that batch
+    succeeded. Batch REPLAYS after a failure are idempotent: a
+    replayed batchId first deletes its own previous part files (the
+    manifest records them), so exactly-once lands on top of Spark's
+    at-least-once replay, which is precisely the foreachBatch
+    discipline streaming/merge.py documents — here expressed at the
+    sink-API level."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsondump requires a path option")
+
+    def write(self, iterator) -> _JsonDumpCommit:
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        tmp_dir = os.path.join(self.path, "_temporary")
+        os.makedirs(tmp_dir, exist_ok=True)
+        tmp = os.path.join(
+            tmp_dir,
+            f"stream-{ctx.partitionId()}-{ctx.taskAttemptId()}-{uuid.uuid4().hex[:8]}.jsonl",
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as f:
+            for row in iterator:
+                f.write(
+                    json.dumps(
+                        row.asDict(recursive=True),
+                        ensure_ascii=False,
+                        sort_keys=True,
+                        default=str,
+                    )
+                )
+                f.write("\n")
+                n += 1
+        return _JsonDumpCommit(tmp, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import os
+
+        manifest_path = os.path.join(self.path, f"_batch-{batchId}.json")
+        if os.path.exists(manifest_path):  # replayed batch: drop its old files
+            with open(manifest_path, encoding="utf-8") as f:
+                for entry in json.load(f)["files"]:
+                    try:
+                        os.remove(os.path.join(self.path, entry["file"]))
+                    except OSError:
+                        pass
+        files, total = [], 0
+        for i, m in enumerate(messages):
+            if m is None or m.n_rows == 0:
+                if m is not None:
+                    os.remove(m.temp_file)
+                continue
+            final = f"part-b{batchId}-{i:05d}.jsonl"
+            os.replace(m.temp_file, os.path.join(self.path, final))
+            files.append({"file": final, "rows": m.n_rows})
+            total += m.n_rows
+        tmp_manifest = manifest_path + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
+            json.dump({"files": files, "total_rows": total}, f, ensure_ascii=False, sort_keys=True)
+        os.replace(tmp_manifest, manifest_path)
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.temp_file)
+                except OSError:
+                    pass
+
+
 class JsonDumpDataSource(DataSource):
     """``df.write.format("jsondump").option("path", ...)`` — see the
     commit-protocol note above. Options: ``path`` (required)."""
@@ -338,6 +424,9 @@ class JsonDumpDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return JsonDumpWriter(dict(self.options), overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> "JsonDumpStreamWriter":
+        return JsonDumpStreamWriter(dict(self.options))
 
 
 def register(spark) -> None:

@@ -258,4 +258,59 @@ def test_jsondump_writer_abort_leaves_no_partial_output(registered, tmp_path):
     names = os.listdir(out)
     assert "_SUCCESS" not in names
     assert not [n for n in names if n.startswith("part-")]
+    # a retried attempt can still be flushing its temp file for a
+    # moment after the job exception propagates — poll briefly
+    import time
+
+    for _ in range(20):
+        leftovers = (
+            os.listdir(out / "_temporary") if os.path.exists(out / "_temporary") else []
+        )
+        if not leftovers:
+            break
+        time.sleep(0.25)
+    assert not leftovers
+
+
+def test_jsondump_stream_writer_per_batch_manifests(registered, tmp_path):
+    """Streaming sink flavor: each micro-batch lands part-b<id>-* files
+    plus an atomic _batch-<id>.json manifest; totals across manifests
+    equal the source rows."""
+    import os
+
+    spark = registered
+    src = tmp_path / "src"
+    out = tmp_path / "stream_dump"
+    out.mkdir()
+    a = spark.createDataFrame([(1, "一"), (2, "二")], "id long, v string")
+    b = spark.createDataFrame([(3, "三")], "id long, v string")
+    a.write.parquet(str(src / "f1"))
+    b.write.parquet(str(src / "f2"))
+    stream = (
+        spark.readStream.schema(a.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "*"))
+    )
+    q = (
+        stream.writeStream.format("jsondump")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "jd_ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    manifests = sorted(n for n in os.listdir(out) if n.startswith("_batch-"))
+    # one manifest per micro-batch; the file source splits on PART
+    # files so the exact batch count varies — what matters is >1 batch
+    # and exactly-once totals across all of them
+    assert len(manifests) >= 2
+    total, ids = 0, []
+    for mn in manifests:
+        m = json.loads((out / mn).read_text(encoding="utf-8"))
+        total += m["total_rows"]
+        for fent in m["files"]:
+            for line in (out / fent["file"]).read_text(encoding="utf-8").splitlines():
+                ids.append(json.loads(line)["id"])
+    assert total == 3 and sorted(ids) == [1, 2, 3]
     assert not os.path.exists(out / "_temporary") or not os.listdir(out / "_temporary")
