@@ -4239,21 +4239,11 @@ def audio_flac_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def tuoyu_datasource_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The S1 paginated scan certified THROUGH Spark's Python
-    DataSource API (sources/spark_datasource.py, format
-    ``tuoyu_registry``): a deterministic page→envelope fixture is
-    synthesized from the documents table's doc_ids (capped at 1000,
-    10 records/page, the reference's wire shape), read back with
-    ``spark.read.format("tuoyu_registry")`` — page-1 discovery at
-    planning time, the remaining pages fetched partition-parallel on
-    the executors — and the landed JSON records parsed relationally.
-    The DuckDB twin derives every field closed-form from the same
-    doc_ids, so a green row proves the DataSource's partition
-    planning, pagination, fixture transport and record landing are
-    exact. The registry connector itself (retry/backoff, real wire
-    paths) keeps its replay/loopback pytest tiers; what this row adds
-    is the Spark-integration layer inside the oracle gate."""
+def _tuoyu_ds_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Deterministic page→envelope fixture derived from doc_ids
+    (capped at 1000; 10 records/page; the reference's wire shape),
+    written to a temp file and format-registered for this session.
+    Shared by the batch and streaming DataSource certification rows."""
     import json as _json  # noqa: PLC0415
     import os  # noqa: PLC0415
     import tempfile  # noqa: PLC0415
@@ -4285,18 +4275,71 @@ def tuoyu_datasource_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     with open(fx, "w", encoding="utf-8") as f:
         _json.dump(pages, f, ensure_ascii=False)
     register(spark)
-    scanned = (
-        spark.read.format("tuoyu_registry")
-        .option("fixture", fx)
-        .option("page_size", str(page_size))
-        .option("pages_per_task", "4")
-        .load()
-    )
+    return fx
+
+
+def _tuoyu_ds_project(scanned: DataFrame) -> DataFrame:
     return scanned.select(
         F.col("page").cast("int").alias("page"),
         F.get_json_object("record", "$.机构名称").alias("inst_name"),
         F.get_json_object("record", "$.区域编号").alias("region_code"),
     )
+
+
+def tuoyu_datasource_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S1 paginated scan certified THROUGH Spark's Python
+    DataSource API (sources/spark_datasource.py, format
+    ``tuoyu_registry``): a deterministic page→envelope fixture is
+    synthesized from the documents table's doc_ids (capped at 1000,
+    10 records/page, the reference's wire shape), read back with
+    ``spark.read.format("tuoyu_registry")`` — page-1 discovery at
+    planning time, the remaining pages fetched partition-parallel on
+    the executors — and the landed JSON records parsed relationally.
+    The DuckDB twin derives every field closed-form from the same
+    doc_ids, so a green row proves the DataSource's partition
+    planning, pagination, fixture transport and record landing are
+    exact. The registry connector itself (retry/backoff, real wire
+    paths) keeps its replay/loopback pytest tiers; what this row adds
+    is the Spark-integration layer inside the oracle gate."""
+    fx = _tuoyu_ds_fixture(spark, sf_dir)
+    scanned = (
+        spark.read.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("page_size", "10")
+        .option("pages_per_task", "4")
+        .load()
+    )
+    return _tuoyu_ds_project(scanned)
+
+
+def tuoyu_datasource_stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DataSource's STREAM reader certified in the gate: the same
+    fixture crawled through ``spark.readStream.format("tuoyu_registry")``
+    (page-counter offsets, one availableNow pass, memory sink) must
+    land exactly the batch scan's records — the oracle is the same
+    closed-form twin, so page-offset bookkeeping provably neither
+    loses nor duplicates records."""
+    fx = _tuoyu_ds_fixture(spark, sf_dir)
+    stream = (
+        spark.readStream.format("tuoyu_registry")
+        .option("fixture", fx)
+        .option("page_size", "10")
+        .option("pages_per_task", "4")
+        .load()
+    )
+    qname = "tuoyu_ds_stream_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return _tuoyu_ds_project(spark.table(qname))
 
 
 def multimodal_dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6506,6 +6549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint_near_dup": audio_fingerprint_near_dup,
         "audio_flac_fingerprint_docs": audio_flac_fingerprint_docs,
         "tuoyu_datasource_scan_docs": tuoyu_datasource_scan_docs,
+        "tuoyu_datasource_stream_docs": tuoyu_datasource_stream_docs,
         "multimodal_dedup_agreement": multimodal_dedup_agreement,
         "bm25_search_docs": bm25_search_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
@@ -13001,6 +13045,7 @@ def oracle_sql() -> dict[str, str]:
                CAST(doc_id % 97 AS VARCHAR) AS region_code
         FROM ids
     """
+    out["tuoyu_datasource_stream_docs"] = out["tuoyu_datasource_scan_docs"]
     # curation twin: the stage oracles composed into one query — the
     # quality/repetition fragments, the banded minhash chain (est CTE
     # from _minhash_ctes), the contamination shingle join over the
