@@ -5512,8 +5512,6 @@ def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     horizon, not stream length). The single-file availableNow run
     keeps every duplicate inside the watermark horizon, the regime
     the operator contracts exactness for."""
-    import os
-
     from pyspark.sql.types import LongType
 
     from data_pipeline_childcare_spark.streaming.dedup_join import streaming_dedup
@@ -5566,8 +5564,6 @@ def streaming_user_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     emissions are cumulative and n_events strictly increases, so
     max(struct(n, total)) per user reads the final state. Oracle =
     the plain batch GROUP BY."""
-    import os
-
     from data_pipeline_childcare_spark.streaming.stateful import (
         running_user_stats_exact,
     )
@@ -8327,9 +8323,14 @@ def oracle_sql() -> dict[str, str]:
             -- batch twin of the applyInPandasWithState accumulator:
             -- integer-micros quantization BEFORE summation makes the
             -- stream state and this GROUP BY bit-identical
+            -- NULL/NaN values contribute 0 micros but still count as
+            -- events (the stream side maps them through nan_to_num)
             SELECT user_id,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS total_value_u
+                   CAST(sum(CAST(CASE WHEN value IS NULL OR isnan(value)
+                                      THEN 0
+                                      ELSE floor(value * 1000000 + 0.5)
+                                 END AS BIGINT)) AS BIGINT) AS total_value_u
             FROM events
             GROUP BY user_id
         """,

@@ -163,10 +163,13 @@ def embedding_cosine_dedup(
     on distinct vectors only, so clone-saturated corpora don't square
     their clone counts through the theta join.
     """
-    if threshold > 1.0:
+    if threshold > 1.0 or threshold != threshold:
         # Rounded cosine never exceeds 1.0, so the duplicate set is
         # provably empty — callers use >1.0 as "disable"; degrade to
-        # the no-op dedup instead of raising.
+        # the no-op dedup instead of raising. A NaN threshold (never
+        # comparable) must ALSO disable: letting it through would
+        # qualify zero near-dup pairs yet still drop verbatim clones
+        # via the collapse, a half-applied dedup.
         return df
     reps, nonreps = _reps_for_dedup(df, id_col, vec_col, ndigits)
     a = reps.select(F.col(id_col).alias("_ia"), F.col(vec_col).alias("_va"))
@@ -223,10 +226,13 @@ def embedding_cosine_dedup_lsh(
     # (identical vectors share every table's bucket — a c-clone group
     # would emit c² candidate rows per table; see _verbatim_reps for
     # why the kept set is provably unchanged).
-    if threshold > 1.0:
+    if threshold > 1.0 or threshold != threshold:
         # Rounded cosine never exceeds 1.0, so the duplicate set is
         # provably empty — callers use >1.0 as "disable"; degrade to
-        # the no-op dedup instead of raising.
+        # the no-op dedup instead of raising. A NaN threshold (never
+        # comparable) must ALSO disable: letting it through would
+        # qualify zero near-dup pairs yet still drop verbatim clones
+        # via the collapse, a half-applied dedup.
         return df
     reps, nonreps = _reps_for_dedup(df, id_col, vec_col, ndigits)
     tables = F.posexplode(
@@ -379,8 +385,9 @@ def embedding_cosine_dedup_ivf(
     the right trade when the corpus is clustered, which embedding
     corpora are.
     """
-    if threshold > 1.0:
-        # Rounded cosine never exceeds 1.0 — no-op dedup, not an error.
+    if threshold > 1.0 or threshold != threshold:
+        # Rounded cosine never exceeds 1.0 (and NaN never compares) —
+        # no-op dedup, not an error or a clones-only half-dedup.
         return df
     # The quantizer trains on the FULL corpus (so the canonical
     # trajectory the SQL twin replays is untouched), but assignment

@@ -99,11 +99,20 @@ def top_k_with_global_dedup(
     if floating:
         cls = cls.when(F.isnan(score), F.lit(0))
     cls = cls.otherwise(F.lit(1))
+    # integral scores negate through DECIMAL: -LONG_MIN overflows the
+    # long domain (ANSI mode throws, legacy mode wraps so the WORST
+    # score would win the claim); decimal(20,0) covers the full long
+    # range exactly and orders identically. Float/decimal negation is
+    # already symmetric-safe.
+    integral = isinstance(
+        score_dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    )
+    neg = (-score.cast("decimal(20,0)")) if integral else (-score)
     win = F.min(
         F.struct(
             prio.alias("_p"),
             cls.alias("_c"),
-            (-score).alias("_ns"),
+            neg.alias("_ns"),
             *[F.col(c).alias(c) for c in other],
         )
     ).alias("_w")

@@ -15,8 +15,10 @@ VERBATIM, FIXED (orders 0-4) and LPC (orders 1-32, quantized
 coefficients with arithmetic-shift reconstruction); wasted-bits
 shifts; RICE and RICE2 residual partitions including the escaped
 raw-binary form; stereo decorrelation left/side, right/side and
-mid/side. Sample sizes 8 and 16 bits (8-bit scales up to PCM16);
-other depths raise so the caller's stub tier fires loudly.
+mid/side. Sample sizes 8/12/16/20/24/32 bits (narrow depths scale up
+to PCM16, wide studio-master depths scale down by arithmetic shift —
+see decode_flac); other values raise so the caller's stub tier fires
+loudly.
 
 Spec: the public FLAC format documents (format.html / RFC 9639).
 Reference parity: the reference pipeline has no audio decode at all —

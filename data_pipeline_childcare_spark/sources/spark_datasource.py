@@ -27,8 +27,10 @@ and schema-typing stays downstream (``from_json`` /
 ``sources/record_blocks.py``), exactly like Spark's own ``text``
 source. Per-page failures degrade to an ``error`` row and the scan
 continues (reference :46-47); ``max_consecutive_errors`` failures in
-a row abort the PARTITION — the connector's systemic-outage guard,
-applied per executor chunk.
+a row abort the PARTITION (batch: remaining pages emit explicit
+skipped-error rows; streaming: the task RAISES so the offset range is
+never committed and the next trigger refetches) — the connector's
+systemic-outage guard, applied per executor chunk.
 
 Hermetic testing: a ``fixture`` option points at a JSON file mapping
 page numbers to response envelopes; the transport then never touches
@@ -87,18 +89,31 @@ def _build_connector(options: dict):
 
 
 def _read_pages(
-    options: dict, pages: list[int], first_payload: dict | None = None
+    options: dict,
+    pages: list[int],
+    first_payload: dict | None = None,
+    strict: bool = False,
 ) -> Iterator[tuple]:
     """Fetch ``pages`` through the connector's retry discipline and
     yield (page, record_json, error) tuples. ``first_payload`` lets
     the planner hand page 1's already-fetched responseData through
-    the partition instead of paying the discovery call twice."""
+    the partition instead of paying the discovery call twice.
+
+    Systemic-outage abort (``max_consecutive_errors`` failures in a
+    row): in batch mode the partition STOPS FETCHING but still emits
+    an error row for every remaining page, so nothing is silently
+    absent from the output; in ``strict`` mode (the STREAMING reader)
+    it raises instead — the task fails, the micro-batch's offsets are
+    never committed, and the pages are refetched on the next trigger.
+    Degrading would be wrong there: Spark commits the whole offset
+    range once the batch succeeds, so skipped pages would be lost
+    forever rather than visible as error rows."""
     src = _build_connector(options)
     page_size = int(options.get("page_size", 10))
     keyword = options.get("keyword", "")
     max_consecutive = int(options.get("max_consecutive_errors", 10))
     consecutive = 0
-    for page in pages:
+    for idx, page in enumerate(pages):
         try:
             if first_payload is not None and page == pages[0]:
                 data = first_payload
@@ -109,14 +124,22 @@ def _read_pages(
                 yield (page, json.dumps(item, ensure_ascii=False, sort_keys=True), None)
         except Exception as e:  # noqa: BLE001 — reference logs and continues
             consecutive += 1
-            yield (page, None, str(e))
             if consecutive >= max_consecutive:
+                if strict:
+                    raise RuntimeError(
+                        f"aborting micro-batch: {consecutive} consecutive "
+                        f"page failures (last: page {page}: {e})"
+                    ) from e
+                yield (page, None, str(e))
                 yield (
                     page,
                     None,
                     f"aborted partition after {consecutive} consecutive page failures",
                 )
+                for skipped in pages[idx + 1 :]:
+                    yield (skipped, None, "skipped: partition aborted upstream")
                 return
+            yield (page, None, str(e))
 
 
 class _PagesPartition(InputPartition):
@@ -201,7 +224,7 @@ class TuoyuRegistryStreamReader(DataSourceStreamReader):
         ]
 
     def read(self, partition: _PagesPartition) -> Iterator[tuple]:
-        return _read_pages(self.options, partition.pages)
+        return _read_pages(self.options, partition.pages, strict=True)
 
     def commit(self, end: dict) -> None:
         # offsets are page numbers; there is nothing source-side to
@@ -296,25 +319,43 @@ class JsonDumpWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import os
         import shutil
+        import uuid
 
         if self.overwrite:
             for fn in os.listdir(self.path):
                 if fn.startswith("part-") or fn == "_SUCCESS":
                     os.remove(os.path.join(self.path, fn))
+        # append must ACCUMULATE: a per-job id keeps this commit's file
+        # names disjoint from every earlier commit's (a bare part-00000
+        # would os.replace-clobber a previous append), and the new
+        # manifest carries the previous manifest's files forward so a
+        # manifest-gated reader sees the union
+        job = uuid.uuid4().hex[:8]
+        prev_files, prev_total = [], 0
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            with open(success, encoding="utf-8") as f:
+                prev = json.load(f)
+            prev_files, prev_total = prev["files"], prev["total_rows"]
         files, total = [], 0
         for i, m in enumerate(messages):
             if m is None or m.n_rows == 0:
                 if m is not None:
                     os.remove(m.temp_file)
                 continue
-            final = f"part-{i:05d}.jsonl"
+            final = f"part-{job}-{i:05d}.jsonl"
             os.replace(m.temp_file, os.path.join(self.path, final))
             files.append({"file": final, "rows": m.n_rows})
             total += m.n_rows
         shutil.rmtree(os.path.join(self.path, "_temporary"), ignore_errors=True)
-        manifest = {"files": files, "total_rows": total}
-        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as f:
+        manifest = {
+            "files": prev_files + files,
+            "total_rows": prev_total + total,
+        }
+        tmp_manifest = success + ".tmp"
+        with open(tmp_manifest, "w", encoding="utf-8") as f:
             json.dump(manifest, f, ensure_ascii=False, sort_keys=True)
+        os.replace(tmp_manifest, success)
 
     def abort(self, messages) -> None:
         import os
@@ -375,16 +416,21 @@ class JsonDumpStreamWriter(DataSourceStreamWriter):
         return _JsonDumpCommit(tmp, n)
 
     def commit(self, messages, batchId: int) -> None:
+        import glob as _glob
         import os
 
         manifest_path = os.path.join(self.path, f"_batch-{batchId}.json")
-        if os.path.exists(manifest_path):  # replayed batch: drop its old files
-            with open(manifest_path, encoding="utf-8") as f:
-                for entry in json.load(f)["files"]:
-                    try:
-                        os.remove(os.path.join(self.path, entry["file"]))
-                    except OSError:
-                        pass
+        # replayed batch: drop EVERY part file carrying this batchId,
+        # by glob rather than by reading the old manifest — a crash
+        # between the renames and the manifest write would otherwise
+        # leave orphans the manifest never recorded (rename-then-
+        # manifest is not atomic across files; the glob makes the
+        # cleanup independent of how far the dead attempt got)
+        for stale in _glob.glob(os.path.join(self.path, f"part-b{batchId}-*.jsonl")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         files, total = [], 0
         for i, m in enumerate(messages):
             if m is None or m.n_rows == 0:

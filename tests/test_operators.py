@@ -1043,3 +1043,16 @@ def test_fuzzy_matches_hot_block_cap(spark):
     out = fuzzy_matches(df, "id", "name", "blk", max_distance=3, max_block=5).collect()
     # the 10-member hot block is dropped; only the cold pair survives
     assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
+
+
+def test_topk_global_dedup_long_min_score_claim(spark):
+    # -LONG_MIN overflows long negation (ANSI throws, legacy wraps so
+    # the worst score would WIN); integral scores negate via decimal
+    cand = spark.createDataFrame(
+        [("a", 1, -9223372036854775808), ("a", 1, 5), ("b", 2, 7)],
+        "task_id string, item_id long, score long",
+    )
+    rows = {(r["item_id"], r["score"]) for r in
+            top_k_with_global_dedup(cand, k=10).collect()}
+    assert (1, 5) in rows and (1, -9223372036854775808) not in rows
+    assert (2, 7) in rows

@@ -458,3 +458,27 @@ def test_kcenter_sel_dist_non_increasing_and_distinct(spark):
     dists = [r["sel_dist_sq"] for r in rows[1:]]
     assert all(a >= b for a, b in zip(dists, dists[1:]))
     assert all(d > 0 for d in dists)
+
+
+def test_embedding_cosine_dedup_nan_threshold_is_full_noop(spark):
+    """NaN threshold must disable the WHOLE dedup — including the
+    verbatim collapse — not qualify zero pairs while still dropping
+    clones (half-applied dedup)."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup,
+        embedding_cosine_dedup_ivf,
+        embedding_cosine_dedup_lsh,
+    )
+
+    clones = spark.createDataFrame(
+        [(1, [1.0, 2.0]), (2, [1.0, 2.0]), (3, [0.5, -1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    nan = float("nan")
+    for fn, kw in (
+        (embedding_cosine_dedup, {}),
+        (embedding_cosine_dedup_lsh, {"dim": 2}),
+        (embedding_cosine_dedup_ivf, {"n_cells": 2}),
+    ):
+        kept = {r["vec_id"] for r in fn(clones, threshold=nan, **kw).collect()}
+        assert kept == {1, 2, 3}, fn.__name__

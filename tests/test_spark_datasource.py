@@ -106,8 +106,13 @@ def test_batch_scan_consecutive_failures_abort_partition(registered, tmp_path):
     rows = df.collect()
     assert sum(1 for r in rows if r["error"] is None) == 4
     errs = [r for r in rows if r["error"] is not None]
-    assert len(errs) == 4  # pages 2,3,4 + the abort marker
-    assert "aborted partition after 3 consecutive page failures" in errs[-1]["error"]
+    # pages 2,3,4 fail (page 4 also carries the abort marker), pages
+    # 5,6 emit explicit skipped rows — nothing is silently absent
+    assert len(errs) == 6
+    assert any("aborted partition after 3 consecutive page failures" in r["error"]
+               for r in errs)
+    skipped = [r["page"] for r in errs if r["error"].startswith("skipped:")]
+    assert skipped == [5, 6]
 
 
 def test_streaming_crawl_resumes_from_checkpoint(registered, tmp_path):
@@ -314,3 +319,24 @@ def test_jsondump_stream_writer_per_batch_manifests(registered, tmp_path):
                 ids.append(json.loads(line)["id"])
     assert total == 3 and sorted(ids) == [1, 2, 3]
     assert not os.path.exists(out / "_temporary") or not os.listdir(out / "_temporary")
+
+
+def test_jsondump_writer_append_accumulates(registered, tmp_path):
+    """Two append commits must UNION: per-job file prefixes keep names
+    disjoint and the manifest carries earlier files forward."""
+    spark = registered
+    out = tmp_path / "dump_acc"
+    out.mkdir()
+    spark.createDataFrame([(1, "a")], "id long, v string").write.format(
+        "jsondump"
+    ).option("path", str(out)).mode("append").save()
+    spark.createDataFrame([(2, "b")], "id long, v string").write.format(
+        "jsondump"
+    ).option("path", str(out)).mode("append").save()
+    manifest = json.loads((out / "_SUCCESS").read_text(encoding="utf-8"))
+    assert manifest["total_rows"] == 2
+    ids = []
+    for f in manifest["files"]:
+        for line in (out / f["file"]).read_text(encoding="utf-8").splitlines():
+            ids.append(json.loads(line)["id"])
+    assert sorted(ids) == [1, 2]
