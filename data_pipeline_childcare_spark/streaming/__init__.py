@@ -12,6 +12,15 @@ analogs a production deployment of the same pipelines needs:
 - dedup_join: watermarked streaming dedup
   (``dropDuplicatesWithinWatermark``) and stream-stream event-time
   interval joins (the streaming analog of the batch range join).
+- sketches: continuously-maintained CMS counters, HLL registers and
+  bloom bitmaps (fixed-size state however long the stream runs).
+- merge: foreachBatch CDC merge into versioned parquet snapshots
+  (latest-wins with retained tombstones, stage-then-swap publication).
+- scd2: foreachBatch SCD2 history maintenance on the same store.
+- stateful: custom per-key state via ``applyInPandasWithState``
+  (running user stats; the *_exact variant certifiable vs batch SQL).
+- windows also ships ``windowed_counts_with_late_drop``, the
+  two-phase watermark late-data-drop certification harness.
 """
 
 from data_pipeline_childcare_spark.streaming.ingest import stream_record_blocks, incremental_ingest
@@ -36,4 +45,11 @@ from data_pipeline_childcare_spark.streaming.merge import (
 from data_pipeline_childcare_spark.streaming.scd2 import (
     read_scd2_history,
     streaming_scd2_to_path,
+)
+from data_pipeline_childcare_spark.streaming.stateful import (
+    running_user_stats,
+    running_user_stats_exact,
+)
+from data_pipeline_childcare_spark.streaming.windows import (
+    windowed_counts_with_late_drop,
 )

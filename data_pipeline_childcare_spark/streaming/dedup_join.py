@@ -8,12 +8,17 @@ conditional), which is what makes streaming==batch equality testable:
   uses ``dropDuplicatesWithinWatermark`` — state for a key is dropped
   once the watermark passes its event time, so state is bounded by
   (key cardinality within the watermark horizon), not by stream
-  length. Batch mode is plain ``dropDuplicates``. The two agree
-  whenever duplicates arrive within the watermark delay — the
-  contract the delay is FOR.
+  length. Batch mode is plain ``dropDuplicates``. The modes agree on
+  the KEY SET whenever duplicates arrive within the watermark delay
+  (the contract the delay is FOR); the retained NON-KEY columns are
+  arrival-order-dependent streaming-side and plan-dependent
+  batch-side, so full-row agreement holds only when the dedup keys
+  cover every retained column (how the certified registry row uses
+  it).
 - ``stream_stream_click_purchase``: event-time interval join — each
   click pairs with the same user's purchases inside
-  ``[click_ts, click_ts + horizon]``. Both sides carry watermarks and
+  ``(click_ts, click_ts + horizon]`` (exclusive lower bound:
+  purchase strictly after the click). Both sides carry watermarks and
   the join predicate carries the time bound, which is exactly what
   lets Spark expire join state (unbounded-state stream-stream joins
   are rejected by the planner). Streaming twin of the batch
@@ -37,13 +42,17 @@ def streaming_dedup(
     ts_col: str = "ts",
     streaming: bool | None = None,
 ) -> DataFrame:
-    """First row per key; late duplicates beyond the watermark delay
-    are the (documented) streaming/batch divergence window."""
+    """One row per key (see module docstring for which row); late
+    duplicates beyond the watermark delay are the (documented)
+    streaming/batch divergence window."""
     is_streaming = events.isStreaming if streaming is None else streaming
-    df = events.withColumn("_ts", F.col(ts_col).cast("timestamp"))
+    # namespaced watermark column: a caller-owned "_ts" would be
+    # silently clobbered and dropped
+    wm = "__sd_wm_ts"
+    df = events.withColumn(wm, F.col(ts_col).cast("timestamp"))
     if is_streaming:
-        return df.withWatermark("_ts", watermark_delay).dropDuplicatesWithinWatermark(keys).drop("_ts")
-    return df.dropDuplicates(keys).drop("_ts")
+        return df.withWatermark(wm, watermark_delay).dropDuplicatesWithinWatermark(keys).drop(wm)
+    return df.dropDuplicates(keys).drop(wm)
 
 
 def stream_stream_click_purchase(

@@ -3,8 +3,14 @@
 Batch scrapers in the reference dump page files per run
 (moe_majors_scraper.py:175-180); the streaming analog watches the dump
 directory and processes only NEW files — ``spark.readStream`` file
-source tracks progress in the checkpoint, giving exactly-once ingest
-into the cleaning pipeline without re-scanning history.
+source tracks progress in the checkpoint, so history is never
+re-scanned. Delivery to ``batch_fn`` is AT-LEAST-ONCE: a crash after
+``batch_fn`` returns but before the checkpoint commits replays the
+same batch with the SAME batch_id — exactly-once OUTPUT therefore
+requires an idempotent sink keyed on batch_id (the pattern this
+package's CDC merge/SCD2 stores implement: versioned snapshot dirs
+named by batch id, so a replay rebuilds the same version instead of
+appending twice).
 
 foreachBatch reuses the BATCH cleaning pipeline verbatim — one code
 path for both modes; each micro-batch is a normal DataFrame so every

@@ -15,11 +15,16 @@ table already applied loses, exactly as it would in one big batch.
 Crash safety: each micro-batch writes a NEW versioned snapshot
 directory ``target/v{batch_id}`` instead of overwriting in place, so
 a crash mid-write can never destroy the previous state — the partial
-version has no ``_SUCCESS`` marker and is ignored; the replayed batch
-(same batch id, via the stream checkpoint) overwrites it
-idempotently. Readers always see the latest COMPLETE version; older
-versions are pruned after a successful write (a poor-man's
-Delta/Iceberg commit log, built from parquet's own success marker).
+version has no ``_SUCCESS`` marker and is ignored; a replayed batch
+(same batch id, via the stream checkpoint) rebuilds the version in a
+``_staging_*`` dir and SWAPS it into place, so even a replay of an
+already-complete version never exposes a partially-written v{N} to a
+concurrent reader (the previous retained version serves reads during
+the instantaneous swap). Readers always see the latest COMPLETE
+version; older versions are pruned after a successful write (a
+poor-man's Delta/Iceberg commit log, built from parquet's own
+success marker). Single WRITER per target by contract (foreachBatch
+batches are sequential within a query).
 
 Scale shape: each micro-batch shuffles only (stored keys + batch
 keys) once for the latest-wins window; the rewrite is the full
@@ -91,6 +96,40 @@ def _read_state(
     )
 
 
+def _publish_version(df: DataFrame, target: str, batch_id: int) -> None:
+    """Write snapshot ``v{batch_id}`` via stage-then-swap: the frame
+    lands in a ``_staging_*`` dir (invisible to ``_complete_versions``
+    — only ``v*`` names count), then swaps into place. A crash-REPLAY
+    of an already-complete batch would otherwise overwrite v{N} in
+    place, emptying it for the whole rewrite while a concurrent
+    reader that just resolved v{N} as latest-complete reads a
+    partial directory; with the swap, the exposure shrinks to the
+    rmtree+rename instant, during which the PREVIOUS retained
+    complete version still serves readers (pruning keeps
+    ``_KEEP_VERSIONS`` and runs only after the new version is up)."""
+    import uuid
+
+    staging = os.path.join(target, f"_staging_v{batch_id}_{uuid.uuid4().hex[:8]}")
+    df.write.mode("overwrite").parquet(staging)
+    final = os.path.join(target, f"v{batch_id}")
+    shutil.rmtree(final, ignore_errors=True)
+    os.replace(staging, final)
+
+
+def _prune_versions(target: str) -> None:
+    """Drop all but the newest ``_KEEP_VERSIONS`` complete snapshots,
+    plus any orphaned staging dirs from crashed attempts. Shared by
+    the CDC merge and SCD2 stores (one retention policy — a
+    crash-replay of batch N needs v{N-1} to still exist)."""
+    done = _complete_versions(target)
+    for v in done[:-_KEEP_VERSIONS]:
+        shutil.rmtree(os.path.join(target, f"v{v}"), ignore_errors=True)
+    if os.path.isdir(target):
+        for name in os.listdir(target):
+            if name.startswith("_staging_"):
+                shutil.rmtree(os.path.join(target, name), ignore_errors=True)
+
+
 def streaming_merge_to_path(
     changes: DataFrame,
     target: str,
@@ -110,13 +149,8 @@ def streaming_merge_to_path(
         spark = batch_df.sparkSession
         stored = _read_state(spark, target, schema, before_batch=batch_id)
         merged = merge_change_log(stored, batch_df, key_col, seq_col)
-        merged.write.mode("overwrite").parquet(
-            os.path.join(target, f"v{batch_id}")
-        )
-        # prune stale versions only after this version is complete
-        done = _complete_versions(target)
-        for v in done[:-_KEEP_VERSIONS]:
-            shutil.rmtree(os.path.join(target, f"v{v}"), ignore_errors=True)
+        _publish_version(merged, target, batch_id)
+        _prune_versions(target)
 
     return (
         changes.writeStream.foreachBatch(_apply)

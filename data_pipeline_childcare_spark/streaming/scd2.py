@@ -23,7 +23,6 @@ touched keys (or the same body targets a MERGE-capable format).
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,10 +31,10 @@ from pyspark.sql.streaming import StreamingQuery
 from data_pipeline_childcare_spark.operators.scd import scd2_history
 from data_pipeline_childcare_spark.streaming.merge import (
     _complete_versions,
+    _prune_versions,
+    _publish_version,
     _read_state,
 )
-
-_KEEP_VERSIONS = 2
 
 
 def streaming_scd2_to_path(
@@ -61,7 +60,7 @@ def streaming_scd2_to_path(
         batch_df = batch_df.localCheckpoint()
         stored_obs = _read_state(spark, obs_dir, schema, before_batch=batch_id)
         new_obs = stored_obs.unionByName(batch_df)
-        new_obs.write.mode("overwrite").parquet(os.path.join(obs_dir, f"v{batch_id}"))
+        _publish_version(new_obs, obs_dir, batch_id)
         # recompute ONLY touched keys from their full observation log
         new_obs = _read_state(spark, obs_dir, schema, before_batch=batch_id + 1)
         touched = batch_df.select(F.col(key_col)).distinct()
@@ -77,13 +76,9 @@ def streaming_scd2_to_path(
         spliced = prev_hist.join(
             F.broadcast(touched), key_col, "left_anti"
         ).unionByName(touched_hist)
-        spliced.write.mode("overwrite").parquet(
-            os.path.join(hist_dir, f"v{batch_id}")
-        )
+        _publish_version(spliced, hist_dir, batch_id)
         for d in (obs_dir, hist_dir):
-            done = _complete_versions(d)
-            for v in done[:-_KEEP_VERSIONS]:
-                shutil.rmtree(os.path.join(d, f"v{v}"), ignore_errors=True)
+            _prune_versions(d)
 
     return (
         observations.writeStream.foreachBatch(_apply)
