@@ -162,14 +162,23 @@ def main() -> None:
             "plan_shape_same": same,
             **({"plan_drift": drift} if drift else {}),
         }
+    # Merge into the existing dump so targeted --queries batches
+    # accumulate instead of discarding previously measured rows.
+    out_path = os.path.join(REPO, "SCALE_BENCH_x100.json")
+    merged = report
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(report)
+        merged = prior
     out = {
         "protocol": "single warm-cache run per scale (spot bench), engine-default session",
         "copies": COPIES,
-        "queries": report,
-        "total_1x": round(sum(base_t.values()), 3),
-        "total_100x": round(sum(scaled_t.values()), 3),
+        "queries": dict(sorted(merged.items())),
+        "total_1x": round(sum(v["sec_1x"] for v in merged.values()), 3),
+        "total_100x": round(sum(v["sec_100x"] for v in merged.values()), 3),
     }
-    with open(os.path.join(REPO, "SCALE_BENCH_x100.json"), "w") as f:
+    with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))
     spark.stop()
