@@ -53,6 +53,11 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The convergence flag rides the SAME join that computes the
+        # new label (a label only ever decreases, so "changed" is
+        # exactly "a neighbor offered something smaller") — the old
+        # separate new⋈old comparison join cost one extra two-sided
+        # shuffle per iteration for information this join already has.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -60,17 +65,14 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
+                (F.coalesce(F.col("nbr_component"), F.col("component")) < F.col("component")).alias(
+                    "_changed"
+                ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).limit(1).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             break
     return labels
