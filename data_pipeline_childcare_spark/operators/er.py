@@ -130,29 +130,33 @@ def token_jaccard_pairs(
     """Exact token-set Jaccard per candidate pair, as integers:
     returns (id_a, id_b, inter, uni) with uni = |A| + |B| - inter.
 
-    The intersection rides a token-equality join restricted to the
-    candidate pairs (pairs × avg-token-count rows, never corpus²);
-    set sizes join back from a keyed aggregate.
+    The distinct token SETS ride the pair join as array columns
+    (names are a handful of tokens — bounded payload), and the
+    intersection is a codegen'd ``array_intersect`` per pair: two
+    keyed joins total, versus the exploded token-equality
+    formulation's extra (id, token) shuffle + groupBy + two
+    size-joins. Zero-overlap candidate pairs (possible only via the
+    empty-set deletion fingerprint of single-token records) are
+    returned with inter = 0 rather than silently dropped.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
-        F.explode(_tokens(normalize_name(name_col))).alias("t"),
-    )
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
-    inter = (
-        pairs.join(toks.select(F.col("id").alias("id_a"), "t"), "id_a")
-        .join(toks.select(F.col("id").alias("id_b"), "t"), ["id_b", "t"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+        _tokens(normalize_name(name_col)).alias("_toks"),
     )
     return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("_sza")), "id_a")
-        .join(sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("_szb")), "id_b")
+        pairs.join(
+            toks.select(F.col("id").alias("id_a"), F.col("_toks").alias("_ta")), "id_a"
+        )
+        .join(toks.select(F.col("id").alias("id_b"), F.col("_toks").alias("_tb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            "inter",
-            (F.col("_sza") + F.col("_szb") - F.col("inter")).alias("uni"),
+            F.size(F.array_intersect("_ta", "_tb")).cast("long").alias("inter"),
+            (
+                F.size("_ta") + F.size("_tb") - F.size(F.array_intersect("_ta", "_tb"))
+            )
+            .cast("long")
+            .alias("uni"),
         )
     )
 
