@@ -5232,6 +5232,19 @@ def doc_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hash_sample_flag(hash_split(docs), 0.2)
 
 
+def doc_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold CV assignment (operators/split.kfold_assign):
+    fold = md5(salt:doc_id) mod k on the first 8 hex chars — a pure
+    projection with hash_split's engine-independence; the gate hashes
+    the FULL per-row assignment. The grouped (leakage-safe) mode is
+    pinned by unit test: keying the same hash by a group column puts
+    every member of a near-dup cluster / source domain in one fold."""
+    from data_pipeline_childcare_spark.operators.split import kfold_assign
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return kfold_assign(docs, k=5)
+
+
 def embedding_cosine_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup dedup (exact all-pairs baseline; the
     LSH/IVF candidate generators are the scale path — see
@@ -6673,6 +6686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_dedup_ivf": embedding_cosine_dedup_ivf_q,
         "image_decode_features": image_decode_features,
         "doc_train_split": doc_train_split,
+        "doc_kfold_assign": doc_kfold_assign,
         "split_leakage_pairs_docs": split_leakage_pairs_docs,
         "source_overlap_matrix": source_overlap_matrix,
         "doc_quality_gate": doc_quality_gate,
@@ -8534,6 +8548,13 @@ def oracle_sql() -> dict[str, str]:
                    {_split_case} AS split,
                    substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 8)
                        < '{_sample_threshold}' AS in_sample
+            FROM documents
+        """,
+        "doc_kfold_assign": """
+            SELECT doc_id,
+                   CAST(CAST(concat('0x',
+                            substr(md5('fold:' || CAST(doc_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) % 5 AS INT) AS fold
             FROM documents
         """,
         "tuoyu_rule_filter_docs": f"""

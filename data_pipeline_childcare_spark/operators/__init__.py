@@ -59,6 +59,7 @@ from data_pipeline_childcare_spark.operators.split import (
     stratified_hash_sample,
     weighted_sample,
     cap_per_key,
+    kfold_assign,
 )
 from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
 from data_pipeline_childcare_spark.operators.profile import profile_columns
@@ -111,6 +112,7 @@ __all__ = [
     "hash_sample_flag",
     "stratified_hash_sample",
     "weighted_sample",
+    "kfold_assign",
     "tfidf_top_terms",
     "profile_columns",
 ]

@@ -185,6 +185,35 @@ def cap_per_key(
     return under.unionByName(over)
 
 
+def kfold_assign(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    group_col: str | None = None,
+    salt: str = "fold",
+    out_col: str = "fold",
+) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment:
+    ``fold = md5(salt:key) mod k`` on the first 8 hex chars, so the
+    assignment is a pure projection with every property of
+    :func:`hash_split` (zero shuffles, engine-independent, salt =
+    fold-draw identity).
+
+    ``group_col`` makes the assignment LEAKAGE-SAFE: key by a group
+    identity (near-dup cluster id, source domain, author) instead of
+    the row id, and every member of a group lands in the same fold —
+    the standard grouped-CV discipline that keeps near-duplicates of
+    a validation document out of its training folds. Folds are
+    approximately equal-sized for uniform keys; grouped folds inherit
+    the group-size distribution (as grouped CV must).
+    """
+    if k < 2:
+        raise ValueError("k must be at least 2")
+    key = F.col(group_col if group_col else id_col)
+    h = F.conv(_bucket_hex(key, salt), 16, 10).cast("long")
+    return df.withColumn(out_col, (h % k).cast("int"))
+
+
 def split_sql_case(
     id_expr: str,
     splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),

@@ -395,6 +395,49 @@ def test_hash_split_deterministic_and_exhaustive(spark):
     assert ids_small <= ids
 
 
+def test_kfold_assign_deterministic_balanced_grouped(spark):
+    import pytest as _pytest
+
+    from data_pipeline_childcare_spark.operators.split import kfold_assign
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"]: r["fold"] for r in kfold_assign(df, k=5).collect()}
+    # identical assignment regardless of physical partitioning
+    b = {r["doc_id"]: r["fold"] for r in kfold_assign(df.repartition(7), k=5).collect()}
+    assert a == b
+    assert set(a.values()) == {0, 1, 2, 3, 4}
+    # ~equal fold sizes for uniform keys (binomial noise at n=2000)
+    for f in range(5):
+        assert 0.14 < sum(1 for v in a.values() if v == f) / len(a) < 0.26
+    # a different salt draws an independent fold split
+    c = {r["doc_id"]: r["fold"] for r in kfold_assign(df, k=5, salt="other").collect()}
+    assert a != c
+    # grouped mode: every member of a group lands in ONE fold
+    from pyspark.sql import functions as F
+
+    grouped = df.withColumn("grp", (F.col("doc_id") % 37).cast("string"))
+    per_group = (
+        kfold_assign(grouped, k=5, group_col="grp")
+        .groupBy("grp")
+        .agg(F.countDistinct("fold").alias("nf"))
+        .collect()
+    )
+    assert all(r["nf"] == 1 for r in per_group)
+    # grouped assignment matches keying the hash by the group value
+    g1 = {r["doc_id"]: r["fold"] for r in kfold_assign(grouped, k=5, group_col="grp").collect()}
+    direct = {
+        r["grp"]: r["fold"]
+        for r in kfold_assign(
+            grouped.select(F.col("grp").alias("doc_id")).distinct(), k=5
+        )
+        .withColumnRenamed("doc_id", "grp")
+        .collect()
+    }
+    assert all(g1[i] == direct[str(i % 37)] for i in g1)
+    with _pytest.raises(ValueError):
+        kfold_assign(df, k=1)
+
+
 def test_winnowing_shared_substring_guarantee(spark):
     from data_pipeline_childcare_spark.operators.dedup import winnowing_fingerprints
 
