@@ -2164,6 +2164,55 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus keyword extraction by TextRank (operators/keywords.py,
+    Mihalcea & Tarau 2004): token co-occurrence edges at window 2
+    built with zip_with over shifted array slices (no positional
+    self-join), one corpus-sized hash aggregate to the vocabulary
+    graph, then 5 weighted-PageRank iterations in fixed-point BIGINT
+    with per-source weight fractions pre-quantized to 1e-6 (overflow-
+    safe for stop-token edge weights at any corpus size). Top 20
+    keywords via TakeOrdered. Bit-exact vs the DuckDB twin's unrolled
+    iterations — the same integer-PageRank discipline as
+    link_graph_pagerank."""
+    from data_pipeline_childcare_spark.operators.keywords import textrank_keywords
+
+    docs = _t(spark, sf_dir, "documents")
+    return textrank_keywords(docs, window=2, n_iter=5, top_k=20)
+
+
+def fk_discovery_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inclusion-dependency / FK-candidate discovery
+    (operators/profile.inclusion_dependencies) over six declared
+    TPC-H column pairs — five true foreign keys plus one deliberate
+    non-FK control (o_custkey ⊆? s_suppkey). Each pair reduces both
+    sides to DISTINCT key sets before the containment semi-join
+    (distinct×distinct, parent side broadcastable), and reports
+    integer-ppm containment + parent uniqueness — the referential-
+    integrity evidence a pipeline needs before trusting a join key."""
+    from data_pipeline_childcare_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    part = _t(spark, sf_dir, "part")
+    nation = _t(spark, sf_dir, "nation")
+    out = inclusion_dependencies(
+        [
+            ("lineitem.l_orderkey->orders.o_orderkey", li, "l_orderkey", orders, "o_orderkey"),
+            ("lineitem.l_partkey->part.p_partkey", li, "l_partkey", part, "p_partkey"),
+            ("orders.o_custkey->customer.c_custkey", orders, "o_custkey", cust, "c_custkey"),
+            ("customer.c_nationkey->nation.n_nationkey", cust, "c_nationkey", nation, "n_nationkey"),
+            ("supplier.s_nationkey->nation.n_nationkey", supp, "s_nationkey", nation, "n_nationkey"),
+            ("orders.o_custkey->supplier.s_suppkey", orders, "o_custkey", supp, "s_suppkey"),
+        ]
+    )
+    return out
+
+
 def tokenizer_comparison_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer-family bake-off over the corpus: BPE (merge table),
     WordPiece (greedy inventory) and unigram-LM (Viterbi) each
@@ -6563,6 +6612,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_search_docs": bm25_search_docs,
         "dedup_incremental_docs": dedup_incremental_docs,
         "link_graph_pagerank": link_graph_pagerank,
+        "textrank_keywords_docs": textrank_keywords_docs,
+        "fk_discovery_tpch": fk_discovery_tpch,
         "customer_status_scd2": customer_status_scd2,
         "doc_perplexity_buckets": doc_perplexity_buckets,
         "pq_adc_topk_embeddings": pq_adc_topk_embeddings,
@@ -12388,6 +12439,104 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
     """
+    )
+    # TextRank twin: window-2 co-occurrence pairs by positional range
+    # join, per-source weight fractions quantized to 1e-6, then five
+    # unrolled weighted-PageRank iterations — all-BIGINT, bit-exact
+    # (mirrors operators/keywords.py + graph.weighted_pagerank).
+    _tr_iter = """
+        , tc{i} AS MATERIALIZED (
+            SELECT f.dst AS id,
+                   CAST(sum((r.r * f.frac) // 1000000) AS BIGINT) AS contrib
+            FROM fr f JOIN tr{p} r ON r.id = f.src GROUP BY f.dst
+        ), tr{i} AS MATERIALIZED (
+            SELECT b.id,
+                   CAST(((15 * 1000000000000) // (100 * (SELECT n FROM tn)))
+                        + ((85 * coalesce(c.contrib, 0)) // 100)
+                   AS BIGINT) AS r
+            FROM tr0 b LEFT JOIN tc{i} c ON c.id = b.id
+        )"""
+    out["textrank_keywords_docs"] = (
+        f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id, {tokens} AS t FROM documents
+        ),
+        pos AS MATERIALIZED (
+            SELECT doc_id, u.p AS pos, u.x AS tok
+            FROM (
+                SELECT doc_id,
+                       list_transform(t, (x, i) -> struct_pack(p := i, x := x)) AS ls
+                FROM toks
+            ), UNNEST(ls) AS r(u)
+        ),
+        co AS MATERIALIZED (
+            SELECT least(a.tok, b.tok) AS token_a,
+                   greatest(a.tok, b.tok) AS token_b,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM pos a JOIN pos b
+                 ON a.doc_id = b.doc_id
+                AND b.pos - a.pos BETWEEN 1 AND 2
+                AND a.tok <> b.tok
+            GROUP BY 1, 2
+        ),
+        dirs AS MATERIALIZED (
+            SELECT token_a AS src, token_b AS dst, w FROM co
+            UNION ALL
+            SELECT token_b AS src, token_a AS dst, w FROM co
+        ),
+        wdeg AS MATERIALIZED (
+            SELECT src, CAST(sum(w) AS BIGINT) AS wdeg FROM dirs GROUP BY src
+        ),
+        fr AS MATERIALIZED (
+            SELECT d.src, d.dst,
+                   CAST((CAST(d.w AS HUGEINT) * 1000000) // g.wdeg
+                        AS BIGINT) AS frac
+            FROM dirs d JOIN wdeg g USING (src)
+        ),
+        tn AS MATERIALIZED (SELECT count(*) AS n FROM wdeg),
+        tr0 AS MATERIALIZED (
+            SELECT src AS id,
+                   CAST(1000000000000 // (SELECT n FROM tn) AS BIGINT) AS r
+            FROM wdeg
+        )"""
+        + "".join(_tr_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT token, wdeg, rank_scaled, rank FROM (
+            SELECT r.id AS token, g.wdeg AS wdeg, r.r AS rank_scaled,
+                   CAST(row_number() OVER (ORDER BY r.r DESC, r.id) AS INT) AS rank
+            FROM tr5 r JOIN wdeg g ON g.src = r.id
+        ) WHERE rank <= 20
+    """
+    )
+    _ind_pair = """
+        SELECT pair_label, n_child_distinct, n_contained,
+               CAST(CASE WHEN n_child_distinct = 0 THEN 1000000
+                    ELSE (n_contained * 1000000) // n_child_distinct
+                    END AS BIGINT) AS containment_ppm,
+               parent_unique
+        FROM (
+            SELECT '{label}' AS pair_label,
+                   (SELECT CAST(count(DISTINCT {ccol}) AS BIGINT) FROM {ctab}
+                    WHERE {ccol} IS NOT NULL) AS n_child_distinct,
+                   (SELECT CAST(count(*) AS BIGINT) FROM
+                       (SELECT DISTINCT {ccol} AS v FROM {ctab}
+                        WHERE {ccol} IS NOT NULL) c
+                    WHERE EXISTS (SELECT 1 FROM {ptab} p
+                                  WHERE p.{pcol} = c.v)) AS n_contained,
+                   (SELECT count({pcol}) = count(DISTINCT {pcol})
+                    FROM {ptab}) AS parent_unique
+        )"""
+    _ind_pairs = [
+        ("lineitem.l_orderkey->orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("orders.o_custkey->customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey->nation.n_nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey->nation.n_nationkey", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("orders.o_custkey->supplier.s_suppkey", "orders", "o_custkey", "supplier", "s_suppkey"),
+    ]
+    out["fk_discovery_tpch"] = " UNION ALL ".join(
+        _ind_pair.format(label=lb, ctab=ct, ccol=cc, ptab=pt, pcol=pc)
+        for lb, ct, cc, pt, pc in _ind_pairs
     )
     # HITS twin: unrolled alternating auth/hub updates with the same
     # integer L1 normalization — all-BIGINT, bit-exact

@@ -62,7 +62,14 @@ from data_pipeline_childcare_spark.operators.split import (
     kfold_assign,
 )
 from data_pipeline_childcare_spark.operators.tfidf import tfidf_top_terms
-from data_pipeline_childcare_spark.operators.profile import profile_columns
+from data_pipeline_childcare_spark.operators.profile import (
+    profile_columns,
+    inclusion_dependencies,
+)
+from data_pipeline_childcare_spark.operators.keywords import (
+    cooccurrence_edges,
+    textrank_keywords,
+)
 from data_pipeline_childcare_spark.operators.asof import asof_join
 from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
 from data_pipeline_childcare_spark.operators.components import (
@@ -115,4 +122,7 @@ __all__ = [
     "kfold_assign",
     "tfidf_top_terms",
     "profile_columns",
+    "inclusion_dependencies",
+    "cooccurrence_edges",
+    "textrank_keywords",
 ]

@@ -120,6 +120,101 @@ def pagerank(
     return ranks.select("id", "out_deg", "rank_scaled")
 
 
+FRAC_SCALE = 10**6
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "weight",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Fixed-point PageRank over a WEIGHTED graph: a node's mass flows
+    to each neighbor in proportion to edge weight instead of uniformly
+    (the TextRank formulation, Mihalcea & Tarau 2004 §2.2).
+
+    ``edges``: (src, dst, weight) rows, assumed distinct per (src,
+    dst) with positive integer weights; callers with undirected
+    semantics pass both directions. The node set is ``distinct src``
+    — every ranked node must carry at least one out-edge (true by
+    construction for symmetrized co-occurrence graphs), which removes
+    the dangling-mass correction from the loop entirely.
+
+    Integer discipline with unbounded weights: the per-source weight
+    fractions are pre-quantized ONCE to ``frac = (w * 1e6) div
+    wdeg(src)`` (≤ 1e6 regardless of raw weight magnitude), so the
+    per-edge term ``(rank * frac) div 1e6`` stays inside BIGINT for
+    any corpus — rank ≤ scale = 1e12 times frac ≤ 1e6 is 1e18 <
+    2^63. Dividing rank by wdeg directly instead would zero out hot
+    nodes (wdeg of a stop-token can exceed its rank); multiplying
+    rank by raw weight would overflow on them.
+
+    Per iteration: one src-keyed equi-join (ranks × quantized edges)
+    + one map-side-combinable sum keyed by dst + one left join back —
+    O(|E|) shuffled bytes, no all-pairs stage, same shape as
+    :func:`pagerank`.
+
+    Returns (id, wdeg, rank_scaled); ``rank_scaled / scale`` sums to
+    ~1 (minus integer floor loss and the quantization residue, both
+    deterministic and mirrored by the SQL oracle).
+    """
+    edges = edges.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("dst"),
+        F.col(weight_col).cast("long").alias("w"),
+    )
+    wdeg = edges.groupBy("src").agg(F.sum("w").alias("wdeg"))
+    # the quantizing multiply itself must survive stop-token weights:
+    # w can be ~1e15 at 100 TB, so w * 1e6 overflows BIGINT. Widening
+    # to DECIMAL(38,0) keeps the product exact (1e21 << 1e38) and
+    # `div` performs exact integral division back to BIGINT — the
+    # DuckDB twin mirrors via HUGEINT. The result is ≤ 1e6 always.
+    quant = edges.join(wdeg, "src").select(
+        "src",
+        "dst",
+        F.expr(
+            f"(cast(w as decimal(38,0)) * {FRAC_SCALE}) div wdeg"
+        ).alias("frac"),
+    )
+    nodes = wdeg.select(F.col("src").alias("id"), "wdeg")
+    if checkpoint:
+        quant = quant.localCheckpoint()
+        nodes = nodes.localCheckpoint()
+    nn = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    ranks = nodes.join(F.broadcast(nn), how="cross").select(
+        "id", "wdeg", F.expr(f"{scale} div _n").alias("rank_scaled"), "_n"
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
+    teleport_pct = 100 - damping_pct
+    for _ in range(n_iter):
+        contribs = (
+            quant.join(ranks.select("id", "rank_scaled"), quant.src == F.col("id"))
+            .select(
+                "dst",
+                F.expr(f"(rank_scaled * frac) div {FRAC_SCALE}").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = ranks.join(contribs, ranks.id == contribs.dst, "left").select(
+            "id",
+            "wdeg",
+            F.expr(
+                f"(({teleport_pct} * cast({scale} as bigint)) div (100 * _n))"
+                f" + (({damping_pct} * coalesce(contrib, 0L)) div 100)"
+            ).alias("rank_scaled"),
+            "_n",
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("id", "wdeg", "rank_scaled")
+
+
 def synthetic_link_graph(
     docs: DataFrame,
     n_links: int = 3,

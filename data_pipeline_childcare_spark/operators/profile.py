@@ -44,3 +44,81 @@ def profile_columns(
         ),
         F.col("_n").alias("n_rows"),
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+PPM = 10**6
+
+
+def inclusion_dependencies(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Inclusion-dependency / foreign-key-candidate discovery over
+    declared column pairs — the schema-profiling step that tells a
+    pipeline which join keys are SAFE before it builds joins on them
+    (the classic IND problem; SPIDER/BINDER lineage, here restricted
+    to a caller-supplied candidate list because at 100 TB the
+    all-pairs column search is a governance decision, not a default).
+
+    ``pairs``: (label, child_df, child_col, parent_df, parent_col).
+    For each pair the operator reports, in one row:
+
+    - ``n_child_distinct`` — distinct non-NULL child values (NULLs
+      never violate an IND, per the standard definition),
+    - ``n_contained`` — how many of those exist in the parent column,
+    - ``containment_ppm`` — integer parts-per-million containment
+      (``(contained * 1e6) div distinct``; 1_000_000 = a valid IND,
+      i.e. a foreign-key candidate),
+    - ``parent_unique`` — whether the parent column is duplicate-free
+      (containment + parent uniqueness = referential-integrity-grade
+      FK evidence).
+
+    Scale shape per pair: both sides reduce to their DISTINCT key
+    sets first (map-side-combinable aggregates), so the containment
+    join is distinct×distinct — never row×row; a dimension-sized
+    parent set broadcasts (AQE converts at runtime). The per-pair
+    single-row results cross-combine and union — the output is
+    |pairs| rows regardless of data volume.
+    """
+    outs: list[DataFrame] = []
+    for label, child, child_col, parent, parent_col in pairs:
+        cvals = (
+            child.select(F.col(child_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+        )
+        pvals = (
+            parent.select(F.col(parent_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .distinct()
+        )
+        child_n = cvals.agg(F.count(F.lit(1)).alias("n_child_distinct"))
+        contained = cvals.join(pvals, "_v", "left_semi").agg(
+            F.count(F.lit(1)).alias("n_contained")
+        )
+        pu = (
+            parent.select(F.col(parent_col).alias("_v"))
+            .filter(F.col("_v").isNotNull())
+            .agg(
+                (F.count(F.lit(1)) == F.count_distinct(F.col("_v"))).alias(
+                    "parent_unique"
+                )
+            )
+        )
+        outs.append(
+            child_n.join(F.broadcast(contained), how="cross")
+            .join(F.broadcast(pu), how="cross")
+            .select(
+                F.lit(label).alias("pair_label"),
+                F.col("n_child_distinct").cast("long").alias("n_child_distinct"),
+                F.col("n_contained").cast("long").alias("n_contained"),
+                F.expr(
+                    f"if(n_child_distinct = 0, {PPM},"
+                    f" (n_contained * cast({PPM} as bigint)) div n_child_distinct)"
+                ).alias("containment_ppm"),
+                "parent_unique",
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

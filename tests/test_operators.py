@@ -568,6 +568,40 @@ def test_profile_columns(spark):
     assert set(approx) == {"x", "s"}
 
 
+def test_inclusion_dependencies(spark):
+    from data_pipeline_childcare_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+
+    child = spark.createDataFrame(
+        [(1,), (2,), (2,), (3,), (None,)], "k long"
+    )
+    parent_full = spark.createDataFrame([(1,), (2,), (3,), (4,)], "p long")
+    parent_part = spark.createDataFrame([(1,), (2,), (2,)], "p long")
+    empty_child = spark.createDataFrame([(None,)], "k long")
+    got = {
+        r.pair_label: r
+        for r in inclusion_dependencies(
+            [
+                ("full", child, "k", parent_full, "p"),
+                ("partial", child, "k", parent_part, "p"),
+                ("vacuous", empty_child, "k", parent_full, "p"),
+            ]
+        ).collect()
+    }
+    # NULL child values never violate an IND; duplicates collapse
+    full = got["full"]
+    assert (full.n_child_distinct, full.n_contained) == (3, 3)
+    assert full.containment_ppm == 1_000_000 and full.parent_unique
+    # 2 of 3 contained; duplicated parent key kills uniqueness
+    part = got["partial"]
+    assert (part.n_child_distinct, part.n_contained) == (3, 2)
+    assert part.containment_ppm == 666_666 and not part.parent_unique
+    # all-NULL child: vacuously contained, zero distinct
+    vac = got["vacuous"]
+    assert (vac.n_child_distinct, vac.containment_ppm) == (0, 1_000_000)
+
+
 def test_minhash_portable_matches_hashlib(spark):
     """The md5-derived hash family must equal Python's hashlib bit for
     bit — this is what makes the DuckDB oracle exact."""
