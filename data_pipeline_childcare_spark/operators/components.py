@@ -41,10 +41,17 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
+    # 1-hop initialization: label(v) = min(v, min direct neighbor).
+    # This is iteration 1 of min-label propagation computed as a bare
+    # aggregate over the symmetrized edges — the SAME single shuffle
+    # the old `distinct` node-set build paid, but it saves one full
+    # join+aggregate+checkpoint round from the loop (the dominant
+    # per-round cost on billion-edge graphs; dup-cluster graphs with
+    # diameter 1 now converge at the first in-loop stability check).
     labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_m"))
+        .select("id", F.least(F.col("id"), F.col("_m")).alias("component"))
         .localCheckpoint()
     )
     for _ in range(max_iter):
