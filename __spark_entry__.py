@@ -6519,6 +6519,30 @@ def er_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise precision/recall/F1 of the ER pipeline against the
+    registry's built-in ground truth (operators/er.
+    pairwise_cluster_metrics): rec_id div 10 recovers the generating
+    custkey, so every resolved cluster is scored against the true
+    entity partition. Pair counts come from cluster-size
+    combinatorics (Σ C(n,2) over predicted / true / contingency
+    cells) — three keyed count aggregates, no pair materialization,
+    O(n) at any corpus size. Scores are integer ppm; F1 collapses to
+    2·common/(pred+true) exactly, so the DuckDB twin matches
+    bit-for-bit."""
+    from data_pipeline_childcare_spark.operators.er import (
+        pairwise_cluster_metrics,
+        resolve_entities,
+    )
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    clusters = resolve_entities(
+        reg, "rec_id", "rec_name", threshold_num=3, threshold_den=5, max_block=50
+    )
+    assign = clusters.withColumn("entity_id", F.expr("id div 10"))
+    return pairwise_cluster_metrics(assign, "cluster_id", "entity_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6787,6 +6811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bulk_suppliers_for_parts": bulk_suppliers_for_parts,
         "entity_resolution_customers": entity_resolution_customers,
         "er_golden_records": er_golden_records,
+        "er_quality_audit": er_quality_audit,
     }
 
 
@@ -13691,5 +13716,37 @@ def oracle_sql() -> dict[str, str]:
         FROM gold g
         JOIN named n ON n.cluster_id = g.cluster_id AND n.rn = 1
         GROUP BY g.cluster_id
+    """
+    out["er_quality_audit"] = f"""
+        WITH RECURSIVE {_er_ctes}, lab AS (
+            SELECT c.cluster_id AS p, r.rec_id // 10 AS t
+            FROM reg r JOIN comp c ON c.rec_id = r.rec_id
+        ), pp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_pred_pairs
+            FROM (SELECT count(*) AS n FROM lab GROUP BY p)
+        ), tp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_true_pairs
+            FROM (SELECT count(*) AS n FROM lab GROUP BY t)
+        ), cp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_common_pairs
+            FROM (SELECT count(*) AS n FROM lab GROUP BY p, t)
+        ), nr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_records FROM lab
+        )
+        SELECT n_records, n_pred_pairs, n_true_pairs, n_common_pairs,
+               CAST(CASE WHEN n_pred_pairs = 0 THEN 1000000
+                    ELSE (n_common_pairs * 1000000) // n_pred_pairs
+                    END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
+                    ELSE (n_common_pairs * 1000000) // n_true_pairs
+                    END AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN n_pred_pairs + n_true_pairs = 0 THEN 1000000
+                    ELSE (2 * n_common_pairs * 1000000)
+                         // (n_pred_pairs + n_true_pairs)
+                    END AS BIGINT) AS f1_ppm
+        FROM nr, pp, tp, cp
     """
     return out

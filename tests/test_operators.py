@@ -1122,6 +1122,50 @@ def test_fuzzy_matches_hot_block_cap(spark):
     assert {(r["id_a"], r["id_b"]) for r in out} == {(100, 101)}
 
 
+def test_pairwise_cluster_metrics_hand_counts(spark):
+    from data_pipeline_childcare_spark.operators.er import (
+        pairwise_cluster_metrics,
+    )
+
+    # truth: {1,2,3} entity A, {4,5} entity B.
+    # prediction: {1,2} + {3,4} + {5} — one correct pair (1,2),
+    # one wrong pair (3,4); pred pairs 2, true pairs 4, common 1.
+    rows = [(1, "p1", "A"), (2, "p1", "A"), (3, "p2", "A"),
+            (4, "p2", "B"), (5, "p3", "B")]
+    df = spark.createDataFrame(rows, "id long, pred string, truth string")
+    got = pairwise_cluster_metrics(df, "pred", "truth").collect()[0]
+    assert (got.n_records, got.n_pred_pairs, got.n_true_pairs,
+            got.n_common_pairs) == (5, 2, 4, 1)
+    assert got.precision_ppm == 500_000       # 1/2
+    assert got.recall_ppm == 250_000          # 1/4
+    assert got.f1_ppm == 333_333              # 2·1/(2+4)
+
+
+def test_pairwise_cluster_metrics_degenerate(spark):
+    from data_pipeline_childcare_spark.operators.er import (
+        pairwise_cluster_metrics,
+    )
+
+    # all-singleton prediction AND truth: vacuously perfect
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y")], "id long, pred string, truth string"
+    )
+    got = pairwise_cluster_metrics(df, "pred", "truth").collect()[0]
+    assert (got.n_pred_pairs, got.n_true_pairs) == (0, 0)
+    assert (got.precision_ppm, got.recall_ppm, got.f1_ppm) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
+    # perfect clustering scores exactly 1e6 everywhere
+    good = spark.createDataFrame(
+        [(1, "c", "e"), (2, "c", "e"), (3, "d", "f")],
+        "id long, pred string, truth string",
+    )
+    g = pairwise_cluster_metrics(good, "pred", "truth").collect()[0]
+    assert (g.precision_ppm, g.recall_ppm, g.f1_ppm) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
+
+
 def test_topk_global_dedup_long_min_score_claim(spark):
     # -LONG_MIN overflows long negation (ANSI throws, legacy wraps so
     # the worst score would WIN); integral scores negate via decimal
