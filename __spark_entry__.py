@@ -6543,6 +6543,30 @@ def er_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cluster_metrics(assign, "cluster_id", "entity_id")
 
 
+def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-stage quality audit (operators/er.blocking_audit,
+    Christen 2012): pair completeness of the multi-pass blocking
+    (tok: + deletion-neighborhood) against the registry's built-in
+    truth, plus the reduction ratio vs all-pairs C(N,2) — the recall
+    ceiling and the cost saving of the blocking stage, measured
+    before any similarity math runs. True-pair totals come from
+    entity-size combinatorics; candidate truth labels are two
+    id-keyed joins onto the hot-block-capped candidate set; C(N,2)
+    is DECIMAL(38,0) (overflows BIGINT at 10¹⁰ records)."""
+    from data_pipeline_childcare_spark.operators.er import (
+        blocking_audit,
+        blocking_keys,
+        candidate_pairs,
+    )
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    cand = candidate_pairs(blocking_keys(reg, "rec_id", "rec_name"), 50)
+    truth = reg.select(
+        F.col("rec_id").alias("id"), F.expr("rec_id div 10").alias("entity_id")
+    )
+    return blocking_audit(cand, truth, "id", "entity_id")
+
+
 # ---------------------------------------------------------------------------
 # contract surface
 # ---------------------------------------------------------------------------
@@ -6812,6 +6836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_resolution_customers": entity_resolution_customers,
         "er_golden_records": er_golden_records,
         "er_quality_audit": er_quality_audit,
+        "er_blocking_audit": er_blocking_audit,
     }
 
 
@@ -13748,5 +13773,33 @@ def oracle_sql() -> dict[str, str]:
                          // (n_pred_pairs + n_true_pairs)
                     END AS BIGINT) AS f1_ppm
         FROM nr, pp, tp, cp
+    """
+    out["er_blocking_audit"] = f"""
+        WITH RECURSIVE {_er_ctes}, tr AS (
+            SELECT rec_id AS id, rec_id // 10 AS t FROM reg
+        ), nr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_records FROM tr
+        ), ncp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs FROM cand
+        ), tp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_true_pairs
+            FROM (SELECT count(*) AS n FROM tr GROUP BY t)
+        ), ctp AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_cand_true_pairs
+            FROM cand c
+            JOIN tr a ON a.id = c.id_a
+            JOIN tr b ON b.id = c.id_b
+            WHERE a.t = b.t
+        )
+        SELECT n_records, n_cand_pairs, n_true_pairs, n_cand_true_pairs,
+               CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
+                    ELSE (n_cand_true_pairs * 1000000) // n_true_pairs
+                    END AS BIGINT) AS pair_completeness_ppm,
+               CAST(CASE WHEN n_records < 2 THEN 1000000
+                    ELSE 1000000 - (CAST(n_cand_pairs AS HUGEINT) * 2000000)
+                         // (CAST(n_records AS HUGEINT) * (n_records - 1))
+                    END AS BIGINT) AS reduction_ratio_ppm
+        FROM nr, ncp, tp, ctp
     """
     return out

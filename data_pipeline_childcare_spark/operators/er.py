@@ -41,6 +41,7 @@ __all__ = [
     "resolve_entities",
     "golden_records",
     "pairwise_cluster_metrics",
+    "blocking_audit",
 ]
 
 
@@ -336,5 +337,76 @@ def pairwise_cluster_metrics(
                 f" (2 * n_common_pairs * cast({PPM} as bigint))"
                 f" div (n_pred_pairs + n_true_pairs))"
             ).alias("f1_ppm"),
+        )
+    )
+
+
+def blocking_audit(
+    cand: DataFrame,
+    assignments: DataFrame,
+    id_col: str = "id",
+    true_col: str = "entity_id",
+) -> DataFrame:
+    """Blocking-stage quality audit (Christen 2012 §7.5): pair
+    completeness (how many TRUE duplicate pairs survive blocking —
+    the recall ceiling of everything downstream) and reduction ratio
+    (how far below the all-pairs C(N,2) the candidate volume sits —
+    the reason blocking exists).
+
+    ``cand``: candidate (id_a, id_b) pairs out of the blocking stage
+    (already hot-block capped, so corpus-bounded). ``assignments``:
+    (id, true entity) for every record. True-pair totals come from
+    entity-size combinatorics (Σ C(n,2) — no pair materialization);
+    candidate-side truth is two id-keyed joins onto the bounded
+    candidate set. C(N,2) is computed in DECIMAL(38,0) — at 10¹⁰
+    records the all-pairs count (~5·10¹⁹) overflows BIGINT, and the
+    reduction ratio is precisely the number that matters at that
+    scale.
+
+    Returns ONE row: (n_records, n_cand_pairs, n_true_pairs,
+    n_cand_true_pairs, pair_completeness_ppm, reduction_ratio_ppm).
+    """
+    truth = assignments.select(
+        F.col(id_col).alias("_id"), F.col(true_col).alias("_t")
+    )
+    nrec = truth.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    tp = (
+        truth.groupBy("_t")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0)
+            ).alias("n_true_pairs")
+        )
+    )
+    keyed = cand.select(F.col("id_a").alias("_a"), F.col("id_b").alias("_b"))
+    nc = keyed.agg(F.count(F.lit(1)).cast("long").alias("n_cand_pairs"))
+    ct = (
+        keyed.join(truth.select(F.col("_id").alias("_a"), F.col("_t").alias("_ta")), "_a")
+        .join(truth.select(F.col("_id").alias("_b"), F.col("_t").alias("_tb")), "_b")
+        .filter(F.col("_ta") == F.col("_tb"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cand_true_pairs"))
+    )
+    return (
+        nrec.join(F.broadcast(nc), how="cross")
+        .join(F.broadcast(tp), how="cross")
+        .join(F.broadcast(ct), how="cross")
+        .select(
+            "n_records",
+            "n_cand_pairs",
+            "n_true_pairs",
+            "n_cand_true_pairs",
+            F.expr(
+                f"if(n_true_pairs = 0, {PPM},"
+                f" (n_cand_true_pairs * cast({PPM} as bigint)) div n_true_pairs)"
+            ).alias("pair_completeness_ppm"),
+            # rearranged so the div RESULT is ≤ 2e6 (never a giant
+            # integral quotient): 1e6 − (cand · 2e6) / (N·(N−1))
+            F.expr(
+                f"cast(if(n_records < 2, {PPM},"
+                f" {PPM} - (cast(n_cand_pairs as decimal(38,0)) * {2 * PPM})"
+                f" div (cast(n_records as decimal(38,0))"
+                f" * (n_records - 1))) as bigint)"
+            ).alias("reduction_ratio_ppm"),
         )
     )

@@ -1166,6 +1166,33 @@ def test_pairwise_cluster_metrics_degenerate(spark):
     )
 
 
+def test_blocking_audit_hand_counts(spark):
+    from data_pipeline_childcare_spark.operators.er import blocking_audit
+
+    # 5 records, entities {1,2,3}=A {4,5}=B → 4 true pairs.
+    # candidates keep (1,2),(4,5),(2,4): completeness 2/4, and
+    # reduction 1 − 3/C(5,2) = 1 − 3/10 = 0.7
+    truth = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")],
+        "id long, entity_id string",
+    )
+    cand = spark.createDataFrame(
+        [(1, 2), (4, 5), (2, 4)], "id_a long, id_b long"
+    )
+    got = blocking_audit(cand, truth).collect()[0]
+    assert (got.n_records, got.n_cand_pairs, got.n_true_pairs,
+            got.n_cand_true_pairs) == (5, 3, 4, 2)
+    assert got.pair_completeness_ppm == 500_000
+    assert got.reduction_ratio_ppm == 700_000
+    # degenerate: one record → no pairs possible anywhere
+    one = spark.createDataFrame([(9, "Z")], "id long, entity_id string")
+    none = spark.createDataFrame([], "id_a long, id_b long")
+    d = blocking_audit(none, one).collect()[0]
+    assert (d.pair_completeness_ppm, d.reduction_ratio_ppm) == (
+        1_000_000, 1_000_000,
+    )
+
+
 def test_topk_global_dedup_long_min_score_claim(spark):
     # -LONG_MIN overflows long negation (ANSI throws, legacy wraps so
     # the worst score would WIN); integral scores negate via decimal
