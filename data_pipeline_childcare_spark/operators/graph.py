@@ -182,6 +182,11 @@ def weighted_pagerank(
     )
     nodes = wdeg.select(F.col("src").alias("id"), "wdeg")
     if checkpoint:
+        # Eager checkpoints, the pagerank discipline. (eager=False was
+        # measured to still materialize the AQE query stages at
+        # plan-build time, so laziness buys nothing here; builders
+        # composing this operator belong in the plan-build audit's
+        # checkpoint_builders whitelist either way.)
         quant = quant.localCheckpoint()
         nodes = nodes.localCheckpoint()
     nn = nodes.agg(F.count(F.lit(1)).alias("_n"))

@@ -211,6 +211,23 @@ CONTRACTS = {
     "link_graph_kcore": (4, True, True),
     # bootstrap: one replica-keyed aggregate; weights are column math
     "bootstrap_mean_ci_events": (1, True, True),
+    # round-10 session-3 additions.
+    # textrank: the rank loop is checkpoint-cut, so the executed plan
+    # is the checkpointed vocab-graph read + TakeOrdered + the 20-row
+    # rank window — zero corpus exchanges visible (the one real
+    # corpus aggregate ran inside the checkpoint build)
+    "textrank_keywords_docs": (1, True, True),
+    # FK discovery: 6 pairs × (child distinct + parent distinct +
+    # semi-join + uniqueness agg); all joins broadcast at contract
+    # scale, parent sets are dimension-sized at any scale
+    "fk_discovery_tpch": (24, True, True),
+    # ER audits: the resolver subtree is checkpoint-cut at the CC
+    # labels; the contingency/entity-size count aggregates sit on the
+    # bounded assignment/candidate frames. er_quality's reg⋈comp is a
+    # keyed SMJ (comp is an RDD-scan side without stats — uniform
+    # key, corpus-sized; the right plan)
+    "er_quality_audit": (11, False, True),
+    "er_blocking_audit": (15, True, True),
 }
 
 
@@ -296,6 +313,8 @@ def test_no_driver_actions_while_building_plans(spark):
         "semdedup_embeddings",
         "link_graph_pagerank",
         "link_graph_kcore",  # per-round lazy localCheckpoints (pagerank discipline)
+        "textrank_keywords_docs",  # weighted_pagerank loop checkpoints
+        "er_quality_audit",  # resolver -> connected_components checkpoints
     }
     group = "plan-build-audit"
     qs = entry_mod.queries()
