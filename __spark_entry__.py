@@ -2164,6 +2164,29 @@ def link_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def link_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-personalized PageRank over the deterministic link graph
+    (operators/graph.trustrank, Gyöngyi et al. 2004): teleport and
+    dangling mass land only on the trusted seed set (every 20th doc —
+    the curated-whitelist stand-in), so trust attenuates with link
+    distance and spam islands decay to zero. Same BIGINT fixed-point
+    discipline as link_graph_pagerank; the DuckDB twin unrolls the
+    same five seeded iterations and matches hash-exact."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        synthetic_link_graph,
+        trustrank,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, n_links=3)
+    seeds = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return trustrank(
+        docs.select(F.col("doc_id").alias("id")), edges, seeds, n_iter=5
+    ).select(F.col("id").alias("doc_id"), "out_deg", "is_seed", "rank_scaled")
+
+
 def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus keyword extraction by TextRank (operators/keywords.py,
     Mihalcea & Tarau 2004): token co-occurrence edges at window 2
@@ -6661,6 +6684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental_docs": dedup_incremental_docs,
         "link_graph_pagerank": link_graph_pagerank,
         "textrank_keywords_docs": textrank_keywords_docs,
+        "link_graph_trustrank": link_graph_trustrank,
         "fk_discovery_tpch": fk_discovery_tpch,
         "customer_status_scd2": customer_status_scd2,
         "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -12488,6 +12512,61 @@ def oracle_sql() -> dict[str, str]:
         + "".join(_pr_iter.format(i=i, p=i - 1) for i in range(1, 6))
         + """
         SELECT id AS doc_id, out_deg, r AS rank_scaled FROM r5
+    """
+    )
+    # TrustRank twin: same link graph and integer discipline as the
+    # pagerank twin; teleport + dangling mass credit ONLY the seed
+    # set (doc_id % 20 = 0), zero-initialized elsewhere.
+    _tr_rank_iter = """
+        , gc{i} AS MATERIALIZED (
+            SELECT e.dst AS id,
+                   CAST(sum(r.r // r.out_deg) AS BIGINT) AS contrib
+            FROM edges e JOIN g{p} r ON r.id = e.src AND r.out_deg > 0
+            GROUP BY e.dst
+        ), gd{i} AS MATERIALIZED (
+            SELECT CAST(coalesce(sum(CASE WHEN out_deg = 0 THEN r END), 0)
+                        AS BIGINT) AS dang
+            FROM g{p}
+        ), g{i} AS MATERIALIZED (
+            SELECT b.id, b.out_deg, b.is_seed,
+                   CAST(CASE WHEN b.is_seed
+                        THEN (15 * 1000000000000)
+                             // (100 * (SELECT ns FROM nseed))
+                        ELSE 0 END
+                   + ((85 * (coalesce(c.contrib, 0)
+                             + CASE WHEN b.is_seed
+                               THEN (SELECT dang FROM gd{i})
+                                    // (SELECT ns FROM nseed)
+                               ELSE 0 END)) // 100)
+                   AS BIGINT) AS r
+            FROM g0 b LEFT JOIN gc{i} c ON c.id = b.id
+        )"""
+    out["link_graph_trustrank"] = (
+        """
+        WITH nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS (SELECT src, dst FROM links WHERE src <> dst),
+        deg AS (SELECT src, count(*) AS out_deg FROM edges GROUP BY src),
+        nseed AS (
+            SELECT count(*) AS ns FROM documents WHERE doc_id % 20 = 0
+        ),
+        g0 AS (
+            SELECT doc_id AS id,
+                   coalesce(deg.out_deg, 0) AS out_deg,
+                   doc_id % 20 = 0 AS is_seed,
+                   CAST(CASE WHEN doc_id % 20 = 0
+                        THEN 1000000000000 // (SELECT ns FROM nseed)
+                        ELSE 0 END AS BIGINT) AS r
+            FROM documents LEFT JOIN deg ON deg.src = doc_id
+        )"""
+        + "".join(_tr_rank_iter.format(i=i, p=i - 1) for i in range(1, 6))
+        + """
+        SELECT id AS doc_id, out_deg, is_seed, r AS rank_scaled FROM g5
     """
     )
     # TextRank twin: window-2 co-occurrence pairs by positional range

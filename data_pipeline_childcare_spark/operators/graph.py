@@ -220,6 +220,102 @@ def weighted_pagerank(
     return ranks.select("id", "wdeg", "rank_scaled")
 
 
+def trustrank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    seeds: DataFrame,
+    n_iter: int = 5,
+    damping_pct: int = 85,
+    scale: int = SCALE,
+    id_col: str = "id",
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Seed-personalized PageRank — TrustRank (Gyöngyi, Garcia-Molina
+    & Pedersen 2004, "Combating web spam with TrustRank"): teleport
+    mass lands ONLY on a curated seed set of trusted nodes instead of
+    uniformly, so trust attenuates with link distance from the seeds
+    and link-spam islands (unreachable from any seed) decay to zero —
+    the crawl-quality signal that decides which discovered hosts earn
+    fetch budget.
+
+    Same integer fixed-point discipline as :func:`pagerank` (BIGINT
+    mass, every update an integer ``div``, bit-exact under any
+    partitioning/engine); the only changes are the initial vector
+    (``scale div n_seeds`` on seeds, 0 elsewhere) and the
+    teleport/dangling terms, which credit seeds alone. ``seeds`` is a
+    one-column frame of trusted ids — seed membership joins onto the
+    node frame ONCE before the loop and rides it as a flag, so the
+    per-iteration shape is identical to pagerank: one src-keyed
+    equi-join + one map-side-combinable sum + the node join-back.
+
+    Returns (id, out_deg, is_seed, rank_scaled); mass sums to ~scale.
+    """
+    nodes = nodes.select(F.col(id_col).alias("id"))
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    seed_ids = seeds.select(F.col(seed_col).alias("id")).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg"))
+    base = (
+        nodes.join(deg, nodes.id == deg.src, "left")
+        .join(seed_ids.withColumn("_s", F.lit(True)), "id", "left")
+        .select(
+            "id",
+            F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg"),
+            F.coalesce(F.col("_s"), F.lit(False)).alias("is_seed"),
+        )
+    )
+    if checkpoint:
+        base = base.localCheckpoint()
+        edges = edges.localCheckpoint()
+    ns = base.agg(
+        F.sum(F.col("is_seed").cast("long")).alias("_ns")
+    )
+    ranks = base.join(F.broadcast(ns), how="cross").select(
+        "id",
+        "out_deg",
+        "is_seed",
+        F.expr(f"if(is_seed, {scale} div _ns, 0L)").alias("rank_scaled"),
+        "_ns",
+    )
+    if checkpoint:
+        ranks = ranks.localCheckpoint()
+    teleport_pct = 100 - damping_pct
+    for _ in range(n_iter):
+        contribs = (
+            edges.join(ranks.filter(F.col("out_deg") > 0), edges.src == ranks.id)
+            .select("dst", F.expr("rank_scaled div out_deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_deg") == 0, F.col("rank_scaled"))),
+                F.lit(0),
+            ).alias("_dang")
+        )
+        ranks = (
+            ranks.join(contribs, ranks.id == contribs.dst, "left")
+            .join(F.broadcast(dangling), how="cross")
+            .select(
+                "id",
+                "out_deg",
+                "is_seed",
+                F.expr(
+                    f"if(is_seed, ({teleport_pct} * cast({scale} as bigint))"
+                    f" div (100 * _ns), 0L)"
+                    f" + (({damping_pct} * (coalesce(contrib, 0L)"
+                    f" + if(is_seed, _dang div _ns, 0L))) div 100)"
+                ).alias("rank_scaled"),
+                "_ns",
+            )
+        )
+        if checkpoint:
+            ranks = ranks.localCheckpoint()
+    return ranks.select("id", "out_deg", "is_seed", "rank_scaled")
+
+
 def synthetic_link_graph(
     docs: DataFrame,
     n_links: int = 3,

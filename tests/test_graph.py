@@ -271,3 +271,48 @@ def test_kcore_link_graph_converged(spark):
     a = {r["id"] for r in kcore(g, k=4, rounds=5).collect()}
     b = {r["id"] for r in kcore(g, k=4, rounds=6).collect()}
     assert a == b and len(b) > 0
+
+
+def _model_trustrank(node_ids, edges, seeds, n_iter=5, damping_pct=85, scale=10**12):
+    out_deg = {i: 0 for i in node_ids}
+    for s, _ in edges:
+        out_deg[s] += 1
+    ns = len(seeds)
+    r = {i: (scale // ns if i in seeds else 0) for i in node_ids}
+    for _ in range(n_iter):
+        contrib = {i: 0 for i in node_ids}
+        for s, d in edges:
+            contrib[d] += r[s] // out_deg[s]
+        dang = sum(r[i] for i in node_ids if out_deg[i] == 0)
+        r = {
+            i: (((100 - damping_pct) * scale) // (100 * ns) if i in seeds else 0)
+            + (damping_pct * (contrib[i] + (dang // ns if i in seeds else 0))) // 100
+            for i in node_ids
+        }
+    return r
+
+
+def test_trustrank_matches_integer_model_and_kills_spam_island(spark):
+    from data_pipeline_childcare_spark.operators.graph import trustrank
+
+    # trusted cycle 0→1→2→0 (seed 0), plus a spam island 8↔9 that no
+    # seed can reach, plus dangling 3 fed from the cycle
+    nodes_l = [0, 1, 2, 3, 8, 9]
+    edges_l = [(0, 1), (1, 2), (2, 0), (2, 3), (8, 9), (9, 8)]
+    nodes = spark.createDataFrame([(i,) for i in nodes_l], "id: long")
+    edges = spark.createDataFrame(edges_l, "src: long, dst: long")
+    seeds = spark.createDataFrame([(0,)], "id: long")
+    got = {
+        r.id: (r.out_deg, r.is_seed, r.rank_scaled)
+        for r in trustrank(nodes, edges, seeds).collect()
+    }
+    model = _model_trustrank(nodes_l, edges_l, {0})
+    assert {i: v[2] for i, v in got.items()} == model
+    assert got[0][1] is True and got[1][1] is False
+    # unreachable island carries ZERO trust; reachable nodes carry some
+    assert got[8][2] == 0 and got[9][2] == 0
+    assert got[1][2] > 0 and got[3][2] > 0
+    # mass stays ~scale: teleport+dangling recycle through the seeds,
+    # the island's zero never leaks anything back
+    total = sum(v[2] for v in got.values())
+    assert abs(total - 10**12) < 10**9

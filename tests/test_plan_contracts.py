@@ -228,6 +228,9 @@ CONTRACTS = {
     # key, corpus-sized; the right plan)
     "er_quality_audit": (11, False, True),
     "er_blocking_audit": (15, True, True),
+    # trustrank: checkpoint-cut like pagerank — the executed plan is
+    # the final checkpointed rank read
+    "link_graph_trustrank": (1, True, True),
 }
 
 
@@ -314,6 +317,7 @@ def test_no_driver_actions_while_building_plans(spark):
         "link_graph_pagerank",
         "link_graph_kcore",  # per-round lazy localCheckpoints (pagerank discipline)
         "textrank_keywords_docs",  # weighted_pagerank loop checkpoints
+        "link_graph_trustrank",  # seeded pagerank loop checkpoints
         "er_quality_audit",  # resolver -> connected_components checkpoints
     }
     group = "plan-build-audit"
