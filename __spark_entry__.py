@@ -1382,6 +1382,23 @@ def doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(_t(spark, sf_dir, "documents"), seq_len=2048, n_shards=4)
 
 
+def doc_pack_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard packing audit (operators/packing.pack_audit): bin
+    count, tail waste (the only waste a straddling stream layout has),
+    straddling-doc count and integer-ppm fill over the 2048-token
+    layout — one shard-keyed aggregate on top of doc_pack_sequences;
+    the DuckDB twin nests the pack twin and the same arithmetic."""
+    from data_pipeline_childcare_spark.operators.packing import (
+        pack_audit,
+        pack_sequences,
+    )
+
+    packed = pack_sequences(
+        _t(spark, sf_dir, "documents"), seq_len=2048, n_shards=4
+    )
+    return pack_audit(packed, seq_len=2048)
+
+
 def doc_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram-overlap decontamination check: every doc_id % 10 == 0
     document plays benchmark; the rest of the corpus is scored by the
@@ -6776,6 +6793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_merge_upsert": orders_merge_upsert,
         "doc_pii_scrub": doc_pii_scrub,
         "doc_pack_sequences": doc_pack_sequences,
+        "doc_pack_audit": doc_pack_audit,
         "doc_benchmark_contamination": doc_benchmark_contamination,
         "lsh_cosine_topk_embeddings": lsh_cosine_topk_embeddings,
         "windowed_event_counts": windowed_event_counts_q,
@@ -7853,6 +7871,23 @@ def oracle_sql() -> dict[str, str]:
             " AS text FROM documents) aug"
         ),
         "doc_pack_sequences": _pack_sql("documents", f"len({tokens})"),
+        "doc_pack_audit": f"""
+            WITH packed AS ({_pack_sql("documents", f"len({tokens})")})
+            SELECT shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_bins,
+                   CAST(((sum(n_tokens) + 2047) // 2048) * 2048
+                        - sum(n_tokens) AS BIGINT) AS tail_waste,
+                   CAST(sum(CASE WHEN bin_offset + n_tokens > 2048
+                                 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_straddling,
+                   CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                        ELSE (sum(n_tokens) * 1000000)
+                             // (((sum(n_tokens) + 2047) // 2048) * 2048)
+                        END AS BIGINT) AS fill_ppm
+            FROM packed GROUP BY shard
+        """,
         "doc_benchmark_contamination": f"""
             WITH toks AS (
                 SELECT doc_id, {tokens} AS t FROM documents

