@@ -6583,6 +6583,27 @@ def er_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cluster_metrics(assign, "cluster_id", "entity_id")
 
 
+def er_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B³ precision/recall/F1 of the ER pipeline vs the built-in
+    truth (operators/er.bcubed_metrics, Bagga & Baldwin 1998) — the
+    record-averaged companion to er_quality_audit's pairwise scores
+    (B³ weights big-cluster mistakes linearly, pairwise
+    quadratically; ER evals report both). One (pred, true) contingency
+    aggregate + two side-size aggregates, fixed-point micro terms —
+    no record-level or pair-level materialization."""
+    from data_pipeline_childcare_spark.operators.er import (
+        bcubed_metrics,
+        resolve_entities,
+    )
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    clusters = resolve_entities(
+        reg, "rec_id", "rec_name", threshold_num=3, threshold_den=5, max_block=50
+    )
+    assign = clusters.withColumn("entity_id", F.expr("id div 10"))
+    return bcubed_metrics(assign, "cluster_id", "entity_id")
+
+
 def er_blocking_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocking-stage quality audit (operators/er.blocking_audit,
     Christen 2012): pair completeness of the multi-pass blocking
@@ -6879,6 +6900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_records": er_golden_records,
         "er_quality_audit": er_quality_audit,
         "er_blocking_audit": er_blocking_audit,
+        "er_bcubed_audit": er_bcubed_audit,
     }
 
 
@@ -13887,6 +13909,41 @@ def oracle_sql() -> dict[str, str]:
                          // (n_pred_pairs + n_true_pairs)
                     END AS BIGINT) AS f1_ppm
         FROM nr, pp, tp, cp
+    """
+    out["er_bcubed_audit"] = f"""
+        WITH RECURSIVE {_er_ctes}, lab AS (
+            SELECT c.cluster_id AS p, r.rec_id // 10 AS t
+            FROM reg r JOIN comp c ON c.rec_id = r.rec_id
+        ), cells AS (
+            SELECT p, t, CAST(count(*) AS BIGINT) AS n
+            FROM lab GROUP BY p, t
+        ), psz AS (
+            SELECT p, CAST(count(*) AS BIGINT) AS np FROM lab GROUP BY p
+        ), tsz AS (
+            SELECT t, CAST(count(*) AS BIGINT) AS nt FROM lab GROUP BY t
+        ), terms AS (
+            SELECT CAST(sum((c.n * c.n * 1000000) // s.np) AS BIGINT) AS sp,
+                   CAST(sum((c.n * c.n * 1000000) // z.nt) AS BIGINT) AS sr
+            FROM cells c JOIN psz s USING (p) JOIN tsz z USING (t)
+        ), nr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_records FROM lab
+        ), pr AS (
+            SELECT n_records,
+                   CAST(CASE WHEN n_records = 0 THEN 1000000
+                        ELSE coalesce(sp, 0) // n_records END AS BIGINT)
+                       AS bcubed_precision_ppm,
+                   CAST(CASE WHEN n_records = 0 THEN 1000000
+                        ELSE coalesce(sr, 0) // n_records END AS BIGINT)
+                       AS bcubed_recall_ppm
+            FROM nr, terms
+        )
+        SELECT n_records, bcubed_precision_ppm, bcubed_recall_ppm,
+               CAST(CASE WHEN bcubed_precision_ppm + bcubed_recall_ppm = 0
+                    THEN 0
+                    ELSE (2 * bcubed_precision_ppm * bcubed_recall_ppm)
+                         // (bcubed_precision_ppm + bcubed_recall_ppm)
+                    END AS BIGINT) AS bcubed_f1_ppm
+        FROM pr
     """
     out["er_blocking_audit"] = f"""
         WITH RECURSIVE {_er_ctes}, tr AS (

@@ -42,6 +42,7 @@ __all__ = [
     "golden_records",
     "pairwise_cluster_metrics",
     "blocking_audit",
+    "bcubed_metrics",
 ]
 
 
@@ -408,5 +409,74 @@ def blocking_audit(
                 f" div (cast(n_records as decimal(38,0))"
                 f" * (n_records - 1))) as bigint)"
             ).alias("reduction_ratio_ppm"),
+        )
+    )
+
+
+def bcubed_metrics(
+    assignments: DataFrame,
+    pred_col: str = "cluster_id",
+    true_col: str = "entity_id",
+) -> DataFrame:
+    """B³ precision/recall/F1 (Bagga & Baldwin 1998) — the
+    record-averaged companion to :func:`pairwise_cluster_metrics`:
+    per record r, precision is the fraction of r's predicted cluster
+    sharing r's true entity (recall symmetric), averaged over all
+    records. B³ weights errors by cluster size linearly where
+    pairwise weights them quadratically — big-cluster mistakes read
+    differently, which is why ER evaluations report both.
+
+    Via the contingency cells: B³P = Σ_{(p,t)} n_pt²/n_p / N and
+    B³R = Σ_{(p,t)} n_pt²/n_t / N — ONE (pred, true)-keyed count
+    aggregate joined (broadcast-ably) to the per-side size frames,
+    then a one-row sum. No pair or record-level materialization
+    beyond the input. Fixed-point: per-cell terms floor to micro
+    units, the sum floors once by N — the exact arithmetic the SQL
+    oracle mirrors; F1 = 2PR/(P+R) on the ppm integers (≤ 1e12
+    intermediate, BIGINT-safe).
+
+    Returns ONE row: (n_records, bcubed_precision_ppm,
+    bcubed_recall_ppm, bcubed_f1_ppm).
+    """
+    base = assignments.select(
+        F.col(pred_col).alias("_p"), F.col(true_col).alias("_t")
+    )
+    cells = base.groupBy("_p", "_t").agg(F.count(F.lit(1)).alias("_n"))
+    psz = base.groupBy("_p").agg(F.count(F.lit(1)).alias("_np"))
+    tsz = base.groupBy("_t").agg(F.count(F.lit(1)).alias("_nt"))
+    terms = (
+        cells.join(psz, "_p")
+        .join(tsz, "_t")
+        .select(
+            F.expr(f"(_n * _n * cast({PPM} as bigint)) div _np").alias("_tp"),
+            F.expr(f"(_n * _n * cast({PPM} as bigint)) div _nt").alias("_tr"),
+        )
+        .agg(
+            F.sum("_tp").alias("_sp"),
+            F.sum("_tr").alias("_sr"),
+            F.count(F.lit(1)).alias("_cells"),
+        )
+    )
+    n = base.agg(F.count(F.lit(1)).cast("long").alias("n_records"))
+    return (
+        n.join(F.broadcast(terms), how="cross")
+        .select(
+            "n_records",
+            F.expr(
+                f"if(n_records = 0, {PPM}, coalesce(_sp, 0L) div n_records)"
+            ).alias("bcubed_precision_ppm"),
+            F.expr(
+                f"if(n_records = 0, {PPM}, coalesce(_sr, 0L) div n_records)"
+            ).alias("bcubed_recall_ppm"),
+        )
+        .select(
+            "n_records",
+            "bcubed_precision_ppm",
+            "bcubed_recall_ppm",
+            F.expr(
+                "if(bcubed_precision_ppm + bcubed_recall_ppm = 0, 0L,"
+                " (2 * bcubed_precision_ppm * bcubed_recall_ppm)"
+                " div (bcubed_precision_ppm + bcubed_recall_ppm))"
+            ).alias("bcubed_f1_ppm"),
         )
     )

@@ -1166,6 +1166,37 @@ def test_pairwise_cluster_metrics_degenerate(spark):
     )
 
 
+def test_bcubed_metrics_hand_values(spark):
+    from data_pipeline_childcare_spark.operators.er import bcubed_metrics
+
+    # truth {1,2,3}=A {4,5}=B; prediction {1,2},{3,4},{5}.
+    # B3P per record: 1:1, 2:1, 3:1/2, 4:1/2, 5:1 → 4/5
+    # B3R per record: 1:2/3, 2:2/3, 3:1/3, 4:1/2, 5:1/2 → 8/15
+    rows = [(1, "p1", "A"), (2, "p1", "A"), (3, "p2", "A"),
+            (4, "p2", "B"), (5, "p3", "B")]
+    df = spark.createDataFrame(rows, "id long, pred string, truth string")
+    got = bcubed_metrics(df, "pred", "truth").collect()[0]
+    assert got.n_records == 5
+    assert got.bcubed_precision_ppm == 800_000
+    # floor-per-cell then floor-by-N: cells give
+    # (4·1e6//2=2e6? no: per-cell n²·1e6//np) — hand: p1(A):4e6//2,
+    # p2(A):1e6//2... precision cells: 2e6+5e5+5e5+1e6 = 4e6 //5.
+    # recall cells: 4e6//3 + 1e6//3 + 1e6//2 + 1e6//2 = 2666666 //5
+    assert got.bcubed_recall_ppm == 533_333
+    assert got.bcubed_f1_ppm == (
+        2 * 800_000 * 533_333 // (800_000 + 533_333)
+    )
+    # perfect clustering → all 1e6
+    good = spark.createDataFrame(
+        [(1, "c", "e"), (2, "c", "e"), (3, "d", "f")],
+        "id long, pred string, truth string",
+    )
+    g = bcubed_metrics(good, "pred", "truth").collect()[0]
+    assert (g.bcubed_precision_ppm, g.bcubed_recall_ppm, g.bcubed_f1_ppm) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
+
+
 def test_blocking_audit_hand_counts(spark):
     from data_pipeline_childcare_spark.operators.er import blocking_audit
 

@@ -228,6 +228,9 @@ CONTRACTS = {
     # key, corpus-sized; the right plan)
     "er_quality_audit": (11, False, True),
     "er_blocking_audit": (15, True, True),
+    # B³: same checkpoint-cut resolver subtree + the contingency/
+    # side-size aggregates and their joins
+    "er_bcubed_audit": (13, False, True),
     # trustrank: checkpoint-cut like pagerank — the executed plan is
     # the final checkpointed rank read
     "link_graph_trustrank": (1, True, True),
@@ -322,6 +325,7 @@ def test_no_driver_actions_while_building_plans(spark):
         "textrank_keywords_docs",  # weighted_pagerank loop checkpoints
         "link_graph_trustrank",  # seeded pagerank loop checkpoints
         "er_quality_audit",  # resolver -> connected_components checkpoints
+        "er_bcubed_audit",  # same resolver subtree
     }
     group = "plan-build-audit"
     qs = entry_mod.queries()
