@@ -6583,6 +6583,37 @@ def er_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cluster_metrics(assign, "cluster_id", "entity_id")
 
 
+def er_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-incremental ER (operators/er.assign_to_entities): the
+    crm+billing registry is resolved once (the standing 100 TB
+    history), then the legacy feed arrives as a new batch and each
+    legacy record either joins its best-matching existing entity
+    (argmax fixed-point Jaccard, smallest cluster id on ties) or
+    founds a new singleton — no re-resolution of the history. The
+    DuckDB twin rebuilds both stages closed-form."""
+    from data_pipeline_childcare_spark.operators.er import (
+        assign_to_entities,
+        resolve_entities,
+    )
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    base = reg.filter(F.col("rec_source") != "legacy")
+    incoming = reg.filter(F.col("rec_source") == "legacy")
+    resolved = resolve_entities(
+        base, "rec_id", "rec_name", threshold_num=3, threshold_den=5, max_block=50
+    )
+    existing = base.join(
+        resolved.select(F.col("id").alias("rec_id"), "cluster_id"), "rec_id"
+    ).select(F.col("rec_id").alias("id"), "cluster_id", F.col("rec_name").alias("name"))
+    inc = incoming.select(
+        F.col("rec_id").alias("id"), F.col("rec_name").alias("name")
+    )
+    return assign_to_entities(
+        existing, inc, "id", "name", "cluster_id",
+        threshold_num=3, threshold_den=5, max_block=50,
+    )
+
+
 def er_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B³ precision/recall/F1 of the ER pipeline vs the built-in
     truth (operators/er.bcubed_metrics, Bagga & Baldwin 1998) — the
@@ -6901,6 +6932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_quality_audit": er_quality_audit,
         "er_blocking_audit": er_blocking_audit,
         "er_bcubed_audit": er_bcubed_audit,
+        "er_incremental_assign": er_incremental_assign,
     }
 
 
@@ -13910,6 +13942,143 @@ def oracle_sql() -> dict[str, str]:
                     END AS BIGINT) AS f1_ppm
         FROM nr, pp, tp, cp
     """
+    # Incremental-assign twin: crm+billing resolved exactly as the
+    # full twin (blocking → jaccard → recursive reachability), then
+    # the legacy feed blocks against the base side only, scores the
+    # same integer jaccard, and takes the (sim DESC, cluster ASC)
+    # argmax per incoming record.
+    def _ind_blocking(prefix: str, src: str) -> str:
+        return f"""
+        {prefix}toks AS (
+            SELECT rec_id,
+                   list_distinct(string_split(trim(regexp_replace(
+                       regexp_replace(lower(rec_name),
+                                      '[^a-z0-9一-鿿]+', ' ', 'g'),
+                       '\\s+', ' ', 'g')), ' ')) AS tl
+            FROM {src}
+        ), {prefix}sorted AS (
+            SELECT rec_id, list_sort(tl) AS ls FROM {prefix}toks
+        ), {prefix}blocks AS (
+            SELECT DISTINCT rec_id, block_key FROM (
+                SELECT rec_id, 'tok:' || t AS block_key
+                FROM (SELECT rec_id, unnest(tl) AS t FROM {prefix}toks)
+                UNION ALL
+                SELECT rec_id,
+                       'del:' || md5(array_to_string(ls, ' ')) AS block_key
+                FROM {prefix}sorted
+                UNION ALL
+                SELECT rec_id, 'del:' || h AS block_key
+                FROM (
+                    SELECT rec_id,
+                           unnest(list_transform(
+                               range(1, len(ls) + 1),
+                               i -> md5(array_to_string(
+                                   list_concat(ls[1:i-1], ls[i+1:len(ls)]),
+                                   ' '))
+                           )) AS h
+                    FROM {prefix}sorted
+                )
+            )
+        )"""
+
+    out["er_incremental_assign"] = (
+        """
+        WITH RECURSIVE breg AS (
+            SELECT c_custkey * 10 AS rec_id,
+                   concat_ws(' ', n_name, c_mktsegment,
+                             CAST(c_custkey AS VARCHAR)) AS rec_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT c_custkey * 10 + 1,
+                   upper(concat_ws(' ', c_mktsegment, n_name,
+                                   CAST(c_custkey AS VARCHAR)))
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+        ), lreg AS (
+            SELECT c_custkey * 10 + 2 AS rec_id,
+                   concat_ws(' ', n_name, CAST(c_custkey AS VARCHAR))
+                       AS rec_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 3 = 0
+        ),"""
+        + _ind_blocking("b", "breg")
+        + ""","""
+        + _ind_blocking("l", "lreg")
+        + """, bkeep AS (
+            SELECT block_key FROM bblocks
+            GROUP BY block_key HAVING count(*) <= 50
+        ), bcand AS (
+            SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+            FROM bblocks a
+            JOIN bkeep k ON k.block_key = a.block_key
+            JOIN bblocks b ON b.block_key = a.block_key
+            WHERE a.rec_id < b.rec_id
+        ), binv AS (
+            SELECT rec_id, unnest(tl) AS t FROM btoks
+        ), bsizes AS (
+            SELECT rec_id, count(*) AS sz FROM binv GROUP BY rec_id
+        ), binter AS (
+            SELECT p.id_a, p.id_b, count(*) AS inter
+            FROM bcand p
+            JOIN binv a ON a.rec_id = p.id_a
+            JOIN binv b ON b.rec_id = p.id_b AND b.t = a.t
+            GROUP BY p.id_a, p.id_b
+        ), bmatched AS (
+            SELECT i.id_a, i.id_b
+            FROM binter i
+            JOIN bsizes sa ON sa.rec_id = i.id_a
+            JOIN bsizes sb ON sb.rec_id = i.id_b
+            WHERE i.inter * 5 >= 3 * (sa.sz + sb.sz - i.inter)
+        ), bedges AS (
+            SELECT id_a AS src, id_b AS dst FROM bmatched
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM bmatched
+        ), breach AS (
+            SELECT rec_id AS id, rec_id AS lbl FROM breg
+            UNION
+            SELECT e.dst AS id, r.lbl AS lbl
+            FROM breach r JOIN bedges e ON e.src = r.id
+        ), bcomp AS (
+            SELECT id AS rec_id, min(lbl) AS cluster_id
+            FROM breach GROUP BY id
+        ), icand AS (
+            SELECT DISTINCT l.rec_id AS in_id, b.rec_id AS ex_id
+            FROM lblocks l
+            JOIN bkeep k ON k.block_key = l.block_key
+            JOIN bblocks b ON b.block_key = l.block_key
+        ), linv AS (
+            SELECT rec_id, unnest(tl) AS t FROM ltoks
+        ), lsizes AS (
+            SELECT rec_id, count(*) AS sz FROM linv GROUP BY rec_id
+        ), iinter AS (
+            SELECT p.in_id, p.ex_id, count(*) AS inter
+            FROM icand p
+            JOIN linv a ON a.rec_id = p.in_id
+            JOIN binv b ON b.rec_id = p.ex_id AND b.t = a.t
+            GROUP BY p.in_id, p.ex_id
+        ), iscored AS (
+            SELECT i.in_id, c.cluster_id AS cl,
+                   (i.inter * 1000000)
+                       // greatest(sa.sz + sb.sz - i.inter, 1) AS s
+            FROM iinter i
+            JOIN lsizes sa ON sa.rec_id = i.in_id
+            JOIN bsizes sb ON sb.rec_id = i.ex_id
+            JOIN bcomp c ON c.rec_id = i.ex_id
+            WHERE i.inter * 5 >= 3 * (sa.sz + sb.sz - i.inter)
+        ), ibest AS (
+            SELECT in_id, cl FROM (
+                SELECT in_id, cl,
+                       row_number() OVER (
+                           PARTITION BY in_id ORDER BY s DESC, cl ASC
+                       ) AS rn
+                FROM iscored
+            ) WHERE rn = 1
+        )
+        SELECT l.rec_id AS id,
+               coalesce(b.cl, l.rec_id) AS cluster_id,
+               b.in_id IS NOT NULL AS matched
+        FROM lreg l LEFT JOIN ibest b ON b.in_id = l.rec_id
+    """
+    )
     out["er_bcubed_audit"] = f"""
         WITH RECURSIVE {_er_ctes}, lab AS (
             SELECT c.cluster_id AS p, r.rec_id // 10 AS t

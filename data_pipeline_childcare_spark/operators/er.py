@@ -43,6 +43,7 @@ __all__ = [
     "pairwise_cluster_metrics",
     "blocking_audit",
     "bcubed_metrics",
+    "assign_to_entities",
 ]
 
 
@@ -478,5 +479,98 @@ def bcubed_metrics(
                 " (2 * bcubed_precision_ppm * bcubed_recall_ppm)"
                 " div (bcubed_precision_ppm + bcubed_recall_ppm))"
             ).alias("bcubed_f1_ppm"),
+        )
+    )
+
+
+def assign_to_entities(
+    existing: DataFrame,
+    incoming: DataFrame,
+    id_col: str = "id",
+    name_col: str = "name",
+    cluster_col: str = "cluster_id",
+    threshold_num: int = 3,
+    threshold_den: int = 5,
+    max_block: int = 50,
+) -> DataFrame:
+    """Incremental entity assignment — the batch-lifecycle half of ER:
+    a NEW batch of records is matched against an ALREADY-RESOLVED
+    registry and each incoming record either joins its best-matching
+    existing entity or founds a new singleton cluster (keyed by its
+    own id). This is how a production registry absorbs a daily feed
+    without re-resolving the 100 TB history.
+
+    Shape: blocking keys are built for BOTH sides with the same
+    multi-pass scheme as :func:`blocking_keys`; candidates form ONLY
+    inside shared blocks, with the hot-block cap applied to the
+    existing side's block population (the side that grows unbounded).
+    Token-Jaccard is the same integer cross-multiplied compare; the
+    best match per incoming record is an argmax aggregate —
+    ``max(struct(inter·SCALE div uni, -cluster))`` with the exact
+    fixed-point similarity leading, smallest cluster id winning ties
+    (deterministic, engine-portable).
+
+    Returns (id, cluster_id, matched): every incoming id exactly
+    once; ``matched`` false means a new entity was founded.
+    """
+    ex_blocks = blocking_keys(existing, id_col, name_col)
+    in_blocks = blocking_keys(incoming, id_col, name_col)
+    keep = (
+        ex_blocks.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= max_block)
+        .select("block_key")
+    )
+    cand = (
+        in_blocks.join(keep, "block_key")
+        .join(
+            ex_blocks.select(
+                F.col("id").alias("_ex_id"), "block_key"
+            ),
+            "block_key",
+        )
+        .select(F.col("id").alias("_in_id"), "_ex_id")
+        .distinct()
+    )
+    in_toks = incoming.select(
+        F.col(id_col).alias("_in_id"),
+        _tokens(normalize_name(name_col)).alias("_ta"),
+    )
+    ex_toks = existing.select(
+        F.col(id_col).alias("_ex_id"),
+        F.col(cluster_col).alias("_cl"),
+        _tokens(normalize_name(name_col)).alias("_tb"),
+    )
+    inter = F.size(F.array_intersect("_ta", "_tb")).cast("long")
+    uni = (F.size("_ta") + F.size("_tb")).cast("long") - inter
+    scored = (
+        cand.join(in_toks, "_in_id")
+        .join(ex_toks, "_ex_id")
+        .select(
+            "_in_id",
+            "_cl",
+            inter.alias("_i"),
+            uni.alias("_u"),
+        )
+        .filter(
+            F.col("_i") * F.lit(threshold_den) >= F.lit(threshold_num) * F.col("_u")
+        )
+    )
+    # argmax: exact fixed-point similarity leads (micro units — uni is
+    # a token-set size, so inter·1e6 stays far inside BIGINT), then
+    # the SMALLEST cluster id wins ties via negation
+    best = scored.groupBy("_in_id").agg(
+        F.expr(
+            "max(struct((_i * cast(1000000 as bigint)) div greatest(_u, 1L)"
+            " as s, -_cl as nc))"
+        ).alias("_best")
+    )
+    return (
+        incoming.select(F.col(id_col).alias("id"))
+        .join(best, F.col("id") == best._in_id, "left")
+        .select(
+            "id",
+            F.coalesce(-F.col("_best.nc"), F.col("id")).alias("cluster_id"),
+            F.col("_best").isNotNull().alias("matched"),
         )
     )

@@ -1197,6 +1197,37 @@ def test_bcubed_metrics_hand_values(spark):
     )
 
 
+def test_assign_to_entities_match_tie_and_founder(spark):
+    from data_pipeline_childcare_spark.operators.er import assign_to_entities
+
+    existing = spark.createDataFrame(
+        [
+            (10, 1, "acme building supplies"),
+            (11, 1, "ACME Building Supplies Ltd"),
+            (20, 2, "acme building supplies"),  # same name, cluster 2
+            (30, 3, "zenith rocket works"),
+        ],
+        "id long, cluster_id long, name string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (100, "acme building supplies"),   # ties clusters 1/2 → min = 1
+            (101, "zenith rocket works inc"),  # 3/4 ≥ 3/5 → cluster 3
+            (102, "completely unrelated name"),  # founder
+        ],
+        "id long, name string",
+    )
+    got = {
+        r.id: (r.cluster_id, r.matched)
+        for r in assign_to_entities(existing, incoming).collect()
+    }
+    assert got[100] == (1, True)   # deterministic tiebreak: min cluster
+    assert got[101] == (3, True)
+    assert got[102] == (102, False)  # new singleton keyed by own id
+    # every incoming id exactly once
+    assert set(got) == {100, 101, 102}
+
+
 def test_blocking_audit_hand_counts(spark):
     from data_pipeline_childcare_spark.operators.er import blocking_audit
 

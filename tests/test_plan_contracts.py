@@ -231,6 +231,10 @@ CONTRACTS = {
     # B³: same checkpoint-cut resolver subtree + the contingency/
     # side-size aggregates and their joins
     "er_bcubed_audit": (13, False, True),
+    # incremental assign: base-side resolve (checkpoint-cut) + both
+    # blocking passes + the shared-block candidate join + argmax; the
+    # reg⋈comp join is the keyed SMJ the other ER rows carry
+    "er_incremental_assign": (17, False, True),
     # trustrank: checkpoint-cut like pagerank — the executed plan is
     # the final checkpointed rank read
     "link_graph_trustrank": (1, True, True),
@@ -326,6 +330,7 @@ def test_no_driver_actions_while_building_plans(spark):
         "link_graph_trustrank",  # seeded pagerank loop checkpoints
         "er_quality_audit",  # resolver -> connected_components checkpoints
         "er_bcubed_audit",  # same resolver subtree
+        "er_incremental_assign",  # base-side resolver checkpoints
     }
     group = "plan-build-audit"
     qs = entry_mod.queries()
