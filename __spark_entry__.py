@@ -6583,6 +6583,26 @@ def er_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairwise_cluster_metrics(assign, "cluster_id", "entity_id")
 
 
+def coreset_coverage_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facility-location coverage certificate
+    (operators/similarity.coreset_coverage) for a deterministic
+    FIXED-k representative subset (vec_id % 25 == 0 AND vec_id <
+    2000 — a coreset is fixed-size by definition, so the audit cost
+    stays corpus × k linear at any corpus scale; the oracle rebuilds
+    the same set closed-form): mean/min max-cosine coverage of the
+    corpus and the ≥0.9-covered count. The audit one runs AFTER
+    k-center/MMR/semdedup selection to certify the subset; broadcast
+    nested loop over the small rep side, one corpus-keyed max, one
+    reduce."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        coreset_coverage,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    reps = emb.filter((F.col("vec_id") % 25 == 0) & (F.col("vec_id") < 2000))
+    return coreset_coverage(emb, reps)
+
+
 def er_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch-incremental ER (operators/er.assign_to_entities): the
     crm+billing registry is resolved once (the standing 100 TB
@@ -6933,6 +6953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_blocking_audit": er_blocking_audit,
         "er_bcubed_audit": er_bcubed_audit,
         "er_incremental_assign": er_incremental_assign,
+        "coreset_coverage_embeddings": coreset_coverage_embeddings,
     }
 
 
@@ -13941,6 +13962,35 @@ def oracle_sql() -> dict[str, str]:
                          // (n_pred_pairs + n_true_pairs)
                     END AS BIGINT) AS f1_ppm
         FROM nr, pp, tp, cp
+    """
+    out["coreset_coverage_embeddings"] = """
+        WITH c AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), reps AS (
+            SELECT vec_id AS rep_id, cv AS rv FROM c
+            WHERE vec_id % 25 = 0 AND vec_id < 2000
+        ), per_point AS (
+            SELECT c.vec_id,
+                   max(CAST(round(
+                       list_dot_product(c.cv, r.rv) /
+                       (sqrt(list_dot_product(c.cv, c.cv)) *
+                        sqrt(list_dot_product(r.rv, r.rv))) * 1000000
+                   ) AS BIGINT)) AS cov
+            FROM c CROSS JOIN reps r
+            GROUP BY c.vec_id
+        ), nrep AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_reps FROM reps
+        )
+        SELECT n_reps,
+               CAST(count(*) AS BIGINT) AS n_corpus,
+               CAST(CASE WHEN count(*) = 0 THEN 0
+                    ELSE sum(cov) // count(*) END AS BIGINT)
+                   AS mean_coverage_micro,
+               CAST(min(cov) AS BIGINT) AS min_coverage_micro,
+               CAST(sum(CASE WHEN cov >= 900000 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_covered_900k
+        FROM per_point, nrep
+        GROUP BY n_reps
     """
     # Incremental-assign twin: crm+billing resolved exactly as the
     # full twin (blocking → jaccard → recursive reachability), then

@@ -1648,3 +1648,66 @@ def kcenter_sql(k: int = 6, table: str = "embeddings") -> str:
         for r in range(2, k + 1)
     ]
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
+
+
+def coreset_coverage(
+    corpus: DataFrame,
+    reps: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Facility-location coverage audit of a selected representative
+    subset (the objective k-center/MMR/semdedup selections optimize,
+    measured as a certificate AFTER selection): per corpus vector the
+    max cosine to ANY representative, reduced to one governance row —
+
+    - ``mean_coverage_micro`` — the facility-location objective in
+      integer micro units (how well the subset represents the corpus),
+    - ``min_coverage_micro`` — the worst-covered point (the k-center
+      objective),
+    - ``n_covered_900k`` — corpus points with a representative at
+      cosine ≥ 0.9 (a retrieval-quality proxy).
+
+    Scale shape: ``reps`` is the SELECTED subset — small by purpose —
+    so the scoring join is a broadcast nested loop (corpus × k reps,
+    linear in corpus, no shuffle), followed by one corpus-keyed max
+    and a one-row reduce. Cosines round to 6 decimals THEN scale to
+    micro integers, the engine's established float-boundary
+    discipline, so the SQL oracle matches bit-for-bit.
+    """
+    rep_side = F.broadcast(
+        reps.select(
+            F.col(id_col).alias("_rep_id"), F.col(vec_col).alias("_rep_vec")
+        )
+    )
+    micro = F.round(cosine(F.col(vec_col), F.col("_rep_vec")) * 1_000_000).cast(
+        "long"
+    )
+    per_point = (
+        corpus.select(F.col(id_col).alias("_cid"), F.col(vec_col))
+        .crossJoin(rep_side)
+        .select("_cid", micro.alias("_c"))
+        .groupBy("_cid")
+        .agg(F.max("_c").alias("_cov"))
+    )
+    nrep = reps.agg(F.count(F.lit(1)).cast("long").alias("n_reps"))
+    return (
+        per_point.agg(
+            F.count(F.lit(1)).cast("long").alias("n_corpus"),
+            F.sum("_cov").alias("_s"),
+            F.min("_cov").alias("min_coverage_micro"),
+            F.sum((F.col("_cov") >= 900_000).cast("long")).alias(
+                "n_covered_900k"
+            ),
+        )
+        .join(F.broadcast(nrep), how="cross")
+        .select(
+            "n_reps",
+            "n_corpus",
+            F.expr("if(n_corpus = 0, 0L, _s div n_corpus)").alias(
+                "mean_coverage_micro"
+            ),
+            "min_coverage_micro",
+            "n_covered_900k",
+        )
+    )

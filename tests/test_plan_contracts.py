@@ -241,6 +241,10 @@ CONTRACTS = {
     # pack audit: the shard window exchange feeds ONE shard-keyed
     # aggregate — no join, no second shuffle
     "doc_pack_audit": (1, True, True),
+    # coreset coverage: broadcast nested loop over the SELECTED rep
+    # side (small by purpose) + one corpus-keyed max — a single
+    # exchange, no SMJ, no cartesian
+    "coreset_coverage_embeddings": (1, True, True),
 }
 
 

@@ -482,3 +482,32 @@ def test_embedding_cosine_dedup_nan_threshold_is_full_noop(spark):
     ):
         kept = {r["vec_id"] for r in fn(clones, threshold=nan, **kw).collect()}
         assert kept == {1, 2, 3}, fn.__name__
+
+
+def test_coreset_coverage_hand_vectors(spark):
+    from data_pipeline_childcare_spark.operators.similarity import (
+        coreset_coverage,
+    )
+
+    # reps = {e1}; corpus: e1 (self, cov 1.0), e2 ⊥ e1 (cov 0.0),
+    # 45° vector (cov ≈ 0.707107)
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    reps = corpus.filter("vec_id = 1")
+    got = coreset_coverage(corpus, reps).collect()[0]
+    assert (got.n_reps, got.n_corpus) == (1, 3)
+    assert got.min_coverage_micro == 0
+    # mean = (1000000 + 0 + 707107) // 3
+    assert got.mean_coverage_micro == (1_000_000 + 0 + 707_107) // 3
+    assert got.n_covered_900k == 1
+    # two reps covering both axes: worst point is the diagonal
+    reps2 = corpus.filter("vec_id in (1, 2)")
+    g2 = coreset_coverage(corpus, reps2).collect()[0]
+    assert g2.min_coverage_micro == 707_107
+    assert g2.n_covered_900k == 2
