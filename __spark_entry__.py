@@ -6634,6 +6634,28 @@ def er_incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def er_quality_audit_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pairwise audit re-run over the idf-weighted resolver
+    (operators/er.resolve_entities_idf) — the principled fix for the
+    over-merge er_quality_audit exposed: tokens weigh 1e6 div df
+    (integer inverse frequency, no logarithm), so corpus-common
+    nation/segment tokens can no longer carry a cross-entity pair
+    over the threshold while the rare key token keeps same-entity
+    pairs matched. The paired rows tell the full governance story:
+    plain precision ~0.23 → idf precision ~1.0 at equal recall."""
+    from data_pipeline_childcare_spark.operators.er import (
+        pairwise_cluster_metrics,
+        resolve_entities_idf,
+    )
+
+    reg = _dirty_customer_registry(spark, sf_dir)
+    clusters = resolve_entities_idf(
+        reg, "rec_id", "rec_name", threshold_num=3, threshold_den=5, max_block=50
+    )
+    assign = clusters.withColumn("entity_id", F.expr("id div 10"))
+    return pairwise_cluster_metrics(assign, "cluster_id", "entity_id")
+
+
 def er_bcubed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B³ precision/recall/F1 of the ER pipeline vs the built-in
     truth (operators/er.bcubed_metrics, Bagga & Baldwin 1998) — the
@@ -6952,6 +6974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_quality_audit": er_quality_audit,
         "er_blocking_audit": er_blocking_audit,
         "er_bcubed_audit": er_bcubed_audit,
+        "er_quality_audit_idf": er_quality_audit_idf,
         "er_incremental_assign": er_incremental_assign,
         "coreset_coverage_embeddings": coreset_coverage_embeddings,
     }
@@ -14127,6 +14150,104 @@ def oracle_sql() -> dict[str, str]:
                coalesce(b.cl, l.rec_id) AS cluster_id,
                b.in_id IS NOT NULL AS matched
         FROM lreg l LEFT JOIN ibest b ON b.in_id = l.rec_id
+    """
+    )
+    out["er_quality_audit_idf"] = (
+        """
+        WITH RECURSIVE wreg AS (
+            SELECT c_custkey * 10 AS rec_id,
+                   concat_ws(' ', n_name, c_mktsegment,
+                             CAST(c_custkey AS VARCHAR)) AS rec_name
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT c_custkey * 10 + 1,
+                   upper(concat_ws(' ', c_mktsegment, n_name,
+                                   CAST(c_custkey AS VARCHAR)))
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            UNION ALL
+            SELECT c_custkey * 10 + 2,
+                   concat_ws(' ', n_name, CAST(c_custkey AS VARCHAR))
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            WHERE c_custkey % 3 = 0
+        ),"""
+        + _ind_blocking("w", "wreg")
+        + """, wkeep AS (
+            SELECT block_key FROM wblocks
+            GROUP BY block_key HAVING count(*) <= 50
+        ), wcand AS (
+            SELECT DISTINCT a.rec_id AS id_a, b.rec_id AS id_b
+            FROM wblocks a
+            JOIN wkeep k ON k.block_key = a.block_key
+            JOIN wblocks b ON b.block_key = a.block_key
+            WHERE a.rec_id < b.rec_id
+        ), winv AS (
+            SELECT rec_id, unnest(tl) AS t FROM wtoks
+        ), wdf AS (
+            SELECT t, CAST(1000000 // count(*) AS BIGINT) AS w
+            FROM winv GROUP BY t
+        ), wtot AS (
+            SELECT i.rec_id, CAST(sum(d.w) AS BIGINT) AS tot
+            FROM winv i JOIN wdf d USING (t) GROUP BY i.rec_id
+        ), winter AS (
+            SELECT p.id_a, p.id_b, CAST(sum(d.w) AS BIGINT) AS iw
+            FROM wcand p
+            JOIN winv a ON a.rec_id = p.id_a
+            JOIN winv b ON b.rec_id = p.id_b AND b.t = a.t
+            JOIN wdf d ON d.t = a.t
+            GROUP BY p.id_a, p.id_b
+        ), wmatched AS (
+            SELECT x.id_a, x.id_b FROM (
+                SELECT p.id_a, p.id_b,
+                       coalesce(i.iw, 0) AS iw,
+                       ta.tot + tb.tot - coalesce(i.iw, 0) AS uw
+                FROM wcand p
+                LEFT JOIN winter i
+                       ON i.id_a = p.id_a AND i.id_b = p.id_b
+                JOIN wtot ta ON ta.rec_id = p.id_a
+                JOIN wtot tb ON tb.rec_id = p.id_b
+            ) x WHERE x.iw * 5 >= 3 * x.uw
+        ), wedges AS (
+            SELECT id_a AS src, id_b AS dst FROM wmatched
+            UNION ALL
+            SELECT id_b AS src, id_a AS dst FROM wmatched
+        ), wreach AS (
+            SELECT rec_id AS id, rec_id AS lbl FROM wreg
+            UNION
+            SELECT e.dst AS id, r.lbl AS lbl
+            FROM wreach r JOIN wedges e ON e.src = r.id
+        ), wcomp AS (
+            SELECT id AS rec_id, min(lbl) AS cluster_id
+            FROM wreach GROUP BY id
+        ), lab AS (
+            SELECT c.cluster_id AS p, r.rec_id // 10 AS t
+            FROM wreg r JOIN wcomp c ON c.rec_id = r.rec_id
+        ), pp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_pred_pairs
+            FROM (SELECT count(*) AS n FROM lab GROUP BY p)
+        ), tp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_true_pairs
+            FROM (SELECT count(*) AS n FROM lab GROUP BY t)
+        ), cp AS (
+            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+                   AS n_common_pairs
+            FROM (SELECT count(*) AS n FROM lab GROUP BY p, t)
+        ), nr AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_records FROM lab
+        )
+        SELECT n_records, n_pred_pairs, n_true_pairs, n_common_pairs,
+               CAST(CASE WHEN n_pred_pairs = 0 THEN 1000000
+                    ELSE (n_common_pairs * 1000000) // n_pred_pairs
+                    END AS BIGINT) AS precision_ppm,
+               CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
+                    ELSE (n_common_pairs * 1000000) // n_true_pairs
+                    END AS BIGINT) AS recall_ppm,
+               CAST(CASE WHEN n_pred_pairs + n_true_pairs = 0 THEN 1000000
+                    ELSE (2 * n_common_pairs * 1000000)
+                         // (n_pred_pairs + n_true_pairs)
+                    END AS BIGINT) AS f1_ppm
+        FROM nr, pp, tp, cp
     """
     )
     out["er_bcubed_audit"] = f"""

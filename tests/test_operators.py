@@ -1197,6 +1197,44 @@ def test_bcubed_metrics_hand_values(spark):
     )
 
 
+def test_idf_weighted_jaccard_fixes_common_token_overmerge(spark):
+    from data_pipeline_childcare_spark.operators.er import (
+        resolve_entities,
+        resolve_entities_idf,
+        token_jaccard_weighted,
+    )
+
+    # the audit-exposed failure: records of DIFFERENT entities share
+    # three corpus-common tokens ("united states building") and reach
+    # plain Jaccard 3/5 exactly; idf weighting must split them while
+    # keeping the same-entity variant (reordered tokens) merged.
+    rows = [
+        (10, "united states building 77"),
+        (11, "building united states 77"),   # same entity as 10
+        (20, "united states building 88"),   # different entity
+        (30, "zork 99"),                      # isolated
+    ]
+    df = spark.createDataFrame(rows, "rec_id long, rec_name string")
+    plain = {
+        r.id: r.cluster_id
+        for r in resolve_entities(df, "rec_id", "rec_name", 3, 5).collect()
+    }
+    assert plain[10] == plain[20]  # the over-merge, reproduced
+    idf = {
+        r.id: r.cluster_id
+        for r in resolve_entities_idf(df, "rec_id", "rec_name", 3, 5).collect()
+    }
+    assert idf[10] == idf[11]      # same entity still merges
+    assert idf[10] != idf[20]      # cross-entity pair now split
+    assert idf[30] == 30           # singleton unchanged
+    # weighted pair math, by hand: df(united/states/building)=3 →
+    # w=333333; df(77)=2 → w=500000; df(88)=1 → w=1000000
+    pairs = spark.createDataFrame([(10, 20)], "id_a long, id_b long")
+    w = token_jaccard_weighted(df, pairs, "rec_id", "rec_name").collect()[0]
+    assert w.inter_w == 3 * 333_333
+    assert w.uni_w == 3 * 333_333 + 500_000 + 1_000_000
+
+
 def test_assign_to_entities_match_tie_and_founder(spark):
     from data_pipeline_childcare_spark.operators.er import assign_to_entities
 

@@ -231,6 +231,9 @@ CONTRACTS = {
     # B³: same checkpoint-cut resolver subtree + the contingency/
     # side-size aggregates and their joins
     "er_bcubed_audit": (13, False, True),
+    # idf audit: the weighted resolver adds the token-df aggregate +
+    # per-record weight sums to the same checkpoint-cut shape
+    "er_quality_audit_idf": (11, False, True),
     # incremental assign: base-side resolve (checkpoint-cut) + both
     # blocking passes + the shared-block candidate join + argmax; the
     # reg⋈comp join is the keyed SMJ the other ER rows carry
@@ -334,6 +337,7 @@ def test_no_driver_actions_while_building_plans(spark):
         "link_graph_trustrank",  # seeded pagerank loop checkpoints
         "er_quality_audit",  # resolver -> connected_components checkpoints
         "er_bcubed_audit",  # same resolver subtree
+        "er_quality_audit_idf",  # weighted-resolver checkpoints
         "er_incremental_assign",  # base-side resolver checkpoints
     }
     group = "plan-build-audit"
