@@ -2204,6 +2204,29 @@ def link_graph_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("id").alias("doc_id"), "out_deg", "is_seed", "rank_scaled")
 
 
+def crawl_depth_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum hop distance from the trusted seed whitelist
+    (operators/graph.bfs_distances) over the deterministic link graph
+    — the crawl-budget audit that pairs with link_graph_trustrank:
+    fetch policies cap at depth k, and the unreachable set is exactly
+    the spam-island set TrustRank zeroes. Distributed min-distance
+    propagation, 8 hops max with early exit; the DuckDB twin is a
+    depth-capped recursive walk taking min(d) per node."""
+    from data_pipeline_childcare_spark.operators.graph import (
+        bfs_distances,
+        synthetic_link_graph,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    edges = synthetic_link_graph(docs, n_links=3)
+    seeds = docs.filter(F.col("doc_id") % 20 == 0).select(
+        F.col("doc_id").alias("id")
+    )
+    return bfs_distances(edges, seeds, max_hops=8).select(
+        F.col("id").alias("doc_id"), "dist"
+    )
+
+
 def textrank_keywords_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus keyword extraction by TextRank (operators/keywords.py,
     Mihalcea & Tarau 2004): token co-occurrence edges at window 2
@@ -6796,6 +6819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_graph_pagerank": link_graph_pagerank,
         "textrank_keywords_docs": textrank_keywords_docs,
         "link_graph_trustrank": link_graph_trustrank,
+        "crawl_depth_docs": crawl_depth_docs,
         "fk_discovery_tpch": fk_discovery_tpch,
         "customer_status_scd2": customer_status_scd2,
         "doc_perplexity_buckets": doc_perplexity_buckets,
@@ -12702,6 +12726,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT id AS doc_id, out_deg, is_seed, r AS rank_scaled FROM g5
     """
     )
+    # Crawl-depth twin: depth-capped recursive walk from the seed
+    # set over the same md5 link graph; min(d) per reached node.
+    out["crawl_depth_docs"] = """
+        WITH RECURSIVE nn AS (SELECT count(*) AS n FROM documents),
+        links AS (
+            SELECT DISTINCT doc_id AS src,
+                CAST(CONCAT('0x', substring(md5(CAST(doc_id AS VARCHAR)
+                    || '#' || CAST(t.j AS VARCHAR)), 1, 15)) AS BIGINT)
+                % (SELECT n FROM nn) AS dst
+            FROM documents CROSS JOIN (VALUES (1),(2),(3)) t(j)
+        ), edges AS (SELECT src, dst FROM links WHERE src <> dst),
+        walk AS (
+            SELECT doc_id AS id, CAST(0 AS BIGINT) AS d
+            FROM documents WHERE doc_id % 20 = 0
+            UNION
+            SELECT e.dst AS id, CAST(w.d + 1 AS BIGINT) AS d
+            FROM walk w JOIN edges e ON e.src = w.id
+            WHERE w.d < 8
+        )
+        SELECT id AS doc_id, CAST(min(d) AS BIGINT) AS dist
+        FROM walk GROUP BY id
+    """
     # TextRank twin: window-2 co-occurrence pairs by positional range
     # join, per-source weight fractions quantized to 1e-6, then five
     # unrolled weighted-PageRank iterations — all-BIGINT, bit-exact

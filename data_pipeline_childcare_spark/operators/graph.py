@@ -623,3 +623,67 @@ def kcore(
         .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
     )
     return final_deg.select(F.col("src").alias("id"), "core_degree")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 8,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "id",
+) -> DataFrame:
+    """Minimum hop distance from a seed set along directed edges —
+    the crawl-depth audit that complements :func:`trustrank`: depth
+    from the trusted whitelist is what bounds a crawl budget
+    (fetch-frontier policies cap at depth k), and unreachable pages
+    are the same spam-island set TrustRank zeroes.
+
+    Distributed min-distance propagation, the :func:`~data_pipeline_
+    childcare_spark.operators.components.connected_components`
+    discipline: dist(v) ← min(dist(v), min over in-neighbors
+    dist(u)+1), iterated ``max_hops`` times with an early exit when a
+    round changes nothing (converged = every reachable node final).
+    Each round is one src-keyed join + one dst-keyed
+    map-side-combinable min + a left join back, frames
+    localCheckpoint-ed per round. After k rounds distances ≤ k are
+    exact — the documented contract (a node at true depth > max_hops
+    is absent from the output), which the SQL oracle mirrors with a
+    depth-capped recursion.
+
+    Returns (id, dist) for REACHED nodes only, dist 0 = seed.
+    """
+    edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    dist = (
+        seeds.select(F.col(seed_col).alias("id"))
+        .distinct()
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint()
+    )
+    edges = edges.localCheckpoint()
+    for _ in range(max_hops):
+        nbr = (
+            edges.join(dist, edges.src == dist.id)
+            .groupBy("dst")
+            .agg((F.min("dist") + 1).alias("_nd"))
+        )
+        new = (
+            dist.join(nbr, dist.id == nbr.dst, "full")
+            .select(
+                F.coalesce(F.col("id"), F.col("dst")).alias("id"),
+                F.least(
+                    F.coalesce(F.col("dist"), F.col("_nd")),
+                    F.coalesce(F.col("_nd"), F.col("dist")),
+                ).alias("dist"),
+                (
+                    F.col("id").isNull()
+                    | (F.col("_nd") < F.coalesce(F.col("dist"), F.col("_nd")))
+                ).alias("_chg"),
+            )
+            .localCheckpoint()
+        )
+        changed = new.filter(F.col("_chg")).limit(1).count()
+        dist = new.drop("_chg")
+        if changed == 0:
+            break
+    return dist

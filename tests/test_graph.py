@@ -316,3 +316,24 @@ def test_trustrank_matches_integer_model_and_kills_spam_island(spark):
     # the island's zero never leaks anything back
     total = sum(v[2] for v in got.values())
     assert abs(total - 10**12) < 10**9
+
+
+def test_bfs_distances_hand_graph(spark):
+    from data_pipeline_childcare_spark.operators.graph import bfs_distances
+
+    # seed 0; chain 0→1→2→3; shortcut 0→3; island 8→9 unreachable;
+    # back-edge 3→0 (cycle must not inflate distances)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0), (8, 9)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "id: long")
+    got = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=8).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}  # 3 via the shortcut; island absent
+    # max_hops cap: with 1 hop only direct neighbors appear
+    got1 = {r.id: r.dist for r in bfs_distances(edges, seeds, max_hops=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}
+    # multi-seed: nearest seed wins
+    seeds2 = spark.createDataFrame([(0,), (9,)], "id: long")
+    got2 = {r.id: r.dist for r in bfs_distances(edges, seeds2, max_hops=8).collect()}
+    assert got2[9] == 0 and got2[3] == 1

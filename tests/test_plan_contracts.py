@@ -241,6 +241,8 @@ CONTRACTS = {
     # trustrank: checkpoint-cut like pagerank — the executed plan is
     # the final checkpointed rank read
     "link_graph_trustrank": (1, True, True),
+    # crawl depth: checkpoint-cut BFS loop — final frame read only
+    "crawl_depth_docs": (1, True, True),
     # pack audit: the shard window exchange feeds ONE shard-keyed
     # aggregate — no join, no second shuffle
     "doc_pack_audit": (1, True, True),
@@ -335,6 +337,7 @@ def test_no_driver_actions_while_building_plans(spark):
         "link_graph_kcore",  # per-round lazy localCheckpoints (pagerank discipline)
         "textrank_keywords_docs",  # weighted_pagerank loop checkpoints
         "link_graph_trustrank",  # seeded pagerank loop checkpoints
+        "crawl_depth_docs",  # BFS frontier loop checkpoints
         "er_quality_audit",  # resolver -> connected_components checkpoints
         "er_bcubed_audit",  # same resolver subtree
         "er_quality_audit_idf",  # weighted-resolver checkpoints
