@@ -716,3 +716,109 @@ class TestRound7Invariants:
         exact = math.ceil((n + 1) - ((n + 1) * alpha_u) / 1_000_000)
         assert rank == exact
         assert abs(rank - expected) <= 1
+
+
+def py_pairwise_metrics(assign: list[tuple]) -> tuple[int, int, int]:
+    """Independent brute-force model of er.pairwise_cluster_metrics:
+    enumerate every record pair and count pred/true/common."""
+    from itertools import combinations
+
+    pred = true = common = 0
+    for (p1, t1), (p2, t2) in combinations(assign, 2):
+        sp, st_ = p1 == p2, t1 == t2
+        pred += sp
+        true += st_
+        common += sp and st_
+    return pred, true, common
+
+
+class TestClusterMetricsModel:
+    @settings(max_examples=20, deadline=None)
+    @given(
+        labels=st.lists(
+            st.tuples(st.integers(0, 4), st.integers(0, 3)),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def test_pairwise_counts_match_bruteforce(self, spark, labels):
+        from data_pipeline_childcare_spark.operators.er import (
+            pairwise_cluster_metrics,
+        )
+
+        rows = [(i, p, t) for i, (p, t) in enumerate(labels)]
+        df = spark.createDataFrame(rows, "id long, p long, t long")
+        got = pairwise_cluster_metrics(df, "p", "t").collect()[0]
+        pred, true, common = py_pairwise_metrics(labels)
+        assert (got.n_pred_pairs, got.n_true_pairs, got.n_common_pairs) == (
+            pred, true, common,
+        )
+        # scores bounded and consistent with counts
+        assert 0 <= got.precision_ppm <= 1_000_000
+        assert 0 <= got.recall_ppm <= 1_000_000
+        if pred:
+            assert got.precision_ppm == common * 1_000_000 // pred
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        labels=st.lists(
+            st.tuples(st.integers(0, 3), st.integers(0, 2)),
+            min_size=1,
+            max_size=20,
+        )
+    )
+    def test_bcubed_matches_bruteforce(self, spark, labels):
+        from data_pipeline_childcare_spark.operators.er import bcubed_metrics
+
+        rows = [(i, p, t) for i, (p, t) in enumerate(labels)]
+        df = spark.createDataFrame(rows, "id long, p long, t long")
+        got = bcubed_metrics(df, "p", "t").collect()[0]
+        # model with the operator's exact floor discipline: per-cell
+        # (n² · 1e6) // n_side, summed, // N
+        from collections import Counter
+
+        cells = Counter(labels)
+        np_ = Counter(p for p, _ in labels)
+        nt = Counter(t for _, t in labels)
+        sp = sum(n * n * 1_000_000 // np_[p] for (p, t), n in cells.items())
+        sr = sum(n * n * 1_000_000 // nt[t] for (p, t), n in cells.items())
+        n = len(labels)
+        assert got.bcubed_precision_ppm == sp // n
+        assert got.bcubed_recall_ppm == sr // n
+
+
+class TestBfsModel:
+    @settings(max_examples=15, deadline=None)
+    @given(
+        edges=st.lists(
+            st.tuples(st.integers(0, 9), st.integers(0, 9)),
+            min_size=1,
+            max_size=25,
+        ),
+        seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+    )
+    def test_bfs_matches_python_bfs(self, spark, edges, seeds):
+        from collections import deque
+
+        from data_pipeline_childcare_spark.operators.graph import bfs_distances
+
+        edges = [(s, d) for s, d in edges if s != d]
+        if not edges:
+            return
+        adj: dict = {}
+        for s, d in edges:
+            adj.setdefault(s, set()).add(d)
+        dist = {s: 0 for s in seeds}
+        dq = deque(seeds)
+        while dq:
+            u = dq.popleft()
+            if dist[u] >= 8:
+                continue
+            for v in adj.get(u, ()):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    dq.append(v)
+        e = spark.createDataFrame(edges, "src long, dst long")
+        sd = spark.createDataFrame([(s,) for s in seeds], "id: long")
+        got = {r.id: r.dist for r in bfs_distances(e, sd, max_hops=8).collect()}
+        assert got == dist
