@@ -7994,21 +7994,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "doc_pack_sequences": _pack_sql("documents", f"len({tokens})"),
         "doc_pack_audit": f"""
-            WITH packed AS ({_pack_sql("documents", f"len({tokens})")})
-            SELECT shard,
-                   CAST(count(*) AS BIGINT) AS n_docs,
-                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
-                   CAST((sum(n_tokens) + 2047) // 2048 AS BIGINT) AS n_bins,
-                   CAST(((sum(n_tokens) + 2047) // 2048) * 2048
-                        - sum(n_tokens) AS BIGINT) AS tail_waste,
-                   CAST(sum(CASE WHEN bin_offset + n_tokens > 2048
-                                 THEN 1 ELSE 0 END) AS BIGINT)
-                       AS n_straddling,
-                   CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
-                        ELSE (sum(n_tokens) * 1000000)
-                             // (((sum(n_tokens) + 2047) // 2048) * 2048)
+            WITH packed AS ({_pack_sql("documents", f"len({tokens})")}),
+            agg AS (
+                SELECT shard,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                       CAST(sum(CASE WHEN bin_offset + n_tokens > 2048
+                                     THEN 1 ELSE 0 END) AS BIGINT)
+                           AS n_straddling,
+                       CAST(coalesce(max(CASE WHEN n_tokens > 0
+                                THEN bin_id + (bin_offset + n_tokens - 1)
+                                              // 2048
+                                END), -1) + 1 AS BIGINT) AS n_bins
+                FROM packed GROUP BY shard
+            )
+            SELECT shard, n_docs, total_tokens, n_bins,
+                   CAST(n_bins * 2048 - total_tokens AS BIGINT) AS tail_waste,
+                   n_straddling,
+                   CAST(CASE WHEN n_bins = 0 THEN 0
+                        ELSE (total_tokens * 1000000) // (n_bins * 2048)
                         END AS BIGINT) AS fill_ppm
-            FROM packed GROUP BY shard
+            FROM agg
         """,
         "doc_benchmark_contamination": f"""
             WITH toks AS (
@@ -14005,15 +14011,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cluster_id AS p, r.rec_id // 10 AS t
             FROM reg r JOIN comp c ON c.rec_id = r.rec_id
         ), pp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_pred_pairs
             FROM (SELECT count(*) AS n FROM lab GROUP BY p)
         ), tp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_true_pairs
             FROM (SELECT count(*) AS n FROM lab GROUP BY t)
         ), cp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_common_pairs
             FROM (SELECT count(*) AS n FROM lab GROUP BY p, t)
         ), nr AS (
@@ -14021,13 +14027,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_records, n_pred_pairs, n_true_pairs, n_common_pairs,
                CAST(CASE WHEN n_pred_pairs = 0 THEN 1000000
-                    ELSE (n_common_pairs * 1000000) // n_pred_pairs
+                    ELSE (CAST(n_common_pairs AS HUGEINT) * 1000000) // n_pred_pairs
                     END AS BIGINT) AS precision_ppm,
                CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
-                    ELSE (n_common_pairs * 1000000) // n_true_pairs
+                    ELSE (CAST(n_common_pairs AS HUGEINT) * 1000000) // n_true_pairs
                     END AS BIGINT) AS recall_ppm,
                CAST(CASE WHEN n_pred_pairs + n_true_pairs = 0 THEN 1000000
-                    ELSE (2 * n_common_pairs * 1000000)
+                    ELSE (CAST(n_common_pairs AS HUGEINT) * 2000000)
                          // (n_pred_pairs + n_true_pairs)
                     END AS BIGINT) AS f1_ppm
         FROM nr, pp, tp, cp
@@ -14268,15 +14274,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT c.cluster_id AS p, r.rec_id // 10 AS t
             FROM wreg r JOIN wcomp c ON c.rec_id = r.rec_id
         ), pp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_pred_pairs
             FROM (SELECT count(*) AS n FROM lab GROUP BY p)
         ), tp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_true_pairs
             FROM (SELECT count(*) AS n FROM lab GROUP BY t)
         ), cp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_common_pairs
             FROM (SELECT count(*) AS n FROM lab GROUP BY p, t)
         ), nr AS (
@@ -14284,13 +14290,13 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_records, n_pred_pairs, n_true_pairs, n_common_pairs,
                CAST(CASE WHEN n_pred_pairs = 0 THEN 1000000
-                    ELSE (n_common_pairs * 1000000) // n_pred_pairs
+                    ELSE (CAST(n_common_pairs AS HUGEINT) * 1000000) // n_pred_pairs
                     END AS BIGINT) AS precision_ppm,
                CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
-                    ELSE (n_common_pairs * 1000000) // n_true_pairs
+                    ELSE (CAST(n_common_pairs AS HUGEINT) * 1000000) // n_true_pairs
                     END AS BIGINT) AS recall_ppm,
                CAST(CASE WHEN n_pred_pairs + n_true_pairs = 0 THEN 1000000
-                    ELSE (2 * n_common_pairs * 1000000)
+                    ELSE (CAST(n_common_pairs AS HUGEINT) * 2000000)
                          // (n_pred_pairs + n_true_pairs)
                     END AS BIGINT) AS f1_ppm
         FROM nr, pp, tp, cp
@@ -14308,8 +14314,10 @@ def oracle_sql() -> dict[str, str]:
         ), tsz AS (
             SELECT t, CAST(count(*) AS BIGINT) AS nt FROM lab GROUP BY t
         ), terms AS (
-            SELECT CAST(sum((c.n * c.n * 1000000) // s.np) AS BIGINT) AS sp,
-                   CAST(sum((c.n * c.n * 1000000) // z.nt) AS BIGINT) AS sr
+            SELECT CAST(sum((CAST(c.n AS HUGEINT) * c.n * 1000000) // s.np)
+                        AS BIGINT) AS sp,
+                   CAST(sum((CAST(c.n AS HUGEINT) * c.n * 1000000) // z.nt)
+                        AS BIGINT) AS sr
             FROM cells c JOIN psz s USING (p) JOIN tsz z USING (t)
         ), nr AS (
             SELECT CAST(count(*) AS BIGINT) AS n_records FROM lab
@@ -14339,7 +14347,7 @@ def oracle_sql() -> dict[str, str]:
         ), ncp AS (
             SELECT CAST(count(*) AS BIGINT) AS n_cand_pairs FROM cand
         ), tp AS (
-            SELECT CAST(coalesce(sum((n * (n - 1)) // 2), 0) AS BIGINT)
+            SELECT CAST(coalesce(sum((CAST(n AS HUGEINT) * (n - 1)) // 2), 0) AS BIGINT)
                    AS n_true_pairs
             FROM (SELECT count(*) AS n FROM tr GROUP BY t)
         ), ctp AS (
@@ -14351,7 +14359,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT n_records, n_cand_pairs, n_true_pairs, n_cand_true_pairs,
                CAST(CASE WHEN n_true_pairs = 0 THEN 1000000
-                    ELSE (n_cand_true_pairs * 1000000) // n_true_pairs
+                    ELSE (CAST(n_cand_true_pairs AS HUGEINT) * 1000000)
+                         // n_true_pairs
                     END AS BIGINT) AS pair_completeness_ppm,
                CAST(CASE WHEN n_records < 2 THEN 1000000
                     ELSE 1000000 - (CAST(n_cand_pairs AS HUGEINT) * 2000000)

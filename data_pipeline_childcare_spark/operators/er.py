@@ -310,18 +310,38 @@ def pairwise_cluster_metrics(
     the affected score, matching the evaluation convention that an
     all-singletons truth has nothing to recall.
 
+    Overflow discipline: every product (the per-cluster C(n, 2)
+    term and the ppm numerators) is computed in DECIMAL(38,0) —
+    a 10M-record cluster has 5·10¹³ pairs, and ``pairs · 1e6``
+    alone blows past BIGINT at ~9.2·10¹² pairs (a ~4.3M-record
+    cluster). The output pair-count columns stay BIGINT (their
+    representation bound is 9.2·10¹⁸ pairs ≈ one 4.3-BILLION-record
+    cluster); past that bound the final cast THROWS (Spark
+    CAST_OVERFLOW / DuckDB out-of-range) instead of wrapping —
+    loud, never garbage.
+
     Returns ONE row: (n_records, n_pred_pairs, n_true_pairs,
     n_common_pairs, precision_ppm, recall_ppm, f1_ppm).
     """
 
     def _pair_sum(df: DataFrame, keys: list[str], out: str) -> DataFrame:
+        # C(n,2) per group in DECIMAL(38,0) (n·(n−1) overflows BIGINT
+        # at n ≈ 3·10⁹), summed wide, cast to BIGINT last (throws past
+        # the documented 9.2e18-pair representation bound).
         return (
             df.groupBy(*keys)
             .agg(F.count(F.lit(1)).alias("_n"))
             .agg(
                 F.coalesce(
-                    F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0)
-                ).alias(out)
+                    F.sum(
+                        F.expr(
+                            "(cast(_n as decimal(38,0)) * (_n - 1)) / 2"
+                        )
+                    ).cast("decimal(38,0)"),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                .cast("long")
+                .alias(out)
             )
         )
 
@@ -341,18 +361,25 @@ def pairwise_cluster_metrics(
             "n_pred_pairs",
             "n_true_pairs",
             "n_common_pairs",
+            # ppm numerators in DECIMAL(38,0): pairs·1e6 overflows
+            # BIGINT at ~9.2e12 pairs (a 4.3M-record cluster) — far
+            # below the 10M-record clusters this operator is built
+            # for. `div` on decimal returns BIGINT; quotient ≤ 2e6.
             F.expr(
                 f"if(n_pred_pairs = 0, {PPM},"
-                f" (n_common_pairs * cast({PPM} as bigint)) div n_pred_pairs)"
+                f" (cast(n_common_pairs as decimal(38,0)) * {PPM})"
+                f" div n_pred_pairs)"
             ).alias("precision_ppm"),
             F.expr(
                 f"if(n_true_pairs = 0, {PPM},"
-                f" (n_common_pairs * cast({PPM} as bigint)) div n_true_pairs)"
+                f" (cast(n_common_pairs as decimal(38,0)) * {PPM})"
+                f" div n_true_pairs)"
             ).alias("recall_ppm"),
             F.expr(
                 f"if(n_pred_pairs + n_true_pairs = 0, {PPM},"
-                f" (2 * n_common_pairs * cast({PPM} as bigint))"
-                f" div (n_pred_pairs + n_true_pairs))"
+                f" (cast(n_common_pairs as decimal(38,0)) * {2 * PPM})"
+                f" div (cast(n_pred_pairs as decimal(38,0))"
+                f" + n_true_pairs))"
             ).alias("f1_ppm"),
         )
     )
@@ -392,8 +419,13 @@ def blocking_audit(
         .agg(F.count(F.lit(1)).alias("_n"))
         .agg(
             F.coalesce(
-                F.sum(F.expr("(_n * (_n - 1)) div 2")), F.lit(0)
-            ).alias("n_true_pairs")
+                F.sum(
+                    F.expr("(cast(_n as decimal(38,0)) * (_n - 1)) / 2")
+                ).cast("decimal(38,0)"),
+                F.lit(0).cast("decimal(38,0)"),
+            )
+            .cast("long")
+            .alias("n_true_pairs")
         )
     )
     keyed = cand.select(F.col("id_a").alias("_a"), F.col("id_b").alias("_b"))
@@ -415,7 +447,8 @@ def blocking_audit(
             "n_cand_true_pairs",
             F.expr(
                 f"if(n_true_pairs = 0, {PPM},"
-                f" (n_cand_true_pairs * cast({PPM} as bigint)) div n_true_pairs)"
+                f" (cast(n_cand_true_pairs as decimal(38,0)) * {PPM})"
+                f" div n_true_pairs)"
             ).alias("pair_completeness_ppm"),
             # rearranged so the div RESULT is ≤ 2e6 (never a giant
             # integral quotient): 1e6 − (cand · 2e6) / (N·(N−1))
@@ -449,7 +482,11 @@ def bcubed_metrics(
     beyond the input. Fixed-point: per-cell terms floor to micro
     units, the sum floors once by N — the exact arithmetic the SQL
     oracle mirrors; F1 = 2PR/(P+R) on the ppm integers (≤ 1e12
-    intermediate, BIGINT-safe).
+    intermediate, BIGINT-safe). The per-cell product n_pt²·1e6 is
+    computed in DECIMAL(38,0) — it blows past BIGINT at cell sizes
+    ≥ ~3.04M records; the per-cell QUOTIENT (≤ n_pt·1e6) and the
+    term sum (≤ N·1e6) stay BIGINT-safe up to N ≈ 9.2·10¹²
+    records, the honest bound the DuckDB twin mirrors via HUGEINT.
 
     Returns ONE row: (n_records, bcubed_precision_ppm,
     bcubed_recall_ppm, bcubed_f1_ppm).
@@ -464,8 +501,12 @@ def bcubed_metrics(
         cells.join(psz, "_p")
         .join(tsz, "_t")
         .select(
-            F.expr(f"(_n * _n * cast({PPM} as bigint)) div _np").alias("_tp"),
-            F.expr(f"(_n * _n * cast({PPM} as bigint)) div _nt").alias("_tr"),
+            F.expr(
+                f"(cast(_n as decimal(38,0)) * _n * {PPM}) div _np"
+            ).alias("_tp"),
+            F.expr(
+                f"(cast(_n as decimal(38,0)) * _n * {PPM}) div _nt"
+            ).alias("_tr"),
         )
         .agg(
             F.sum("_tp").alias("_sp"),

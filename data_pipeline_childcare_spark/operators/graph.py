@@ -139,10 +139,15 @@ def weighted_pagerank(
 
     ``edges``: (src, dst, weight) rows, assumed distinct per (src,
     dst) with positive integer weights; callers with undirected
-    semantics pass both directions. The node set is ``distinct src``
-    — every ranked node must carry at least one out-edge (true by
-    construction for symmetrized co-occurrence graphs), which removes
-    the dangling-mass correction from the loop entirely.
+    semantics pass both directions. The node set is ``distinct
+    (src ∪ dst)`` with the standard dangling-mass correction (same
+    one-row aggregate + broadcast as :func:`pagerank`): a dst-only
+    node (wdeg 0) keeps its rank in the system by redistributing it
+    uniformly, so mass sums to ~scale on ARBITRARY directed input,
+    not just symmetrized graphs. On symmetrized co-occurrence input
+    (dst ⊆ src, no dangling nodes) the dangling sum is exactly 0 and
+    every update is bit-identical to the pre-correction operator —
+    the TextRank oracles are unchanged.
 
     Integer discipline with unbounded weights: the per-source weight
     fractions are pre-quantized ONCE to ``frac = (w * 1e6) div
@@ -180,7 +185,16 @@ def weighted_pagerank(
             f"(cast(w as decimal(38,0)) * {FRAC_SCALE}) div wdeg"
         ).alias("frac"),
     )
-    nodes = wdeg.select(F.col("src").alias("id"), "wdeg")
+    # node set = src ∪ dst; dst-only nodes carry wdeg 0 and feed the
+    # dangling-mass term below (0 rows on symmetrized input).
+    ids = (
+        edges.select(F.col("src").alias("id"))
+        .unionByName(edges.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    nodes = ids.join(
+        wdeg.select(F.col("src").alias("id"), "wdeg"), "id", "left"
+    ).select("id", F.coalesce(F.col("wdeg"), F.lit(0).cast("long")).alias("wdeg"))
     if checkpoint:
         # Eager checkpoints, the pagerank discipline. (eager=False was
         # measured to still materialize the AQE query stages at
@@ -206,14 +220,25 @@ def weighted_pagerank(
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )
-        ranks = ranks.join(contribs, ranks.id == contribs.dst, "left").select(
-            "id",
-            "wdeg",
-            F.expr(
-                f"(({teleport_pct} * cast({scale} as bigint)) div (100 * _n))"
-                f" + (({damping_pct} * coalesce(contrib, 0L)) div 100)"
-            ).alias("rank_scaled"),
-            "_n",
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("wdeg") == 0, F.col("rank_scaled"))),
+                F.lit(0).cast("long"),
+            ).alias("_dang")
+        )
+        ranks = (
+            ranks.join(contribs, ranks.id == contribs.dst, "left")
+            .join(F.broadcast(dangling), how="cross")
+            .select(
+                "id",
+                "wdeg",
+                F.expr(
+                    f"(({teleport_pct} * cast({scale} as bigint)) div (100 * _n))"
+                    f" + (({damping_pct} * (coalesce(contrib, 0L)"
+                    f" + (_dang div _n))) div 100)"
+                ).alias("rank_scaled"),
+                "_n",
+            )
         )
         if checkpoint:
             ranks = ranks.localCheckpoint()

@@ -108,9 +108,14 @@ def pack_audit(
     with
 
     - ``n_docs`` / ``total_tokens`` — volume,
-    - ``n_bins`` — occupied ``seq_len`` windows (= ceil(total/seq_len),
-      asserted structurally by deriving it from the layout itself:
-      max(bin_id)+1 on the last-doc stream position),
+    - ``n_bins`` — occupied ``seq_len`` windows, derived from the
+      LAYOUT itself (max over docs of the last bin each doc's tokens
+      touch, ``bin_id + (bin_offset + n_tokens − 1) div seq_len``,
+      plus one) — not recomputed as ceil(total/seq_len) from the
+      token sum, so a corrupted/gappy layout shows up as
+      ``tail_waste``/``fill_ppm`` drifting from the ceil-consistent
+      values the pinned test asserts (zero-token docs are excluded
+      from the max: they occupy no window),
     - ``tail_waste`` — padding in the final partial bin (the ONLY
       waste a straddling stream layout has, by construction),
     - ``n_straddling`` — docs whose tokens cross a bin boundary (the
@@ -122,27 +127,34 @@ def pack_audit(
     with :func:`pack_sequences`; the SQL twin nests :func:`pack_sql`.
     """
     straddle = (F.col("bin_offset") + F.col("n_tokens")) > F.lit(seq_len)
+    # last seq_len-window this doc's tokens touch (NULL for empty docs
+    # so a trailing zero-token doc parked exactly on a bin boundary
+    # can't inflate the count)
+    last_bin = F.expr(
+        f"if(n_tokens > 0,"
+        f" bin_id + (bin_offset + n_tokens - 1) div {seq_len}, null)"
+    )
     return (
         packed.groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("total_tokens"),
             F.sum(straddle.cast("long")).alias("n_straddling"),
+            (F.coalesce(F.max(last_bin), F.lit(-1).cast("long")) + 1)
+            .cast("long")
+            .alias("n_bins"),
         )
         .select(
             "shard",
             "n_docs",
             "total_tokens",
-            F.expr(f"(total_tokens + {seq_len} - 1) div {seq_len}").alias("n_bins"),
-            F.expr(
-                f"((total_tokens + {seq_len} - 1) div {seq_len}) * {seq_len}"
-                f" - total_tokens"
-            ).alias("tail_waste"),
+            "n_bins",
+            F.expr(f"n_bins * {seq_len} - total_tokens").alias("tail_waste"),
             "n_straddling",
             F.expr(
-                f"if(total_tokens = 0, 0L,"
+                f"if(n_bins = 0, 0L,"
                 f" (total_tokens * cast({PPM} as bigint))"
-                f" div (((total_tokens + {seq_len} - 1) div {seq_len}) * {seq_len}))"
+                f" div (n_bins * {seq_len}))"
             ).alias("fill_ppm"),
         )
     )

@@ -79,6 +79,8 @@ def inclusion_dependencies(
     single-row results cross-combine and union — the output is
     |pairs| rows regardless of data volume.
     """
+    if not pairs:
+        raise ValueError("pairs must be non-empty")
     outs: list[DataFrame] = []
     for label, child, child_col, parent, parent_col in pairs:
         cvals = (

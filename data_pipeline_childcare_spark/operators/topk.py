@@ -144,6 +144,8 @@ def top_k_sequential_dedup(
     into one lazy plan — still fully distributed per stage; the used-
     set never leaves the cluster.
     """
+    if not task_order:
+        raise ValueError("task_order must be non-empty")
     used: DataFrame | None = None
     outs: list[DataFrame] = []
     for t in task_order:

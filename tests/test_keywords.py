@@ -142,3 +142,21 @@ def test_textrank_top_k_deterministic_tiebreak(spark):
     )
     rows = textrank_keywords(docs, window=2, top_k=2).collect()
     assert [r.token for r in rows] == ["a", "b"]
+
+
+def test_weighted_dangling_sink_conserves_mass(spark):
+    # ADVICE r10: directed input with a dst-only sink used to leak
+    # mass (sink unranked, no dangling correction). Now the node set
+    # is src ∪ dst and sink mass redistributes uniformly — the same
+    # one-row dangling aggregate as pagerank.
+    edges = [(0, 1, 2), (1, 2, 1), (0, 2, 3)]  # node 2 has no out-edge
+    got = _run_wpr(spark, edges)
+    assert set(got) == {0, 1, 2}
+    assert got[2][0] == 0  # wdeg 0 for the sink
+    total = sum(v for _, v in got.values())
+    # mass sums to ~scale (integer floor loss only: ≤ a few units
+    # per node per iteration at this size)
+    assert abs(total - SCALE) < SCALE // 10**6
+    # and the symmetrized regime is bit-identical to the pre-fix
+    # operator: dangling sum is exactly 0 there (pinned by
+    # test_weighted_matches_integer_model above)

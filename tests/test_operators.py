@@ -1304,3 +1304,64 @@ def test_topk_global_dedup_long_min_score_claim(spark):
             top_k_with_global_dedup(cand, k=10).collect()}
     assert (1, 5) in rows and (1, -9223372036854775808) not in rows
     assert (2, 7) in rows
+
+
+def test_pairwise_cluster_metrics_giant_cluster_no_overflow(spark):
+    from data_pipeline_childcare_spark.operators.er import (
+        pairwise_cluster_metrics,
+    )
+
+    # ADVICE r10: a single 5M-record cluster has C(5e6,2) ≈ 1.25e13
+    # pairs — `pairs * 1e6` wrapped BIGINT (bound ~9.2e12) and
+    # reported garbage ppm. The DECIMAL(38,0) numerators must report
+    # exactly 1e6 for a perfect clustering of any size.
+    n = 5_000_000
+    df = (
+        spark.range(n)
+        .select(F.lit("p").alias("pred"), F.lit("A").alias("truth"))
+    )
+    got = pairwise_cluster_metrics(df, "pred", "truth").collect()[0]
+    pairs = n * (n - 1) // 2
+    assert pairs > 9_223_372_036_854_775_807 // 10**6  # old bound hit
+    assert (got.n_pred_pairs, got.n_true_pairs, got.n_common_pairs) == (
+        pairs, pairs, pairs,
+    )
+    assert (got.precision_ppm, got.recall_ppm, got.f1_ppm) == (
+        1_000_000, 1_000_000, 1_000_000,
+    )
+
+
+def test_bcubed_metrics_giant_cell_no_overflow(spark):
+    from data_pipeline_childcare_spark.operators.er import bcubed_metrics
+
+    # ADVICE r10: a contingency cell of 5M records makes the per-cell
+    # term n²·1e6 ≈ 2.5e25 — BIGINT wrapped silently. DECIMAL(38,0)
+    # products keep the quotient (n·1e6) exact.
+    n = 5_000_000
+    df = (
+        spark.range(n)
+        .select(F.lit("p").alias("pred"), F.lit("A").alias("truth"))
+    )
+    got = bcubed_metrics(df, "pred", "truth").collect()[0]
+    assert got.n_records == n
+    assert (got.bcubed_precision_ppm, got.bcubed_recall_ppm,
+            got.bcubed_f1_ppm) == (1_000_000, 1_000_000, 1_000_000)
+
+
+def test_empty_input_guards_raise(spark):
+    import pytest
+
+    from data_pipeline_childcare_spark.operators.profile import (
+        inclusion_dependencies,
+    )
+    from data_pipeline_childcare_spark.operators.topk import (
+        top_k_sequential_dedup,
+    )
+
+    with pytest.raises(ValueError, match="pairs must be non-empty"):
+        inclusion_dependencies([])
+    cand = spark.createDataFrame(
+        [("t1", 1, 10)], "task_id string, item_id long, score long"
+    )
+    with pytest.raises(ValueError, match="task_order must be non-empty"):
+        top_k_sequential_dedup(cand, [])

@@ -642,3 +642,28 @@ def test_perplexity_buckets_equal_depth_and_order(spark):
         for r in perplexity_buckets(scored.repartition(5)).collect()
     }
     assert again == by_doc
+
+
+def test_pack_audit_layout_derived_bins(spark):
+    from data_pipeline_childcare_spark.operators.packing import pack_audit
+
+    # zero-token doc parked exactly on the next bin boundary must NOT
+    # inflate n_bins (it occupies no window)
+    packed = spark.createDataFrame(
+        [(1, 0, 10, 0, 0), (2, 0, 0, 1, 0)],
+        "doc_id long, shard long, n_tokens long, bin_id long, bin_offset long",
+    )
+    got = pack_audit(packed, seq_len=10).collect()[0]
+    assert (got.n_bins, got.tail_waste, got.fill_ppm) == (1, 0, 1_000_000)
+
+    # n_bins is derived from the LAYOUT, not ceil(total/seq_len): a
+    # gappy/corrupted layout (doc parked at bin 5 with only 4 tokens
+    # in the stream) surfaces as n_bins=6 and a huge tail_waste —
+    # ceil-from-total would have hidden it as a clean 1-bin stream.
+    bad = spark.createDataFrame(
+        [(1, 0, 4, 5, 0)],
+        "doc_id long, shard long, n_tokens long, bin_id long, bin_offset long",
+    )
+    g2 = pack_audit(bad, seq_len=10).collect()[0]
+    assert g2.n_bins == 6
+    assert g2.tail_waste == 56
