@@ -5624,6 +5624,67 @@ def streaming_stream_stream_join_events(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+def streaming_stream_stream_left_join_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """TENTH stream==batch certified family: STREAM-STREAM event-time
+    LEFT-OUTER join
+    (streaming/dedup_join.stream_stream_click_purchase_left) — the
+    one stateful family the nine inner/agg/dedup certifications don't
+    cover, and the classic correctness trap: null-extended rows for
+    unmatched clicks must emit ONLY after the join window expires
+    past the global watermark, never eagerly. One REAL availableNow
+    run over two file streams; matched pairs emit as found (inner
+    semantics) and the closing no-data batch emits the null rows for
+    every click whose window is provably closed. The oracle is the
+    plain batch left-outer interval join FILTERED to ``matched OR
+    click_ts + 30min < W_global`` where W_global = min over sides of
+    floor_ms(max side event time) − 1h — the measured (strict)
+    emission frontier, so hash-equality certifies both the
+    null-emission rule and its exact boundary. Timestamps convert
+    tz→ntz on the way out, as in the inner family."""
+    import os
+
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase_left,
+    )
+
+    def side(event_type: str) -> DataFrame:
+        ev, raw_schema = _stream_raw(spark, sf_dir, "events")
+        if isinstance(raw_schema["ts"].dataType, LongType):
+            ev = ev.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return ev.filter(F.col("event_type") == event_type)
+
+    joined = stream_stream_click_purchase_left(
+        side("click"), side("purchase"), horizon="30 minutes", watermark_delay="1 hour"
+    )
+    qname = "streaming_stream_stream_left_join_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EIGHTH stream==batch certified family: STREAMING DEDUPLICATION
     state (``dropDuplicatesWithinWatermark`` —
@@ -6936,6 +6997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_sessionize_events": streaming_sessionize_events,
         "streaming_late_drop_events": streaming_late_drop_events,
         "streaming_stream_stream_join_events": streaming_stream_stream_join_events,
+        "streaming_stream_stream_left_join_events": streaming_stream_stream_left_join_events,
         "streaming_dedup_events": streaming_dedup_events,
         "streaming_user_stats_events": streaming_user_stats_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
@@ -8610,6 +8672,37 @@ def oracle_sql() -> dict[str, str]:
              AND p.ts > c.ts
              AND p.ts <= c.ts + INTERVAL 30 MINUTE
             WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        """,
+        "streaming_stream_stream_left_join_events": """
+            -- left-outer interval join: matches emit immediately;
+            -- an UNMATCHED click's null row emits only once its join
+            -- window provably closed — measured frontier (strict):
+            -- click_ts + horizon < W_global, with W_global = min over
+            -- sides of floor_ms(max side event time) - delay (Spark
+            -- EventTimeStats is ms-floored; default min-policy across
+            -- the two input watermarks). delay 1h, horizon 30min.
+            WITH c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), wm AS (
+                SELECT least(
+                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c),
+                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p)
+                ) - 3600000000 AS wm_us
+            ), j AS (
+                SELECT c.user_id, c.ts AS click_ts,
+                       p.ts AS purchase_ts, p.value AS purchase_value
+                FROM c LEFT JOIN p
+                  ON p.user_id = c.user_id
+                 AND p.ts > c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            )
+            SELECT user_id, click_ts, purchase_ts, purchase_value
+            FROM j, wm
+            WHERE purchase_ts IS NOT NULL
+               OR epoch_us(click_ts) + 1800000000 < wm.wm_us
         """,
         "streaming_dedup_events": """
             -- dropDuplicatesWithinWatermark keyed on the full

@@ -11,7 +11,8 @@ analogs a production deployment of the same pipelines needs:
   ``sessionize`` operator).
 - dedup_join: watermarked streaming dedup
   (``dropDuplicatesWithinWatermark``) and stream-stream event-time
-  interval joins (the streaming analog of the batch range join).
+  interval joins, inner AND left-outer (null emission gated on
+  watermark expiry) — the streaming analogs of the batch range join.
 - sketches: continuously-maintained CMS counters, HLL registers and
   bloom bitmaps (fixed-size state however long the stream runs).
 - merge: foreachBatch CDC merge into versioned parquet snapshots
@@ -31,6 +32,7 @@ from data_pipeline_childcare_spark.streaming.windows import (
 from data_pipeline_childcare_spark.streaming.dedup_join import (
     streaming_dedup,
     stream_stream_click_purchase,
+    stream_stream_click_purchase_left,
 )
 from data_pipeline_childcare_spark.streaming.sketches import (
     streaming_bloom_words,

@@ -23,6 +23,10 @@ conditional), which is what makes streaming==batch equality testable:
   lets Spark expire join state (unbounded-state stream-stream joins
   are rejected by the planner). Streaming twin of the batch
   ``range_join_click_to_purchase`` query in ``__spark_entry__.py``.
+- ``stream_stream_click_purchase_left``: the LEFT-OUTER variant —
+  null-extended rows for unmatched clicks emit only after the join
+  window expires past the global watermark (see its docstring for
+  the measured emission frontier).
 
 State sizing at scale: dedup state ≈ distinct keys per watermark
 horizon; join state ≈ events per horizon per side. Keys are user ids
@@ -55,18 +59,16 @@ def streaming_dedup(
     return df.dropDuplicates(keys).drop(wm)
 
 
-def stream_stream_click_purchase(
+def _click_purchase_join(
     clicks: DataFrame,
     purchases: DataFrame,
-    horizon: str = "30 minutes",
-    watermark_delay: str = "1 hour",
-    user_col: str = "user_id",
-    ts_col: str = "ts",
-    streaming: bool | None = None,
+    horizon: str,
+    watermark_delay: str,
+    user_col: str,
+    ts_col: str,
+    streaming: bool | None,
+    how: str,
 ) -> DataFrame:
-    """(user, click_ts, purchase_ts, purchase_value) for purchases in
-    ``(click_ts, click_ts + horizon]`` — event-time interval join with
-    watermarks on BOTH sides so join state expires."""
     is_streaming = clicks.isStreaming if streaming is None else streaming
     c = clicks.select(
         F.col(user_col).alias("c_user"), F.col(ts_col).cast("timestamp").alias("click_ts")
@@ -84,6 +86,75 @@ def stream_stream_click_purchase(
         & (p["purchase_ts"] > c["click_ts"])
         & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {horizon}"))
     )
-    return c.join(p, cond).select(
+    return c.join(p, cond, how).select(
         F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
+    )
+
+
+def stream_stream_click_purchase(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """(user, click_ts, purchase_ts, purchase_value) for purchases in
+    ``(click_ts, click_ts + horizon]`` — event-time interval join with
+    watermarks on BOTH sides so join state expires."""
+    return _click_purchase_join(
+        clicks, purchases, horizon, watermark_delay, user_col, ts_col,
+        streaming, "inner",
+    )
+
+
+def stream_stream_click_purchase_left(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """LEFT-OUTER event-time interval join — the classic stateful-
+    streaming correctness trap the inner variant doesn't exercise:
+    matched pairs emit immediately (inner semantics), but an UNMATCHED
+    click emits its null-extended row only when the engine can PROVE
+    no future purchase will pair with it — i.e., when its join window
+    has fully expired from state.
+
+    Measured emission frontier (pinned by
+    tests/test_streaming.py::test_left_outer_null_rows_emit_only_after_expiry
+    and the registry oracle): with both sides on ``watermark_delay``
+    and the join window ``(click_ts, click_ts + horizon]``, an
+    unmatched click's null row appears iff
+
+        click_ts + horizon  <  W_global   (STRICT)
+
+    where ``W_global = min over sides of floor_ms(max event time) −
+    delay`` (Spark's EventTimeStats tracks max event time in whole
+    milliseconds; the global watermark is the MIN across the two
+    input watermarks under the default multipleWatermarkPolicy). A
+    click exactly AT the frontier (click_ts + horizon == W_global)
+    stays in state, un-emitted — that's the strictness the oracle's
+    ``<`` mirrors. Null rows arrive in the micro-batch AFTER the
+    watermark crosses (Spark emits them during state eviction, in a
+    no-data batch or the next data batch) — never in the batch that
+    ingested the click.
+
+    Batch mode is the plain left-outer join (every unmatched click
+    emits); an end-of-stream availableNow run equals the batch join
+    FILTERED to ``matched OR expired-by-W_global`` — the exact
+    predicate the registry oracle encodes, which is what makes this
+    family hash-certifiable.
+
+    State sizing: identical to the inner variant (events per horizon
+    per side) plus the null-emission bookkeeping bit per left row —
+    the watermark bounds both identically at any corpus size.
+    """
+    return _click_purchase_join(
+        clicks, purchases, horizon, watermark_delay, user_col, ts_col,
+        streaming, "leftOuter",
     )

@@ -468,3 +468,92 @@ def test_late_drop_two_phase_watermark(spark, tmp_path):
     assert w10["n_events"] == 2 and w10["total_value"] == 3.0  # row 4 dropped
     w12 = rows["2024-03-01 12:00:00"]
     assert w12["n_events"] == 2 and w12["total_value"] == 20.0  # row 5 kept
+
+
+def test_left_outer_null_rows_emit_only_after_expiry(spark, tmp_path):
+    """stream_stream_click_purchase_left: the null-extended row for an
+    unmatched click emits ONLY after the global watermark passes the
+    end of its join window — never in the batch that ingested it.
+    Two REAL availableNow runs share one checkpoint + file sink:
+
+      A: click u1 10:00 (never matches), click u2 10:05 +
+         purchase u2 10:15 (match). W1 = min(10:05, 10:15) − 1h =
+         09:05 — u1's window end 10:30 is NOT < 09:05, so phase 1
+         emits ONLY the u2 match: no null rows yet.
+      B: click u3 13:00 + purchase u3 13:10 (match) advance the
+         watermark to W2 = min(13:00, 13:10) − 1h = 12:00; click u4
+         11:30:00.000 sits exactly ON the frontier (11:30 + 30min ==
+         W2). Phase 2 emits the u3 match AND u1's null row (10:30 <
+         12:00), while u4 stays in state un-emitted — the STRICT
+         boundary the registry oracle mirrors.
+    """
+    import os
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase_left,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+
+    c_dir, p_dir = str(tmp_path / "c"), str(tmp_path / "p")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(df, d, fname):
+        stage = str(tmp_path / f"stage_{fname}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(d, exist_ok=True)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.endswith(".parquet") and p.startswith("part-")
+        )
+        os.rename(os.path.join(stage, part), os.path.join(d, fname))
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_phase(qname):
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        c = spark.readStream.schema(schema).parquet(c_dir)
+        p = spark.readStream.schema(schema).parquet(p_dir)
+        joined = stream_stream_click_purchase_left(
+            c, p, horizon="30 minutes", watermark_delay="1 hour"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    land(ev([(1, "2024-03-01 10:00:00", 0.0),
+             (2, "2024-03-01 10:05:00", 0.0)]), c_dir, "a.parquet")
+    land(ev([(2, "2024-03-01 10:15:00", 42.0)]), p_dir, "a.parquet")
+    run_phase("ljx_phase1")
+    out_schema = (
+        "user_id long, click_ts timestamp, purchase_ts timestamp,"
+        " purchase_value double"
+    )
+    phase1 = spark.read.schema(out_schema).parquet(out_dir).collect()
+    assert {(r.user_id, r.purchase_value) for r in phase1} == {(2, 42.0)}
+    assert all(r.purchase_ts is not None for r in phase1)  # no nulls yet
+
+    land(ev([(3, "2024-03-01 13:00:00", 0.0),
+             (4, "2024-03-01 11:30:00", 0.0)]), c_dir, "b.parquet")
+    land(ev([(3, "2024-03-01 13:10:00", 7.0)]), p_dir, "b.parquet")
+    run_phase("ljx_phase2")
+    rows = spark.read.schema(out_schema).parquet(out_dir).collect()
+    got = {(r.user_id, r.purchase_value) for r in rows}
+    # u1's null row arrived with phase 2; u4 (frontier-exact) did not
+    assert got == {(2, 42.0), (3, 7.0), (1, None)}
+    nulls = [r for r in rows if r.purchase_ts is None]
+    assert [(r.user_id, str(r.click_ts)) for r in nulls] == [
+        (1, "2024-03-01 10:00:00")
+    ]
