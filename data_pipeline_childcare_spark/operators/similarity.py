@@ -841,13 +841,41 @@ def semdedup(
 
     At 100 TB: raise ``n_cells`` so cells stay executor-sized — the
     pair join shuffles on ``cell`` and nothing else grows with the
-    corpus; centroids stay broadcast (n_cells × dim doubles).
+    corpus; centroids stay broadcast (n_cells × dim doubles). The
+    duplicate-saturation regime (verbatim clone groups, the dominant
+    shape in raw web-scale embedding dumps) collapses to min-id
+    representatives BEFORE assignment — a c-clone group would
+    otherwise emit c² pair rows inside its cell — and non-rep rows
+    are reconstructed EXACTLY afterwards: a clone shares its rep's
+    cell (identical vector ⇒ identical centroid cosines ⇒ identical
+    deterministic assignment), is always shadowed (cosine to its rep
+    rounds to 1.0 ≥ threshold, rep id smaller), and its smallest
+    shadower is ``coalesce(rep.dup_of, rep.id)`` (any shadower
+    smaller than the rep shadows the rep too — same argument as
+    :func:`_verbatim_reps`). The collapse engages only when the
+    dominance argument holds (threshold ≤ 1.0, non-NaN, ndigits ≤
+    the proven rounding bound); outside it the uncollapsed form runs.
 
     Returns (id, cell, kept, dup_of) — ``dup_of`` is the smallest
     shadowing id, NULL for kept rows.
     """
     centroids = kmeans_lite(corpus, n_cells, iterations, id_col, vec_col)
-    assigned = _assign_cells(corpus, centroids, id_col, vec_col)
+    collapse = (
+        threshold <= 1.0
+        and threshold == threshold
+        and ndigits <= _COLLAPSE_SAFE_NDIGITS
+    )
+    if collapse:
+        mapped = corpus.join(
+            corpus.groupBy(vec_col).agg(F.min(id_col).alias("_rep_id")),
+            [vec_col],
+        ).select(F.col(id_col), F.col("_rep_id"), F.col(vec_col))
+        pool = mapped.filter(F.col(id_col) == F.col("_rep_id")).select(
+            id_col, vec_col
+        )
+    else:
+        pool = corpus
+    assigned = _assign_cells(pool, centroids, id_col, vec_col)
     va = assigned.select(
         "cell",
         F.col(id_col).alias("_ida"),
@@ -865,7 +893,7 @@ def semdedup(
         .groupBy("_idb")
         .agg(F.min("_ida").alias("dup_of"))
     )
-    return (
+    out = (
         assigned.select(id_col, F.col("cell").cast("long").alias("cell"))
         .join(shadows, F.col(id_col) == F.col("_idb"), "left")
         .select(
@@ -875,6 +903,27 @@ def semdedup(
             "dup_of",
         )
     )
+    if not collapse:
+        return out
+    nonreps = (
+        mapped.filter(F.col(id_col) != F.col("_rep_id"))
+        .select(F.col(id_col), F.col("_rep_id"))
+        .join(
+            out.select(
+                F.col(id_col).alias("_rep_id"),
+                F.col("cell").alias("_rep_cell"),
+                F.col("dup_of").alias("_rep_dup"),
+            ),
+            "_rep_id",
+        )
+        .select(
+            id_col,
+            F.col("_rep_cell").alias("cell"),
+            F.lit(False).alias("kept"),
+            F.coalesce(F.col("_rep_dup"), F.col("_rep_id")).alias("dup_of"),
+        )
+    )
+    return out.unionByName(nonreps)
 
 
 # Driver-resident MODEL memo: trained centroid/codebook lists keyed by

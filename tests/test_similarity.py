@@ -511,3 +511,41 @@ def test_coreset_coverage_hand_vectors(spark):
     g2 = coreset_coverage(corpus, reps2).collect()[0]
     assert g2.min_coverage_micro == 707_107
     assert g2.n_covered_900k == 2
+
+
+def test_semdedup_verbatim_collapse_exact_reconstruction(spark):
+    """Round-11 semdedup collapse: clone groups collapse to their
+    min-id rep before cell assignment (a c-clone group would emit c²
+    within-cell pairs) and the non-rep rows are reconstructed
+    EXACTLY: rep's cell, kept=false, dup_of = coalesce(rep.dup_of,
+    rep.id). Pinned against the uncollapsed formulation run on the
+    same corpus (forced by ndigits above the collapse-safe bound,
+    which bypasses the collapse without changing any cosine at these
+    clean values)."""
+    from data_pipeline_childcare_spark.operators.similarity import semdedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),      # clone of 1
+        (3, [0.99, 0.14]),    # near-dup of 1 (cos ≈ 0.99)
+        (4, [0.99, 0.14]),    # clone of 3
+        (5, [0.0, 1.0]),      # lone direction
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    collapsed = {
+        r.vec_id: (r.cell, r.kept, r.dup_of)
+        for r in semdedup(df, n_cells=2, threshold=0.9).collect()
+    }
+    # ndigits=13 > _COLLAPSE_SAFE_NDIGITS bypasses the collapse; at
+    # these exactly-representable cosines the rounded compare is
+    # unchanged, so this IS the uncollapsed ground truth
+    uncollapsed = {
+        r.vec_id: (r.cell, r.kept, r.dup_of)
+        for r in semdedup(df, n_cells=2, threshold=0.9, ndigits=13).collect()
+    }
+    assert collapsed == uncollapsed
+    assert collapsed[2] == (collapsed[1][0], False, 1)   # clone → rep
+    # clone of a SHADOWED rep inherits the rep's smallest shadower
+    assert collapsed[3][1] is False and collapsed[3][2] == 1
+    assert collapsed[4] == (collapsed[3][0], False, 1)
+    assert collapsed[5][1] is True and collapsed[5][2] is None
