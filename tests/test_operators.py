@@ -1365,3 +1365,34 @@ def test_empty_input_guards_raise(spark):
     )
     with pytest.raises(ValueError, match="task_order must be non-empty"):
         top_k_sequential_dedup(cand, [])
+
+
+def test_tuoyu_er_alias_awareness(spark):
+    """The institution-registry ER composition (reference corpus
+    shape): alias-aware resolution recovers every entity exactly
+    (P=R=1e6) while the name-only control misses every pair whose
+    discriminative token lives only in 别名 — the measured argument
+    for blocking on name ∪ alias."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    aware = e.tuoyu_er_quality_audit(spark, sf).collect()[0]
+    assert (aware.precision_ppm, aware.recall_ppm) == (1_000_000, 1_000_000)
+    ctrl = e.tuoyu_er_quality_audit_nameonly(spark, sf).collect()[0]
+    assert ctrl.recall_ppm < aware.recall_ppm
+    # the registry parse path round-trips: ids recovered from credit
+    # codes, 3 filings for every third entity, alias NULL only on C
+    recs = e._tuoyu_institution_registry(spark, sf)
+    from pyspark.sql import functions as F
+
+    byv = {
+        r["v"]: (r["n"], r["na"])
+        for r in recs.groupBy((F.col("rec_id") % 10).alias("v"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("alias").isNull().cast("long")).alias("na"),
+        )
+        .collect()
+    }
+    assert byv[0][0] == byv[1][0] and byv[0][1] == byv[1][1] == 0
+    assert byv[2][0] > 0 and byv[2][1] == byv[2][0]  # C: alias always NULL
