@@ -119,5 +119,10 @@ def textrank_keywords(
         .limit(int(top_k))
         .select(F.col("id").alias("token"), "wdeg", "rank_scaled")
     )
+    # Unpartitioned Window on a frame BOUNDED BY CONSTRUCTION: the
+    # preceding .limit(top_k) caps the input at top_k (≤ tens) rows,
+    # so the single-partition WindowExec (and its log warning) is
+    # intentional — same discipline as the skew-profile rollups.
+    # Pinned by test_textrank_global_window_input_bounded.
     w = Window.orderBy(F.desc("rank_scaled"), F.col("token"))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -951,11 +951,21 @@ def _model_memo_key(df: DataFrame, *params):
 # DataFrame sibling of _MODEL_MEMO): deliberately-left-cached frames
 # (IVF inverted lists, audit reference top-k) are keyed so a repeated
 # build for the SAME key returns the existing cached frame instead of
-# stacking a fresh persisted copy per invocation — the leak is bounded
-# by the session's distinct (plan, params) space instead of its call
-# count. Keys lead with applicationId; dead-session entries (JVM and
-# cache both gone) are dropped on insert.
+# stacking a fresh persisted copy per invocation. Keys lead with
+# applicationId (dead-session entries dropped on insert) and their
+# params lead with a SLOT TAG ("ivfpq-index", "recall-audit-exact"):
+# one live cached frame per slot — building the same index family
+# over a DIFFERENT corpus (or with different params) UNPERSISTS and
+# replaces the previous frame, so a session iterating over many
+# corpora holds exactly one cached copy per index family instead of
+# accumulating one per corpus (round-10 advice carry-over).
 _INDEX_CACHE: dict = {}
+
+
+def _index_slot(key) -> tuple:
+    # (applicationId, slot-tag): params is the 4th key element and its
+    # first entry is the caller's family tag
+    return (key[0], key[3][0] if key[3] else None)
 
 
 def persist_index(key, frame: DataFrame) -> DataFrame:
@@ -964,6 +974,13 @@ def persist_index(key, frame: DataFrame) -> DataFrame:
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     for k in [k for k in _INDEX_CACHE if k[0] != key[0]]:
+        del _INDEX_CACHE[k]
+    for k in [
+        k
+        for k in _INDEX_CACHE
+        if _index_slot(k) == _index_slot(key) and k != key
+    ]:
+        _INDEX_CACHE[k].unpersist(blocking=False)
         del _INDEX_CACHE[k]
     f = frame.persist()
     _INDEX_CACHE[key] = f

@@ -160,3 +160,23 @@ def test_weighted_dangling_sink_conserves_mass(spark):
     # and the symmetrized regime is bit-identical to the pre-fix
     # operator: dangling sum is exactly 0 there (pinned by
     # test_weighted_matches_integer_model above)
+
+
+def test_textrank_global_window_input_bounded(spark):
+    """Plan contract for the intentional unpartitioned Window in
+    textrank_keywords: its input subtree must contain the top_k
+    GlobalLimit — the single-partition WindowExec runs on a ≤ top_k
+    row frame by construction, never on the vocabulary."""
+    docs = spark.createDataFrame(
+        [("a b c",), ("b c d",), ("c d e",)], "text string"
+    )
+    out = textrank_keywords(docs, window=2, top_k=7)
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.splitlines()
+    win_idx = [i for i, ln in enumerate(lines) if "Window [" in ln or ln.strip().startswith("Window")]
+    lim_idx = [i for i, ln in enumerate(lines) if "GlobalLimit 7" in ln]
+    assert win_idx and lim_idx, plan
+    # the limit sits BELOW the window in the tree printout — i.e.
+    # inside its input subtree
+    assert min(lim_idx) > min(win_idx), plan
+    assert len(out.collect()) <= 7

@@ -549,3 +549,40 @@ def test_semdedup_verbatim_collapse_exact_reconstruction(spark):
     assert collapsed[3][1] is False and collapsed[3][2] == 1
     assert collapsed[4] == (collapsed[3][0], False, 1)
     assert collapsed[5][1] is True and collapsed[5][2] is None
+
+
+def test_persist_index_one_cached_copy_per_slot(spark):
+    """Round-10 advice carry-over: index builds over DIFFERENT corpora
+    must not accumulate persisted frames within one session — the
+    slot-scoped cache keeps exactly one live copy per index family,
+    unpersisting the replaced frame."""
+    from pyspark import StorageLevel
+
+    from data_pipeline_childcare_spark.operators import similarity as sim
+    import data_pipeline_childcare_spark as eng
+    from pyspark.sql import functions as F
+
+    def build(sf):
+        emb = eng.load_table(spark, "embeddings", sf).withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        )
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("query_vec"),
+        )
+        sim.ivfpq_topk(emb, q, k=3, n_cells=4, dim=8, n_sub=2).count()
+
+    app = spark.sparkContext.applicationId
+    slot_keys = lambda: [
+        k for k in sim._INDEX_CACHE
+        if k[0] == app and k[3][0] == "ivfpq-index"
+    ]
+    build("/root/testdata/sf0.001")
+    first = slot_keys()
+    assert len(first) == 1
+    first_frame = sim._INDEX_CACHE[first[0]]
+    build("/root/testdata/sf0.01")  # different corpus, same slot
+    second = slot_keys()
+    assert len(second) == 1 and second[0] != first[0]
+    # the replaced frame was unpersisted, not leaked
+    assert first_frame.storageLevel == StorageLevel.NONE
