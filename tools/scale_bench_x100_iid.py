@@ -1,0 +1,261 @@
+"""100× IID spot-bench (round-10 verdict stretch #8).
+
+The x100 clone protocol replicates facts with key offsets and makes
+every seed document a 100-deep near-dup cluster — deliberately
+adversarial for the dedup caps, but ANSWER-INFLATING for pair
+emitters (a 100-clone cluster's true pair count grows ~C(100,2) per
+seed), so their x100 ratios read as answer growth, not plan cost.
+This harness builds a GENUINELY SAMPLED 100× corpus instead:
+
+- orders/lineitem/events: the same key-disjoint replication, but
+  VALUE columns get deterministic hash jitter (price/quantity/value
+  scaled by a per-copy md5 factor, event timestamps shifted by a
+  per-row hash minute offset) so windows, sessions and aggregates see
+  new data rather than 100 identical distributions;
+- documents: per-copy texts are BOOTSTRAP RESAMPLES of the seed
+  doc's own words (position j draws word xxhash64(id, copy, j) mod n
+  with replacement) — word distribution preserved, shingle ORDER
+  destroyed, so no near-dup cluster structure exists by construction;
+- embeddings: per-copy vectors are deterministic convex mixes of two
+  corpus vectors plus hash noise — drawn from the corpus
+  distribution, verbatim-identical to nothing.
+
+Dims stay fixed (the realistic growth shape). One warm run per query
+per scale (spot bench); writes SCALE_BENCH_x100_iid.json. Compare
+against SCALE_BENCH_x100.json: pair emitters should fall from
+answer-growth ratios (100-265×) to ~plan-cost ratios.
+
+Usage:
+    python tools/scale_bench_x100_iid.py [--rebuild] [--queries a,b,...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod
+import data_pipeline_childcare_spark as eng
+from bench import BENCH_QUERIES
+from pyspark.sql import functions as F
+
+from scale_bench import BASE_DIR, DIMS, plan_shape
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SCALE_DIR = os.path.join(REPO, ".scaledata", "x100iid")
+COPIES = 100
+
+
+def _jitter(col, key_cols, lo=0.5, hi=1.5):
+    """Deterministic multiplicative jitter in [lo, hi] from a row hash."""
+    h = F.abs(F.xxhash64(*key_cols, F.lit("iid"))) % 1_000_000
+    return col * (F.lit(lo) + (F.lit(hi - lo) * h / F.lit(1_000_000.0)))
+
+
+def build_scaled(spark) -> None:
+    if os.path.isdir(SCALE_DIR):
+        shutil.rmtree(SCALE_DIR)
+    os.makedirs(SCALE_DIR, exist_ok=True)
+    for t in DIMS:
+        src = os.path.join(BASE_DIR, f"{t}.parquet")
+        dst = os.path.join(SCALE_DIR, f"{t}.parquet")
+        eng.load_table(spark, t, BASE_DIR).write.mode("overwrite").parquet(dst)
+
+    def replicate(name: str, tweak):
+        df = eng.load_table(spark, name, BASE_DIR)
+        parts = [tweak(df, i) for i in range(COPIES)]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(os.path.join(SCALE_DIR, f"{name}.parquet"))
+
+    replicate(
+        "orders",
+        lambda df, i: df.select(
+            (F.col("o_orderkey") + i * 10_000_000).alias("o_orderkey"),
+            *[c for c in df.columns if c not in ("o_orderkey", "o_totalprice")],
+            F.round(
+                _jitter(F.col("o_totalprice"), [F.col("o_orderkey"), F.lit(i)]), 2
+            ).alias("o_totalprice"),
+        ),
+    )
+    replicate(
+        "lineitem",
+        lambda df, i: df.select(
+            (F.col("l_orderkey") + i * 10_000_000).alias("l_orderkey"),
+            *[
+                c
+                for c in df.columns
+                if c not in ("l_orderkey", "l_extendedprice", "l_quantity")
+            ],
+            F.round(
+                _jitter(
+                    F.col("l_extendedprice"),
+                    [F.col("l_orderkey"), F.col("l_linenumber"), F.lit(i)],
+                ),
+                2,
+            ).alias("l_extendedprice"),
+            F.ceil(
+                _jitter(
+                    F.col("l_quantity"),
+                    [F.col("l_orderkey"), F.col("l_linenumber"), F.lit(i), F.lit(1)],
+                )
+            ).cast("double").alias("l_quantity"),
+        ),
+    )
+    replicate(
+        "events",
+        lambda df, i: df.select(
+            (F.col("event_id") + i * 10_000_000).alias("event_id"),
+            (F.col("user_id") + i * 1_000_000).alias("user_id"),
+            *[c for c in df.columns if c not in ("event_id", "user_id", "ts", "value")],
+            # per-row minute shift breaks cloned session/window structure
+            F.expr(
+                f"timestampadd(MINUTE, cast(abs(xxhash64(event_id, {i})) % 720"
+                f" - 360 as int), ts)"
+            ).alias("ts"),
+            F.round(
+                _jitter(F.col("value"), [F.col("event_id"), F.lit(i), F.lit(2)]), 4
+            ).alias("value"),
+        ),
+    )
+    replicate(
+        "documents",
+        lambda df, i: (
+            df
+            if i == 0
+            else df.withColumn("_w", F.split(F.col("text"), " ")).select(
+                (F.col("doc_id") + i * 1_000_000).alias("doc_id"),
+                *[c for c in df.columns if c not in ("doc_id", "text")],
+                # bootstrap resample of the doc's own words: same
+                # distribution, no shared shingle order
+                F.expr(
+                    f"array_join(transform(sequence(1, greatest(size(_w), 1)),"
+                    f" j -> element_at(_w, 1 + cast(abs(xxhash64(doc_id, {i}, j))"
+                    f" % greatest(size(_w), 1) as int))), ' ')"
+                ).alias("text"),
+            )
+        ),
+    )
+    emb = eng.load_table(spark, "embeddings", BASE_DIR)
+    nvec = emb.count()
+    other = emb.select(
+        F.col("vec_id").alias("_oid"), F.col("embedding").alias("_ov")
+    )
+    parts = [emb]
+    for i in range(1, COPIES):
+        parts.append(
+            emb.withColumn("_oid", (F.col("vec_id") + i) % nvec)
+            .join(other, "_oid")
+            .select(
+                (F.col("vec_id") + i * 10_000_000).alias("vec_id"),
+                *[c for c in emb.columns if c not in ("vec_id", "embedding")],
+                # convex mix + hash noise: sampled from the corpus
+                # distribution, verbatim-identical to nothing
+                F.expr(
+                    f"zip_with(cast(embedding as array<double>),"
+                    f" cast(_ov as array<double>), (a, b) ->"
+                    f" cast(a * 0.7 + b * 0.3 +"
+                    f" (abs(xxhash64(vec_id, {i})) % 1000) / 50000.0 as float))"
+                ).alias("embedding"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(SCALE_DIR, "embeddings.parquet"))
+
+
+def time_once(spark, sf_dir: str, names: list[str]) -> tuple[dict, dict]:
+    for t in eng.io.TESTDATA_TABLES:
+        df = entry_mod._t(spark, sf_dir, t)
+        df.cache()
+        df.count()
+    qs = entry_mod.queries()
+    shapes = {n: plan_shape(qs[n](spark, sf_dir)) for n in names}
+    timed = {}
+    for n in names:
+        t0 = time.perf_counter()
+        qs[n](spark, sf_dir).count()
+        timed[n] = round(time.perf_counter() - t0, 3)
+        print(
+            f"  {sf_dir.rsplit('/', 1)[-1]:8s} {n:40s} {timed[n]:8.2f}s",
+            file=sys.stderr,
+        )
+    for t in eng.io.TESTDATA_TABLES:
+        entry_mod._t(spark, sf_dir, t).unpersist()
+    return timed, shapes
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--queries", default="")
+    args = ap.parse_args()
+    names = [q for q in args.queries.split(",") if q] or list(BENCH_QUERIES)
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = eng.get_spark(
+        app_name="scale_bench_x100_iid",
+        shuffle_partitions=32,
+    )
+    if args.rebuild or not os.path.isdir(SCALE_DIR):
+        print("building 100x iid tables ...", file=sys.stderr)
+        build_scaled(spark)
+
+    base_t, base_s = time_once(spark, BASE_DIR, names)
+    scaled_t, scaled_s = time_once(spark, SCALE_DIR, names)
+
+    report = {}
+    for n in names:
+        same = base_s[n] == scaled_s[n]
+        drift = (
+            {}
+            if same
+            else {
+                k: [base_s[n].get(k, 0), scaled_s[n].get(k, 0)]
+                for k in set(base_s[n]) | set(scaled_s[n])
+                if base_s[n].get(k, 0) != scaled_s[n].get(k, 0)
+            }
+        )
+        report[n] = {
+            "sec_1x": base_t[n],
+            "sec_100x_iid": scaled_t[n],
+            "ratio": round(scaled_t[n] / base_t[n], 2) if base_t[n] else None,
+            "plan_shape_same": same,
+            **({"plan_drift": drift} if drift else {}),
+        }
+    out_path = os.path.join(REPO, "SCALE_BENCH_x100_iid.json")
+    merged = report
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(report)
+        merged = prior
+    out = {
+        "protocol": (
+            "single warm run per scale; 100x corpus SAMPLED (hash-jittered"
+            " facts, bootstrap-resampled doc words, mixed+noised embeddings)"
+            " instead of cloned — separates answer growth from plan cost"
+        ),
+        "copies": COPIES,
+        "queries": dict(sorted(merged.items())),
+        "total_1x": round(sum(v["sec_1x"] for v in merged.values()), 3),
+        "total_100x_iid": round(
+            sum(v["sec_100x_iid"] for v in merged.values()), 3
+        ),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
