@@ -5643,8 +5643,6 @@ def streaming_stream_stream_left_join_events(
     emission frontier, so hash-equality certifies both the
     null-emission rule and its exact boundary. Timestamps convert
     tz→ntz on the way out, as in the inner family."""
-    import os
-
     from pyspark.sql.types import LongType
 
     from data_pipeline_childcare_spark.streaming.dedup_join import (
@@ -8874,10 +8872,15 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, ts, value FROM events
                 WHERE event_type = 'purchase'
             ), wm AS (
-                SELECT least(
-                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c),
-                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p)
-                ) - 3600000000 AS wm_us
+                -- NULL-strict min (DuckDB least() SKIPS NULLs; Spark's
+                -- min-policy global watermark stays at 0 until BOTH
+                -- sides have seen data, so an empty side must yield a
+                -- NULL frontier = no null-row emission)
+                SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+                       ELSE least(mc, mp) - 3600000000 END AS wm_us
+                FROM (SELECT
+                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c) AS mc,
+                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p) AS mp)
             ), j AS (
                 SELECT c.user_id, c.ts AS click_ts,
                        p.ts AS purchase_ts, p.value AS purchase_value

@@ -108,14 +108,36 @@ def _verbatim_reps(
     The groupBy keys on the vector itself (Spark normalizes NaN and
     signed zeros in grouping keys; vectors equal under that
     normalization have exactly equal cosines, so the grouping is
-    dominance-safe)."""
-    grp = df.groupBy(vec_col).agg(F.min(id_col).alias("_rep_id"))
-    with_rep = df.join(grp, [vec_col])
-    reps = with_rep.filter(F.col(id_col) == F.col("_rep_id")).drop("_rep_id")
+    dominance-safe). NULL-vector rows never collapse: the dominance
+    argument needs cosine(clone, rep) == 1.0 and NULL cosines are
+    NULL (never ≥ threshold), so every NULL row stays its own rep —
+    routed around the vec-keyed join, whose NULL keys would otherwise
+    silently DROP the rows (join keys never match NULL = NULL)."""
+    nulls = df.filter(F.col(vec_col).isNull())
+    with_rep = _verbatim_rep_mapping(df, id_col, vec_col)
+    reps = (
+        with_rep.filter(F.col(id_col) == F.col("_rep_id"))
+        .drop("_rep_id")
+        .unionByName(nulls)
+    )
     dropped = with_rep.filter(F.col(id_col) != F.col("_rep_id")).select(
         F.col(id_col)
     )
     return reps, dropped
+
+
+def _verbatim_rep_mapping(
+    df: DataFrame, id_col: str, vec_col: str
+) -> DataFrame:
+    """Non-NULL rows annotated with their min-id verbatim rep
+    (``_rep_id``) — the single shared grouping both
+    :func:`_verbatim_reps` and :func:`semdedup`'s collapse build on,
+    so the NULL-routing and dominance rules live in one place.
+    NULL-vector rows are EXCLUDED (callers route them as their own
+    reps; see :func:`_verbatim_reps`)."""
+    nn = df.filter(F.col(vec_col).isNotNull())
+    grp = nn.groupBy(vec_col).agg(F.min(id_col).alias("_rep_id"))
+    return nn.join(grp, [vec_col])
 
 
 # The collapse drops non-reps UNCONDITIONALLY on the argument that
@@ -478,6 +500,14 @@ def kmeans_lite(
         )
     _warn_build_time_training("kmeans_lite")
     spark = corpus.sparkSession
+    # a NULL vector is not trainable input: as a seed it crashes the
+    # centroid collect, and in the Lloyd update its NULL components
+    # poison the mean of whatever cell it lands in (zip_with sums
+    # propagate NULL). Quantizers train on the non-NULL corpus; NULL
+    # rows are a consumer concern (they assign NULL cosines and can
+    # never qualify a match). No-op on NULL-free corpora, so the
+    # canonical oracle trajectory is untouched.
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
     memo_key = _model_memo_key(corpus, "kmeans", k, iterations, id_col, vec_col)
     if memo_key is not None and memo_key in _MODEL_MEMO:
         return spark.createDataFrame(
@@ -866,12 +896,18 @@ def semdedup(
         and ndigits <= _COLLAPSE_SAFE_NDIGITS
     )
     if collapse:
-        mapped = corpus.join(
-            corpus.groupBy(vec_col).agg(F.min(id_col).alias("_rep_id")),
-            [vec_col],
-        ).select(F.col(id_col), F.col("_rep_id"), F.col(vec_col))
-        pool = mapped.filter(F.col(id_col) == F.col("_rep_id")).select(
-            id_col, vec_col
+        # shared grouping with _verbatim_reps (NULL-vector rows never
+        # collapse — NULL cosines are never ≥ threshold, so they stay
+        # their own reps and ride the uncollapsed path below)
+        mapped = _verbatim_rep_mapping(corpus, id_col, vec_col).select(
+            F.col(id_col), F.col("_rep_id"), F.col(vec_col)
+        )
+        pool = (
+            mapped.filter(F.col(id_col) == F.col("_rep_id"))
+            .select(id_col, vec_col)
+            .unionByName(
+                corpus.filter(F.col(vec_col).isNull()).select(id_col, vec_col)
+            )
         )
     else:
         pool = corpus
@@ -971,6 +1007,14 @@ def _index_slot(key) -> tuple:
 def persist_index(key, frame: DataFrame) -> DataFrame:
     if key is None:  # non-JVM stub frame — keep the old behavior
         return frame.persist()
+    # slot eviction keys positionally on params[0]; an accidental
+    # non-tag leading param (a number, a shared constant) would
+    # silently cross-evict unrelated families — fail loud instead
+    if not (key[3] and isinstance(key[3][0], str)):
+        raise ValueError(
+            "persist_index keys must lead with a string slot tag, e.g."
+            " _model_memo_key(df, 'my-index', ...)"
+        )
     if key in _INDEX_CACHE:
         return _INDEX_CACHE[key]
     for k in [k for k in _INDEX_CACHE if k[0] != key[0]]:

@@ -586,3 +586,54 @@ def test_persist_index_one_cached_copy_per_slot(spark):
     assert len(second) == 1 and second[0] != first[0]
     # the replaced frame was unpersisted, not leaked
     assert first_frame.storageLevel == StorageLevel.NONE
+
+
+def test_null_embedding_rows_survive_collapse(spark):
+    """Self-review round 11: the verbatim collapse's vec-keyed join
+    silently DROPPED NULL-embedding rows (join keys never match
+    NULL = NULL), diverging from the uncollapsed paths which keep
+    them (NULL cosines are never ≥ threshold). NULL rows now route
+    around the collapse as their own reps — one row per input id in
+    every family, kept semantics identical to uncollapsed."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        embedding_cosine_dedup,
+        embedding_cosine_dedup_lsh,
+        semdedup,
+    )
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # clone of 1 -> dropped by dedup
+        (3, None),
+        (4, None),         # NULL "clone": must NOT collapse (cos is NULL)
+        (5, [0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id for r in embedding_cosine_dedup(df, threshold=0.9).collect()
+    )
+    assert kept == [1, 3, 4, 5]
+    kept_lsh = sorted(
+        r.vec_id
+        for r in embedding_cosine_dedup_lsh(df, dim=2, threshold=0.9).collect()
+    )
+    assert kept_lsh == [1, 3, 4, 5]
+    sd = {r.vec_id: (r.kept, r.dup_of)
+          for r in semdedup(df, n_cells=2, threshold=0.9).collect()}
+    assert set(sd) == {1, 2, 3, 4, 5}  # one row per input id
+    assert sd[2] == (False, 1)
+    # NULL rows are kept, never shadowed, never shadow others —
+    # exactly the uncollapsed semantics
+    assert sd[3] == (True, None) and sd[4] == (True, None)
+    assert sd[1][0] is True and sd[5][0] is True
+
+
+def test_persist_index_rejects_tagless_keys(spark):
+    import pytest
+
+    from data_pipeline_childcare_spark.operators import similarity as sim
+
+    df = spark.range(3)
+    key = sim._model_memo_key(df, 42, "not-leading")  # number leads
+    with pytest.raises(ValueError, match="slot tag"):
+        sim.persist_index(key, df)
