@@ -557,3 +557,36 @@ def test_left_outer_null_rows_emit_only_after_expiry(spark, tmp_path):
     assert [(r.user_id, str(r.click_ts)) for r in nulls] == [
         (1, "2024-03-01 10:00:00")
     ]
+
+
+def test_left_outer_empty_side_emits_no_null_rows(spark, tmp_path):
+    """Self-review round 11: with ZERO purchases the purchase-side
+    watermark never initializes, Spark's min-policy global watermark
+    stays at epoch 0, and no null-extended rows may emit — the
+    NULL-strict min the registry oracle mirrors (DuckDB's least()
+    would otherwise skip the NULL side and emit every old click)."""
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase_left,
+    )
+
+    clicks = spark.createDataFrame(
+        [(1, "2024-01-02 06:00:00", 0.0), (2, "2024-01-02 23:00:00", 0.0)],
+        "user_id long, ts string, value double",
+    ).selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+    empty = clicks.filter("user_id < 0")
+    c_dir, p_dir = str(tmp_path / "c"), str(tmp_path / "p")
+    clicks.write.parquet(c_dir)
+    empty.write.parquet(p_dir)
+    c = spark.readStream.schema(clicks.schema).parquet(c_dir)
+    p = spark.readStream.schema(clicks.schema).parquet(p_dir)
+    q = (
+        stream_stream_click_purchase_left(c, p)
+        .writeStream.format("memory")
+        .queryName("lj_empty_side")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination(120)
+    assert spark.table("lj_empty_side").count() == 0
