@@ -217,18 +217,24 @@ def golden_records(
     """Survivorship: one canonical row per cluster. Per field, keep
     the value of the longest string representation (most complete),
     ties broken by smallest value — deterministic across engines.
+    NULL field values lose to ANY present value (the ordering struct
+    leads with ``f IS NULL``: Spark sorts struct fields NULLS-FIRST
+    ascending, so a bare ``struct(-length(f), f)`` would rank a NULL
+    field as the minimum and return NULL for every cluster containing
+    one incomplete record — the opposite of survivorship); a field is
+    NULL in the golden row only when every member lacks it.
     Returns (cluster_id, n_records, <fields...>)."""
     joined = df.join(
         clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col
     )
     agg_exprs = [F.count("*").alias("n_records")]
     for f in fields:
-        # pack (length, value) so max() picks longest-then-
-        # lexicographically-largest; invert value order by a second
-        # pass: longest wins, ties -> min value via struct trick
+        # (is-null, -length, value) ascending: present beats NULL,
+        # longest wins, ties -> smallest value
         agg_exprs.append(
             F.expr(
-                f"min_by({f}, struct(-length(cast({f} as string)), {f}))"
+                f"min_by({f}, struct({f} is null,"
+                f" -length(cast({f} as string)), {f}))"
             ).alias(f)
         )
     return joined.groupBy("cluster_id").agg(*agg_exprs)

@@ -1396,3 +1396,27 @@ def test_tuoyu_er_alias_awareness(spark):
     }
     assert byv[0][0] == byv[1][0] and byv[0][1] == byv[1][1] == 0
     assert byv[2][0] > 0 and byv[2][1] == byv[2][0]  # C: alias always NULL
+
+
+def test_golden_records_null_field_loses_to_present_value(spark):
+    """Self-review round 11: the survivorship ordering struct ranked a
+    NULL field as the MINIMUM (Spark sorts struct fields nulls-first
+    ascending), so any cluster containing one incomplete record got a
+    NULL golden field — the opposite of 'most complete wins'. Present
+    values must beat NULL; NULL survives only when every member lacks
+    the field."""
+    from data_pipeline_childcare_spark.operators.er import golden_records
+
+    df = spark.createDataFrame(
+        [(1, "short", None), (2, "longer-name", "a@x"), (3, None, None)],
+        "rec_id long, name string, email string",
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3)], "id long, cluster_id long"
+    )
+    got = {
+        r.cluster_id: (r.n_records, r.name, r.email)
+        for r in golden_records(df, clusters, "rec_id", ["name", "email"]).collect()
+    }
+    assert got[1] == (2, "longer-name", "a@x")   # NULLs lost
+    assert got[3] == (1, None, None)             # all-missing stays NULL
