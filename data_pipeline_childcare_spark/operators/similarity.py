@@ -989,13 +989,18 @@ def _model_memo_key(df: DataFrame, *params):
 # build for the SAME key returns the existing cached frame instead of
 # stacking a fresh persisted copy per invocation. Keys lead with
 # applicationId (dead-session entries dropped on insert) and their
-# params lead with a SLOT TAG ("ivfpq-index", "recall-audit-exact"):
-# one live cached frame per slot — building the same index family
-# over a DIFFERENT corpus (or with different params) UNPERSISTS and
-# replaces the previous frame, so a session iterating over many
-# corpora holds exactly one cached copy per index family instead of
-# accumulating one per corpus (round-10 advice carry-over).
+# params lead with a SLOT TAG ("ivfpq-index", "recall-audit-exact").
+# Each slot is a small LRU of capacity _INDEX_SLOT_CAPACITY (round-11
+# advice: a single-entry slot thrashed under interleaved A,B,A,B
+# corpus workloads — every call unpersisted the other corpus's frame
+# and re-ran the full index build): a session alternating over ≤3
+# corpora per family keeps them all warm; past capacity the
+# least-recently-USED frame for that slot is unpersisted and dropped,
+# so the cache stays bounded at 3 copies per index family no matter
+# how many corpora a session iterates over. Insertion order doubles
+# as recency order (hits re-insert).
 _INDEX_CACHE: dict = {}
+_INDEX_SLOT_CAPACITY = 3
 
 
 def _index_slot(key) -> tuple:
@@ -1016,16 +1021,21 @@ def persist_index(key, frame: DataFrame) -> DataFrame:
             " _model_memo_key(df, 'my-index', ...)"
         )
     if key in _INDEX_CACHE:
-        return _INDEX_CACHE[key]
+        # LRU touch: dict insertion order is the recency order
+        f = _INDEX_CACHE.pop(key)
+        _INDEX_CACHE[key] = f
+        return f
     for k in [k for k in _INDEX_CACHE if k[0] != key[0]]:
         del _INDEX_CACHE[k]
-    for k in [
+    slot_peers = [
         k
         for k in _INDEX_CACHE
-        if _index_slot(k) == _index_slot(key) and k != key
-    ]:
-        _INDEX_CACHE[k].unpersist(blocking=False)
-        del _INDEX_CACHE[k]
+        if _index_slot(k) == _index_slot(key)
+    ]
+    while len(slot_peers) >= _INDEX_SLOT_CAPACITY:
+        lru = slot_peers.pop(0)  # oldest-inserted = least recently used
+        _INDEX_CACHE[lru].unpersist(blocking=False)
+        del _INDEX_CACHE[lru]
     f = frame.persist()
     _INDEX_CACHE[key] = f
     return f

@@ -74,6 +74,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
+        # The engine's overflow contract (e.g. er.py audit casts:
+        # decimal→long THROWS CAST_OVERFLOW instead of wrapping or
+        # nulling) is an ANSI-mode behavior. Spark 4.x defaults ANSI
+        # on, but a 3.x deployment defaults it OFF and would silently
+        # return NULL from the same casts — pin it so the documented
+        # fail-loud behavior is enforced, not inherited from the
+        # engine default.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.ui.enabled", "false")

@@ -1420,3 +1420,11 @@ def test_golden_records_null_field_loses_to_present_value(spark):
     }
     assert got[1] == (2, "longer-name", "a@x")   # NULLs lost
     assert got[3] == (1, None, None)             # all-missing stays NULL
+
+
+def test_session_pins_ansi_mode(spark):
+    """Round-11 advice: the engine's overflow contract (decimal→long
+    audit casts THROW instead of nulling) is ANSI-mode behavior —
+    get_spark must pin it rather than inherit the Spark-4 default, so
+    a 3.x deployment gets the same fail-loud guarantee."""
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"

@@ -551,18 +551,20 @@ def test_semdedup_verbatim_collapse_exact_reconstruction(spark):
     assert collapsed[5][1] is True and collapsed[5][2] is None
 
 
-def test_persist_index_one_cached_copy_per_slot(spark):
-    """Round-10 advice carry-over: index builds over DIFFERENT corpora
-    must not accumulate persisted frames within one session — the
-    slot-scoped cache keeps exactly one live copy per index family,
-    unpersisting the replaced frame."""
+def test_persist_index_slot_is_bounded_lru(spark):
+    """Round-10/11 advice carry-over: index builds over DIFFERENT
+    corpora must not accumulate persisted frames without bound, and
+    (round 11) a session alternating between two corpora must not
+    thrash — each slot is an LRU of capacity 3: concurrent corpora up
+    to the capacity stay warm; past it the least-recently-used frame
+    is unpersisted and dropped."""
     from pyspark import StorageLevel
 
     from data_pipeline_childcare_spark.operators import similarity as sim
     import data_pipeline_childcare_spark as eng
     from pyspark.sql import functions as F
 
-    def build(sf):
+    def build(sf, n_cells=4):
         emb = eng.load_table(spark, "embeddings", sf).withColumn(
             "embedding", F.col("embedding").cast("array<double>")
         )
@@ -570,7 +572,7 @@ def test_persist_index_one_cached_copy_per_slot(spark):
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("query_vec"),
         )
-        sim.ivfpq_topk(emb, q, k=3, n_cells=4, dim=8, n_sub=2).count()
+        sim.ivfpq_topk(emb, q, k=3, n_cells=n_cells, dim=8, n_sub=2).count()
 
     app = spark.sparkContext.applicationId
     slot_keys = lambda: [
@@ -583,9 +585,22 @@ def test_persist_index_one_cached_copy_per_slot(spark):
     first_frame = sim._INDEX_CACHE[first[0]]
     build("/root/testdata/sf0.01")  # different corpus, same slot
     second = slot_keys()
-    assert len(second) == 1 and second[0] != first[0]
-    # the replaced frame was unpersisted, not leaked
-    assert first_frame.storageLevel == StorageLevel.NONE
+    # both corpora warm — the interleaved A,B,A,B workload no longer
+    # thrashes (round-11 advice)
+    assert len(second) == 2 and first[0] in second
+    assert first_frame.storageLevel != StorageLevel.NONE
+    # touch the FIRST build again (LRU refresh), then exceed capacity
+    # with two more distinct index keys: the least-recently-used entry
+    # (the sf0.01 build) is the one evicted and unpersisted
+    build("/root/testdata/sf0.001")
+    second_frame = sim._INDEX_CACHE[[k for k in second if k != first[0]][0]]
+    build("/root/testdata/sf0.001", n_cells=5)   # 3rd distinct key
+    assert len(slot_keys()) == 3
+    build("/root/testdata/sf0.001", n_cells=6)   # 4th → evicts LRU
+    after = slot_keys()
+    assert len(after) == 3
+    assert first[0] in after  # recently-touched survivor
+    assert second_frame.storageLevel == StorageLevel.NONE  # LRU evicted
 
 
 def test_null_embedding_rows_survive_collapse(spark):
