@@ -4933,6 +4933,35 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def semdedup_auto_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with the AUTO-SIZED cell structure (round-11 advice:
+    the n_cells ~ √n knob is engineered, not manual):
+    operators/similarity.semdedup with n_cells="auto" derives k =
+    clamp(ceil(√(distinct non-NULL vectors)), 4, 4096) from an exact
+    distinct-count, so within-cell candidate volume stays ~n^1.5 as
+    the DISTINCT corpus grows — the regime where the verbatim
+    collapse can't help. The DuckDB twin computes the identical k
+    (same formula over count(DISTINCT cv)) and replays the identical
+    canonical centroid trajectory, so the auto path itself is
+    oracle-certified, not just the fixed-k one. The occupancy guard
+    (loud Σ|cell|² bound) is exercised here too — at the generous
+    audit factor it must pass on a sanely-sized layout."""
+    from data_pipeline_childcare_spark.operators.similarity import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    return semdedup(
+        emb,
+        n_cells="auto",
+        iterations=2,
+        threshold=0.42,
+        occupancy_guard_factor=16.0,
+    ).select(
+        "vec_id", "cell", "kept", F.col("dup_of").cast("long").alias("dup_of")
+    )
+
+
 def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE-pretokenizer-style token counting (LLM budget estimation)."""
     from data_pipeline_childcare_spark.functions.text import bpe_like_token_count, token_count
@@ -7167,6 +7196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "parts_with_many_suppliers": parts_with_many_suppliers,
         "ivf_cosine_topk_embeddings": ivf_cosine_topk_embeddings,
         "semdedup_embeddings": semdedup_embeddings,
+        "semdedup_auto_cells": semdedup_auto_cells,
         "url_canonical_dedup_docs": url_canonical_dedup_docs,
         "warc_ingest_docs": warc_ingest_docs,
         "robots_filter_docs": robots_filter_docs,
@@ -7531,20 +7561,30 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY cell
         )"""
 
-    # shared canonical-kmeans CTE chain (8 cells, 2 Lloyd iterations)
-    # used by the IVF top-k and SemDeDup oracles
-    _IVF_KMEANS_CTES = f"""emb AS (
+    # shared canonical-kmeans CTE chain (2 Lloyd iterations) used by
+    # the IVF top-k and SemDeDup oracles; k_sql is the seed LIMIT —
+    # a literal ("8") or a scalar subquery for the auto-sized variant
+    def _ivf_kmeans_ctes(k_sql: str) -> str:
+        return f"""emb AS (
                 SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
             ), c0 AS (
                 SELECT row_number() OVER (ORDER BY h) AS cell, cv AS centroid
                 FROM (
                     SELECT vec_id, cv,
                            CAST(CONCAT('0x', substring(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
-                    FROM emb ORDER BY h LIMIT 8
+                    FROM emb ORDER BY h LIMIT {k_sql}
                 )
             ), {_ivf_assign('a1', 'c0')}, {_ivf_means('c1', 'a1')},
                {_ivf_assign('a2', 'c1')}, {_ivf_means('c2', 'a2')},
                {_ivf_assign('afinal', 'c2')}"""
+
+    _IVF_KMEANS_CTES = _ivf_kmeans_ctes("8")
+    # the engine's auto_n_cells formula, verbatim in SQL: k =
+    # clamp(ceil(sqrt(count(DISTINCT non-NULL vectors))), 4, 4096)
+    _AUTO_CELLS_SQL = (
+        "(SELECT least(4096, greatest(4, CAST(ceil(sqrt("
+        "count(DISTINCT cv))) AS BIGINT))) FROM emb WHERE cv IS NOT NULL)"
+    )
 
     def _jround(expr: str, d: int) -> str:
         # Round a DOUBLE the way Spark does: Spark's round() goes
@@ -10320,6 +10360,23 @@ def oracle_sql() -> dict[str, str]:
     """
     out["semdedup_embeddings"] = f"""
         WITH {_IVF_KMEANS_CTES},
+        pairs AS (
+            SELECT b.vec_id AS id_b, a.vec_id AS id_a
+            FROM afinal a JOIN afinal b
+              ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round({_ivf_cos.format(v='a.cv', c='b.cv')}, 6) >= 0.42
+        ), shadows AS (
+            SELECT id_b, min(id_a) AS dup_of FROM pairs GROUP BY id_b
+        )
+        SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cell,
+               s.dup_of IS NULL AS kept, s.dup_of
+        FROM afinal f LEFT JOIN shadows s ON s.id_b = f.vec_id
+    """
+    # auto-sized twin: identical chain, but the seed LIMIT is the
+    # engine's auto_n_cells formula as a scalar subquery over the
+    # same distinct-count the Spark side measures
+    out["semdedup_auto_cells"] = f"""
+        WITH {_ivf_kmeans_ctes(_AUTO_CELLS_SQL)},
         pairs AS (
             SELECT b.vec_id AS id_b, a.vec_id AS id_a
             FROM afinal a JOIN afinal b

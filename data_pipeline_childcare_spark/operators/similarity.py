@@ -381,10 +381,11 @@ def embedding_cosine_dedup_ivf(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.4,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_assign: int = 4,
     iterations: int = 2,
     ndigits: int = 6,
+    occupancy_guard_factor: float | None = None,
 ) -> DataFrame:
     """IVF candidate generation for :func:`embedding_cosine_dedup` —
     the third member of the family (exact all-pairs / LSH / IVF), same
@@ -396,7 +397,12 @@ def embedding_cosine_dedup_ivf(
     ANY cell — an equi-join on the cell id, so candidate volume is
     bounded by cell occupancy (~(n_assign·n/k)² per cell), never n².
     Size ``n_cells`` ~ √n so occupancy stays bounded as the corpus
-    grows; recall is governed by ``n_assign`` (deeper assignment for
+    grows — pass ``n_cells="auto"`` to derive it from an exact
+    distinct-vector count (:func:`auto_n_cells`, round-11 advice: the
+    knob is now engineered, not manual), and/or set
+    ``occupancy_guard_factor`` to fail loudly before a mis-sized cell
+    layout runs its quadratic stage (:func:`_guard_cell_occupancy`).
+    Recall is governed by ``n_assign`` (deeper assignment for
     WEAK thresholds, whose pairs sit far apart: n_assign=4 measures
     recall ≥0.98 at threshold 0.4 on the test corpus, n_assign=2
     suffices at ≥0.85).
@@ -411,6 +417,7 @@ def embedding_cosine_dedup_ivf(
         # Rounded cosine never exceeds 1.0 (and NaN never compares) —
         # no-op dedup, not an error or a clones-only half-dedup.
         return df
+    n_cells = _resolve_n_cells(df, n_cells, vec_col, "embedding_cosine_dedup_ivf")
     # The quantizer trains on the FULL corpus (so the canonical
     # trajectory the SQL twin replays is untouched), but assignment
     # and candidate generation run on verbatim-collapsed reps only —
@@ -428,6 +435,10 @@ def embedding_cosine_dedup_ivf(
         .filter(F.col("_rn") <= n_assign)
         .select(F.col(id_col), F.col(vec_col), "cell")
     )
+    if occupancy_guard_factor is not None:
+        _guard_cell_occupancy(
+            assigned, occupancy_guard_factor, "embedding_cosine_dedup_ivf"
+        )
     # Narrow candidates + verify-by-id-join — same remediation as the
     # LSH variant (see its inline note): the cell self-join must not
     # carry vector payloads through the pair-dedup shuffle.
@@ -450,6 +461,90 @@ def embedding_cosine_dedup_ivf(
         .unionByName(nonreps)
     )
     return df.join(dups, id_col, "left_anti")
+
+
+# --- cell-count auto-sizing (round-11 advice: the last manual scale
+# knob). The IVF/SemDeDup candidate stage self-joins within cells, so
+# its volume is Σ|cell|² — bounded only if n_cells grows with the
+# DISTINCT corpus (verbatim clones collapse before assignment; near-
+# dup-but-non-identical vectors do not). The √n rule keeps balanced
+# within-cell work at n^1.5 total candidate rows (k=√n cells of √n
+# vectors each → n·√n pairs), the classic IVF sizing every production
+# ANN system uses. The formula is engine-portable — ceil(sqrt(n)) in
+# IEEE doubles, clamped to [4, 4096] (the kmeans_lite driver-model
+# cap) — so a SQL oracle reproduces the chosen k exactly from the
+# same distinct-count.
+AUTO_CELLS_MIN = 4
+AUTO_CELLS_MAX = 4096  # kmeans_lite's driver-model cap
+
+
+def auto_n_cells(n_distinct: int) -> int:
+    """√n cell-count rule: ``clamp(ceil(sqrt(n)), 4, 4096)``.
+
+    Pure and engine-portable (IEEE-double sqrt/ceil — DuckDB twin:
+    ``least(4096, greatest(4, CAST(ceil(sqrt(n)) AS BIGINT)))``).
+    """
+    import math
+
+    if n_distinct <= 0:
+        return AUTO_CELLS_MIN
+    return max(AUTO_CELLS_MIN, min(AUTO_CELLS_MAX, int(math.ceil(math.sqrt(float(n_distinct))))))
+
+
+def _resolve_n_cells(corpus: DataFrame, n_cells, vec_col: str, fn_name: str) -> int:
+    """Resolve an ``n_cells`` parameter: integers pass through;
+    ``"auto"`` derives k from an exact distinct-vector count (one
+    cheap aggregate job at plan-build time, the same inversion
+    :func:`kmeans_lite` already documents). The count is over DISTINCT
+    non-NULL vectors — exactly the population the quantizer trains on
+    and the verbatim collapse cannot shrink."""
+    if n_cells != "auto":
+        return int(n_cells)
+    _warn_build_time_training(fn_name)
+    n = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).cast("array<double>"))
+        .distinct()
+        .count()
+    )
+    return auto_n_cells(n)
+
+
+def _guard_cell_occupancy(
+    assigned: DataFrame, factor: float, fn_name: str
+) -> None:
+    """Loud occupancy guard for cell-keyed self-joins: raises when the
+    candidate volume Σ|cell|² exceeds ``factor · n^1.5`` — the volume
+    of a balanced √n-cell layout (n rows in √n cells of √n each give
+    exactly n^1.5 candidate rows), so ``factor`` is "how many times
+    worse than the ideal √n sizing am I willing to run". Fires BEFORE
+    the quadratic stage executes; one small aggregate job (cell counts
+    are model-sized). Trip it → re-run with ``n_cells="auto"`` (or a
+    larger explicit k)."""
+    row = (
+        assigned.groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            # DECIMAL(38,0): a hot cell's count² can pass BIGINT at
+            # extreme skew — the guard must report, not overflow
+            F.coalesce(
+                F.sum(F.col("_c").cast("decimal(38,0)") * F.col("_c")), F.lit(0)
+            ).alias("_sq"),
+            F.coalesce(F.sum("_c"), F.lit(0)).alias("_n"),
+            F.coalesce(F.max("_c"), F.lit(0)).alias("_max"),
+        )
+        .collect()[0]
+    )
+    bound = factor * (float(row["_n"]) ** 1.5)
+    if float(row["_sq"]) > bound:
+        raise ValueError(
+            f"{fn_name}: cell occupancy Σ|cell|²={row['_sq']} exceeds "
+            f"{factor}·n^1.5={bound:.0f} (n={row['_n']}, largest cell "
+            f"{row['_max']}) — the within-cell pair join would run "
+            f"far past the balanced-√n volume. Size n_cells ~ √n "
+            f"(pass n_cells='auto') or raise occupancy_guard_factor "
+            f"if the skew is intended."
+        )
 
 
 def kmeans_lite(
@@ -572,7 +667,7 @@ def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     n_probe: int = 4,
     iterations: int = 2,
     id_col: str = "vec_id",
@@ -588,8 +683,10 @@ def ivf_cosine_topk(
     per-query candidate set is |corpus| * n_probe / n_cells — the
     recall/cost dial every production ANN system exposes. At 100 TB
     the assignment column is written alongside the vectors (partition
-    by cell) so probing prunes file scans.
+    by cell) so probing prunes file scans. ``n_cells="auto"`` applies
+    the √(distinct) sizing rule (:func:`auto_n_cells`).
     """
+    n_cells = _resolve_n_cells(corpus, n_cells, vec_col, "ivf_cosine_topk")
     centroids = kmeans_lite(corpus, n_cells, iterations, id_col, vec_col)
     indexed = _assign_cells(corpus, centroids, id_col, vec_col)
     q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
@@ -845,12 +942,13 @@ def mmr_sql(cand_cte: str, k: int = 5, lam: float = 0.5, ndigits: int = 6) -> st
 
 def semdedup(
     corpus: DataFrame,
-    n_cells: int = 16,
+    n_cells: int | str = 16,
     iterations: int = 2,
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     ndigits: int = 6,
+    occupancy_guard_factor: float | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
     deduplication by clustering then within-cluster cosine pruning —
@@ -871,7 +969,12 @@ def semdedup(
 
     At 100 TB: raise ``n_cells`` so cells stay executor-sized — the
     pair join shuffles on ``cell`` and nothing else grows with the
-    corpus; centroids stay broadcast (n_cells × dim doubles). The
+    corpus; centroids stay broadcast (n_cells × dim doubles). Pass
+    ``n_cells="auto"`` for the √(distinct) sizing rule
+    (:func:`auto_n_cells`) and/or ``occupancy_guard_factor`` to fail
+    loudly before a mis-sized layout runs its quadratic within-cell
+    stage (:func:`_guard_cell_occupancy`) — round-11 advice: the
+    sizing knob is engineered, not manual. The
     duplicate-saturation regime (verbatim clone groups, the dominant
     shape in raw web-scale embedding dumps) collapses to min-id
     representatives BEFORE assignment — a c-clone group would
@@ -889,6 +992,7 @@ def semdedup(
     Returns (id, cell, kept, dup_of) — ``dup_of`` is the smallest
     shadowing id, NULL for kept rows.
     """
+    n_cells = _resolve_n_cells(corpus, n_cells, vec_col, "semdedup")
     centroids = kmeans_lite(corpus, n_cells, iterations, id_col, vec_col)
     collapse = (
         threshold <= 1.0
@@ -912,6 +1016,10 @@ def semdedup(
     else:
         pool = corpus
     assigned = _assign_cells(pool, centroids, id_col, vec_col)
+    if occupancy_guard_factor is not None:
+        # guards the COLLAPSED pool when the collapse engages — the
+        # population the quadratic stage actually runs on
+        _guard_cell_occupancy(assigned, occupancy_guard_factor, "semdedup")
     va = assigned.select(
         "cell",
         F.col(id_col).alias("_ida"),

@@ -60,6 +60,9 @@ CONTRACTS = {
     "url_canonical_dedup_docs": (1, True, True),
     "robots_filter_docs": (2, True, True),
     "semdedup_embeddings": (24, False, True),
+    # round-12: auto-sized variant — same plan family, k from a
+    # build-time distinct count
+    "semdedup_auto_cells": (24, False, True),
     "warc_ingest_docs": (0, True, True),
     "archive_ingest_docs": (0, True, True),
     # round-6 additions: all broadcast-only, no Expand (the manifest
@@ -333,6 +336,7 @@ def test_no_driver_actions_while_building_plans(spark):
     # guards. Everything else must stay zero-job.
     checkpoint_builders = {
         "semdedup_embeddings",
+        "semdedup_auto_cells",  # + build-time distinct count (auto k) and occupancy guard
         "link_graph_pagerank",
         "link_graph_kcore",  # per-round lazy localCheckpoints (pagerank discipline)
         "textrank_keywords_docs",  # weighted_pagerank loop checkpoints

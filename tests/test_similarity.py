@@ -652,3 +652,65 @@ def test_persist_index_rejects_tagless_keys(spark):
     key = sim._model_memo_key(df, 42, "not-leading")  # number leads
     with pytest.raises(ValueError, match="slot tag"):
         sim.persist_index(key, df)
+
+
+def test_auto_n_cells_formula():
+    """√n sizing rule is pure and clamped: ceil(sqrt(n)) in [4, 4096] —
+    the engine-portable formula the SQL twin reproduces."""
+    from data_pipeline_childcare_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(0) == 4
+    assert auto_n_cells(1) == 4
+    assert auto_n_cells(16) == 4
+    assert auto_n_cells(17) == 5       # ceil(sqrt(17)) = 5
+    assert auto_n_cells(500) == 23     # sf0.01 embeddings
+    assert auto_n_cells(2000) == 45    # sf0.1 embeddings
+    assert auto_n_cells(10**9) == 4096  # clamped at the driver-model cap
+
+
+def test_semdedup_auto_cells_matches_explicit(spark):
+    """Round-11 advice: n_cells='auto' derives k from the exact
+    distinct-vector count — output-identical to passing the same k
+    explicitly (clones count ONCE toward the distinct population)."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        auto_n_cells,
+        semdedup,
+    )
+    import data_pipeline_childcare_spark as eng
+    from pyspark.sql import functions as F
+
+    emb = eng.load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    # clone some vectors: distinct count must ignore them
+    cloned = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).withColumn(
+            "vec_id", F.col("vec_id") + 10000
+        )
+    )
+    n_distinct = emb.count()  # sf0.001 embeddings are all-distinct
+    k = auto_n_cells(n_distinct)
+    got = semdedup(cloned, n_cells="auto", threshold=0.9)
+    want = semdedup(cloned, n_cells=k, threshold=0.9)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_occupancy_guard_trips_on_skewed_cells(spark):
+    """The loud Σ|cell|² guard: a corpus of near-identical (but
+    distinct — the verbatim collapse can't help) vectors piles into
+    one cell; a tight factor raises BEFORE the quadratic stage, a
+    loose factor lets it run."""
+    import pytest
+
+    from data_pipeline_childcare_spark.operators.similarity import semdedup
+
+    rows = [(i, [1.0, i * 1e-9]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="occupancy"):
+        semdedup(df, n_cells=4, threshold=0.999999,
+                 occupancy_guard_factor=1.0).collect()
+    # loose factor: runs to completion on the same skewed layout
+    out = semdedup(df, n_cells=4, threshold=0.999999,
+                   occupancy_guard_factor=50.0)
+    assert out.count() == 40
