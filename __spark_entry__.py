@@ -5712,6 +5712,66 @@ def streaming_stream_stream_left_join_events(
     )
 
 
+def streaming_stream_stream_full_join_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ELEVENTH stream==batch certified family: STREAM-STREAM
+    event-time FULL-OUTER join
+    (streaming/dedup_join.stream_stream_click_purchase_full) — the
+    symmetric trap the left-outer family only half-pins: BOTH sides'
+    unmatched rows gate on the global watermark, and because the
+    interval is asymmetric the frontiers differ IN STRICTNESS, not
+    just in value. One REAL availableNow run over two file streams;
+    matched pairs emit as found; the closing batches emit null rows
+    for every click whose window provably closed (click_ts + 30min <
+    W_global, STRICT) and every purchase no future click can strictly
+    precede (purchase_ts <= W_global, NON-strict — measured: a
+    purchase exactly AT the watermark emits, 1 ms past stays). The
+    oracle is the plain batch full-outer interval join filtered to
+    ``matched OR expired`` with exactly those two predicates, so
+    hash-equality certifies both frontiers and the strictness flip
+    between them. Timestamps convert tz→ntz on the way out, as in
+    the inner/left families."""
+    from pyspark.sql.types import LongType
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase_full,
+    )
+
+    def side(event_type: str) -> DataFrame:
+        ev, raw_schema = _stream_raw(spark, sf_dir, "events")
+        if isinstance(raw_schema["ts"].dataType, LongType):
+            ev = ev.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        return ev.filter(F.col("event_type") == event_type)
+
+    joined = stream_stream_click_purchase_full(
+        side("click"), side("purchase"), horizon="30 minutes", watermark_delay="1 hour"
+    )
+    qname = "streaming_stream_stream_full_join_sink"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select(
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+        "purchase_value",
+    )
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EIGHTH stream==batch certified family: STREAMING DEDUPLICATION
     state (``dropDuplicatesWithinWatermark`` —
@@ -7210,6 +7270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_late_drop_events": streaming_late_drop_events,
         "streaming_stream_stream_join_events": streaming_stream_stream_join_events,
         "streaming_stream_stream_left_join_events": streaming_stream_stream_left_join_events,
+        "streaming_stream_stream_full_join_events": streaming_stream_stream_full_join_events,
         "streaming_dedup_events": streaming_dedup_events,
         "streaming_user_stats_events": streaming_user_stats_events,
         "hypertable_rollup_events_monthly": hypertable_rollup_events_monthly,
@@ -8933,6 +8994,48 @@ def oracle_sql() -> dict[str, str]:
             FROM j, wm
             WHERE purchase_ts IS NOT NULL
                OR epoch_us(click_ts) + 1800000000 < wm.wm_us
+        """,
+        "streaming_stream_stream_full_join_events": """
+            -- full-outer interval join: matches emit immediately;
+            -- unmatched rows gate on the global watermark with
+            -- ASYMMETRIC measured frontiers — click-side null rows:
+            -- click_ts + horizon < W_global (STRICT; a later
+            -- purchase at exactly W still satisfies purchase_ts <=
+            -- click_ts + horizon at equality); purchase-side null
+            -- rows: purchase_ts <= W_global (NON-strict; a purchase
+            -- exactly AT W emits — no future click, all >= W, can
+            -- STRICTLY precede it). W_global = min over sides of
+            -- floor_ms(max side event time) - delay; delay 1h,
+            -- horizon 30min.
+            WITH c AS (
+                SELECT user_id, ts FROM events WHERE event_type = 'click'
+            ), p AS (
+                SELECT user_id, ts, value FROM events
+                WHERE event_type = 'purchase'
+            ), wm AS (
+                -- NULL-strict min (an empty side pins the global
+                -- watermark at its epoch-0 floor: no null emission)
+                SELECT CASE WHEN mc IS NULL OR mp IS NULL THEN NULL
+                       ELSE least(mc, mp) - 3600000000 END AS wm_us
+                FROM (SELECT
+                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM c) AS mc,
+                    (SELECT (epoch_us(max(ts)) // 1000) * 1000 FROM p) AS mp)
+            ), j AS (
+                SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+                       c.ts AS click_ts,
+                       p.ts AS purchase_ts, p.value AS purchase_value
+                FROM c FULL OUTER JOIN p
+                  ON p.user_id = c.user_id
+                 AND p.ts > c.ts
+                 AND p.ts <= c.ts + INTERVAL 30 MINUTE
+            )
+            SELECT user_id, click_ts, purchase_ts, purchase_value
+            FROM j, wm
+            WHERE (click_ts IS NOT NULL AND purchase_ts IS NOT NULL)
+               OR (purchase_ts IS NULL
+                   AND epoch_us(click_ts) + 1800000000 < wm.wm_us)
+               OR (click_ts IS NULL
+                   AND epoch_us(purchase_ts) <= wm.wm_us)
         """,
         "streaming_dedup_events": """
             -- dropDuplicatesWithinWatermark keyed on the full

@@ -27,6 +27,11 @@ conditional), which is what makes streaming==batch equality testable:
   null-extended rows for unmatched clicks emit only after the join
   window expires past the global watermark (see its docstring for
   the measured emission frontier).
+- ``stream_stream_click_purchase_full``: the FULL-OUTER variant —
+  BOTH sides' unmatched rows gate on the global watermark, with
+  ASYMMETRIC frontiers (click: strict, horizon-shifted; purchase:
+  non-strict, no horizon term — see its docstring for the measured
+  boundaries).
 
 State sizing at scale: dedup state ≈ distinct keys per watermark
 horizon; join state ≈ events per horizon per side. Keys are user ids
@@ -86,8 +91,16 @@ def _click_purchase_join(
         & (p["purchase_ts"] > c["click_ts"])
         & (p["purchase_ts"] <= c["click_ts"] + F.expr(f"INTERVAL {horizon}"))
     )
+    # full-outer emits purchase-only rows whose click side is NULL —
+    # the user id must come from whichever side is present. Inner/left
+    # keep the original projection (c_user is never NULL there).
+    user = (
+        F.coalesce(F.col("c_user"), F.col("p_user"))
+        if how == "fullOuter"
+        else F.col("c_user")
+    )
     return c.join(p, cond, how).select(
-        F.col("c_user").alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
+        user.alias("user_id"), "click_ts", "purchase_ts", "purchase_value"
     )
 
 
@@ -157,4 +170,56 @@ def stream_stream_click_purchase_left(
     return _click_purchase_join(
         clicks, purchases, horizon, watermark_delay, user_col, ts_col,
         streaming, "leftOuter",
+    )
+
+
+def stream_stream_click_purchase_full(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    streaming: bool | None = None,
+) -> DataFrame:
+    """FULL-OUTER event-time interval join — the symmetric trap the
+    left-outer variant only half-exercises: BOTH sides' unmatched rows
+    are gated on the global watermark, and because the interval is
+    ASYMMETRIC the two expiry frontiers differ.
+
+    Measured emission frontiers (pinned by
+    tests/test_streaming.py::test_full_outer_two_sided_null_emission
+    and the registry oracle), with ``W_global = min over sides of
+    floor_ms(max side event time) − delay``:
+
+    - unmatched CLICK null row emits iff
+      ``click_ts + horizon < W_global`` (STRICT — a click exactly at
+      the frontier stays in state): a purchase arriving later carries
+      event time ≥ W_global and still satisfies ``purchase_ts ≤
+      click_ts + horizon`` when equality holds. Same frontier as the
+      left-outer family.
+    - unmatched PURCHASE null row emits iff
+      ``purchase_ts <= W_global`` (NON-strict — a purchase exactly AT
+      the watermark emits; measured: 12:00:00.000 emits at W=12:00,
+      12:00:00.001 stays): a purchase pairs only with strictly
+      EARLIER clicks (``click_ts < purchase_ts``), and any click
+      still to arrive carries event time ≥ W_global — at equality no
+      future click can strictly precede it. No horizon term, and the
+      strictness flips relative to the click side: the asymmetry of
+      the interval is the whole trap.
+
+    Both frontiers gate on the GLOBAL (min-across-sides) watermark —
+    measured: a purchase under its own side's watermark but over the
+    global one stays in state. Batch mode is the plain full-outer
+    join; an end-of-stream availableNow run equals the batch join
+    filtered to ``matched OR expired`` per side with exactly these
+    two predicates, which is what makes the family hash-certifiable.
+
+    State sizing: identical to the inner variant (events per horizon
+    per side) plus one null-emission bookkeeping bit per row on EACH
+    side; the watermark bounds both identically at any corpus size.
+    """
+    return _click_purchase_join(
+        clicks, purchases, horizon, watermark_delay, user_col, ts_col,
+        streaming, "fullOuter",
     )

@@ -590,3 +590,182 @@ def test_left_outer_empty_side_emits_no_null_rows(spark, tmp_path):
     )
     q.awaitTermination(120)
     assert spark.table("lj_empty_side").count() == 0
+
+
+def test_full_outer_two_sided_null_emission(spark, tmp_path):
+    """stream_stream_click_purchase_full: BOTH sides' null-extended
+    rows gate on the global watermark, with ASYMMETRIC frontiers.
+    Two REAL availableNow runs share one checkpoint + file sink:
+
+      A: click u2 10:05 + purchase u2 10:15 (match); click u7 10:00
+         (never matches); purchase u1 10:00 (never matches). W1 =
+         min(10:05, 10:15) − 1h = 09:05 — nothing expires; phase 1
+         emits ONLY the u2 match.
+      B: click u3 13:00 + purchase u3 13:10 (match) advance the
+         watermark to W2 = min(13:00, 13:10) − 1h = 12:00. Click
+         frontier (STRICT, horizon-shifted): u7's null row emits
+         (10:30 < 12:00); click u4 11:30:00.000 sits exactly ON it
+         (11:30 + 30min == W2) and stays in state. Purchase frontier
+         (NON-strict, no horizon): u1 (10:00) and u5 (12:00:00.000,
+         exactly AT W2) emit null rows; u6 (12:00:00.001, 1 ms past)
+         stays in state — the strictness FLIP between the two sides
+         the registry oracle mirrors.
+    """
+    import os
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase_full,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+
+    c_dir, p_dir = str(tmp_path / "c"), str(tmp_path / "p")
+    out_dir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def land(df, d, fname):
+        stage = str(tmp_path / f"stage_{fname}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(d, exist_ok=True)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.endswith(".parquet") and p.startswith("part-")
+        )
+        os.rename(os.path.join(stage, part), os.path.join(d, fname))
+
+    schema = "user_id long, ts timestamp, value double"
+
+    def run_phase(qname):
+        for q in spark.streams.active:
+            if q.name == qname:
+                q.stop()
+        c = spark.readStream.schema(schema).parquet(c_dir)
+        p = spark.readStream.schema(schema).parquet(p_dir)
+        joined = stream_stream_click_purchase_full(
+            c, p, horizon="30 minutes", watermark_delay="1 hour"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .queryName(qname)
+            .outputMode("append")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    land(ev([(2, "2024-03-01 10:05:00", 0.0),
+             (7, "2024-03-01 10:00:00", 0.0)]), c_dir, "a.parquet")
+    land(ev([(2, "2024-03-01 10:15:00", 42.0),
+             (1, "2024-03-01 10:00:00", 5.0)]), p_dir, "a.parquet")
+    run_phase("fjx_phase1")
+    out_schema = (
+        "user_id long, click_ts timestamp, purchase_ts timestamp,"
+        " purchase_value double"
+    )
+    phase1 = spark.read.schema(out_schema).parquet(out_dir).collect()
+    assert {(r.user_id, r.purchase_value) for r in phase1} == {(2, 42.0)}
+    assert all(
+        r.purchase_ts is not None and r.click_ts is not None for r in phase1
+    )  # no nulls on either side yet
+
+    land(ev([(3, "2024-03-01 13:00:00", 0.0),
+             (4, "2024-03-01 11:30:00", 0.0)]), c_dir, "b.parquet")
+    land(ev([(3, "2024-03-01 13:10:00", 7.0),
+             (5, "2024-03-01 12:00:00", 1.0),
+             (6, "2024-03-01 12:00:00.001", 2.0)]), p_dir, "b.parquet")
+    run_phase("fjx_phase2")
+    rows = spark.read.schema(out_schema).parquet(out_dir).collect()
+    got = {(r.user_id, str(r.click_ts), str(r.purchase_ts)) for r in rows}
+    assert got == {
+        (2, "2024-03-01 10:05:00", "2024-03-01 10:15:00"),   # match A
+        (3, "2024-03-01 13:00:00", "2024-03-01 13:10:00"),   # match B
+        (7, "2024-03-01 10:00:00", "None"),                  # click-side null
+        (1, "None", "2024-03-01 10:00:00"),                  # purchase-side null
+        (5, "None", "2024-03-01 12:00:00"),                  # AT W: emits (non-strict)
+        # u4 (click frontier-exact) and u6 (1 ms past W) stay in state
+    }
+    # user_id is taken from whichever side is present
+    assert all(r.user_id is not None for r in rows)
+
+
+def test_stream_stream_join_state_plateaus_within_horizon(spark, tmp_path):
+    """State-store SIZE evidence for the stream-stream join family
+    (round-11 ask): under a long availableNow run (one file per
+    micro-batch, event time advancing 10 min per file), the join
+    state must PLATEAU at the watermark horizon, not grow with
+    stream length. With delay 1h + horizon 30min the engine can only
+    be holding rows from the last 90 event-minutes = 9 steps × 4
+    rows/step = 36 — measured: state climbs 4, 8, ... to exactly 36
+    and stays flat for the remaining ~30 batches while 144 rows
+    stream through. The assert gives headroom for bookkeeping rows
+    but fails any linear-growth regression by construction."""
+    import os
+    from datetime import datetime, timedelta
+
+    from data_pipeline_childcare_spark.streaming.dedup_join import (
+        stream_stream_click_purchase_full,
+    )
+
+    def ev(rows):
+        return spark.createDataFrame(
+            rows, "user_id long, ts string, value double"
+        ).selectExpr("user_id", "cast(ts as timestamp) as ts", "value")
+
+    c_dir, p_dir = str(tmp_path / "c"), str(tmp_path / "p")
+
+    def land(df, d, fname):
+        stage = str(tmp_path / f"stage_{fname}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        os.makedirs(d, exist_ok=True)
+        part = next(
+            p for p in os.listdir(stage)
+            if p.endswith(".parquet") and p.startswith("part-")
+        )
+        os.rename(os.path.join(stage, part), os.path.join(d, fname))
+
+    t0 = datetime(2024, 3, 1, 0, 0, 0)
+    n_steps = 36
+    for i in range(n_steps):
+        s = (t0 + timedelta(minutes=10 * i)).strftime("%Y-%m-%d %H:%M:%S")
+        land(ev([(100 + i, s, 0.0), (200 + i, s, 0.0)]), c_dir, f"s{i:03d}.parquet")
+        land(ev([(100 + i, s, 1.0), (300 + i, s, 2.0)]), p_dir, f"s{i:03d}.parquet")
+
+    schema = "user_id long, ts timestamp, value double"
+    c = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(c_dir)
+    p = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(p_dir)
+    j = stream_stream_click_purchase_full(
+        c, p, horizon="30 minutes", watermark_delay="1 hour"
+    )
+    qname = "state_plateau_probe"
+    for q in spark.streams.active:
+        if q.name == qname:
+            q.stop()
+    q = (
+        j.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    hist = [
+        pr["stateOperators"][0]["numRowsTotal"]
+        for pr in q.recentProgress
+        if pr["stateOperators"]
+    ]
+    assert len(hist) >= n_steps  # one micro-batch per file pair
+    total_input = n_steps * 4
+    horizon_rows = 9 * 4  # 90 event-minutes of input = the horizon
+    # plateau: the max ever held is the horizon's worth (+small
+    # bookkeeping headroom), nowhere near the full stream
+    assert max(hist) <= horizon_rows * 2, hist
+    assert max(hist) < total_input / 2
+    # flat tail: the last third of the run holds no more than the
+    # plateau reached by mid-run (eviction keeps pace with ingest)
+    mid_plateau = max(hist[: len(hist) // 2])
+    assert all(h <= mid_plateau for h in hist[-len(hist) // 3:]), hist
