@@ -2476,6 +2476,86 @@ def hybrid_retrieval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hybrid_retrieval_ann_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with the dense leg through a CERTIFIED ANN
+    index instead of brute cosine (round-11 ask: compose the engine's
+    ANN families into the flagship RAG plan): same BM25 leg, dense
+    leg = OR-amplified multi-table LSH (8 tables × 4-bit hyperplane
+    buckets, exact re-score inside candidates —
+    operators/similarity.lsh_cosine_topk), RRF fusion unchanged.
+    This is the 100 TB-native shape: the corpus-side bucket arrays
+    are a narrow projection, candidates come from an equi-join on
+    (table, bucket) — never a corpus × queries cross join — and the
+    brute variant (hybrid_retrieval_docs) stays as the recall
+    yardstick, quantified by hybrid_retrieval_ann_recall. The DuckDB
+    twin nests the BM25 twin and replays the identical bucketed
+    candidate generation + fusion."""
+    from data_pipeline_childcare_spark.functions.text import tokenize
+    from data_pipeline_childcare_spark.operators.similarity import lsh_cosine_topk
+    from data_pipeline_childcare_spark.operators.tfidf import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    qsel = (F.col("doc_id") % 50 == 0) & (F.col("doc_id") < 500)
+    q = docs.filter(qsel).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(tokenize(F.col("text")), 1, 3)).alias("qtext"),
+    )
+    lex = bm25_topk(docs, q, k=10).select(
+        "query_id", F.col("doc_id").alias("item"), "rank"
+    )
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    qv = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 500)).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = lsh_cosine_topk(
+        emb, qv, dim=64, k=10, n_planes=4, n_tables=8
+    ).select("query_id", F.col("vec_id").alias("item"), "rank")
+    fused = (
+        lex.unionByName(sem)
+        .groupBy("query_id", "item")
+        .agg(
+            F.round(F.sum(1.0 / (F.lit(60) + F.col("rank"))), 6).alias("rrf_score"),
+            F.count(F.lit(1)).cast("int").alias("n_lists"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf_score"), F.col("item"))
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("fused_rank") <= 10)
+        .select(
+            "query_id",
+            F.col("item").alias("doc_id"),
+            "rrf_score",
+            "n_lists",
+            "fused_rank",
+        )
+    )
+
+
+def hybrid_retrieval_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the ANN-composed hybrid plan against its
+    brute-force twin (the ann_recall_audit pattern applied to the
+    fused USER-FACING output, not just the dense leg): one row of
+    exact integer evidence — |brute fused pairs|, |overlap|, and
+    recall in ppm (integer div, engine-portable). The DuckDB twin
+    nests BOTH hybrid oracles and replays the same semi-join +
+    division, so the recall number itself is hash-certified."""
+    brute = hybrid_retrieval_docs(spark, sf_dir).select("query_id", "doc_id")
+    ann = hybrid_retrieval_ann_docs(spark, sf_dir).select("query_id", "doc_id")
+    overlap = brute.join(ann, ["query_id", "doc_id"], "semi")
+    return (
+        brute.agg(F.count(F.lit(1)).alias("n_brute"))
+        .crossJoin(overlap.agg(F.count(F.lit(1)).alias("n_overlap")))
+        .select(
+            "n_brute",
+            "n_overlap",
+            F.expr("(n_overlap * 1000000L) div n_brute").alias("recall_ppm"),
+        )
+    )
+
+
 def link_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point HITS hubs/authorities (operators/graph.hits,
     Kleinberg 1999) over the deterministic link graph — the
@@ -7160,6 +7240,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_frontier_schedule": crawl_frontier_schedule,
         "gdpr_purge_audit": gdpr_purge_audit,
         "hybrid_retrieval_docs": hybrid_retrieval_docs,
+        "hybrid_retrieval_ann_docs": hybrid_retrieval_ann_docs,
+        "hybrid_retrieval_ann_recall": hybrid_retrieval_ann_recall,
         "ranking_eval_orders": ranking_eval_orders,
         "classifier_eval_docs": classifier_eval_docs,
         "classifier_pr_curve_docs": classifier_pr_curve_docs,
@@ -13675,6 +13757,77 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY rrf_score DESC, item) AS fused_rank
             FROM fused
         ) WHERE fused_rank <= 10
+    """
+    # ANN-composed hybrid twin: BM25 leg unchanged; dense leg replays
+    # the 8-table × 4-bit hyperplane bucketing (same deterministic
+    # plane family as the Spark operator), candidates from the
+    # (table, bucket) equi-join, exact re-score, then the identical
+    # fusion
+    out["hybrid_retrieval_ann_docs"] = f"""
+        WITH lex AS ({out['bm25_search_docs']}),
+        hemb AS (
+            SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings
+        ), hq AS (
+            SELECT vec_id AS query_id, cv AS qv FROM hemb
+            WHERE vec_id % 50 = 0 AND vec_id < 500
+        ), cb AS (
+            SELECT vec_id, tbl, {_lsh_buckets_case('cv', 64, 4, 8)} AS bucket
+            FROM hemb CROSS JOIN (VALUES {",".join(f"({t})" for t in range(8))}) t(tbl)
+        ), qb AS (
+            SELECT query_id, qv, tbl, {_lsh_buckets_case('qv', 64, 4, 8)} AS bucket
+            FROM hq CROSS JOIN (VALUES {",".join(f"({t})" for t in range(8))}) t(tbl)
+        ), cand AS (
+            SELECT DISTINCT qb.query_id, cb.vec_id
+            FROM cb JOIN qb ON cb.tbl = qb.tbl AND cb.bucket = qb.bucket
+            WHERE qb.query_id <> cb.vec_id
+        ), sem AS (
+            SELECT query_id, vec_id, rank FROM (
+                SELECT cand.query_id, cand.vec_id,
+                       row_number() OVER (
+                           PARTITION BY cand.query_id
+                           ORDER BY round(
+                               list_dot_product(c.cv, q.qv) /
+                               (sqrt(list_dot_product(c.cv, c.cv)) *
+                                sqrt(list_dot_product(q.qv, q.qv))), 6
+                           ) DESC, cand.vec_id) AS rank
+                FROM cand
+                JOIN hemb c ON c.vec_id = cand.vec_id
+                JOIN hq q ON q.query_id = cand.query_id
+            ) WHERE rank <= 10
+        ), unioned AS (
+            SELECT query_id, doc_id AS item, rank FROM lex
+            UNION ALL
+            SELECT query_id, vec_id AS item, rank FROM sem
+        ), fused AS (
+            SELECT query_id, item,
+                   round(sum(1.0 / (60 + rank)), 6) AS rrf_score,
+                   CAST(count(*) AS INT) AS n_lists
+            FROM unioned GROUP BY query_id, item
+        )
+        SELECT query_id, item AS doc_id, rrf_score, n_lists,
+               CAST(fused_rank AS INT) AS fused_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY query_id
+                ORDER BY rrf_score DESC, item) AS fused_rank
+            FROM fused
+        ) WHERE fused_rank <= 10
+    """
+    # recall audit twin: both hybrid oracles nested, semi-join on the
+    # fused (query, doc) pairs, integer-ppm division
+    out["hybrid_retrieval_ann_recall"] = f"""
+        WITH b AS ({out['hybrid_retrieval_docs']}),
+        a AS ({out['hybrid_retrieval_ann_docs']}),
+        o AS (
+            SELECT b.query_id, b.doc_id FROM b
+            WHERE EXISTS (SELECT 1 FROM a
+                          WHERE a.query_id = b.query_id
+                            AND a.doc_id = b.doc_id)
+        )
+        SELECT (SELECT count(*) FROM b) AS n_brute,
+               (SELECT count(*) FROM o) AS n_overlap,
+               ((SELECT count(*) FROM o) * 1000000)
+                   // (SELECT count(*) FROM b) AS recall_ppm
     """
     # stupid-backoff twin: same 70% md5 split (salt 'lm'), per-order
     # count tables over the train subset only (each order filtered to
