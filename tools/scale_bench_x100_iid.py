@@ -172,6 +172,110 @@ def build_scaled(spark) -> None:
     out.write.mode("overwrite").parquet(os.path.join(SCALE_DIR, "embeddings.parquet"))
 
 
+# --- entity-scaled ER corpus (round-11 verdict ask #2) ------------
+# The ER family's registries derive from the CUSTOMER dim (every
+# entity = one custkey with 2-3 alias/near-dup variants), so the
+# standard scale protocols — which grow facts and hold dims fixed —
+# measure ER fixed overhead, not growth. This mode grows the ENTITY
+# population itself: customer replicated with key-disjoint offsets
+# (each copy is a genuinely NEW distinct institution with the same
+# alias/near-dup variant structure, because the discriminative token
+# is the custkey) + hash-jittered balances; every other table copied
+# as-is. Writes SCALE_BENCH_er_entity.json.
+
+ER_QUERIES = [
+    "entity_resolution_customers",
+    "er_golden_records",
+    "er_quality_audit",
+    "er_quality_audit_idf",
+    "er_bcubed_audit",
+    "er_blocking_audit",
+    "er_incremental_assign",
+    "tuoyu_er_golden_records",
+    "tuoyu_er_quality_audit",
+    "tuoyu_er_quality_audit_nameonly",
+]
+
+
+def build_er_entities(spark, copies: int, rebuild: bool) -> str:
+    dst_dir = os.path.join(REPO, ".scaledata", f"er_entities_x{copies}")
+    if os.path.isdir(dst_dir) and not rebuild:
+        return dst_dir
+    if os.path.isdir(dst_dir):
+        shutil.rmtree(dst_dir)
+    os.makedirs(dst_dir, exist_ok=True)
+    for t in eng.io.TESTDATA_TABLES:
+        if t == "customer":
+            continue
+        eng.load_table(spark, t, BASE_DIR).write.mode("overwrite").parquet(
+            os.path.join(dst_dir, f"{t}.parquet")
+        )
+    cust = eng.load_table(spark, "customer", BASE_DIR)
+    parts = []
+    for i in range(copies):
+        parts.append(
+            cust.select(
+                (F.col("c_custkey") + i * 10_000_000).alias("c_custkey"),
+                *[c for c in cust.columns if c not in ("c_custkey", "c_acctbal")],
+                F.round(
+                    _jitter(F.col("c_acctbal"), [F.col("c_custkey"), F.lit(i)]), 2
+                ).alias("c_acctbal"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(os.path.join(dst_dir, "customer.parquet"))
+    return dst_dir
+
+
+def run_er_entity_bench(spark, scales: list[int], names: list[str], rebuild: bool) -> None:
+    base_t, base_s = time_once(spark, BASE_DIR, names)
+    per_scale: dict[int, tuple[dict, dict]] = {}
+    for s in scales:
+        d = build_er_entities(spark, s, rebuild)
+        per_scale[s] = time_once(spark, d, names)
+    report = {}
+    for n in names:
+        row = {"sec_1x": base_t[n]}
+        for s in scales:
+            st, ss = per_scale[s]
+            row[f"sec_{s}x_entities"] = st[n]
+            row[f"ratio_{s}x"] = (
+                round(st[n] / base_t[n], 2) if base_t[n] else None
+            )
+            same = base_s[n] == ss[n]
+            row[f"plan_shape_same_{s}x"] = same
+            if not same:
+                row[f"plan_drift_{s}x"] = {
+                    k: [base_s[n].get(k, 0), ss[n].get(k, 0)]
+                    for k in set(base_s[n]) | set(ss[n])
+                    if base_s[n].get(k, 0) != ss[n].get(k, 0)
+                }
+        report[n] = row
+    out_path = os.path.join(REPO, "SCALE_BENCH_er_entity.json")
+    merged = report
+    if os.path.isfile(out_path):
+        with open(out_path) as f:
+            prior = json.load(f).get("queries", {})
+        prior.update(report)
+        merged = prior
+    out = {
+        "protocol": (
+            "single warm run per scale; the ENTITY dimension (customer)"
+            " grows with key-disjoint copies — each copy a new distinct"
+            " institution with the same alias/near-dup variant structure"
+            " — so the ER family is measured under genuine entity growth,"
+            " not fact replication against a fixed registry"
+        ),
+        "scales": scales,
+        "queries": dict(sorted(merged.items())),
+    }
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out, indent=2))
+
+
 def time_once(spark, sf_dir: str, names: list[str]) -> tuple[dict, dict]:
     for t in eng.io.TESTDATA_TABLES:
         df = entry_mod._t(spark, sf_dir, t)
@@ -197,14 +301,27 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--queries", default="")
+    ap.add_argument(
+        "--er-entities",
+        action="store_true",
+        help="run the ER family on entity-grown corpora instead of the IID fact corpus",
+    )
+    ap.add_argument("--er-scales", default="10,100")
     args = ap.parse_args()
-    names = [q for q in args.queries.split(",") if q] or list(BENCH_QUERIES)
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
     spark = eng.get_spark(
         app_name="scale_bench_x100_iid",
         shuffle_partitions=32,
     )
+    if args.er_entities:
+        names = [q for q in args.queries.split(",") if q] or list(ER_QUERIES)
+        scales = [int(s) for s in args.er_scales.split(",") if s]
+        run_er_entity_bench(spark, scales, names, args.rebuild)
+        spark.stop()
+        return
+
+    names = [q for q in args.queries.split(",") if q] or list(BENCH_QUERIES)
     if args.rebuild or not os.path.isdir(SCALE_DIR):
         print("building 100x iid tables ...", file=sys.stderr)
         build_scaled(spark)
