@@ -714,3 +714,31 @@ def test_occupancy_guard_trips_on_skewed_cells(spark):
     out = semdedup(df, n_cells=4, threshold=0.999999,
                    occupancy_guard_factor=50.0)
     assert out.count() == 40
+
+
+def test_ivf_dedup_auto_cells_matches_explicit(spark):
+    """n_cells='auto' on the IVF dedup path: same kept set as the
+    explicit k the formula yields, and the occupancy guard passes at
+    a sane factor on the (well-spread) test corpus."""
+    from data_pipeline_childcare_spark.operators.similarity import (
+        auto_n_cells,
+        embedding_cosine_dedup_ivf,
+    )
+    import data_pipeline_childcare_spark as eng
+    from pyspark.sql import functions as F
+
+    emb = eng.load_table(spark, "embeddings", "/root/testdata/sf0.001").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    k = auto_n_cells(emb.count())
+    got = sorted(
+        r.vec_id
+        for r in embedding_cosine_dedup_ivf(
+            emb, threshold=0.4, n_cells="auto", occupancy_guard_factor=16.0
+        ).collect()
+    )
+    want = sorted(
+        r.vec_id
+        for r in embedding_cosine_dedup_ivf(emb, threshold=0.4, n_cells=k).collect()
+    )
+    assert got == want and len(got) > 0
