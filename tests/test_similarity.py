@@ -579,6 +579,11 @@ def test_persist_index_slot_is_bounded_lru(spark):
         k for k in sim._INDEX_CACHE
         if k[0] == app and k[3][0] == "ivfpq-index"
     ]
+    # Drain entries left by other tests in this session: with the
+    # capacity-3 LRU, prior ivfpq builds survive across tests, and this
+    # test's counts assume a clean slot.
+    for k in slot_keys():
+        sim._INDEX_CACHE.pop(k).unpersist(blocking=False)
     build("/root/testdata/sf0.001")
     first = slot_keys()
     assert len(first) == 1
