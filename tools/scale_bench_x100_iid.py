@@ -229,12 +229,15 @@ def build_er_entities(spark, copies: int, rebuild: bool) -> str:
     return dst_dir
 
 
-def run_er_entity_bench(spark, scales: list[int], names: list[str], rebuild: bool) -> None:
-    base_t, base_s = time_once(spark, BASE_DIR, names)
+def run_er_entity_bench(
+    spark, scales: list[int], names: list[str], rebuild: bool,
+    timing_only: bool = False,
+) -> None:
+    base_t, base_s = time_once(spark, BASE_DIR, names, timing_only)
     per_scale: dict[int, tuple[dict, dict]] = {}
     for s in scales:
         d = build_er_entities(spark, s, rebuild)
-        per_scale[s] = time_once(spark, d, names)
+        per_scale[s] = time_once(spark, d, names, timing_only)
     report = {}
     for n in names:
         row = {"sec_1x": base_t[n]}
@@ -244,22 +247,30 @@ def run_er_entity_bench(spark, scales: list[int], names: list[str], rebuild: boo
             row[f"ratio_{s}x"] = (
                 round(st[n] / base_t[n], 2) if base_t[n] else None
             )
-            same = base_s[n] == ss[n]
-            row[f"plan_shape_same_{s}x"] = same
-            if not same:
-                row[f"plan_drift_{s}x"] = {
-                    k: [base_s[n].get(k, 0), ss[n].get(k, 0)]
-                    for k in set(base_s[n]) | set(ss[n])
-                    if base_s[n].get(k, 0) != ss[n].get(k, 0)
-                }
+            if n in base_s and n in ss:
+                same = base_s[n] == ss[n]
+                row[f"plan_shape_same_{s}x"] = same
+                if not same:
+                    row[f"plan_drift_{s}x"] = {
+                        k: [base_s[n].get(k, 0), ss[n].get(k, 0)]
+                        for k in set(base_s[n]) | set(ss[n])
+                        if base_s[n].get(k, 0) != ss[n].get(k, 0)
+                    }
         report[n] = row
     out_path = os.path.join(REPO, "SCALE_BENCH_er_entity.json")
     merged = report
+    all_scales = list(scales)
     if os.path.isfile(out_path):
         with open(out_path) as f:
-            prior = json.load(f).get("queries", {})
-        prior.update(report)
+            prior_doc = json.load(f)
+        prior = prior_doc.get("queries", {})
+        # merge per-ROW so a new scale leg adds columns to existing rows
+        # instead of replacing them (a 30x-only run must not drop the
+        # 10x columns)
+        for n, row in report.items():
+            prior.setdefault(n, {}).update(row)
         merged = prior
+        all_scales = sorted(set(prior_doc.get("scales", [])) | set(scales))
     out = {
         "protocol": (
             "single warm run per scale; the ENTITY dimension (customer)"
@@ -268,7 +279,7 @@ def run_er_entity_bench(spark, scales: list[int], names: list[str], rebuild: boo
             " — so the ER family is measured under genuine entity growth,"
             " not fact replication against a fixed registry"
         ),
-        "scales": scales,
+        "scales": all_scales,
         "queries": dict(sorted(merged.items())),
     }
     with open(out_path, "w") as f:
@@ -276,13 +287,23 @@ def run_er_entity_bench(spark, scales: list[int], names: list[str], rebuild: boo
     print(json.dumps(out, indent=2))
 
 
-def time_once(spark, sf_dir: str, names: list[str]) -> tuple[dict, dict]:
+def time_once(
+    spark, sf_dir: str, names: list[str], timing_only: bool = False
+) -> tuple[dict, dict]:
     for t in eng.io.TESTDATA_TABLES:
         df = entry_mod._t(spark, sf_dir, t)
         df.cache()
         df.count()
     qs = entry_mod.queries()
-    shapes = {n: plan_shape(qs[n](spark, sf_dir)) for n in names}
+    # The shapes pre-pass constructs every query once before timing;
+    # build-time-checkpointed chains (the ER family) materialize during
+    # construction, so on large corpora the pre-pass doubles an already
+    # hour-scale run. --timing-only trades the plan-shape columns for an
+    # affordable high-scale leg.
+    shapes = (
+        {} if timing_only
+        else {n: plan_shape(qs[n](spark, sf_dir)) for n in names}
+    )
     timed = {}
     for n in names:
         t0 = time.perf_counter()
@@ -307,6 +328,12 @@ def main() -> None:
         help="run the ER family on entity-grown corpora instead of the IID fact corpus",
     )
     ap.add_argument("--er-scales", default="10,100")
+    ap.add_argument(
+        "--timing-only",
+        action="store_true",
+        help="skip the plan-shape pre-pass (it re-materializes checkpointed "
+        "chains once per query, doubling large ER runs)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
@@ -317,7 +344,7 @@ def main() -> None:
     if args.er_entities:
         names = [q for q in args.queries.split(",") if q] or list(ER_QUERIES)
         scales = [int(s) for s in args.er_scales.split(",") if s]
-        run_er_entity_bench(spark, scales, names, args.rebuild)
+        run_er_entity_bench(spark, scales, names, args.rebuild, args.timing_only)
         spark.stop()
         return
 
