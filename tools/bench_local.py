@@ -30,6 +30,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 LOCAL_BENCH_QUERIES = [
     "bm25_search_docs",
     "hybrid_retrieval_docs",
+    "hybrid_retrieval_ann_docs",
     "link_graph_pagerank",
     "wordpiece_vocab_docs",
     "unigram_lm_vocab_docs",
