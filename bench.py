@@ -10,13 +10,15 @@ shuffle, which count() exercises identically). Queries run twice and
 report the better run, so JVM/JIT warm-up doesn't pollute comparisons
 between rounds.
 
-Before the timed loop, every input table is cached and materialized
-(``df.cache().count()``): Spark's CacheManager substitutes the cached
-InMemoryRelation into each query's identical ``load_table`` plan, so
-the 19 queries share one scan per table instead of re-reading parquet
-19 times — the same reuse a warm cluster gets from repeated reads of
-a hot table, and the benchmark then measures operator cost, not
-repeated cold-scan cost.
+Round-13 methodology fix: earlier rounds cached + materialized every
+base table BEFORE the timed loop, so timed queries read
+InMemoryRelations instead of parquet. That measures operator cost
+only — but it means no timed run ever computed from the parquet
+inputs, which overstates the engine (and hid the scan path from
+optimization entirely). The cache is gone: every timed run now scans
+parquet, so per-query numbers include the real read+spread cost.
+r12-comparable numbers (with the cache) are recorded in
+OPTIMIZATION_r13.md next to the uncached ones.
 """
 
 from __future__ import annotations
@@ -98,15 +100,6 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for t in eng.io.TESTDATA_TABLES:
-        # Cache THROUGH the entry module's memoized loader so the
-        # cached plan (including its spread_partitions repartition) is
-        # the exact plan object every query builds on — CacheManager
-        # substitution then serves a 32-partition in-memory relation,
-        # not a 1-partition one pinned to the single-row-group file.
-        df = entry_mod._t(spark, SF_DIR, t)
-        df.cache()
-        df.count()
     qs = entry_mod.queries()
     # Global warm-up: one untimed pass over every query so JIT/codegen
     # compilation (shared across queries in one JVM) is paid before any

@@ -191,11 +191,16 @@ def minhash_dedup(
     is dropped if it is near-dup of ANY smaller id).
 
     Signatures are consumed three times (banding + both sides of the
-    estimate join), so they are persisted — recomputing the shingle
-    aggregate per consumer costs more than the (id, 64×long) cache at
-    any scale. Spark evicts LRU; callers may ``unpersist`` eagerly.
+    estimate join); the plans are identical subtrees, so the physical
+    planner's ReuseExchange rule serves all three consumers from ONE
+    shuffle of the signature aggregate — the shingle explode/tokenize
+    map work runs exactly once per execution with no persist. (An
+    explicit ``.persist()`` here would also register the plan in the
+    CacheManager for the SESSION's lifetime: every later identical
+    invocation silently reads the cache instead of the input — wrong
+    for benchmarking and a storage leak, r13.)
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     dups = (
         minhash_jaccard_estimate(sigs, pairs, id_col)
@@ -301,7 +306,10 @@ def minhash_est_pairs_portable(
     semantically free).
     """
     rows = num_hashes // bands
-    sigs = _portable_signatures(df, id_col, text_col, num_hashes, shingle_n).persist()
+    # no persist: the banding + both estimate-join sides are identical
+    # subtrees — ReuseExchange computes the signature shuffle once per
+    # execution (see minhash_dedup's note on why persist is wrong here)
+    sigs = _portable_signatures(df, id_col, text_col, num_hashes, shingle_n)
     banded = _portable_banded(sigs, id_col, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -405,7 +413,9 @@ def minhash_dedup_incremental(
     )
     sigs = _portable_signatures(tagged, id_col, text_col, num_hashes, shingle_n)
     tags = tagged.select(id_col, "_new")
-    sigs = sigs.join(tags, id_col).persist()
+    # no persist: consumers share the signature-join exchange via
+    # ReuseExchange (see minhash_dedup's note on why persist is wrong)
+    sigs = sigs.join(tags, id_col)
     banded = _portable_banded(sigs, id_col, bands, rows).join(tags, id_col)
     a = banded.alias("a")
     b = banded.filter(F.col("_new")).alias("b")
@@ -486,9 +496,10 @@ def simhash_near_dup_pairs(
     in EVERY matching band). None = exact blocked pair set.
     PRODUCTION REQUIREMENT at 100 TB on dup-heavy corpora.
     """
-    # the banded self-join consumes sigs twice → persist (see
-    # minhash_dedup note)
-    sigs = simhash_signatures(df, id_col, text_col, shingle_n).persist()
+    # the banded self-join consumes sigs twice — identical subtrees, so
+    # ReuseExchange computes the vote aggregate's shuffle once (see
+    # minhash_dedup's note on why persist is wrong here)
+    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
     banded = sigs.select(
         id_col,
         "sh",
@@ -560,7 +571,9 @@ def simhash_pairs_portable(
         f" THEN 1 ELSE -1 END) > 0 THEN shiftleft(1L, {b}) ELSE 0L END)"
         for b, (a, bb) in enumerate(cw_constants(64, salt=100))
     )
-    sigs = shingled.groupBy(id_col).agg(F.expr(pack).alias("sh")).persist()
+    # no persist: both self-join sides reuse the vote aggregate's
+    # exchange (see minhash_dedup's note on why persist is wrong here)
+    sigs = shingled.groupBy(id_col).agg(F.expr(pack).alias("sh"))
     banded = sigs.select(
         id_col,
         "sh",

@@ -1189,6 +1189,26 @@ def _model_memo_put(key, value) -> None:
     _MODEL_MEMO[key] = value
 
 
+def clear_session_caches() -> None:
+    """Drop every cross-invocation cache this module holds: the trained
+    model memo (kmeans/PQ codebooks) and the persisted index-frame LRU
+    (IVF inverted lists, ANN indexes, audit reference frames).
+
+    Benchmark harnesses call this between timed runs so every timed
+    invocation computes from the raw inputs — the index/model memos are
+    a SESSION convenience (a warm service reuses its indexes), but a
+    bench that times run N>1 against a memoized index is measuring
+    probe cost while reporting build+probe (r13 methodology). Library
+    users never need this."""
+    _MODEL_MEMO.clear()
+    for frame in _INDEX_CACHE.values():
+        try:
+            frame.unpersist(blocking=False)
+        except Exception:
+            pass  # session already stopped — nothing to release
+    _INDEX_CACHE.clear()
+
+
 def _l2sq(a: Column, b: Column) -> Column:
     """Squared L2 via the dot-product decomposition
     ``a·a − 2·a·b + b·b`` — three sequential folds, the SAME
