@@ -199,9 +199,12 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: six-table join; region/nation dims broadcast."""
     region = F.broadcast(_t(spark, sf_dir, "region"))
     nation = F.broadcast(_t(spark, sf_dir, "nation"))
-    customer = _t(spark, sf_dir, "customer")
+    # customer/orders feed BroadcastExchange builds at bench scale, so
+    # the keyed spread is a wasted exchange under the broadcast (r13;
+    # at real scale spread is a no-op and these joins go SMJ via AQE)
+    customer = _t(spark, sf_dir, "customer", spread=False)
     supplier = _t(spark, sf_dir, "supplier")
-    orders = _t(spark, sf_dir, "orders")
+    orders = _t(spark, sf_dir, "orders", spread=False)
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -1325,7 +1328,9 @@ def dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def dedup_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return dedup_fingerprint(docs).select("doc_id", doc_fingerprint("text").alias("fp"))
+    # fp_col: reuse the fingerprint computed inside the dedup instead
+    # of re-running md5(normalize(text)) over the survivors (r13)
+    return dedup_fingerprint(docs, fp_col="fp").select("doc_id", "fp")
 
 
 def dedup_paragraphs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1409,7 +1414,10 @@ def minhash_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≤ |corpus| even on a verbatim-copy-cluster corpus."""
     from data_pipeline_childcare_spark.operators.dedup import minhash_dedup_portable
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: the signature pipeline spreads internally (keyed on
+    # doc_id); pre-spreading here only adds a redundant exchange that
+    # the optimizer pulls above the final anti-join (r13 plan diff)
+    docs = _t(spark, sf_dir, "documents", spread=False)
     return minhash_dedup_portable(docs, threshold=0.8, cap_per_id=1).select("doc_id")
 
 
@@ -3082,7 +3090,8 @@ def simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-mirrored) — the duplicate-saturation guard."""
     from data_pipeline_childcare_spark.operators.dedup import simhash_pairs_portable
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: simhash spreads internally (see minhash_dedup_docs)
+    docs = _t(spark, sf_dir, "documents", spread=False)
     return simhash_pairs_portable(docs, max_hamming=8, cap_per_id=20).select(
         "id_a", "id_b", "hamming"
     )
@@ -3099,7 +3108,8 @@ def ngram_jaccard_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment twin of this shape at 18.7×)."""
     from data_pipeline_childcare_spark.operators.dedup import cap_pairs_per_doc
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: the inverted-index builder spreads internally
+    docs = _t(spark, sf_dir, "documents", spread=False)
     pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_df=64)
     return cap_pairs_per_doc(pairs, cap=20, order_by=[F.desc("jaccard")])
 

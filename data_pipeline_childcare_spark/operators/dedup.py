@@ -72,6 +72,40 @@ def portable_base_hash_sql(col: str) -> str:
     )
 
 
+def _reuse_boundary(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Pin an expensive subtree behind ONE keyed exchange so every
+    consumer reads the same shuffle files via the physical planner's
+    ReuseExchange rule instead of re-running the subtree.
+
+    Why it is needed (r13, measured): when the input already arrives
+    hash-partitioned on the aggregate key (a keyed ``spread_partitions``
+    or an upstream join), the signature groupBy needs NO exchange of its
+    own — the whole tokenize→hash→aggregate pipeline collapses into the
+    stage downstream of the input's exchange, and each of the 3-4
+    consumers (banding sides, estimate-join sides) re-executes it from
+    the reused INPUT exchange. The explicit repartition re-creates the
+    boundary at the point that should be shared: its map side runs the
+    aggregate exactly once, and ReuseExchange serves every consumer
+    (including BroadcastExchange builds) from it. Cost: one shuffle of
+    the compact aggregate rows (id + signature ≈ tens of bytes) — paid
+    once, versus re-tokenizing the corpus per consumer. When the input
+    is NOT pre-partitioned the aggregate keeps its own exchange and
+    this adds one narrow shuffle of the aggregated rows; either way the
+    heavy map work runs once per execution, with no persist/cache (a
+    ``.persist()`` would register the plan session-wide in the
+    CacheManager and silently serve later identical invocations from
+    memory — cross-run result reuse, wrong for benchmarking).
+
+    The partition count is passed EXPLICITLY (the session's
+    ``spark.sql.shuffle.partitions`` — scale-adaptive, no constant):
+    a bare ``repartition(col)`` on a child that is already
+    hash-partitioned on the same key is removed as redundant by the
+    optimizer, which silently restores the per-consumer recompute this
+    boundary exists to prevent."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(n, *[F.col(c) for c in key_cols])
+
+
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: keep the smallest id per identical text.
 
@@ -83,12 +117,41 @@ def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return df.join(keep, [text_col, id_col], "left_semi")
 
 
-def dedup_fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Exact dedup on md5(normalized text) — the 100 TB-friendly variant:
-    the wide text column never enters the shuffle."""
+def dedup_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    fp_col: str | None = None,
+) -> DataFrame:
+    """Exact dedup on md5(normalized text).
+
+    r13 shape — min-over-window instead of groupBy+semi-join: ONE
+    consumer of the fingerprint frame, so the normalize+md5 (the
+    expensive map work) runs once and the plan is a single window
+    exchange with no second scan (the join shape recomputed the md5 up
+    to 4× — null-check filter, both join inputs, the projection).
+    Exact equivalence with the join shape: a row survives iff its id
+    equals the group's min id (ties all survive, exactly like the
+    (fp, id) equi-semi-join) and its text is non-null (md5∘normalize
+    is null-preserving, and an equi-join key never matches null — the
+    filter is written on the TEXT column so it pushes to the scan
+    instead of re-evaluating the md5); a null id never equals min.
+
+    ``fp_col``: when set, the computed fingerprint is kept under this
+    name so callers that also want the fingerprint don't recompute the
+    md5 over the survivors."""
+    from pyspark.sql import Window as W
+
     with_fp = spread_partitions(df, id_col).withColumn("_fp", doc_fingerprint(text_col))
-    keep = with_fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-    return with_fp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
+    keep_min = F.min(id_col).over(W.partitionBy("_fp"))
+    out = (
+        with_fp.withColumn("_min", keep_min)
+        .filter(F.col(text_col).isNotNull() & (F.col(id_col) == F.col("_min")))
+        .drop("_min")
+    )
+    if fp_col is None:
+        return out.drop("_fp")
+    return out.withColumnRenamed("_fp", fp_col)
 
 
 # ---------------------------------------------------------------------------
@@ -200,7 +263,9 @@ def minhash_dedup(
     invocation silently reads the cache instead of the input — wrong
     for benchmarking and a storage leak, r13.)
     """
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = _reuse_boundary(
+        minhash_signatures(df, id_col, text_col, num_hashes, shingle_n), id_col
+    )
     pairs = lsh_candidate_pairs(sigs, id_col, bands, num_hashes // bands)
     dups = (
         minhash_jaccard_estimate(sigs, pairs, id_col)
@@ -309,7 +374,9 @@ def minhash_est_pairs_portable(
     # no persist: the banding + both estimate-join sides are identical
     # subtrees — ReuseExchange computes the signature shuffle once per
     # execution (see minhash_dedup's note on why persist is wrong here)
-    sigs = _portable_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = _reuse_boundary(
+        _portable_signatures(df, id_col, text_col, num_hashes, shingle_n), id_col
+    )
     banded = _portable_banded(sigs, id_col, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
@@ -415,7 +482,7 @@ def minhash_dedup_incremental(
     tags = tagged.select(id_col, "_new")
     # no persist: consumers share the signature-join exchange via
     # ReuseExchange (see minhash_dedup's note on why persist is wrong)
-    sigs = sigs.join(tags, id_col)
+    sigs = _reuse_boundary(sigs.join(tags, id_col), id_col)
     banded = _portable_banded(sigs, id_col, bands, rows).join(tags, id_col)
     a = banded.alias("a")
     b = banded.filter(F.col("_new")).alias("b")
@@ -499,7 +566,7 @@ def simhash_near_dup_pairs(
     # the banded self-join consumes sigs twice — identical subtrees, so
     # ReuseExchange computes the vote aggregate's shuffle once (see
     # minhash_dedup's note on why persist is wrong here)
-    sigs = simhash_signatures(df, id_col, text_col, shingle_n)
+    sigs = _reuse_boundary(simhash_signatures(df, id_col, text_col, shingle_n), id_col)
     banded = sigs.select(
         id_col,
         "sh",
@@ -573,7 +640,7 @@ def simhash_pairs_portable(
     )
     # no persist: both self-join sides reuse the vote aggregate's
     # exchange (see minhash_dedup's note on why persist is wrong here)
-    sigs = shingled.groupBy(id_col).agg(F.expr(pack).alias("sh"))
+    sigs = _reuse_boundary(shingled.groupBy(id_col).agg(F.expr(pack).alias("sh")), id_col)
     banded = sigs.select(
         id_col,
         "sh",
@@ -724,6 +791,13 @@ def ngram_jaccard_pairs(
         F.size("_sh").cast("long").alias("set_size"),
         F.explode("_sh").alias("_s"),
     ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    # boundary keyed on the DOC id: tokenization runs once (in this
+    # exchange's map side, shared by the df-cap aggregate and both
+    # self-join sides via ReuseExchange) while the a-side keeps doc-id
+    # clustering, so the pair aggregate and the per-doc cap window
+    # downstream need no exchange of their own when the b-side
+    # broadcasts
+    shingled = _reuse_boundary(shingled, id_col)
     if max_df is not None:
         # shingles are per-doc distinct, so count(*) per shingle IS the
         # document frequency; hot ones leave the index before the join
@@ -1116,6 +1190,13 @@ def ngram_jaccard_pairs_prefix(
         F.size("_sh").cast("long").alias("set_size"),
         F.explode("_sh").alias("_s"),
     ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    # boundary keyed on the DOC id: tokenization runs once (in this
+    # exchange's map side, shared by the df-cap aggregate and both
+    # self-join sides via ReuseExchange) while the a-side keeps doc-id
+    # clustering, so the pair aggregate and the per-doc cap window
+    # downstream need no exchange of their own when the b-side
+    # broadcasts
+    shingled = _reuse_boundary(shingled, id_col)
     if max_df is not None:
         hot = (
             shingled.groupBy("shingle")
@@ -1238,6 +1319,13 @@ def ngram_containment_pairs(
         F.size("_sh").cast("long").alias("set_size"),
         F.explode("_sh").alias("_s"),
     ).select(id_col, "set_size", F.xxhash64("_s").alias("shingle"))
+    # boundary keyed on the DOC id: tokenization runs once (in this
+    # exchange's map side, shared by the df-cap aggregate and both
+    # self-join sides via ReuseExchange) while the a-side keeps doc-id
+    # clustering, so the pair aggregate and the per-doc cap window
+    # downstream need no exchange of their own when the b-side
+    # broadcasts
+    shingled = _reuse_boundary(shingled, id_col)
     if max_df is not None:
         hot = (
             shingled.groupBy("shingle")

@@ -274,7 +274,9 @@ def test_plan_contract(spark, name):
     hash_ex = sum(
         1
         for line in plan.splitlines()
-        if "Exchange hashpartitioning" in line and "REPARTITION_BY_NUM" not in line
+        if "Exchange hashpartitioning" in line
+        and "REPARTITION_BY_NUM" not in line
+        and "REPARTITION_BY_COL" not in line
     )
     assert hash_ex <= max_hash_ex, (name, hash_ex, max_hash_ex)
 

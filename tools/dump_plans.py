@@ -32,6 +32,10 @@ def main() -> None:
     os.makedirs(outdir, exist_ok=True)
     spark = eng.get_spark(
         app_name="dump-plans",
+        # shuffle_partitions must match bench.py: plan shapes depend on
+        # it (e.g. a reuse-boundary repartition keyed like the input
+        # spread is elided as redundant when the counts also coincide)
+        shuffle_partitions=8,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "512k",
             "spark.sql.adaptive.enabled": "false",
