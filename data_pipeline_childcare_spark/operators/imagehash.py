@@ -213,18 +213,22 @@ def hamming_near_dup_pairs(
     if max_hamming > 3:
         raise ValueError("4x16-bit blocking is only complete for max_hamming <= 3")
     blocks = [c for c in block_cols if c]
-    # Persist the (id, sig) projection: the self-join's broadcast side
-    # carries no exchange on the probe path, so WITHOUT a cache the
-    # ENTIRE upstream — typically a decode/fingerprint Python chain
-    # orders of magnitude costlier than this join — executes once per
-    # side (measured: 6 MapInPandas nodes in the video plan, the full
-    # synthesize→sample→decode chain duplicated). The cached relation
-    # is narrow (id + one long + block keys; ~tens of bytes/row —
-    # MEMORY_AND_DISK spills gracefully at billions of rows), while
-    # the decode it avoids re-running is the dominant cost at any
-    # scale. Persist-and-leave: unpersisting before return would mark
-    # the cache dead prior to execution (see SCALING.md).
-    sigs = df.select(F.col(id_col), F.col(sig_col), *[F.col(c) for c in blocks]).persist()
+    # Lazy localCheckpoint on the (id, sig) projection: the self-join's
+    # broadcast side carries no exchange on the probe path, so WITHOUT
+    # the cut the ENTIRE upstream — typically a decode/fingerprint
+    # Python chain orders of magnitude costlier than this join —
+    # executes once per side (measured: 6 MapInPandas nodes in the
+    # video plan, the full synthesize→sample→decode chain duplicated).
+    # The materialized relation is narrow (id + one long + block keys;
+    # ~tens of bytes/row — MEMORY_AND_DISK spills gracefully at
+    # billions of rows), while the decode it avoids re-running is the
+    # dominant cost at any scale. Checkpoint instead of persist (r13):
+    # same within-invocation reuse with no CacheManager registration —
+    # a later identical invocation recomputes from its inputs instead
+    # of silently reading this run's cache, and GC frees the blocks.
+    sigs = df.select(
+        F.col(id_col), F.col(sig_col), *[F.col(c) for c in blocks]
+    ).localCheckpoint(eager=False)
     banded = sigs.select(
         F.col(id_col),
         F.col(sig_col),

@@ -801,24 +801,23 @@ def mmr_select(
 
     Returns (query_col, id_col, mmr_rank, rel_score, mmr_score).
     """
-    # persist the candidate projection: every greedy step re-reads it
-    # (anti-join + similarity join), and without the cut each step
-    # would re-run the candidate-generation DAG (e.g. a brute-force
-    # top-k crossJoin) from scratch — measured 25× slower at sf0.01
+    # lazy localCheckpoint on the candidate projection: every greedy
+    # step re-reads it (anti-join + similarity join), and without the
+    # cut each step would re-run the candidate-generation DAG (e.g. a
+    # brute-force top-k crossJoin) from scratch — measured 25× slower
+    # at sf0.01. Checkpoint instead of persist (r13): same one-
+    # materialization reuse within this invocation, but nothing is
+    # registered in the CacheManager, so a later identical invocation
+    # recomputes from its inputs instead of silently reading this
+    # run's cache (cross-run reuse), and the RDD storage is freed on
+    # GC — no unpersist bookkeeping.
     base = cand.select(
         F.col(query_col),
         F.col(id_col),
         F.round(F.col(rel_col), ndigits).alias("_rel"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-    ).persist()
-    try:
-        return _mmr_greedy(base, k, lam, query_col, id_col, ndigits)
-    finally:
-        # the checkpointed selection no longer needs the candidate
-        # cache; unpersisting in finally means an exception mid-loop
-        # (or in localCheckpoint) can't leak the cached DataFrame for
-        # the session's lifetime
-        base.unpersist(blocking=False)
+    ).localCheckpoint(eager=False)
+    return _mmr_greedy(base, k, lam, query_col, id_col, ndigits)
 
 
 def _mmr_greedy(

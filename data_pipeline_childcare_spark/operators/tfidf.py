@@ -310,13 +310,19 @@ def bigram_logprob_scores(
         F.col(id_col), F.explode(F.transform(F.col("_ts"), pair_at)).alias("_pr")
     ).select(F.col(id_col), F.col("_pr._t").alias("_t"), F.col("_pr._next").alias("_next"))
     # the ONE corpus-keyed aggregate; every other count is a sum over
-    # its (distinct-bigram-sized) output. Persist-and-leave: four
+    # its (distinct-bigram-sized) output. Lazy localCheckpoint: four
     # consumers (bigram/context/unigram/total) would otherwise each
     # re-run the corpus tokenize+explode (measured: 5 parquet scans
-    # in the unpersisted plan — AQE does not surface cross-consumer
-    # exchange reuse here), and the cached relation is vocab²-bounded,
-    # far below corpus size.
-    cnt = ex.groupBy("_t", "_next").agg(F.count("*").alias("_c")).persist()
+    # in the uncut plan — AQE does not surface cross-consumer exchange
+    # reuse here), and the materialized relation is vocab²-bounded,
+    # far below corpus size. Checkpoint instead of persist (r13): no
+    # CacheManager registration, so a later identical invocation
+    # recomputes from its inputs (no cross-run reuse); GC frees it.
+    cnt = (
+        ex.groupBy("_t", "_next")
+        .agg(F.count("*").alias("_c"))
+        .localCheckpoint(eager=False)
+    )
     bg_freq = cnt.filter(F.col("_next").isNotNull()).select(
         F.col("_t").alias("_prev"), F.col("_next").alias("_w"), F.col("_c").alias("_cpw")
     )

@@ -180,11 +180,13 @@ def learn_unigram_lm(
     # The word-frequency vocabulary is consumed by EVERY round's
     # Viterbi job plus the final returned plan — without a cache each
     # of those re-runs the corpus tokenize+aggregate pass (the only
-    # corpus-sized stage here). Persist-and-leave (vocab-sized:
+    # corpus-sized stage here). Lazy localCheckpoint (vocab-sized:
     # max_word_len-capped distinct words; MEMORY_AND_DISK spills at
-    # the extreme). Same for the seed substring counts below, read by
-    # the alphabet collect and again by the round-1 cost table.
-    words = _word_freqs(docs, id_col, text_col, max_word_len).persist()
+    # the extreme; no CacheManager registration, so later identical
+    # invocations recompute from inputs — r13). Same for the seed
+    # substring counts below, read by the alphabet collect and again
+    # by the round-1 cost table.
+    words = _word_freqs(docs, id_col, text_col, max_word_len).localCheckpoint(eager=False)
 
     def _subs_of(plen: int):
         def mk(i):
@@ -205,7 +207,7 @@ def learn_unigram_lm(
     )
     counts = subs.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("c")
-    ).persist()
+    ).localCheckpoint(eager=False)
 
     # ONE guarded collect per round serves inventory AND costs: the
     # alphabet (all length-1 pieces) plus the top-``vocab_size``
@@ -267,14 +269,14 @@ def learn_unigram_lm(
     for _ in range(n_rounds):
         costs = _collect_costs(cost_f.select("piece", "cost"), "unigram cost table")
         segs = _viterbi_segment(words, costs, max_word_len, max_piece_len)
-        # persisted: the fused inventory collect references the
+        # checkpointed: the fused inventory collect references the
         # recount twice (length-1 filter + multi top-k) — one Viterbi
-        # execution, not two
+        # execution, not two (lazy local checkpoint, r13)
         counts = (
             segs.select("freq", F.explode("pieces").alias("piece"))
             .groupBy("piece")
             .agg(F.sum("freq").cast("long").alias("c"))
-            .persist()
+            .localCheckpoint(eager=False)
         )
         cost_f = _literal_cost_frame(_round_inventory(counts))
 

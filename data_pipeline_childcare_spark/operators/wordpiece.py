@@ -142,9 +142,11 @@ def learn_wordpiece_vocab(
     never leave (coverage); unused multi-char pieces fall out.
     """
     # consumed by the alphabet collect, the seed collect, every
-    # round's re-segmentation job and the returned plan — cache the
-    # one corpus-sized pass (vocab-sized result; persist-and-leave)
-    words = _word_freqs(docs, id_col, text_col, max_word_len).persist()
+    # round's re-segmentation job and the returned plan — cut the one
+    # corpus-sized pass behind a lazy localCheckpoint (vocab-sized
+    # result; no CacheManager registration, so a later identical
+    # invocation recomputes from its inputs — r13)
+    words = _word_freqs(docs, id_col, text_col, max_word_len).localCheckpoint(eager=False)
 
     # seed: every substring of length 2..max_piece_len, weighted by
     # word freq per occurrence; the alphabet rides along implicitly
@@ -193,11 +195,12 @@ def learn_wordpiece_vocab(
         segs = _segment_words(
             words, inventory, max_word_len, max_piece_len
         ).select("freq", F.explode("pieces").alias("piece"))
-        # persisted: read by this round's inventory collect and again
-        # by the next round / the returned frame
+        # checkpointed: read by this round's inventory collect and
+        # again by the next round / the returned frame (lazy local
+        # checkpoint — within-invocation reuse only, r13)
         counts = segs.groupBy("piece").agg(
             F.sum("freq").cast("long").alias("c")
-        ).persist()
+        ).localCheckpoint(eager=False)
         multi = counts.filter(F.length("piece") >= 2)
         inventory = alphabet + _collect_pieces(top_multi(multi), "round inventory")
 

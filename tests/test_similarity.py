@@ -290,10 +290,15 @@ def test_mmr_select_diversifies(spark):
     assert mmr_select(small, k=3, lam=0.5).count() == 1
 
 
-def test_mmr_select_unpersists_candidate_cache_even_on_failure(spark, monkeypatch):
-    """The candidate projection is persisted for the greedy loop; an
-    exception mid-loop must not leak it for the session's lifetime
-    (round-4 advice): the unpersist runs in a finally block."""
+def test_mmr_select_no_materialized_leak_on_failure(spark, monkeypatch):
+    """The candidate projection rides a LAZY localCheckpoint (r13 —
+    replacing the old persist-in-CacheManager, whose registration
+    leaked for the session's lifetime unless an explicit finally-block
+    unpersisted it). An exception before/inside the greedy loop must
+    not leave MATERIALIZED blocks behind: with eager=False nothing is
+    computed before the first action, and the registration itself is
+    GC-scoped (the ContextCleaner unpersists it once the frame goes
+    out of scope — no CacheManager entry holds it alive)."""
     import pytest as _pytest
 
     from data_pipeline_childcare_spark.operators import similarity as sim
@@ -302,19 +307,20 @@ def test_mmr_select_unpersists_candidate_cache_even_on_failure(spark, monkeypatc
         [(7, 1, 0.99, [1.0, 0.0]), (7, 3, 0.50, [0.0, 1.0])],
         "query_id long, vec_id long, rel_score double, embedding array<double>",
     )
-    jsc = spark.sparkContext._jsc.sc()
-    before = jsc.getPersistentRDDs().size()
+    sc = spark.sparkContext._jsc.sc()
 
-    # failure path: blow up inside the greedy loop, cache still freed.
-    # (the success path's localCheckpoint blocks legitimately stay
-    # registered — only the candidate cache must not outlive the call)
+    def cached_partitions() -> int:
+        return sum(i.numCachedPartitions() for i in sc.getRDDStorageInfo())
+
+    before = cached_partitions()
+
     def boom(*args, **kwargs):
         raise RuntimeError("greedy loop exploded")
 
     monkeypatch.setattr(sim, "_mmr_greedy", boom)
     with _pytest.raises(RuntimeError, match="greedy loop exploded"):
         sim.mmr_select(cand, k=2, lam=0.5)
-    assert jsc.getPersistentRDDs().size() == before
+    assert cached_partitions() == before
 
 
 def test_semdedup_crafted_clusters(spark):

@@ -10,6 +10,13 @@ Usage:
 
 Writes one JSON file shaped like bench.py's line ({"queries": {...},
 "total": N, "sf": 0.1}) — commit the r{N} dump and compare in README.
+
+r13 methodology change (matches bench.py's): the base-table pre-cache
+is gone and the similarity model/index memos are cleared before every
+timed invocation — each timed run computes from the parquet inputs,
+so ANN rows now report build+probe (not probe-only against an index a
+previous run left warm). r12-and-earlier dumps are NOT comparable for
+the ANN quartet / ivfpq rows.
 """
 
 from __future__ import annotations
@@ -67,15 +74,21 @@ def main() -> None:
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
-    for t in eng.io.TESTDATA_TABLES:
-        df = entry_mod._t(spark, SF_DIR, t)
-        df.cache()
-        df.count()
+    # r13 methodology (matches bench.py): no base-table pre-cache —
+    # every timed run scans parquet — and the similarity module's
+    # session-level model/index memos are cleared before EVERY timed
+    # invocation, so an ANN row times build+probe from the raw inputs
+    # instead of probing an index a previous run left warm (cross-run
+    # result reuse). Warm-up still runs once for JIT/codegen.
+    from data_pipeline_childcare_spark.operators.similarity import (
+        clear_session_caches,
+    )
+
     qs = entry_mod.queries()
     missing = [n for n in names if n not in qs]
     if missing:
         raise SystemExit(f"unknown queries: {missing}")
-    for name in names:  # warm-up (JIT/codegen + family caches)
+    for name in names:  # warm-up (JIT/codegen)
         qs[name](spark, SF_DIR).count()
     spark.sparkContext._jvm.System.gc()
     time.sleep(1.0)
@@ -83,6 +96,7 @@ def main() -> None:
     for _ in range(PASSES):
         for name in names:
             for _ in range(RUNS):
+                clear_session_caches()
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).count()
                 per_query[name] = min(
