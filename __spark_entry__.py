@@ -83,6 +83,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> Data
     # that feed the table straight into a BroadcastExchange, where an
     # upstream exchange is pure overhead.
     per_session = _TABLE_MEMO.setdefault(spark, {})
+    raw_key = (sf_dir, name)
+    if raw_key not in per_session:
+        per_session[raw_key] = load_table(spark, name, sf_dir)
     key = (sf_dir, name, spread)
     if key not in per_session:
         # Test parquet is written as ONE row group per file, so the scan
@@ -91,8 +94,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str, spread: bool = True) -> Data
         # query's first stage — filter, projection, partial agg, shuffle
         # write — would run on one core. spread_partitions restores full
         # parallelism here and is a no-op on real lakes where files
-        # carry a row group per ~128 MB.
-        df = load_table(spark, name, sf_dir)
+        # carry a row group per ~128 MB. The raw read is memoized
+        # SEPARATELY from the spread variants: parquet schema discovery
+        # runs footer-read jobs, and before r13 a spread=False call on
+        # an already-warmed table re-ran that read (second scan plan,
+        # extra footer jobs at plan-build time).
+        df = per_session[raw_key]
         if spread and name not in _NO_SPREAD:
             df = spread_partitions(df, *_SPREAD_KEYS.get(name, ()))
         per_session[key] = df

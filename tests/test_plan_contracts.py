@@ -357,6 +357,18 @@ def test_no_driver_actions_while_building_plans(spark):
         "er_bcubed_audit",  # same resolver subtree
         "er_quality_audit_idf",  # weighted-resolver checkpoints
         "er_incremental_assign",  # base-side resolver checkpoints
+        # r13: the dedup/imagehash/bigram reuse boundaries became lazy
+        # localCheckpoints (one materialization shared by all
+        # consumers, no CacheManager registration); under AQE the
+        # checkpoint materializes its upstream stages at build time —
+        # distributed jobs, nothing lands on the driver
+        "doc_bigram_logprob",
+        "image_ahash_near_dup",
+        "video_keyframe_dedup",
+        "audio_fingerprint_near_dup",
+        "multimodal_dedup_agreement",
+        "dedup_incremental_docs",
+        "ngram_containment_docs",
     }
     group = "plan-build-audit"
     qs = entry_mod.queries()
