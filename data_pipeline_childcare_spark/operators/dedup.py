@@ -809,17 +809,24 @@ def ngram_jaccard_pairs(
     # downstream need no exchange of their own when the b-side
     # broadcasts
     shingled = _reuse_boundary(shingled, id_col)
+    b_side = shingled
     if max_df is not None:
         # shingles are per-doc distinct, so count(*) per shingle IS the
-        # document frequency; hot ones leave the index before the join
+        # document frequency; hot ones leave the index before the join.
+        # The anti-join is applied to the B side ONLY: the inner join's
+        # a.shingle == b.shingle equality means an a-row whose shingle
+        # is hot matches nothing (the b side has no such rows), so
+        # filtering the a side too is redundant work — it re-ran the
+        # df aggregate and its broadcast a second time (r13 plan diff:
+        # 2 df-agg exchanges + 3 broadcast builds → 1 + 2).
         hot = (
             shingled.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("shingle")
         )
-        shingled = shingled.join(hot, "shingle", "left_anti")
-    a, b = shingled.alias("a"), shingled.alias("b")
+        b_side = shingled.join(hot, "shingle", "left_anti")
+    a, b = shingled.alias("a"), b_side.alias("b")
     common = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .groupBy(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
@@ -1337,15 +1344,18 @@ def ngram_containment_pairs(
     # downstream need no exchange of their own when the b-side
     # broadcasts
     shingled = _reuse_boundary(shingled, id_col)
+    b_side = shingled
     if max_df is not None:
+        # b-side-only anti-join: the inner join's shingle equality makes
+        # filtering the a side redundant (see ngram_jaccard_pairs)
         hot = (
             shingled.groupBy("shingle")
             .agg(F.count("*").alias("_df"))
             .filter(F.col("_df") > max_df)
             .select("shingle")
         )
-        shingled = shingled.join(hot, "shingle", "left_anti")
-    a, b = shingled.alias("a"), shingled.alias("b")
+        b_side = shingled.join(hot, "shingle", "left_anti")
+    a, b = shingled.alias("a"), b_side.alias("b")
     common = (
         a.join(
             b,

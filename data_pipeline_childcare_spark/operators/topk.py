@@ -31,6 +31,24 @@ def _orderable(dt: T.DataType) -> bool:
     return True
 
 
+def _fixed_width(dt: T.DataType) -> bool:
+    """Whether a type is fixed-width (cheap to build and compare inside
+    a struct-min agg key). Var-length fields (strings, binaries,
+    arrays) make each struct comparison walk bytes and the aggregate
+    buffer non-mutable — measured slower than the row_number window
+    they were meant to replace (r13)."""
+    return isinstance(
+        dt,
+        (
+            T.NumericType,
+            T.BooleanType,
+            T.DateType,
+            T.TimestampType,
+            T.TimestampNTZType,
+        ),
+    )
+
+
 def top_k_per_group(
     df: DataFrame,
     group_col: str,
@@ -80,13 +98,25 @@ def top_k_with_global_dedup(
     other = [c for c in candidates.columns if c != item_col]
     score_dt = candidates.schema[score_col].dataType
     floating = isinstance(score_dt, (T.FloatType, T.DoubleType))
-    if not isinstance(score_dt, T.NumericType) or not all(
-        _orderable(candidates.schema[c].dataType) for c in other
+    prio_dt = (
+        candidates.schema[priority_col].dataType
+        if priority_col
+        else candidates.schema[task_col].dataType
+    )
+    if (
+        not isinstance(score_dt, T.NumericType)
+        or not all(_orderable(candidates.schema[c].dataType) for c in other)
+        or not _fixed_width(prio_dt)
+        or not all(_fixed_width(candidates.schema[c].dataType) for c in other)
     ):
         # Struct comparison needs every field orderable and the key
-        # negation needs a numeric score; otherwise fall back to the
-        # original window claim (same ordering, one extra sort —
-        # correctness over plan shape).
+        # negation needs a numeric score; and the argmin only beats the
+        # window when every struct field is fixed-width — a string
+        # task id in the buffer forces SortAggregate (same sort as the
+        # window, plus per-row struct construction; measured 0.33 s →
+        # 0.29 s at sf0.1 by taking the window path instead, r13).
+        # Fall back to the original window claim (identical ordering
+        # semantics, test-pinned for NULL/NaN/LONG_MIN edges).
         w_claim = Window.partitionBy(item_col).orderBy(prio, F.desc(score_col))
         claimed = (
             candidates.withColumn("_claim", F.row_number().over(w_claim))
