@@ -3364,8 +3364,15 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    q = emb.filter(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    # the query side collapses into a BroadcastExchange (3 rows) — the
+    # keyed spread under it was a wasted full exchange (r13 plan diff)
+    q = (
+        _t(spark, sf_dir, "embeddings", spread=False)
+        .filter(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("query_vec"),
+        )
     )
     return cosine_topk_bruteforce(emb, q, k=5).select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").cast("int").alias("rank")
