@@ -608,14 +608,22 @@ def kmeans_lite(
         return spark.createDataFrame(
             _MODEL_MEMO[memo_key], "cell int, centroid array<double>"
         )
+    # one lazy localCheckpoint of the (id, vec) training projection:
+    # every iteration (and the seed scan) would otherwise re-run the
+    # corpus scan + spread exchange — MLlib's KMeans caches its input
+    # for exactly this reason. Freed on GC, never CacheManager-
+    # registered (no cross-run reuse).
+    train = corpus.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias(vec_col)
+    ).localCheckpoint(eager=False)
     seed_hash = F.expr(
         f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
     )
     seed_rows = (
-        corpus.withColumn("_r", seed_hash)
+        train.withColumn("_r", seed_hash)
         .orderBy("_r")
         .limit(k)
-        .select("_r", F.col(vec_col).cast("array<double>").alias("centroid"))
+        .select("_r", F.col(vec_col).alias("centroid"))
         .collect()
     )
     cents = [
@@ -629,29 +637,146 @@ def kmeans_lite(
         )
 
     for _ in range(iterations):
-        assigned = _assign_cells(corpus, cent_df(cents), id_col, vec_col)
+        assigned = _assign_cells(train, cent_df(cents), id_col, vec_col)
         exploded = assigned.select(
             "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
         )
         per_pos = exploded.groupBy("cell", "pos").agg(
             F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
         )
-        new_rows = per_pos.groupBy("cell").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
-            ).alias("centroid")
-        ).collect()
-        cents = sorted(
-            ((r["cell"], list(r["centroid"])) for r in new_rows), key=lambda t: t[0]
-        )
+        # the (cell, pos, m) rows ARE the new centroids — m is already
+        # the final Spark-rounded value, so collecting them directly
+        # and grouping driver-side skips the second aggregate's
+        # exchange+sort per iteration (bit-identical: no driver math,
+        # only grouping). Gated on k·dim so a huge model keeps the
+        # distributed roll-up instead of a multi-million-row collect.
+        if k * max(len(c) for _, c in cents) <= _LIT_ASSIGN_MAX_DOUBLES:
+            by_cell: dict[int, list] = {}
+            for r in per_pos.collect():
+                by_cell.setdefault(r["cell"], []).append((r["pos"], r["m"]))
+            cents = sorted(
+                (cell, [m for _, m in sorted(pm)])
+                for cell, pm in by_cell.items()
+            )
+        else:
+            new_rows = per_pos.groupBy("cell").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            ).collect()
+            cents = sorted(
+                ((r["cell"], list(r["centroid"])) for r in new_rows),
+                key=lambda t: t[0],
+            )
     if memo_key is not None:
         _model_memo_put(memo_key, cents)
     return cent_df(cents)
 
 
+# literal-assignment gate: total doubles shipped into the plan as
+# centroid literals. Past this, expression-tree size (SQL parse +
+# analysis) outgrows what the crossJoin+window path costs.
+_LIT_ASSIGN_MAX_DOUBLES = 32768
+
+
+def _dlit_sql(v: float) -> str:
+    """Render one double as a SQL literal that parses back to the SAME
+    bits (repr is the shortest round-tripping decimal; both Python and
+    Java parse it correctly rounded)."""
+    import math as _math
+
+    v = float(v)
+    if _math.isnan(v):
+        return "cast('NaN' as double)"
+    if _math.isinf(v):
+        return f"cast('{'-' if v < 0 else ''}Infinity' as double)"
+    return repr(v) + "D"
+
+
+def _alit_sql(c) -> str:
+    return "array(" + ",".join(_dlit_sql(x) for x in c) + ")"
+
+
+# SQL renderings of _dot/_norm/cosine/_l2sq with the IDENTICAL fold
+# order, so literal-centroid assignment produces bit-identical doubles
+# to the crossJoin form (one expression string = one parse; building
+# the same tree through F.lit(list) costs one py4j round-trip per
+# array ELEMENT, which dominated the whole Lloyd iteration).
+def _dot_sql2(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+
+
+def _norm_sql2(a: str) -> str:
+    return f"sqrt(aggregate({a}, cast(0.0 as double), (acc, v) -> acc + v * v))"
+
+
+def _cos_sql2(v: str, c: str) -> str:
+    return f"({_dot_sql2(v, c)} / ({_norm_sql2(v)} * {_norm_sql2(c)}))"
+
+
+def _l2sq_sql2(v: str, c: str) -> str:
+    return f"({_dot_sql2(v, v)} - 2.0D * {_dot_sql2(v, c)} + {_dot_sql2(c, c)})"
+
+
+def _local_centroid_rows(centroids: DataFrame):
+    """Collect (cell, centroid) rows IFF the frame is a driver-local
+    relation (kmeans_lite's model output) — a LocalTableScan collect is
+    driver-only, no Spark job. Returns None for any distributed plan."""
+    try:
+        plan = centroids._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+    except Exception:
+        return None
+    return [(r["cell"], list(r["centroid"])) for r in centroids.collect()]
+
+
+def _assign_cells_literal(
+    corpus: DataFrame, cents: list, id_col: str, vec_col: str
+) -> DataFrame:
+    """Nearest-cell assignment as ONE map-side projection over literal
+    centroids — no crossJoin row expansion, no per-id window (which at
+    real scale costs a hash(id) exchange of n·k rows; this shape
+    shuffles nothing).
+
+    Bit-identical to the window form: the per-centroid cosine is the
+    SAME expression over a literal array (identical IEEE fold order),
+    and the argmax replicates row_number().over(desc(_sim), cell asc)
+    edge-for-edge — desc puts NaN FIRST (→ mapped to +∞) and NULL LAST
+    (→ mapped to −∞); array_position returns the FIRST index of the
+    max, which is the lowest cell id because the literal array is
+    built in ascending cell order."""
+    v_sql = f"cast(`{vec_col}` as array<double>)"
+    # one struct per centroid: (negated mapped sim, cell). least()
+    # evaluates each argument ONCE and picks the minimum struct — i.e.
+    # the maximum sim, ties to the lowest cell (ascending struct
+    # compare on the second field). NaN→+∞ (wins, as desc NaN-first),
+    # NULL→−∞ (loses, as desc NULLS LAST); both negated for least().
+    structs = [
+        "named_struct('ns', -coalesce(nanvl("
+        + _cos_sql2(v_sql, _alit_sql(c))
+        + ", cast('Infinity' as double)), cast('-Infinity' as double)), "
+        f"'c', {int(cell)})"
+        for cell, c in cents
+    ]
+    expr = (
+        f"least({','.join(structs)}).c"
+        if len(structs) > 1
+        else f"({structs[0]}).c"
+    )
+    return corpus.withColumn("cell", F.expr(expr))
+
+
 def _assign_cells(
     corpus: DataFrame, centroids: DataFrame, id_col: str, vec_col: str
 ) -> DataFrame:
+    cents = _local_centroid_rows(centroids)
+    if cents and sum(len(c) for _, c in cents) <= _LIT_ASSIGN_MAX_DOUBLES:
+        return _assign_cells_literal(corpus, cents, id_col, vec_col)
     scored = corpus.crossJoin(F.broadcast(centroids)).withColumn(
         "_sim", cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
     )
@@ -1218,6 +1343,94 @@ def _l2sq(a: Column, b: Column) -> Column:
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
+def _pq_assign(
+    exploded: DataFrame, codebooks, id_col: str, n_sub: int
+) -> DataFrame:
+    """Per-block nearest-code assignment over an exploded
+    (id, block, _sv) frame → + ``code`` column.
+
+    ``codebooks`` is either the driver-side triple list
+    [(block, code, centroid), ...] or a (block, code, centroid)
+    DataFrame. When the codebook is driver-local and small, the
+    assignment is ONE projection dispatching on ``block`` over literal
+    centroids (no broadcast join row expansion, no per-(id, block)
+    window — which at real scale is a hash exchange of n·n_codes
+    rows). Bit-identical to the window form: same _l2sq expression
+    over a literal array, and the argmin replicates
+    row_number().over(asc(_d), code asc) edge-for-edge — asc puts NULL
+    FIRST (→ −∞) and NaN LAST (→ +∞); array_position takes the FIRST
+    index of the min, i.e. the lowest code, because each block's
+    literals are built in ascending code order."""
+    cents = (
+        codebooks
+        if isinstance(codebooks, list)
+        else _local_codebook_rows(codebooks)
+    )
+    by_block: dict[int, list] = {}
+    if cents is not None:
+        for b, code, c in cents:
+            by_block.setdefault(int(b), []).append((int(code), list(c)))
+    n_doubles = sum(len(c) for _, codes in by_block.items() for _, c in codes)
+    if (
+        cents
+        and n_doubles <= _LIT_ASSIGN_MAX_DOUBLES
+        and all(b in by_block for b in range(1, n_sub + 1))
+    ):
+        def block_code_sql(b: int) -> str:
+            # least(struct(mapped_d, code)): min distance, ties to the
+            # lowest code; NULL→−∞ wins (asc NULLS FIRST), NaN→+∞
+            # loses (asc NaN-last) — see _assign_cells_literal
+            entries = sorted(by_block[b])
+            structs = [
+                "named_struct('d', coalesce(nanvl("
+                + _l2sq_sql2("`_sv`", _alit_sql(c))
+                + ", cast('Infinity' as double)), cast('-Infinity' as double)), "
+                f"'c', {int(code)})"
+                for code, c in entries
+            ]
+            return (
+                f"least({','.join(structs)}).c"
+                if len(structs) > 1
+                else f"({structs[0]}).c"
+            )
+
+        branches = " ".join(
+            f"WHEN `block` = {b} THEN {block_code_sql(b)}"
+            for b in range(1, n_sub + 1)
+        )
+        return exploded.withColumn("code", F.expr(f"CASE {branches} END"))
+    cb_df = (
+        codebooks
+        if not isinstance(codebooks, list)
+        else exploded.sparkSession.createDataFrame(
+            codebooks, "block int, code int, centroid array<double>"
+        )
+    )
+    scored = exploded.join(F.broadcast(cb_df), "block").withColumn(
+        "_d", _l2sq(F.col("_sv"), F.col("centroid"))
+    )
+    w = Window.partitionBy(id_col, "block").orderBy(F.asc("_d"), F.col("code"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(*exploded.columns, "code")
+    )
+
+
+def _local_codebook_rows(codebooks: DataFrame):
+    """(block, code, centroid) triples IFF the frame is driver-local
+    (see _local_centroid_rows); None for distributed plans."""
+    try:
+        plan = codebooks._jdf.queryExecution().optimizedPlan()
+        if plan.getClass().getSimpleName() != "LocalRelation":
+            return None
+    except Exception:
+        return None
+    return [
+        (r["block"], r["code"], list(r["centroid"])) for r in codebooks.collect()
+    ]
+
+
 def pq_codebooks(
     corpus: DataFrame,
     dim: int = 64,
@@ -1309,31 +1522,42 @@ def pq_codebooks(
             )
         ).alias("_b0", "_sv"),
     ).select(F.col(id_col), (F.col("_b0") + 1).alias("block"), "_sv")
+    # lazy localCheckpoint: each Lloyd iteration re-read the corpus
+    # scan + spread + sub-block explode otherwise (kmeans_lite's
+    # training-cache discipline; freed on GC, no cross-run reuse)
+    bcorpus = bcorpus.localCheckpoint(eager=False)
     for _ in range(iterations):
-        scored = bcorpus.join(F.broadcast(cent_df(cents)), "block").withColumn(
-            "_d", _l2sq(F.col("_sv"), F.col("centroid"))
-        )
-        w = Window.partitionBy(id_col, "block").orderBy(F.asc("_d"), F.col("code"))
-        assigned = (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .select(id_col, "block", "_sv", "code")
-        )
+        assigned = _pq_assign(bcorpus, cents, id_col, n_sub)
         per_pos = assigned.select(
             "block", "code", F.posexplode("_sv").alias("pos", "v")
         ).groupBy("block", "code", "pos").agg(
             F.round(F.round(F.sum("v"), 6) / F.count("v"), 6).alias("m")
         )
-        new_rows = per_pos.groupBy("block", "code").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "m"))),
-                lambda s: s["m"],
-            ).alias("centroid")
-        ).collect()
-        cents = sorted(
-            ((r["block"], r["code"], list(r["centroid"])) for r in new_rows),
-            key=lambda t: (t[0], t[1]),
-        )
+        # collect the final (block, code, pos, m) rows and group
+        # driver-side — skips the second aggregate's exchange per
+        # iteration (see kmeans_lite; values unchanged, m is already
+        # the Spark-rounded mean). Same k·dim gate.
+        if n_codes * dim <= _LIT_ASSIGN_MAX_DOUBLES:
+            by_bc: dict[tuple, list] = {}
+            for r in per_pos.collect():
+                by_bc.setdefault((r["block"], r["code"]), []).append(
+                    (r["pos"], r["m"])
+                )
+            cents = sorted(
+                (b, code, [m for _, m in sorted(pm)])
+                for (b, code), pm in by_bc.items()
+            )
+        else:
+            new_rows = per_pos.groupBy("block", "code").agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            ).collect()
+            cents = sorted(
+                ((r["block"], r["code"], list(r["centroid"])) for r in new_rows),
+                key=lambda t: (t[0], t[1]),
+            )
     if memo_key is not None:
         _model_memo_put(memo_key, cents)
     return cent_df(cents)
@@ -1363,14 +1587,8 @@ def pq_encode(
     exploded = corpus.select(
         F.col(id_col), F.posexplode(blocks).alias("_b0", "_sv")
     ).select(F.col(id_col), (F.col("_b0") + 1).alias("block"), "_sv")
-    scored = exploded.join(F.broadcast(codebooks), "block").withColumn(
-        "_d", _l2sq(F.col("_sv"), F.col("centroid"))
-    )
-    w = Window.partitionBy(id_col, "block").orderBy(F.asc("_d"), F.col("code"))
-    return (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(id_col, "block", "code")
+    return _pq_assign(exploded, codebooks, id_col, n_sub).select(
+        id_col, "block", "code"
     )
 
 
