@@ -6867,7 +6867,14 @@ def _dirty_customer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("c_acctbal").cast("double").alias("rec_balance"),
         F.lit("legacy").alias("rec_source"),
     )
-    return clean.unionByName(billing).unionByName(legacy)
+    # lazy localCheckpoint (r13): every ER consumer reads the registry
+    # several times (blocking keys, BOTH name-token join sides, the
+    # resolver's full-id frame, the survivorship join) — without the
+    # cut each read re-ran the 3-leg union-of-joins build. At real
+    # scale the registry is a TABLE and this materialization is the
+    # scan reuse a lake gives for free. Freed on GC; never
+    # CacheManager-registered (no cross-run reuse).
+    return clean.unionByName(billing).unionByName(legacy).localCheckpoint(eager=False)
 
 
 def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

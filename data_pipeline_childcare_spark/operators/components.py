@@ -35,11 +35,19 @@ def connected_components(
     ``localCheckpoint`` — iterative DataFrame loops otherwise grow the
     lineage (and planning time) linearly with the iteration count.
     """
+    n_part = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # dst-keyed layout + LAZY checkpoint (r13): the loop's first join
+    # keys edges on dst against labels keyed on id, so a dst-
+    # partitioned edge frame joins every iteration with NO exchange
+    # (the checkpoint scan advertises its hash partitioning). Lazy:
+    # the first consumer materializes it — an eager checkpoint here
+    # was one extra job of pure scheduling latency.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
-        .localCheckpoint()
+        .repartition(n_part, F.col("dst"))
+        .localCheckpoint(eager=False)
     )
     # 1-hop initialization: label(v) = min(v, min direct neighbor).
     # This is iteration 1 of min-label propagation computed as a bare
@@ -48,11 +56,15 @@ def connected_components(
     # join+aggregate+checkpoint round from the loop (the dominant
     # per-round cost on billion-edge graphs; dup-cluster graphs with
     # diameter 1 now converge at the first in-loop stability check).
+    # the groupBy leaves labels hash-partitioned on id, the SAME layout
+    # every later iteration re-establishes, so both loop joins
+    # (edges.dst = labels.id, then labels.id = neighbor_min.src) are
+    # exchange-free: the only shuffle per iteration is the groupBy(src)
     labels = (
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("_m"))
         .select("id", F.least(F.col("id"), F.col("_m")).alias("component"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -65,6 +77,9 @@ def connected_components(
         # exactly "a neighbor offered something smaller") — the old
         # separate new⋈old comparison join cost one extra two-sided
         # shuffle per iteration for information this join already has.
+        # Lazy checkpoint: the changed-count below materializes it in
+        # the same job (the old eager checkpoint + count pair cost two
+        # jobs per iteration of pure scheduling latency).
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
@@ -76,7 +91,7 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")

@@ -354,6 +354,7 @@ def test_no_driver_actions_while_building_plans(spark):
         "link_graph_trustrank",  # seeded pagerank loop checkpoints
         "crawl_depth_docs",  # BFS frontier loop checkpoints
         "er_quality_audit",  # resolver -> connected_components checkpoints
+        "er_blocking_audit",  # registry lazy checkpoint (r13)
         "er_bcubed_audit",  # same resolver subtree
         "er_quality_audit_idf",  # weighted-resolver checkpoints
         "er_incremental_assign",  # base-side resolver checkpoints
