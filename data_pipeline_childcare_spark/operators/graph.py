@@ -74,8 +74,17 @@ def pagerank(
         "id", F.coalesce(F.col("out_deg"), F.lit(0)).alias("out_deg")
     )
     if checkpoint:
-        base = base.localCheckpoint()
-        edges = edges.localCheckpoint()
+        # r13: keyed layouts + LAZY checkpoints. With edges partitioned
+        # on src and every rank frame on id, BOTH loop joins
+        # (edges.src = ranks.id and ranks.id = contribs.dst) are
+        # exchange-free — the only shuffle per iteration is the
+        # groupBy(dst). Lazy checkpoints still truncate the logical
+        # plan immediately (planning stays flat in n_iter) but stop
+        # paying one eager materialization job per frame: the next
+        # consumer computes the blocks in its own job.
+        n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        base = base.repartition(n_part, F.col("id")).localCheckpoint(eager=False)
+        edges = edges.repartition(n_part, F.col("src")).localCheckpoint(eager=False)
 
     nn = base.agg(F.count(F.lit(1)).alias("_n"))
 
@@ -86,7 +95,7 @@ def pagerank(
         F.col("_n"),
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.localCheckpoint(eager=False)
 
     teleport_pct = 100 - damping_pct
     for _ in range(n_iter):
@@ -116,7 +125,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("id", "out_deg", "rank_scaled")
 
 
@@ -201,8 +210,12 @@ def weighted_pagerank(
         # plan-build time, so laziness buys nothing here; builders
         # composing this operator belong in the plan-build audit's
         # checkpoint_builders whitelist either way.)
-        quant = quant.localCheckpoint()
-        nodes = nodes.localCheckpoint()
+        # r13: keyed layouts, the pagerank discipline — quant on src
+        # and nodes/ranks on id make both loop joins exchange-free
+        # (only the groupBy(dst) shuffles per iteration)
+        n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        quant = quant.repartition(n_part, F.col("src")).localCheckpoint()
+        nodes = nodes.repartition(n_part, F.col("id")).localCheckpoint()
         # Dangling nodes are known ONCE from the node frame: on
         # symmetrized input (dst ⊆ src — every TextRank caller) there
         # are none and the per-iteration dangling aggregate is exactly
