@@ -517,10 +517,16 @@ def _guard_cell_occupancy(
     candidate volume Σ|cell|² exceeds ``factor · n^1.5`` — the volume
     of a balanced √n-cell layout (n rows in √n cells of √n each give
     exactly n^1.5 candidate rows), so ``factor`` is "how many times
-    worse than the ideal √n sizing am I willing to run". Fires BEFORE
-    the quadratic stage executes; one small aggregate job (cell counts
-    are model-sized). Trip it → re-run with ``n_cells="auto"`` (or a
-    larger explicit k)."""
+    worse than the ideal √n sizing am I willing to run". NOTE: ``n``
+    is the ASSIGNED-row count — under multi-assignment
+    (embedding_cosine_dedup_ivf, n_assign=4) that is n_assign × the
+    vector count, so both Σ|cell|² and the n^1.5 bound are inflated
+    together and a given ``factor`` is a stricter promise than under
+    semdedup's single-assignment layout (a balanced layout still
+    passes at factor ≥ n_assign^0.5; calibrate factor per caller).
+    Fires BEFORE the quadratic stage executes; one small aggregate job
+    (cell counts are model-sized). Trip it → re-run with
+    ``n_cells="auto"`` (or a larger explicit k)."""
     row = (
         assigned.groupBy("cell")
         .agg(F.count(F.lit(1)).alias("_c"))
