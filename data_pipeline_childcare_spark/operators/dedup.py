@@ -73,9 +73,8 @@ def portable_base_hash_sql(col: str) -> str:
 
 
 def _reuse_boundary(df: DataFrame, *key_cols: str) -> DataFrame:
-    """Pin an expensive subtree behind ONE keyed exchange so every
-    consumer reads the same shuffle files via the physical planner's
-    ReuseExchange rule instead of re-running the subtree.
+    """Pin an expensive subtree behind ONE shared materialization so
+    every consumer reads it instead of re-running the subtree.
 
     Why it is needed (r13, measured): when the input already arrives
     hash-partitioned on the aggregate key (a keyed ``spread_partitions``
@@ -83,38 +82,32 @@ def _reuse_boundary(df: DataFrame, *key_cols: str) -> DataFrame:
     own — the whole tokenize→hash→aggregate pipeline collapses into the
     stage downstream of the input's exchange, and each of the 3-4
     consumers (banding sides, estimate-join sides) re-executes it from
-    the reused INPUT exchange. The explicit repartition re-creates the
-    boundary at the point that should be shared: its map side runs the
-    aggregate exactly once, and ReuseExchange serves every consumer
-    (including BroadcastExchange builds) from it. Cost: one shuffle of
-    the compact aggregate rows (id + signature ≈ tens of bytes) — paid
-    once, versus re-tokenizing the corpus per consumer. When the input
-    is NOT pre-partitioned the aggregate keeps its own exchange and
-    this adds one narrow shuffle of the aggregated rows; either way the
-    heavy map work runs once per execution, with no persist/cache (a
-    ``.persist()`` would register the plan session-wide in the
-    CacheManager and silently serve later identical invocations from
-    memory — cross-run result reuse, wrong for benchmarking).
+    the reused INPUT exchange.
 
-    The partition count is passed EXPLICITLY (the session's
-    ``spark.sql.shuffle.partitions`` — scale-adaptive, no constant):
-    a bare ``repartition(col)`` on a child that is already
-    hash-partitioned on the same key is removed as redundant by the
-    optimizer, which silently restores the per-consumer recompute this
-    boundary exists to prevent.
+    The boundary is a LAZY ``localCheckpoint``: one materialization of
+    the compact aggregate rows (id + signature ≈ tens of bytes) shared
+    by every consumer — including BroadcastExchange builds, which
+    ReuseExchange never serves across differing subtrees — and the
+    checkpoint TRUNCATES the logical plan, so Catalyst analyzes the
+    signature subtree once instead of once per consumer copy (measured
+    at sf0.1: minhash planning alone was 0.7 s with the subtree
+    embedded 4×). The checkpoint scan advertises the input's hash
+    partitioning, so key-aligned downstream aggregates/windows stay
+    exchange-free. An earlier r13 form added an explicit keyed
+    ``repartition`` before the checkpoint (the pre-checkpoint design
+    needed an exchange node for ReuseExchange); with the checkpoint
+    carrying the reuse, that shuffle was pure overhead — removing it
+    measured minhash 0.94→0.81 s, ngram 0.92→0.77 s, outputs
+    identical. ``key_cols`` is kept for call-site documentation of the
+    expected layout.
 
-    The result is additionally wrapped in a LAZY ``localCheckpoint``
-    (the established pattern of plans/retrieval.py): beyond execution
-    reuse, the checkpoint TRUNCATES the logical plan, so Catalyst
-    analyzes/optimizes the signature subtree once instead of once per
-    consumer copy — measured at sf0.1, driver-side planning alone for
-    the minhash pipeline was 0.7 s with the subtree embedded 4×.
     Nothing is reused across invocations: each call builds a fresh
     RDD that computes from the inputs on first action (lazy, inside
-    the timed region; not CacheManager-registered, so later identical
-    invocations cannot silently read it)."""
-    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    return df.repartition(n, *[F.col(c) for c in key_cols]).localCheckpoint(eager=False)
+    the timed region; not CacheManager-registered — a ``.persist()``
+    would serve later identical invocations from memory, cross-run
+    result reuse, wrong for benchmarking)."""
+    del key_cols  # layout documentation only; see docstring
+    return df.localCheckpoint(eager=False)
 
 
 def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
