@@ -426,15 +426,36 @@ def embedding_cosine_dedup_ivf(
     # is provably unchanged (see _verbatim_reps).
     centroids = kmeans_lite(df, k=n_cells, iterations=iterations, id_col=id_col, vec_col=vec_col)
     reps, nonreps = _reps_for_dedup(df, id_col, vec_col, ndigits)
-    scored = reps.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell"))
-    assigned = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= n_assign)
-        .select(F.col(id_col), F.col(vec_col), "cell")
-    )
+    cents_l = _local_centroid_rows(centroids)
+    if (
+        cents_l is not None
+        and sum(len(c) for _, c in cents_l) <= _LIT_ASSIGN_MAX_DOUBLES
+    ):
+        # literal top-n_assign selection (r14): the multi-assignment
+        # window was the family's last n·k-row hash(id) exchange at
+        # scale (the single-assignment analog moved to
+        # _assign_cells_literal in r13) — the centroid model is
+        # driver-resident, so the crossJoin + row_number collapse into
+        # one map-side projection + explode. Same cells, same order,
+        # same NULL/NaN/±Inf edges (_topn_cells_sql).
+        v_sql = f"cast(`{vec_col}` as array<double>)"
+        assigned = reps.select(id_col, vec_col).select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                F.expr(_topn_cells_sql(cents_l, v_sql, n_assign))
+            ).alias("_p"),
+        ).select(F.col(id_col), F.col(vec_col), F.col("_p.c").alias("cell"))
+    else:
+        scored = reps.select(id_col, vec_col).crossJoin(F.broadcast(centroids)).withColumn(
+            "_sim", cosine(F.col(vec_col).cast("array<double>"), F.col("centroid"))
+        )
+        w = Window.partitionBy(id_col).orderBy(F.desc("_sim"), F.col("cell"))
+        assigned = (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= n_assign)
+            .select(F.col(id_col), F.col(vec_col), "cell")
+        )
     if occupancy_guard_factor is not None:
         _guard_cell_occupancy(
             assigned, occupancy_guard_factor, "embedding_cosine_dedup_ivf"
@@ -611,8 +632,11 @@ def kmeans_lite(
     corpus = corpus.filter(F.col(vec_col).isNotNull())
     memo_key = _model_memo_key(corpus, "kmeans", k, iterations, id_col, vec_col)
     if memo_key is not None and memo_key in _MODEL_MEMO:
-        return spark.createDataFrame(
-            _MODEL_MEMO[memo_key], "cell int, centroid array<double>"
+        return _attach_local_rows(
+            spark.createDataFrame(
+                _MODEL_MEMO[memo_key], "cell int, centroid array<double>"
+            ),
+            _MODEL_MEMO[memo_key],
         )
     # one lazy localCheckpoint of the (id, vec) training projection:
     # every iteration (and the seed scan) would otherwise re-run the
@@ -638,11 +662,22 @@ def kmeans_lite(
     ]
 
     def cent_df(pairs):
-        return spark.createDataFrame(
-            pairs, "cell int, centroid array<double>"
+        return _attach_local_rows(
+            spark.createDataFrame(pairs, "cell int, centroid array<double>"),
+            pairs,
         )
 
+    if not cents:
+        # empty trainable corpus (no rows, or every vector NULL): the
+        # pre-r13 distributed path completed and returned an empty
+        # model; the driver loop must do the same instead of crashing
+        # on max() over an empty seed set (r13 advice, medium).
+        return cent_df([])
     for _ in range(iterations):
+        if not cents:
+            # degenerate update (e.g. all-empty-array vectors explode
+            # to zero rows): no model to refine — stop, return empty
+            break
         assigned = _assign_cells(train, cent_df(cents), id_col, vec_col)
         exploded = assigned.select(
             "cell", F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "v")
@@ -692,6 +727,13 @@ def _dlit_sql(v: float) -> str:
     Java parse it correctly rounded)."""
     import math as _math
 
+    if v is None:
+        # NULL-poisoned centroid components (a vector with NULL
+        # elements passes the isNotNull VECTOR filter; F.sum over an
+        # all-NULL position yields m=NULL) — render as SQL NULL so the
+        # literal path matches the old distributed path's NULL
+        # propagation instead of raising TypeError (r13 advice, low).
+        return "cast(null as double)"
     v = float(v)
     if _math.isnan(v):
         return "cast('NaN' as double)"
@@ -728,10 +770,120 @@ def _l2sq_sql2(v: str, c: str) -> str:
     return f"({_dot_sql2(v, v)} - 2.0D * {_dot_sql2(v, c)} + {_dot_sql2(c, c)})"
 
 
+def _dot_py(a, b) -> float | None:
+    """Driver-side fold of :func:`_dot` over two literal vectors —
+    IDENTICAL operation order (left fold of correctly-rounded IEEE
+    multiply-add), so the result is bit-identical to evaluating the
+    SQL expression, just folded at plan-build time. NULL-poisoned
+    components propagate to None exactly like the SQL NULL."""
+    s = 0.0
+    for x, y in zip(a, b):
+        if x is None or y is None:
+            return None
+        s += x * y
+    return s
+
+
+def _norm_py(c) -> float | None:
+    """Driver-side fold of :func:`_norm` over a literal vector —
+    bit-identical (same fold order, IEEE sqrt is correctly rounded)."""
+    import math as _math
+
+    s = 0.0
+    for x in c:
+        if x is None:
+            return None
+        s += x * x
+    return _math.sqrt(s)
+
+
+def _bind1_sql(val_sql: str, var: str, body_sql: str) -> str:
+    """SQL LET: evaluate ``val_sql`` ONCE, bind it to lambda variable
+    ``var``, evaluate ``body_sql`` in that scope. Why: CollapseProject
+    inlines upstream projection columns into every textual occurrence
+    downstream, so a literal-centroid expression referencing its input
+    vector k× would re-run the vector's cast/zip_with chain k× per
+    row (measured: the r14 fused-codes first cut regressed ivfpq
+    ~40% from exactly this). ``transform(array(x), v -> body)[1]``
+    is the canonical HOF binding idiom — one evaluation, one tiny
+    array allocation."""
+    return f"element_at(transform(array({val_sql}), {var} -> {body_sql}), 1)"
+
+
+# Ordering note shared by the literal argmin/argmax/top-n builders:
+# Spark's interpreted ordering on DOUBLE (used identically by
+# SortOrder/row_number, least/greatest, and sort_array) is total:
+# NULL < -Inf < finite ascending (with -0.0 < 0.0) < +Inf < NaN.
+# Therefore a NATURAL struct compare replicates the window orderings
+# edge-for-edge with each metric evaluated ONCE and no NaN/NULL
+# mapping at all — and, unlike the r13 ±Inf mapping, a genuinely
+# infinite similarity/distance keeps its own place instead of
+# collapsing into the NaN/NULL classes (r13 advice):
+# - asc(d), code  ==  least(struct(d, code))           (NULL-d first,
+#   NaN-d last, ties → lowest code);
+# - desc(s), cell ==  greatest(struct(s, -cell, cell)) (NaN-s first,
+#   NULL-s last, ties → max(-cell) = lowest cell);
+# - top-n desc    ==  slice(sort_array(array(structs), false), 1, n).
+# Verified empirically against row_number on {NULL, NaN, ±Inf, ±0.0,
+# finite} — element-for-element identical order.
+
+
+def _topn_cells_sql(
+    cents: list,
+    vec_sql: str,
+    n: int,
+    coarse: bool = False,
+) -> str:
+    """Literal top-``n``-nearest-cells selection as ONE expression:
+    per-centroid (cosine, -cell, cell[, coarse]) structs sorted
+    DESCENDING (natural struct order — see the ordering note above)
+    and sliced to the first ``n``. Replaces the crossJoin + per-id
+    row_number window (an n·k-row hash exchange at scale) with a
+    map-side projection — the multi-assignment generalization of
+    :func:`_assign_cells_literal`. ``coarse=True`` adds a ``co``
+    field carrying round(dot(v, centroid), 6) — the IVFADC coarse
+    term — computed in the same projection (struct compare never
+    reaches it: ``c`` is unique). The input vector and its norm are
+    lambda-bound so they are evaluated once per row, not once per
+    centroid (see :func:`_bind1_sql`); the centroid norms are folded
+    to literals at build time (bit-identical — :func:`_norm_py`)."""
+    structs = []
+    for cell, c in cents:
+        nc = _norm_py(c)
+        sim = f"({_dot_sql2('_sgv', _alit_sql(c))} / (_sgnv * {_dlit_sql(nc)}))"
+        body = f"'s', {sim}, 'nc', {-int(cell)}, 'c', {int(cell)}"
+        if coarse:
+            body += f", 'co', round({_dot_sql2('_sgv', _alit_sql(c))}, 6)"
+        structs.append(f"named_struct({body})")
+    picked = f"slice(sort_array(array({','.join(structs)}), false), 1, {int(n)})"
+    return _bind1_sql(
+        vec_sql, "_sgv", _bind1_sql(_norm_sql2("_sgv"), "_sgnv", picked)
+    )
+
+
+def _attach_local_rows(df: DataFrame, rows) -> DataFrame:
+    """Tag a MODEL DataFrame (kmeans_lite / pq_codebooks output) with
+    its driver-side rows so consumers can take the literal-expression
+    path without any collect. Why an attribute and not plan
+    inspection: PySpark 4.x's ``createDataFrame`` over local python
+    data plans as ``LogicalRDD`` (Scan ExistingRDD), NOT
+    ``LocalRelation`` — the r13 LocalRelation check therefore never
+    matched and every literal-assignment gate silently fell back to
+    the crossJoin/window path (verified in the committed r13/r14
+    before-plans: `_sim` computed against a centroid COLUMN). The rows
+    already live on the driver (the Lloyd loops are driver-resident);
+    the tag just keeps them attached to the handle."""
+    df._spark_graft_local_rows = rows
+    return df
+
+
 def _local_centroid_rows(centroids: DataFrame):
-    """Collect (cell, centroid) rows IFF the frame is a driver-local
-    relation (kmeans_lite's model output) — a LocalTableScan collect is
-    driver-only, no Spark job. Returns None for any distributed plan."""
+    """(cell, centroid) rows IFF the frame is a driver-local model —
+    the :func:`_attach_local_rows` tag (no job, no py4j), or a genuine
+    LocalRelation plan (driver-only collect). None otherwise."""
+    rows = getattr(centroids, "_spark_graft_local_rows", None)
+    if rows is not None:
+        return [(int(cell), list(c)) for cell, c in rows]
     try:
         plan = centroids._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() != "LocalRelation":
@@ -750,29 +902,29 @@ def _assign_cells_literal(
     shuffles nothing).
 
     Bit-identical to the window form: the per-centroid cosine is the
-    SAME expression over a literal array (identical IEEE fold order),
-    and the argmax replicates row_number().over(desc(_sim), cell asc)
-    edge-for-edge — desc puts NaN FIRST (→ mapped to +∞) and NULL LAST
-    (→ mapped to −∞); array_position returns the FIRST index of the
-    max, which is the lowest cell id because the literal array is
-    built in ascending cell order."""
-    v_sql = f"cast(`{vec_col}` as array<double>)"
-    # one struct per centroid: (negated mapped sim, cell). least()
-    # evaluates each argument ONCE and picks the minimum struct — i.e.
-    # the maximum sim, ties to the lowest cell (ascending struct
-    # compare on the second field). NaN→+∞ (wins, as desc NaN-first),
-    # NULL→−∞ (loses, as desc NULLS LAST); both negated for least().
+    SAME expression over a literal array (identical IEEE fold order,
+    with the centroid norm folded at build time — :func:`_norm_py`),
+    and ``greatest(struct(sim, -cell, cell))`` replicates
+    row_number().over(desc(_sim), cell asc) edge-for-edge under the
+    natural double ordering (NaN first, ±Inf in place, NULL last,
+    ties to the lowest cell — see the ordering note above
+    :func:`_topn_cells_sql`). The vector and its norm are lambda-bound
+    (one evaluation per row, not per centroid)."""
     structs = [
-        "named_struct('ns', -coalesce(nanvl("
-        + _cos_sql2(v_sql, _alit_sql(c))
-        + ", cast('Infinity' as double)), cast('-Infinity' as double)), "
-        f"'c', {int(cell)})"
+        "named_struct('s', "
+        + f"({_dot_sql2('_sgv', _alit_sql(c))} / (_sgnv * {_dlit_sql(_norm_py(c))}))"
+        + f", 'nc', {-int(cell)}, 'c', {int(cell)})"
         for cell, c in cents
     ]
-    expr = (
-        f"least({','.join(structs)}).c"
+    picked = (
+        f"greatest({','.join(structs)}).c"
         if len(structs) > 1
         else f"({structs[0]}).c"
+    )
+    expr = _bind1_sql(
+        f"cast(`{vec_col}` as array<double>)",
+        "_sgv",
+        _bind1_sql(_norm_sql2("_sgv"), "_sgnv", picked),
     )
     return corpus.withColumn("cell", F.expr(expr))
 
@@ -820,15 +972,34 @@ def ivf_cosine_topk(
     n_cells = _resolve_n_cells(corpus, n_cells, vec_col, "ivf_cosine_topk")
     centroids = kmeans_lite(corpus, n_cells, iterations, id_col, vec_col)
     indexed = _assign_cells(corpus, centroids, id_col, vec_col)
-    q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
-        "_sim", cosine(F.col(query_vec_col).cast("array<double>"), F.col("centroid"))
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("cell"))
-    probes = (
-        q_scored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(query_id_col, query_vec_col, "cell")
-    )
+    cents_l = _local_centroid_rows(centroids)
+    if (
+        cents_l is not None
+        and sum(len(c) for _, c in cents_l) <= _LIT_ASSIGN_MAX_DOUBLES
+    ):
+        # literal top-n_probe probe selection (r14): the centroid model
+        # is driver-resident, so the |Q|·n_cells crossJoin + per-query
+        # row_number window (a hash(query_id) exchange) collapse into
+        # one projection + explode — same cells, same order, same
+        # NULL/NaN/±Inf edges (_topn_cells_sql).
+        qv_sql = f"cast(`{query_vec_col}` as array<double>)"
+        probes = queries.select(
+            F.col(query_id_col),
+            F.col(query_vec_col),
+            F.explode(
+                F.expr(_topn_cells_sql(cents_l, qv_sql, n_probe))
+            ).alias("_p"),
+        ).select(query_id_col, query_vec_col, F.col("_p.c").alias("cell"))
+    else:
+        q_scored = queries.crossJoin(F.broadcast(centroids)).withColumn(
+            "_sim", cosine(F.col(query_vec_col).cast("array<double>"), F.col("centroid"))
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("cell"))
+        probes = (
+            q_scored.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= n_probe)
+            .select(query_id_col, query_vec_col, "cell")
+        )
     cand = indexed.join(F.broadcast(probes), "cell").filter(
         F.col(query_id_col) != F.col(id_col)
     )
@@ -1349,6 +1520,100 @@ def _l2sq(a: Column, b: Column) -> Column:
     return _dot(a, a) - F.lit(2.0) * _dot(a, b) + _dot(b, b)
 
 
+def _codebook_by_block(cents) -> dict:
+    """{block: [(code, centroid), ...]} from (block, code, centroid)
+    triples; empty dict for None."""
+    by_block: dict[int, list] = {}
+    if cents is not None:
+        for b, code, c in cents:
+            by_block.setdefault(int(b), []).append((int(code), list(c)))
+    return by_block
+
+
+def _block_code_sql(entries: list, sv_sql: str) -> str:
+    """Nearest-code argmin for ONE block as a literal expression:
+    ``least(struct(d, code)).c`` over the block's codebook entries —
+    natural struct order puts min L2 distance first, ties to the
+    lowest code, NULL/NaN/±Inf placed exactly like
+    row_number().over(asc(_d), code) (see the ordering note above
+    :func:`_topn_cells_sql`). The sub-vector expression ``sv_sql`` and
+    its self-dot are lambda-bound by the caller (``_sgs``/``_sgss``),
+    and ``dot(c, c)`` is folded to a literal at build time
+    (bit-identical — :func:`_dot_py`), so each struct evaluates ONE
+    16-ish-dim dot product, nothing else."""
+    structs = [
+        "named_struct('d', (_sgss - 2.0D * "
+        + _dot_sql2(sv_sql, _alit_sql(c))
+        + f" + {_dlit_sql(_dot_py(c, c))}), 'c', {int(code)})"
+        for code, c in sorted(entries)
+    ]
+    return (
+        f"least({','.join(structs)}).c"
+        if len(structs) > 1
+        else f"({structs[0]}).c"
+    )
+
+
+def _pq_codes_arr_sql(by_block: dict, vec_sql: str, n_sub: int, sub: int) -> str:
+    """All ``n_sub`` PQ codes of one vector as ONE literal-codebook
+    array expression — ``array(code_1, …, code_n_sub)`` where block
+    ``b`` scores ``slice(vec, (b-1)·sub+1, sub)`` against its codebook
+    entries with the :func:`_block_code_sql` argmin. The slice is the
+    IDENTICAL sub-vector posexplode produces in :func:`pq_encode`, so
+    each element is bit-identical to the (id, block, code) row form —
+    but the whole encoding is a map-side projection: no explode (n_sub
+    rows per vector), no per-(id, block) window, and downstream ADC
+    scoring can consume the codes without re-keying by id (the join
+    that forced the probe chain's SortMergeJoin, r14). The input
+    vector, each block's slice, and each slice's self-dot are
+    lambda-bound so they are evaluated once per row/block instead of
+    once per codebook entry (:func:`_bind1_sql`)."""
+    parts = [
+        _bind1_sql(
+            f"slice(_sgr, {(b - 1) * sub + 1}, {sub})",
+            "_sgs",
+            _bind1_sql(
+                _dot_sql2("_sgs", "_sgs"),
+                "_sgss",
+                _block_code_sql(by_block[b], "_sgs"),
+            ),
+        )
+        for b in range(1, n_sub + 1)
+    ]
+    return _bind1_sql(vec_sql, "_sgr", "array(" + ",".join(parts) + ")")
+
+
+def _lut_flat_sql(
+    by_block: dict, qv_sql: str, n_sub: int, n_codes: int, sub: int
+) -> str:
+    """Per-query flattened ADC lookup table as ONE literal-codebook
+    projection: ``array`` of ``n_sub·n_codes`` doubles where entry
+    ``(b−1)·n_codes + code`` (1-based) is ``round(dot(slice(qv, b),
+    centroid_{b,code}), 6)`` — exactly the ``_pd`` the broadcast
+    (query, block, code) LUT join computed row-by-row, but carried as
+    one array column so candidate scoring is pure element_at math."""
+    entries = []
+    for b in range(1, n_sub + 1):
+        sl = f"slice({qv_sql}, {(b - 1) * sub + 1}, {sub})"
+        for code, c in sorted(by_block[b]):
+            entries.append(f"round({_dot_sql2(sl, _alit_sql(c))}, 6)")
+    return "array(" + ",".join(entries) + ")"
+
+
+def _adc_sum_sql(n_sub: int, n_codes: int) -> str:
+    """``round(Σ_b LUT[(b−1)·n_codes + code_b], 6)`` over the ``_lut``
+    and ``_codes`` array columns — the fused ADC score. Fixed b=1..n
+    summation order; every LUT entry is a multiple of 1e-6 (rounded at
+    build), so the rounded sum is order-insensitive (the float error
+    of 4 such terms is ~1e-16, far inside the round-to-6 recovery
+    band) — oracle-verified against the groupBy-sum form."""
+    terms = " + ".join(
+        f"element_at(_lut, {(b - 1) * n_codes} + element_at(_codes, {b}))"
+        for b in range(1, n_sub + 1)
+    )
+    return f"round({terms}, 6)"
+
+
 def _pq_assign(
     exploded: DataFrame, codebooks, id_col: str, n_sub: int
 ) -> DataFrame:
@@ -1363,45 +1628,31 @@ def _pq_assign(
     window — which at real scale is a hash exchange of n·n_codes
     rows). Bit-identical to the window form: same _l2sq expression
     over a literal array, and the argmin replicates
-    row_number().over(asc(_d), code asc) edge-for-edge — asc puts NULL
-    FIRST (→ −∞) and NaN LAST (→ +∞); array_position takes the FIRST
-    index of the min, i.e. the lowest code, because each block's
-    literals are built in ascending code order."""
+    row_number().over(asc(_d), code asc) edge-for-edge under the
+    natural struct ordering (NULL first, real values including ±Inf
+    in place, NaN last, ties to the lowest code — see the ordering
+    note above :func:`_topn_cells_sql`)."""
     cents = (
         codebooks
         if isinstance(codebooks, list)
         else _local_codebook_rows(codebooks)
     )
-    by_block: dict[int, list] = {}
-    if cents is not None:
-        for b, code, c in cents:
-            by_block.setdefault(int(b), []).append((int(code), list(c)))
+    by_block = _codebook_by_block(cents)
     n_doubles = sum(len(c) for _, codes in by_block.items() for _, c in codes)
     if (
         cents
         and n_doubles <= _LIT_ASSIGN_MAX_DOUBLES
         and all(b in by_block for b in range(1, n_sub + 1))
     ):
-        def block_code_sql(b: int) -> str:
-            # least(struct(mapped_d, code)): min distance, ties to the
-            # lowest code; NULL→−∞ wins (asc NULLS FIRST), NaN→+∞
-            # loses (asc NaN-last) — see _assign_cells_literal
-            entries = sorted(by_block[b])
-            structs = [
-                "named_struct('d', coalesce(nanvl("
-                + _l2sq_sql2("`_sv`", _alit_sql(c))
-                + ", cast('Infinity' as double)), cast('-Infinity' as double)), "
-                f"'c', {int(code)})"
-                for code, c in entries
-            ]
-            return (
-                f"least({','.join(structs)}).c"
-                if len(structs) > 1
-                else f"({structs[0]}).c"
-            )
-
         branches = " ".join(
-            f"WHEN `block` = {b} THEN {block_code_sql(b)}"
+            "WHEN `block` = {b} THEN {e}".format(
+                b=b,
+                e=_bind1_sql(
+                    _dot_sql2("`_sv`", "`_sv`"),
+                    "_sgss",
+                    _block_code_sql(by_block[b], "`_sv`"),
+                ),
+            )
             for b in range(1, n_sub + 1)
         )
         return exploded.withColumn("code", F.expr(f"CASE {branches} END"))
@@ -1426,6 +1677,9 @@ def _pq_assign(
 def _local_codebook_rows(codebooks: DataFrame):
     """(block, code, centroid) triples IFF the frame is driver-local
     (see _local_centroid_rows); None for distributed plans."""
+    rows = getattr(codebooks, "_spark_graft_local_rows", None)
+    if rows is not None:
+        return [(int(b), int(code), list(c)) for b, code, c in rows]
     try:
         plan = codebooks._jdf.queryExecution().optimizedPlan()
         if plan.getClass().getSimpleName() != "LocalRelation":
@@ -1493,8 +1747,12 @@ def pq_codebooks(
             corpus, "pq", dim, n_sub, n_codes, iterations, id_col, vec_col
         )
     if memo_key is not None and memo_key in _MODEL_MEMO:
-        return spark.createDataFrame(
-            _MODEL_MEMO[memo_key], "block int, code int, centroid array<double>"
+        return _attach_local_rows(
+            spark.createDataFrame(
+                _MODEL_MEMO[memo_key],
+                "block int, code int, centroid array<double>",
+            ),
+            _MODEL_MEMO[memo_key],
         )
     seed_hash = F.expr(
         f"cast(conv(substring(md5(cast(`{id_col}` as string)), 1, 15), 16, 10) as bigint)"
@@ -1513,8 +1771,11 @@ def pq_codebooks(
     ]
 
     def cent_df(triples):
-        return spark.createDataFrame(
-            triples, "block int, code int, centroid array<double>"
+        return _attach_local_rows(
+            spark.createDataFrame(
+                triples, "block int, code int, centroid array<double>"
+            ),
+            triples,
         )
 
     bcorpus = corpus.select(
@@ -1627,29 +1888,72 @@ def pq_adc_topk(
     books = pq_codebooks(
         corpus, dim, n_sub, n_codes, iterations, id_col, vec_col
     )
-    codes = pq_encode(corpus, books, dim, n_sub, id_col, vec_col)
     sub = dim // n_sub
-    qblocks_arr = F.array(
-        *[
-            F.slice(F.col(query_vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
-            for b in range(1, n_sub + 1)
-        ]
+    books_l = _local_codebook_rows(books)
+    by_block = _codebook_by_block(books_l)
+    qv_sql = f"cast(`{query_vec_col}` as array<double>)"
+    lit_ok = (
+        books_l is not None
+        and all(b in by_block for b in range(1, n_sub + 1))
+        and sum(len(c) for bc in by_block.values() for _, c in bc)
+        <= _LIT_ASSIGN_MAX_DOUBLES
     )
-    qblocks = queries.select(
-        F.col(query_id_col), F.posexplode(qblocks_arr).alias("_b0", "_qv")
-    ).select(F.col(query_id_col), (F.col("_b0") + 1).alias("block"), "_qv")
-    lut = qblocks.join(F.broadcast(books), "block").select(
-        query_id_col,
-        "block",
-        "code",
-        F.round(_dot(F.col("_qv"), F.col("centroid")), 6).alias("_pd"),
-    )
-    scored = (
-        codes.join(F.broadcast(lut), ["block", "code"])
-        .filter(F.col(query_id_col) != F.col(id_col))
-        .groupBy(query_id_col, id_col)
-        .agg(F.round(F.sum("_pd"), 6).alias("adc_score"))
-    )
+    if lit_ok:
+        # fused ADC scoring (r14, same discipline as ivfpq_topk): the
+        # codebook is a driver-resident model, so the codes ride as an
+        # ARRAY column computed map-side (no (id, block, code) explode)
+        # and the per-query LUT is ONE literal projection broadcast as
+        # an array column — the (block, code) LUT join and the
+        # (query, id) groupBy-sum both disappear; scoring is
+        # element_at math per candidate row. Oracle-exact: identical
+        # slice/dot/round expressions, fixed-order rounded-term sum
+        # (see _adc_sum_sql).
+        lutq = queries.select(
+            F.col(query_id_col),
+            F.expr(
+                _lut_flat_sql(by_block, qv_sql, n_sub, n_codes, sub)
+            ).alias("_lut"),
+        )
+        codes_arr = corpus.select(
+            F.col(id_col),
+            F.expr(
+                _pq_codes_arr_sql(
+                    by_block, f"cast(`{vec_col}` as array<double>)", n_sub, sub
+                )
+            ).alias("_codes"),
+        )
+        scored = (
+            codes_arr.crossJoin(F.broadcast(lutq))
+            .filter(F.col(query_id_col) != F.col(id_col))
+            .select(
+                query_id_col,
+                id_col,
+                F.expr(_adc_sum_sql(n_sub, n_codes)).alias("adc_score"),
+            )
+        )
+    else:
+        codes = pq_encode(corpus, books, dim, n_sub, id_col, vec_col)
+        qblocks_arr = F.array(
+            *[
+                F.slice(F.col(query_vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
+                for b in range(1, n_sub + 1)
+            ]
+        )
+        qblocks = queries.select(
+            F.col(query_id_col), F.posexplode(qblocks_arr).alias("_b0", "_qv")
+        ).select(F.col(query_id_col), (F.col("_b0") + 1).alias("block"), "_qv")
+        lut = qblocks.join(F.broadcast(books), "block").select(
+            query_id_col,
+            "block",
+            "code",
+            F.round(_dot(F.col("_qv"), F.col("centroid")), 6).alias("_pd"),
+        )
+        scored = (
+            codes.join(F.broadcast(lut), ["block", "code"])
+            .filter(F.col(query_id_col) != F.col(id_col))
+            .groupBy(query_id_col, id_col)
+            .agg(F.round(F.sum("_pd"), 6).alias("adc_score"))
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.col(id_col))
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank_shortlist is None:
@@ -1751,55 +2055,115 @@ def ivfpq_topk(
             n_sub, n_codes, pq_iterations, id_col, vec_col,
         ),
     )
-    codes = pq_encode(resid, books, dim, n_sub, id_col, "_res")
-
-    q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
-        "_sim", cosine(F.col(query_vec_col).cast("array<double>"), F.col("centroid"))
-    )
-    wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("cell"))
-    probes = (
-        q_scored.withColumn("_rn", F.row_number().over(wq))
-        .filter(F.col("_rn") <= n_probe)
-        .select(
-            query_id_col,
-            "cell",
-            F.round(
-                _dot(F.col(query_vec_col).cast("array<double>"), F.col("centroid")), 6
-            ).alias("_coarse"),
-        )
-    )
     sub = dim // n_sub
-    qblocks_arr = F.array(
-        *[
-            F.slice(F.col(query_vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
-            for b in range(1, n_sub + 1)
-        ]
+    cents_l = _local_centroid_rows(cents)
+    books_l = _local_codebook_rows(books)
+    by_block = _codebook_by_block(books_l)
+    qv_sql = f"cast(`{query_vec_col}` as array<double>)"
+    lit_ok = (
+        cents_l is not None
+        and books_l is not None
+        and all(b in by_block for b in range(1, n_sub + 1))
+        and sum(len(c) for _, c in cents_l) <= _LIT_ASSIGN_MAX_DOUBLES
+        and sum(len(c) for bc in by_block.values() for _, c in bc)
+        <= _LIT_ASSIGN_MAX_DOUBLES
     )
-    qblocks = queries.select(
-        F.col(query_id_col), F.posexplode(qblocks_arr).alias("_b0", "_qv")
-    ).select(F.col(query_id_col), (F.col("_b0") + 1).alias("block"), "_qv")
-    lut = qblocks.join(F.broadcast(books), "block").select(
-        query_id_col,
-        "block",
-        "code",
-        F.round(_dot(F.col("_qv"), F.col("centroid")), 6).alias("_pd"),
-    )
-    cand = (
-        indexed.select(id_col, "cell")
-        .join(F.broadcast(probes), "cell")
-        .filter(F.col(query_id_col) != F.col(id_col))
-    )
-    s1 = (
-        cand.join(codes, id_col)
-        .join(F.broadcast(lut), [query_id_col, "block", "code"])
-        .groupBy(query_id_col, id_col, "_coarse")
-        .agg(F.round(F.sum("_pd"), 6).alias("_s1"))
-    )
-    scored = s1.select(
-        query_id_col,
-        id_col,
-        F.round(F.col("_coarse") + F.col("_s1"), 6).alias("adc_score"),
-    )
+    if lit_ok:
+        # fused probe/score (r14): the coarse quantizer and the
+        # residual codebooks are driver-resident models, so the whole
+        # probe chain collapses into two projections + ONE broadcast
+        # join. (a) probes: literal top-n_probe cell selection with
+        # the coarse dot carried in the same struct, plus the per-query
+        # flattened LUT — no |Q|·n_cells crossJoin, no per-query
+        # window exchange, no qblocks explode, no LUT broadcast join.
+        # (b) candidates: the codes ride as an ARRAY column computed
+        # map-side from the residual (no (id, block, code) explode →
+        # no re-key-by-id SortMergeJoin, no (query, id) groupBy — the
+        # previous chain's two heaviest exchanges), and the ADC sum is
+        # element_at math per candidate row. Values oracle-exact: same
+        # slice/dot/round expressions, and the fixed-order LUT sum of
+        # rounded terms re-rounds to the identical multiple of 1e-6
+        # (see _adc_sum_sql).
+        probes = queries.select(
+            F.col(query_id_col),
+            F.expr(
+                _lut_flat_sql(by_block, qv_sql, n_sub, n_codes, sub)
+            ).alias("_lut"),
+            F.explode(
+                F.expr(_topn_cells_sql(cents_l, qv_sql, n_probe, coarse=True))
+            ).alias("_p"),
+        ).select(
+            query_id_col,
+            F.col("_p.c").alias("cell"),
+            F.col("_p.co").alias("_coarse"),
+            "_lut",
+        )
+        codes_arr = resid.select(
+            F.col(id_col),
+            F.col("cell"),
+            F.expr(_pq_codes_arr_sql(by_block, "`_res`", n_sub, sub)).alias(
+                "_codes"
+            ),
+        )
+        scored = (
+            codes_arr.join(F.broadcast(probes), "cell")
+            .filter(F.col(query_id_col) != F.col(id_col))
+            .select(
+                query_id_col,
+                id_col,
+                F.round(
+                    F.col("_coarse") + F.expr(_adc_sum_sql(n_sub, n_codes)), 6
+                ).alias("adc_score"),
+            )
+        )
+    else:
+        q_scored = queries.crossJoin(F.broadcast(cents)).withColumn(
+            "_sim", cosine(F.col(query_vec_col).cast("array<double>"), F.col("centroid"))
+        )
+        wq = Window.partitionBy(query_id_col).orderBy(F.desc("_sim"), F.col("cell"))
+        probes = (
+            q_scored.withColumn("_rn", F.row_number().over(wq))
+            .filter(F.col("_rn") <= n_probe)
+            .select(
+                query_id_col,
+                "cell",
+                F.round(
+                    _dot(F.col(query_vec_col).cast("array<double>"), F.col("centroid")), 6
+                ).alias("_coarse"),
+            )
+        )
+        qblocks_arr = F.array(
+            *[
+                F.slice(F.col(query_vec_col).cast("array<double>"), (b - 1) * sub + 1, sub)
+                for b in range(1, n_sub + 1)
+            ]
+        )
+        qblocks = queries.select(
+            F.col(query_id_col), F.posexplode(qblocks_arr).alias("_b0", "_qv")
+        ).select(F.col(query_id_col), (F.col("_b0") + 1).alias("block"), "_qv")
+        lut = qblocks.join(F.broadcast(books), "block").select(
+            query_id_col,
+            "block",
+            "code",
+            F.round(_dot(F.col("_qv"), F.col("centroid")), 6).alias("_pd"),
+        )
+        codes = pq_encode(resid, books, dim, n_sub, id_col, "_res")
+        cand = (
+            indexed.select(id_col, "cell")
+            .join(F.broadcast(probes), "cell")
+            .filter(F.col(query_id_col) != F.col(id_col))
+        )
+        s1 = (
+            cand.join(codes, id_col)
+            .join(F.broadcast(lut), [query_id_col, "block", "code"])
+            .groupBy(query_id_col, id_col, "_coarse")
+            .agg(F.round(F.sum("_pd"), 6).alias("_s1"))
+        )
+        scored = s1.select(
+            query_id_col,
+            id_col,
+            F.round(F.col("_coarse") + F.col("_s1"), 6).alias("adc_score"),
+        )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("adc_score"), F.col(id_col))
     ranked = scored.withColumn("rank", F.row_number().over(w))
     if rerank_shortlist is None:

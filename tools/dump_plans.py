@@ -43,9 +43,11 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
-    for name in BENCH_QUERIES:
-        if only and name not in only:
-            continue
+    # an explicit name list may reference ANY declared query (r14: the
+    # optimization targets include non-bench oracle queries like the
+    # ANN family); the default sweep stays the bench set
+    names = only if only else BENCH_QUERIES
+    for name in names:
         df = qs[name](spark, SF_DIR)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
