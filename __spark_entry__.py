@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from data_pipeline_childcare_spark.io import load_table, spread_partitions
 from data_pipeline_childcare_spark.operators import (
     asof_join,
+    asof_join_self,
     cosine_topk_bruteforce,
     dedup_exact,
     dedup_fingerprint,
@@ -1263,21 +1264,31 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def asof_clicks_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of join: each click sees the user's most recent prior purchase."""
+    """As-of join: each click sees the user's most recent prior purchase.
+
+    r14: single-scan form — clicks and purchases are row-disjoint
+    slices of the SAME events table, so the tagged union is built from
+    ONE scan with side-conditional projections (asof_join_self)
+    instead of two filtered scans feeding a union (guide §6; the plan
+    drops from 2 parquet scans + union to 1 scan). Identical window
+    semantics, oracle-exact."""
     ev = _t(spark, sf_dir, "events")
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts"), "event_id"
-    )
-    purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("p_ts"), F.round("value", 4).alias("p_value")
-    )
-    res = asof_join(
-        clicks,
-        purchases,
+    res = asof_join_self(
+        ev,
         on="user_id",
-        left_ts="click_ts",
-        right_ts="p_ts",
-        right_payload=["p_value", "p_ts"],
+        left_pred=F.col("event_type") == "click",
+        right_pred=F.col("event_type") == "purchase",
+        left_ts=F.col("ts"),
+        right_ts=F.col("ts"),
+        left_cols=[
+            ("user_id", F.col("user_id")),
+            ("click_ts", F.col("ts")),
+            ("event_id", F.col("event_id")),
+        ],
+        right_payload=[
+            ("p_value", F.round("value", 4)),
+            ("p_ts", F.col("ts")),
+        ],
         suffix="",
     )
     return res.select("user_id", "click_ts", "event_id", "p_value", "p_ts")

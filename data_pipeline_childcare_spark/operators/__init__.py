@@ -70,7 +70,7 @@ from data_pipeline_childcare_spark.operators.keywords import (
     cooccurrence_edges,
     textrank_keywords,
 )
-from data_pipeline_childcare_spark.operators.asof import asof_join
+from data_pipeline_childcare_spark.operators.asof import asof_join, asof_join_self
 from data_pipeline_childcare_spark.operators.sessions import sessionize, session_stats
 from data_pipeline_childcare_spark.operators.components import (
     connected_components,
@@ -102,6 +102,7 @@ __all__ = [
     "cosine_topk_bruteforce",
     "lsh_cosine_topk",
     "asof_join",
+    "asof_join_self",
     "sessionize",
     "session_stats",
     "connected_components",
