@@ -6878,14 +6878,19 @@ def _dirty_customer_registry(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor("c_acctbal").cast("double").alias("rec_balance"),
         F.lit("legacy").alias("rec_source"),
     )
-    # lazy localCheckpoint (r13): every ER consumer reads the registry
+    # lazy checkpoint (r13): every ER consumer reads the registry
     # several times (blocking keys, BOTH name-token join sides, the
     # resolver's full-id frame, the survivorship join) — without the
     # cut each read re-ran the 3-leg union-of-joins build. At real
     # scale the registry is a TABLE and this materialization is the
     # scan reuse a lake gives for free. Freed on GC; never
-    # CacheManager-registered (no cross-run reuse).
-    return clean.unionByName(billing).unionByName(legacy).localCheckpoint(eager=False)
+    # CacheManager-registered (no cross-run reuse). r14: routed
+    # through resilient_checkpoint so production sessions can flip
+    # spark.graft.checkpoint.reliable=true and survive executor loss
+    # (localCheckpoint blocks are non-recomputable — guide §5).
+    from data_pipeline_childcare_spark.io import resilient_checkpoint
+
+    return resilient_checkpoint(clean.unionByName(billing).unionByName(legacy))
 
 
 def entity_resolution_customers(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -122,6 +122,40 @@ def spread_partitions(df: DataFrame, *key_cols: str) -> DataFrame:
     return df.repartition(target, *key_cols) if key_cols else df.repartition(target)
 
 
+RELIABLE_CKPT_CONF = "spark.graft.checkpoint.reliable"
+RELIABLE_CKPT_DIR_CONF = "spark.graft.checkpoint.dir"
+
+
+def resilient_checkpoint(df: DataFrame, eager: bool = False) -> DataFrame:
+    """Lineage cut for ITERATIVE loops (pagerank, connected
+    components, the ER registry) with a deployment escape hatch.
+
+    Default: executor-local ``localCheckpoint`` — the fast path, but
+    its blocks live on executors and the truncated lineage is
+    non-recomputable, so on a real cluster with dynamic allocation or
+    spot executors losing ONE executor mid-loop kills the job with no
+    recovery (guide §5; r13 verdict #3). Setting the session conf
+    ``spark.graft.checkpoint.reliable=true`` routes the SAME call
+    sites through ``DataFrame.checkpoint()`` into a reliable
+    checkpoint directory (``spark.graft.checkpoint.dir``, or the
+    context's already-configured ``setCheckpointDir``; defaults to a
+    local ``/tmp`` dir so the flag works out of the box on one box —
+    point it at durable shared storage in production). Values are
+    unchanged either way: both forms materialize the same rows; only
+    where the blocks live differs."""
+    spark = df.sparkSession
+    if str(spark.conf.get(RELIABLE_CKPT_CONF, "false")).lower() != "true":
+        return df.localCheckpoint(eager=eager)
+    sc = spark.sparkContext
+    if sc._jsc.sc().checkpointDir().isEmpty():
+        sc.setCheckpointDir(
+            spark.conf.get(
+                RELIABLE_CKPT_DIR_CONF, "/tmp/spark-graft-checkpoints"
+            )
+        )
+    return df.checkpoint(eager=eager)
+
+
 def write_partitioned(
     df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet", mode: str = "overwrite"
 ) -> None:

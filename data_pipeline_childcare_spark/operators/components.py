@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from data_pipeline_childcare_spark.io import resilient_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -42,12 +44,11 @@ def connected_components(
     # (the checkpoint scan advertises its hash partitioning). Lazy:
     # the first consumer materializes it — an eager checkpoint here
     # was one extra job of pure scheduling latency.
-    edges = (
+    edges = resilient_checkpoint(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
         .repartition(n_part, F.col("dst"))
-        .localCheckpoint(eager=False)
     )
     # 1-hop initialization: label(v) = min(v, min direct neighbor).
     # This is iteration 1 of min-label propagation computed as a bare
@@ -60,11 +61,10 @@ def connected_components(
     # every later iteration re-establishes, so both loop joins
     # (edges.dst = labels.id, then labels.id = neighbor_min.src) are
     # exchange-free: the only shuffle per iteration is the groupBy(src)
-    labels = (
+    labels = resilient_checkpoint(
         edges.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("_m"))
         .select("id", F.least(F.col("id"), F.col("_m")).alias("component"))
-        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neighbor_min = (
@@ -80,7 +80,7 @@ def connected_components(
         # Lazy checkpoint: the changed-count below materializes it in
         # the same job (the old eager checkpoint + count pair cost two
         # jobs per iteration of pure scheduling latency).
-        new_labels = (
+        new_labels = resilient_checkpoint(
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
@@ -91,7 +91,6 @@ def connected_components(
                     "_changed"
                 ),
             )
-            .localCheckpoint(eager=False)
         )
         changed = new_labels.filter(F.col("_changed")).limit(1).count()
         labels = new_labels.drop("_changed")

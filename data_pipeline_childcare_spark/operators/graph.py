@@ -39,6 +39,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_pipeline_childcare_spark.io import resilient_checkpoint
+
 SCALE = 10**12
 
 
@@ -83,8 +85,8 @@ def pagerank(
         # paying one eager materialization job per frame: the next
         # consumer computes the blocks in its own job.
         n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        base = base.repartition(n_part, F.col("id")).localCheckpoint(eager=False)
-        edges = edges.repartition(n_part, F.col("src")).localCheckpoint(eager=False)
+        base = resilient_checkpoint(base.repartition(n_part, F.col("id")))
+        edges = resilient_checkpoint(edges.repartition(n_part, F.col("src")))
 
     nn = base.agg(F.count(F.lit(1)).alias("_n"))
 
@@ -95,7 +97,7 @@ def pagerank(
         F.col("_n"),
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint(eager=False)
+        ranks = resilient_checkpoint(ranks)
 
     teleport_pct = 100 - damping_pct
     for _ in range(n_iter):
@@ -125,7 +127,7 @@ def pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = resilient_checkpoint(ranks)
     return ranks.select("id", "out_deg", "rank_scaled")
 
 
@@ -214,8 +216,8 @@ def weighted_pagerank(
         # and nodes/ranks on id make both loop joins exchange-free
         # (only the groupBy(dst) shuffles per iteration)
         n_part = int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        quant = quant.repartition(n_part, F.col("src")).localCheckpoint()
-        nodes = nodes.repartition(n_part, F.col("id")).localCheckpoint()
+        quant = resilient_checkpoint(quant.repartition(n_part, F.col("src")), eager=True)
+        nodes = resilient_checkpoint(nodes.repartition(n_part, F.col("id")), eager=True)
         # Dangling nodes are known ONCE from the node frame: on
         # symmetrized input (dst ⊆ src — every TextRank caller) there
         # are none and the per-iteration dangling aggregate is exactly
@@ -239,7 +241,7 @@ def weighted_pagerank(
         "id", "wdeg", F.expr(f"{scale} div _n").alias("rank_scaled"), "_n"
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint()
+        ranks = resilient_checkpoint(ranks, eager=True)
     teleport_pct = 100 - damping_pct
     for _ in range(n_iter):
         contribs = (
@@ -277,7 +279,7 @@ def weighted_pagerank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = resilient_checkpoint(ranks, eager=True)
     return ranks.select("id", "wdeg", "rank_scaled")
 
 
@@ -328,8 +330,8 @@ def trustrank(
         )
     )
     if checkpoint:
-        base = base.localCheckpoint()
-        edges = edges.localCheckpoint()
+        base = resilient_checkpoint(base, eager=True)
+        edges = resilient_checkpoint(edges, eager=True)
     ns = base.agg(
         F.sum(F.col("is_seed").cast("long")).alias("_ns")
     )
@@ -341,7 +343,7 @@ def trustrank(
         "_ns",
     )
     if checkpoint:
-        ranks = ranks.localCheckpoint()
+        ranks = resilient_checkpoint(ranks, eager=True)
     teleport_pct = 100 - damping_pct
     for _ in range(n_iter):
         contribs = (
@@ -373,7 +375,7 @@ def trustrank(
             )
         )
         if checkpoint:
-            ranks = ranks.localCheckpoint()
+            ranks = resilient_checkpoint(ranks, eager=True)
     return ranks.select("id", "out_deg", "is_seed", "rank_scaled")
 
 
@@ -571,8 +573,8 @@ def hits(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
     if checkpoint:
-        nodes = nodes.localCheckpoint()
-        edges = edges.localCheckpoint()
+        nodes = resilient_checkpoint(nodes, eager=True)
+        edges = resilient_checkpoint(edges, eager=True)
     nn = nodes.agg(F.count(F.lit(1)).alias("_n"))
     state = nodes.join(F.broadcast(nn), how="cross").select(
         "id",
@@ -580,7 +582,7 @@ def hits(
         F.expr(f"{scale} div _n").alias("auth"),
     )
     if checkpoint:
-        state = state.localCheckpoint()
+        state = resilient_checkpoint(state, eager=True)
 
     def _norm(df: DataFrame, col: str) -> DataFrame:
         tot = df.agg(F.sum(col).alias("_t"))
@@ -609,7 +611,7 @@ def hits(
         )
         state = _norm(state, "hub")
         if checkpoint:
-            state = state.localCheckpoint()
+            state = resilient_checkpoint(state, eager=True)
     return state.select("id", F.col("hub").alias("hub_scaled"), F.col("auth").alias("auth_scaled"))
 
 
@@ -666,7 +668,7 @@ def kcore(
     )
     alive = sym.select(F.col("src").alias("id")).distinct()
     if checkpoint:
-        alive = alive.localCheckpoint(eager=False)
+        alive = resilient_checkpoint(alive)
     for _ in range(rounds):
         deg = (
             sym.join(alive.select(F.col("id").alias("src")), on="src", how="left_semi")
@@ -676,7 +678,7 @@ def kcore(
         )
         alive = deg.filter(F.col("_d") >= k).select(F.col("src").alias("id"))
         if checkpoint:
-            alive = alive.localCheckpoint(eager=False)
+            alive = resilient_checkpoint(alive)
     final_deg = (
         sym.join(alive.select(F.col("id").alias("src")), on="src", how="left_semi")
         .join(alive.select(F.col("id").alias("dst")), on="dst", how="left_semi")
@@ -715,13 +717,13 @@ def bfs_distances(
     Returns (id, dist) for REACHED nodes only, dist 0 = seed.
     """
     edges = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    dist = (
+    dist = resilient_checkpoint(
         seeds.select(F.col(seed_col).alias("id"))
         .distinct()
-        .withColumn("dist", F.lit(0).cast("long"))
-        .localCheckpoint()
+        .withColumn("dist", F.lit(0).cast("long")),
+        eager=True,
     )
-    edges = edges.localCheckpoint()
+    edges = resilient_checkpoint(edges, eager=True)
     for _ in range(max_hops):
         nbr = (
             edges.join(dist, edges.src == dist.id)
@@ -741,8 +743,8 @@ def bfs_distances(
                     | (F.col("_nd") < F.coalesce(F.col("dist"), F.col("_nd")))
                 ).alias("_chg"),
             )
-            .localCheckpoint()
         )
+        new = resilient_checkpoint(new, eager=True)
         changed = new.filter(F.col("_chg")).limit(1).count()
         dist = new.drop("_chg")
         if changed == 0:

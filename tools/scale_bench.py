@@ -130,10 +130,11 @@ def plan_shape(df) -> Counter:
 
 
 def time_queries(spark, sf_dir: str, names: list[str]) -> tuple[dict, dict]:
-    for t in eng.io.TESTDATA_TABLES:
-        df = entry_mod._t(spark, sf_dir, t)
-        df.cache()
-        df.count()
+    # r14: the base-table pre-cache is gone, matching bench.py's r13
+    # methodology fix — timed runs compute from parquet. Ratios from
+    # runs of THIS version are not comparable with the committed
+    # pre-r14 SCALE_BENCH_* artifacts (whose 1x and 10x legs were both
+    # cached, so their RATIOS remain internally consistent).
     qs = entry_mod.queries()
     shapes = {n: plan_shape(qs[n](spark, sf_dir)) for n in names}
     for n in names:  # warm-up pass (JIT/codegen)

@@ -97,10 +97,9 @@ def build_scaled(spark) -> None:
 
 
 def time_once(spark, sf_dir: str, names: list[str]) -> tuple[dict, dict]:
-    for t in eng.io.TESTDATA_TABLES:
-        df = entry_mod._t(spark, sf_dir, t)
-        df.cache()
-        df.count()
+    # r14: base-table pre-cache removed (bench.py's r13 methodology
+    # fix) — timed runs compute from parquet; new runs are not
+    # comparable with the committed pre-r14 SCALE_BENCH_* artifacts.
     qs = entry_mod.queries()
     shapes = {n: plan_shape(qs[n](spark, sf_dir)) for n in names}
     timed = {}

@@ -303,10 +303,9 @@ def run_er_entity_bench(
 def time_once(
     spark, sf_dir: str, names: list[str], timing_only: bool = False
 ) -> tuple[dict, dict]:
-    for t in eng.io.TESTDATA_TABLES:
-        df = entry_mod._t(spark, sf_dir, t)
-        df.cache()
-        df.count()
+    # r14: base-table pre-cache removed (bench.py's r13 methodology
+    # fix) — timed runs compute from parquet; new runs are not
+    # comparable with the committed pre-r14 SCALE_BENCH_* artifacts.
     qs = entry_mod.queries()
     # The shapes pre-pass constructs every query once before timing;
     # build-time-checkpointed chains (the ER family) materialize during
