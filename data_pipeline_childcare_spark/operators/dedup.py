@@ -99,7 +99,18 @@ def _reuse_boundary(df: DataFrame, *key_cols: str) -> DataFrame:
     carrying the reuse, that shuffle was pure overhead — removing it
     measured minhash 0.94→0.81 s, ngram 0.92→0.77 s, outputs
     identical. ``key_cols`` is kept for call-site documentation of the
-    expected layout.
+    expected layout (tests/test_plan_contracts.py pins that the
+    boundary actually advertises the key-hash layout).
+
+    AQE caveat (r14, found by the plan-contract pin): with
+    ``spark.sql.adaptive.enabled=true`` the checkpoint's PLAN-time
+    partitioning is UnknownPartitioning (AdaptiveSparkPlan resolves it
+    only at runtime), so keyed consumers re-exchange the compact
+    signature rows once each. The bench/dump sessions run AQE off and
+    keep the exchange-free shape; AQE-on sessions trade that one
+    signature-sized shuffle for runtime re-planning — the boundary's
+    main job (ONE materialization of the expensive aggregate shared by
+    every consumer) holds either way.
 
     Nothing is reused across invocations: each call builds a fresh
     RDD that computes from the inputs on first action (lazy, inside

@@ -19,10 +19,11 @@ RUNS×PASSES samples) and honors the same env contract:
     SPARK_GRAFT_CPUS=8  python tools/bench_sf1.py --out BENCH_SF1_c8.json
 
 Session sizing is scale-adaptive rather than sf0.1-pinned: shuffle
-partitions = 4×cores (a few MB per partition at this volume; the
-guide-§2.2 "fewer, larger partitions" rule applied to ~1 GB), scan
-splits 4 MB so each ~100 MB fact file parallelizes across the core
-count, AQE off for plan comparability with the committed dumps.
+partitions 64 (data-sized — ~16 MB each at this volume, the
+guide-§2.2 "fewer, larger partitions" rule — and fixed across core
+counts so the c32/c8 ratio varies only the master), scan splits 4 MB
+so each ~100 MB fact file parallelizes across the core count, AQE off
+for plan comparability with the committed dumps.
 """
 
 from __future__ import annotations
@@ -53,9 +54,14 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    # shuffle partitions are DATA-sized, not core-sized (guide §2.2:
+    # partition count follows volume; ~1 GB / 64 ≈ 16 MB per
+    # partition), and deliberately IDENTICAL across core counts so the
+    # c32-vs-c8 comparison varies exactly one thing — the master's
+    # core count, like the driver's own scaling measurement.
     spark = eng.get_spark(
         app_name="bench_sf1",
-        shuffle_partitions=4 * cpus,
+        shuffle_partitions=64,
         extra_conf={
             "spark.sql.files.maxPartitionBytes": "4m",
             "spark.sql.adaptive.enabled": "false",
@@ -92,7 +98,7 @@ def main() -> None:
         "protocol": (
             "10x key-disjoint clone of sf0.1 (tools/scale_bench.py builder); "
             f"uncached, warm-up + min of {RUNS * PASSES} samples; "
-            f"shuffle_partitions={4 * cpus}, splits=4m, AQE off"
+            "shuffle_partitions=64 (data-sized, fixed across core counts), splits=4m, AQE off"
         ),
     }
     with open(args.out, "w") as f:
