@@ -66,6 +66,7 @@ def blocking_keys(
     df: DataFrame,
     id_col: str,
     name_col: str,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """(id, block_key) pairs from three complementary passes:
 
@@ -79,11 +80,19 @@ def blocking_keys(
       individually non-discriminative (hot-block-dropped); this is
       the standard deletion-blocking recall pass, and it subsumes the
       plain full-set fingerprint (reorder/case drift).
+    ``tokens``: optional pre-tokenized (id, _toks) frame — when the
+    caller (resolve_entities) already materialized the token sets
+    behind a checkpoint, the normalize+tokenize pass here reads it
+    instead of re-running over the registry (r14, guide §2.4: one
+    tokenize pass shared by blocking AND the jaccard legs).
     """
-    toks = _tokens(normalize_name(name_col))
-    base = df.select(
-        F.col(id_col).alias("id"), F.array_sort(toks).alias("toks")
-    )
+    if tokens is not None:
+        base = tokens.select("id", F.array_sort("_toks").alias("toks"))
+    else:
+        toks = _tokens(normalize_name(name_col))
+        base = df.select(
+            F.col(id_col).alias("id"), F.array_sort(toks).alias("toks")
+        )
     tok = base.select(
         "id", F.explode("toks").alias("t")
     ).select("id", F.concat(F.lit("tok:"), F.col("t")).alias("block_key"))
@@ -145,6 +154,7 @@ def token_jaccard_pairs(
     pairs: DataFrame,
     id_col: str,
     name_col: str,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Exact token-set Jaccard per candidate pair, as integers:
     returns (id_a, id_b, inter, uni) with uni = |A| + |B| - inter.
@@ -157,10 +167,18 @@ def token_jaccard_pairs(
     size-joins. Zero-overlap candidate pairs (possible only via the
     empty-set deletion fingerprint of single-token records) are
     returned with inter = 0 rather than silently dropped.
+
+    ``tokens``: optional pre-tokenized (id, _toks) frame (see
+    :func:`blocking_keys`) — BOTH pair-join sides read it instead of
+    re-running normalize+tokenize over the registry once per side.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        _tokens(normalize_name(name_col)).alias("_toks"),
+    toks = (
+        tokens
+        if tokens is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            _tokens(normalize_name(name_col)).alias("_toks"),
+        )
     )
     return (
         pairs.join(
@@ -191,9 +209,22 @@ def resolve_entities(
 ) -> DataFrame:
     """Full ER: returns (id, cluster_id) for EVERY input record;
     cluster_id = min record id of the matched component (records that
-    match nothing form singleton clusters of themselves)."""
-    pairs = candidate_pairs(blocking_keys(df, id_col, name_col), max_block)
-    sims = token_jaccard_pairs(df, pairs, id_col, name_col)
+    match nothing form singleton clusters of themselves).
+
+    r14: the token sets are computed ONCE behind a lazy checkpoint and
+    shared by blocking and both jaccard join sides — previously the
+    normalize+tokenize pass re-ran 3× over the registry (guide §2.4).
+    """
+    from data_pipeline_childcare_spark.io import resilient_checkpoint
+
+    toks = resilient_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"),
+            _tokens(normalize_name(name_col)).alias("_toks"),
+        )
+    )
+    pairs = candidate_pairs(blocking_keys(df, id_col, name_col, tokens=toks), max_block)
+    sims = token_jaccard_pairs(df, pairs, id_col, name_col, tokens=toks)
     matched = sims.filter(
         F.col("inter") * F.lit(threshold_den)
         >= F.lit(threshold_num) * F.col("uni")
