@@ -674,6 +674,7 @@ def token_jaccard_weighted(
     pairs: DataFrame,
     id_col: str,
     name_col: str,
+    tokens: DataFrame | None = None,
 ) -> DataFrame:
     """Inverse-document-frequency WEIGHTED token Jaccard per candidate
     pair — the principled fix for the over-merge the pairwise audit
@@ -693,10 +694,18 @@ def token_jaccard_weighted(
     index, one id-keyed per-record weight sum, and the pair join-back
     of the shared-token weight sum — keyed exchanges only, candidate
     volume already bounded by the hot-block cap upstream.
+
+    ``tokens``: optional pre-tokenized (id, _toks) frame (see
+    :func:`blocking_keys`) — the exploded token index derives from it
+    instead of re-running normalize+tokenize (r14).
     """
-    inv = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(_tokens(normalize_name(name_col))).alias("t"),
+    inv = (
+        tokens.select("id", F.explode("_toks").alias("t"))
+        if tokens is not None
+        else df.select(
+            F.col(id_col).alias("id"),
+            F.explode(_tokens(normalize_name(name_col))).alias("t"),
+        )
     )
     w = inv.groupBy("t").agg(
         F.expr("cast(1000000 as bigint) div count(1)").alias("_w")
@@ -752,9 +761,21 @@ def resolve_entities_idf(
     ~0.23 (plain, audit-measured) to ~1.0: cross-entity pairs that
     share only corpus-common tokens (nation + segment) no longer
     reach the threshold, while same-entity pairs keep their
-    rare-token mass."""
-    pairs = candidate_pairs(blocking_keys(df, id_col, name_col), max_block)
-    sims = token_jaccard_weighted(df, pairs, id_col, name_col)
+    rare-token mass.
+
+    r14: same shared-token-checkpoint discipline as
+    :func:`resolve_entities` — one tokenize pass serves blocking and
+    the weighted-similarity token index."""
+    from data_pipeline_childcare_spark.io import resilient_checkpoint
+
+    toks = resilient_checkpoint(
+        df.select(
+            F.col(id_col).alias("id"),
+            _tokens(normalize_name(name_col)).alias("_toks"),
+        )
+    )
+    pairs = candidate_pairs(blocking_keys(df, id_col, name_col, tokens=toks), max_block)
+    sims = token_jaccard_weighted(df, pairs, id_col, name_col, tokens=toks)
     matched = sims.filter(
         F.col("inter_w") * F.lit(threshold_den)
         >= F.lit(threshold_num) * F.col("uni_w")
