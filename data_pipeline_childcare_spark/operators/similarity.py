@@ -2039,15 +2039,39 @@ def ivfpq_topk(
         ),
         _assign_cells(corpus, cents, id_col, vec_col),
     )
-    resid = indexed.join(F.broadcast(cents), "cell").select(
-        id_col,
-        "cell",
-        F.zip_with(
-            F.col(vec_col).cast("array<double>"),
-            F.col("centroid"),
-            lambda x, y: x - y,
-        ).alias("_res"),
-    )
+    cents_l0 = _local_centroid_rows(cents)
+    if (
+        cents_l0
+        and sum(len(c) for _, c in cents_l0) <= _LIT_ASSIGN_MAX_DOUBLES
+    ):
+        # literal residual (r14): the centroid model is driver-local,
+        # so v − centroid(cell) is one CASE-on-cell projection — the
+        # broadcast join existed only to look the centroid up. With
+        # the literal assignment and literal codes, the whole index
+        # build is scan → projections, no join (§2.4). Same zip_with
+        # subtraction over the identical literal arrays, bit-exact.
+        case = " ".join(
+            f"WHEN `cell` = {int(cell)} THEN {_alit_sql(c)}"
+            for cell, c in cents_l0
+        )
+        resid = indexed.select(
+            id_col,
+            "cell",
+            F.expr(
+                f"zip_with(cast(`{vec_col}` as array<double>), "
+                f"CASE {case} END, (x, y) -> x - y)"
+            ).alias("_res"),
+        )
+    else:
+        resid = indexed.join(F.broadcast(cents), "cell").select(
+            id_col,
+            "cell",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("centroid"),
+                lambda x, y: x - y,
+            ).alias("_res"),
+        )
     books = pq_codebooks(
         resid, dim, n_sub, n_codes, pq_iterations, id_col, "_res",
         memo_key=_model_memo_key(
